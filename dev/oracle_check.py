@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each query dumped by
+graft.Verify, run the oracle SQL in DuckDB over the same sf dir and compare
+(columns sorted by name, rows sorted, values rounded-stringified).
+
+Usage: oracle_check.py <sfdir> <verify_outdir>
+Dev-side tool only (duckdb/pyarrow are driver-side; the Scala library never
+uses them)."""
+import json, sys, glob
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                vals.append(f"{v:.6g}")
+            else:
+                vals.append(str(v))
+        out.append("\x01".join(vals))
+    return sorted(out)
+
+fails = 0
+for d in sorted(glob.glob(f"{outdir}/q_*")):
+    name = d.split("/")[-1]
+    got_rel = con.sql(f"SELECT * FROM '{d}/*.parquet'")
+    got = canon(got_rel.fetchall(), got_rel.columns)
+    if name not in oracles:
+        status = f"rows-only ({len(got)} rows)" if got else "rows-only EMPTY !!"
+        if not got: fails += 1
+        print(f"{name:24s} {status}")
+        continue
+    try:
+        exp_rel = con.sql(oracles[name])
+        exp = canon(exp_rel.fetchall(), exp_rel.columns)
+    except Exception as e:
+        print(f"{name:24s} ORACLE SQL ERROR: {e}")
+        fails += 1
+        continue
+    if sorted(got_rel.columns) != sorted(exp_rel.columns):
+        print(f"{name:24s} SCHEMA MISMATCH spark={sorted(got_rel.columns)} duck={sorted(exp_rel.columns)}")
+        fails += 1
+    elif got == exp:
+        print(f"{name:24s} OK ({len(got)} rows)")
+    else:
+        only_g = [r for r in got if r not in set(exp)][:3]
+        only_e = [r for r in exp if r not in set(got)][:3]
+        print(f"{name:24s} VALUE MISMATCH got={len(got)} exp={len(exp)} "
+              f"spark-only={only_g} duck-only={only_e}")
+        fails += 1
+print(f"\n{'ALL OK' if fails == 0 else f'{fails} FAILURES'}")
+sys.exit(1 if fails else 0)

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession factory for the graft engine.
+  *
+  * Design notes (100 TB target):
+  *  - AQE on: runtime partition coalescing + skew-join splitting.
+  *  - shuffle partitions from env (32 locally; ~2-3x cores on a cluster).
+  *  - `nanosAsLong`: the `events` table carries parquet TIMESTAMP(NANOS),
+  *    which Spark does not map to TimestampType; we read it as epoch-nanos
+  *    LongType and convert explicitly (see operators.Sessionize).
+  */
+object GraftSession {
+  def builder(appName: String = "graft"): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  }
+
+  /** Apply graft settings/functions to an externally-created session (the
+    * driver's Verify/Bench build their own session without our extension).
+    */
+  def prepare(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    spark
+  }
+}

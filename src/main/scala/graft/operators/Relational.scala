@@ -1,0 +1,310 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational analytics surface: the reference's SELECT/WHERE/point-lookup
+  * semantics (reference: src/constructs/statements.rs SelectStatement,
+  * src/sql/expects/statements/select.rs) widened to a full analytic query
+  * engine — aggregation, joins, windows, rollup, time bucketing.
+  *
+  * Scale notes (100 TB):
+  *  - dimension joins (`region`,`nation`,`supplier`,`customer`) broadcast
+  *    explicitly: no shuffle of the fact table for dim enrichment;
+  *  - fact aggregations rely on partial (map-side) aggregation — grouping
+  *    keys are low-cardinality so the shuffle carries only partial states;
+  *  - top-k queries go through sort+limit which Spark plans as
+  *    TakeOrderedAndProject (per-partition heap, no global sort);
+  *  - equality point lookups push the predicate into the parquet scan
+  *    (PushedFilters) — the Spark analog of the reference's btree `=` index.
+  *
+  * Float discipline: aggregated doubles are rounded on both the Spark and
+  * oracle side (2-4 dp) so cross-engine summation-order differences (~1e-9
+  * relative) cannot flip the comparison hash.
+  */
+object Relational {
+
+  /** Epoch-nanos → epoch-millis for the `events.ts` column (read as LongType
+    * via nanosAsLong; see GraftSession). Integer `div` keeps it exact. */
+  private val tsMs = expr("ts div 1000000")
+
+  private def pointLookup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") === 42)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  private def selectEq(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
+  private def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  private def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private def localSupplier(s: SparkSession, d: String): DataFrame = {
+    val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, d)
+    val supp = Tables.supplier(s, d)
+    val cust = Tables.customer(s, d)
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  private def antiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  private def windowTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+  }
+
+  private def runningSum(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("run_total"))
+  }
+
+  private def distinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("supp_cnt"),
+        countDistinct(col("l_partkey")).as("part_cnt"))
+
+  private def rollupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+
+  private def topkGlobal(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+
+  private def caseAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(when(col("l_discount") > 0.05,
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0)), 2).as("disc_rev"),
+        count(when(col("l_quantity") > 30, 1)).as("big_cnt"))
+
+  private def dateBucket(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+
+  private def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_name").like("%r%"))
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 5)).as("name5"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"))
+
+  private def unionNames(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_name").as("name"), lit("customer").as("side"))
+      .unionByName(
+        Tables.supplier(s, d).select(col("s_name").as("name"), lit("supplier").as("side")))
+      .distinct()
+
+  private def sessionize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val ev = Tables.events(s, d).withColumn("ms", tsMs)
+    ev.withColumn("new_sess",
+        when(col("ms") - lag(col("ms"), 1).over(wOrd) > 1800000L, 1)
+          .otherwise(when(lag(col("ms"), 1).over(wOrd).isNull, 1).otherwise(0)))
+      .withColumn("session_seq", sum(col("new_sess")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sess_value"),
+        (max(col("ms")) - min(col("ms"))).as("duration_ms"))
+  }
+
+  private def tumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy((expr("ts div 3600000000000") * 3600000L).as("hour_ms"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  private def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").as("k_val"))
+      .groupBy(col("k_val"))
+      .agg(count(lit(1)).as("n"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_point_lookup" -> pointLookup _,
+    "q_select_eq" -> selectEq _,
+    "q_pricing_summary" -> pricingSummary _,
+    "q_shipping_priority" -> shippingPriority _,
+    "q_local_supplier" -> localSupplier _,
+    "q_anti_join" -> antiJoin _,
+    "q_window_topk" -> windowTopk _,
+    "q_running_sum" -> runningSum _,
+    "q_distinct_agg" -> distinctAgg _,
+    "q_rollup" -> rollupAgg _,
+    "q_topk_global" -> topkGlobal _,
+    "q_case_agg" -> caseAgg _,
+    "q_date_bucket" -> dateBucket _,
+    "q_string_funcs" -> stringFuncs _,
+    "q_union" -> unionNames _,
+    "q_sessionize" -> sessionize _,
+    "q_tumbling" -> tumbling _,
+    "q_json_extract" -> jsonExtract _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_point_lookup" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey = 42",
+    "q_select_eq" ->
+      "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'",
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_local_supplier" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+        | FROM orders) t WHERE rnk <= 3""".stripMargin,
+    "q_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+        |FROM orders""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_suppkey) AS supp_cnt,
+        | count(DISTINCT l_partkey) AS part_cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_topk_global" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+    "q_case_agg" ->
+      """SELECT l_returnflag,
+        | round(sum(CASE WHEN l_discount > 0.05
+        |   THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS disc_rev,
+        | count(CASE WHEN l_quantity > 30 THEN 1 END) AS big_cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_date_bucket" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(substring(p_name, 1, 5)) AS name5,
+        | concat(p_brand, '#', p_type) AS brand_type,
+        | CAST(length(p_name) AS INTEGER) AS name_len
+        |FROM part WHERE p_name LIKE '%r%'""".stripMargin,
+    "q_union" ->
+      """SELECT c_name AS name, 'customer' AS side FROM customer
+        |UNION
+        |SELECT s_name AS name, 'supplier' AS side FROM supplier""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events),
+        |flagged AS (
+        | SELECT *, CASE WHEN ms - lag(ms) OVER w > 1800000 OR
+        |   lag(ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |sess AS (
+        | SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |   ORDER BY ms, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        | FROM flagged)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        | round(sum(value), 2) AS sess_value,
+        | CAST(max(ms) - min(ms) AS BIGINT) AS duration_ms
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+    "q_tumbling" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_json_extract" ->
+      """SELECT json_extract_string(props, '$.k') AS k_val, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Metric / similarity search: the reference's core capability
+  * (reference: README.md "Story" — Hamming-distance search over perceptual
+  * hashes with `a @ b`, threshold + nearest queries; src/storage/index.rs
+  * EM-tree metric index) re-expressed Spark-first, plus embedding-space
+  * cosine k-NN / near-dup / IVF ANN for training-data pipelines.
+  *
+  * Scale design (100 TB):
+  *  - Probe vectors/hashes are 1-row DataFrames broadcast into a codegen'd
+  *    scan: no shuffle of the corpus, trivially parallel across executors.
+  *  - k-NN = distance scan + `orderBy.limit(k)` which Spark plans as
+  *    TakeOrderedAndProject: a per-partition k-heap + driver merge of
+  *    k·numPartitions rows — no global sort. This is the Spark analog of
+  *    the EM-tree's nearest-neighbour traversal.
+  *  - Distance kernels (cosine/dot/norm, Hamming via xor+bit_count, SimHash)
+  *    are native codegen expressions — no UDF boxing in the hot loop.
+  *  - IVF path: corpus pre-assigned to centroids once (k small, broadcast);
+  *    each probe searches one cluster ≈ 1/k of the data. Candidate recall
+  *    vs. exactness is the documented ANN trade-off.
+  *  - Embedding near-dup: axis-sign LSH bands bound candidate generation;
+  *    cosine verify runs only within band buckets. No all-pairs join.
+  */
+object Similarity {
+
+  /** Cross-engine 30-bit content fingerprint (polynomial rolling hash,
+    * mod 1e9+7) — stands in for the reference's perceptual hash column. */
+  private def fpCol: Column = expr(
+    """aggregate(
+      |  transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+      |  CAST(0 AS BIGINT),
+      |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin)
+
+  private def fingerprints(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), fpCol.as("fp"))
+
+  /** Threshold metric search: `WHERE fp @ probe < 10` (reference `@`). */
+  private def hammingThreshold(s: SparkSession, d: String): DataFrame = {
+    val docs = fingerprints(s, d)
+    val probe = docs.filter(col("doc_id") === 0).select(col("fp").as("probe_fp"))
+    docs.crossJoin(broadcast(probe))
+      .select(col("doc_id"),
+        bit_count(col("fp").bitwiseXOR(col("probe_fp"))).as("dist"))
+      .filter(col("dist") < 10)
+  }
+
+  /** k-NN by Hamming distance (TakeOrderedAndProject, no global sort). */
+  private def hammingKnn(s: SparkSession, d: String): DataFrame = {
+    val docs = fingerprints(s, d)
+    val probe = docs.filter(col("doc_id") === 0).select(col("fp").as("probe_fp"))
+    docs.crossJoin(broadcast(probe))
+      .select(col("doc_id"),
+        bit_count(col("fp").bitwiseXOR(col("probe_fp"))).as("dist"))
+      .orderBy(col("dist"), col("doc_id"))
+      .limit(10)
+  }
+
+  /** End-to-end perceptual-hash search (README story): SimHash the corpus,
+    * find everything within Hamming 16 of the probe document's hash. */
+  private def phashSearch(s: SparkSession, d: String): DataFrame = {
+    val hashed = Tables.documents(s, d).select(col("doc_id"),
+      call_function("simhash64", split(col("text"), " ")).as("ph"))
+    val probe = hashed.filter(col("doc_id") === 0).select(col("ph").as("probe_ph"))
+    hashed.crossJoin(broadcast(probe))
+      .select(col("doc_id"),
+        bit_count(col("ph").bitwiseXOR(col("probe_ph"))).as("dist"))
+      .filter(col("dist") < 16)
+      .orderBy(col("dist"), col("doc_id"))
+  }
+
+  /** Brute-force cosine k-NN vs. probe vec_id=0 (exact baseline). */
+  private def knnCosine(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("probe_v"))
+    e.crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(call_function("cosine_sim", col("embedding"), col("probe_v")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** All embedding pairs with cosine >= 0.4, blocked by axis-sign LSH:
+    * 4 bands × 4 sign bits (dims 0-15). Verification only within buckets. */
+  private def embedNeardup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val keyed = e.select(
+      col("vec_id"), col("embedding"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => aggregate(sequence(lit(0), lit(3)), lit(0),
+          (acc, i) => acc * 2 +
+            when(element_at(col("embedding"), b * 4 + i + 1) > 0f, 1).otherwise(0)))))
+      .toDF("vec_id", "embedding", "band", "bucket")
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(call_function("cosine_sim", col("a.embedding"), col("b.embedding")), 6).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .distinct()
+  }
+
+  /** IVF-style ANN: deterministic seed centroids (vec_id < 8), assign corpus
+    * to nearest centroid, probe searches only its own cluster. */
+  private def annIvf(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val e = Tables.embeddings(s, d)
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val byBest = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        call_function("cosine_sim", col("embedding"), col("cvec")).as("csim"))
+      .withColumn("rn", row_number().over(byBest))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val probe = assigned.filter(col("vec_id") === 0)
+      .select(col("cid").as("probe_cid"), col("embedding").as("probe_v"))
+    assigned.join(broadcast(probe), col("cid") === col("probe_cid"))
+      .select(col("vec_id"),
+        round(call_function("cosine_sim", col("embedding"), col("probe_v")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** L2 norms via the native codegen kernel. */
+  private def embedNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        round(call_function("l2_norm", col("embedding")), 6).as("nrm"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hamming_threshold" -> hammingThreshold _,
+    "q_hamming_knn" -> hammingKnn _,
+    "q_phash_search" -> phashSearch _,
+    "q_knn_cosine" -> knnCosine _,
+    "q_embed_neardup" -> embedNeardup _,
+    "q_ann_ivf" -> annIvf _,
+    "q_embed_norm" -> embedNorm _
+  )
+
+  private val fpSql =
+    """SELECT doc_id,
+      | list_reduce(
+      |   list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |   (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+      |FROM documents""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_hamming_threshold" ->
+      s"""WITH fp AS ($fpSql)
+         |SELECT doc_id,
+         | CAST(bit_count(xor(fp, (SELECT fp FROM fp WHERE doc_id = 0))) AS INTEGER) AS dist
+         |FROM fp
+         |WHERE bit_count(xor(fp, (SELECT fp FROM fp WHERE doc_id = 0))) < 10""".stripMargin,
+    "q_hamming_knn" ->
+      s"""WITH fp AS ($fpSql)
+         |SELECT doc_id,
+         | CAST(bit_count(xor(fp, (SELECT fp FROM fp WHERE doc_id = 0))) AS INTEGER) AS dist
+         |FROM fp ORDER BY dist, doc_id LIMIT 10""".stripMargin,
+    "q_knn_cosine" ->
+      """SELECT vec_id,
+        | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+        |FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_embed_norm" ->
+      """SELECT vec_id,
+        | round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |   x -> x * x))), 6) AS nrm
+        |FROM embeddings""".stripMargin
+    // q_phash_search (FNV SimHash), q_embed_neardup / q_ann_ivf (LSH/IVF
+    // recall is engine-specific): rows-only checks by design.
+  )
+}

@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, DotProduct, L2Norm, SimHash64, Ulid}
+
+/** SparkSessionExtensions entry point: injects graft's native Catalyst
+  * expressions into the SQL function registry, so `spark.sql` and
+  * `call_function` can use them like built-ins (codegen included).
+  *
+  * Register with `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * or post-hoc via [[GraftExtensions.registerFunctions]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+
+  val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", info("cosine_sim", "cosine similarity of two array<float>"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    ("dot_product", info("dot_product", "dot product of two array<float>"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    ("l2_norm", info("l2_norm", "L2 norm of an array<float>"),
+      (args: Seq[Expression]) => L2Norm(args(0))),
+    ("simhash64", info("simhash64", "64-bit SimHash of an array<string> of tokens"),
+      (args: Seq[Expression]) => SimHash64(args(0))),
+    ("ulid", info("ulid", "generate a ULID (Crockford base32, time-ordered)"),
+      (args: Seq[Expression]) => { require(args.isEmpty, "ulid() takes no arguments"); Ulid() })
+  )
+
+  /** Post-hoc registration for sessions built without the extension
+    * (the driver's Verify/Bench harness builds a bare session).
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    definitions.foreach { case (name, inf, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+  }
+}

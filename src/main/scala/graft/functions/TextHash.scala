@@ -27,6 +27,91 @@ object TextHashKernels {
     h
   }
 
+  /** Distinct n-word shingles of single-space-tokenized text, in
+    * first-occurrence order (matches split(' ') → concat_ws(' ') →
+    * array_distinct semantics; empty result for docs with < n tokens). */
+  def wordShingles(text: UTF8String, n: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = text.toString
+    val toks = s.split(" ", -1)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val last = toks.length - n
+    val sb = new java.lang.StringBuilder()
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** splitmix64 finalizer: cheap, well-mixed per-permutation remix. */
+  @inline def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** k-permutation MinHash: each token hashed once (FNV), remixed k times. */
+  def minhash(tokens: ArrayData, k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = fnv64(tokens.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val m = splitmix64(h ^ (0x9e3779b97f4a7c15L * j))
+          if (m < mins(j)) mins(j) = m
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  /** Band hashes: FNV-combine each group of k/bands signature minima. */
+  def minhashBands(tokens: ArrayData, k: Int, bands: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val sig = minhash(tokens, k)
+    val rows = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L
+      var r = 0
+      while (r < rows) {
+        val v = sig.getLong(b * rows + r)
+        var byte = 0
+        while (byte < 8) {
+          h ^= (v >>> (byte * 8)) & 0xffL
+          h *= 0x100000001b3L
+          byte += 1
+        }
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Charikar SimHash: per-bit majority vote of token FNV hashes. */
   def simhash(tokens: ArrayData): Long = {
     val counts = new Array[Int](64)
@@ -48,6 +133,87 @@ object TextHashKernels {
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+}
+
+/** word_shingles(text, n): distinct consecutive n-word shingles of the
+  * single-space-tokenized text, as array<string> (first-occurrence order).
+  * Native replacement for the split/transform/concat_ws/array_distinct HOF
+  * chain: one pass, no interpreted lambdas, empty array when the document
+  * has fewer than n tokens. This is the entry scan of every near-dup
+  * pipeline, so at 100 TB it must run at codegen speed. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires (string, n>0)")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.wordShingles(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextHashKernels.wordShingles($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** minhash_sig(tokens, k): k-permutation MinHash signature of an
+  * array<string> token set, as array<long>.
+  *
+  * One pass: each token is FNV-hashed once, then remixed per permutation
+  * with splitmix64 (5 ALU ops) — O(k·n) cheap mixes inside whole-stage
+  * codegen, vs. the naive HOF formulation that re-hashes every token k
+  * times through interpreted lambdas. At 100 TB this is the signature-
+  * construction scan; it must run at memory bandwidth.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires (array<string>, k>0)")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.minhash(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextHashKernels.minhash($a, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** minhash_bands(tokens, k, bands): LSH band hashes of the k-permutation
+  * MinHash signature, as array<long> of length `bands` (k % bands == 0).
+  * Fuses signature construction and band hashing into one codegen kernel,
+  * so LSH candidate generation is a single scan → posexplode → join. */
+case class MinHashBands(child: Expression, k: Int, bands: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k > 0 && bands > 0 && k % bands == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, k>0, bands>0, k % bands == 0)")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_bands"
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.minhashBands(a.asInstanceOf[ArrayData], k, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextHashKernels.minhashBands($a, $k, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
 }
 
 /** simhash64(tokens): 64-bit SimHash of an array<string> of tokens. */

@@ -24,14 +24,9 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** Distinct 3-word shingles of the whitespace-tokenized text. */
-  private def shingleCol: Column = {
-    val toks = split(col("text"), " ")
-    array_distinct(transform(
-      sequence(lit(0), size(toks) - 3),
-      i => concat_ws(" ",
-        element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
-  }
+  /** Distinct 3-word shingles of the whitespace-tokenized text (native
+    * codegen kernel — see functions.WordShingles). */
+  private def shingleCol: Column = call_function("word_shingles", col("text"), lit(3))
 
   /** Exact dedup: one row per distinct content, keeper = min doc_id.
     * Groups on the 64-bit content hash so the shuffle never carries text. */
@@ -41,11 +36,16 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
-  /** All document pairs with 3-shingle Jaccard >= 0.5, via inverted index. */
+  /** All document pairs with 3-shingle Jaccard >= 0.5, via inverted index.
+    * Postings carry `xxhash64(shingle)` (8 bytes), not the shingle string:
+    * the self-join shuffles and compares longs. 64-bit collisions among
+    * ~1e5 distinct shingles are ~1e-9 — the intersection counts equal the
+    * string-exact oracle's in practice. */
   private def dedupJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
     val inter = inv.as("a")
       .join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -60,18 +60,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("raw_j"), 4).as("jaccard"))
   }
 
-  /** MinHash signatures (k=64 via xxhash64(shingle_hash, j)) → 16 bands of
-    * 4 → bucket-join candidates → exact-Jaccard verify at 0.5. */
+  /** MinHash signatures (k=64, native codegen kernel) → 16 bands of 4 →
+    * bucket-join candidates → exact-Jaccard verify at 0.5. Signature + band
+    * hashing fuse into one `minhash_bands` scan (see functions.MinHashBands)
+    * — no interpreted HOF lambdas in the per-document hot path. */
   private def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh"))
-    val sigs = docs.select(
+    val banded = docs.select(
       col("doc_id"),
-      transform(sequence(lit(0), lit(63)),
-        j => array_min(transform(col("sh"), t => xxhash64(xxhash64(t), j)))).as("sig"))
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(15)),
-        b => xxhash64(slice(col("sig"), b * 4 + 1, lit(4))))))
+      posexplode(call_function("minhash_bands", col("sh"), lit(64), lit(16))))
       .toDF("doc_id", "band", "bh")
     val cand = banded.as("a")
       .join(banded.as("b"),

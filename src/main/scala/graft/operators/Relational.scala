@@ -82,9 +82,9 @@ object Relational {
   }
 
   private def antiJoin(s: SparkSession, d: String): DataFrame =
-    Tables.customer(s, d)
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
-      .select(col("c_custkey"), col("c_name"))
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
   private def windowTopk(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -238,8 +238,8 @@ object Relational {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
     "q_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
     "q_window_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,

@@ -4,7 +4,9 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, L2Norm, SimHash64, Ulid}
+import org.apache.spark.sql.catalyst.expressions.Literal
+
+import graft.functions.{CosineSimilarity, DotProduct, L2Norm, MinHashBands, MinHashSig, SimHash64, Ulid, WordShingles}
 
 /** SparkSessionExtensions entry point: injects graft's native Catalyst
   * expressions into the SQL function registry, so `spark.sql` and
@@ -24,6 +26,11 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
 
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
   val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", info("cosine_sim", "cosine similarity of two array<float>"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
@@ -33,6 +40,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => L2Norm(args(0))),
     ("simhash64", info("simhash64", "64-bit SimHash of an array<string> of tokens"),
       (args: Seq[Expression]) => SimHash64(args(0))),
+    ("minhash_sig", info("minhash_sig", "k-permutation MinHash signature of array<string>"),
+      (args: Seq[Expression]) => MinHashSig(args(0), litInt(args(1), "minhash_sig k"))),
+    ("word_shingles", info("word_shingles", "distinct n-word shingles of text"),
+      (args: Seq[Expression]) => WordShingles(args(0), litInt(args(1), "word_shingles n"))),
+    ("minhash_bands", info("minhash_bands", "LSH band hashes of the MinHash signature"),
+      (args: Seq[Expression]) => MinHashBands(args(0),
+        litInt(args(1), "minhash_bands k"), litInt(args(2), "minhash_bands bands"))),
     ("ulid", info("ulid", "generate a ULID (Crockford base32, time-ordered)"),
       (args: Seq[Expression]) => { require(args.isEmpty, "ulid() takes no arguments"); Ulid() })
   )

@@ -179,7 +179,15 @@ object Relational {
       .groupBy(col("k_val"))
       .agg(count(lit(1)).as("n"))
 
+  /** ULID assignment (reference src/constructs/functions.rs ULID()):
+    * executor-side per-row generation — rows-only check (nondeterministic,
+    * but time-ordered and unique by construction). */
+  private def ulidAssign(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), call_function("ulid").as("id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ulid" -> ulidAssign _,
     "q_point_lookup" -> pointLookup _,
     "q_select_eq" -> selectEq _,
     "q_pricing_summary" -> pricingSummary _,

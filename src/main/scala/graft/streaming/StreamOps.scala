@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event on the stream (event-time in millis carried as Timestamp). */
+case class StreamEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+/** Open-session state per user. */
+case class SessionState(start_ms: Long, last_ms: Long, n_events: Long, value: Double)
+
+/** One closed session. */
+case class ClosedSession(user_id: Long, start_ms: Long, n_events: Long,
+    value: Double, duration_ms: Long)
+
+/** Structured Streaming twins of the batch event operators
+  * (operators.Relational q_tumbling / q_sessionize).
+  *
+  * Scale notes:
+  *  - tumbling agg state is bounded by the watermark: late rows beyond it
+  *    are dropped and closed windows are evicted — state size is
+  *    O(active windows × event types), independent of stream length;
+  *  - sessionization keeps exactly one `SessionState` per active user via
+  *    `flatMapGroupsWithState`; sessions close on gap timeout, so state is
+  *    O(concurrently-active users). Keys hash-partition across executors —
+  *    no single-node state bottleneck.
+  */
+object StreamOps {
+
+  /** Tumbling 1-hour windowed counts with watermarking (D4). */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Gap-based sessionization (D5): one state per active user; a session
+    * closes when the next event arrives > gap later (in-batch) or when the
+    * event-time watermark passes `last_event + gap` (idle users). Event-time
+    * timeout keeps state bounded by the watermark — a processing-time
+    * timeout would instead busy-trigger batches and close sessions on
+    * wall-clock, which is wrong under replay/backfill. */
+  def sessionize(events: Dataset[StreamEvent], gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .as[StreamEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[StreamEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              ClosedSession(userId, s.start_ms, s.n_events, s.value, s.last_ms - s.start_ms))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val ms = e.ts.getTime
+              cur match {
+                case Some(s) if ms - s.last_ms > gapMs =>
+                  closed += ClosedSession(userId, s.start_ms, s.n_events, s.value, s.last_ms - s.start_ms)
+                  cur = Some(SessionState(ms, ms, 1L, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start_ms, ms, s.n_events + 1, s.value + e.value))
+                case None =>
+                  cur = Some(SessionState(ms, ms, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_ms + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+}

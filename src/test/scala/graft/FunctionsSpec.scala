@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{TextHashKernels, Ulid, VectorKernels}
+
+/** Kernel-level specs for graft's native Catalyst expressions. */
+class FunctionsSpec extends SparkTestBase {
+
+  private def sqlOne(q: String): Row = spark.sql(q).head()
+
+  test("word_shingles: distinct consecutive 3-grams, first-occurrence order") {
+    val r = sqlOne("SELECT word_shingles('a b c d a b c d', 3) AS sh")
+    assert(r.getSeq[String](0) ==
+      Seq("a b c", "b c d", "c d a", "d a b", "a b c d".take(0) + "a b c").distinct ||
+      r.getSeq[String](0) == Seq("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("word_shingles: shorter than n gives empty array") {
+    assert(sqlOne("SELECT word_shingles('a b', 3) AS sh").getSeq[String](0).isEmpty)
+    assert(sqlOne("SELECT word_shingles('a b c', 3) AS sh").getSeq[String](0) == Seq("a b c"))
+  }
+
+  test("minhash_sig: deterministic, set-based, similarity-preserving") {
+    val a = "SELECT minhash_sig(word_shingles('the quick brown fox jumps over the lazy dog', 3), 64) AS s"
+    assert(sqlOne(a).getSeq[Long](0) == sqlOne(a).getSeq[Long](0))
+    // identical token sets -> identical signatures regardless of order dupes
+    val r = sqlOne(
+      "SELECT minhash_sig(array('x y z'), 64) AS a, minhash_sig(array('x y z', 'x y z'), 64) AS b")
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    // sig agreement fraction approximates Jaccard: near-identical docs agree
+    // on most permutations, disjoint docs on almost none
+    val near = spark.sql(
+      """SELECT size(zip_with(
+        |  minhash_sig(word_shingles('w1 w2 w3 w4 w5 w6 w7 w8 w9 w10', 3), 64),
+        |  minhash_sig(word_shingles('w1 w2 w3 w4 w5 w6 w7 w8 w9 xx', 3), 64),
+        |  (x, y) -> CASE WHEN x = y THEN 1 ELSE NULL END)) -
+        | size(filter(zip_with(
+        |  minhash_sig(word_shingles('w1 w2 w3 w4 w5 w6 w7 w8 w9 w10', 3), 64),
+        |  minhash_sig(word_shingles('w1 w2 w3 w4 w5 w6 w7 w8 w9 xx', 3), 64),
+        |  (x, y) -> x = y), b -> NOT b)) AS agree""".stripMargin).head().getInt(0)
+    assert(near > 32, s"near-dup docs should agree on most minhash slots, got $near/64")
+  }
+
+  test("minhash_bands: 16 bands, equal sets collide in every band") {
+    val r = sqlOne(
+      """SELECT minhash_bands(word_shingles('p q r s t u v', 3), 64, 16) AS a,
+        |       minhash_bands(word_shingles('p q r s t u v', 3), 64, 16) AS b""".stripMargin)
+    assert(r.getSeq[Long](0).size == 16)
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+  }
+
+  test("simhash64: identical inputs collide; hamming grows with difference") {
+    def ham(a: String, b: String): Int = spark.sql(
+      s"""SELECT CAST(bit_count(simhash64(split('$a', ' ')) ^
+         | simhash64(split('$b', ' '))) AS INT)""".stripMargin).head().getInt(0)
+    assert(ham("alpha beta gamma delta", "alpha beta gamma delta") == 0)
+    val near = ham("alpha beta gamma delta epsilon zeta", "alpha beta gamma delta epsilon eta")
+    val far = ham("alpha beta gamma delta epsilon zeta", "one two three four five six")
+    assert(near < far, s"near=$near should be < far=$far")
+  }
+
+  test("vector kernels: cosine/dot/norm match naive computation") {
+    val r = sqlOne(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                  array(CAST(2.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS c,
+        |       dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                   array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |       l2_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n""".stripMargin)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getDouble(2) == 5.0)
+  }
+
+  test("cosine_sim handles zero vectors without NaN") {
+    val r = sqlOne(
+      """SELECT cosine_sim(array(CAST(0.0 AS FLOAT)), array(CAST(0.0 AS FLOAT))) AS c""")
+    assert(r.getDouble(0) == 0.0)
+  }
+
+  test("ulid: 26-char Crockford base32, time-ordered across millis") {
+    val r = spark.sql("SELECT ulid() AS u FROM range(100)")
+      .collect().map(_.getString(0))
+    assert(r.length == 100 && r.toSet.size == 100)
+    assert(r.forall(u => u.length == 26 && u.forall("0123456789ABCDEFGHJKMNPQRSTVWXYZ".contains(_))))
+    val early = graft.functions.Ulid.generate(1000L, new java.util.Random(1))
+    val late = graft.functions.Ulid.generate(2000L, new java.util.Random(1))
+    assert(early < late)
+  }
+
+  test("kernels agree between codegen and interpreted eval paths") {
+    val t = UTF8String.fromString _
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arr = new GenericArrayData(Array[Any](t("a b c"), t("b c d")))
+    // direct kernel call == SQL (codegen) result
+    val direct = TextHashKernels.simhash(arr)
+    val viaSql = sqlOne("SELECT simhash64(array('a b c', 'b c d'))").getLong(0)
+    assert(direct == viaSql)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Multimodal, Relational, Similarity}
+
+/** Plan-shape audits: the scale properties SURVEY §4 promises, asserted on
+  * the actual physical plans — pushdown, pruning, broadcast, TakeOrdered. */
+class QueryPlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    GraftSession.prepare(spark)
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+  }
+
+  test("point lookup pushes the equality filter into the parquet scan") {
+    val p = plan("q_point_lookup")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderkey,42)"), p)
+  }
+
+  test("projection queries prune the scan schema") {
+    val p = plan("q_select_eq")
+    // only the selected + filtered columns are read, not text
+    assert(p.contains("ReadSchema") && !p.contains("text"), p)
+  }
+
+  test("star join broadcasts dimensions") {
+    val p = plan("q_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan("q_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("knn cosine plans as broadcast + TakeOrdered, no shuffle of corpus") {
+    val p = plan("q_knn_cosine")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("aggregations are partial (map-side) before the shuffle") {
+    val p = plan("q_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+  }
+
+  test("every registered query executes and returns rows at sf0.001") {
+    val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      try {
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        if (n > 0) None else Some(s"$name: 0 rows")
+      } catch { case e: Exception => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

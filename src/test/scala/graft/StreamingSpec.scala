@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{ClosedSession, StreamEvent, StreamOps}
+
+class StreamingSpec extends SparkTestBase {
+
+  test("tumbling windowed counts with watermark (D4)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val q = StreamOps.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val h = 3600L * 1000
+      input.addData(
+        StreamEvent(1, new Timestamp(0 * h + 10), "click", 1.0),
+        StreamEvent(2, new Timestamp(0 * h + 20), "click", 2.0),
+        StreamEvent(1, new Timestamp(1 * h + 30), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first two windows
+      input.addData(StreamEvent(9, new Timestamp(9 * h), "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .select("window_start", "event_type", "n", "total_value").collect()
+      val byKey = rows.map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(byKey((0L, "click")) == ((2L, 3.0)))
+      assert(byKey((h, "view")) == ((1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("gap sessionization via flatMapGroupsWithState (D5)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val q = StreamOps.sessionize(input.toDS(), gapMs = 1000L)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        StreamEvent(1, new Timestamp(100), "a", 1.0),
+        StreamEvent(1, new Timestamp(300), "a", 2.0))
+      q.processAllAvailable()
+      // other user far in the future: watermark passes user 1's gap
+      // timeout, closing their session via EventTimeTimeout
+      input.addData(StreamEvent(2, new Timestamp(60000), "a", 7.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_out").as[ClosedSession].collect()
+      assert(sessions.length == 1, sessions.mkString(","))
+      val s1 = sessions.head
+      assert(s1.user_id == 1 && s1.start_ms == 100 && s1.n_events == 2 &&
+        s1.value == 3.0 && s1.duration_ms == 200)
+      // in-batch gap split for the same user
+      input.addData(
+        StreamEvent(2, new Timestamp(61000), "a", 1.0),
+        StreamEvent(2, new Timestamp(70000), "a", 2.0))
+      q.processAllAvailable()
+      val s2 = spark.table("sessions_out").as[ClosedSession]
+        .filter(_.user_id == 2).collect()
+      assert(s2.length == 1 && s2.head.start_ms == 60000 && s2.head.n_events == 2)
+    } finally q.stop()
+  }
+}

@@ -36,6 +36,26 @@ object VectorKernels {
     math.sqrt(acc)
   }
 
+  /** Axis-sign LSH buckets: band b = sign bits of dims [b·bits, (b+1)·bits). */
+  def signBands(v: ArrayData, bands: Int, bits: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var i = 0
+      while (i < bits) {
+        val d = b * bits + i
+        acc = (acc << 1) | (if (d < n && v.getFloat(d) > 0f) 1L else 0L)
+        i += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var d = 0.0; var na = 0.0; var nb = 0.0
@@ -48,6 +68,34 @@ object VectorKernels {
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) 0.0 else d / denom
   }
+}
+
+/** sign_bands(vec, bands, bits): axis-sign LSH band buckets of a float
+  * vector — band b's bucket is the `bits`-bit pattern of sign bits of
+  * dims [b·bits, (b+1)·bits). One codegen pass; posexplode the result to
+  * get (band, bucket) blocking keys for near-dup candidate generation.
+  * Sign-random-projection LSH: collision probability 1 − θ/π per bit, so
+  * bucket-blocking bounds candidate pairs while keeping high-cosine pairs
+  * together — the no-all-pairs path at 100 TB. */
+case class SignBands(child: Expression, bands: Int, bits: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if bands > 0 && bits > 0 && bits <= 63 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires (array<float>, bands>0, 0<bits<64)")
+  }
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_bands"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.signBands(a.asInstanceOf[ArrayData], bands, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.signBands($a, $bands, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SignBands =
+    copy(child = newChild)
 }
 
 /** cosine_sim(a, b): cosine similarity of two float vectors, in double. */

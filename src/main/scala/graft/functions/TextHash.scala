@@ -58,6 +58,22 @@ object TextHashKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Polynomial rolling hash over code points: acc = (acc·31 + cp) mod 1e9+7.
+    * Matches the DuckDB-expressible formula (list_reduce over string_split)
+    * exactly, so oracle queries can recompute it cross-engine. */
+  def contentFp(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
   /** splitmix64 finalizer: cheap, well-mixed per-permutation remix. */
   @inline def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
@@ -158,6 +174,30 @@ case class WordShingles(child: Expression, n: Int)
     defineCodeGen(ctx, ev, a => s"graft.functions.TextHashKernels.wordShingles($a, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** content_fp(text): 30-bit polynomial rolling-hash fingerprint (the
+  * cross-engine-verifiable stand-in for the reference's perceptual hash
+  * column — reference: README.md "Story"). Codegen scalar; the interpreted
+  * split('')/aggregate HOF formulation costs ~100× more per row. */
+case class ContentFp(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "content_fp"
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.contentFp(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextHashKernels.contentFp($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): ContentFp =
     copy(child = newChild)
 }
 

@@ -30,12 +30,9 @@ import graft.sources.Tables
 object Similarity {
 
   /** Cross-engine 30-bit content fingerprint (polynomial rolling hash,
-    * mod 1e9+7) — stands in for the reference's perceptual hash column. */
-  private def fpCol: Column = expr(
-    """aggregate(
-      |  transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
-      |  CAST(0 AS BIGINT),
-      |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin)
+    * mod 1e9+7; native codegen kernel — see functions.ContentFp) — stands
+    * in for the reference's perceptual hash column. */
+  private def fpCol: Column = call_function("content_fp", col("text"))
 
   private def fingerprints(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), fpCol.as("fp"))
@@ -86,15 +83,13 @@ object Similarity {
   }
 
   /** All embedding pairs with cosine >= 0.4, blocked by axis-sign LSH:
-    * 4 bands × 4 sign bits (dims 0-15). Verification only within buckets. */
+    * 4 bands × 4 sign bits (dims 0-15, native codegen kernel — see
+    * functions.SignBands). Verification only within buckets. */
   private def embedNeardup(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val keyed = e.select(
       col("vec_id"), col("embedding"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => aggregate(sequence(lit(0), lit(3)), lit(0),
-          (acc, i) => acc * 2 +
-            when(element_at(col("embedding"), b * 4 + i + 1) > 0f, 1).otherwise(0)))))
+      posexplode(call_function("sign_bands", col("embedding"), lit(4), lit(4))))
       .toDF("vec_id", "embedding", "band", "bucket")
     keyed.as("a")
       .join(keyed.as("b"),

@@ -58,11 +58,7 @@ object TextAnalysis {
   private def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
-      expr(
-        """aggregate(
-          |  transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
-          |  CAST(0 AS BIGINT),
-          |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin).as("fp"))
+      call_function("content_fp", col("text")).as("fp"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_langid" -> langId _,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{CosineSimilarity, DotProduct, L2Norm, MinHashBands, MinHashSig, SimHash64, Ulid, WordShingles}
+import graft.functions.{ContentFp, CosineSimilarity, DotProduct, L2Norm, MinHashBands, MinHashSig, SignBands, SimHash64, Ulid, WordShingles}
 
 /** SparkSessionExtensions entry point: injects graft's native Catalyst
   * expressions into the SQL function registry, so `spark.sql` and
@@ -38,10 +38,15 @@ object GraftExtensions {
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     ("l2_norm", info("l2_norm", "L2 norm of an array<float>"),
       (args: Seq[Expression]) => L2Norm(args(0))),
+    ("sign_bands", info("sign_bands", "axis-sign LSH band buckets of an array<float>"),
+      (args: Seq[Expression]) => SignBands(args(0),
+        litInt(args(1), "sign_bands bands"), litInt(args(2), "sign_bands bits"))),
     ("simhash64", info("simhash64", "64-bit SimHash of an array<string> of tokens"),
       (args: Seq[Expression]) => SimHash64(args(0))),
     ("minhash_sig", info("minhash_sig", "k-permutation MinHash signature of array<string>"),
       (args: Seq[Expression]) => MinHashSig(args(0), litInt(args(1), "minhash_sig k"))),
+    ("content_fp", info("content_fp", "polynomial rolling-hash content fingerprint"),
+      (args: Seq[Expression]) => ContentFp(args(0))),
     ("word_shingles", info("word_shingles", "distinct n-word shingles of text"),
       (args: Seq[Expression]) => WordShingles(args(0), litInt(args(1), "word_shingles n"))),
     ("minhash_bands", info("minhash_bands", "LSH band hashes of the MinHash signature"),

@@ -80,6 +80,22 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.getDouble(0) == 0.0)
   }
 
+  test("sign_bands: bit pattern of dimension signs, per band") {
+    val r = sqlOne(
+      """SELECT sign_bands(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT),
+        |                        CAST(2.0 AS FLOAT), CAST(-2.0 AS FLOAT),
+        |                        CAST(-3.0 AS FLOAT), CAST(3.0 AS FLOAT),
+        |                        CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT)), 2, 4) AS b""".stripMargin)
+    // band 0: signs(+,-,+,-) = 1010b = 10; band 1: signs(-,+,+,+) = 0111b = 7
+    assert(r.getSeq[Long](0) == Seq(10L, 7L))
+  }
+
+  test("content_fp matches the cross-engine polynomial formula") {
+    // acc = (acc*31 + codepoint) % 1e9+7 over "ab" = (97*31 + 98) = 3105
+    assert(sqlOne("SELECT content_fp('ab')").getLong(0) == 97L * 31 + 98)
+    assert(sqlOne("SELECT content_fp('')").getLong(0) == 0L)
+  }
+
   test("ulid: 26-char Crockford base32, time-ordered across millis") {
     val r = spark.sql("SELECT ulid() AS u FROM range(100)")
       .collect().map(_.getString(0))

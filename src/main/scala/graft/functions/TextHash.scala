@@ -58,6 +58,25 @@ object TextHashKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Distinct n-char shingles, first-occurrence order (empty if shorter
+    * than n). Char-level near-dup shingling for noisy text where word
+    * tokenization is unreliable. */
+  def charShingles(text: UTF8String, n: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = text.toString
+    if (s.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val last = s.length - n
+    while (i <= last) { seen.add(s.substring(i, i + n)); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Polynomial rolling hash over code points: acc = (acc·31 + cp) mod 1e9+7.
     * Matches the DuckDB-expressible formula (list_reduce over string_split)
     * exactly, so oracle queries can recompute it cross-engine. */
@@ -198,6 +217,28 @@ case class ContentFp(child: Expression)
     defineCodeGen(ctx, ev, a => s"graft.functions.TextHashKernels.contentFp($a)")
 
   override protected def withNewChildInternal(newChild: Expression): ContentFp =
+    copy(child = newChild)
+}
+
+/** char_shingles(text, n): distinct consecutive n-char shingles, as
+  * array<string> (first-occurrence order; empty when len < n). */
+case class CharShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires (string, n>0)")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_shingles"
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.charShingles(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextHashKernels.charShingles($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
     copy(child = newChild)
 }
 

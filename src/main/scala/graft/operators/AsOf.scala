@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** As-of (time-travel) join: for each left row, the most recent right row
+  * with the same key at-or-before the left row's time — the temporal
+  * operator Spark lacks as a built-in.
+  *
+  * Spark-first design: instead of a per-row range join (O(n·m) candidate
+  * blowup, no pushdown), tag-and-union both sides, shuffle ONCE on the
+  * key, and run a `last(_, ignoreNulls)` running window ordered by
+  * (time, side) — right rows sort before left rows at equal timestamps, so
+  * `t_left >= t_right` ties match. Cost: one shuffle + one sort per key
+  * partition, linear output — survives 100 TB where a range join dies.
+  * Skewed keys are split by AQE; the window itself is streaming (running
+  * frame), so no per-key buffering beyond the sort.
+  */
+object AsOf {
+
+  /** Generic as-of join: left and right share `key`; `leftTime`/`rightTime`
+    * are epoch-comparable; right columns in `carry` are propagated. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, carry: Seq[String]): DataFrame = {
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+    val r = right.withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
+    val lCols = left.columns
+    val union = l.select(
+      col("__t") :: col("__side") :: col(key).as("__k") ::
+        (lCols.filterNot(_ == key).map(c => col(c)) ++
+          carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))).toList: _*)
+      .unionByName(r.select(
+        col("__t") :: col("__side") :: col(key).as("__k") ::
+          (lCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+            carry.map(c => col(c).as(s"__r_$c"))).toList: _*))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = carry.foldLeft(union) { (df, c) =>
+      df.withColumn(s"__asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__side") === 1)
+      .select(
+        col("__k").as(key) ::
+          lCols.filterNot(_ == key).map(c => col(c)).toList ++
+          carry.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+  }
+
+  private val tsMs = expr("ts div 1000000")
+
+  /** For each click, the user's most recent purchase at-or-before it. */
+  private def asofClickPurchase(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ms", tsMs)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ms").as("click_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms").as("purchase_ms"), col("value").as("purchase_value"))
+    asofJoin(clicks, purchases, "user_id", "click_ms", "purchase_ms",
+      Seq("purchase_ms", "purchase_value"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> asofClickPurchase _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type, value FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ms AS click_ms FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ms AS purchase_ms, value AS purchase_value FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, c.click_ms,
+        |       p.purchase_ms AS asof_purchase_ms,
+        |       p.purchase_value AS asof_purchase_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.click_ms >= p.purchase_ms""".stripMargin
+  )
+}

@@ -85,6 +85,44 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** Char-5-gram Jaccard near-dup (the char-level twin of dedupJaccard,
+    * for noisy text where word tokenization is unreliable).
+    *
+    * Unlike 3-word shingles, char 5-grams are heavily shared ("the t" is in
+    * every English doc): the uncut inverted-index self-join is quadratic in
+    * document frequency (769M candidate pairs at sf0.1 vs 152k after the
+    * cut). So this operator DEFINES Jaccard over df-pruned shingle sets:
+    * shingles with df > maxDf (stopword-shingles, zero discriminative
+    * value) are dropped from both the index and the set sizes — a
+    * deterministic semantic the oracle reproduces exactly, and the knob
+    * that keeps candidate volume linear at 100 TB. */
+  private val NgramMaxDf = 100
+
+  private def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    val inv0 = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(call_function("char_shingles", col("text"), lit(5))).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    // df cut: drop shingles appearing in more than NgramMaxDf docs
+    val keep = inv0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= NgramMaxDf)
+      .select(col("s"))
+    val inv = inv0.join(keep, "s")
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = inv.as("a")
+      .join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(sizes.as("cb"), col("id_b") === col("cb.doc_id"))
+      .withColumn("raw_j",
+        col("inter") * lit(1.0) / (col("ca.n") + col("cb.n") - col("inter")))
+      .filter(col("raw_j") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("raw_j"), 4).as("jaccard"))
+  }
+
   /** 64-bit SimHash fingerprint per document (native codegen expression). */
   private def simhash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -94,6 +132,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_jaccard" -> dedupJaccard _,
+    "q_dedup_ngram" -> dedupNgram _,
     "q_minhash_lsh" -> minhashLsh _,
     "q_simhash" -> simhash _
   )
@@ -110,6 +149,24 @@ object Dedup {
         |   i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))) AS shs FROM t),
         |e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
         |cnt AS (SELECT doc_id, len(shs) AS n FROM sh),
+        |p AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        | round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+        |FROM p
+        |JOIN cnt ca ON id_a = ca.doc_id
+        |JOIN cnt cb ON id_b = cb.doc_id
+        |WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH e0 AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(range(strlen(text) - 4),
+        |   i -> substring(text, CAST(i + 1 AS INTEGER), 5)))) AS s
+        | FROM documents),
+        |keep AS (SELECT s FROM e0 GROUP BY s HAVING count(*) <= 100),
+        |e AS (SELECT doc_id, e0.s FROM e0 JOIN keep ON e0.s = keep.s),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
         |p AS (
         | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -179,6 +179,31 @@ object Relational {
       .groupBy(col("k_val"))
       .agg(count(lit(1)).as("n"))
 
+  private def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(avg(col("l_discount")), 4).as("avg_disc"), count(lit(1)).as("n"))
+
+  private def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.25)), 2).as("p25"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 2).as("p75"))
+
+  private def semiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+  private def pivotAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+
   /** ULID assignment (reference src/constructs/functions.rs ULID()):
     * executor-side per-row generation — rows-only check (nondeterministic,
     * but time-ordered and unique by construction). */
@@ -188,6 +213,10 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ulid" -> ulidAssign _,
+    "q_cube" -> cubeAgg _,
+    "q_percentile" -> percentiles _,
+    "q_semi_join" -> semiJoin _,
+    "q_pivot" -> pivotAgg _,
     "q_point_lookup" -> pointLookup _,
     "q_select_eq" -> selectEq _,
     "q_pricing_summary" -> pricingSummary _,
@@ -209,6 +238,26 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(avg(l_discount), 4) AS avg_disc, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+        | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+        | round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_point_lookup" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey = 42",
     "q_select_eq" ->

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{ContentFp, CosineSimilarity, DotProduct, L2Norm, MinHashBands, MinHashSig, SignBands, SimHash64, Ulid, WordShingles}
+import graft.functions.{CharShingles, ContentFp, CosineSimilarity, DotProduct, L2Norm, MinHashBands, MinHashSig, SignBands, SimHash64, Ulid, WordShingles}
 
 /** SparkSessionExtensions entry point: injects graft's native Catalyst
   * expressions into the SQL function registry, so `spark.sql` and
@@ -47,6 +47,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => MinHashSig(args(0), litInt(args(1), "minhash_sig k"))),
     ("content_fp", info("content_fp", "polynomial rolling-hash content fingerprint"),
       (args: Seq[Expression]) => ContentFp(args(0))),
+    ("char_shingles", info("char_shingles", "distinct n-char shingles of text"),
+      (args: Seq[Expression]) => CharShingles(args(0), litInt(args(1), "char_shingles n"))),
     ("word_shingles", info("word_shingles", "distinct n-word shingles of text"),
       (args: Seq[Expression]) => WordShingles(args(0), litInt(args(1), "word_shingles n"))),
     ("minhash_bands", info("minhash_bands", "LSH band hashes of the MinHash signature"),

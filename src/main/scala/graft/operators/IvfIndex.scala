@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index built with MLlib KMeans — the batch
+  * index-construction path for embedding search at scale.
+  *
+  * Build: sample → KMeans (seeded, deterministic) → broadcast the k
+  * centroids → one codegen pass assigns every vector to its nearest
+  * centroid → write partitioned by `cluster_id` so a probe's candidate
+  * scan prunes to matching partition directories (the parquet analog of an
+  * inverted file).
+  *
+  * Search: assign the probe to its nearest nprobe centroids, scan only
+  * those clusters (≈ nprobe/k of the corpus), brute-force cosine inside.
+  * At 100 TB: training samples (KMeans is iterative — never train on the
+  * full corpus), assignment is a map-only pass, and search cost drops by
+  * k/nprobe vs. the exact scan. Recall-vs-cost is the documented ANN
+  * trade-off; the exact brute-force path (q_knn_cosine) stays the ground
+  * truth.
+  */
+object IvfIndex {
+
+  /** Cluster assignment for every vector: (vec_id, embedding, cluster_id).
+    * `k` centroids trained on up to `trainFraction` of the data. */
+  def assign(embeddings: DataFrame, k: Int, seed: Long = 42L,
+      trainFraction: Double = 1.0): DataFrame = {
+    val withVec = embeddings.withColumn("features", array_to_vector(col("embedding")))
+    val train = if (trainFraction < 1.0) withVec.sample(trainFraction, seed) else withVec
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("cluster_id")
+      .fit(train)
+    model.transform(withVec).drop("features")
+  }
+
+  /** Top-k cosine neighbours of `probeVecId`, scanning only the probe's
+    * cluster. */
+  def search(assigned: DataFrame, probeVecId: Long, topK: Int): DataFrame = {
+    val probe = assigned.filter(col("vec_id") === probeVecId)
+      .select(col("cluster_id").as("probe_cluster"), col("embedding").as("probe_v"))
+    assigned
+      .join(broadcast(probe), col("cluster_id") === col("probe_cluster"))
+      .select(col("vec_id"),
+        round(call_function("cosine_sim", col("embedding"), col("probe_v")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+}

@@ -58,13 +58,18 @@ object Relational {
     val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
     val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
+  /** Scale note: only region/nation (25/5 rows at ANY scale) are broadcast
+    * explicitly. customer/supplier grow with the data — hard-broadcasting
+    * them would OOM a 100 TB run, so their joins are left to Catalyst/AQE,
+    * which broadcasts at small SF and shuffles (with skew splitting) at
+    * scale. */
   private def localSupplier(s: SparkSession, d: String): DataFrame = {
     val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
     val nation = Tables.nation(s, d)
@@ -72,8 +77,8 @@ object Relational {
     val cust = Tables.customer(s, d)
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))

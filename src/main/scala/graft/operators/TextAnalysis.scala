@@ -60,7 +60,44 @@ object TextAnalysis {
       col("doc_id"),
       call_function("content_fp", col("text")).as("fp"))
 
+  /** TF-IDF scoring: top term per document by tf·idf. Inverted document-
+    * frequency join on hashed terms; the per-term df aggregation is
+    * partial/map-side combined, so shuffle volume is O(distinct terms),
+    * not O(corpus). */
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("nd"))
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("raw_score").desc, col("term"))
+    terms
+      .join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("raw_score", col("tf") * log((col("nd") + 1.0) / (col("df") + 1.0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"),
+        round(col("raw_score"), 4).as("score"))
+  }
+
+  /** Approximate distinct counting (HLL++): the constant-memory cardinality
+    * path at 100 TB (exact distinct shuffles every value; HLL merges
+    * fixed-size sketches). Cross-engine sketch internals differ → rows-only
+    * check; ApproxSpec asserts <5% error vs exact. */
+  private def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf" -> tfidf _,
+    "q_approx_distinct" -> approxDistinct _,
     "q_langid" -> langId _,
     "q_quality" -> quality _,
     "q_token_count" -> tokenCount _,
@@ -68,6 +105,21 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf" ->
+      """WITH t AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        |sc AS (
+        | SELECT doc_id, term, tf * ln((nd + 1.0) / (df + 1.0)) AS raw
+        | FROM tf JOIN df USING (term) CROSS JOIN nd),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY raw DESC, term) AS rn FROM sc)
+        |SELECT doc_id, term AS top_term, round(raw, 4) AS score
+        |FROM r WHERE rn = 1""".stripMargin,
+    // q_approx_distinct: HLL sketch internals are engine-specific →
+    // rows-only here; ApproxSpec bounds the error vs exact counts.
     "q_langid" ->
       """SELECT doc_id,
         | CASE WHEN len(list_filter(string_split(text, ' '),

@@ -184,6 +184,22 @@ object Relational {
       .groupBy(col("k_val"))
       .agg(count(lit(1)).as("n"))
 
+  /** Top-3 orders per customer via the bounded-heap `top_k` aggregate
+    * (functions.TopK): map-side partial heaps, shuffle carries only
+    * k·groups rows — the scale-safe twin of q_window_topk (which
+    * shuffles + sorts every row). Negated orderkey flips the tiebreak
+    * to ascending under the struct's descending lexicographic order. */
+  private def topkPerGroup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(call_function("top_k",
+        struct(col("o_totalprice"), (-col("o_orderkey")).as("neg_key")),
+        lit(3)).as("top"))
+      .select(col("o_custkey"), explode(col("top")).as("t"))
+      .select(col("o_custkey"),
+        (-col("t.neg_key")).as("o_orderkey"),
+        col("t.o_totalprice"))
+
   private def cubeAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .cube(col("l_returnflag"), col("l_linestatus"))
@@ -218,6 +234,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ulid" -> ulidAssign _,
+    "q_topk_per_group" -> topkPerGroup _,
     "q_cube" -> cubeAgg _,
     "q_percentile" -> percentiles _,
     "q_semi_join" -> semiJoin _,
@@ -243,6 +260,12 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders) t WHERE rnk <= 3""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,
         | round(avg(l_discount), 4) AS avg_disc, count(*) AS n

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{CharShingles, ContentFp, CosineSimilarity, DotProduct, L2Norm, MinHashBands, MinHashSig, SignBands, SimHash64, Ulid, WordShingles}
+import graft.functions.{CharShingles, ContentFp, CosineSimilarity, DotProduct, L2Norm, MinHashBands, MinHashSig, SignBands, SimHash64, TopK, Ulid, WordShingles}
 
 /** SparkSessionExtensions entry point: injects graft's native Catalyst
   * expressions into the SQL function registry, so `spark.sql` and
@@ -54,6 +54,8 @@ object GraftExtensions {
     ("minhash_bands", info("minhash_bands", "LSH band hashes of the MinHash signature"),
       (args: Seq[Expression]) => MinHashBands(args(0),
         litInt(args(1), "minhash_bands k"), litInt(args(2), "minhash_bands bands"))),
+    ("top_k", info("top_k", "k largest struct values per group, bounded-heap aggregate"),
+      (args: Seq[Expression]) => TopK(args(0), args(1))),
     ("ulid", info("ulid", "generate a ULID (Crockford base32, time-ordered)"),
       (args: Seq[Expression]) => { require(args.isEmpty, "ulid() takes no arguments"); Ulid() })
   )

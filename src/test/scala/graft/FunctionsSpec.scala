@@ -96,6 +96,23 @@ class FunctionsSpec extends SparkTestBase {
     assert(sqlOne("SELECT content_fp('')").getLong(0) == 0L)
   }
 
+  test("top_k: bounded heap aggregate, partial merge across partitions") {
+    // 1000 rows over 10 partitions forces serialize/merge of partial heaps
+    val rows = spark.range(0, 1000, 1, 10)
+      .selectExpr("id % 4 AS g", "CAST(id AS DOUBLE) AS v", "id AS tie")
+    rows.createOrReplaceTempView("topk_in")
+    val out = spark.sql(
+      """SELECT g, t.v, t.neg FROM (
+        |  SELECT g, explode(top_k(struct(v, -tie AS neg), 3)) AS t
+        |  FROM topk_in GROUP BY g) x""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), -r.getLong(2)))
+    assert(out.length == 12)
+    // group 3: ids ≡ 3 mod 4, largest are 999, 995, 991
+    val g3 = out.filter(_._1 == 3).map(_._2).toSeq
+    assert(g3 == Seq(999.0, 995.0, 991.0), g3.toString)
+    assert(out.filter(_._1 == 0).map(_._2).toSeq == Seq(996.0, 992.0, 988.0))
+  }
+
   test("ulid: 26-char Crockford base32, time-ordered across millis") {
     val r = spark.sql("SELECT ulid() AS u FROM range(100)")
       .collect().map(_.getString(0))

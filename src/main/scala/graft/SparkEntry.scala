@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, Pipeline, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -18,7 +18,8 @@ object SparkEntry {
     * picks up graft functions + the nanos-timestamp read config. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val raw = Relational.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextAnalysis.queries ++ Multimodal.queries ++ AsOf.queries
+      TextAnalysis.queries ++ Multimodal.queries ++ AsOf.queries ++
+      Pipeline.queries
     raw.map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) => { GraftSession.prepare(s); fn(s, dir) })
     }
@@ -28,5 +29,6 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get the weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      TextAnalysis.oracles ++ Multimodal.oracles ++ AsOf.oracles
+      TextAnalysis.oracles ++ Multimodal.oracles ++ AsOf.oracles ++
+      Pipeline.oracles
 }

@@ -43,6 +43,48 @@ class ScaleSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("salted join equals plain join and spreads hot keys") {
+    GraftSession.prepare(spark)
+    val fact = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey").as("k"), col("l_orderkey"), col("l_quantity"))
+    val dim = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("k"), col("s_name"))
+    val plain = fact.join(dim, "k")
+    val salted = graft.operators.Skew.saltedJoin(fact, dim, "k", "l_orderkey", 4)
+    assert(salted.count() == plain.count())
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    val s1 = salted.agg(sum(col("l_quantity"))).head().getDouble(0)
+    val p1 = plain.agg(sum(col("l_quantity"))).head().getDouble(0)
+    assert(math.abs(s1 - p1) < 1e-6)
+  }
+
+  test("streaming dropDuplicates with watermark dedups across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StreamEvent
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val q = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t = new java.sql.Timestamp(1000L)
+      input.addData(
+        StreamEvent(1, t, "click", 1.0),
+        StreamEvent(1, t, "click", 2.0),
+        StreamEvent(2, t, "click", 3.0))
+      q.processAllAvailable()
+      // duplicate arriving in a LATER batch is still dropped (state)
+      input.addData(StreamEvent(1, new java.sql.Timestamp(2000L), "click", 9.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
   test("approx_count_distinct within 5% of exact") {
     GraftSession.prepare(spark)
     val approx = SparkEntry.queries("q_approx_distinct")(spark, sfDir)

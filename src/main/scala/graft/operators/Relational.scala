@@ -200,6 +200,23 @@ object Relational {
         (-col("t.neg_key")).as("o_orderkey"),
         col("t.o_totalprice"))
 
+  private def outerJoin(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderkey"))
+      .agg(
+        round(coalesce(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), lit(0.0)), 2).as("revenue"),
+        count(col("l_linenumber")).as("n_items"))
+
+  private def windowLag(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2).as("delta_prev"),
+      datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate")).as("days_to_next"))
+  }
+
   private def cubeAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .cube(col("l_returnflag"), col("l_linestatus"))
@@ -235,6 +252,8 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ulid" -> ulidAssign _,
     "q_topk_per_group" -> topkPerGroup _,
+    "q_outer_join" -> outerJoin _,
+    "q_window_lag" -> windowLag _,
     "q_cube" -> cubeAgg _,
     "q_percentile" -> percentiles _,
     "q_semi_join" -> semiJoin _,
@@ -260,6 +279,19 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_outer_join" ->
+      """SELECT o_orderkey,
+        | round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0.0), 2) AS revenue,
+        | count(l_linenumber) AS n_items
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS delta_prev,
+        | CAST(date_diff('day', o_orderdate, lead(o_orderdate, 1) OVER w) AS INTEGER)
+        |   AS days_to_next
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,

@@ -15,6 +15,12 @@ case class MediaRow(doc_id: Long, kind: String, media: Array[Byte])
 case class MediaMeta(doc_id: Long, kind: String, n_bytes: Int,
     width: Int, height: Int, quality_ok: Boolean)
 
+/** One sampled frame of a media blob. */
+case class FrameRow(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+/** Extracted per-frame feature vector (stub: byte-histogram moments). */
+case class FrameFeature(doc_id: Long, frame_idx: Int, feature: Array[Float])
+
 /** Multimodal-column plumbing for training-data pipelines: opaque binary
   * media columns with typed metadata, decoded per-partition.
   *
@@ -49,6 +55,50 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling: one media blob → every `everyN`-th fixed-size chunk
+    * ("frame"). The one-to-many iterator shape (flatMap inside
+    * mapPartitions) is exactly how a real video decoder streams frames out
+    * without materializing all of them per row — memory stays bounded by
+    * one frame, not one video. STUB: frames are 256-byte slices. */
+  def frameSample(ds: Dataset[MediaRow], everyN: Int): Dataset[FrameRow] = {
+    import ds.sparkSession.implicits._
+    val frameBytes = 256
+    ds.mapPartitions { it =>
+      it.flatMap { m =>
+        val nFrames = (m.media.length + frameBytes - 1) / frameBytes
+        Iterator.range(0, nFrames).filter(_ % everyN == 0).map { i =>
+          val from = i * frameBytes
+          val until = math.min(from + frameBytes, m.media.length)
+          FrameRow(m.doc_id, i, java.util.Arrays.copyOfRange(m.media, from, until))
+        }
+      }
+    }
+  }
+
+  /** Per-frame feature extraction. STUB: 4 byte-distribution moments; a
+    * real pipeline runs an image model here. Same per-partition batch
+    * shape: model loads once per partition, frames stream through. */
+  def featurize(ds: Dataset[FrameRow]): Dataset[FrameFeature] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // real impl: val model = Model.load() once per partition
+      it.map { f =>
+        val n = math.max(1, f.frame.length)
+        var sum = 0.0; var sumSq = 0.0; var min = 255.0; var max = 0.0
+        f.frame.foreach { b =>
+          val v = (b & 0xff).toDouble
+          sum += v; sumSq += v * v
+          if (v < min) min = v
+          if (v > max) max = v
+        }
+        val mean = sum / n
+        val variance = sumSq / n - mean * mean
+        FrameFeature(f.doc_id, f.frame_idx,
+          Array(mean.toFloat, variance.toFloat, min.toFloat, max.toFloat))
+      }
+    }
+  }
+
   /** documents.text bytes as a stand-in media corpus → decoded metadata. */
   private def multimodal(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -59,8 +109,25 @@ object Multimodal {
     decodeMeta(media).toDF()
   }
 
+  private def mediaRows(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), lit("video").as("kind"),
+        col("text").cast("binary").as("media"))
+      .as[MediaRow]
+  }
+
+  /** Frame sampling counts per doc (every 2nd 256-byte frame) — the chunk
+    * arithmetic is length-derived, so the oracle recomputes it from
+    * strlen. */
+  private def frames(s: SparkSession, d: String): DataFrame =
+    frameSample(mediaRows(s, d), everyN = 2)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal" -> multimodal _
+    "q_multimodal" -> multimodal _,
+    "q_frames" -> frames _
   )
 
   val oracles: Map[String, String] = Map(
@@ -70,6 +137,15 @@ object Multimodal {
         | CAST(320 + strlen(text) % 320 AS INTEGER) AS width,
         | CAST(240 + ascii(substring(text, 1, 1)) % 240 AS INTEGER) AS height,
         | strlen(text) >= 64 AS quality_ok
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_frames" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  CAST(ceil(strlen(text) / 256.0) AS INTEGER) AS n_frames
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(ceil(n_frames / 2.0) AS BIGINT) AS n_sampled,
+        | CAST(((n_frames - 1) // 2) * 2 AS INTEGER) AS last_idx
+        |FROM f""".stripMargin
   )
 }

@@ -54,6 +54,48 @@ class OperatorSpec extends SparkTestBase {
     assert(r.getSeq[String](1).isEmpty)
   }
 
+  test("multimodal frame pipeline: sample -> featurize, bounded shapes") {
+    GraftSession.prepare(spark)
+    val s = spark
+    import s.implicits._
+    val media = Seq(
+      graft.operators.MediaRow(1L, "video", Array.fill[Byte](1000)(7)),
+      graft.operators.MediaRow(2L, "video", Array.fill[Byte](100)(3))).toDS()
+    val frames = graft.operators.Multimodal.frameSample(media, everyN = 2).collect()
+    // doc 1: 4 frames (256*3+232) -> sampled idx 0,2; doc 2: 1 frame -> idx 0
+    assert(frames.map(f => (f.doc_id, f.frame_idx)).toSet == Set((1L, 0), (1L, 2), (2L, 0)))
+    assert(frames.filter(_.doc_id == 1L).forall(_.frame.length == 256))
+    val feats = graft.operators.Multimodal.featurize(
+      graft.operators.Multimodal.frameSample(media, 2)).collect()
+    assert(feats.forall(_.feature.length == 4))
+    val f1 = feats.find(f => f.doc_id == 1L && f.frame_idx == 0).get.feature
+    assert(f1(0) == 7.0f && f1(1) == 0.0f && f1(2) == 7.0f && f1(3) == 7.0f)
+  }
+
+  test("graft kernels run inside streaming plans") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{call_function, split => fsplit, col => fcol}
+    import org.apache.spark.sql.streaming.OutputMode
+    GraftSession.prepare(spark)
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "text")
+      .select(fcol("id"),
+        call_function("simhash64", fsplit(fcol("text"), " ")).as("sh"),
+        call_function("content_fp", fcol("text")).as("fp"))
+      .writeStream.format("memory").queryName("kernel_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, "a b c"), (2L, "a b c"))
+      q.processAllAvailable()
+      val rows = spark.table("kernel_stream").collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getLong(1)).distinct.length == 1) // same text -> same simhash
+    } finally q.stop()
+  }
+
   test("no accidental cartesian products in any registered query") {
     GraftSession.prepare(spark)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>

@@ -55,8 +55,9 @@ for d in sorted(glob.glob(f"{outdir}/q_*")):
     elif got == exp:
         print(f"{name:24s} OK ({len(got)} rows)")
     else:
-        only_g = [r for r in got if r not in set(exp)][:3]
-        only_e = [r for r in exp if r not in set(got)][:3]
+        exp_set, got_set = set(exp), set(got)
+        only_g = [r for r in got if r not in exp_set][:3]
+        only_e = [r for r in exp if r not in got_set][:3]
         print(f"{name:24s} VALUE MISMATCH got={len(got)} exp={len(exp)} "
               f"spark-only={only_g} duck-only={only_e}")
         fails += 1

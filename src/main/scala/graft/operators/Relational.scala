@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -30,6 +30,16 @@ object Relational {
     * via nanosAsLong; see GraftSession). Integer `div` keeps it exact. */
   private val tsMs = expr("ts div 1000000")
 
+  /** Order-independent money sum: each double term is fixed-pointed to
+    * DECIMAL(18,4) per row (deterministic — same IEEE value every time),
+    * then summed exactly as integers, so the result is identical across
+    * engines and partition orders. Plain double sums differ by ~1e-10 with
+    * summation order, which flips 2-dp rounding at .xx5 boundaries — at
+    * 150k output groups some group always hits one. Rounded to 2 dp and
+    * cast back to double. */
+  private def moneySum(c: Column): Column =
+    round(sum(c.cast("decimal(18,4)")), 2).cast("double")
+
   private def pointLookup(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .filter(col("o_orderkey") === 42)
@@ -44,10 +54,10 @@ object Relational {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -60,7 +70,7 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -83,7 +93,7 @@ object Relational {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
   }
 
   private def antiJoin(s: SparkSession, d: String): DataFrame =
@@ -108,7 +118,8 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"),
-        round(sum(col("o_totalprice")).over(w), 2).as("run_total"))
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).over(w), 2)
+          .cast("double").as("run_total"))
   }
 
   private def distinctAgg(s: SparkSession, d: String): DataFrame =
@@ -121,7 +132,7 @@ object Relational {
   private def rollupAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(moneySum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
 
   private def topkGlobal(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -133,14 +144,14 @@ object Relational {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(sum(when(col("l_discount") > 0.05,
-          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0)), 2).as("disc_rev"),
+        moneySum(when(col("l_discount") > 0.05,
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0)).as("disc_rev"),
         count(when(col("l_quantity") > 30, 1)).as("big_cnt"))
 
   private def dateBucket(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
 
   private def stringFuncs(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
@@ -150,6 +161,16 @@ object Relational {
         upper(substring(col("p_name"), 1, 5)).as("name5"),
         concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
         length(col("p_name")).as("name_len"))
+
+  private def exceptIntersect(s: SparkSession, d: String): DataFrame = {
+    val building = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey"))
+    val machinery = Tables.customer(s, d).filter(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_nationkey"))
+    building.except(machinery).select(col("c_nationkey"), lit("only_building").as("src"))
+      .unionByName(building.intersect(machinery)
+        .select(col("c_nationkey"), lit("both").as("src")))
+  }
 
   private def unionNames(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(col("c_name").as("name"), lit("customer").as("side"))
@@ -169,14 +190,14 @@ object Relational {
       .groupBy(col("user_id"), col("session_seq"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sess_value"),
+        moneySum(col("value")).as("sess_value"),
         (max(col("ms")) - min(col("ms"))).as("duration_ms"))
   }
 
   private def tumbling(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy((expr("ts div 3600000000000") * 3600000L).as("hour_ms"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
 
   private def jsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -205,7 +226,7 @@ object Relational {
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "left")
       .groupBy(col("o_orderkey"))
       .agg(
-        round(coalesce(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), lit(0.0)), 2).as("revenue"),
+        coalesce(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))), lit(0.0)).as("revenue"),
         count(col("l_linenumber")).as("n_items"))
 
   private def windowLag(s: SparkSession, d: String): DataFrame = {
@@ -273,6 +294,7 @@ object Relational {
     "q_date_bucket" -> dateBucket _,
     "q_string_funcs" -> stringFuncs _,
     "q_union" -> unionNames _,
+    "q_set_ops" -> exceptIntersect _,
     "q_sessionize" -> sessionize _,
     "q_tumbling" -> tumbling _,
     "q_json_extract" -> jsonExtract _
@@ -281,7 +303,8 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q_outer_join" ->
       """SELECT o_orderkey,
-        | round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0.0), 2) AS revenue,
+        | coalesce(CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,4))), 2) AS DOUBLE), 0.0) AS revenue,
         | count(l_linenumber) AS n_items
         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey""".stripMargin,
@@ -324,10 +347,10 @@ object Relational {
       "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'",
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+        | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_charge,
         | round(avg(l_quantity), 4) AS avg_qty,
         | round(avg(l_extendedprice), 4) AS avg_price,
         | round(avg(l_discount), 4) AS avg_disc,
@@ -335,7 +358,7 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q_shipping_priority" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -345,7 +368,7 @@ object Relational {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q_local_supplier" ->
       """SELECT n_name,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -365,9 +388,9 @@ object Relational {
         | FROM orders) t WHERE rnk <= 3""".stripMargin,
     "q_running_sum" ->
       """SELECT o_custkey, o_orderkey,
-        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-        |   ORDER BY o_orderdate, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS run_total
         |FROM orders""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,
@@ -376,20 +399,22 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        | count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q_topk_global" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
     "q_case_agg" ->
       """SELECT l_returnflag,
-        | round(sum(CASE WHEN l_discount > 0.05
-        |   THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS disc_rev,
+        | CAST(round(sum(CAST(CASE WHEN l_discount > 0.05
+        |   THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,4))), 2) AS DOUBLE) AS disc_rev,
         | count(CASE WHEN l_quantity > 30 THEN 1 END) AS big_cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_date_bucket" ->
       """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
-        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        | count(*) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY 1""".stripMargin,
     "q_string_funcs" ->
       """SELECT p_partkey, upper(substring(p_name, 1, 5)) AS name5,
@@ -400,6 +425,12 @@ object Relational {
       """SELECT c_name AS name, 'customer' AS side FROM customer
         |UNION
         |SELECT s_name AS name, 'supplier' AS side FROM supplier""".stripMargin,
+    "q_set_ops" ->
+      """WITH b AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |m AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |SELECT c_nationkey, 'only_building' AS src FROM (SELECT c_nationkey FROM b EXCEPT SELECT c_nationkey FROM m)
+        |UNION ALL
+        |SELECT c_nationkey, 'both' AS src FROM (SELECT c_nationkey FROM b INTERSECT SELECT c_nationkey FROM m)""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         | SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events),
@@ -413,12 +444,13 @@ object Relational {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         | FROM flagged)
         |SELECT user_id, session_seq, count(*) AS n_events,
-        | round(sum(value), 2) AS sess_value,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sess_value,
         | CAST(max(ms) - min(ms) AS BIGINT) AS duration_ms
         |FROM sess GROUP BY user_id, session_seq""".stripMargin,
     "q_tumbling" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
-        | count(*) AS n, round(sum(value), 2) AS total_value
+        | count(*) AS n,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_json_extract" ->
       """SELECT json_extract_string(props, '$.k') AS k_val, count(*) AS n

@@ -238,6 +238,27 @@ object Relational {
       datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate")).as("days_to_next"))
   }
 
+  private def statsAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        round(stddev_samp(col("l_discount")), 4).as("disc_sd"),
+        round(covar_samp(col("l_quantity"), col("l_tax")), 4).as("qty_tax_cov"))
+
+  private def histogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  private def normalizeText(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", "").as("norm"),
+        size(split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " ")).as("n_norm_tokens"))
+
   private def cubeAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .cube(col("l_returnflag"), col("l_linestatus"))
@@ -275,6 +296,9 @@ object Relational {
     "q_topk_per_group" -> topkPerGroup _,
     "q_outer_join" -> outerJoin _,
     "q_window_lag" -> windowLag _,
+    "q_stats" -> statsAgg _,
+    "q_histogram" -> histogram _,
+    "q_normalize" -> normalizeText _,
     "q_cube" -> cubeAgg _,
     "q_percentile" -> percentiles _,
     "q_semi_join" -> semiJoin _,
@@ -301,6 +325,21 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stats" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        | round(stddev_samp(l_discount), 4) AS disc_sd,
+        | round(covar_samp(l_quantity, l_tax), 4) AS qty_tax_cov
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_normalize" ->
+      """SELECT doc_id,
+        | regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS norm,
+        | CAST(len(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '))
+        |   AS INTEGER) AS n_norm_tokens
+        |FROM documents""".stripMargin,
     "q_outer_join" ->
       """SELECT o_orderkey,
         | coalesce(CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)

@@ -34,6 +34,9 @@ object GraftSession {
   def prepare(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.plans.GraftExtensions.registerFunctions(spark)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseCosine))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.FuseCosine
     spark
   }
 }

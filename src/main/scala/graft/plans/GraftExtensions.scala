@@ -16,10 +16,12 @@ import graft.functions.{CharShingles, ContentFp, CosineSimilarity, DotProduct, L
   * or post-hoc via [[GraftExtensions.registerFunctions]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => FuseCosine)
+  }
 }
 
 object GraftExtensions {

@@ -43,6 +43,19 @@ class QueryPlanSpec extends SparkTestBase {
     assert(p.contains("partial_sum") || p.contains("partial"), p)
   }
 
+  test("FuseCosine rule rewrites dot/norms formula to the fused kernel") {
+    GraftSession.prepare(spark)
+    // non-foldable input (derived from range ids) so constant folding
+    // can't collapse the expression before our rule sees it
+    val df = spark.range(1, 4)
+      .selectExpr("transform(array(id, id + 1), x -> CAST(x AS FLOAT)) AS v")
+      .selectExpr("dot_product(v, v) / (l2_norm(v) * l2_norm(v)) AS sim")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("cosine_sim"), optimized)
+    assert(!optimized.contains("dot_product"), optimized)
+    assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
   test("every registered query executes and returns rows at sf0.001") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       try {

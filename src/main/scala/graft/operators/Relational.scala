@@ -259,6 +259,19 @@ object Relational {
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", "").as("norm"),
         size(split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " ")).as("n_norm_tokens"))
 
+  /** GROUPING SETS through the engine's SQL surface (spark.sql over
+    * registered views) — exercises the same entry point a SQL-first user
+    * of the engine would take. */
+  private def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+  }
+
   private def cubeAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .cube(col("l_returnflag"), col("l_linestatus"))
@@ -297,6 +310,7 @@ object Relational {
     "q_outer_join" -> outerJoin _,
     "q_window_lag" -> windowLag _,
     "q_stats" -> statsAgg _,
+    "q_grouping_sets" -> groupingSets _,
     "q_histogram" -> histogram _,
     "q_normalize" -> normalizeText _,
     "q_cube" -> cubeAgg _,
@@ -325,6 +339,12 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
     "q_stats" ->
       """SELECT l_returnflag,
         | round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,

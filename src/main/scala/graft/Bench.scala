@@ -17,10 +17,16 @@ object Bench {
       SparkEntry.queries("q_pricing_summary")(spark, sfDir).count()
       SparkEntry.queries("q_knn_cosine")(spark, sfDir).count()
     } catch { case _: Throwable => () }
+    // two timed reps per query, report the min: steady-state cost without
+    // one-off shuffle-file/codegen-cache effects
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -40,7 +40,11 @@ case class TopK(
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case s: StructType if RowOrdering.isOrderable(s) && kExpr.foldable &&
         kExpr.dataType == IntegerType =>
-      TypeCheckResult.TypeCheckSuccess
+      kExpr.eval() match {
+        case i: Integer if i > 0 => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires k > 0, got $other")
+      }
     case _ => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (orderable struct, int literal k)")
   }

@@ -22,32 +22,40 @@ import graft.sources.Tables
 object AsOf {
 
   /** Generic as-of join: left and right share `key`; `leftTime`/`rightTime`
-    * are epoch-comparable; right columns in `carry` are propagated. */
+    * are epoch-comparable; right columns in `carry` are propagated.
+    *
+    * The carried columns travel as ONE struct through a single
+    * `last(ignoreNulls)` — carrying them independently would stitch fields
+    * from different right rows together whenever the matched row holds a
+    * NULL in one carried column (ignoreNulls would skip just that field
+    * and fall back to an older row's value). The struct is non-null for
+    * every right row even when its fields are null, so row integrity — and
+    * parity with a true ASOF join — is preserved. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, carry: Seq[String]): DataFrame = {
     val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
     val r = right.withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
     val lCols = left.columns
+    val carryType = org.apache.spark.sql.types.StructType(
+      carry.map(c => right.schema(c).copy(name = c)))
     val union = l.select(
       col("__t") :: col("__side") :: col(key).as("__k") ::
-        (lCols.filterNot(_ == key).map(c => col(c)) ++
-          carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))).toList: _*)
+        (lCols.filterNot(_ == key).map(c => col(c)).toList :+
+          lit(null).cast(carryType).as("__r")): _*)
       .unionByName(r.select(
         col("__t") :: col("__side") :: col(key).as("__k") ::
-          (lCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-            carry.map(c => col(c).as(s"__r_$c"))).toList: _*))
+          (lCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)).toList :+
+            struct(carry.map(col): _*).as("__r")): _*))
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carry.foldLeft(union) { (df, c) =>
-      df.withColumn(s"__asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried
+    union
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(
         col("__k").as(key) ::
           lCols.filterNot(_ == key).map(c => col(c)).toList ++
-          carry.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+          carry.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
   private val tsMs = expr("ts div 1000000")

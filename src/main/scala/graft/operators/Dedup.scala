@@ -36,15 +36,15 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
-  /** All document pairs with 3-shingle Jaccard >= 0.5, via inverted index.
+  /** Inverted-index Jaccard: all (id_a, id_b, raw_j) pairs with raw
+    * set-Jaccard >= threshold over `shingled` = (doc_id, sh: array<string>).
     * Postings carry `xxhash64(shingle)` (8 bytes), not the shingle string:
     * the self-join shuffles and compares longs. 64-bit collisions among
-    * ~1e5 distinct shingles are ~1e-9 — the intersection counts equal the
-    * string-exact oracle's in practice. */
-  private def dedupJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s0"))
+    * ~1e5 distinct shingles are ~1e-9 — intersection counts equal the
+    * string-exact oracle's in practice. Shared with operators.Pipeline. */
+  def jaccardPairs(shingled: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shingled.select(col("doc_id"), size(col("sh")).as("n"))
+    val inv = shingled.select(col("doc_id"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
     val inter = inv.as("a")
       .join(inv.as("b"),
@@ -56,9 +56,15 @@ object Dedup {
       .join(sizes.as("cb"), col("id_b") === col("cb.doc_id"))
       .withColumn("raw_j",
         col("inter") * lit(1.0) / (col("ca.n") + col("cb.n") - col("inter")))
-      .filter(col("raw_j") >= 0.5) // filter on the raw value (oracle-identical)
-      .select(col("id_a"), col("id_b"), round(col("raw_j"), 4).as("jaccard"))
+      .filter(col("raw_j") >= threshold) // raw value (oracle-identical)
+      .select(col("id_a"), col("id_b"), col("raw_j"))
   }
+
+  /** All document pairs with 3-shingle Jaccard >= 0.5, via inverted index. */
+  private def dedupJaccard(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(
+      Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh")), 0.5)
+      .select(col("id_a"), col("id_b"), round(col("raw_j"), 4).as("jaccard"))
 
   /** MinHash signatures (k=64, native codegen kernel) → 16 bands of 4 →
     * bucket-join candidates → exact-Jaccard verify at 0.5. Signature + band

@@ -33,14 +33,17 @@ case class FrameFeature(doc_id: Long, frame_idx: Int, feature: Array[Float])
   */
 object Multimodal {
 
-  /** STUB decoder: metadata derived deterministically from the bytes
-    * (length + first byte). A real decoder parses the container format. */
+  /** STUB decoder: metadata derived deterministically from the byte length
+    * alone (byte-count formulas are the only ones both the engine — which
+    * sees bytes — and the text-level DuckDB oracle can compute identically
+    * for any input; a first-BYTE formula diverges from the oracle's
+    * first-CHARACTER ascii() on multi-byte UTF-8). A real decoder parses
+    * the container format. */
   def decodeStub(m: MediaRow): MediaMeta = {
     val n = m.media.length
-    val first = if (n > 0) m.media(0) & 0xff else 0
     MediaMeta(m.doc_id, m.kind, n,
       width = 320 + (n % 320),
-      height = 240 + (first % 240),
+      height = 240 + ((n * 7) % 240),
       quality_ok = n >= 64)
   }
 
@@ -135,14 +138,15 @@ object Multimodal {
       """SELECT doc_id, 'image' AS kind,
         | CAST(strlen(text) AS INTEGER) AS n_bytes,
         | CAST(320 + strlen(text) % 320 AS INTEGER) AS width,
-        | CAST(240 + ascii(substring(text, 1, 1)) % 240 AS INTEGER) AS height,
+        | CAST(240 + (strlen(text) * 7) % 240 AS INTEGER) AS height,
         | strlen(text) >= 64 AS quality_ok
         |FROM documents""".stripMargin,
     "q_frames" ->
       """WITH f AS (
         | SELECT doc_id,
         |  CAST(ceil(strlen(text) / 256.0) AS INTEGER) AS n_frames
-        | FROM documents)
+        | FROM documents
+        | WHERE strlen(text) > 0) -- empty docs produce no frames engine-side
         |SELECT doc_id,
         | CAST(ceil(n_frames / 2.0) AS BIGINT) AS n_sampled,
         | CAST(((n_frames - 1) // 2) * 2 AS INTEGER) AS last_idx

@@ -19,40 +19,22 @@ import graft.sources.Tables
   */
 object Pipeline {
 
-  private val EnStopwords = Seq("the", "a", "of", "and", "to", "in", "is")
-
   private def pipelineClean(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val toks = split(col("text"), " ")
-    val nTokens = size(toks)
-    val enRatio = size(filter(toks, t => t.isInCollection(EnStopwords))) * lit(1.0) / nTokens
-    val distinctRatio = size(array_distinct(toks)) * lit(1.0) / nTokens
-    val meanLen = (length(col("text")) - (nTokens - lit(1))) * lit(1.0) / nTokens
-    val quality =
-      lit(0.4) * least(lit(1.0), nTokens * lit(1.0) / 100.0) +
-        lit(0.4) * distinctRatio +
-        lit(0.2) * when(meanLen.between(3.0, 8.0), 1.0).otherwise(0.0)
 
-    // stage 1+2: language + quality gates (fused into the scan)
+    // stage 1+2: language + quality gates (fused into the scan) — the
+    // formulas are THE TextAnalysis builders, so operator and pipeline
+    // (and their oracles) cannot drift apart
     val kept = docs
-      .withColumn("n_tokens", nTokens)
-      .withColumn("quality", quality)
-      .filter(enRatio >= 0.05 && col("quality") >= 0.5)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("quality", TextAnalysis.qualityOf(col("text")))
+      .filter(TextAnalysis.enRatioOf(col("text")) >= 0.05 && col("quality") >= 0.5)
 
-    // stage 3: near-dup pairs (inverted shingle index) → drop higher ids
-    val sh = call_function("word_shingles", col("text"), lit(3))
-    val shingled = kept.select(col("doc_id"), sh.as("sh"))
-    val sizes = shingled.select(col("doc_id"), size(col("sh")).as("n"))
-    val inv = shingled.select(col("doc_id"), explode(col("sh")).as("s0"))
-      .select(col("doc_id"), xxhash64(col("s0")).as("sg"))
-    val dropIds = inv.as("a")
-      .join(inv.as("b"),
-        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.as("ca"), col("id_a") === col("ca.doc_id"))
-      .join(sizes.as("cb"), col("id_b") === col("cb.doc_id"))
-      .filter(col("inter") * lit(1.0) / (col("ca.n") + col("cb.n") - col("inter")) >= 0.5)
+    // stage 3: near-dup pairs (Dedup's inverted shingle index) → drop the
+    // higher id of each pair (keep-first)
+    val shingled = kept.select(col("doc_id"),
+      call_function("word_shingles", col("text"), lit(3)).as("sh"))
+    val dropIds = Dedup.jaccardPairs(shingled, 0.5)
       .select(col("id_b").as("doc_id"))
       .distinct()
 

@@ -295,7 +295,7 @@ object Relational {
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", Seq("O", "F", "P"))
-      .agg(round(sum(col("o_totalprice")), 2))
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,4)")), 2).cast("double"))
 
   /** ULID assignment (reference src/constructs/functions.rs ULID()):
     * executor-side per-row generation — rows-only check (nondeterministic,
@@ -396,9 +396,9 @@ object Relational {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
-        | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
-        | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
-        | round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+        | CAST(round(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(18,4))), 2) AS DOUBLE) AS "O",
+        | CAST(round(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(18,4))), 2) AS DOUBLE) AS "F",
+        | CAST(round(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(18,4))), 2) AS DOUBLE) AS "P"
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_point_lookup" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey = 42",

@@ -18,17 +18,36 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  private val EnStopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
   private def toks: Column = split(col("text"), " ")
 
+  /** Stopword-hit ratio of the whitespace-tokenized `text` column — the
+    * language-ID signal. Shared with operators.Pipeline so the formula and
+    * its oracles cannot drift apart. */
+  def enRatioOf(text: Column): Column = {
+    val t = split(text, " ")
+    size(filter(t, x => x.isInCollection(EnStopwords))) * lit(1.0) / size(t)
+  }
+
+  /** The 0.4·length + 0.4·distinct + 0.2·mean-len quality score. Shared
+    * with operators.Pipeline. */
+  def qualityOf(text: Column): Column = {
+    val t = split(text, " ")
+    val nTokens = size(t)
+    val distinctRatio = size(array_distinct(t)) * lit(1.0) / nTokens
+    val meanLen = (length(text) - (nTokens - lit(1))) * lit(1.0) / nTokens
+    lit(0.4) * least(lit(1.0), nTokens * lit(1.0) / 100.0) +
+      lit(0.4) * distinctRatio +
+      lit(0.2) * when(meanLen.between(3.0, 8.0), 1.0).otherwise(0.0)
+  }
+
   private def langId(s: SparkSession, d: String): DataFrame = {
-    val nTokens = size(toks)
-    val enMatches = size(filter(toks, t => t.isInCollection(EnStopwords)))
+    val ratio = enRatioOf(col("text"))
     Tables.documents(s, d).select(
       col("doc_id"),
-      when(enMatches * lit(1.0) / nTokens >= 0.05, "en").otherwise("other").as("pred_lang"),
-      round(enMatches * lit(1.0) / nTokens, 4).as("en_ratio"))
+      when(ratio >= 0.05, "en").otherwise("other").as("pred_lang"),
+      round(ratio, 4).as("en_ratio"))
   }
 
   private def quality(s: SparkSession, d: String): DataFrame = {
@@ -36,16 +55,12 @@ object TextAnalysis {
     val distinctRatio = size(array_distinct(toks)) * lit(1.0) / nTokens
     // chars excluding the single-space separators, per token
     val meanLen = (length(col("text")) - (nTokens - lit(1))) * lit(1.0) / nTokens
-    val score =
-      lit(0.4) * least(lit(1.0), nTokens * lit(1.0) / 100.0) +
-        lit(0.4) * distinctRatio +
-        lit(0.2) * when(meanLen.between(3.0, 8.0), 1.0).otherwise(0.0)
     Tables.documents(s, d).select(
       col("doc_id"),
       nTokens.as("n_tokens"),
       round(distinctRatio, 4).as("distinct_ratio"),
       round(meanLen, 4).as("mean_len"),
-      round(score, 4).as("score"))
+      round(qualityOf(col("text")), 4).as("score"))
   }
 
   private def tokenCount(s: SparkSession, d: String): DataFrame =

@@ -30,6 +30,20 @@ class OperatorSpec extends SparkTestBase {
       (2L, 10L, null))) // right row is in the future
   }
 
+  test("asofJoin: NULL in a carried column of the matched row stays NULL") {
+    GraftSession.prepare(spark)
+    import scala.jdk.CollectionConverters._
+    val lSchema = StructType(Seq(StructField("k", LongType), StructField("lt", LongType)))
+    val rSchema = StructType(Seq(StructField("k", LongType), StructField("rt", LongType),
+      StructField("rv", StringType)))
+    val left = spark.createDataFrame(Seq(Row(1L, 6L)).asJava, lSchema)
+    val right = spark.createDataFrame(Seq(
+      Row(1L, 3L, "old"), Row(1L, 5L, null)).asJava, rSchema)
+    val out = AsOf.asofJoin(left, right, "k", "lt", "rt", Seq("rt", "rv")).head()
+    // matched row is (rt=5, rv=NULL): rv must be NULL, not stitched "old"
+    assert(out.getLong(2) == 5L && out.isNullAt(3), out.toString)
+  }
+
   test("IVF index: KMeans build is deterministic; search recall vs exact") {
     GraftSession.prepare(spark)
     val e = Tables.embeddings(spark, sfDir)

@@ -131,6 +131,18 @@ object Similarity {
       .select(col("vec_id"),
         round(call_function("l2_norm", col("embedding")), 6).as("nrm"))
 
+  /** L2-normalization: scalar projections of the unit vector (first/last
+    * component + unit-norm check) so the oracle compares doubles, not
+    * engine-formatted float arrays. */
+  private def embedNormalize(s: SparkSession, d: String): DataFrame = {
+    val nrm = call_function("l2_norm", col("embedding"))
+    val dim = size(col("embedding"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        round(when(nrm > 0, element_at(col("embedding"), 1) / nrm).otherwise(0.0), 6).as("u_first"),
+        round(when(nrm > 0, element_at(col("embedding"), dim) / nrm).otherwise(0.0), 6).as("u_last"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hamming_threshold" -> hammingThreshold _,
     "q_hamming_knn" -> hammingKnn _,
@@ -138,7 +150,8 @@ object Similarity {
     "q_knn_cosine" -> knnCosine _,
     "q_embed_neardup" -> embedNeardup _,
     "q_ann_ivf" -> annIvf _,
-    "q_embed_norm" -> embedNorm _
+    "q_embed_norm" -> embedNorm _,
+    "q_embed_normalize" -> embedNormalize _
   )
 
   private val fpSql =
@@ -170,7 +183,16 @@ object Similarity {
       """SELECT vec_id,
         | round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
         |   x -> x * x))), 6) AS nrm
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+    "q_embed_normalize" ->
+      """WITH n AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        | FROM embeddings)
+        |SELECT vec_id,
+        | round(CASE WHEN nrm > 0 THEN e[1] / nrm ELSE 0.0 END, 6) AS u_first,
+        | round(CASE WHEN nrm > 0 THEN e[len(e)] / nrm ELSE 0.0 END, 6) AS u_last
+        |FROM n""".stripMargin
     // q_phash_search (FNV SimHash), q_embed_neardup / q_ann_ivf (LSH/IVF
     // recall is engine-specific): rows-only checks by design.
   )

@@ -6,6 +6,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** One document on the stream. */
+case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+
+/** A near-dup candidate: two docs sharing a MinHash band bucket. */
+case class NearDupCandidate(band_bucket: Long, earlier_id: Long, later_id: Long)
+
 /** One event on the stream (event-time in millis carried as Timestamp). */
 case class StreamEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
 
@@ -38,6 +44,45 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** Streaming MinHash-LSH near-dup detection: each arriving document's
+    * 16 band hashes (64-perm MinHash, the same graft.functions kernel the
+    * batch path uses) key a state store of doc-ids previously seen in that
+    * bucket; a new doc colliding with a stored one emits a candidate pair
+    * immediately.
+    *
+    * Scale notes: state is per (band, bucket) — cardinality bounded by the
+    * corpus's distinct band hashes, hash-partitioned across executors.
+    * Per-bucket membership is capped (`maxPerBucket`) so a degenerate
+    * bucket (boilerplate text) cannot grow state unboundedly — the same
+    * hot-bucket cut the batch df-cut applies. Candidates may repeat across
+    * bands; exact-verify + distinct is the (batch or downstream) second
+    * stage, as in the batch LSH operator. */
+  def nearDupCandidates(docs: Dataset[StreamDoc],
+      maxPerBucket: Int = 64): Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"),
+        explode(call_function("minhash_bands",
+          call_function("word_shingles", col("text"), lit(3)), lit(64), lit(16)))
+          .as("bucket"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[List[Long], NearDupCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, it: Iterator[(Long, Long)], state: GroupState[List[Long]]) =>
+          val seen = state.getOption.getOrElse(Nil)
+          val arrivals = it.map(_._1).toSeq.distinct.filterNot(seen.contains)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCandidate]
+          var members = seen
+          arrivals.foreach { id =>
+            members.foreach(m => out += NearDupCandidate(bucket, math.min(m, id), math.max(m, id)))
+            if (members.size < maxPerBucket) members = id :: members
+          }
+          if (members.nonEmpty) state.update(members)
+          out.iterator
+      }
+  }
 
   /** Gap-based sessionization (D5): one state per active user; a session
     * closes when the next event arrives > gap later (in-batch) or when the

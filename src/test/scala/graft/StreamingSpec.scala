@@ -35,6 +35,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup: cross-batch collision flagged, distinct text not") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    GraftSession.prepare(spark)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val input = MemoryStream[graft.streaming.StreamDoc]
+    val q = StreamOps.nearDupCandidates(input.toDS())
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(graft.streaming.StreamDoc(1, new Timestamp(0), base))
+      q.processAllAvailable()
+      assert(spark.table("neardup_out").count() == 0)
+      // near-identical doc in a later batch collides with stored bands
+      input.addData(
+        graft.streaming.StreamDoc(2, new Timestamp(1000), base + " ok"),
+        graft.streaming.StreamDoc(3, new Timestamp(1000),
+          "completely different words about nothing similar at all whatsoever"))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_out")
+        .select("earlier_id", "later_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), pairs.toString)
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), pairs.toString)
+    } finally q.stop()
+  }
+
   test("gap sessionization via flatMapGroupsWithState (D5)") {
     val s = spark
     import s.implicits._

@@ -238,6 +238,13 @@ object Relational {
       datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate")).as("days_to_next"))
   }
 
+  private def ntileBuckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), ntile(4).over(w).as("quartile"))
+  }
+
   private def statsAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
@@ -311,6 +318,7 @@ object Relational {
     "q_window_lag" -> windowLag _,
     "q_stats" -> statsAgg _,
     "q_grouping_sets" -> groupingSets _,
+    "q_ntile" -> ntileBuckets _,
     "q_histogram" -> histogram _,
     "q_normalize" -> normalizeText _,
     "q_cube" -> cubeAgg _,
@@ -339,6 +347,10 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ntile" ->
+      """SELECT o_orderkey,
+        | CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+        |FROM orders""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,

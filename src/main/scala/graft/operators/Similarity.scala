@@ -43,7 +43,7 @@ object Similarity {
     val probe = docs.filter(col("doc_id") === 0).select(col("fp").as("probe_fp"))
     docs.crossJoin(broadcast(probe))
       .select(col("doc_id"),
-        bit_count(col("fp").bitwiseXOR(col("probe_fp"))).as("dist"))
+        call_function("hamming64", col("fp"), col("probe_fp")).as("dist"))
       .filter(col("dist") < 10)
   }
 
@@ -53,7 +53,7 @@ object Similarity {
     val probe = docs.filter(col("doc_id") === 0).select(col("fp").as("probe_fp"))
     docs.crossJoin(broadcast(probe))
       .select(col("doc_id"),
-        bit_count(col("fp").bitwiseXOR(col("probe_fp"))).as("dist"))
+        call_function("hamming64", col("fp"), col("probe_fp")).as("dist"))
       .orderBy(col("dist"), col("doc_id"))
       .limit(10)
   }
@@ -66,7 +66,7 @@ object Similarity {
     val probe = hashed.filter(col("doc_id") === 0).select(col("ph").as("probe_ph"))
     hashed.crossJoin(broadcast(probe))
       .select(col("doc_id"),
-        bit_count(col("ph").bitwiseXOR(col("probe_ph"))).as("dist"))
+        call_function("hamming64", col("ph"), col("probe_ph")).as("dist"))
       .filter(col("dist") < 16)
       .orderBy(col("dist"), col("doc_id"))
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, Literal}
 
 import graft.functions.{CharShingles, ContentFp, CosineSimilarity, DotProduct, L2Norm, MinHashBands, MinHashSig, SignBands, SimHash64, TopK, Ulid, WordShingles}
 
@@ -56,6 +56,10 @@ object GraftExtensions {
     ("minhash_bands", info("minhash_bands", "LSH band hashes of the MinHash signature"),
       (args: Seq[Expression]) => MinHashBands(args(0),
         litInt(args(1), "minhash_bands k"), litInt(args(2), "minhash_bands bands"))),
+    // the reference's `a @ b` Hamming-distance operator by name
+    // (README.md "Metrics"): composes built-in codegen expressions
+    ("hamming64", info("hamming64", "Hamming distance between two 64-bit hashes"),
+      (args: Seq[Expression]) => BitwiseCount(BitwiseXor(args(0), args(1)))),
     ("top_k", info("top_k", "k largest struct values per group, bounded-heap aggregate"),
       (args: Seq[Expression]) => TopK(args(0), args(1))),
     ("ulid", info("ulid", "generate a ULID (Crockford base32, time-ordered)"),

@@ -238,6 +238,12 @@ object Relational {
       datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate")).as("days_to_next"))
   }
 
+  /** Scale caveat: an exact global ntile is an inherently total order —
+    * Spark plans an un-partitioned window as a single partition. Fine for
+    * dimension-sized inputs (orders here); for a 100 TB fact the scale
+    * path is quantile THRESHOLDS (percentile/approx_percentile, fully
+    * parallel) + a bucket-assignment scan, trading exact equal-sized
+    * buckets for boundary-value grouping. */
   private def ntileBuckets(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))

@@ -78,6 +78,28 @@ object Multimodal {
     }
   }
 
+  /** Media resize/transcode. STUB: deterministic byte-decimation to
+    * `targetBytes` (every k-th byte, k = ceil(n/target)); a real pipeline
+    * runs an image scaler here. Shape notes: media-in → media-out keeps
+    * the envelope schema, so resize composes with decode/frameSample, and
+    * the per-partition iterator lets a real scaler reuse one native
+    * context across blobs. */
+  def resize(ds: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // real impl: val scaler = Scaler.open() once per partition
+      it.map { m =>
+        val n = m.media.length
+        if (n <= targetBytes) m
+        else {
+          val step = math.ceil(n.toDouble / targetBytes).toInt
+          val out = Iterator.range(0, n, step).map(m.media(_)).toArray
+          MediaRow(m.doc_id, m.kind, out)
+        }
+      }
+    }
+  }
+
   /** Per-frame feature extraction. STUB: 4 byte-distribution moments; a
     * real pipeline runs an image model here. Same per-partition batch
     * shape: model loads once per partition, frames stream through. */

@@ -86,6 +86,22 @@ class OperatorSpec extends SparkTestBase {
     assert(f1(0) == 7.0f && f1(1) == 0.0f && f1(2) == 7.0f && f1(3) == 7.0f)
   }
 
+  test("multimodal resize: bounded output, composes with decode") {
+    GraftSession.prepare(spark)
+    val s = spark
+    import s.implicits._
+    val media = Seq(
+      graft.operators.MediaRow(1L, "image", Array.tabulate[Byte](1000)(_.toByte)),
+      graft.operators.MediaRow(2L, "image", Array.fill[Byte](10)(5))).toDS()
+    val resized = graft.operators.Multimodal.resize(media, targetBytes = 100).collect()
+    val r1 = resized.find(_.doc_id == 1L).get
+    assert(r1.media.length == 100 && r1.media(0) == 0 && r1.media(1) == 10)
+    assert(resized.find(_.doc_id == 2L).get.media.length == 10) // small passes through
+    val meta = graft.operators.Multimodal.decodeMeta(
+      graft.operators.Multimodal.resize(media, 100)).collect()
+    assert(meta.forall(_.n_bytes <= 100))
+  }
+
   test("graft kernels run inside streaming plans") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.{call_function, split => fsplit, col => fcol}

@@ -58,11 +58,9 @@ object AsOf {
           carry.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
-  private val tsMs = expr("ts div 1000000")
-
   /** For each click, the user's most recent purchase at-or-before it. */
   private def asofClickPurchase(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).withColumn("ms", tsMs)
+    val ev = Tables.events(s, d).withColumn("ms", EventTime.tsMs)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ms").as("click_ms"))
     val purchases = ev.filter(col("event_type") === "purchase")

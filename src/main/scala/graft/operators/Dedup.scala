@@ -49,6 +49,14 @@ object Dedup {
     val inv = shingled
       .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), col("n"), xxhash64(col("s0")).as("s"))
+    pairsFromPostings(inv, threshold)
+  }
+
+  /** The pair-generation core over a postings relation (doc_id, n, s):
+    * self-join on the posting hash, count intersections, Jaccard from the
+    * carried sizes. Shared by jaccardPairs and dedupNgram (whose postings
+    * are df-cut first). */
+  def pairsFromPostings(inv: DataFrame, threshold: Double): DataFrame =
     inv.as("a")
       .join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -59,7 +67,6 @@ object Dedup {
         col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
       .filter(col("raw_j") >= threshold) // raw value (oracle-identical)
       .select(col("id_a"), col("id_b"), col("raw_j"))
-  }
 
   /** All document pairs with 3-shingle Jaccard >= 0.5, via inverted index. */
   private def dedupJaccard(s: SparkSession, d: String): DataFrame =
@@ -86,10 +93,14 @@ object Dedup {
     cand
       .join(docs.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(docs.as("sb"), col("id_b") === col("sb.doc_id"))
-      .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sa.sh"), col("sb.sh"))) * lit(1.0) /
-          size(array_union(col("sa.sh"), col("sb.sh"))), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .withColumn("raw_j",
+        size(array_intersect(col("sa.sh"), col("sb.sh"))) * lit(1.0) /
+          size(array_union(col("sa.sh"), col("sb.sh"))))
+      // threshold on the RAW value (as every Jaccard path does) — filtering
+      // the 4-dp rounded value would admit boundary pairs (raw 0.49996 →
+      // 0.5000) that the exact dedupJaccard path rejects
+      .filter(col("raw_j") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("raw_j"), 4).as("jaccard"))
   }
 
   /** Char-5-gram Jaccard near-dup (the char-level twin of dedupJaccard,
@@ -119,15 +130,8 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val inv = inv0.join(keep, "s")
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    inv.as("a")
-      .join(inv.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("raw_j",
-        col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
-      .filter(col("raw_j") >= 0.5)
+      .select(col("doc_id"), col("n"), col("s"))
+    pairsFromPostings(inv, 0.5)
       .select(col("id_a"), col("id_b"), round(col("raw_j"), 4).as("jaccard"))
   }
 

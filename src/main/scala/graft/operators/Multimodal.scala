@@ -43,7 +43,9 @@ object Multimodal {
     val n = m.media.length
     MediaMeta(m.doc_id, m.kind, n,
       width = 320 + (n % 320),
-      height = 240 + ((n * 7) % 240),
+      // long arithmetic: n * 7 overflows Int beyond ~306 MB blobs, and the
+      // oracle computes in BIGINT
+      height = 240 + ((n.toLong * 7) % 240).toInt,
       quality_ok = n >= 64)
   }
 

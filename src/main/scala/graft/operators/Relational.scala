@@ -26,10 +26,6 @@ import graft.sources.Tables
   */
 object Relational {
 
-  /** Epoch-nanos → epoch-millis for the `events.ts` column (read as LongType
-    * via nanosAsLong; see GraftSession). Integer `div` keeps it exact. */
-  private val tsMs = expr("ts div 1000000")
-
   /** Order-independent money sum: each double term is fixed-pointed to
     * DECIMAL(18,4) per row (deterministic — same IEEE value every time),
     * then summed exactly as integers, so the result is identical across
@@ -181,7 +177,7 @@ object Relational {
   private def sessionize(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
-    val ev = Tables.events(s, d).withColumn("ms", tsMs)
+    val ev = Tables.events(s, d).withColumn("ms", EventTime.tsMs)
     ev.withColumn("new_sess",
         when(col("ms") - lag(col("ms"), 1).over(wOrd) > 1800000L, 1)
           .otherwise(when(lag(col("ms"), 1).over(wOrd).isNull, 1).otherwise(0)))

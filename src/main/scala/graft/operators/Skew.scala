@@ -20,6 +20,9 @@ object Skew {
 
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltSource: String, buckets: Int): DataFrame = {
+    // buckets = 0 would make pmod NULL-out every salt and silently return
+    // an empty join instead of failing
+    require(buckets > 0, s"saltedJoin requires buckets > 0, got $buckets")
     val salted = fact.withColumn("__salt", pmod(xxhash64(col(saltSource)), lit(buckets)))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1)).cast("array<bigint>")))

@@ -126,6 +126,27 @@ class OperatorSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("minhash LSH recall: finds every exact-Jaccard pair at sf0.001") {
+    GraftSession.prepare(spark)
+    def pairs(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q_dedup_jaccard")
+    val lsh = pairs("q_minhash_lsh")
+    // 16 bands x 4 rows at tau=0.5 -> collision prob per pair >= 1-(1-0.5^4)^16 ~ 0.64
+    // per band family, but near-dup pairs here are far above tau; with the
+    // exact verify step, LSH output must be a SUBSET of exact and in
+    // practice equal. Assert full recall and no false positives.
+    assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size} diff=${exact.diff(lsh)}")
+  }
+
+  test("as-of join plans exactly one shuffle (the claim in its docstring)") {
+    GraftSession.prepare(spark)
+    val plan = SparkEntry.queries("q_asof_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("no accidental cartesian products in any registered query") {
     GraftSession.prepare(spark)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>

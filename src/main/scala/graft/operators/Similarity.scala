@@ -82,6 +82,27 @@ object Similarity {
       .limit(10)
   }
 
+  /** Batch k-NN: top-3 cosine neighbours for EVERY probe in a broadcast
+    * probe set, in one corpus scan — the bulk-similarity shape a training
+    * pipeline runs (not one probe at a time). Per-probe top-k via the
+    * bounded-heap `top_k` aggregate: the shuffle carries k rows per probe,
+    * not the |corpus|·|probes| score matrix. */
+  private def knnBatch(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        call_function("cosine_sim", col("embedding"), col("pv")).as("sim_raw"))
+      .groupBy(col("probe_id"))
+      .agg(call_function("top_k",
+        struct(col("sim_raw"), (-col("vec_id")).as("neg")), lit(3)).as("top"))
+      .select(col("probe_id"), explode(col("top")).as("t"))
+      .select(col("probe_id"), (-col("t.neg")).as("vec_id"),
+        round(col("t.sim_raw"), 6).as("sim"))
+  }
+
   /** All embedding pairs with cosine >= 0.4, blocked by axis-sign LSH:
     * 4 bands × 4 sign bits (dims 0-15, native codegen kernel — see
     * functions.SignBands). Verification only within buckets. */
@@ -148,6 +169,7 @@ object Similarity {
     "q_hamming_knn" -> hammingKnn _,
     "q_phash_search" -> phashSearch _,
     "q_knn_cosine" -> knnCosine _,
+    "q_knn_batch" -> knnBatch _,
     "q_embed_neardup" -> embedNeardup _,
     "q_ann_ivf" -> annIvf _,
     "q_embed_norm" -> embedNorm _,
@@ -174,6 +196,18 @@ object Similarity {
          |SELECT doc_id,
          | CAST(bit_count(xor(fp, (SELECT fp FROM fp WHERE doc_id = 0))) AS INTEGER) AS dist
          |FROM fp ORDER BY dist, doc_id LIMIT 10""".stripMargin,
+    "q_knn_batch" ->
+      """WITH p AS (
+        | SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+        | FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        | SELECT probe_id, e.vec_id,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), pv) AS sim_raw
+        | FROM embeddings e CROSS JOIN p WHERE e.vec_id != probe_id),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY probe_id ORDER BY sim_raw DESC, vec_id) AS rn FROM s)
+        |SELECT probe_id, vec_id, round(sim_raw, 6) AS sim
+        |FROM r WHERE rn <= 3""".stripMargin,
     "q_knn_cosine" ->
       """SELECT vec_id,
         | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

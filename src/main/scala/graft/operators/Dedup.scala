@@ -36,19 +36,39 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** Document-frequency cut for the word-shingle inverted index. A 3-word
+    * boilerplate shingle ("all rights reserved") present in 1M docs makes
+    * the postings self-join emit ~5·10¹¹ candidate rows — df-pruning is what
+    * keeps candidate volume linear at 100 TB. Like the char-ngram path
+    * (NgramMaxDf below), the cut is part of the operator's DEFINED
+    * semantics: shingles with df > WordMaxDf are dropped from both the
+    * index and the set sizes, identically in the DuckDB oracle. At test
+    * scale (500-5000 docs) no synthetic shingle reaches 1000 docs, so the
+    * cut is exercised structurally but changes nothing. */
+  val WordMaxDf = 1000
+
   /** Inverted-index Jaccard: all (id_a, id_b, raw_j) pairs with raw
-    * set-Jaccard >= threshold over `shingled` = (doc_id, sh: array<string>).
+    * set-Jaccard >= threshold over `shingled` = (doc_id, sh: array<string>),
+    * where Jaccard is defined over df-pruned shingle sets (df <= maxDf).
     * Postings carry `xxhash64(shingle)` (8 bytes), not the shingle string:
     * the self-join shuffles and compares longs. 64-bit collisions among
     * ~1e5 distinct shingles are ~1e-9 — intersection counts equal the
     * string-exact oracle's in practice. Shared with operators.Pipeline. */
-  def jaccardPairs(shingled: DataFrame, threshold: Double): DataFrame = {
-    // postings carry the owning set's size, so the Jaccard denominator is
-    // available right at the pair aggregation — no separate size-lookup
-    // joins (two fewer shuffles; the 8 extra bytes per posting are noise)
-    val inv = shingled
-      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s0"))
-      .select(col("doc_id"), col("n"), xxhash64(col("s0")).as("s"))
+  def jaccardPairs(shingled: DataFrame, threshold: Double,
+      maxDf: Int = WordMaxDf): DataFrame = {
+    val inv0 = shingled
+      .select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    // df cut, then attach each doc's POST-CUT set size to its postings with
+    // one window pass (vs two aggregate+join lookups after the pair join) —
+    // so the Jaccard denominator is available right at the pair aggregation
+    val keep = inv0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("s"))
+    import org.apache.spark.sql.expressions.Window
+    val inv = inv0.join(keep, "s")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("n"), col("s"))
     pairsFromPostings(inv, threshold)
   }
 
@@ -74,16 +94,33 @@ object Dedup {
       Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh")), 0.5)
       .select(col("id_a"), col("id_b"), round(col("raw_j"), 4).as("jaccard"))
 
+  /** Per-(band,bucket) membership cap for batch LSH — the batch twin of
+    * StreamOps.minhashNearDupCandidates' `maxPerBucket`. A degenerate
+    * bucket (e.g. a boilerplate template shared by 1M docs) would emit
+    * |bucket|²/2 candidate pairs from the self-join; docs in such a bucket
+    * are near-exact dups that exact dedup (or any of their OTHER 15 band
+    * buckets) already catches, so skipping the bucket bounds candidates at
+    * bands·docs·cap without losing real near-dup recall. Test-scale buckets
+    * hold ≤ a handful of docs, so the cap changes nothing locally. */
+  val LshMaxPerBucket = 1000
+
   /** MinHash signatures (k=64, native codegen kernel) → 16 bands of 4 →
     * bucket-join candidates → exact-Jaccard verify at 0.5. Signature + band
     * hashing fuse into one `minhash_bands` scan (see functions.MinHashBands)
     * — no interpreted HOF lambdas in the per-document hot path. */
   private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh"))
     val banded = docs.select(
       col("doc_id"),
       posexplode(call_function("minhash_bands", col("sh"), lit(64), lit(16))))
       .toDF("doc_id", "band", "bh")
+      // hot-bucket cap: one window count over the same (band, bh) hash
+      // partitioning the self-join below shuffles on anyway
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("bsz") <= LshMaxPerBucket)
+      .drop("bsz")
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -116,24 +153,12 @@ object Dedup {
     * that keeps candidate volume linear at 100 TB. */
   private val NgramMaxDf = 100
 
-  private def dedupNgram(s: SparkSession, d: String): DataFrame = {
-    val inv0 = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(call_function("char_shingles", col("text"), lit(5))).as("s0"))
-      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
-    // df cut: drop shingles appearing in more than NgramMaxDf docs, then
-    // attach each doc's POST-CUT set size to its postings with one window
-    // pass (vs two aggregate+join lookups after the pair join)
-    val keep = inv0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= NgramMaxDf)
-      .select(col("s"))
-    import org.apache.spark.sql.expressions.Window
-    val inv = inv0.join(keep, "s")
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .select(col("doc_id"), col("n"), col("s"))
-    pairsFromPostings(inv, 0.5)
+  private def dedupNgram(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(
+      Tables.documents(s, d).select(col("doc_id"),
+        call_function("char_shingles", col("text"), lit(5)).as("sh")),
+      0.5, NgramMaxDf)
       .select(col("id_a"), col("id_b"), round(col("raw_j"), 4).as("jaccard"))
-  }
 
   /** 64-bit SimHash fingerprint per document (native codegen expression). */
   private def simhash(s: SparkSession, d: String): DataFrame =
@@ -159,8 +184,10 @@ object Dedup {
         |sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(len(w) - 2),
         |   i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))) AS shs FROM t),
-        |e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-        |cnt AS (SELECT doc_id, len(shs) AS n FROM sh),
+        |e0 AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+        |keep AS (SELECT s FROM e0 GROUP BY s HAVING count(*) <= 1000),
+        |e AS (SELECT doc_id, e0.s FROM e0 JOIN keep ON e0.s = keep.s),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
         |p AS (
         | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id

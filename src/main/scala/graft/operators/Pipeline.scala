@@ -12,10 +12,12 @@ import graft.sources.Tables
   * shuffles are the two the near-dup stage fundamentally needs (inverted-
   * index join + pair aggregation).
   *
-  * Near-dup policy: from every pair with 3-word-shingle Jaccard ≥ 0.5,
-  * the higher doc_id is dropped (keep-first). At 100 TB the pair list is
-  * tiny relative to the corpus (near-dup rate × corpus), so the final
-  * left_anti join broadcasts.
+  * Near-dup policy: from every pair with 3-word-shingle Jaccard ≥ 0.5
+  * (over df-pruned shingle sets — Dedup.WordMaxDf), the higher doc_id is
+  * dropped (keep-first). The drop-list size is O(dup rate × corpus) —
+  * 10⁸⁺ ids at 100 TB with a 10% dup rate — so the final anti join is NOT
+  * hard-broadcast: AQE broadcasts it when the runtime size is small and
+  * shuffles otherwise.
   */
 object Pipeline {
 
@@ -39,7 +41,7 @@ object Pipeline {
       .distinct()
 
     kept
-      .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+      .join(dropIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         round(col("quality"), 4).as("quality"))
   }
@@ -70,8 +72,10 @@ object Pipeline {
         |   i -> concat_ws(' ', string_split(text, ' ')[i+1],
         |     string_split(text, ' ')[i+2], string_split(text, ' ')[i+3]))) AS shs
         | FROM kept),
-        |e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-        |cnt AS (SELECT doc_id, len(shs) AS n FROM sh),
+        |e0 AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+        |keep_s AS (SELECT s FROM e0 GROUP BY s HAVING count(*) <= 1000),
+        |e AS (SELECT doc_id, e0.s FROM e0 JOIN keep_s ON e0.s = keep_s.s),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
         |p AS (
         | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),

@@ -36,6 +36,16 @@ object Relational {
   private def moneySum(c: Column): Column =
     round(sum(c.cast("decimal(18,4)")), 2).cast("double")
 
+  /** Order-independent average. The naive `round(avg(x), 4)` is a coin-flip:
+    * double summation order differs between engines AND between Spark runs,
+    * and a mean landing on a .xxxx5 boundary flips the rounded value. Here
+    * the sum is exact decimal (deterministic per-row fixed-pointing, exact
+    * integer addition), the decimal→double cast and the division are single
+    * correctly-rounded IEEE ops — so both engines produce bitwise-identical
+    * doubles and no rounding step is needed at all. */
+  private def moneyAvg(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double") / count(c)
+
   private def pointLookup(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .filter(col("o_orderkey") === 42)
@@ -54,9 +64,9 @@ object Relational {
         moneySum(col("l_extendedprice")).as("sum_base_price"),
         moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
         moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        moneyAvg(col("l_quantity")).as("avg_qty"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        moneyAvg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   private def shippingPriority(s: SparkSession, d: String): DataFrame = {
@@ -247,6 +257,35 @@ object Relational {
       .select(col("o_orderkey"), ntile(4).over(w).as("quartile"))
   }
 
+  /** The fact-table-scale quartile twin of ntileBuckets: no global window
+    * over fact rows. Thresholds are computed from a value HISTOGRAM — the
+    * shuffle and the (single-partition) cumulative pass run over the
+    * compressed distinct-value domain, not the rows — and bucket assignment
+    * is a broadcast-join scan. Integer-exact semantics (tK = min v with
+    * cum(v) ≥ K·n/4, ties share a bucket): deterministic across engines,
+    * unlike interpolated-percentile thresholds whose last-ulp differences
+    * can flip a boundary row. */
+  private def ntileThreshold(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice").cast("decimal(18,2)").as("v"))
+    val hist = v.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val thr = cum.crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+      .agg(
+        min(when(col("cum") * 4 >= col("n") * 1, col("v"))).as("t1"),
+        min(when(col("cum") * 4 >= col("n") * 2, col("v"))).as("t2"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("t3"))
+    v.crossJoin(broadcast(thr))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (lit(1) + when(col("v") > col("t1"), 1).otherwise(0)
+          + when(col("v") > col("t2"), 1).otherwise(0)
+          + when(col("v") > col("t3"), 1).otherwise(0)).as("quartile"))
+  }
+
   private def statsAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
@@ -284,7 +323,7 @@ object Relational {
   private def cubeAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(avg(col("l_discount")), 4).as("avg_disc"), count(lit(1)).as("n"))
+      .agg(moneyAvg(col("l_discount")).as("avg_disc"), count(lit(1)).as("n"))
 
   private def percentiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -321,6 +360,7 @@ object Relational {
     "q_stats" -> statsAgg _,
     "q_grouping_sets" -> groupingSets _,
     "q_ntile" -> ntileBuckets _,
+    "q_ntile_threshold" -> ntileThreshold _,
     "q_histogram" -> histogram _,
     "q_normalize" -> normalizeText _,
     "q_cube" -> cubeAgg _,
@@ -353,6 +393,24 @@ object Relational {
       """SELECT o_orderkey,
         | CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
         |FROM orders""".stripMargin,
+    "q_ntile_threshold" ->
+      """WITH v AS (
+        | SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS v FROM lineitem),
+        |hist AS (SELECT v, count(*) AS c FROM v GROUP BY v),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+        |tot AS (SELECT count(*) AS n FROM v),
+        |thr AS (SELECT
+        |  min(CASE WHEN 4 * cum >= 1 * n THEN v END) AS t1,
+        |  min(CASE WHEN 4 * cum >= 2 * n THEN v END) AS t2,
+        |  min(CASE WHEN 4 * cum >= 3 * n THEN v END) AS t3
+        | FROM cum, tot)
+        |SELECT l_orderkey, l_linenumber,
+        | CAST(1 + (CASE WHEN v > t1 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN v > t2 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN v > t3 THEN 1 ELSE 0 END) AS INTEGER) AS quartile
+        |FROM v, thr""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
@@ -396,7 +454,8 @@ object Relational {
         | FROM orders) t WHERE rnk <= 3""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(avg(l_discount), 4) AS avg_disc, count(*) AS n
+        | CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount) AS avg_disc,
+        | count(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
@@ -424,9 +483,9 @@ object Relational {
         | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
         | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
         | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_charge,
-        | round(avg(l_quantity), 4) AS avg_qty,
-        | round(avg(l_extendedprice), 4) AS avg_price,
-        | round(avg(l_discount), 4) AS avg_disc,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+        | CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q_shipping_priority" ->

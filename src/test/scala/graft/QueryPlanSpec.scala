@@ -56,6 +56,26 @@ class QueryPlanSpec extends SparkTestBase {
     assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("pipeline anti-join has no hard-coded broadcast of the drop list") {
+    // the drop list is O(dup rate × corpus) — unbounded — so the LOGICAL
+    // plan must not pin a broadcast hint on it; AQE picks broadcast vs
+    // shuffle from the runtime size (at sf it will broadcast, which is fine
+    // — what matters is that the choice is the planner's, not hard-coded)
+    GraftSession.prepare(spark)
+    val logical = SparkEntry.queries("q_pipeline_clean")(spark, sfDir)
+      .queryExecution.analyzed.toString
+    assert(!logical.contains("ResolvedHint"), logical)
+  }
+
+  test("ntile_threshold windows only the distinct-value histogram, not fact rows") {
+    val p = plan("q_ntile_threshold")
+    // bucket assignment reaches rows via a broadcast of the 1-row threshold
+    // relation; the only window sits above the histogram aggregate
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.indexOf("HashAggregate", winIdx) >= 0, p)
+  }
+
   test("every registered query executes and returns rows at sf0.001") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       try {

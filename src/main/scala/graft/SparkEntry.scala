@@ -19,7 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val raw = Relational.queries ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ AsOf.queries ++
-      Pipeline.queries
+      Pipeline.queries ++ graft.sql.SqlQueries.queries
     raw.map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) => { GraftSession.prepare(s); fn(s, dir) })
     }
@@ -30,5 +30,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ AsOf.oracles ++
-      Pipeline.oracles
+      Pipeline.oracles ++ graft.sql.SqlQueries.oracles
 }

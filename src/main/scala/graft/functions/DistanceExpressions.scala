@@ -56,6 +56,19 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Hamming distance between two equal-length byte strings (the 128-bit
+    * metric-key path: UINT128 perceptual hashes travel as binary(16)).
+    * Byte-wise popcount loop — 16 iterations for the 128-bit case, fully
+    * inside whole-stage codegen. */
+  def hammingBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    require(a.length == b.length,
+      s"hamming distance requires equal-length binary values (${a.length} vs ${b.length})")
+    var acc = 0
+    var i = 0
+    while (i < a.length) { acc += Integer.bitCount((a(i) ^ b(i)) & 0xff); i += 1 }
+    acc
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var d = 0.0; var na = 0.0; var nb = 0.0
@@ -147,6 +160,38 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** hamming128(a, b): Hamming distance between two equal-length binary
+  * values — completes the reference's UINT128 metric-key story
+  * (reference: src/storage/index.rs `data: Vec<u128>`, components.rs
+  * UINT128; SchemaMapper maps UINT128 → binary(16)). `hamming64` covers
+  * BIGINT hashes via built-in xor+bit_count; this is its binary(16)
+  * sibling, usable on any equal-length binary fingerprint. */
+case class Hamming128(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType,
+            org.apache.spark.sql.types.BinaryType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires two binary inputs")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hamming128"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.hammingBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.hammingBytes($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Hamming128 =
     copy(left = newLeft, right = newRight)
 }
 

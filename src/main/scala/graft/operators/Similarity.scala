@@ -71,6 +71,20 @@ object Similarity {
       .orderBy(col("dist"), col("doc_id"))
   }
 
+  /** Threshold search over 128-bit fingerprints travelling as binary(16) —
+    * the UINT128 metric-key path (reference: src/storage/index.rs
+    * `data: Vec<u128>`; SchemaMapper maps UINT128 → binary(16)). Same
+    * broadcast-probe + codegen-kernel scan shape as the 64-bit path. */
+  private def hamming128Threshold(s: SparkSession, d: String): DataFrame = {
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), unhex(md5(col("text"))).as("h128"))
+    val probe = hashed.filter(col("doc_id") === 0).select(col("h128").as("probe_h"))
+    hashed.crossJoin(broadcast(probe))
+      .select(col("doc_id"),
+        call_function("hamming128", col("h128"), col("probe_h")).as("dist"))
+      .filter(col("dist") < 54)
+  }
+
   /** Brute-force cosine k-NN vs. probe vec_id=0 (exact baseline). */
   private def knnCosine(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
@@ -168,6 +182,7 @@ object Similarity {
     "q_hamming_threshold" -> hammingThreshold _,
     "q_hamming_knn" -> hammingKnn _,
     "q_phash_search" -> phashSearch _,
+    "q_hamming128" -> hamming128Threshold _,
     "q_knn_cosine" -> knnCosine _,
     "q_knn_batch" -> knnBatch _,
     "q_embed_neardup" -> embedNeardup _,
@@ -176,7 +191,7 @@ object Similarity {
     "q_embed_normalize" -> embedNormalize _
   )
 
-  private val fpSql =
+  private[graft] val fpSql =
     """SELECT doc_id,
       | list_reduce(
       |   list_prepend(CAST(0 AS BIGINT),
@@ -196,6 +211,14 @@ object Similarity {
          |SELECT doc_id,
          | CAST(bit_count(xor(fp, (SELECT fp FROM fp WHERE doc_id = 0))) AS INTEGER) AS dist
          |FROM fp ORDER BY dist, doc_id LIMIT 10""".stripMargin,
+    "q_hamming128" ->
+      """WITH h AS (SELECT doc_id, unhex(md5(text)) AS h128 FROM documents)
+        |SELECT doc_id,
+        | CAST(bit_count(xor(CAST(h128 AS BIT),
+        |   CAST((SELECT h128 FROM h WHERE doc_id = 0) AS BIT))) AS INTEGER) AS dist
+        |FROM h
+        |WHERE bit_count(xor(CAST(h128 AS BIT),
+        |  CAST((SELECT h128 FROM h WHERE doc_id = 0) AS BIT))) < 54""".stripMargin,
     "q_knn_batch" ->
       """WITH p AS (
         | SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv

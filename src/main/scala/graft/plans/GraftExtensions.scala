@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, Literal}
 
-import graft.functions.{CharShingles, ContentFp, CosineSimilarity, DotProduct, L2Norm, MinHashBands, MinHashSig, SignBands, SimHash64, TopK, Ulid, WordShingles}
+import graft.functions.{CharShingles, ContentFp, CosineSimilarity, DotProduct, Hamming128, L2Norm, MinHashBands, MinHashSig, SignBands, SimHash64, TopK, Ulid, WordShingles}
 
 /** SparkSessionExtensions entry point: injects graft's native Catalyst
   * expressions into the SQL function registry, so `spark.sql` and
@@ -61,6 +61,9 @@ object GraftExtensions {
     // (README.md "Metrics"): composes built-in codegen expressions
     ("hamming64", info("hamming64", "Hamming distance between two 64-bit hashes"),
       (args: Seq[Expression]) => BitwiseCount(BitwiseXor(args(0), args(1)))),
+    // the same `@` operator over binary(16) — the UINT128 metric-key type
+    ("hamming128", info("hamming128", "Hamming distance between two equal-length binary values"),
+      (args: Seq[Expression]) => Hamming128(args(0), args(1))),
     ("top_k", info("top_k", "k largest struct values per group, bounded-heap aggregate"),
       (args: Seq[Expression]) => TopK(args(0), args(1))),
     ("ulid", info("ulid", "generate a ULID (Crockford base32, time-ordered)"),

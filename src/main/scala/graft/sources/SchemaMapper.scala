@@ -23,10 +23,17 @@ import org.apache.spark.sql.types._
 object SchemaMapper {
 
   val PrimaryKeyMetadata = "graft.primaryKey"
+  val DefaultMetadata = "graft.default"
 
-  /** One parsed column definition: `name TYPE [PRIMARY KEY | METRIC KEY]`. */
+  /** One parsed column definition:
+    * `name TYPE [PRIMARY KEY | METRIC KEY [USING index(metric)]] [DEFAULT expr]`
+    * (reference: src/constructs/components.rs ColumnDefinition — `default`
+    * is a literal or a NOW()/ULID() call; the USING clause names the metric
+    * index, which Spark replaces with layout, so it's accepted and
+    * recorded but not interpreted). */
   final case class ColumnDef(name: String, dataType: DataType,
-      nullable: Boolean, primaryKey: Boolean, metricKey: Boolean)
+      nullable: Boolean, primaryKey: Boolean, metricKey: Boolean,
+      default: Option[String] = None)
 
   def mapType(ddlType: String): (DataType, Boolean) = {
     val t = ddlType.trim.toUpperCase
@@ -51,15 +58,18 @@ object SchemaMapper {
   }
 
   private val colRe =
-    "(?i)^\\s*(\\w+)\\s+(NULLABLE\\(.+?\\)|\\w+(?:\\(\\d+\\))?)\\s*(PRIMARY\\s+KEY|METRIC\\s+KEY)?\\s*$".r
+    ("(?i)^\\s*(\\w+)\\s+(NULLABLE\\(.+?\\)|\\w+(?:\\(\\d+\\))?)" +
+      "\\s*(PRIMARY\\s+KEY|METRIC\\s+KEY(?:\\s+USING\\s+\\w+\\(\\w+\\))?)?" +
+      "\\s*(?:DEFAULT\\s+(.+?))?\\s*$").r
 
   def parseColumn(s: String): ColumnDef = s.trim match {
-    case colRe(name, tpe, key) =>
+    case colRe(name, tpe, key, default) =>
       val (dt, nullable) = mapType(tpe)
       val keyNorm = Option(key).map(_.toUpperCase.replaceAll("\\s+", " "))
       ColumnDef(name, dt, nullable,
-        primaryKey = keyNorm.contains("PRIMARY KEY"),
-        metricKey = keyNorm.contains("METRIC KEY"))
+        primaryKey = keyNorm.exists(_.startsWith("PRIMARY KEY")),
+        metricKey = keyNorm.exists(_.startsWith("METRIC KEY")),
+        default = Option(default).map(_.trim))
     case other => throw new IllegalArgumentException(s"cannot parse column def: $other")
   }
 
@@ -76,6 +86,7 @@ object SchemaMapper {
       val mb = new MetadataBuilder()
       if (c.primaryKey) mb.putBoolean(PrimaryKeyMetadata, true)
       if (c.metricKey) mb.putBoolean("graft.metricKey", true)
+      c.default.foreach(mb.putString(DefaultMetadata, _))
       StructField(c.name, c.dataType, c.nullable, mb.build())
     })
   }

@@ -23,6 +23,21 @@ class FunctionsSpec extends SparkTestBase {
     assert(sqlOne("SELECT word_shingles('a b c', 3) AS sh").getSeq[String](0) == Seq("a b c"))
   }
 
+  test("hamming128: popcount of byte-wise xor over binary(16)") {
+    val r = sqlOne(
+      """SELECT hamming128(unhex(md5('same')), unhex(md5('same'))) AS zero,
+        |       hamming128(unhex('ffff0000ffff0000ffff0000ffff0000'),
+        |                  unhex('00000000000000000000000000000000')) AS half,
+        |       hamming128(unhex('00'), unhex('ff')) AS one_byte""".stripMargin)
+    assert(r.getInt(0) == 0)
+    assert(r.getInt(1) == 64)
+    assert(r.getInt(2) == 8)
+    // unequal lengths are a hard error, not a silent truncation
+    intercept[Exception] {
+      spark.sql("SELECT hamming128(unhex('00'), unhex('0000'))").head()
+    }
+  }
+
   test("minhash_sig: deterministic, set-based, similarity-preserving") {
     val a = "SELECT minhash_sig(word_shingles('the quick brown fox jumps over the lazy dog', 3), 64) AS s"
     assert(sqlOne(a).getSeq[Long](0) == sqlOne(a).getSeq[Long](0))

@@ -1,0 +1,70 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent metric-index layout for hash fingerprints: the parquet
+  * analog of the reference's on-disk metric index over a `METRIC KEY`
+  * column (reference: src/storage/index.rs — a persisted structure letting
+  * `hash @ probe < d` queries touch a fraction of the data; README
+  * `METRIC KEY ... USING emtree`).
+  *
+  * Spark re-expression: there is no tree — the corpus is WRITTEN
+  * hive-partitioned by the top `prefixBits` bits of the 64-bit hash. A
+  * threshold query then prunes at the FILE level: any row with
+  * hamming(hash, probe) ≤ d must live in a partition whose prefix is
+  * within d bits of the probe's prefix (the prefix distance is a lower
+  * bound of the full distance), so the scan enumerates exactly those
+  * prefix values as an IN-list partition filter — Σ C(prefixBits, k≤d)
+  * partitions of 2^prefixBits. With prefixBits=16 and d=4 that is
+  * 2 517 / 65 536 ≈ 4 % of the corpus touched; locally the default 8 bits
+  * keeps file counts test-sized. The prune is exact (no recall loss): the
+  * in-partition codegen `hamming64` filter does the fine verification.
+  *
+  * Write-once, query-many — the same trade the reference's index makes:
+  * one extra shuffle-free pass at ingest buys every subsequent threshold
+  * or k-NN-with-radius query a ~25× scan cut at 100 TB.
+  */
+object MetricIndex {
+
+  val PrefixColumn = "h_prefix"
+
+  /** Top-`bits` prefix of a 64-bit hash (unsigned shift: sign-safe). */
+  def prefixOf(hash: Column, bits: Int): Column =
+    shiftrightunsigned(hash.cast("long"), 64 - bits)
+
+  /** Write `df` partitioned by the hash prefix. `bits` sizes the layout:
+    * 2^bits directories; pick so each partition holds ≥ a few parquet
+    * files at the target scale (8 locally, 12-16 at 100 TB). */
+  def writeIndexed(df: DataFrame, path: String, hashCol: String,
+      bits: Int = 8): Unit =
+    df.withColumn(PrefixColumn, prefixOf(col(hashCol), bits))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(PrefixColumn)
+      .parquet(path)
+
+  /** All prefix values within Hamming distance `maxDist` of the probe's
+    * prefix: the probe set of the multi-probe partition filter. */
+  def prefixesWithin(probePrefix: Long, bits: Int, maxDist: Int): Seq[Long] = {
+    val out = mutable.ListBuffer(probePrefix)
+    for (k <- 1 to math.min(maxDist, bits))
+      (0 until bits).combinations(k).foreach { flips =>
+        out += flips.foldLeft(probePrefix)((acc, p) => acc ^ (1L << p))
+      }
+    out.toSeq
+  }
+
+  /** `SELECT ... WHERE hash @ probe <= maxDist` over an indexed layout:
+    * IN-list partition filter (file pruning, exact) + codegen Hamming
+    * verify on the surviving rows. */
+  def thresholdQuery(spark: SparkSession, path: String, hashCol: String,
+      probe: Long, maxDist: Int, bits: Int = 8): DataFrame = {
+    val candidates = prefixesWithin(probe >>> (64 - bits), bits, maxDist)
+    spark.read.parquet(path)
+      .filter(col(PrefixColumn).isin(candidates: _*))
+      .filter(call_function("hamming64", col(hashCol).cast("long"), lit(probe)) <= maxDist)
+      .drop(PrefixColumn)
+  }
+}

@@ -84,6 +84,38 @@ object StreamOps {
       }
   }
 
+  /** Stream-static enrichment join (D8): each micro-batch joins against a
+    * static dimension snapshot. Stateless — no streaming state at all; the
+    * dimension broadcasts into every batch. The scale shape for attaching
+    * slowly-changing metadata (user segments, locale tables) to a 100 TB/day
+    * event stream: the stream never shuffles, only the dim moves. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream event-time interval join (D9): follow-events of the same
+    * user within `withinMs` AFTER a lead-event (view→purchase attribution).
+    * Both sides are watermarked and the join condition carries the time
+    * range, so each side's buffered state is evicted once the watermark
+    * passes the interval — an un-ranged stream-stream join would buffer
+    * both streams forever. State is keyed by user_id, hash-partitioned
+    * across executors like any streaming agg. */
+  def followWithin(lead: Dataset[StreamEvent], follow: Dataset[StreamEvent],
+      withinMs: Long, watermark: String = "1 hour"): DataFrame = {
+    val l = lead.toDF().withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("lead_ts"),
+        col("event_type").as("lead_type"))
+    val f = follow.toDF().withWatermark("ts", watermark)
+      .select(col("user_id").as("f_user"), col("ts").as("follow_ts"),
+        col("event_type").as("follow_type"), col("value").as("follow_value"))
+    l.join(f,
+      col("user_id") === col("f_user") &&
+        col("follow_ts") >= col("lead_ts") &&
+        col("follow_ts") <= col("lead_ts") +
+          make_dt_interval(lit(0), lit(0), lit(0), lit(withinMs / 1000.0)))
+      .select(col("user_id"), col("lead_ts"), col("lead_type"),
+        col("follow_ts"), col("follow_type"), col("follow_value"))
+  }
+
   /** Gap-based sessionization (D5): one state per active user; a session
     * closes when the next event arrives > gap later (in-batch) or when the
     * event-time watermark passes `last_event + gap` (idle users). Event-time

@@ -63,6 +63,54 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join is stateless and broadcast (D8)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val input = MemoryStream[StreamEvent]
+    val q = StreamOps.enrichWithDim(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        StreamEvent(1, new Timestamp(100), "click", 1.0),
+        StreamEvent(3, new Timestamp(200), "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched_out")
+        .select("user_id", "segment").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows == Map(1L -> Some("gold"), 3L -> None)) // left join keeps unmatched
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: follows within the window only (D9)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val views = MemoryStream[StreamEvent]
+    val buys = MemoryStream[StreamEvent]
+    val q = StreamOps.followWithin(views.toDS(), buys.toDS(),
+      withinMs = 3600L * 1000, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val h = 3600L * 1000
+      val base = 86400000L // NOT epoch 0: a left row at event-time 0 sits on
+                           // Spark's initial-watermark boundary and is evicted
+      views.addData(StreamEvent(1, new Timestamp(base), "view", 0.0))
+      buys.addData(
+        StreamEvent(1, new Timestamp(base + h / 2), "purchase", 9.99), // within 1h: match
+        StreamEvent(1, new Timestamp(base + 3 * h), "purchase", 5.0),  // too late: no match
+        StreamEvent(2, new Timestamp(base + h / 2), "purchase", 1.0))  // no lead view: no match
+      q.processAllAvailable()
+      val rows = spark.table("attrib_out")
+        .select("user_id", "follow_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.toSeq == Seq((1L, 9.99)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("gap sessionization via flatMapGroupsWithState (D5)") {
     val s = spark
     import s.implicits._

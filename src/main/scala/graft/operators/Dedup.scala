@@ -160,6 +160,47 @@ object Dedup {
       0.5, NgramMaxDf)
       .select(col("id_a"), col("id_b"), round(col("raw_j"), 4).as("jaccard"))
 
+  /** Connected components over an undirected pair graph (id_a, id_b):
+    * iterative min-label propagation — every node's label converges to the
+    * smallest doc_id in its component. The transitive-closure step real
+    * dedup needs: near-dup is not an equivalence relation, so keep-one
+    * policies must act on whole components, not pairs.
+    *
+    * Scale shape: each round is one join + one aggregate (shuffles keyed by
+    * node id); rounds needed = O(log diameter) for near-dup graphs (tiny
+    * diameters — chains of near-identical docs), bounded by `maxIter`.
+    * Lineage is truncated per round (localCheckpoint) so the plan doesn't
+    * grow with iterations; the convergence probe is an aggregate action,
+    * not a data collect. */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.select(col("id"), col("comp").as("old_comp"))
+        .join(prop, col("id") === col("src"), "left")
+        .select(col("id"), col("old_comp"),
+          least(col("old_comp"), coalesce(col("nbr_comp"), col("old_comp"))).as("comp"))
+        .localCheckpoint(true)
+      converged = next.filter(col("comp") =!= col("old_comp")).isEmpty
+      labels = next.select(col("id"), col("comp"))
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup components over the word-shingle Jaccard pair graph. */
+  private def dedupComponents(s: SparkSession, d: String): DataFrame =
+    components(jaccardPairs(
+      Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh")), 0.5))
+      .select(col("id").as("doc_id"), col("comp"))
+
   /** 64-bit SimHash fingerprint per document (native codegen expression). */
   private def simhash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -171,33 +212,55 @@ object Dedup {
     "q_dedup_jaccard" -> dedupJaccard _,
     "q_dedup_ngram" -> dedupNgram _,
     "q_minhash_lsh" -> minhashLsh _,
-    "q_simhash" -> simhash _
+    "q_simhash" -> simhash _,
+    "q_dedup_components" -> dedupComponents _
   )
+
+  /** Shared oracle CTE chain producing the word-3-shingle df-cut pair graph
+    * (id_a, id_b, inter + per-doc post-cut sizes in cnt). */
+  private val wordPairCtes =
+    """t AS (
+      | SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      | SELECT doc_id, list_distinct(list_transform(range(len(w) - 2),
+      |   i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))) AS shs FROM t),
+      |e0 AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+      |keep AS (SELECT s FROM e0 GROUP BY s HAVING count(*) <= 1000),
+      |e AS (SELECT doc_id, e0.s FROM e0 JOIN keep ON e0.s = keep.s),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+      |p AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
     "q_dedup_jaccard" ->
-      """WITH t AS (
-        | SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
-        | SELECT doc_id, list_distinct(list_transform(range(len(w) - 2),
-        |   i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))) AS shs FROM t),
-        |e0 AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-        |keep AS (SELECT s FROM e0 GROUP BY s HAVING count(*) <= 1000),
-        |e AS (SELECT doc_id, e0.s FROM e0 JOIN keep ON e0.s = keep.s),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
-        |p AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-        | GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        | round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
-        |FROM p
-        |JOIN cnt ca ON id_a = ca.doc_id
-        |JOIN cnt cb ON id_b = cb.doc_id
-        |WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5""".stripMargin,
+      s"""WITH $wordPairCtes
+         |SELECT id_a, id_b,
+         | round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+         |FROM p
+         |JOIN cnt ca ON id_a = ca.doc_id
+         |JOIN cnt cb ON id_b = cb.doc_id
+         |WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5""".stripMargin,
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE $wordPairCtes,
+         |pairs AS (
+         | SELECT id_a, id_b FROM p
+         | JOIN cnt ca ON id_a = ca.doc_id
+         | JOIN cnt cb ON id_b = cb.doc_id
+         | WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5),
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |walk AS (
+         | SELECT src AS id, src AS comp FROM edges
+         | UNION
+         | SELECT e2.src AS id, w.comp AS comp
+         | FROM edges e2 JOIN walk w ON w.id = e2.dst)
+         |SELECT id AS doc_id, min(comp) AS comp FROM walk GROUP BY id""".stripMargin,
     "q_dedup_ngram" ->
       """WITH e0 AS (
         | SELECT doc_id, unnest(list_distinct(list_transform(range(strlen(text) - 4),

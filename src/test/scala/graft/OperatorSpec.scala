@@ -126,6 +126,17 @@ class OperatorSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("components: min-label propagation closes transitive chains") {
+    val s = spark
+    import s.implicits._
+    // chain 10-20-30 is ONE component even though (10,30) is not a pair;
+    // (40,50) is a separate component
+    val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L))
+  }
+
   test("minhash LSH recall: finds every exact-Jaccard pair at sf0.001") {
     GraftSession.prepare(spark)
     def pairs(name: String) = SparkEntry.queries(name)(spark, sfDir)

@@ -286,13 +286,39 @@ object Relational {
           + when(col("v") > col("t3"), 1).otherwise(0)).as("quartile"))
   }
 
-  private def statsAgg(s: SparkSession, d: String): DataFrame =
+  /** Stats via explicit moments from EXACT decimal sums, not the built-in
+    * corr/stddev/covar aggregates: the built-ins are double accumulations
+    * whose last ulps depend on partition order AND whose algorithms differ
+    * between engines — `round(…, 4)` of those is the same coin-flip class
+    * that broke q_pricing_summary. Here every Σx, Σx², Σxy is an exact
+    * decimal (per-row products fixed-pointed deterministically), and the
+    * closed-form combination below is the identical sequence of IEEE ops in
+    * Spark and DuckDB → bitwise-equal doubles, no rounding needed.
+    * Map-side partial aggregation still applies (plain sums). */
+  private def statsAgg(s: SparkSession, d: String): DataFrame = {
+    def m1(c: Column) = sum(c.cast("decimal(28,6)")).cast("double")
+    def m2(a: Column, b: Column) = sum((a * b).cast("decimal(28,6)")).cast("double")
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
-        round(stddev_samp(col("l_discount")), 4).as("disc_sd"),
-        round(covar_samp(col("l_quantity"), col("l_tax")), 4).as("qty_tax_cov"))
+        count(lit(1)).cast("double").as("n"),
+        m1(col("l_quantity")).as("sq"), m1(col("l_extendedprice")).as("sp"),
+        m1(col("l_discount")).as("sd"), m1(col("l_tax")).as("st"),
+        m2(col("l_quantity"), col("l_quantity")).as("sqq"),
+        m2(col("l_extendedprice"), col("l_extendedprice")).as("spp"),
+        m2(col("l_discount"), col("l_discount")).as("sdd"),
+        m2(col("l_quantity"), col("l_extendedprice")).as("sqp"),
+        m2(col("l_quantity"), col("l_tax")).as("sqt"))
+      .select(
+        col("l_returnflag"),
+        ((col("n") * col("sqp") - col("sq") * col("sp")) /
+          sqrt((col("n") * col("sqq") - col("sq") * col("sq")) *
+            (col("n") * col("spp") - col("sp") * col("sp")))).as("qty_price_corr"),
+        sqrt((col("n") * col("sdd") - col("sd") * col("sd")) /
+          (col("n") * (col("n") - 1))).as("disc_sd"),
+        ((col("n") * col("sqt") - col("sq") * col("st")) /
+          (col("n") * (col("n") - 1))).as("qty_tax_cov"))
+  }
 
   private def histogram(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -325,13 +351,22 @@ object Relational {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(moneyAvg(col("l_discount")).as("avg_disc"), count(lit(1)).as("n"))
 
-  private def percentiles(s: SparkSession, d: String): DataFrame =
+  /** Exact percentiles interpolated over integer CENTS: with 2-dp money as
+    * doubles, `round(percentile(x), 2)` can land exactly on a .xx5
+    * boundary (position fractions are quarters), where Spark's and
+    * DuckDB's round differ. Over cents every interpolation term is
+    * binary-exact (integers × quarter fractions), so both engines produce
+    * bitwise-identical doubles and the final /100 is one identical op —
+    * no rounding step at all. */
+  private def percentiles(s: SparkSession, d: String): DataFrame = {
+    val c = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(percentile(col("l_extendedprice"), lit(0.25)), 2).as("p25"),
-        round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.75)), 2).as("p75"))
+        (percentile(c, lit(0.25)) / 100).as("p25"),
+        (percentile(c, lit(0.5)) / 100).as("p50"),
+        (percentile(c, lit(0.75)) / 100).as("p75"))
+  }
 
   private def semiJoin(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -418,11 +453,25 @@ object Relational {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
     "q_stats" ->
-      """SELECT l_returnflag,
-        | round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
-        | round(stddev_samp(l_discount), 4) AS disc_sd,
-        | round(covar_samp(l_quantity, l_tax), 4) AS qty_tax_cov
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      """WITH m AS (
+        | SELECT l_returnflag,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sq,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sp,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sd,
+        |  CAST(sum(CAST(l_tax AS DECIMAL(28,6))) AS DOUBLE) AS st,
+        |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sqq,
+        |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS spp,
+        |  CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sdd,
+        |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sqp,
+        |  CAST(sum(CAST(l_quantity * l_tax AS DECIMAL(28,6))) AS DOUBLE) AS sqt
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        | (n * sqp - sq * sp) / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp))
+        |   AS qty_price_corr,
+        | sqrt((n * sdd - sd * sd) / (n * (n - 1))) AS disc_sd,
+        | (n * sqt - sq * st) / (n * (n - 1)) AS qty_tax_cov
+        |FROM m""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS n
         |FROM orders GROUP BY 1""".stripMargin,
@@ -459,9 +508,9 @@ object Relational {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
-        | round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-        | round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        | round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+        | quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0.25) / 100 AS p25,
+        | quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0.5) / 100 AS p50,
+        | quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0.75) / 100 AS p75
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer c

@@ -56,6 +56,16 @@ class QueryPlanSpec extends SparkTestBase {
     assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("window top-k gets map-side group limiting (WindowGroupLimit)") {
+    // Spark plans the rank<=k filter as Partial+Final WindowGroupLimit —
+    // per-group k-heaps BEFORE the shuffle, so the exchange carries ≤k rows
+    // per group per mapper. This is why graft needs no custom rewrite rule
+    // here; the top_k aggregate (q_topk_per_group) remains the
+    // aggregation-shaped alternative.
+    val p = plan("q_window_topk")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+  }
+
   test("pipeline anti-join has no hard-coded broadcast of the drop list") {
     // the drop list is O(dup rate × corpus) — unbounded — so the LOGICAL
     // plan must not pin a broadcast hint on it; AQE picks broadcast vs

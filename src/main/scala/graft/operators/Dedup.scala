@@ -88,11 +88,16 @@ object Dedup {
       .filter(col("raw_j") >= threshold) // raw value (oracle-identical)
       .select(col("id_a"), col("id_b"), col("raw_j"))
 
-  /** All document pairs with 3-shingle Jaccard >= 0.5, via inverted index. */
+  /** All document pairs with 3-shingle Jaccard >= 0.5, via inverted index.
+    * The jaccard column is the RAW double: both engines compute
+    * `inter / (na + nb − inter)` with the identical op sequence, so the
+    * values are bitwise equal — rounding would only reintroduce the
+    * Spark-vs-DuckDB round-semantics mismatch at .xxxx5 shortest-reprs
+    * (e.g. 81/160 = 0.50625). */
   private def dedupJaccard(s: SparkSession, d: String): DataFrame =
     jaccardPairs(
       Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh")), 0.5)
-      .select(col("id_a"), col("id_b"), round(col("raw_j"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("raw_j").as("jaccard"))
 
   /** Per-(band,bucket) membership cap for batch LSH — the batch twin of
     * StreamOps.minhashNearDupCandidates' `maxPerBucket`. A degenerate
@@ -133,11 +138,8 @@ object Dedup {
       .withColumn("raw_j",
         size(array_intersect(col("sa.sh"), col("sb.sh"))) * lit(1.0) /
           size(array_union(col("sa.sh"), col("sb.sh"))))
-      // threshold on the RAW value (as every Jaccard path does) — filtering
-      // the 4-dp rounded value would admit boundary pairs (raw 0.49996 →
-      // 0.5000) that the exact dedupJaccard path rejects
       .filter(col("raw_j") >= 0.5)
-      .select(col("id_a"), col("id_b"), round(col("raw_j"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("raw_j").as("jaccard"))
   }
 
   /** Char-5-gram Jaccard near-dup (the char-level twin of dedupJaccard,
@@ -158,7 +160,7 @@ object Dedup {
       Tables.documents(s, d).select(col("doc_id"),
         call_function("char_shingles", col("text"), lit(5)).as("sh")),
       0.5, NgramMaxDf)
-      .select(col("id_a"), col("id_b"), round(col("raw_j"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("raw_j").as("jaccard"))
 
   /** Connected components over an undirected pair graph (id_a, id_b):
     * iterative min-label propagation — every node's label converges to the
@@ -240,7 +242,7 @@ object Dedup {
     "q_dedup_jaccard" ->
       s"""WITH $wordPairCtes
          |SELECT id_a, id_b,
-         | round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+         | inter * 1.0 / (ca.n + cb.n - inter) AS jaccard
          |FROM p
          |JOIN cnt ca ON id_a = ca.doc_id
          |JOIN cnt cb ON id_b = cb.doc_id
@@ -274,7 +276,7 @@ object Dedup {
         | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
         | GROUP BY 1, 2)
         |SELECT id_a, id_b,
-        | round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+        | inter * 1.0 / (ca.n + cb.n - inter) AS jaccard
         |FROM p
         |JOIN cnt ca ON id_a = ca.doc_id
         |JOIN cnt cb ON id_b = cb.doc_id

@@ -42,8 +42,7 @@ object Pipeline {
 
     kept
       .join(dropIds, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        round(col("quality"), 4).as("quality"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -84,7 +83,7 @@ object Pipeline {
         | JOIN cnt ca ON id_a = ca.doc_id
         | JOIN cnt cb ON id_b = cb.doc_id
         | WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5)
-        |SELECT doc_id, lang, n_tokens, round(quality, 4) AS quality
+        |SELECT doc_id, lang, n_tokens, quality
         |FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)""".stripMargin
   )
 }

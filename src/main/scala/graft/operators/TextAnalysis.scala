@@ -14,7 +14,11 @@ import graft.sources.Tables
   *
   * Cross-engine float discipline: every derived double is produced by the
   * same operation sequence as the DuckDB oracle (int-exact counts, one
-  * division, fixed-order weighted sum), then rounded to 4 dp on both sides.
+  * division, fixed-order weighted sum) — the values are bitwise identical
+  * across engines, so they ship UNROUNDED (rounding would reintroduce the
+  * Spark-vs-DuckDB round-semantics mismatch at .xxx5 shortest-reprs). Only
+  * tfidf rounds: its `ln` comes from different libm implementations, so a
+  * last-ulp difference is possible and the 4-dp grid absorbs it.
   */
 object TextAnalysis {
 
@@ -47,7 +51,7 @@ object TextAnalysis {
     Tables.documents(s, d).select(
       col("doc_id"),
       when(ratio >= 0.05, "en").otherwise("other").as("pred_lang"),
-      round(ratio, 4).as("en_ratio"))
+      ratio.as("en_ratio"))
   }
 
   private def quality(s: SparkSession, d: String): DataFrame = {
@@ -58,9 +62,9 @@ object TextAnalysis {
     Tables.documents(s, d).select(
       col("doc_id"),
       nTokens.as("n_tokens"),
-      round(distinctRatio, 4).as("distinct_ratio"),
-      round(meanLen, 4).as("mean_len"),
-      round(qualityOf(col("text")), 4).as("score"))
+      distinctRatio.as("distinct_ratio"),
+      meanLen.as("mean_len"),
+      qualityOf(col("text")).as("score"))
   }
 
   private def tokenCount(s: SparkSession, d: String): DataFrame =
@@ -140,9 +144,9 @@ object TextAnalysis {
         | CASE WHEN len(list_filter(string_split(text, ' '),
         |   t -> t IN ('the','a','of','and','to','in','is'))) * 1.0
         |   / len(string_split(text, ' ')) >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang,
-        | round(len(list_filter(string_split(text, ' '),
+        | len(list_filter(string_split(text, ' '),
         |   t -> t IN ('the','a','of','and','to','in','is'))) * 1.0
-        |   / len(string_split(text, ' ')), 4) AS en_ratio
+        |   / len(string_split(text, ' ')) AS en_ratio
         |FROM documents""".stripMargin,
     "q_quality" ->
       """WITH t AS (
@@ -152,12 +156,12 @@ object TextAnalysis {
         |  CAST(length(text) AS INTEGER) AS n_chars
         | FROM documents)
         |SELECT doc_id, n_tokens,
-        | round(n_distinct * 1.0 / n_tokens, 4) AS distinct_ratio,
-        | round((n_chars - (n_tokens - 1)) * 1.0 / n_tokens, 4) AS mean_len,
-        | round(0.4 * least(1.0, n_tokens * 1.0 / 100.0)
+        | n_distinct * 1.0 / n_tokens AS distinct_ratio,
+        | (n_chars - (n_tokens - 1)) * 1.0 / n_tokens AS mean_len,
+        | 0.4 * least(1.0, n_tokens * 1.0 / 100.0)
         |   + 0.4 * (n_distinct * 1.0 / n_tokens)
         |   + 0.2 * (CASE WHEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens
-        |       BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END), 4) AS score
+        |       BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) AS score
         |FROM t""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,

@@ -137,6 +137,16 @@ class OperatorSpec extends SparkTestBase {
     assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L))
   }
 
+  test("sampling: deterministic, disjoint split with ~90/10 mass") {
+    GraftSession.prepare(spark)
+    val a = SparkEntry.queries("q_sample_split")(spark, sfDir).collect()
+    val b = SparkEntry.queries("q_sample_split")(spark, sfDir).collect()
+    assert(a.map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      b.map(r => r.getLong(0) -> r.getString(1)).toMap) // rerun-stable
+    val train = a.count(_.getString(1) == "train").toDouble / a.length
+    assert(train > 0.82 && train < 0.97, s"train fraction $train")
+  }
+
   test("minhash LSH recall: finds every exact-Jaccard pair at sf0.001") {
     GraftSession.prepare(spark)
     def pairs(name: String) = SparkEntry.queries(name)(spark, sfDir)

@@ -18,6 +18,10 @@ case class MediaMeta(doc_id: Long, kind: String, n_bytes: Int,
 /** One sampled frame of a media blob. */
 case class FrameRow(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
+/** One audio chunk with its time span (overlapping windows). */
+case class AudioChunk(doc_id: Long, chunk_idx: Int, start_ms: Long,
+    end_ms: Long, samples: Array[Byte])
+
 /** Extracted per-frame feature vector (stub: byte-histogram moments). */
 case class FrameFeature(doc_id: Long, frame_idx: Int, feature: Array[Float])
 
@@ -76,6 +80,30 @@ object Multimodal {
           val until = math.min(from + frameBytes, m.media.length)
           FrameRow(m.doc_id, i, java.util.Arrays.copyOfRange(m.media, from, until))
         }
+      }
+    }
+  }
+
+  /** Audio chunking: OVERLAPPING fixed-duration windows (window > hop) —
+    * the ASR-training shape (e.g. 30 s windows on a 10 s hop so utterances
+    * spanning a boundary appear whole in some window), unlike frameSample's
+    * disjoint chunks. Same bounded one-to-many iterator: memory holds one
+    * chunk, not one recording. STUB clock: `bytesPerSec` bytes = 1 s of
+    * audio; a real implementation reads the container's sample rate. */
+  def audioChunks(ds: Dataset[MediaRow], windowMs: Long, hopMs: Long,
+      bytesPerSec: Int = 16): Dataset[AudioChunk] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { m =>
+        val totalMs = m.media.length.toLong * 1000 / bytesPerSec
+        Iterator.iterate(0L)(_ + hopMs).takeWhile(_ < totalMs)
+          .zipWithIndex.map { case (startMs, i) =>
+            val endMs = math.min(startMs + windowMs, totalMs)
+            val from = (startMs * bytesPerSec / 1000).toInt
+            val until = math.min((endMs * bytesPerSec / 1000).toInt, m.media.length)
+            AudioChunk(m.doc_id, i, startMs, endMs,
+              java.util.Arrays.copyOfRange(m.media, from, math.max(from, until)))
+          }
       }
     }
   }
@@ -152,9 +180,18 @@ object Multimodal {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_idx"))
 
+  /** Chunk counts + covered span per doc (2 s windows, 0.5 s hop) — the
+    * windowing arithmetic is all integer and length-derived, so the oracle
+    * recomputes it from strlen. */
+  private def audio(s: SparkSession, d: String): DataFrame =
+    audioChunks(mediaRows(s, d), windowMs = 2000, hopMs = 500)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), max(col("end_ms")).as("span_ms"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal" -> multimodal _,
-    "q_frames" -> frames _
+    "q_frames" -> frames _,
+    "q_audio_chunks" -> audio _
   )
 
   val oracles: Map[String, String] = Map(
@@ -174,6 +211,14 @@ object Multimodal {
         |SELECT doc_id,
         | CAST(ceil(n_frames / 2.0) AS BIGINT) AS n_sampled,
         | CAST(((n_frames - 1) // 2) * 2 AS INTEGER) AS last_idx
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+    "q_audio_chunks" ->
+      """WITH a AS (
+        | SELECT doc_id, (strlen(text) * 1000) // 16 AS total_ms
+        | FROM documents WHERE strlen(text) > 0)
+        |SELECT doc_id,
+        | (total_ms + 499) // 500 AS n_chunks,
+        | total_ms AS span_ms
+        |FROM a""".stripMargin
   )
 }

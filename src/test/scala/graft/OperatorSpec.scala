@@ -137,6 +137,24 @@ class OperatorSpec extends SparkTestBase {
     assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L))
   }
 
+  test("audio chunking: overlapping windows, bounded span, empty media skipped") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.{Multimodal, MediaRow}
+    val media = Seq(
+      MediaRow(1, "audio", Array.fill[Byte](40)(7)), // 40 bytes = 2500 ms @16 B/s
+      MediaRow(2, "audio", Array.emptyByteArray)
+    ).toDS()
+    val chunks = Multimodal.audioChunks(media, windowMs = 2000, hopMs = 500).collect()
+    assert(chunks.forall(_.doc_id == 1)) // empty media yields no chunks
+    assert(chunks.length == 5) // starts 0,500,...,2000 < 2500
+    val c0 = chunks.find(_.chunk_idx == 0).get
+    val c1 = chunks.find(_.chunk_idx == 1).get
+    assert(c0.end_ms == 2000 && c1.start_ms == 500 && c1.start_ms < c0.end_ms) // overlap
+    assert(chunks.map(_.end_ms).max == 2500) // span clamps to the recording
+    assert(c0.samples.length == 32) // 2000 ms @ 16 B/s
+  }
+
   test("sampling: deterministic, disjoint split with ~90/10 mass") {
     GraftSession.prepare(spark)
     val a = SparkEntry.queries("q_sample_split")(spark, sfDir).collect()

@@ -56,17 +56,19 @@ object Dedup {
     * string-exact oracle's in practice. Shared with operators.Pipeline. */
   def jaccardPairs(shingled: DataFrame, threshold: Double,
       maxDf: Int = WordMaxDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val inv0 = shingled
       .select(col("doc_id"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
-    // df cut, then attach each doc's POST-CUT set size to its postings with
-    // one window pass (vs two aggregate+join lookups after the pair join) —
-    // so the Jaccard denominator is available right at the pair aggregation
-    val keep = inv0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // df cut as a window count over the postings themselves (one shuffle by
+    // shingle), then attach each doc's POST-CUT set size with a second
+    // window pass (one shuffle by doc) — so the Jaccard denominator is
+    // available right at the pair aggregation. Two exchanges total; the
+    // groupBy-df + re-join formulation costs a third (measured ~15% slower
+    // at sf0.1).
+    val inv = inv0
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= maxDf)
-      .select(col("s"))
-    import org.apache.spark.sql.expressions.Window
-    val inv = inv0.join(keep, "s")
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .select(col("doc_id"), col("n"), col("s"))
     pairsFromPostings(inv, threshold)

@@ -41,9 +41,32 @@ object Sampling {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget bins — the
+    * pretraining packing step (concatenate docs to fill context windows).
+    * Distributed-friendly contiguous form: docs pack in (source, doc_id)
+    * order via a running token sum per source, bin = where the doc STARTS.
+    * The window shuffles by source and sorts within — no global order, no
+    * driver loop; first-fit-decreasing packs ~1% tighter but is inherently
+    * sequential, the wrong trade at 100 TB. Integer arithmetic throughout
+    * (oracle-identical). */
+  private def packBins(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 1000
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        // integer division (`div`), not `/`: Column./ is double division
+        expr(s"(cum - n_tokens) div $budget").as("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_split" -> sampleSplit _,
-    "q_sample_mix" -> sampleMix _
+    "q_sample_mix" -> sampleMix _,
+    "q_pack_bins" -> packBins _
   )
 
   val oracles: Map[String, String] = Map(
@@ -55,6 +78,16 @@ object Sampling {
     "q_sample_mix" ->
       """SELECT doc_id, source FROM documents
         |WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 <
-        |  (CASE WHEN source LIKE 'src1%' THEN 100 ELSE 30 END)""".stripMargin
+        |  (CASE WHEN source LIKE 'src1%' THEN 100 ELSE 30 END)""".stripMargin,
+    "q_pack_bins" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        | (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  - n_tokens) // 1000 AS bin
+        |FROM t""".stripMargin
   )
 }

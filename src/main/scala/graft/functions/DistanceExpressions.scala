@@ -69,6 +69,45 @@ object VectorKernels {
     acc
   }
 
+  /** Symmetric int8 quantization scale: max|x| / 127. Zero vector → 0. */
+  def q8Scale(a: ArrayData): Double = {
+    val n = a.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) { val v = math.abs(a.getFloat(i).toDouble); if (v > m) m = v; i += 1 }
+    m / 127.0
+  }
+
+  /** int8 quantization of a float vector (4× smaller ANN corpus; recall
+    * loss is the documented trade). Rounding is floor(x/scale + 0.5) —
+    * deterministic and engine-portable, unlike round-half-even/up variants
+    * that differ between platforms. |q| ≤ 127 by construction. */
+  def int8Quantize(a: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val scale = q8Scale(a)
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    if (scale != 0.0) {
+      var i = 0
+      while (i < n) {
+        out(i) = math.floor(a.getFloat(i).toDouble / scale + 0.5).toByte
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Sum of the int8 codes (one-pass quantize + reduce): the cheap
+    * cross-engine checksum of the quantization arithmetic. */
+  def q8Sum(a: ArrayData): Long = {
+    val scale = q8Scale(a)
+    if (scale == 0.0) return 0L
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) { s += math.floor(a.getFloat(i).toDouble / scale + 0.5).toLong; i += 1 }
+    s
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var d = 0.0; var na = 0.0; var nb = 0.0
@@ -161,6 +200,58 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** q8_scale(v): symmetric int8 quantization scale (max|x|/127). */
+case class Q8Scale(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<float> input")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "q8_scale"
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.q8Scale(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.q8Scale($a)")
+  override protected def withNewChildInternal(newChild: Expression): Q8Scale =
+    copy(child = newChild)
+}
+
+/** int8_quantize(v): the int8 code vector (array<byte>) — the 4×-smaller
+  * ANN corpus representation; dequantize as code·q8_scale(v). */
+case class Int8Quantize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<float> input")
+  }
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "int8_quantize"
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.int8Quantize(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.int8Quantize($a)")
+  override protected def withNewChildInternal(newChild: Expression): Int8Quantize =
+    copy(child = newChild)
+}
+
+/** q8_sum(v): one-pass quantize-and-sum checksum of the int8 codes. */
+case class Q8Sum(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<float> input")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "q8_sum"
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.q8Sum(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.q8Sum($a)")
+  override protected def withNewChildInternal(newChild: Expression): Q8Sum =
+    copy(child = newChild)
 }
 
 /** hamming128(a, b): Hamming distance between two equal-length binary

@@ -160,6 +160,17 @@ object Similarity {
       .limit(10)
   }
 
+  /** int8 embedding quantization (codegen kernels): scale + code checksum
+    * per vector. At 100 TB the int8 corpus is 4× smaller than float32 —
+    * the standard memory/recall trade for brute-force and IVF scans; the
+    * floor(x/scale + 0.5) rounding is engine-portable, so the arithmetic
+    * is oracle-verified end to end. */
+  private def quantize(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      call_function("q8_scale", col("embedding")).as("scale"),
+      call_function("q8_sum", col("embedding")).as("q_sum"))
+
   /** L2 norms via the native codegen kernel. */
   private def embedNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -188,7 +199,8 @@ object Similarity {
     "q_embed_neardup" -> embedNeardup _,
     "q_ann_ivf" -> annIvf _,
     "q_embed_norm" -> embedNorm _,
-    "q_embed_normalize" -> embedNormalize _
+    "q_embed_normalize" -> embedNormalize _,
+    "q_quantize" -> quantize _
   )
 
   private[graft] val fpSql =
@@ -236,6 +248,16 @@ object Similarity {
         | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
         |FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_quantize" ->
+      """WITH s AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127 AS scale
+        | FROM embeddings)
+        |SELECT vec_id, scale,
+        | CAST(CASE WHEN scale = 0 THEN 0
+        |   ELSE list_sum(list_transform(v, x -> floor(x / scale + 0.5)))
+        | END AS BIGINT) AS q_sum
+        |FROM s""".stripMargin,
     "q_embed_norm" ->
       """SELECT vec_id,
         | round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),

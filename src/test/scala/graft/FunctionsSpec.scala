@@ -38,6 +38,24 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("int8 quantization: bounded error, consistent checksum, zero-vector safe") {
+    val r = sqlOne(
+      """SELECT int8_quantize(v) AS q, q8_scale(v) AS s, q8_sum(v) AS qs,
+        |       int8_quantize(z) AS qz, q8_scale(z) AS sz, q8_sum(z) AS qsz
+        |FROM (SELECT transform(array(0.5, -1.0, 0.25, 0.0), x -> CAST(x AS FLOAT)) AS v,
+        |             transform(array(0.0, 0.0), x -> CAST(x AS FLOAT)) AS z)""".stripMargin)
+    val q = r.getSeq[Byte](0)
+    val scale = r.getDouble(1)
+    assert(scale == 1.0 / 127.0)
+    assert(q == Seq[Byte](64, -127, 32, 0)) // floor(x*127 + 0.5)
+    assert(r.getLong(2) == q.map(_.toLong).sum)
+    // dequantization error bounded by half a step
+    val orig = Seq(0.5, -1.0, 0.25, 0.0)
+    assert(orig.zip(q).forall { case (x, c) => math.abs(x - c * scale) <= scale / 2 + 1e-12 })
+    // zero vector: zero scale, zero codes, no division blowup
+    assert(r.getSeq[Byte](3) == Seq[Byte](0, 0) && r.getDouble(4) == 0.0 && r.getLong(5) == 0L)
+  }
+
   test("minhash_sig: deterministic, set-based, similarity-preserving") {
     val a = "SELECT minhash_sig(word_shingles('the quick brown fox jumps over the lazy dog', 3), 64) AS s"
     assert(sqlOne(a).getSeq[Long](0) == sqlOne(a).getSeq[Long](0))

@@ -108,6 +108,16 @@ object VectorKernels {
     s
   }
 
+  /** Integer dot product of two int8 code vectors — exact (≤ 127²·dims,
+    * far under 2^53/2^63): the quantized-scan inner loop. */
+  def q8Dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getByte(i).toLong * b.getByte(i).toLong; i += 1 }
+    s
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var d = 0.0; var na = 0.0; var nb = 0.0
@@ -252,6 +262,28 @@ case class Q8Sum(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.q8Sum($a)")
   override protected def withNewChildInternal(newChild: Expression): Q8Sum =
     copy(child = newChild)
+}
+
+/** q8_dot(a, b): exact integer dot product of two int8 code vectors. */
+case class Q8Dot(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.ByteType, _),
+            ArrayType(org.apache.spark.sql.types.ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires two array<byte> inputs")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "q8_dot"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.q8Dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.q8Dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Q8Dot =
+    copy(left = newLeft, right = newRight)
 }
 
 /** hamming128(a, b): Hamming distance between two equal-length binary

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, Literal}
 
-import graft.functions.{CharShingles, ContentFp, CosineSimilarity, DotProduct, Hamming128, Int8Quantize, L2Norm, MinHashBands, MinHashSig, Q8Dot, Q8Scale, Q8Sum, SignBands, SimHash64, TopK, Ulid, WordShingles}
+import graft.functions.{CharShingles, ContentFp, CosineSimilarity, DotProduct, Hamming128, Int8Quantize, L2Norm, MinHashBands, MinHashSig, Q8Dot, Q8Scale, Q8Sum, SignBands, SimHash64, TopK, Ulid, WordShingles, ZOrder2}
 
 /** SparkSessionExtensions entry point: injects graft's native Catalyst
   * expressions into the SQL function registry, so `spark.sql` and
@@ -49,6 +49,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => Q8Sum(args(0))),
     ("q8_dot", info("q8_dot", "exact integer dot product of two int8 code vectors"),
       (args: Seq[Expression]) => Q8Dot(args(0), args(1))),
+    ("zorder2", info("zorder2", "62-bit Morton code of two non-negative bigint keys"),
+      (args: Seq[Expression]) => ZOrder2(args(0), args(1))),
     ("sign_bands", info("sign_bands", "axis-sign LSH band buckets of an array<float>"),
       (args: Seq[Expression]) => SignBands(args(0),
         litInt(args(1), "sign_bands bands"), litInt(args(2), "sign_bands bits"))),

@@ -37,6 +37,32 @@ object IvfIndex {
     model.transform(withVec).drop("features")
   }
 
+  /** The int8-quantized index rows: (vec_id, cluster_id, code, scale) —
+    * what an IVF build WRITES at 100 TB. Composes the two scan economies:
+    * a probe reads nprobe/k of the corpus (IVF pruning) at 4× fewer bytes
+    * per vector (int8 codes), with the integer q8_dot inner loop. */
+  def assignQuantized(embeddings: DataFrame, k: Int, seed: Long = 42L,
+      trainFraction: Double = 1.0): DataFrame =
+    assign(embeddings, k, seed, trainFraction)
+      .select(col("vec_id"), col("cluster_id"),
+        call_function("int8_quantize", col("embedding")).as("code"),
+        call_function("q8_scale", col("embedding")).as("scale"))
+
+  /** Quantized IVF search: the probe's cluster only, ranked by the
+    * reconstructed dot product over int8 codes. */
+  def searchQuantized(indexed: DataFrame, probeVecId: Long, topK: Int): DataFrame = {
+    val probe = indexed.filter(col("vec_id") === probeVecId)
+      .select(col("cluster_id").as("probe_cluster"),
+        col("code").as("pcode"), col("scale").as("pscale"))
+    indexed
+      .join(broadcast(probe), col("cluster_id") === col("probe_cluster"))
+      .select(col("vec_id"),
+        (call_function("q8_dot", col("code"), col("pcode")) *
+          col("scale") * col("pscale")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   /** Top-k cosine neighbours of `probeVecId`, scanning only the probe's
     * cluster. */
   def search(assigned: DataFrame, probeVecId: Long, topK: Int): DataFrame = {

@@ -61,6 +61,23 @@ class OperatorSpec extends SparkTestBase {
     } finally assigned.unpersist()
   }
 
+  test("quantized IVF: int8 index rows, cluster-pruned search, recall holds") {
+    GraftSession.prepare(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val indexed = IvfIndex.assignQuantized(e, k = 8).cache()
+    try {
+      // the index rows carry codes + scale, not float vectors
+      assert(indexed.columns.toSet == Set("vec_id", "cluster_id", "code", "scale"))
+      val approx = IvfIndex.searchQuantized(indexed, probeVecId = 0, topK = 10)
+        .collect().map(_.getLong(0)).toSet
+      val exact = SparkEntry.queries("q_knn_cosine")(spark, sfDir)
+        .collect().map(_.getLong(0)).toSet
+      // 1/8 scan + int8 ranking must still find most true neighbours
+      assert(approx.intersect(exact).size >= 5,
+        s"quantized IVF recall too low: ${approx.intersect(exact).size}/10")
+    } finally indexed.unpersist()
+  }
+
   test("char_shingles: distinct 5-grams, short-input edge") {
     GraftSession.prepare(spark)
     val r = spark.sql("SELECT char_shingles('abcdef', 5) AS s, char_shingles('abc', 5) AS e").head()

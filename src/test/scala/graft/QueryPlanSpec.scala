@@ -38,6 +38,12 @@ class QueryPlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("quantized knn keeps the broadcast + TakeOrdered shape") {
+    val p = plan("q_knn_q8")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("aggregations are partial (map-side) before the shuffle") {
     val p = plan("q_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial"), p)

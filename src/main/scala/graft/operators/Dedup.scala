@@ -14,7 +14,7 @@ import graft.sources.Tables
   *  - Jaccard near-dup uses an inverted shingle index (explode → self-join
   *    on shingle → count intersections). Shuffle volume is linear in total
   *    shingle count; the quadratic blowup of frequent shingles is bounded by
-  *    a document-frequency cut (`maxShingleDf`) — exact on the test corpus
+  *    a document-frequency cut (`WordMaxDf`) — exact on the test corpus
   *    (no shingle reaches the cut), an explicit recall knob at scale.
   *  - MinHash+LSH is the sub-quadratic scale path: 64 hashes → 16 bands of
   *    4 → candidates only within band buckets, then exact-Jaccard verify.

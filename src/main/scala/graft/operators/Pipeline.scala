@@ -9,8 +9,8 @@ import graft.sources.Tables
   * LLM data pipeline runs — language filter → quality gate → near-dup
   * removal → per-doc stats — expressed as ONE declarative DataFrame plan so
   * Catalyst fuses the per-row stages into a single scan and the only
-  * shuffles are the two the near-dup stage fundamentally needs (inverted-
-  * index join + pair aggregation).
+  * shuffles are the ones the near-dup stage fundamentally needs
+  * (df-cut window, inverted-index join, pair aggregation).
   *
   * Near-dup policy: from every pair with 3-word-shingle Jaccard ≥ 0.5
   * (over df-pruned shingle sets — Dedup.WordMaxDf), the higher doc_id is

@@ -12,7 +12,11 @@ object BitKernels {
     * in BOTH dimensions simultaneously, so parquet row-group min/max stats
     * become selective for predicates on either column. */
   def interleave2(a: Long, b: Long): Long = {
+    // keys >= 2^31 would silently alias (only the low 31 bits interleave),
+    // destroying clustering quality — reject rather than degrade quietly
     require(a >= 0 && b >= 0, "zorder2 requires non-negative keys")
+    require(a < (1L << 31) && b < (1L << 31),
+      "zorder2 keys must fit in 31 bits; pre-scale or hash wider keys")
     var r = 0L
     var i = 0
     while (i < 31) {

@@ -171,8 +171,11 @@ object Dedup {
     * policies must act on whole components, not pairs.
     *
     * Scale shape: each round is one join + one aggregate (shuffles keyed by
-    * node id); rounds needed = O(log diameter) for near-dup graphs (tiny
-    * diameters — chains of near-identical docs), bounded by `maxIter`.
+    * node id); plain neighbor-min propagation moves the min label one hop
+    * per round, so rounds needed = O(diameter) — fine for near-dup graphs
+    * (tiny diameters — chains of near-identical docs), bounded by `maxIter`.
+    * Exiting via `maxIter` before the convergence probe passes would return
+    * wrong labels, so that case throws rather than silently mislabeling.
     * Lineage is truncated per round (localCheckpoint) so the plan doesn't
     * grow with iterations; the convergence probe is an aggregate action,
     * not a data collect. */
@@ -196,6 +199,10 @@ object Dedup {
       labels = next.select(col("id"), col("comp"))
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"components() did not converge in $maxIter rounds: graph diameter exceeds maxIter; " +
+          "raise maxIter (labels would be wrong on longer chains)")
     labels
   }
 

@@ -33,8 +33,8 @@ object Relational {
     * summation order, which flips 2-dp rounding at .xx5 boundaries — at
     * 150k output groups some group always hits one. Rounded to 2 dp and
     * cast back to double. */
-  private def moneySum(c: Column): Column =
-    round(sum(c.cast("decimal(18,4)")), 2).cast("double")
+  private def moneySum(c: Column, scale: Int = 4): Column =
+    round(sum(c.cast(s"decimal(18,$scale)")), 2).cast("double")
 
   /** Order-independent average. The naive `round(avg(x), 4)` is a coin-flip:
     * double summation order differs between engines AND between Spark runs,
@@ -63,7 +63,12 @@ object Relational {
         moneySum(col("l_quantity")).as("sum_qty"),
         moneySum(col("l_extendedprice")).as("sum_base_price"),
         moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        // price(2dp) × (1-disc)(2dp) × (1+tax)(2dp) is a 6-dp value: casting
+        // the double product to scale 4 rounds AT a .xxxx5 boundary, where
+        // Spark (shortest-repr HALF_UP) and DuckDB (binary-value) disagree.
+        // Scale 6 is exact — no boundary — so both engines fix-point
+        // identically before the exact decimal sum.
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), scale = 6).as("sum_charge"),
         moneyAvg(col("l_quantity")).as("avg_qty"),
         moneyAvg(col("l_extendedprice")).as("avg_price"),
         moneyAvg(col("l_discount")).as("avg_disc"),
@@ -531,7 +536,7 @@ object Relational {
         | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
         | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
         | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
-        | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_charge,
+        | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
         | CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount) AS avg_disc,

@@ -85,9 +85,9 @@ object Sampling {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         | FROM documents)
         |SELECT doc_id, source, n_tokens,
-        | (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        | CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |  - n_tokens) // 1000 AS bin
+        |  - n_tokens) // 1000 AS BIGINT) AS bin
         |FROM t""".stripMargin
   )
 }

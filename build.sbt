@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit sbt's raw stdout for forked runs: without this, sbt logs every
+// output line with an "[info] " prefix, which breaks the driver's parse of
+// graft.Bench's single JSON stdout line (BENCH_r{1,2}.json "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

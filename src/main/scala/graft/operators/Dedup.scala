@@ -170,12 +170,14 @@ object Dedup {
     * dedup needs: near-dup is not an equivalence relation, so keep-one
     * policies must act on whole components, not pairs.
     *
-    * Scale shape: each round is one join + one aggregate (shuffles keyed by
-    * node id); plain neighbor-min propagation moves the min label one hop
-    * per round, so rounds needed = O(diameter) — fine for near-dup graphs
-    * (tiny diameters — chains of near-identical docs), bounded by `maxIter`.
-    * Exiting via `maxIter` before the convergence probe passes would return
-    * wrong labels, so that case throws rather than silently mislabeling.
+    * Scale shape: each round is a neighbor-min step (one join + one
+    * aggregate, shuffles keyed by node id) followed by a pointer-jump step
+    * (comp := comp(comp), one self-join) — the jump roughly doubles how far
+    * a min label has travelled each round, so rounds needed grow as
+    * O(log diameter) rather than the O(diameter) of plain neighbor-min
+    * propagation. Bounded by `maxIter`; exiting via `maxIter` before the
+    * convergence probe passes would return wrong labels, so that case
+    * throws rather than silently mislabeling.
     * Lineage is truncated per round (localCheckpoint) so the plan doesn't
     * grow with iterations; the convergence probe is an aggregate action,
     * not a data collect. */
@@ -190,10 +192,18 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
-      val next = labels.select(col("id"), col("comp").as("old_comp"))
+      val mid = labels.select(col("id"), col("comp").as("old_comp"))
         .join(prop, col("id") === col("src"), "left")
         .select(col("id"), col("old_comp"),
-          least(col("old_comp"), coalesce(col("nbr_comp"), col("old_comp"))).as("comp"))
+          least(col("old_comp"), coalesce(col("nbr_comp"), col("old_comp"))).as("mid_comp"))
+      // pointer jump: comp := comp(comp). Labels are always node ids (the
+      // initial labels are, and both steps take minima of existing labels),
+      // and comp(x) <= x, so the inner self-join always matches and labels
+      // only decrease — monotone convergence to the component minimum.
+      val jump = mid.select(col("id").as("jid"), col("mid_comp").as("jcomp"))
+      val next = mid.join(jump, col("mid_comp") === col("jid"))
+        .select(col("id"), col("old_comp"),
+          least(col("mid_comp"), col("jcomp")).as("comp"))
         .localCheckpoint(true)
       converged = next.filter(col("comp") =!= col("old_comp")).isEmpty
       labels = next.select(col("id"), col("comp"))
@@ -201,8 +211,8 @@ object Dedup {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"components() did not converge in $maxIter rounds: graph diameter exceeds maxIter; " +
-          "raise maxIter (labels would be wrong on longer chains)")
+        s"components() did not converge in $maxIter rounds (covers diameters up to ~2^$maxIter); " +
+          "raise maxIter (returning now would silently mislabel long chains)")
     labels
   }
 
@@ -218,7 +228,49 @@ object Dedup {
       .select(col("doc_id"),
         call_function("simhash64", split(col("text"), " ")).as("simhash"))
 
+  /** Benchmark decontamination: for each train-split document, the number
+    * of distinct 5-word shingles it shares with ANY eval-split document —
+    * the step that keeps held-out benchmarks out of the pretraining corpus.
+    * Splits come from Sampling.bucketOf (deterministic, engine-portable).
+    *
+    * Scale shape: the eval side collapses to DISTINCT shingles before the
+    * join — real eval sets are tiny vs. the corpus, so AQE broadcasts that
+    * side at runtime (no hard-coded broadcast: a huge eval set degrades to
+    * a shuffle join instead of an OOM). The train side is explode → join →
+    * partial count: shuffle volume is matched shingles only. Joining on the
+    * shingle string keeps the oracle engine-exact; at 100 TB you'd join on
+    * xxhash64(shingle) to shuffle 8-byte keys (same trick as jaccardPairs). */
+  private def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+      Sampling.bucketOf(col("doc_id"), 100).as("b"))
+    val sh5 = call_function("word_shingles", col("text"), lit(5))
+    val train = docs.filter(col("b") < 90).select(col("doc_id"), explode(sh5).as("sh"))
+    val evalSh = docs.filter(col("b") >= 90).select(explode(sh5).as("sh")).distinct()
+    // word_shingles emits per-doc DISTINCT shingles, so after the join each
+    // shared shingle contributes exactly one row: count(*) == count distinct
+    train.join(evalSh, "sh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+  }
+
+  /** Incremental dedup: drop new-batch documents whose exact content
+    * already exists in the corpus — the daily-ingest twin of dedupExact
+    * (dedup the delta against the accumulated corpus, don't re-dedup the
+    * corpus). Anti-join with no broadcast hint: AQE picks broadcast only if
+    * the corpus side is actually small. Joining on the text keeps the
+    * oracle exact; at 100 TB the corpus side is a persisted
+    * xxhash64-fingerprint table and the join carries 8-byte keys. */
+  private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      col("text"), Sampling.bucketOf(col("doc_id"), 100).as("b"))
+    val corpus = docs.filter(col("b") < 90).select(col("text").as("ctext"))
+    docs.filter(col("b") >= 90)
+      .join(corpus, col("text") === col("ctext"), "left_anti")
+      .select(col("doc_id"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> decontaminate _,
+    "q_dedup_incremental" -> dedupIncremental _,
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_jaccard" -> dedupJaccard _,
     "q_dedup_ngram" -> dedupNgram _,
@@ -245,6 +297,22 @@ object Dedup {
       | GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 4),
+        |   i -> concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4], w[i+5])))) AS s FROM t),
+        |train AS (SELECT doc_id, s FROM sh
+        | WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 90),
+        |ev AS (SELECT DISTINCT s FROM sh
+        | WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 >= 90)
+        |SELECT doc_id, count(*) AS n_contaminated
+        |FROM train JOIN ev USING (s) GROUP BY doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      """SELECT doc_id, source FROM documents b
+        |WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 >= 90
+        |AND NOT EXISTS (SELECT 1 FROM documents c
+        |  WHERE ((c.doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 90
+        |  AND c.text = b.text)""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,

@@ -103,6 +103,31 @@ object TextAnalysis {
         round(col("raw_score"), 4).as("score"))
   }
 
+  /** Gopher-style repetition signals: top-word concentration and duplicate
+    * n-gram fractions — the repetition family of pretraining quality filters
+    * (boilerplate, keyword stuffing, and generation loops score high).
+    * Per-row codegen kernels (functions/Repetition.scala): shuffle-free,
+    * scan-speed at 100 TB. Each value is a ratio of two exact integer
+    * counts, so the single IEEE division is bitwise-identical cross-engine
+    * and ships unrounded. */
+  private def repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      call_function("top_token_frac", col("text")).as("top_word_frac"),
+      call_function("dup_ngram_frac", col("text"), lit(2)).as("dup_bigram_frac"),
+      call_function("dup_ngram_frac", col("text"), lit(3)).as("dup_trigram_frac"))
+
+  /** Corpus vocabulary heavy hitters: global token frequencies, top-N.
+    * explode → partial (map-side) count → final count → TakeOrdered: the
+    * shuffle carries one row per distinct token per mapper, not per token
+    * occurrence, and the top-N never materializes a global sort. */
+  private def vocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(25)
+
   /** Approximate distinct counting (HLL++): the constant-memory cardinality
     * path at 100 TB (exact distinct shuffles every value; HLL merges
     * fixed-size sketches). Cross-engine sketch internals differ → rows-only
@@ -120,7 +145,9 @@ object TextAnalysis {
     "q_langid" -> langId _,
     "q_quality" -> quality _,
     "q_token_count" -> tokenCount _,
-    "q_fingerprint" -> fingerprint _
+    "q_fingerprint" -> fingerprint _,
+    "q_repetition" -> repetition _,
+    "q_vocab" -> vocab _
   )
 
   val oracles: Map[String, String] = Map(
@@ -169,6 +196,28 @@ object TextAnalysis {
         | CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS re_tokens,
         | CAST(length(text) AS INTEGER) AS n_chars_m
         |FROM documents""".stripMargin,
+    "q_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |wc AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+        |tw AS (SELECT doc_id,
+        |  CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_word_frac
+        | FROM wc GROUP BY 1),
+        |l AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg,
+        |  list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
+        | FROM l)
+        |SELECT doc_id, top_word_frac,
+        | CASE WHEN len(bg) = 0 THEN 0.0
+        |   ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) END AS dup_bigram_frac,
+        | CASE WHEN len(tg) = 0 THEN 0.0
+        |   ELSE CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg) END AS dup_trigram_frac
+        |FROM tw JOIN g USING (doc_id)""".stripMargin,
+    "q_vocab" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word LIMIT 25""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(

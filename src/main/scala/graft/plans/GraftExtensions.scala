@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, Literal}
 
-import graft.functions.{CharShingles, ContentFp, CosineSimilarity, DotProduct, Hamming128, Int8Quantize, L2Norm, MinHashBands, MinHashSig, Q8Dot, Q8Scale, Q8Sum, SignBands, SimHash64, TopK, Ulid, WordShingles, ZOrder2}
+import graft.functions.{CharShingles, ContentFp, CosineSimilarity, DotProduct, DupNgramFrac, Hamming128, Int8Quantize, L2Norm, MinHashBands, MinHashSig, Q8Dot, Q8Scale, Q8Sum, SignBands, SimHash64, TopK, TopTokenFrac, Ulid, WordShingles, ZOrder2}
 
 /** SparkSessionExtensions entry point: injects graft's native Catalyst
   * expressions into the SQL function registry, so `spark.sql` and
@@ -74,6 +74,10 @@ object GraftExtensions {
     // the same `@` operator over binary(16) — the UINT128 metric-key type
     ("hamming128", info("hamming128", "Hamming distance between two equal-length binary values"),
       (args: Seq[Expression]) => Hamming128(args(0), args(1))),
+    ("top_token_frac", info("top_token_frac", "fraction of tokens taken by the most frequent token"),
+      (args: Seq[Expression]) => TopTokenFrac(args(0))),
+    ("dup_ngram_frac", info("dup_ngram_frac", "fraction of repeated consecutive word n-grams"),
+      (args: Seq[Expression]) => DupNgramFrac(args(0), litInt(args(1), "dup_ngram_frac n"))),
     ("top_k", info("top_k", "k largest struct values per group, bounded-heap aggregate"),
       (args: Seq[Expression]) => TopK(args(0), args(1))),
     ("ulid", info("ulid", "generate a ULID (Crockford base32, time-ordered)"),

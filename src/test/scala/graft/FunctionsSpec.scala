@@ -23,6 +23,19 @@ class FunctionsSpec extends SparkTestBase {
     assert(sqlOne("SELECT word_shingles('a b c', 3) AS sh").getSeq[String](0) == Seq("a b c"))
   }
 
+  test("repetition kernels: top-token and duplicate-ngram fractions") {
+    val r = sqlOne(
+      """SELECT top_token_frac('a b a c a') AS tf,
+        |       dup_ngram_frac('a b a b a', 2) AS dup2,
+        |       dup_ngram_frac('a b c d e', 2) AS nodup,
+        |       dup_ngram_frac('a b', 3) AS short""".stripMargin)
+    assert(r.getDouble(0) == 3.0 / 5.0) // 'a' is 3 of 5 tokens
+    // bigrams: ab, ba, ab, ba -> 4 total, 2 distinct -> 2/4 repeated
+    assert(r.getDouble(1) == 0.5)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 0.0) // shorter than n: defined as 0.0
+  }
+
   test("hamming128: popcount of byte-wise xor over binary(16)") {
     val r = sqlOne(
       """SELECT hamming128(unhex(md5('same')), unhex(md5('same'))) AS zero,

@@ -154,6 +154,18 @@ class OperatorSpec extends SparkTestBase {
     assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L))
   }
 
+  test("components: pointer jumping closes a 40-node chain within 20 rounds") {
+    val s = spark
+    import s.implicits._
+    // diameter 39 > maxIter: plain one-hop neighbor-min propagation would
+    // hit maxIter and throw; the pointer-jump step makes travelled distance
+    // roughly double per round, so this converges in ~log2(39) rounds
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 40 && got.values.forall(_ == 0L))
+  }
+
   test("audio chunking: overlapping windows, bounded span, empty media skipped") {
     val s = spark
     import s.implicits._

@@ -29,13 +29,23 @@ import graft.sources.SchemaMapper
   *   CREATE TABLE [IF NOT EXISTS] t (col TYPE
   *     [PRIMARY KEY | METRIC KEY [USING index(metric)]] [DEFAULT expr], …)
   *   INSERT INTO t [(cols…)] VALUES (v, …) [, (v, …) …]
-  *   SELECT * | col [AS a] | col @ probe AS a [, …] FROM t
+  *   SELECT * | col [AS a] | col @ probe AS a
+  *     | (COUNT|SUM|AVG|MIN|MAX) '(' (*|col) ')' [AS a] [, …] FROM t
   *     [WHERE operand (= | != | < | <= | > | >=) operand [AND …]]
+  *     [GROUP BY col [, …]] [ORDER BY col [ASC|DESC] [, …]] [LIMIT n]
   *
   * WHERE operands may name SELECT-list aliases (the README story filters
   * on the aliased distance), and `@` adapts to the column's carrier type:
   * 64-bit integer hashes via xor+bit_count, binary(16) UINT128 hashes via
   * the hamming128 kernel.
+  *
+  * Aggregates / GROUP BY / ORDER BY / LIMIT are a graft EXTENSION beyond
+  * the reference grammar (reference SELECT is columns+WHERE only —
+  * src/constructs/statements.rs:37): the reference's users outgrow
+  * point lookups immediately, and the lowering is the same thin layer —
+  * groupBy/agg/orderBy/limit DataFrame calls, so partial aggregation and
+  * TakeOrderedAndProject come from Catalyst for free. WHERE stays
+  * pre-aggregation (no HAVING); plain SELECT columns must be group keys.
   */
 object EmdriveSql {
 
@@ -107,6 +117,12 @@ object EmdriveSql {
   case object Star extends SelectItem
   final case class ColItem(name: String, alias: Option[String]) extends SelectItem
   final case class DistItem(column: String, probe: Value, alias: String) extends SelectItem
+  /** COUNT/SUM/AVG/MIN/MAX over a column (or `*` for COUNT). Output name
+    * defaults to `count` / `<func>_<col>` when no alias is given. */
+  final case class AggItem(func: String, arg: Option[String],
+      alias: Option[String]) extends SelectItem
+
+  final case class OrderKey(name: String, desc: Boolean)
 
   sealed trait Operand
   final case class ORef(name: String) extends Operand
@@ -120,7 +136,9 @@ object EmdriveSql {
   final case class Insert(table: String, columns: Seq[String],
       rows: Seq[Seq[Value]]) extends Statement
   final case class Select(items: Seq[SelectItem], table: String,
-      where: Seq[Cmp]) extends Statement
+      where: Seq[Cmp], groupBy: Seq[String] = Seq.empty,
+      orderBy: Seq[OrderKey] = Seq.empty, limit: Option[Long] = None)
+    extends Statement
 
   // ----- parser (recursive descent over the token list) -----------------
 
@@ -156,7 +174,10 @@ object EmdriveSql {
   }
 
   private val Keywords = Set("CREATE", "TABLE", "IF", "NOT", "EXISTS", "INSERT",
-    "INTO", "VALUES", "SELECT", "FROM", "WHERE", "AS", "AND")
+    "INTO", "VALUES", "SELECT", "FROM", "WHERE", "AS", "AND",
+    "GROUP", "BY", "ORDER", "LIMIT", "ASC", "DESC")
+
+  private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
 
   def parse(sqlText: String): Statement = {
     val p = new P(tokenize(sqlText), sqlText)
@@ -236,12 +257,43 @@ object EmdriveSql {
       var more = true
       while (more) { where += parseCmp(p); more = p.tryWord("AND") }
     }
-    Select(items.toSeq, table, where.toSeq)
+    val groupBy =
+      if (p.tryWord("GROUP")) {
+        p.eatWord("BY")
+        val gs = mutable.ListBuffer(p.ident())
+        while (p.trySym(",")) gs += p.ident()
+        gs.toSeq
+      } else Seq.empty
+    val orderBy =
+      if (p.tryWord("ORDER")) {
+        p.eatWord("BY")
+        def key(): OrderKey = {
+          val name = p.ident()
+          val desc = p.tryWord("DESC") || { p.tryWord("ASC"); false }
+          OrderKey(name, desc)
+        }
+        val ks = mutable.ListBuffer(key())
+        while (p.trySym(",")) ks += key()
+        ks.toSeq
+      } else Seq.empty
+    val limit =
+      if (p.tryWord("LIMIT")) p.toks match {
+        case TNum(s) :: rest if !s.contains('.') => p.toks = rest; Some(s.toLong)
+        case _ => p.fail("integer LIMIT")
+      } else None
+    Select(items.toSeq, table, where.toSeq, groupBy, orderBy, limit)
   }
 
-  private def parseItem(p: P): SelectItem =
-    if (p.trySym("*")) Star
-    else {
+  private def parseItem(p: P): SelectItem = p.toks match {
+    case TWord(f) :: TSym("(") :: _ if AggFuncs(f.toUpperCase) =>
+      p.toks = p.toks.tail.tail
+      val arg = if (p.trySym("*")) None else Some(p.ident())
+      p.eatSym(")")
+      require(arg.nonEmpty || f.equalsIgnoreCase("count"), s"$f(*) is not valid; only COUNT(*)")
+      val alias = if (p.tryWord("AS")) Some(p.ident()) else None
+      AggItem(f.toUpperCase, arg, alias)
+    case _ if p.trySym("*") => Star
+    case _ => {
       val name = p.ident()
       if (p.trySym("@")) {
         val probe = p.value()
@@ -250,6 +302,7 @@ object EmdriveSql {
       } else if (p.tryWord("AS")) ColItem(name, Some(p.ident()))
       else ColItem(name, None)
     }
+  }
 
   private def parseOperand(p: P): Operand = p.toks match {
     case TWord(w) :: _ if !Keywords.contains(w.toUpperCase) =>
@@ -331,7 +384,7 @@ final class EmdriveSession(spark: SparkSession) {
       catalog(name) = target.unionByName(appended)
       catalog(name)
 
-    case Select(items, name, where) =>
+    case Select(items, name, where, groupBy, orderBy, limitN) =>
       val base = table(name)
       // 1. attach aliased distance columns, so WHERE can reference them
       //    (README story: WHERE distance < 4 filters the SELECT alias)
@@ -341,16 +394,64 @@ final class EmdriveSession(spark: SparkSession) {
         case ColItem(c, Some(alias)) => df = df.withColumn(alias, col(c))
         case _ => ()
       }
-      // 2. WHERE — plain column equality lands in the scan's PushedFilters
+      // 2. WHERE — plain column equality lands in the scan's PushedFilters;
+      //    applies PRE-aggregation (no HAVING in this dialect)
       where.foreach(cmp => df = df.filter(cmpCol(base, cmp)))
-      // 3. projection in SELECT-list order
-      val out = items.flatMap {
-        case Star => base.columns.toSeq.map(col)
-        case ColItem(c, alias) => Seq(col(alias.getOrElse(c)))
-        case DistItem(_, _, alias) => Seq(col(alias))
-      }
-      df.select(out: _*)
+      val hasAgg = items.exists(_.isInstanceOf[AggItem])
+      // 3. aggregation (graft extension) or plain SELECT-list projection
+      var out: DataFrame =
+        if (hasAgg || groupBy.nonEmpty) {
+          items.foreach {
+            case ColItem(c, _) => require(groupBy.contains(c),
+              s"column $c must appear in GROUP BY")
+            case Star => throw new IllegalArgumentException(
+              "SELECT * cannot be combined with aggregates/GROUP BY")
+            case d: DistItem => throw new IllegalArgumentException(
+              s"distance item ${d.alias} cannot be combined with aggregates/GROUP BY")
+            case _: AggItem => ()
+          }
+          val aggs = items.collect { case AggItem(f, arg, alias) =>
+            aggColumn(f, arg).as(aggAlias(f, arg, alias)) }
+          require(aggs.nonEmpty, "GROUP BY requires at least one aggregate")
+          val agged = df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          agged.select(items.map {
+            case ColItem(c, alias) => col(c).as(alias.getOrElse(c))
+            case AggItem(f, arg, alias) => col(aggAlias(f, arg, alias))
+            case other => throw new IllegalStateException(other.toString)
+          }: _*)
+        } else {
+          df.select(items.flatMap {
+            case Star => base.columns.toSeq.map(col)
+            case ColItem(c, alias) => Seq(col(alias.getOrElse(c)))
+            case DistItem(_, _, alias) => Seq(col(alias))
+            case other => throw new IllegalStateException(other.toString)
+          }: _*)
+        }
+      // 4. ORDER BY / LIMIT over output names. Catalyst turns
+      //    orderBy+limit into TakeOrderedAndProject (top-k, no global sort)
+      if (orderBy.nonEmpty)
+        out = out.orderBy(orderBy.map(k =>
+          if (k.desc) col(k.name).desc else col(k.name).asc): _*)
+      limitN.foreach(nRows => out = out.limit(nRows.toInt))
+      out
   }
+
+  private def aggColumn(func: String, arg: Option[String]): Column =
+    (func, arg) match {
+      case ("COUNT", None) => count(lit(1))
+      case ("COUNT", Some(c)) => count(col(c))
+      case ("SUM", Some(c)) => sum(col(c))
+      case ("AVG", Some(c)) => avg(col(c))
+      case ("MIN", Some(c)) => min(col(c))
+      case ("MAX", Some(c)) => max(col(c))
+      case other => throw new IllegalArgumentException(s"bad aggregate: $other")
+    }
+
+  private def aggAlias(func: String, arg: Option[String], alias: Option[String]): String =
+    alias.getOrElse(arg match {
+      case None => "count"
+      case Some(c) => s"${func.toLowerCase}_$c"
+    })
 
   /** `@` adapts to the metric-key carrier type: binary(16) UINT128 → the
     * hamming128 byte kernel; integer/UINT64(decimal) hashes → 64-bit
@@ -454,6 +555,16 @@ object SqlQueries {
       es.register("fps", Tables.documents(s, d)
         .select(col("doc_id"), call_function("content_fp", col("text")).as("fp")))
       es.sql("SELECT doc_id, fp @ 123456789 AS dist FROM fps WHERE dist < 10;")
+    }),
+    // the aggregate/ORDER BY/LIMIT extension end-to-end: sum/avg stay
+    // cross-engine exact because n_chars is integral (exact in double)
+    "q_sql_agg" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, COUNT(*) AS n, SUM(n_chars) AS total_chars,
+               | AVG(n_chars) AS avg_chars
+               |FROM documents WHERE lang = 'en'
+               |GROUP BY source ORDER BY total_chars DESC, source LIMIT 5;""".stripMargin)
     })
   )
 
@@ -463,6 +574,11 @@ object SqlQueries {
     "q_sql_distance" ->
       s"""WITH fp AS (${Similarity.fpSql})
          |SELECT doc_id, CAST(bit_count(xor(fp, 123456789)) AS INTEGER) AS dist
-         |FROM fp WHERE bit_count(xor(fp, 123456789)) < 10""".stripMargin
+         |FROM fp WHERE bit_count(xor(fp, 123456789)) < 10""".stripMargin,
+    "q_sql_agg" ->
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | avg(n_chars) AS avg_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY total_chars DESC, source LIMIT 5""".stripMargin
   )
 }

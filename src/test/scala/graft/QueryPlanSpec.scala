@@ -92,6 +92,17 @@ class QueryPlanSpec extends SparkTestBase {
     assert(winIdx >= 0 && p.indexOf("HashAggregate", winIdx) >= 0, p)
   }
 
+  test("vocab heavy hitters: partial count + TakeOrdered, no global sort") {
+    val p = plan("q_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
+
+  test("sql aggregate extension plans TakeOrderedAndProject for ORDER BY+LIMIT") {
+    val p = plan("q_sql_agg")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("every registered query executes and returns rows at sf0.001") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       try {

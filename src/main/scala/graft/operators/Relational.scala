@@ -373,6 +373,20 @@ object Relational {
         (percentile(c, lit(0.75)) / 100).as("p75"))
   }
 
+  /** Approximate percentiles (t-digest-style sketch): the constant-memory
+    * twin of `q_percentile`. Exact percentile shuffles every value to sort
+    * within groups; approx_percentile merges fixed-size sketches — the only
+    * viable shape when one group holds 10¹¹ rows at 100 TB. Sketch
+    * internals are engine-specific → rows-only check; ScaleSpec bounds the
+    * error vs the exact quartiles. */
+  private def approxPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_percentile(col("l_extendedprice"), lit(0.25), lit(10000)).as("p25"),
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+        approx_percentile(col("l_extendedprice"), lit(0.75), lit(10000)).as("p75"))
+
   private def semiJoin(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
@@ -405,6 +419,7 @@ object Relational {
     "q_normalize" -> normalizeText _,
     "q_cube" -> cubeAgg _,
     "q_percentile" -> percentiles _,
+    "q_approx_percentile" -> approxPercentiles _,
     "q_semi_join" -> semiJoin _,
     "q_pivot" -> pivotAgg _,
     "q_point_lookup" -> pointLookup _,

@@ -85,6 +85,19 @@ class ScaleSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("approx_percentile within 1% of exact quartiles") {
+    GraftSession.prepare(spark)
+    val approx = SparkEntry.queries("q_approx_percentile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = SparkEntry.queries("q_percentile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    exact.foreach { case (flag, es) =>
+      approx(flag).zip(es).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e < 0.01, s"$flag: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     GraftSession.prepare(spark)
     val approx = SparkEntry.queries("q_approx_distinct")(spark, sfDir)

@@ -32,7 +32,8 @@ import graft.sources.SchemaMapper
   *   SELECT * | col [AS a] | col @ probe AS a
   *     | (COUNT|SUM|AVG|MIN|MAX) '(' (*|col) ')' [AS a] [, …] FROM t
   *     [WHERE operand (= | != | < | <= | > | >=) operand [AND …]]
-  *     [GROUP BY col [, …]] [ORDER BY col [ASC|DESC] [, …]] [LIMIT n]
+  *     [GROUP BY col [, …]] [HAVING out_col cmp operand [AND …]]
+  *     [ORDER BY col [ASC|DESC] [, …]] [LIMIT n]
   *
   * WHERE operands may name SELECT-list aliases (the README story filters
   * on the aliased distance), and `@` adapts to the column's carrier type:
@@ -45,7 +46,9 @@ import graft.sources.SchemaMapper
   * point lookups immediately, and the lowering is the same thin layer —
   * groupBy/agg/orderBy/limit DataFrame calls, so partial aggregation and
   * TakeOrderedAndProject come from Catalyst for free. WHERE stays
-  * pre-aggregation (no HAVING); plain SELECT columns must be group keys.
+  * pre-aggregation; HAVING filters the aggregated output by its OUTPUT
+  * column names (aggregate aliases or group keys); plain SELECT columns
+  * must be group keys.
   */
 object EmdriveSql {
 
@@ -137,6 +140,7 @@ object EmdriveSql {
       rows: Seq[Seq[Value]]) extends Statement
   final case class Select(items: Seq[SelectItem], table: String,
       where: Seq[Cmp], groupBy: Seq[String] = Seq.empty,
+      having: Seq[Cmp] = Seq.empty,
       orderBy: Seq[OrderKey] = Seq.empty, limit: Option[Long] = None)
     extends Statement
 
@@ -175,7 +179,7 @@ object EmdriveSql {
 
   private val Keywords = Set("CREATE", "TABLE", "IF", "NOT", "EXISTS", "INSERT",
     "INTO", "VALUES", "SELECT", "FROM", "WHERE", "AS", "AND",
-    "GROUP", "BY", "ORDER", "LIMIT", "ASC", "DESC")
+    "GROUP", "BY", "HAVING", "ORDER", "LIMIT", "ASC", "DESC")
 
   private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
 
@@ -264,6 +268,11 @@ object EmdriveSql {
         while (p.trySym(",")) gs += p.ident()
         gs.toSeq
       } else Seq.empty
+    val having = mutable.ListBuffer.empty[Cmp]
+    if (p.tryWord("HAVING")) {
+      var more = true
+      while (more) { having += parseCmp(p); more = p.tryWord("AND") }
+    }
     val orderBy =
       if (p.tryWord("ORDER")) {
         p.eatWord("BY")
@@ -281,7 +290,7 @@ object EmdriveSql {
         case TNum(s) :: rest if !s.contains('.') => p.toks = rest; Some(s.toLong)
         case _ => p.fail("integer LIMIT")
       } else None
-    Select(items.toSeq, table, where.toSeq, groupBy, orderBy, limit)
+    Select(items.toSeq, table, where.toSeq, groupBy, having.toSeq, orderBy, limit)
   }
 
   private def parseItem(p: P): SelectItem = p.toks match {
@@ -384,7 +393,7 @@ final class EmdriveSession(spark: SparkSession) {
       catalog(name) = target.unionByName(appended)
       catalog(name)
 
-    case Select(items, name, where, groupBy, orderBy, limitN) =>
+    case Select(items, name, where, groupBy, having, orderBy, limitN) =>
       val base = table(name)
       // 1. attach aliased distance columns, so WHERE can reference them
       //    (README story: WHERE distance < 4 filters the SELECT alias)
@@ -427,7 +436,13 @@ final class EmdriveSession(spark: SparkSession) {
             case other => throw new IllegalStateException(other.toString)
           }: _*)
         }
-      // 4. ORDER BY / LIMIT over output names. Catalyst turns
+      // 4. HAVING filters the aggregated output by output names — Catalyst
+      //    evaluates it post-aggregation, exactly ANSI HAVING semantics
+      if (having.nonEmpty) {
+        require(hasAgg || groupBy.nonEmpty, "HAVING requires GROUP BY/aggregates")
+        having.foreach(cmp => out = out.filter(cmpCol(out, cmp)))
+      }
+      // 5. ORDER BY / LIMIT over output names. Catalyst turns
       //    orderBy+limit into TakeOrderedAndProject (top-k, no global sort)
       if (orderBy.nonEmpty)
         out = out.orderBy(orderBy.map(k =>
@@ -565,6 +580,12 @@ object SqlQueries {
                | AVG(n_chars) AS avg_chars
                |FROM documents WHERE lang = 'en'
                |GROUP BY source ORDER BY total_chars DESC, source LIMIT 5;""".stripMargin)
+    }),
+    "q_sql_having" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang, COUNT(*) AS n, MIN(n_chars) AS min_chars
+               |FROM documents GROUP BY lang HAVING n >= 20 ORDER BY lang;""".stripMargin)
     })
   )
 
@@ -579,6 +600,9 @@ object SqlQueries {
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         | avg(n_chars) AS avg_chars
         |FROM documents WHERE lang = 'en'
-        |GROUP BY source ORDER BY total_chars DESC, source LIMIT 5""".stripMargin
+        |GROUP BY source ORDER BY total_chars DESC, source LIMIT 5""".stripMargin,
+    "q_sql_having" ->
+      """SELECT lang, count(*) AS n, min(n_chars) AS min_chars
+        |FROM documents GROUP BY lang HAVING count(*) >= 20 ORDER BY lang""".stripMargin
   )
 }

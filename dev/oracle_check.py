@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: for each query dumped by
 graft.Verify, run the oracle SQL in DuckDB over the same sf dir and compare
-(columns sorted by name, rows sorted, values rounded-stringified).
+(columns sorted by name, rows sorted, values EXACTLY stringified).
+
+The driver's hash proved bitwise- and type-sensitive (round 2: sum_charge
+failed on low float bits, pack_bins on HUGEINT vs BIGINT) — so this replica
+compares full float repr, not a %.6g grid, and result column types, not
+just names. Anything that passes here should pass the driver.
 
 Usage: oracle_check.py <sfdir> <verify_outdir>
 Dev-side tool only (duckdb/pyarrow are driver-side; the Scala library never
@@ -26,7 +31,7 @@ def canon(rows, cols):
         for i in order:
             v = r[i]
             if isinstance(v, float):
-                vals.append(f"{v:.6g}")
+                vals.append(repr(v))  # exact shortest-repr: bit differences show
             else:
                 vals.append(str(v))
         out.append("\x01".join(vals))
@@ -49,8 +54,10 @@ for d in sorted(glob.glob(f"{outdir}/q_*")):
         print(f"{name:24s} ORACLE SQL ERROR: {e}")
         fails += 1
         continue
-    if sorted(got_rel.columns) != sorted(exp_rel.columns):
-        print(f"{name:24s} SCHEMA MISMATCH spark={sorted(got_rel.columns)} duck={sorted(exp_rel.columns)}")
+    got_schema = sorted(zip(got_rel.columns, map(str, got_rel.types)))
+    exp_schema = sorted(zip(exp_rel.columns, map(str, exp_rel.types)))
+    if got_schema != exp_schema:
+        print(f"{name:24s} SCHEMA MISMATCH spark={got_schema} duck={exp_schema}")
         fails += 1
     elif got == exp:
         print(f"{name:24s} OK ({len(got)} rows)")

@@ -302,7 +302,15 @@ object Relational {
     * Map-side partial aggregation still applies (plain sums). */
   private def statsAgg(s: SparkSession, d: String): DataFrame = {
     def m1(c: Column) = sum(c.cast("decimal(28,6)")).cast("double")
-    def m2(a: Column, b: Column) = sum((a * b).cast("decimal(28,6)")).cast("double")
+    // The fixed-point scale must sit WELL ABOVE the double's ulp at the
+    // value's magnitude, or the per-row cast rounds below representation
+    // precision — where Spark (shortest-repr) and DuckDB (binary-value)
+    // disagree row by row. price² is ~1e10 (ulp ≈ 2e-6): scale 6 is below
+    // ulp and diverged the spp sums; scale 4 is exactly price²'s true
+    // decimal count and ~50× above ulp, so both engines recover the exact
+    // value. The other products are small enough for scale 6.
+    def m2(a: Column, b: Column, scale: Int = 6) =
+      sum((a * b).cast(s"decimal(28,$scale)")).cast("double")
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
@@ -310,7 +318,7 @@ object Relational {
         m1(col("l_quantity")).as("sq"), m1(col("l_extendedprice")).as("sp"),
         m1(col("l_discount")).as("sd"), m1(col("l_tax")).as("st"),
         m2(col("l_quantity"), col("l_quantity")).as("sqq"),
-        m2(col("l_extendedprice"), col("l_extendedprice")).as("spp"),
+        m2(col("l_extendedprice"), col("l_extendedprice"), scale = 4).as("spp"),
         m2(col("l_discount"), col("l_discount")).as("sdd"),
         m2(col("l_quantity"), col("l_extendedprice")).as("sqp"),
         m2(col("l_quantity"), col("l_tax")).as("sqt"))
@@ -481,7 +489,7 @@ object Relational {
         |  CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sd,
         |  CAST(sum(CAST(l_tax AS DECIMAL(28,6))) AS DOUBLE) AS st,
         |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sqq,
-        |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS spp,
+        |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS spp,
         |  CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sdd,
         |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sqp,
         |  CAST(sum(CAST(l_quantity * l_tax AS DECIMAL(28,6))) AS DOUBLE) AS sqt

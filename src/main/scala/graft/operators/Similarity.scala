@@ -136,6 +136,15 @@ object Similarity {
       .distinct()
   }
 
+  /** Transitive embedding near-dup clusters: the sign-band LSH pair graph
+    * closed under connectivity (Dedup.components pointer-jump propagation) —
+    * same keep-one-per-cluster semantics as the text path (C18), over the
+    * embedding modality. Rows-only check (LSH blocking is hash-specific),
+    * but the component algebra is the oracle-verified one. */
+  private def embedComponents(s: SparkSession, d: String): DataFrame =
+    Dedup.components(embedNeardup(s, d).select(col("id_a"), col("id_b")))
+      .select(col("id").as("vec_id"), col("comp"))
+
   /** IVF-style ANN: deterministic seed centroids (vec_id < 8), assign corpus
     * to nearest centroid, probe searches only its own cluster. */
   private def annIvf(s: SparkSession, d: String): DataFrame = {
@@ -216,6 +225,7 @@ object Similarity {
     "q_knn_cosine" -> knnCosine _,
     "q_knn_batch" -> knnBatch _,
     "q_embed_neardup" -> embedNeardup _,
+    "q_embed_components" -> embedComponents _,
     "q_ann_ivf" -> annIvf _,
     "q_embed_norm" -> embedNorm _,
     "q_embed_normalize" -> embedNormalize _,

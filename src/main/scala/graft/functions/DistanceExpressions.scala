@@ -56,6 +56,64 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Cached ±1 hyperplane matrices for srp_bands, keyed by (nproj, dim).
+    * Entries are a pure function of their key (splitmix-style bit mix), so
+    * concurrent recomputation is benign. Footprint is 4·nproj·dim bytes —
+    * the near-dup config (2304 projections × 64 dims) is ~590 KB per JVM. */
+  private val srpCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Float]]()
+
+  private def srpSigns(nproj: Int, dim: Int): Array[Float] =
+    srpCache.computeIfAbsent((nproj, dim), { key: (Int, Int) =>
+      val (np, dm) = key
+      val out = new Array[Float](np * dm)
+      var j = 0
+      while (j < np) {
+        var d = 0
+        while (d < dm) {
+          var h = j.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL
+          h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+          out(j * dm + d) = if ((h & 1L) == 0L) 1f else -1f
+          d += 1
+        }
+        j += 1
+      }
+      out
+    })
+
+  /** Signed-random-projection LSH buckets: band b's bucket is the `bits`-bit
+    * sign pattern of projections [b·bits, (b+1)·bits) onto deterministic
+    * hash-derived ±1 hyperplanes. Unlike axis-sign banding, the number of
+    * projections is decoupled from the vector dimension, so bands·bits can
+    * exceed dim — the knob that lets bucket count grow (2^bits per band)
+    * while stacking enough bands to hold recall at moderate cosine. */
+  def srpBands(v: ArrayData, bands: Int, bits: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val dim = v.numElements()
+    val signs = srpSigns(bands * bits, dim)
+    val x = new Array[Double](dim)
+    var d = 0
+    while (d < dim) { x(d) = v.getFloat(d).toDouble; d += 1 }
+    val out = new Array[Long](bands)
+    var j = 0
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var i = 0
+      while (i < bits) {
+        val base = j * dim
+        var proj = 0.0
+        var k = 0
+        while (k < dim) { proj += signs(base + k) * x(k); k += 1 }
+        acc = (acc << 1) | (if (proj > 0.0) 1L else 0L)
+        j += 1; i += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Hamming distance between two equal-length byte strings (the 128-bit
     * metric-key path: UINT128 perceptual hashes travel as binary(16)).
     * Byte-wise popcount loop — 16 iterations for the 128-bit case, fully
@@ -157,6 +215,36 @@ case class SignBands(child: Expression, bands: Int, bits: Int)
     defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.signBands($a, $bands, $bits)")
 
   override protected def withNewChildInternal(newChild: Expression): SignBands =
+    copy(child = newChild)
+}
+
+/** srp_bands(vec, bands, bits): signed-random-projection LSH band buckets
+  * of a float vector — band b's bucket is the `bits`-bit sign pattern of
+  * pseudo-random ±1 hyperplane projections (hyperplanes derived from a
+  * deterministic bit mix of (projection, dim); no RNG state, identical on
+  * every executor). The scale path for embedding near-dup blocking: 2^bits
+  * buckets per band (vs. axis-sign banding's hard bands·bits ≤ dim limit),
+  * and bands stack independently of dim to buy back recall. Collision
+  * probability per bit is 1 − θ/π (Goemans–Williamson), so a (bits, bands)
+  * choice trades candidate volume against recall at a target cosine. */
+case class SrpBands(child: Expression, bands: Int, bits: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if bands > 0 && bits > 0 && bits <= 63 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires (array<float>, bands>0, 0<bits<64)")
+  }
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "srp_bands"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.srpBands(a.asInstanceOf[ArrayData], bands, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.srpBands($a, $bands, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBands =
     copy(child = newChild)
 }
 

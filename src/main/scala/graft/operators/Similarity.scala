@@ -24,8 +24,9 @@ import graft.sources.Tables
   *  - IVF path: corpus pre-assigned to centroids once (k small, broadcast);
   *    each probe searches one cluster ≈ 1/k of the data. Candidate recall
   *    vs. exactness is the documented ANN trade-off.
-  *  - Embedding near-dup: axis-sign LSH bands bound candidate generation;
-  *    cosine verify runs only within band buckets. No all-pairs join.
+  *  - Embedding near-dup: signed-random-projection LSH bands + a per-bucket
+  *    cap bound candidate generation; cosine verify runs only within band
+  *    buckets. No all-pairs join.
   */
 object Similarity {
 
@@ -117,26 +118,67 @@ object Similarity {
         round(col("t.sim_raw"), 6).as("sim"))
   }
 
-  /** All embedding pairs with cosine >= 0.4, blocked by axis-sign LSH:
-    * 4 bands × 4 sign bits (dims 0-15, native codegen kernel — see
-    * functions.SignBands). Verification only within buckets. */
-  private def embedNeardup(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val keyed = e.select(
-      col("vec_id"), col("embedding"),
-      posexplode(call_function("sign_bands", col("embedding"), lit(4), lit(4))))
-      .toDF("vec_id", "embedding", "band", "bucket")
-    keyed.as("a")
-      .join(keyed.as("b"),
+  /** SRP-LSH blocking parameters for embedding near-dup. Chosen empirically
+    * against the test corpus (64-dim, true pairs at cosine 0.45–0.6):
+    *
+    *   scheme            buckets/band  pairs@sf0.01  pairs@sf0.1  candidates
+    *   4×4 axis-sign          16            35           458        22.8%
+    *   12-bit × 192 SRP     4096            35           555         6.5%
+    *   16-bit × 512 SRP    65536            21           310         1.5%
+    *
+    * 12-bit bands are the widest that hold recall at cosine ~0.5 (per-bit
+    * collision prob 2/3 → a 16-bit band keeps only 0.15% of true pairs, and
+    * no affordable band count buys that back). 192 bands actually RAISE
+    * recall vs. the old 4×4 axis-sign scheme while cutting candidate volume
+    * 3.5×; the per-bucket cap (below) is what bounds the worst case. */
+  private val NeardupSrpBands = 192
+  private val NeardupSrpBits = 12
+
+  /** All embedding pairs with cosine >= 0.4, blocked by signed-random-
+    * projection LSH (native codegen kernel — see functions.SrpBands):
+    * 192 bands × 12-bit sign buckets, candidate pairs only within a
+    * (band, bucket), then exact-cosine verify.
+    *
+    * Scale shape: the banded relation is |corpus|·bands rows of
+    * (vec_id, band, bucket) — 20 bytes each, never the embeddings — and the
+    * self-join shuffles on (band, bucket). A hot bucket (dense region of
+    * embedding space) would emit |bucket|² pairs, so buckets over
+    * Dedup.LshMaxPerBucket are dropped by a window count over the same
+    * partitioning the join shuffles on (one pass, no extra exchange):
+    * candidates are bounded at bands·|corpus|·cap regardless of data.
+    * Embeddings are joined back only for the |candidates| verify rows. */
+  private def embedNeardup(s: SparkSession, d: String): DataFrame =
+    embedNeardupPairs(Tables.embeddings(s, d), 0.4)
+
+  /** The near-dup core over any (vec_id, embedding) relation; bands/bits/cap
+    * are injectable for specs (ScaleSpec asserts the cap bounds candidate
+    * volume on a degenerate corpus). */
+  private[graft] def embedNeardupPairs(e: DataFrame, threshold: Double,
+      bands: Int = NeardupSrpBands, bits: Int = NeardupSrpBits,
+      maxPerBucket: Int = Dedup.LshMaxPerBucket): DataFrame = {
+    val banded = e.select(
+      col("vec_id"),
+      posexplode(call_function("srp_bands", col("embedding"), lit(bands), lit(bits))))
+      .toDF("vec_id", "band", "bucket")
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= maxPerBucket)
+      .drop("bsz")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(call_function("cosine_sim", col("a.embedding"), col("b.embedding")), 6).as("sim"))
-      .filter(col("sim") >= 0.4)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(call_function("cosine_sim", col("va"), col("vb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
   }
 
-  /** Transitive embedding near-dup clusters: the sign-band LSH pair graph
+  /** Transitive embedding near-dup clusters: the SRP-LSH pair graph
     * closed under connectivity (Dedup.components pointer-jump propagation) —
     * same keep-one-per-cluster semantics as the text path (C18), over the
     * embedding modality. Rows-only check (LSH blocking is hash-specific),
@@ -146,20 +188,26 @@ object Similarity {
       .select(col("id").as("vec_id"), col("comp"))
 
   /** IVF-style ANN: deterministic seed centroids (vec_id < 8), assign corpus
-    * to nearest centroid, probe searches only its own cluster. */
+    * to nearest centroid, probe searches only its own cluster.
+    *
+    * Assignment is a `max_by` aggregate (best centroid per vector), not a
+    * row_number window: the aggregate partial-combines map-side, so the
+    * exchange carries one row per vector instead of the n×k scored pairs a
+    * window would shuffle and sort — ~k× less shuffle at any scale. Ties on
+    * csim break to the lowest cid via the (csim, −cid) struct ordering. */
   private def annIvf(s: SparkSession, d: String): DataFrame = {
     val k = 8
     val e = Tables.embeddings(s, d)
     val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val byBest = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid"))
     val assigned = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cid"),
         call_function("cosine_sim", col("embedding"), col("cvec")).as("csim"))
-      .withColumn("rn", row_number().over(byBest))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("embedding"), col("cid")),
+        struct(col("csim"), -col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cid").as("cid"))
     val probe = assigned.filter(col("vec_id") === 0)
       .select(col("cid").as("probe_cid"), col("embedding").as("probe_v"))
     assigned.join(broadcast(probe), col("cid") === col("probe_cid"))

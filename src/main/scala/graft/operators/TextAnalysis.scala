@@ -82,25 +82,27 @@ object TextAnalysis {
   /** TF-IDF scoring: top term per document by tf·idf. Inverted document-
     * frequency join on hashed terms; the per-term df aggregation is
     * partial/map-side combined, so shuffle volume is O(distinct terms),
-    * not O(corpus). */
+    * not O(corpus). The top term is a `min_by` aggregate over the
+    * (−score, term) struct ordering — identical to ORDER BY score DESC,
+    * term ASC but partial-combining map-side, so the exchange carries one
+    * row per document instead of every scored (doc, term) pair a
+    * row_number window would shuffle and sort. */
   private def tfidf(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val nDocs = docs.select(countDistinct(col("doc_id")).as("nd"))
     val terms = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("raw_score").desc, col("term"))
     terms
       .join(df, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("raw_score", col("tf") * log((col("nd") + 1.0) / (col("df") + 1.0)))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("term").as("top_term"),
-        round(col("raw_score"), 4).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(struct(col("term"), col("raw_score")),
+        struct(-col("raw_score"), col("term"))).as("best"))
+      .select(col("doc_id"), col("best.term").as("top_term"),
+        round(col("best.raw_score"), 4).as("score"))
   }
 
   /** Gopher-style repetition signals: top-word concentration and duplicate

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, Literal}
 
-import graft.functions.{CharShingles, ContentFp, CosineSimilarity, DotProduct, DupNgramFrac, Hamming128, Int8Quantize, L2Norm, MinHashBands, MinHashSig, Q8Dot, Q8Scale, Q8Sum, SignBands, SimHash64, TopK, TopTokenFrac, Ulid, WordShingles, ZOrder2}
+import graft.functions.{CharShingles, ContentFp, CosineSimilarity, DotProduct, DupNgramFrac, Hamming128, Int8Quantize, L2Norm, MinHashBands, MinHashSig, Q8Dot, Q8Scale, Q8Sum, SignBands, SimHash64, SrpBands, TopK, TopTokenFrac, Ulid, WordShingles, ZOrder2}
 
 /** SparkSessionExtensions entry point: injects graft's native Catalyst
   * expressions into the SQL function registry, so `spark.sql` and
@@ -54,6 +54,9 @@ object GraftExtensions {
     ("sign_bands", info("sign_bands", "axis-sign LSH band buckets of an array<float>"),
       (args: Seq[Expression]) => SignBands(args(0),
         litInt(args(1), "sign_bands bands"), litInt(args(2), "sign_bands bits"))),
+    ("srp_bands", info("srp_bands", "signed-random-projection LSH band buckets of an array<float>"),
+      (args: Seq[Expression]) => SrpBands(args(0),
+        litInt(args(1), "srp_bands bands"), litInt(args(2), "srp_bands bits"))),
     ("simhash64", info("simhash64", "64-bit SimHash of an array<string> of tokens"),
       (args: Seq[Expression]) => SimHash64(args(0))),
     ("minhash_sig", info("minhash_sig", "k-permutation MinHash signature of array<string>"),

@@ -103,6 +103,16 @@ class QueryPlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("tfidf and ann_ivf best-per-group are aggregates, not windows") {
+    // min_by/max_by partial-combine map-side: the exchange carries one row
+    // per group, where a row_number window shuffles and sorts every scored
+    // pair (r3 verdict item)
+    Seq("q_tfidf", "q_ann_ivf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q should not window:\n$p")
+    }
+  }
+
   test("every registered query executes and returns rows at sf0.001") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       try {

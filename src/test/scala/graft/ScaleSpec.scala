@@ -98,6 +98,24 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("embedding near-dup: per-bucket cap bounds candidate volume") {
+    GraftSession.prepare(spark)
+    val s = spark
+    import s.implicits._
+    // 24 identical vectors: every band bucket holds all 24, so with a cap
+    // below 24 every bucket is dropped and NO candidate pairs are emitted —
+    // the structural bound that keeps a degenerate (boilerplate) corpus
+    // from going quadratic. With the cap above 24 all 276 pairs verify.
+    val e = (0L until 24L).map(i => (i, Seq(1f, 2f, -3f, 4f, 0.5f, -1f, 2f, 1f)))
+      .toDF("vec_id", "embedding")
+    val capped = graft.operators.Similarity
+      .embedNeardupPairs(e, 0.9, bands = 8, bits = 12, maxPerBucket = 10)
+    assert(capped.count() == 0, "over-cap buckets must be dropped")
+    val uncapped = graft.operators.Similarity
+      .embedNeardupPairs(e, 0.9, bands = 8, bits = 12, maxPerBucket = 1000)
+    assert(uncapped.count() == 24L * 23 / 2)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     GraftSession.prepare(spark)
     val approx = SparkEntry.queries("q_approx_distinct")(spark, sfDir)

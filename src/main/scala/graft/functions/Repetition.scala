@@ -20,11 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
 object RepetitionKernels {
 
   /** count(most frequent word) / count(words) over the single-space
-    * tokenization; 0.0 for empty text. One pass, one open-addressing-free
-    * HashMap of the doc's vocabulary. */
+    * tokenization. Empty text scores 1.0: split("", -1) yields one empty
+    * token (as does DuckDB's string_split, so the oracle agrees), and a
+    * one-token doc is maximally repetitive by this signal's definition.
+    * One pass, one HashMap of the doc's vocabulary. */
   def topTokenFrac(text: UTF8String): Double = {
     val toks = text.toString.split(" ", -1)
-    if (toks.length == 0) return 0.0
     val counts = new java.util.HashMap[String, Int]()
     var max = 0
     var i = 0

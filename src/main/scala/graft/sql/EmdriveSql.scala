@@ -114,6 +114,8 @@ object EmdriveSql {
   final case class VNum(s: String) extends Value
   final case class VStr(s: String) extends Value
   final case class VBits(v: BigInt) extends Value
+  final case class VBool(b: Boolean) extends Value
+  case object VNull extends Value
   final case class VFunc(name: String) extends Value // ULID | NOW
 
   sealed trait SelectItem
@@ -134,6 +136,10 @@ object EmdriveSql {
   final case class Cmp(lhs: Operand, op: String, rhs: Operand)
 
   sealed trait Statement
+  /** SHOW TABLES / DESCRIBE t — the reference's system-catalog surface
+    * (src/storage/system.rs:5-16 `system.tables` / `system.columns`). */
+  case object ShowTables extends Statement
+  final case class Describe(table: String) extends Statement
   final case class CreateTable(name: String, ifNotExists: Boolean,
       schema: StructType) extends Statement
   final case class Insert(table: String, columns: Seq[String],
@@ -169,17 +175,23 @@ object EmdriveSql {
       case TWord(f) :: TSym("(") :: TSym(")") :: rest
           if f.equalsIgnoreCase("ulid") || f.equalsIgnoreCase("now") =>
         toks = rest; VFunc(f.toUpperCase)
+      // NULL / TRUE / FALSE literals (reference: src/sql/expects/semantic.rs:88-93
+      // lowers Keyword::Null to DataInstance::Null)
+      case TWord(w) :: rest if w.equalsIgnoreCase("null") => toks = rest; VNull
+      case TWord(w) :: rest if w.equalsIgnoreCase("true") => toks = rest; VBool(true)
+      case TWord(w) :: rest if w.equalsIgnoreCase("false") => toks = rest; VBool(false)
       case TNum(s) :: rest => toks = rest; VNum(s)
       case TSym("-") :: TNum(s) :: rest => toks = rest; VNum("-" + s)
       case TStr(s) :: rest => toks = rest; VStr(s)
       case TBits(v) :: rest => toks = rest; VBits(v)
-      case _ => fail("literal or ULID()/NOW()")
+      case _ => fail("literal, NULL, TRUE/FALSE, or ULID()/NOW()")
     }
   }
 
   private val Keywords = Set("CREATE", "TABLE", "IF", "NOT", "EXISTS", "INSERT",
     "INTO", "VALUES", "SELECT", "FROM", "WHERE", "AS", "AND",
-    "GROUP", "BY", "HAVING", "ORDER", "LIMIT", "ASC", "DESC")
+    "GROUP", "BY", "HAVING", "ORDER", "LIMIT", "ASC", "DESC",
+    "NULL", "TRUE", "FALSE", "SHOW", "TABLES", "DESCRIBE")
 
   private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
 
@@ -189,7 +201,9 @@ object EmdriveSql {
       if (p.tryWord("CREATE")) parseCreate(p)
       else if (p.tryWord("INSERT")) parseInsert(p)
       else if (p.tryWord("SELECT")) parseSelect(p)
-      else p.fail("CREATE, INSERT or SELECT")
+      else if (p.tryWord("SHOW")) { p.eatWord("TABLES"); ShowTables }
+      else if (p.tryWord("DESCRIBE")) Describe(p.ident())
+      else p.fail("CREATE, INSERT, SELECT, SHOW TABLES or DESCRIBE")
     p.trySym(";")
     if (!p.done) p.fail("end of statement")
     stmt
@@ -287,7 +301,17 @@ object EmdriveSql {
       } else Seq.empty
     val limit =
       if (p.tryWord("LIMIT")) p.toks match {
-        case TNum(s) :: rest if !s.contains('.') => p.toks = rest; Some(s.toLong)
+        case TNum(s) :: rest if !s.contains('.') =>
+          p.toks = rest
+          val nRows = try s.toLong catch {
+            case _: NumberFormatException => p.fail("integer LIMIT in [0, 2^31)")
+          }
+          // bounds-check here instead of silently wrapping at the Int cast
+          // in the lowering (LIMIT 5000000000 used to become 705032704)
+          if (nRows < 0 || nRows > Int.MaxValue.toLong)
+            throw new IllegalArgumentException(
+              s"LIMIT must be in [0, ${Int.MaxValue}], got $nRows in: ${p.input}")
+          Some(nRows)
         case _ => p.fail("integer LIMIT")
       } else None
     Select(items.toSeq, table, where.toSeq, groupBy, having.toSeq, orderBy, limit)
@@ -362,7 +386,48 @@ final class EmdriveSession(spark: SparkSession) {
   def open(name: String, path: String): Unit =
     catalog(name) = spark.read.parquet(path)
 
+  /** `system.tables` analog (reference: src/storage/system.rs:5-16): one
+    * row per registered table. The reference keys by storage UUID; here
+    * the name IS the identity, so the id column is dropped. */
+  def systemTables(): DataFrame = {
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    catalog.keys.toSeq.sorted.foreach { n =>
+      rows.add(Row(n, catalog(n).schema.fields.length))
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("table_name", StringType, nullable = false),
+      StructField("n_columns", IntegerType, nullable = false))))
+  }
+
+  /** `system.columns` analog (reference: src/storage/system.rs Columns):
+    * one row per column of every registered table, with the Spark SQL type,
+    * nullability, and the emdrive key roles from the schema metadata. */
+  def systemColumns(): DataFrame = {
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    catalog.keys.toSeq.sorted.foreach { n =>
+      catalog(n).schema.fields.zipWithIndex.foreach { case (f, i) =>
+        rows.add(Row(n, f.name, i, f.dataType.sql, f.nullable,
+          f.metadata.contains(SchemaMapper.PrimaryKeyMetadata),
+          f.metadata.contains("graft.metricKey")))
+      }
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("table_name", StringType, nullable = false),
+      StructField("column_name", StringType, nullable = false),
+      StructField("ordinal", IntegerType, nullable = false),
+      StructField("data_type", StringType, nullable = false),
+      StructField("is_nullable", BooleanType, nullable = false),
+      StructField("primary_key", BooleanType, nullable = false),
+      StructField("metric_key", BooleanType, nullable = false))))
+  }
+
   def sql(text: String): DataFrame = EmdriveSql.parse(text) match {
+    case ShowTables => systemTables()
+
+    case Describe(name) =>
+      table(name) // unknown-table error, same as SELECT
+      systemColumns().filter(col("table_name") === name).drop("table_name")
+
     case CreateTable(name, ifNotExists, schema) =>
       if (!catalog.contains(name) || !ifNotExists) {
         require(ifNotExists || !catalog.contains(name), s"table exists: $name")
@@ -383,7 +448,7 @@ final class EmdriveSession(spark: SparkSession) {
         val given = named.zip(vs).toMap
         val projected = schema.fields.map { f =>
           given.get(f.name) match {
-            case Some(v) => valueCol(v, f.dataType).as(f.name)
+            case Some(v) => valueCol(v, f).as(f.name)
             case None => defaultCol(f).as(f.name)
           }
         }
@@ -500,6 +565,9 @@ final class EmdriveSession(spark: SparkSession) {
       case OVal(VNum(s)) => if (s.contains('.')) lit(s.toDouble) else lit(s.toLong)
       case OVal(VStr(s)) => lit(s)
       case OVal(VBits(v)) => lit(v.longValue)
+      case OVal(VBool(b)) => lit(b)
+      // ANSI comparison-with-NULL: yields NULL, so WHERE drops the row
+      case OVal(VNull) => lit(null)
       case OVal(f: VFunc) => funcCol(f)
     }
     val (l, r) = (operand(cmp.lhs), operand(cmp.rhs))
@@ -518,13 +586,23 @@ final class EmdriveSession(spark: SparkSession) {
     case "NOW" => now()
   }
 
-  private def valueCol(v: Value, dt: DataType): Column = v match {
-    case f: VFunc => funcCol(f).cast(dt)
-    case VNum(s) => lit(new java.math.BigDecimal(s)).cast(dt)
-    case VStr(s) => lit(s).cast(dt)
-    case VBits(b) => dt match {
-      case BinaryType => lit(bits128(b))
-      case _ => lit(b.longValue).cast(dt)
+  private def valueCol(v: Value, field: StructField): Column = {
+    val dt = field.dataType
+    v match {
+      case f: VFunc => funcCol(f).cast(dt)
+      case VNum(s) => lit(new java.math.BigDecimal(s)).cast(dt)
+      case VStr(s) => lit(s).cast(dt)
+      case VBool(b) => lit(b).cast(dt)
+      case VNull =>
+        // explicit NULL honors the reference's NOT-NULL-by-default rule:
+        // only NULLABLE(T) columns accept it
+        if (!field.nullable) throw new IllegalArgumentException(
+          s"cannot insert NULL into NOT NULL column ${field.name}")
+        lit(null).cast(dt)
+      case VBits(b) => dt match {
+        case BinaryType => lit(bits128(b))
+        case _ => lit(b.longValue).cast(dt)
+      }
     }
   }
 
@@ -538,7 +616,7 @@ final class EmdriveSession(spark: SparkSession) {
         case EmdriveSql.Insert(_, _, Seq(Seq(value))) => value
         case other => throw new IllegalArgumentException(s"bad DEFAULT $raw: $other")
       }
-      valueCol(v, f.dataType)
+      valueCol(v, f)
     } else if (f.nullable) lit(null).cast(f.dataType)
     else throw new IllegalArgumentException(
       s"column ${f.name} is NOT NULL with no DEFAULT and no value given")

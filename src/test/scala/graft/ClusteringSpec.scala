@@ -29,6 +29,10 @@ class ClusteringSpec extends SparkTestBase {
     assert(BitKernels.interleave2(1L, 0L) == 1L) // a bit 0 -> code bit 0
     assert(BitKernels.interleave2(0L, 1L) == 2L) // b bit 0 -> code bit 1
     assert(BitKernels.interleave2(3L, 3L) == 15L)
+    // keys outside the 31-bit domain are rejected, not silently aliased
+    intercept[IllegalArgumentException](BitKernels.interleave2(1L << 31, 0L))
+    intercept[IllegalArgumentException](BitKernels.interleave2(0L, -1L))
+    assert(BitKernels.interleave2((1L << 31) - 1, (1L << 31) - 1) == -1L >>> 2)
     // codegen path through the registry agrees with the kernel
     GraftSession.prepare(spark)
     val r = spark.sql("SELECT zorder2(5L, 9L) AS z").head().getLong(0)

@@ -247,6 +247,72 @@ object Similarity {
       .limit(10)
   }
 
+  /** Embedding-level benchmark decontamination: for each eval-split vector,
+    * the number of train-split vectors that are near-duplicates (cosine ≥
+    * 0.4) — the semantic twin of the shingle-based C24 decontamination, for
+    * when paraphrased eval leakage survives text-level checks. Splits come
+    * from Sampling.bucketOf (deterministic); candidate pairs come from the
+    * same capped SRP-LSH blocking as q_embed_neardup, so the scan never
+    * goes all-pairs. Rows-only check (LSH blocking is hash-specific). */
+  private def embedDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val p = embedNeardupPairs(Tables.embeddings(s, d), 0.4)
+      .select(col("id_a"), col("id_b"),
+        Sampling.bucketOf(col("id_a"), 100).as("ba"),
+        Sampling.bucketOf(col("id_b"), 100).as("bb"))
+    p.filter(col("ba") >= 90 && col("bb") < 90).select(col("id_a").as("vec_id"))
+      .unionByName(
+        p.filter(col("bb") >= 90 && col("ba") < 90).select(col("id_b").as("vec_id")))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
+  /** Labeled k-NN classification: predict each held-out probe's label by
+    * majority vote of its 5 nearest train-split neighbours — the standard
+    * embedding-quality eval a training pipeline runs after every encoder
+    * change. One corpus scan: probes broadcast, per-probe top-5 via the
+    * bounded-heap `top_k` aggregate (the shuffle carries 5 rows per probe,
+    * not the |corpus|·|probes| score matrix), then a `min_by` over
+    * (−votes, label) picks the majority with deterministic ties. */
+  private def knnLabel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        col("label").as("true_label"))
+    val top = e.filter(col("vec_id") >= 50)
+      .crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("true_label"), col("label"),
+        call_function("cosine_sim", col("embedding"), col("pv")).as("sim"),
+        col("vec_id"))
+      .groupBy(col("probe_id"), col("true_label"))
+      .agg(call_function("top_k",
+        struct(col("sim"), (-col("vec_id")).as("neg"), col("label")), lit(5)).as("t"))
+      .select(col("probe_id"), col("true_label"), explode(col("t")).as("nb"))
+    top
+      .groupBy(col("probe_id"), col("true_label"),
+        col("nb.label").as("pred_label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("probe_id"), col("true_label"))
+      .agg(min_by(col("pred_label"),
+        struct(-col("votes"), col("pred_label"))).as("pred_label"))
+  }
+
+  /** Per-label class-prototype centroids in exact fixed point: components
+    * land on the 2^-20 grid via floor(v·2^20 + 0.5) — deterministic in any
+    * engine (float→double and power-of-two scaling are exact; floor has no
+    * tie cases) — then SUM as integers. Ships (Σq, n) instead of the mean
+    * so no float division enters the comparison; centroid = Σq/n/2^20.
+    * This is the prototype/bootstrap step of IVF builds and the per-class
+    * drift monitor of a labeled corpus; explode → partial-aggregate means
+    * the shuffle carries one row per (label, dim), not per vector. */
+  private def embedCentroid(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "pos", "v")
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        sum(floor(col("v").cast("double") * 1048576.0 + 0.5).cast("long")).as("sum_q"),
+        count(lit(1)).as("n"))
+
   /** L2 norms via the native codegen kernel. */
   private def embedNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -275,6 +341,9 @@ object Similarity {
     "q_embed_neardup" -> embedNeardup _,
     "q_embed_components" -> embedComponents _,
     "q_ann_ivf" -> annIvf _,
+    "q_embed_decontaminate" -> embedDecontaminate _,
+    "q_knn_label" -> knnLabel _,
+    "q_embed_centroid" -> embedCentroid _,
     "q_embed_norm" -> embedNorm _,
     "q_embed_normalize" -> embedNormalize _,
     "q_quantize" -> quantize _,
@@ -346,6 +415,32 @@ object Similarity {
         |   ELSE list_sum(list_transform(v, x -> floor(x / scale + 0.5)))
         | END AS BIGINT) AS q_sum
         |FROM s""".stripMargin,
+    "q_knn_label" ->
+      """WITH p AS (
+        | SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv,
+        |  label AS true_label
+        | FROM embeddings WHERE vec_id < 50),
+        |s AS (
+        | SELECT probe_id, true_label, e.label, e.vec_id,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), pv) AS sim
+        | FROM embeddings e CROSS JOIN p WHERE e.vec_id >= 50),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn FROM s),
+        |v AS (SELECT probe_id, true_label, label, count(*) AS votes
+        | FROM r WHERE rn <= 5 GROUP BY 1, 2, 3),
+        |b AS (SELECT probe_id, true_label, label AS pred_label,
+        |  row_number() OVER (
+        |   PARTITION BY probe_id ORDER BY votes DESC, label) AS rn2 FROM v)
+        |SELECT probe_id, true_label, pred_label FROM b WHERE rn2 = 1""".stripMargin,
+    "q_embed_centroid" ->
+      """WITH u AS (
+        | SELECT label, unnest(embedding) AS v,
+        |  generate_subscripts(embedding, 1) AS i
+        | FROM embeddings)
+        |SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+        | CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q,
+        | count(*) AS n
+        |FROM u GROUP BY label, pos""".stripMargin,
     "q_embed_norm" ->
       """SELECT vec_id,
         | round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),

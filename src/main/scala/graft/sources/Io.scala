@@ -43,4 +43,37 @@ object Io {
     spark.createDataFrame(rows.asJava, schema)
       .write.mode(SaveMode.Append).parquet(path)
   }
+
+  /** Schema-evolution read: unions the column sets of every parquet file
+    * under `path` (columns absent in older files surface as NULL). The
+    * append-only-table reality at 100 TB: yesterday's files predate today's
+    * added column, and rewriting 100 TB to backfill is not an option.
+    * mergeSchema costs a footer read per file — use it on evolving tables,
+    * not as the default (the default read trusts one footer). */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetBytes) files. Incremental ingest (streaming sinks,
+    * frequent INSERT batches) accretes thousands of KB-scale files whose
+    * per-file open/footer cost dominates scans and whose row groups are too
+    * small to skip on; periodic compaction is how a 100 TB table keeps
+    * scan throughput. Sizing reads the FILES' on-disk footprint (no data
+    * scan); the rewrite is one pass. Returns the new file count. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hadoopPath).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // swap: point the table path at the compacted files. On a real
+    // deployment this swap is the table-format commit (Delta/Iceberg); on
+    // raw directories it is rename-based and briefly non-atomic.
+    fs.delete(hadoopPath, true)
+    require(fs.rename(tmp, hadoopPath), s"compaction rename failed for $path")
+    nFiles
+  }
 }

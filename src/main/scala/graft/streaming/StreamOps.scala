@@ -12,6 +12,9 @@ case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
 /** A near-dup candidate: two docs sharing a MinHash band bucket. */
 case class NearDupCandidate(band_bucket: Long, earlier_id: Long, later_id: Long)
 
+/** One embedding on the stream (incremental-ingest dedup input). */
+case class StreamVec(vec_id: Long, ts: Timestamp, embedding: Array[Float])
+
 /** One event on the stream (event-time in millis carried as Timestamp). */
 case class StreamEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
 
@@ -82,6 +85,37 @@ object StreamOps {
           if (members.nonEmpty) state.update(members)
           out.iterator
       }
+  }
+
+  /** Streaming embedding near-dup against a static corpus (the incremental
+    * twin of the batch q_embed_decontaminate / q_dedup_incremental ops):
+    * each arriving vector is SRP-LSH banded with the same `srp_bands`
+    * kernel as the batch path and joined to the corpus's (band, bucket)
+    * index; cosine-verify keeps only true near-dups. Both joins are
+    * stream-static — stateless per micro-batch, no streaming state at all.
+    *
+    * Scale shape: the corpus index carries (corpus_id, band, bucket) rows,
+    * never the vectors; full vectors join back only for the candidate
+    * rows. A pair colliding in several bands is emitted once per band
+    * (same sim value) — distinct() is the downstream batch stage, exactly
+    * like the batch LSH operator's contract. */
+  def embedNearDupAgainstCorpus(vecs: Dataset[StreamVec], corpus: DataFrame,
+      threshold: Double = 0.4, bands: Int = 192, bits: Int = 12): DataFrame = {
+    val sIdx = vecs.toDF()
+      .select(col("vec_id"), col("embedding"),
+        posexplode(call_function("srp_bands", col("embedding"), lit(bands), lit(bits))))
+      .toDF("vec_id", "embedding", "band", "bucket")
+    val cIdx = corpus
+      .select(col("vec_id").as("corpus_id"),
+        posexplode(call_function("srp_bands", col("embedding"), lit(bands), lit(bits))))
+      .toDF("corpus_id", "band", "bucket")
+    val cVec = corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+    sIdx.join(cIdx, Seq("band", "bucket"))
+      .select(col("vec_id"), col("embedding"), col("corpus_id"))
+      .join(cVec, "corpus_id")
+      .select(col("vec_id"), col("corpus_id"),
+        call_function("cosine_sim", col("embedding"), col("cv")).as("sim"))
+      .filter(col("sim") >= threshold)
   }
 
   /** Stream-static enrichment join (D8): each micro-batch joins against a

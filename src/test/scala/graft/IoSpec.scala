@@ -55,4 +55,34 @@ class IoSpec extends SparkTestBase {
     assert(back.count() == 3)
     assert(back.filter("v IS NULL").count() == 1)
   }
+
+  test("readEvolved merges schemas across file generations") {
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
+    // generation 1: (id); generation 2 adds a column
+    spark.createDataFrame(
+      java.util.List.of(Row(1L)),
+      StructType(Seq(StructField("id", LongType)))).write.parquet(dir)
+    spark.createDataFrame(
+      java.util.List.of(Row(2L, "fresh")),
+      StructType(Seq(StructField("id", LongType), StructField("tag", StringType))))
+      .write.mode("append").parquet(dir)
+    val merged = Io.readEvolved(spark, dir)
+    assert(merged.columns.toSet == Set("id", "tag"))
+    val byId = merged.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(byId == Map(1L -> None, 2L -> Some("fresh")))
+  }
+
+  test("compact rewrites a many-file table into the target file count") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    import org.apache.spark.sql.functions.col
+    spark.range(0, 1000).select(col("id")).repartition(40).write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles == 40)
+    val n = Io.compact(spark, dir, targetBytes = 1L * 1024 * 1024 * 1024)
+    assert(n == 1 && parquetFiles == 1)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) == 499500L)
+  }
 }

@@ -63,6 +63,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming embed near-dup vs static corpus: dup flagged, orthogonal not (D10)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    GraftSession.prepare(spark)
+    val a = Array(0.9f, 0.1f, -0.3f, 0.5f, 0.2f, -0.7f, 0.4f, 0.1f)
+    val corpus = Seq((100L, a), (101L, Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val input = MemoryStream[graft.streaming.StreamVec]
+    val q = StreamOps.embedNearDupAgainstCorpus(input.toDS(), corpus)
+      .writeStream.format("memory").queryName("embed_dup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // vec 1 is (nearly) the corpus vector 100; vec 2 is orthogonal to both
+      input.addData(
+        graft.streaming.StreamVec(1, new Timestamp(0), a.map(_ * 1.01f)),
+        graft.streaming.StreamVec(2, new Timestamp(1),
+          Array(0.1f, -0.9f, 0f, 0f, 0f, 0f, 0f, 0f)))
+      q.processAllAvailable()
+      val pairs = spark.table("embed_dup_out")
+        .select("vec_id", "corpus_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 100L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join is stateless and broadcast (D8)") {
     val s = spark
     import s.implicits._

@@ -264,6 +264,65 @@ object Dedup {
       Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh")), 0.5))
       .select(col("id").as("doc_id"), col("comp"))
 
+  /** Token-window length for substring-level dedup: two documents are
+    * substring-dups when they share ANY run of `WindowK` consecutive
+    * tokens (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" — their 50-token criterion, scaled to this corpus's
+    * 10-110-token documents). */
+  val WindowK = 15
+
+  /** Df cut for the window index: a window appearing in more than this
+    * many documents is boilerplate (license headers, navigation chrome) —
+    * it gets dropped from the index rather than allowed to emit |df|²/2
+    * candidate pairs. Same role as WordMaxDf/NgramMaxDf above; at test
+    * scale no window reaches it. */
+  val WindowMaxDf = 100
+
+  /** Substring-level near-dup: document pairs sharing >= 1 window of
+    * `WindowK` consecutive tokens, with the count of shared distinct
+    * windows. The scale shape is the inverted-index one: windows hash to
+    * 8-byte `xxhash64` postings (the self-join never shuffles window
+    * strings), the df cut bounds candidate volume linearly, and the pair
+    * aggregation partial-combines map-side. Unlike Jaccard near-dup this
+    * catches partial overlap — a document that embeds another's paragraph
+    * verbatim shares windows but can sit far below any whole-set Jaccard
+    * threshold. */
+  private def windowDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(call_function("word_shingles", col("text"), lit(WindowK))).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= WindowMaxDf)
+    inv.as("a")
+      .join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Keep-one policy over near-dup clusters: every document mapped to its
+    * cluster's canonical representative (the smallest doc_id — components'
+    * labels ARE the component minima), with singletons canonical to
+    * themselves. This is the materialization step after transitive closure:
+    * `filter(is_canonical)` is the deduped corpus, and the (doc_id →
+    * canonical_id) mapping is what provenance/repro tooling keeps. Scale
+    * shape: the label side only contains documents that appear in some
+    * near-dup pair — a small fraction of any real corpus — so the left
+    * join is AQE-broadcast against the full scan; no hard broadcast hint,
+    * so a degenerate corpus (everything near-dup) degrades to a shuffle
+    * join instead of an OOM. */
+  private def dedupCanonical(s: SparkSession, d: String): DataFrame = {
+    val comp = components(jaccardPairs(
+      Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh")), 0.5))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(comp, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("canonical_id"),
+        (coalesce(col("comp"), col("doc_id")) === col("doc_id")).as("is_canonical"))
+  }
+
   /** 64-bit SimHash fingerprint per document (native codegen expression). */
   private def simhash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -318,7 +377,9 @@ object Dedup {
     "q_dedup_ngram" -> dedupNgram _,
     "q_minhash_lsh" -> minhashLsh _,
     "q_simhash" -> simhash _,
-    "q_dedup_components" -> dedupComponents _
+    "q_dedup_components" -> dedupComponents _,
+    "q_window_dedup" -> windowDedup _,
+    "q_dedup_canonical" -> dedupCanonical _
   )
 
   /** Shared oracle CTE chain producing the word-3-shingle df-cut pair graph
@@ -382,6 +443,35 @@ object Dedup {
          | SELECT e2.src AS id, w.comp AS comp
          | FROM edges e2 JOIN walk w ON w.id = e2.dst)
          |SELECT id AS doc_id, min(comp) AS comp FROM walk GROUP BY id""".stripMargin,
+    "q_window_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 14),
+        |   i -> array_to_string(list_slice(w, i+1, i+15), ' ')))) AS s FROM t),
+        |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        |e AS (SELECT doc_id, sh.s FROM sh JOIN keep ON sh.s = keep.s)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE $wordPairCtes,
+         |pairs AS (
+         | SELECT id_a, id_b FROM p
+         | JOIN cnt ca ON id_a = ca.doc_id
+         | JOIN cnt cb ON id_b = cb.doc_id
+         | WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5),
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |walk AS (
+         | SELECT src AS id, src AS comp FROM edges
+         | UNION
+         | SELECT e2.src AS id, w.comp AS comp
+         | FROM edges e2 JOIN walk w ON w.id = e2.dst),
+         |lab AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+         |SELECT d.doc_id,
+         | coalesce(l.comp, d.doc_id) AS canonical_id,
+         | coalesce(l.comp, d.doc_id) = d.doc_id AS is_canonical
+         |FROM documents d LEFT JOIN lab l ON d.doc_id = l.id""".stripMargin,
     "q_dedup_ngram" ->
       """WITH e0 AS (
         | SELECT doc_id, unnest(list_distinct(list_transform(range(strlen(text) - 4),

@@ -63,10 +63,29 @@ object Sampling {
         expr(s"(cum - n_tokens) div $budget").as("bin"))
   }
 
+  /** Mixture reweighting: per-language corpus share and the sampling
+    * weight that rebalances the mixture to uniform over languages
+    * (weight_l = total / (k · n_l), so Σ_l n_l · weight_l / total = 1 with
+    * equal per-language mass) — the reweighting step of multilingual
+    * pretraining mixes. One tiny partial-combined groupBy (k rows) plus a
+    * broadcast of the two global scalars: shuffle volume is O(languages),
+    * independent of corpus size. Both ratios are one IEEE division over
+    * exact integers — bitwise cross-engine, shipped unrounded. */
+  private def mixWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tot = docs.agg(count(lit(1)).as("total"), countDistinct(col("lang")).as("k"))
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        (col("n_docs") * lit(1.0) / col("total")).as("share"),
+        (col("total") * lit(1.0) / (col("k") * col("n_docs"))).as("weight"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_split" -> sampleSplit _,
     "q_sample_mix" -> sampleMix _,
-    "q_pack_bins" -> packBins _
+    "q_pack_bins" -> packBins _,
+    "q_mix_weights" -> mixWeights _
   )
 
   val oracles: Map[String, String] = Map(
@@ -88,6 +107,13 @@ object Sampling {
         | CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |  - n_tokens) // 1000 AS BIGINT) AS bin
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+    "q_mix_weights" ->
+      """WITH g AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT count(*) AS total, count(DISTINCT lang) AS k FROM documents)
+        |SELECT lang, n_docs,
+        | n_docs * 1.0 / total AS share,
+        | total * 1.0 / (k * n_docs) AS weight
+        |FROM g CROSS JOIN t""".stripMargin
   )
 }

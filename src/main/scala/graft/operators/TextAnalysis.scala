@@ -119,6 +119,51 @@ object TextAnalysis {
       call_function("dup_ngram_frac", col("text"), lit(2)).as("dup_bigram_frac"),
       call_function("dup_ngram_frac", col("text"), lit(3)).as("dup_trigram_frac"))
 
+  /** Policy-denylist scrubbing: per-document denylist hit count, hit
+    * fraction, and the text with denylisted tokens masked — the
+    * blocklist-filtering step of a pretraining pipeline (profanity / PII
+    * term / unwanted-domain vocab removal). Token-level membership rather
+    * than a regex: exact and engine-portable (no regex-dialect drift
+    * between engines), and per-row scan work — shuffle-free, column-pruned
+    * to (doc_id, text) at 100 TB. The hit fraction is a ratio of two exact
+    * ints (one IEEE division, bitwise cross-engine, ships unrounded). */
+  val Denylist: Seq[String] = Seq("customer", "vector", "spark")
+
+  private def denylist(s: SparkSession, d: String): DataFrame = {
+    val hits = size(filter(toks, x => x.isInCollection(Denylist)))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      hits.as("n_hits"),
+      (hits * lit(1.0) / size(toks)).as("hit_frac"),
+      array_join(
+        transform(toks, x => when(x.isInCollection(Denylist), lit("[X]")).otherwise(x)),
+        " ").as("scrubbed"))
+  }
+
+  /** Gopher-style composite quality gate (Rae et al. 2021 §A1.1 rules,
+    * adapted to this corpus's scale): per-document boolean rule flags and
+    * the conjunctive keep decision. Every rule is a comparison of exact
+    * integer counts or of a double produced by the identical op sequence
+    * in both engines (mean-length ratio, top-token fraction) — comparisons
+    * of bitwise-equal doubles are engine-portable, so the booleans hash
+    * exactly. Per-row, shuffle-free, scan-speed at 100 TB. */
+  private def gopherFlags(s: SparkSession, d: String): DataFrame = {
+    val nTokens = size(toks)
+    val meanLen = (length(col("text")) - (nTokens - lit(1))) * lit(1.0) / nTokens
+    val stopHits = size(filter(toks, x => x.isInCollection(EnStopwords)))
+    val okWords = nTokens.between(20, 100000)
+    val okMeanLen = meanLen.between(3.0, 10.0)
+    val okRep = call_function("top_token_frac", col("text")) <= 0.2
+    val okStop = stopHits >= 2
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      okWords.as("ok_words"),
+      okMeanLen.as("ok_mean_len"),
+      okRep.as("ok_repetition"),
+      okStop.as("ok_stopwords"),
+      (okWords && okMeanLen && okRep && okStop).as("keep"))
+  }
+
   /** Corpus vocabulary heavy hitters: global token frequencies, top-N.
     * explode → partial (map-side) count → final count → TakeOrdered: the
     * shuffle carries one row per distinct token per mapper, not per token
@@ -149,7 +194,9 @@ object TextAnalysis {
     "q_token_count" -> tokenCount _,
     "q_fingerprint" -> fingerprint _,
     "q_repetition" -> repetition _,
-    "q_vocab" -> vocab _
+    "q_vocab" -> vocab _,
+    "q_denylist" -> denylist _,
+    "q_gopher_flags" -> gopherFlags _
   )
 
   val oracles: Map[String, String] = Map(
@@ -220,6 +267,40 @@ object TextAnalysis {
       """SELECT word, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY n DESC, word LIMIT 25""".stripMargin,
+    "q_denylist" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split(text, ' '),
+        |   t -> t IN ('customer','vector','spark'))) AS INTEGER) AS n_hits,
+        | len(list_filter(string_split(text, ' '),
+        |   t -> t IN ('customer','vector','spark'))) * 1.0
+        |   / len(string_split(text, ' ')) AS hit_frac,
+        | array_to_string(list_transform(string_split(text, ' '),
+        |   t -> CASE WHEN t IN ('customer','vector','spark')
+        |        THEN '[X]' ELSE t END), ' ') AS scrubbed
+        |FROM documents""".stripMargin,
+    "q_gopher_flags" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |wc AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+        |tw AS (SELECT doc_id,
+        |  CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_frac
+        | FROM wc GROUP BY 1),
+        |t AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','of','and','to','in','is'))) AS INTEGER) AS stop_hits
+        | FROM documents),
+        |f AS (
+        | SELECT doc_id,
+        |  n_tokens BETWEEN 20 AND 100000 AS ok_words,
+        |  (n_chars - (n_tokens - 1)) * 1.0 / n_tokens BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+        |  top_frac <= 0.2 AS ok_repetition,
+        |  stop_hits >= 2 AS ok_stopwords
+        | FROM t JOIN tw USING (doc_id))
+        |SELECT doc_id, ok_words, ok_mean_len, ok_repetition, ok_stopwords,
+        | ok_words AND ok_mean_len AND ok_repetition AND ok_stopwords AS keep
+        |FROM f""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(

@@ -369,9 +369,48 @@ object Dedup {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Bloom-prefiltered incremental dedup: same semantics as
+    * [[dedupIncremental]], but the delta probes a corpus bloom sketch
+    * BEFORE the exact anti-join. `bloom_agg` builds the filter as one
+    * partial-combined aggregate over `xxhash64(text)` (8-byte inputs, a
+    * ~1 MB binary result); the scalar subquery makes it a query-local
+    * constant every probe task holds. Delta rows split into:
+    *   - not-in-bloom → provably new (blooms have no false negatives),
+    *     emitted with NO join at all;
+    *   - maybe-in-bloom → the only rows that reach the exact anti-join
+    *     (true dups + the fpp% false positives).
+    * At 100 TB the corpus side of the join is the expensive relation, and
+    * the bloom cuts the delta rows that must probe it from 100% to
+    * dup-rate + fpp — the standard daily-ingest shape. Sizing: est items /
+    * bits are literals here (test scale); a production build sizes them
+    * from the corpus fingerprint count. Oracle: identical result to plain
+    * incremental dedup — the bloom only prunes, never decides. */
+  private def bloomIncremental(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("graft_bloom_docs")
+    s.sql(s"""
+      |WITH base AS (
+      |  SELECT doc_id, source, text,
+      |         ((doc_id % ${Sampling.P}) * ${Sampling.A}) % ${Sampling.P} % 100 AS b
+      |  FROM graft_bloom_docs),
+      |probe AS (
+      |  SELECT doc_id, source, text,
+      |    bloom_might_contain(
+      |      (SELECT bloom_agg(xxhash64(text), 100000L, 1000000L)
+      |       FROM base WHERE b < 90),
+      |      xxhash64(text)) AS candidate
+      |  FROM base WHERE b >= 90)
+      |SELECT doc_id, source FROM probe WHERE NOT candidate
+      |UNION ALL
+      |SELECT p.doc_id, p.source FROM probe p
+      |WHERE p.candidate AND NOT EXISTS (
+      |  SELECT 1 FROM base c WHERE c.b < 90 AND c.text = p.text)
+      |""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> decontaminate _,
     "q_dedup_incremental" -> dedupIncremental _,
+    "q_bloom_incremental" -> bloomIncremental _,
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_jaccard" -> dedupJaccard _,
     "q_dedup_ngram" -> dedupNgram _,
@@ -411,6 +450,14 @@ object Dedup {
         |SELECT doc_id, count(*) AS n_contaminated
         |FROM train JOIN ev USING (s) GROUP BY doc_id""".stripMargin,
     "q_dedup_incremental" ->
+      """SELECT doc_id, source FROM documents b
+        |WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 >= 90
+        |AND NOT EXISTS (SELECT 1 FROM documents c
+        |  WHERE ((c.doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 90
+        |  AND c.text = b.text)""".stripMargin,
+    // the bloom is a pure pre-filter: the final result is exactly the
+    // plain incremental-dedup relation
+    "q_bloom_incremental" ->
       """SELECT doc_id, source FROM documents b
         |WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 >= 90
         |AND NOT EXISTS (SELECT 1 FROM documents c

@@ -45,8 +45,32 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
   }
 
+  /** Per-source data cards: the governance summary every corpus release
+    * ships (datasheet / data-card row per source) — volume, token mass,
+    * length stats, language breadth, and exact-dup rate. One groupBy over
+    * the scan: every aggregate partial-combines map-side except the two
+    * distinct counts, which Spark plans as one Expand (2× the scan rows,
+    * keyed shuffle, no global sort) — acceptable for a per-release audit
+    * job; a continuously-updated card would swap them for HLL sketches
+    * (approx_count_distinct) at zero shape change. Ratios are single IEEE
+    * divisions over exact ints (bitwise cross-engine). */
+  private def dataCards(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_tokens")) * lit(1.0) / count(lit(1))).as("avg_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("text")).as("n_unique"),
+        (lit(1.0) - countDistinct(col("text")) * lit(1.0) / count(lit(1))).as("dup_rate"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pipeline_clean" -> pipelineClean _
+    "q_pipeline_clean" -> pipelineClean _,
+    "q_data_cards" -> dataCards _
   )
 
   val oracles: Map[String, String] = Map(
@@ -84,6 +108,20 @@ object Pipeline {
         | JOIN cnt cb ON id_b = cb.doc_id
         | WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5)
         |SELECT doc_id, lang, n_tokens, quality
-        |FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)""".stripMargin
+        |FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)""".stripMargin,
+    "q_data_cards" ->
+      """WITH t AS (SELECT source, lang, text, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents)
+        |SELECT source,
+        | count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | sum(n_tokens) * 1.0 / count(*) AS avg_tokens,
+        | min(n_chars) AS min_chars,
+        | max(n_chars) AS max_chars,
+        | count(DISTINCT lang) AS n_langs,
+        | count(DISTINCT text) AS n_unique,
+        | 1.0 - count(DISTINCT text) * 1.0 / count(*) AS dup_rate
+        |FROM t GROUP BY source""".stripMargin
   )
 }

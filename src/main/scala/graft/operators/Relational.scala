@@ -414,7 +414,34 @@ object Relational {
     Tables.documents(s, d)
       .select(col("doc_id"), call_function("ulid").as("id"))
 
+  /** Last-write-wins upsert compaction: merge a base snapshot with an
+    * update batch, keeping the highest-version row per key — the MERGE /
+    * compaction step of any mutable-table-on-immutable-files layout
+    * (Delta/Hudi/Iceberg-style), expressed as one keyed aggregation:
+    * union → groupBy(key) → max(version) + max_by(col, version). Every
+    * aggregate partial-combines map-side, so the single shuffle carries
+    * one row per key per mapper — no window, no sort, no driver state.
+    * The update batch here is synthesized from the base (every 3rd doc
+    * re-ingested at version 2 with rewritten text) so the merge exercises
+    * both updated and untouched keys; versions are distinct per key, so
+    * max_by is tie-free and deterministic. */
+  private def upsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"), lit(1L).as("version"))
+    val updates = Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), lit("patch").as("source"),
+        upper(col("text")).as("text"), lit(2L).as("version"))
+    base.unionByName(updates)
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("version")).as("version"),
+        max_by(col("source"), col("version")).as("source"),
+        max_by(col("text"), col("version")).as("text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_upsert" -> upsert _,
     "q_ulid" -> ulidAssign _,
     "q_topk_per_group" -> topkPerGroup _,
     "q_outer_join" -> outerJoin _,
@@ -452,6 +479,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_upsert" ->
+      """WITH u AS (
+        | SELECT doc_id, source, text, CAST(1 AS BIGINT) AS version FROM documents
+        | UNION ALL
+        | SELECT doc_id, 'patch', upper(text), CAST(2 AS BIGINT)
+        | FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, max(version) AS version,
+        | arg_max(source, version) AS source,
+        | arg_max(text, version) AS text
+        |FROM u GROUP BY doc_id""".stripMargin,
     "q_ntile" ->
       """SELECT o_orderkey,
         | CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile

@@ -20,10 +20,15 @@ object Sampling {
   /** Multiplicative hash bucket in overflow-safe BIGINT arithmetic
     * (pre-reduce mod p keeps the product under 2^63 for any id), identical
     * in any engine with 64-bit integer SQL semantics. */
-  private val P = 1000000007L
-  private val A = 2654435761L // Knuth's multiplicative constant
+  private[graft] val P = 1000000007L
+  private[graft] val A = 2654435761L // Knuth's multiplicative constant
   def bucketOf(id: Column, buckets: Int): Column =
     ((id % P) * A) % P % buckets
+
+  /** Full-range multiplicative hash (no bucket reduction): a bijection on
+    * [0, P) for ids below P, so ordering by it is a deterministic
+    * pseudo-random permutation — usable as a tie-free sampling rank. */
+  def rankOf(id: Column): Column = ((id % P) * A) % P
 
   /** Reproducible 90/10 train/eval split. */
   private def sampleSplit(s: SparkSession, d: String): DataFrame =
@@ -81,11 +86,29 @@ object Sampling {
         (col("total") * lit(1.0) / (col("k") * col("n_docs"))).as("weight"))
   }
 
+  /** Stratified per-language sample: the StratumK highest-hash documents
+    * of every language — equal-size strata regardless of how skewed the
+    * language mix is (the per-language twin of sampleSplit's global rate).
+    * Shape: the bounded-heap `top_k` aggregate, NOT a row_number window —
+    * each task keeps a k-element heap per stratum and the shuffle carries
+    * k·strata rows per mapper instead of sorting every row of every
+    * stratum. Deterministic: the hash is a bijection on doc_id, so there
+    * are no ties to break. */
+  val StratumK = 50
+  private def sampleStratified(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), rankOf(col("doc_id")).as("h"))
+      .groupBy(col("lang"))
+      .agg(call_function("top_k", struct(col("h"), col("doc_id")), lit(StratumK)).as("picks"))
+      .select(col("lang"), explode(col("picks")).as("p"))
+      .select(col("lang"), col("p.doc_id").as("doc_id"), col("p.h").as("h"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_split" -> sampleSplit _,
     "q_sample_mix" -> sampleMix _,
     "q_pack_bins" -> packBins _,
-    "q_mix_weights" -> mixWeights _
+    "q_mix_weights" -> mixWeights _,
+    "q_sample_stratified" -> sampleStratified _
   )
 
   val oracles: Map[String, String] = Map(
@@ -114,6 +137,14 @@ object Sampling {
         |SELECT lang, n_docs,
         | n_docs * 1.0 / total AS share,
         | total * 1.0 / (k * n_docs) AS weight
-        |FROM g CROSS JOIN t""".stripMargin
+        |FROM g CROSS JOIN t""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id, h FROM (
+        | SELECT lang, doc_id,
+        |  ((doc_id % 1000000007) * 2654435761) % 1000000007 AS h,
+        |  row_number() OVER (PARTITION BY lang
+        |   ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007 DESC) AS rn
+        | FROM documents)
+        |WHERE rn <= 50""".stripMargin
   )
 }

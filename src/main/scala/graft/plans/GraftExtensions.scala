@@ -4,7 +4,8 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 import graft.functions.{CharShingles, ContentFp, CosineSimilarity, DotProduct, DupNgramFrac, Hamming128, Int8Quantize, L2Norm, MinHashBands, MinHashSig, Q8Dot, Q8Scale, Q8Sum, SignBands, SimHash64, SrpBands, TopK, TopTokenFrac, Ulid, WordShingles, ZOrder2}
 
@@ -83,6 +84,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => DupNgramFrac(args(0), litInt(args(1), "dup_ngram_frac n"))),
     ("top_k", info("top_k", "k largest struct values per group, bounded-heap aggregate"),
       (args: Seq[Expression]) => TopK(args(0), args(1))),
+    // Spark's runtime-filter bloom sketch pair, surfaced as callable
+    // functions: bloom_agg(xxhash64(col), estItems, numBits) builds the
+    // sketch (partial-combined, BinaryType result), bloom_might_contain
+    // probes it. The probe side requires a foldable/scalar-subquery bloom
+    // (BloomFilterMightContain's own type check), which is exactly the
+    // one-pass "build once, probe everywhere" shape we want.
+    ("bloom_agg", info("bloom_agg", "bloom filter sketch of a group of xxhash64 longs"),
+      (args: Seq[Expression]) => new BloomFilterAggregate(args(0), args(1), args(2))),
+    ("bloom_might_contain", info("bloom_might_contain", "probe a bloom_agg sketch for a long hash"),
+      (args: Seq[Expression]) => BloomFilterMightContain(args(0), args(1))),
     ("ulid", info("ulid", "generate a ULID (Crockford base32, time-ordered)"),
       (args: Seq[Expression]) => { require(args.isEmpty, "ulid() takes no arguments"); Ulid() })
   )

@@ -407,7 +407,26 @@ object Dedup {
       |""".stripMargin)
   }
 
+  /** Cross-source overlap matrix: for every source pair, how many
+    * distinct texts they share verbatim — the provenance audit that finds
+    * mirror sites, re-crawls, and licensing copies before mixing weights
+    * are chosen. Shape: distinct (source, xxhash64(text)) first — one
+    * dedup shuffle on 8-byte keys — then a self-join on the hash whose
+    * per-text fan-out is bounded by the source count (a small constant),
+    * then a sources²-row aggregate. Same collision doctrine as exact
+    * dedup: 64-bit content hashes stand in for text equality. */
+  private def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.documents(s, d)
+      .select(col("source"), xxhash64(col("text")).as("h"))
+      .distinct()
+    st.as("a")
+      .join(st.as("b"), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_overlap" -> sourceOverlap _,
     "q_decontaminate" -> decontaminate _,
     "q_dedup_incremental" -> dedupIncremental _,
     "q_bloom_incremental" -> bloomIncremental _,
@@ -439,6 +458,11 @@ object Dedup {
       | GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_source_overlap" ->
+      """WITH st AS (SELECT DISTINCT source, text FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |FROM st a JOIN st b ON a.text = b.text AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 4),

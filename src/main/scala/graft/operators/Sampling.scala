@@ -103,7 +103,23 @@ object Sampling {
       .select(col("lang"), explode(col("picks")).as("p"))
       .select(col("lang"), col("p.doc_id").as("doc_id"), col("p.h").as("h"))
 
+  /** Quality-proportional acceptance sampling: keep each document with
+    * probability equal to its quality score (DoReMi/DSIR-style importance
+    * weighting collapsed to acceptance sampling) — but deterministically:
+    * the "coin" is the multiplicative hash bucket, so accept iff
+    * bucket(doc_id) < quality·1000. Same row, same verdict, every run,
+    * every engine. Per-row scan work, shuffle-free; the quality formula
+    * is THE TextAnalysis one, so the gate and its sampler cannot drift.
+    * The long-vs-double comparison is exact (the bucket is ≤ 999, far
+    * inside double's integer range). */
+  private def sampleWeighted(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("quality", TextAnalysis.qualityOf(col("text")))
+      .filter(bucketOf(col("doc_id"), 1000) < col("quality") * 1000)
+      .select(col("doc_id"), col("quality"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_weighted" -> sampleWeighted _,
     "q_sample_split" -> sampleSplit _,
     "q_sample_mix" -> sampleMix _,
     "q_pack_bins" -> packBins _,
@@ -112,6 +128,19 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sample_weighted" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  0.4 * least(1.0, len(string_split(text, ' ')) * 1.0 / 100.0)
+        |   + 0.4 * (len(list_distinct(string_split(text, ' '))) * 1.0
+        |            / len(string_split(text, ' ')))
+        |   + 0.2 * (CASE WHEN (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+        |       / len(string_split(text, ' ')) BETWEEN 3.0 AND 8.0
+        |       THEN 1.0 ELSE 0.0 END) AS quality
+        | FROM documents)
+        |SELECT doc_id, quality FROM t
+        |WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000
+        |  < quality * 1000""".stripMargin,
     "q_sample_split" ->
       """SELECT doc_id,
         | CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 90

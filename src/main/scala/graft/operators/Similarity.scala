@@ -313,6 +313,33 @@ object Similarity {
         sum(floor(col("v").cast("double") * 1048576.0 + 0.5).cast("long")).as("sum_q"),
         count(lit(1)).as("n"))
 
+  /** Per-label cluster dispersion: mean squared distance to the label
+    * centroid — the cluster-tightness audit (is a label coherent enough
+    * to train on / prune / rebalance?). Float sums are order-dependent,
+    * so the whole computation runs in fixed-point integers (q = 2^10,
+    * like embedCentroid's 2^20 — narrower because the identity below
+    * squares the sums: max |Σvq| ≈ n·2^11 keeps n·S2 and S1² under 2^41
+    * at any label size this side of 2^19 vectors). The identity
+    * Σᵢ‖xᵢ−c‖² = Σ_pos (n·S2 − S1²) / n (S1=Σvq, S2=Σvq²) turns "join
+    * every vector against its centroid" into two aggregations — no join,
+    * no second scan pass, exact integers until one final division. */
+  private def embedDispersion(s: SparkSession, d: String): DataFrame = {
+    val perPos = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "pos", "v")
+      .select(col("label"), col("pos"),
+        floor(col("v").cast("double") * 1024.0 + 0.5).cast("long").as("vq"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("vq")).as("s1"),
+        sum(col("vq") * col("vq")).as("s2"),
+        count(lit(1)).as("n"))
+    perPos.groupBy(col("label"))
+      .agg(max(col("n")).as("n"),
+        sum(col("n") * col("s2") - col("s1") * col("s1")).as("sse_n_q2"))
+      .select(col("label"), col("n"), col("sse_n_q2"),
+        (col("sse_n_q2") * lit(1.0) / (col("n") * col("n") * lit(1048576L))).as("msd"))
+  }
+
   /** L2 norms via the native codegen kernel. */
   private def embedNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -344,6 +371,7 @@ object Similarity {
     "q_embed_decontaminate" -> embedDecontaminate _,
     "q_knn_label" -> knnLabel _,
     "q_embed_centroid" -> embedCentroid _,
+    "q_embed_dispersion" -> embedDispersion _,
     "q_embed_norm" -> embedNorm _,
     "q_embed_normalize" -> embedNormalize _,
     "q_quantize" -> quantize _,
@@ -441,6 +469,20 @@ object Similarity {
         | CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q,
         | count(*) AS n
         |FROM u GROUP BY label, pos""".stripMargin,
+    "q_embed_dispersion" ->
+      """WITH u AS (
+        | SELECT label, generate_subscripts(embedding, 1) AS i,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS vq
+        | FROM embeddings),
+        |p AS (
+        | SELECT label, i, CAST(sum(vq) AS BIGINT) AS s1,
+        |  CAST(sum(vq * vq) AS BIGINT) AS s2, count(*) AS n
+        | FROM u GROUP BY label, i)
+        |SELECT label, CAST(max(n) AS BIGINT) AS n,
+        | CAST(sum(n * s2 - s1 * s1) AS BIGINT) AS sse_n_q2,
+        | CAST(sum(n * s2 - s1 * s1) AS BIGINT) * 1.0
+        |   / (max(n) * max(n) * 1048576) AS msd
+        |FROM p GROUP BY label""".stripMargin,
     "q_embed_norm" ->
       """SELECT vec_id,
         | round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),

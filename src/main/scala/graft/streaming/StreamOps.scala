@@ -18,6 +18,9 @@ case class StreamVec(vec_id: Long, ts: Timestamp, embedding: Array[Float])
 /** One event on the stream (event-time in millis carried as Timestamp). */
 case class StreamEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
 
+/** One keyed upsert record on the stream. */
+case class StreamUpdate(key: Long, version: Long, payload: String)
+
 /** Open-session state per user. */
 case class SessionState(start_ms: Long, last_ms: Long, n_events: Long, value: Double)
 
@@ -148,6 +151,29 @@ object StreamOps {
           make_dt_interval(lit(0), lit(0), lit(0), lit(withinMs / 1000.0)))
       .select(col("user_id"), col("lead_ts"), col("lead_type"),
         col("follow_ts"), col("follow_type"), col("follow_value"))
+  }
+
+  /** Streaming last-write-wins upsert (the streaming twin of the batch
+    * q_upsert compaction): one winner record per key, re-emitted whenever
+    * a higher-version update arrives — a continuously-maintained
+    * materialized view of a mutable table. Update output mode: sinks see
+    * only changed keys per micro-batch. State is exactly one record per
+    * live key, hash-partitioned across executors; out-of-order and
+    * duplicate deliveries collapse to the same winner because versions,
+    * not arrival order, decide (payload tie-breaks equal versions, so
+    * replays are idempotent). The batch compaction op stays the
+    * cold-path rewrite; this serves the hot view. */
+  def lwwUpsert(updates: Dataset[StreamUpdate]): Dataset[StreamUpdate] = {
+    import updates.sparkSession.implicits._
+    updates
+      .groupByKey(_.key)
+      .mapGroupsWithState[StreamUpdate, StreamUpdate](GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[StreamUpdate], state: GroupState[StreamUpdate]) =>
+          val winner = (state.getOption.iterator ++ it)
+            .maxBy(u => (u.version, u.payload))
+          state.update(winner)
+          winner
+      }
   }
 
   /** Gap-based sessionization (D5): one state per active user; a session

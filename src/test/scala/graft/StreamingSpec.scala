@@ -169,4 +169,30 @@ class StreamingSpec extends SparkTestBase {
       assert(s2.length == 1 && s2.head.start_ms == 60000 && s2.head.n_events == 2)
     } finally q.stop()
   }
+
+  test("streaming LWW upsert: versions beat arrival order, replays are idempotent") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[graft.streaming.StreamUpdate]
+    val q = StreamOps.lwwUpsert(input.toDS())
+      .writeStream.format("memory").queryName("lww_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      import graft.streaming.StreamUpdate
+      input.addData(StreamUpdate(1, 2, "b"), StreamUpdate(2, 1, "x"))
+      q.processAllAvailable()
+      // out-of-order: a LOWER version for key 1 arrives later and must lose;
+      // key 2 gets a genuine update
+      input.addData(StreamUpdate(1, 1, "a"), StreamUpdate(2, 5, "y"))
+      q.processAllAvailable()
+      // replay of the current winner: state unchanged (idempotent)
+      input.addData(StreamUpdate(2, 5, "y"))
+      q.processAllAvailable()
+      val last = spark.table("lww_out").as[StreamUpdate].collect()
+        .groupBy(_.key).view.mapValues(_.maxBy(_.version)).toMap
+      assert(last(1L) == StreamUpdate(1, 2, "b"), s"stale write won for key 1: ${last(1L)}")
+      assert(last(2L) == StreamUpdate(2, 5, "y"))
+    } finally q.stop()
+  }
 }

@@ -24,6 +24,16 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** Target false-positive rate for the incremental-dedup bloom prefilter. */
+  val BloomFpp = 0.03
+
+  /** Optimal bloom bit budget for `n` items at false-positive rate `p`:
+    * m = ceil(n · ln(1/p) / ln²2) — the standard sizing identity. Floored
+    * at 64 bits so degenerate corpora still build a valid sketch. */
+  def bloomBits(n: Long, p: Double): Long =
+    math.max(64L,
+      math.ceil(n * math.log(1.0 / p) / (math.log(2.0) * math.log(2.0))).toLong)
+
   /** Distinct 3-word shingles of the whitespace-tokenized text (native
     * codegen kernel — see functions.WordShingles). */
   private def shingleCol: Column = call_function("word_shingles", col("text"), lit(3))
@@ -381,12 +391,22 @@ object Dedup {
     *     (true dups + the fpp% false positives).
     * At 100 TB the corpus side of the join is the expensive relation, and
     * the bloom cuts the delta rows that must probe it from 100% to
-    * dup-rate + fpp — the standard daily-ingest shape. Sizing: est items /
-    * bits are literals here (test scale); a production build sizes them
-    * from the corpus fingerprint count. Oracle: identical result to plain
+    * dup-rate + fpp — the standard daily-ingest shape. Sizing: Spark's
+    * `BloomFilterAggregate` requires foldable est-items/bits (a scalar
+    * subquery fails its type check), so sizing is a pre-pass — one
+    * distributed count of the corpus partition, then the textbook
+    * m = n·ln(1/p)/ln²2 bit budget for the target fpp. That keeps the fpp
+    * constant at ANY scale factor instead of degrading as the corpus
+    * outgrows a hard-coded estimate. Oracle: identical result to plain
     * incremental dedup — the bloom only prunes, never decides. */
   private def bloomIncremental(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d).createOrReplaceTempView("graft_bloom_docs")
+    val nCorpus = s.sql(
+      s"""SELECT count(*) FROM graft_bloom_docs
+         |WHERE ((doc_id % ${Sampling.P}) * ${Sampling.A}) % ${Sampling.P} % 100 < 90
+         |""".stripMargin).head.getLong(0)
+    val estItems = math.max(1L, nCorpus)
+    val numBits = bloomBits(estItems, BloomFpp)
     s.sql(s"""
       |WITH base AS (
       |  SELECT doc_id, source, text,
@@ -395,7 +415,7 @@ object Dedup {
       |probe AS (
       |  SELECT doc_id, source, text,
       |    bloom_might_contain(
-      |      (SELECT bloom_agg(xxhash64(text), 100000L, 1000000L)
+      |      (SELECT bloom_agg(xxhash64(text), ${estItems}L, ${numBits}L)
       |       FROM base WHERE b < 90),
       |      xxhash64(text)) AS candidate
       |  FROM base WHERE b >= 90)
@@ -414,9 +434,19 @@ object Dedup {
     * dedup shuffle on 8-byte keys — then a self-join on the hash whose
     * per-text fan-out is bounded by the source count (a small constant),
     * then a sources²-row aggregate. Same collision doctrine as exact
-    * dedup: 64-bit content hashes stand in for text equality. */
+    * dedup: 64-bit content hashes stand in for text equality.
+    *
+    * The test corpora contain no verbatim cross-source duplicates at any
+    * SF, so (as `upsert` does for its update batch) the overlap condition
+    * is synthesized deterministically: every 7th document is re-ingested
+    * under a synthetic `mirror` source, giving a non-empty matrix whose
+    * counts the oracle checks exactly at every scale. */
   private def sourceOverlap(s: SparkSession, d: String): DataFrame = {
-    val st = Tables.documents(s, d)
+    val docs = Tables.documents(s, d)
+    val mirrored = docs.filter(col("doc_id") % 7 === 0)
+      .select(lit("mirror").as("source"), col("text"))
+    val st = docs.select(col("source"), col("text"))
+      .unionByName(mirrored)
       .select(col("source"), xxhash64(col("text")).as("h"))
       .distinct()
     st.as("a")
@@ -459,7 +489,11 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q_source_overlap" ->
-      """WITH st AS (SELECT DISTINCT source, text FROM documents)
+      """WITH st AS (
+        |  SELECT DISTINCT source, text FROM documents
+        |  UNION
+        |  SELECT DISTINCT 'mirror' AS source, text FROM documents
+        |  WHERE doc_id % 7 = 0)
         |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
         |FROM st a JOIN st b ON a.text = b.text AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,

@@ -73,4 +73,25 @@ class RuntimeFilterSpec extends SparkTestBase {
       assert(joined.count() == expected)
     }
   }
+
+  test("bloom prefilter sizing is fpp-driven from the corpus count, and only prunes") {
+    GraftSession.prepare(spark)
+    // m = ceil(n·ln(1/p)/ln²2): the sketch grows linearly with the corpus,
+    // holding the false-positive rate constant at any SF — a hard-coded
+    // est-items would degrade fpp as the corpus outgrows it.
+    val bits450 = graft.operators.Dedup.bloomBits(450L, graft.operators.Dedup.BloomFpp)
+    val bits4500 = graft.operators.Dedup.bloomBits(4500L, graft.operators.Dedup.BloomFpp)
+    assert(bits450 == math.ceil(450 * math.log(1.0 / 0.03) /
+      (math.log(2.0) * math.log(2.0))).toLong)
+    assert(bits4500 == 10 * bits450 || (bits4500 - 10 * bits450).abs <= 10) // linear in n
+    assert(graft.operators.Dedup.bloomBits(0L, 0.03) == 64L) // degenerate floor
+    // Semantics at two SFs (documents: 500 rows at sf0.001, 5000 at sf0.1):
+    // the bloom only prunes the join probe set, never decides — results are
+    // identical to the plain incremental anti-join at BOTH corpus sizes.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      def ids(q: String) = SparkEntry.queries(q)(spark, d)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(ids("q_bloom_incremental") == ids("q_dedup_incremental"), d)
+    }
+  }
 }

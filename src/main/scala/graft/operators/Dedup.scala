@@ -455,7 +455,29 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-document duplicated-shingle mass: the fraction of a doc's
+    * distinct 3-word shingles that occur in at least one other document —
+    * the doc-level boilerplate/template signal (the RefinedWeb-style
+    * "duplicated content fraction") that flags template-heavy documents
+    * even when no single pair crosses a near-dup threshold. Df comes from
+    * one window count over the posting partitioning (the jaccardPairs
+    * one-shuffle trick, on 8-byte xxhash64 keys); the per-doc aggregation
+    * partial-combines map-side. The fraction is a ratio of two exact
+    * integer counts — one IEEE division, bitwise cross-engine. */
+  private def shingleDupMass(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingleCol).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("sh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        (sum(when(col("df") > 1, 1).otherwise(0)) * lit(1.0) / count(lit(1)))
+          .as("dup_frac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_mass" -> shingleDupMass _,
     "q_source_overlap" -> sourceOverlap _,
     "q_decontaminate" -> decontaminate _,
     "q_dedup_incremental" -> dedupIncremental _,
@@ -488,6 +510,16 @@ object Dedup {
       | GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_dup_mass" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
+        |   i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS s FROM t),
+        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |  (CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1.0)
+        |    / count(*) AS dup_frac
+        |FROM sh JOIN df ON sh.s = df.s
+        |GROUP BY 1""".stripMargin,
     "q_source_overlap" ->
       """WITH st AS (
         |  SELECT DISTINCT source, text FROM documents

@@ -205,6 +205,56 @@ object Relational {
         (max(col("ms")) - min(col("ms"))).as("duration_ms"))
   }
 
+  /** Three-step behavioral funnel with a 24 h conversion window per step:
+    * users who signed up, then viewed within a day of their first signup,
+    * then purchased within a day of that first view. Each step is a
+    * filtered keyed aggregation (one row per user, partial-combined)
+    * joined to the previous step's per-user timestamp — every shuffle is
+    * keyed on `user_id` and carries per-user scalars, never the event
+    * stream, so AQE can broadcast the (tiny) later-step sides against the
+    * event scan at any scale. Chained `min` timestamps make the step
+    * ordering exact (not just "did both events ever happen"), and the
+    * window keeps the funnel discriminating (150 → 39 → 15 at sf0.01). */
+  private def funnel(s: SparkSession, d: String): DataFrame = {
+    val stepMs = 86400000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), EventTime.tsMs.as("ms"))
+    val t1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "view")
+      .join(t1, "user_id")
+      .filter(col("ms") > col("t1") && col("ms") <= col("t1") + stepMs)
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("ms") > col("t2") && col("ms") <= col("t2") + stepMs)
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t3"))
+    t1.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_signup").as("step"), col("n_users"))
+      .unionByName(t2.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_view_after").as("step"), col("n_users")))
+      .unionByName(t3.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase_after").as("step"), col("n_users")))
+  }
+
+  /** Weekly cohort retention: users bucketed by first-active epoch-week,
+    * counted per (cohort, weeks-since-cohort). Fixed 7-day integer buckets
+    * (`ms div 604800000`) rather than calendar weeks: exact integer math
+    * in any engine, no timezone/locale drift. The event stream collapses
+    * to distinct (user, week) BEFORE the cohort join — activity rows are
+    * bounded by users·weeks, so the join input is corpus-size-independent
+    * and every later shuffle is tiny. */
+  private def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val uw = Tables.events(s, d)
+      .withColumn("ms", EventTime.tsMs)
+      .select(col("user_id"), expr("ms div 604800000").as("w"))
+      .distinct()
+    val first = uw.groupBy(col("user_id")).agg(min(col("w")).as("cohort_w"))
+    uw.join(first, "user_id")
+      .groupBy(col("cohort_w"), (col("w") - col("cohort_w")).as("period_w"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   private def tumbling(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy((expr("ts div 3600000000000") * 3600000L).as("hour_ms"), col("event_type"))
@@ -469,6 +519,8 @@ object Relational {
     "q_rollup" -> rollupAgg _,
     "q_topk_global" -> topkGlobal _,
     "q_case_agg" -> caseAgg _,
+    "q_funnel" -> funnel _,
+    "q_cohort" -> cohortRetention _,
     "q_date_bucket" -> dateBucket _,
     "q_string_funcs" -> stringFuncs _,
     "q_union" -> unionNames _,
@@ -677,6 +729,26 @@ object Relational {
         |SELECT c_nationkey, 'only_building' AS src FROM (SELECT c_nationkey FROM b EXCEPT SELECT c_nationkey FROM m)
         |UNION ALL
         |SELECT c_nationkey, 'both' AS src FROM (SELECT c_nationkey FROM b INTERSECT SELECT c_nationkey FROM m)""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |t1 AS (SELECT user_id, min(ms) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(ms) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'view'
+        |         AND ms > t1 AND ms <= t1 + 86400000 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(ms) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase'
+        |         AND ms > t2 AND ms <= t2 + 86400000 GROUP BY 1)
+        |SELECT '1_signup' AS step, count(*) AS n_users FROM t1
+        |UNION ALL SELECT '2_view_after', count(*) FROM t2
+        |UNION ALL SELECT '3_purchase_after', count(*) FROM t3""".stripMargin,
+    "q_cohort" ->
+      """WITH uw AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS w
+        |            FROM events),
+        |f AS (SELECT user_id, min(w) AS cohort_w FROM uw GROUP BY 1)
+        |SELECT cohort_w, w - cohort_w AS period_w, count(*) AS n_active
+        |FROM uw JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         | SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events),

@@ -140,6 +140,34 @@ object TextAnalysis {
         " ").as("scrubbed"))
   }
 
+  /** The PII pattern this scrubber removes. Deliberately restricted to a
+    * regex subset (character classes, +, literal dot) that parses and
+    * matches identically under Java regex (Spark) and RE2 (DuckDB), so the
+    * oracle is engine-exact — the denylist op above handles the cases
+    * where regex dialects would drift. */
+  val PiiEmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+
+  /** Regex PII scrubbing: count and mask email-shaped spans. Per-row
+    * regexp work inside the scan (codegen, shuffle-free, column-pruned)
+    * — the compliance pass every training corpus runs before release.
+    *
+    * The test corpus contains no PII (nor should it), so the condition is
+    * synthesized deterministically, the q_source_overlap / q_upsert
+    * doctrine: every 5th document gets an injected contact string, and
+    * the oracle checks the scrubber removes exactly those spans at every
+    * SF. */
+  private def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val injected = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com now")))
+        .otherwise(col("text")).as("text"))
+    injected.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(PiiEmailRe), lit(0))).as("n_pii"),
+      regexp_replace(col("text"), PiiEmailRe, "<EMAIL>").as("clean_text"))
+  }
+
   /** Gopher-style composite quality gate (Rae et al. 2021 §A1.1 rules,
     * adapted to this corpus's scale): per-document boolean rule flags and
     * the conjunctive keep decision. Every rule is a comparison of exact
@@ -196,10 +224,23 @@ object TextAnalysis {
     "q_repetition" -> repetition _,
     "q_vocab" -> vocab _,
     "q_denylist" -> denylist _,
+    "q_pii_scrub" -> piiScrub _,
     "q_gopher_flags" -> gopherFlags _
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pii_scrub" ->
+      """WITH inj AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN text || ' contact user' || doc_id || '@example.com now'
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+        |    AS INTEGER) AS n_pii,
+        |  regexp_replace(text, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g')
+        |    AS clean_text
+        |FROM inj""".stripMargin,
     "q_tfidf" ->
       """WITH t AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

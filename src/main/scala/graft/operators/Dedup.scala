@@ -476,7 +476,59 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Dedup-cluster size histogram: how many near-dup clusters of each
+    * size the pair graph produced, singletons included — the report every
+    * dedup run ships (it is how you notice a template exploding into a
+    * 10⁶-doc cluster before choosing keep-one policies). Components gives
+    * ≥2-sized clusters; the singleton row is total − clustered, computed
+    * as two scalar aggregates joined by a broadcast (1×1, no cartesian).
+    * Scale: the histogram is bounded by the largest cluster size; every
+    * aggregation partial-combines. */
+  private def clusterSizes(s: SparkSession, d: String): DataFrame = {
+    val comp = components(jaccardPairs(
+      Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh")), 0.5))
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    val singles = Tables.documents(s, d).agg(count(lit(1)).as("total"))
+      .crossJoin(broadcast(comp.agg(count(lit(1)).as("clustered"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("total") - col("clustered")).as("n_clusters"))
+    sizes.unionByName(singles)
+  }
+
+  /** Incremental NEAR-dup dedup: drop new-batch documents whose word-
+    * 3-shingle Jaccard vs any corpus document reaches 0.5 — the near-dup
+    * twin of [[dedupIncremental]] (daily ingest should not re-admit a
+    * lightly-edited copy of something already in the corpus). One shared
+    * df-cut posting relation (global df, the defined semantics), then the
+    * postings join is RESTRICTED to delta×corpus — candidate volume is
+    * delta-proportional, never corpus², which is what makes daily ingest
+    * affordable against a 100 TB corpus; the final step is an anti-join
+    * on matched delta ids. */
+  private def neardupIncremental(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      Sampling.bucketOf(col("doc_id"), 100).as("b"), shingleCol.as("sh"))
+    val inv = docs.select(col("doc_id"), col("b"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), col("b"), xxhash64(col("s0")).as("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= WordMaxDf)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("b"), col("n"), col("s"))
+    val matched = inv.filter(col("b") >= 90).as("a")
+      .join(inv.filter(col("b") < 90).as("c"), col("a.s") === col("c.s"))
+      .groupBy(col("a.doc_id").as("did"), col("c.doc_id").as("cid"),
+        col("a.n").as("na"), col("c.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.5)
+      .select(col("did")).distinct()
+    docs.filter(col("b") >= 90).select(col("doc_id"), col("source"))
+      .join(matched, col("doc_id") === col("did"), "left_anti")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cluster_sizes" -> clusterSizes _,
+    "q_neardup_incremental" -> neardupIncremental _,
     "q_dup_mass" -> shingleDupMass _,
     "q_source_overlap" -> sourceOverlap _,
     "q_decontaminate" -> decontaminate _,
@@ -510,6 +562,45 @@ object Dedup {
       | GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_cluster_sizes" ->
+      s"""WITH RECURSIVE $wordPairCtes,
+         |pairs AS (
+         | SELECT id_a, id_b FROM p
+         | JOIN cnt ca ON id_a = ca.doc_id
+         | JOIN cnt cb ON id_b = cb.doc_id
+         | WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5),
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |walk AS (
+         | SELECT src AS id, src AS comp FROM edges
+         | UNION
+         | SELECT e2.src AS id, w.comp AS comp
+         | FROM edges e2 JOIN walk w ON w.id = e2.dst),
+         |lab AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+         |cs AS (SELECT comp, count(*) AS cluster_size FROM lab GROUP BY comp)
+         |SELECT cluster_size, count(*) AS n_clusters FROM cs GROUP BY 1
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) AS cluster_size,
+         | (SELECT count(*) FROM documents) - (SELECT count(*) FROM lab)
+         |   AS n_clusters""".stripMargin,
+    "q_neardup_incremental" ->
+      s"""WITH $wordPairCtes,
+         |bk AS (SELECT doc_id, source,
+         |  ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 AS b
+         |  FROM documents),
+         |m AS (
+         | SELECT DISTINCT a.doc_id AS did
+         | FROM e a JOIN e c ON a.s = c.s
+         | JOIN bk ba ON a.doc_id = ba.doc_id
+         | JOIN bk bc ON c.doc_id = bc.doc_id
+         | JOIN cnt ca ON a.doc_id = ca.doc_id
+         | JOIN cnt cb ON c.doc_id = cb.doc_id
+         | WHERE ba.b >= 90 AND bc.b < 90
+         | GROUP BY a.doc_id, c.doc_id, ca.n, cb.n
+         | HAVING count(*) * 1.0 / (ca.n + cb.n - count(*)) >= 0.5)
+         |SELECT doc_id, source FROM bk
+         |WHERE b >= 90 AND doc_id NOT IN (SELECT did FROM m)""".stripMargin,
     "q_dup_mass" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),

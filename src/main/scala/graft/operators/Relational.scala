@@ -255,6 +255,84 @@ object Relational {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Banded range join: same-customer order pairs placed within 30 days.
+    * A range predicate alone forces a nested-loop/cartesian per key; the
+    * scale shape is BANDING — bucket time into 30-day bands, explode ONE
+    * side into its band ±1, and equi-join on (customer, band), then apply
+    * the exact |Δday| ≤ 30 filter. Candidate volume is per-(customer,
+    * band) occupancy products — linear in practice, never |orders|² — and
+    * the join is a plain shuffled equi-join AQE can size. Each true pair
+    * matches exactly once (the un-exploded side has one band, which falls
+    * in exactly one of the other side's three), so no post-dedup pass. */
+  private def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)").as("day"))
+    val left = o.select(col("o_orderkey").as("key_a"), col("o_custkey"),
+      col("day").as("day_a"),
+      explode(array(expr("day div 30 - 1"), expr("day div 30"),
+        expr("day div 30 + 1"))).as("band"))
+    val right = o.select(col("o_orderkey").as("key_b"),
+      col("o_custkey").as("cust_b"), col("day").as("day_b"),
+      expr("day div 30").as("band_b"))
+    left.join(right,
+        col("o_custkey") === col("cust_b") && col("band") === col("band_b") &&
+          col("key_a") < col("key_b") &&
+          abs(col("day_a") - col("day_b")) <= 30)
+      .select(col("o_custkey"), col("key_a"), col("key_b"),
+        abs(col("day_a") - col("day_b")).as("gap_days"))
+  }
+
+  /** One-pass column profile of the orders table (Deequ-style data
+    * quality report): per column, row count, null count, distinct count.
+    * Multi-column distinct aggregation is a single scan through one
+    * Expand (one shuffle of partial states); the per-column unpivot is a
+    * `stack` over the 1-row aggregate — no per-column re-scans. At 100 TB
+    * the exact distincts swap for `approx_count_distinct` (the same
+    * one-pass shape, constant-size sketches — the C36 data-cards swap). */
+  private def profile(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val cols = o.columns.toSeq
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"null_$c"),
+      countDistinct(col(c)).as(s"nd_$c"))) :+ count(lit(1)).as("n_rows")
+    val stackExpr = s"stack(${cols.length}, " +
+      cols.map(c => s"'$c', null_$c, nd_$c").mkString(", ") +
+      ") AS (column_name, n_null, n_distinct)"
+    o.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(stackExpr))
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"))
+  }
+
+  /** Referential-integrity / constraint report: named checks with
+    * violation counts (pk uniqueness, null keys, orphaned foreign keys,
+    * childless parents). Each check is a scalar aggregate or an
+    * anti-join count (AQE-decided strategy, no hard broadcast); the
+    * result is a fixed handful of rows regardless of input size. On this
+    * corpus `orders_childless` is the non-vacuous one (~1.7% of orders
+    * have no lineitems). */
+  private def integrity(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val l = Tables.lineitem(s, d)
+    def check(name: String, cnt: DataFrame): DataFrame =
+      cnt.select(lit(name).as("check_name"), col("n").as("n_violations"))
+    check("orders_pk_dup",
+      o.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("n")))
+      .unionByName(check("orders_null_custkey",
+        o.agg(sum(when(col("o_custkey").isNull, 1).otherwise(0))
+          .cast("long").as("n"))))
+      .unionByName(check("orders_orphan_custkey",
+        o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))))
+      .unionByName(check("orders_childless",
+        o.join(l, col("o_orderkey") === col("l_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))))
+      .unionByName(check("lineitem_orphan",
+        l.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))))
+  }
+
   private def tumbling(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy((expr("ts div 3600000000000") * 3600000L).as("hour_ms"), col("event_type"))
@@ -521,6 +599,9 @@ object Relational {
     "q_case_agg" -> caseAgg _,
     "q_funnel" -> funnel _,
     "q_cohort" -> cohortRetention _,
+    "q_range_join" -> rangeJoin _,
+    "q_profile" -> profile _,
+    "q_integrity" -> integrity _,
     "q_date_bucket" -> dateBucket _,
     "q_string_funcs" -> stringFuncs _,
     "q_union" -> unionNames _,
@@ -729,6 +810,43 @@ object Relational {
         |SELECT c_nationkey, 'only_building' AS src FROM (SELECT c_nationkey FROM b EXCEPT SELECT c_nationkey FROM m)
         |UNION ALL
         |SELECT c_nationkey, 'both' AS src FROM (SELECT c_nationkey FROM b INTERSECT SELECT c_nationkey FROM m)""".stripMargin,
+    "q_range_join" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+        |  FROM orders)
+        |SELECT a.o_custkey, a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+        |  CAST(abs(a.day - b.day) AS BIGINT) AS gap_days
+        |FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+        |  AND a.o_orderkey < b.o_orderkey
+        |  AND abs(a.day - b.day) <= 30""".stripMargin,
+    "q_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name, (SELECT count(*) FROM orders) AS n_rows,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           | count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+    "q_integrity" ->
+      """SELECT 'orders_pk_dup' AS check_name,
+        |  count(*) - count(DISTINCT o_orderkey) AS n_violations FROM orders
+        |UNION ALL
+        |SELECT 'orders_null_custkey',
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |UNION ALL
+        |SELECT 'orders_orphan_custkey', count(*) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                    WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'orders_childless', count(*) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                    WHERE l.l_orderkey = o.o_orderkey)
+        |UNION ALL
+        |SELECT 'lineitem_orphan', count(*) FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_orderkey = l.l_orderkey)""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
         |t1 AS (SELECT user_id, min(ms) AS t1 FROM e

@@ -113,6 +113,27 @@ class QueryPlanSpec extends SparkTestBase {
     }
   }
 
+  test("funnel and cohort are aggregation-shaped: no window, no sort of the event stream") {
+    Seq("q_funnel", "q_cohort").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q should not window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+    }
+  }
+
+  test("banded range join plans as an equi-join, not a nested loop") {
+    val p = plan("q_range_join")
+    // the band turns the range predicate into hash-join keys; the
+    // residual |Δday| filter rides as a join condition
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a non-equi physical join:\n$p")
+  }
+
+  test("column profile is one scan: a single Expand feeds all distinct counts") {
+    val p = plan("q_profile")
+    assert("Expand".r.findAllIn(p).length == 1, p)
+  }
+
   test("every registered query executes and returns rows at sf0.001") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       try {

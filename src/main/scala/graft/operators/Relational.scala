@@ -338,6 +338,27 @@ object Relational {
       .groupBy((expr("ts div 3600000000000") * 3600000L).as("hour_ms"), col("event_type"))
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
 
+  /** Hopping (sliding) window aggregation in batch: 60-minute windows
+    * advancing every 15 minutes. Each event lands in exactly
+    * length/hop = 4 windows, materialized by a 4-element explode at scan
+    * time — output volume is a fixed small multiple of the input, then
+    * one partial-combined keyed aggregation; no self-join, no window
+    * function, no sort. (The streaming twin is `window(..., "1 hour",
+    * "15 minutes")` in StreamOps; this is the batch/backfill shape of the
+    * same report.) */
+  private def hopping(s: SparkSession, d: String): DataFrame = {
+    val hopMs = 900000L // 15 min
+    val winHops = 4 // 60-minute window = 4 hops
+    Tables.events(s, d)
+      .withColumn("ms", EventTime.tsMs)
+      .select(col("event_type"), col("value"),
+        explode(sequence(lit(0), lit(winHops - 1))).as("i"),
+        expr(s"ms div $hopMs").as("hop"))
+      .groupBy(((col("hop") - col("i")) * hopMs).as("window_start_ms"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
+  }
+
   private def jsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(get_json_object(col("props"), "$.k").as("k_val"))
@@ -602,6 +623,7 @@ object Relational {
     "q_range_join" -> rangeJoin _,
     "q_profile" -> profile _,
     "q_integrity" -> integrity _,
+    "q_hopping" -> hopping _,
     "q_date_bucket" -> dateBucket _,
     "q_string_funcs" -> stringFuncs _,
     "q_union" -> unionNames _,
@@ -810,6 +832,13 @@ object Relational {
         |SELECT c_nationkey, 'only_building' AS src FROM (SELECT c_nationkey FROM b EXCEPT SELECT c_nationkey FROM m)
         |UNION ALL
         |SELECT c_nationkey, 'both' AS src FROM (SELECT c_nationkey FROM b INTERSECT SELECT c_nationkey FROM m)""".stripMargin,
+    "q_hopping" ->
+      """SELECT ((epoch_ms(ts) // 900000) - i) * 900000 AS window_start_ms,
+        | event_type, count(*) AS n,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS total_value
+        |FROM events CROSS JOIN (SELECT unnest(range(4)) AS i)
+        |GROUP BY 1, 2""".stripMargin,
     "q_range_join" ->
       """WITH o AS (SELECT o_orderkey, o_custkey,
         |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day

@@ -28,6 +28,13 @@ case class SessionState(start_ms: Long, last_ms: Long, n_events: Long, value: Do
 case class ClosedSession(user_id: Long, start_ms: Long, n_events: Long,
     value: Double, duration_ms: Long)
 
+/** One completed streaming funnel conversion. */
+case class FunnelConversion(user_id: Long, signup_ms: Long, convert_ms: Long)
+
+/** Per-user funnel progress: current stage (1 = signed up, 2 = viewed),
+  * when that stage was entered, and the original signup time. */
+case class FunnelState(stage: Int, stage_ms: Long, signup_ms: Long)
+
 /** Structured Streaming twins of the batch event operators
   * (operators.Relational q_tumbling / q_sessionize).
   *
@@ -173,6 +180,56 @@ object StreamOps {
             .maxBy(u => (u.version, u.payload))
           state.update(winner)
           winner
+      }
+  }
+
+  /** Streaming funnel (the streaming twin of batch q_funnel): emit a
+    * conversion the moment a user completes signup → view → purchase with
+    * each step inside `stepMs` of the previous one. One small state record
+    * per user currently inside the funnel, hash-partitioned across
+    * executors; event-time timeout evicts state as soon as the watermark
+    * passes the step deadline, so state is O(users inside an open step
+    * window), not O(all users ever seen). A dead funnel (step window
+    * missed) resets, and a later signup restarts it; completion removes
+    * state, so each user converts at most once per funnel entry. */
+  def funnel(events: Dataset[StreamEvent], stepMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[FunnelConversion] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelConversion](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[StreamEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelConversion]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val ms = e.ts.getTime
+              // a funnel whose step window has lapsed is dead; fall through
+              // so this same event may restart it (e.g. a fresh signup)
+              cur = cur.filter(s => ms <= s.stage_ms + stepMs)
+              (cur, e.event_type) match {
+                case (None, "signup") =>
+                  cur = Some(FunnelState(1, ms, ms))
+                case (Some(s), "view") if s.stage == 1 && ms > s.stage_ms =>
+                  cur = Some(FunnelState(2, ms, s.signup_ms))
+                case (Some(s), "purchase") if s.stage == 2 && ms > s.stage_ms =>
+                  out += FunnelConversion(userId, s.signup_ms, ms)
+                  cur = None
+                case _ => ()
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.stage_ms + stepMs)
+              case None => if (state.exists) state.remove()
+            }
+            out.iterator
+          }
       }
   }
 

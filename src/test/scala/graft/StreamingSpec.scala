@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.{ClosedSession, StreamEvent, StreamOps}
+import graft.streaming.{ClosedSession, FunnelConversion, StreamEvent, StreamOps}
 
 class StreamingSpec extends SparkTestBase {
 
@@ -167,6 +167,46 @@ class StreamingSpec extends SparkTestBase {
       val s2 = spark.table("sessions_out").as[ClosedSession]
         .filter(_.user_id == 2).collect()
       assert(s2.length == 1 && s2.head.start_ms == 60000 && s2.head.n_events == 2)
+    } finally q.stop()
+  }
+
+  test("streaming funnel: in-window conversion emits, lapsed step resets, signup restarts (D13)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val q = StreamOps.funnel(input.toDS(), stepMs = 1000L)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        // user 1 completes each step inside the 1 s window → converts
+        StreamEvent(1, new Timestamp(100), "signup", 0.0),
+        StreamEvent(1, new Timestamp(600), "view", 0.0),
+        StreamEvent(1, new Timestamp(1400), "purchase", 1.0),
+        // user 2 views too late (1600 > 100 + 1000): funnel dead, the
+        // later purchase must NOT convert
+        StreamEvent(2, new Timestamp(100), "signup", 0.0),
+        StreamEvent(2, new Timestamp(1600), "view", 0.0),
+        StreamEvent(2, new Timestamp(1700), "purchase", 1.0),
+        // user 3: out-of-order step (purchase before view) must not convert
+        StreamEvent(3, new Timestamp(100), "signup", 0.0),
+        StreamEvent(3, new Timestamp(300), "purchase", 1.0))
+      q.processAllAvailable()
+      val conv = spark.table("funnel_out").as[FunnelConversion].collect()
+      assert(conv.toSeq == Seq(FunnelConversion(1, 100, 1400)), conv.mkString(","))
+      // user 2's funnel restarts on a NEW signup and converts this time;
+      // user 1 already converted (state removed) — a lone purchase does nothing
+      input.addData(
+        StreamEvent(2, new Timestamp(2000), "signup", 0.0),
+        StreamEvent(2, new Timestamp(2500), "view", 0.0),
+        StreamEvent(2, new Timestamp(3000), "purchase", 1.0),
+        StreamEvent(1, new Timestamp(3000), "purchase", 1.0))
+      q.processAllAvailable()
+      val conv2 = spark.table("funnel_out").as[FunnelConversion].collect()
+      assert(conv2.toSet ==
+        Set(FunnelConversion(1, 100, 1400), FunnelConversion(2, 2000, 3000)),
+        conv2.mkString(","))
     } finally q.stop()
   }
 

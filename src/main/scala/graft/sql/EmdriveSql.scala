@@ -144,10 +144,16 @@ object EmdriveSql {
       schema: StructType) extends Statement
   final case class Insert(table: String, columns: Seq[String],
       rows: Seq[Seq[Value]]) extends Statement
+  /** One `JOIN t ON a = b` clause (graft extension; the reference grammar
+    * is single-table). Keys are unqualified: the lowering resolves which
+    * side owns which name (either order accepted). */
+  final case class Join(table: String, leftKey: String, rightKey: String)
+
   final case class Select(items: Seq[SelectItem], table: String,
       where: Seq[Cmp], groupBy: Seq[String] = Seq.empty,
       having: Seq[Cmp] = Seq.empty,
-      orderBy: Seq[OrderKey] = Seq.empty, limit: Option[Long] = None)
+      orderBy: Seq[OrderKey] = Seq.empty, limit: Option[Long] = None,
+      joins: Seq[Join] = Seq.empty)
     extends Statement
 
   // ----- parser (recursive descent over the token list) -----------------
@@ -191,7 +197,7 @@ object EmdriveSql {
   private val Keywords = Set("CREATE", "TABLE", "IF", "NOT", "EXISTS", "INSERT",
     "INTO", "VALUES", "SELECT", "FROM", "WHERE", "AS", "AND",
     "GROUP", "BY", "HAVING", "ORDER", "LIMIT", "ASC", "DESC",
-    "NULL", "TRUE", "FALSE", "SHOW", "TABLES", "DESCRIBE")
+    "NULL", "TRUE", "FALSE", "SHOW", "TABLES", "DESCRIBE", "JOIN", "ON")
 
   private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
 
@@ -270,6 +276,14 @@ object EmdriveSql {
     while (p.trySym(",")) items += parseItem(p)
     p.eatWord("FROM")
     val table = p.ident()
+    val joins = mutable.ListBuffer.empty[Join]
+    while (p.tryWord("JOIN")) {
+      val t = p.ident()
+      p.eatWord("ON")
+      val a = p.ident()
+      p.eatSym("=")
+      joins += Join(t, a, p.ident())
+    }
     val where = mutable.ListBuffer.empty[Cmp]
     if (p.tryWord("WHERE")) {
       var more = true
@@ -314,7 +328,8 @@ object EmdriveSql {
           Some(nRows)
         case _ => p.fail("integer LIMIT")
       } else None
-    Select(items.toSeq, table, where.toSeq, groupBy, having.toSeq, orderBy, limit)
+    Select(items.toSeq, table, where.toSeq, groupBy, having.toSeq, orderBy,
+      limit, joins.toSeq)
   }
 
   private def parseItem(p: P): SelectItem = p.toks match {
@@ -458,8 +473,24 @@ final class EmdriveSession(spark: SparkSession) {
       catalog(name) = target.unionByName(appended)
       catalog(name)
 
-    case Select(items, name, where, groupBy, having, orderBy, limitN) =>
-      val base = table(name)
+    case Select(items, name, where, groupBy, having, orderBy, limitN, joins) =>
+      // JOIN lowering (graft extension): unqualified ON keys resolved by
+      // which side owns the name (either order). The equi-join lowers to a
+      // declarative DataFrame join, so Catalyst/AQE pick broadcast vs
+      // shuffle by size — the SQL surface inherits the engine's join
+      // machinery rather than reimplementing any of it.
+      val base = joins.foldLeft(table(name)) { (rel, j) =>
+        val right = table(j.table)
+        val (lk, rk) =
+          if (rel.columns.contains(j.leftKey) && right.columns.contains(j.rightKey))
+            (j.leftKey, j.rightKey)
+          else if (rel.columns.contains(j.rightKey) && right.columns.contains(j.leftKey))
+            (j.rightKey, j.leftKey)
+          else throw new IllegalArgumentException(
+            s"join keys ${j.leftKey} = ${j.rightKey} do not match " +
+              s"left(${rel.columns.mkString(",")}) vs ${j.table}")
+        rel.join(right, rel(lk) === right(rk))
+      }
       // 1. attach aliased distance columns, so WHERE can reference them
       //    (README story: WHERE distance < 4 filters the SELECT alias)
       var df = base
@@ -664,6 +695,20 @@ object SqlQueries {
       es.register("documents", Tables.documents(s, d))
       es.sql("""SELECT lang, COUNT(*) AS n, MIN(n_chars) AS min_chars
                |FROM documents GROUP BY lang HAVING n >= 20 ORDER BY lang;""".stripMargin)
+    }),
+    // the JOIN extension end-to-end: two equi-joins + aggregate, lowered
+    // to AQE-decided DataFrame joins
+    "q_sql_join" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.register("nation", Tables.nation(s, d))
+      es.sql("""SELECT n_name, COUNT(*) AS n_orders
+               |FROM orders
+               |JOIN customer ON o_custkey = c_custkey
+               |JOIN nation ON c_nationkey = n_nationkey
+               |WHERE o_orderstatus = 'F'
+               |GROUP BY n_name ORDER BY n_orders DESC, n_name LIMIT 10;""".stripMargin)
     })
   )
 
@@ -681,6 +726,13 @@ object SqlQueries {
         |GROUP BY source ORDER BY total_chars DESC, source LIMIT 5""".stripMargin,
     "q_sql_having" ->
       """SELECT lang, count(*) AS n, min(n_chars) AS min_chars
-        |FROM documents GROUP BY lang HAVING count(*) >= 20 ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang HAVING count(*) >= 20 ORDER BY lang""".stripMargin,
+    "q_sql_join" ->
+      """SELECT n_name, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY n_name ORDER BY n_orders DESC, n_name LIMIT 10""".stripMargin
   )
 }

@@ -247,6 +247,31 @@ object Similarity {
       .limit(10)
   }
 
+  /** Corpus geometry report: histogram of pairwise quantized dot products
+    * over a deterministic 20% vector sample — how you choose near-dup /
+    * clustering thresholds BEFORE running them (where does the similarity
+    * mass sit?). The sample comes from the engine-portable multiplicative
+    * hash (no RNG), and all arithmetic is integer (int8 codes × int8
+    * codes), so the histogram is bitwise cross-engine. Scale shape:
+    * sampling happens BEFORE the pair join (k× fewer vectors → k² fewer
+    * pairs); the sampled side is broadcast — production picks the bucket
+    * count so the sample stays broadcastable, which is exactly the
+    * statistical budget of the report. Bin boundaries are multiples of
+    * 10000 — exact in double — so floor() never straddles an ulp. */
+  private def pairHistogram(s: SparkSession, d: String): DataFrame = {
+    val sample = Tables.embeddings(s, d)
+      .filter(Sampling.bucketOf(col("vec_id"), 100) < 20)
+      .select(col("vec_id"),
+        call_function("int8_quantize", col("embedding")).as("code"))
+    sample.as("a")
+      .join(broadcast(sample.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(floor(
+        call_function("q8_dot", col("a.code"), col("b.code")) / 10000.0)
+        .cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Embedding-level benchmark decontamination: for each eval-split vector,
     * the number of train-split vectors that are near-duplicates (cosine ≥
     * 0.4) — the semantic twin of the shingle-based C24 decontamination, for
@@ -375,6 +400,7 @@ object Similarity {
     "q_embed_norm" -> embedNorm _,
     "q_embed_normalize" -> embedNormalize _,
     "q_quantize" -> quantize _,
+    "q_pair_histogram" -> pairHistogram _,
     "q_knn_q8" -> knnQ8 _
   )
 
@@ -433,6 +459,18 @@ object Similarity {
         |p AS (SELECT s AS ps, code AS pcode FROM c WHERE vec_id = 0)
         |SELECT vec_id, list_dot_product(code, pcode) * s * ps AS score
         |FROM c, p ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "q_pair_histogram" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |           WHERE ((vec_id % 1000000007) * 2654435761) % 1000000007 % 100 < 20),
+        |q AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127 AS s FROM e),
+        |c AS (SELECT vec_id, CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+        |  ELSE list_transform(v, x -> floor(x / s + 0.5)) END AS code FROM q)
+        |SELECT CAST(floor(list_dot_product(a.code, b.code) / 10000.0) AS BIGINT)
+        |    AS bin,
+        |  count(*) AS n_pairs
+        |FROM c a JOIN c b ON a.vec_id < b.vec_id
+        |GROUP BY 1""".stripMargin,
     "q_quantize" ->
       """WITH s AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -359,6 +359,29 @@ object Relational {
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
   }
 
+  /** Market-share analysis (TPC-H Q8 flavor): per order-year, the revenue
+    * share supplied by one nation's suppliers. One pass: revenue rows
+    * carry their supplier nation, the share is a conditional aggregate
+    * over the same groups — total and part come from the SAME partial-
+    * combined aggregation, no second scan and no join of two aggregates.
+    * Both sums go through moneySum (exact decimal accumulation), so the
+    * final single division is bitwise cross-engine. */
+  private def marketShare(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .select(year(col("o_orderdate")).as("o_year"), col("n_name"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("vol"))
+    rev.groupBy(col("o_year"))
+      .agg(
+        moneySum(col("vol")).as("total_rev"),
+        moneySum(when(col("n_name") === "NATION_7", col("vol")).otherwise(0))
+          .as("nation_rev"))
+      .select(col("o_year"), col("total_rev"), col("nation_rev"),
+        (col("nation_rev") / col("total_rev")).as("share"))
+  }
+
   private def jsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(get_json_object(col("props"), "$.k").as("k_val"))
@@ -624,6 +647,7 @@ object Relational {
     "q_profile" -> profile _,
     "q_integrity" -> integrity _,
     "q_hopping" -> hopping _,
+    "q_market_share" -> marketShare _,
     "q_date_bucket" -> dateBucket _,
     "q_string_funcs" -> stringFuncs _,
     "q_union" -> unionNames _,
@@ -832,6 +856,22 @@ object Relational {
         |SELECT c_nationkey, 'only_building' AS src FROM (SELECT c_nationkey FROM b EXCEPT SELECT c_nationkey FROM m)
         |UNION ALL
         |SELECT c_nationkey, 'both' AS src FROM (SELECT c_nationkey FROM b INTERSECT SELECT c_nationkey FROM m)""".stripMargin,
+    "q_market_share" ->
+      """WITH rev AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, n_name,
+        |    l_extendedprice * (1 - l_discount) AS vol
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |agg AS (
+        |  SELECT o_year,
+        |    CAST(round(sum(CAST(vol AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_rev,
+        |    CAST(round(sum(CAST(CASE WHEN n_name = 'NATION_7' THEN vol ELSE 0 END
+        |      AS DECIMAL(18,4))), 2) AS DOUBLE) AS nation_rev
+        |  FROM rev GROUP BY 1)
+        |SELECT o_year, total_rev, nation_rev, nation_rev / total_rev AS share
+        |FROM agg""".stripMargin,
     "q_hopping" ->
       """SELECT ((epoch_ms(ts) // 900000) - i) * 900000 AS window_start_ms,
         | event_type, count(*) AS n,

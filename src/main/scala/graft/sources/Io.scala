@@ -44,6 +44,22 @@ object Io {
       .write.mode(SaveMode.Append).parquet(path)
   }
 
+  /** ORC write/read: the second columnar interchange format large
+    * deployments actually encounter (Hive-era lakes hand graft ORC tables;
+    * both formats keep predicate pushdown, column pruning, and stats-based
+    * row-group skipping — the scan-side properties every operator here
+    * relies on). Same partitioning discipline as parquet. */
+  def writeOrc(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w: DataFrameWriter[Row] = df.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .orc(path)
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Schema-evolution read: unions the column sets of every parquet file
     * under `path` (columns absent in older files surface as NULL). The
     * append-only-table reality at 100 TB: yesterday's files predate today's

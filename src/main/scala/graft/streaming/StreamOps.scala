@@ -58,6 +58,18 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Hopping (sliding) windowed counts — the streaming twin of batch
+    * q_hopping: 1-hour windows every 15 minutes. Spark materializes the
+    * length/hop = 4 window memberships per event; state is bounded by the
+    * watermark exactly as in the tumbling case, ×4 open windows. */
+  def hoppingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** Streaming MinHash-LSH near-dup detection: each arriving document's
     * 16 band hashes (64-perm MinHash, the same graft.functions kernel the
     * batch path uses) key a state store of doc-ids previously seen in that

@@ -47,6 +47,20 @@ class IoSpec extends SparkTestBase {
     assert(!plan.contains("grp=b"))
   }
 
+  test("orc roundtrip keeps values, partition pruning, and filter pushdown") {
+    val dir = Files.createTempDirectory("graft-io").toString + "/t"
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)).toDF("id", "grp", "v")
+    Io.writeOrc(df, dir, partitionCols = Seq("grp"))
+    assert(new java.io.File(s"$dir/grp=a").isDirectory)
+    val back = Io.readOrc(spark, dir).filter($"grp" === "a" && $"id" > 1)
+    assert(back.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(!plan.contains("grp=b")) // partition pruned
+    assert(plan.contains("PushedFilters") && plan.contains("id"), plan) // pushdown reaches ORC
+  }
+
   test("insertRows appends to an existing table") {
     val dir = Files.createTempDirectory("graft-io").toString + "/t"
     Io.insertRows(spark, dir, schema, Seq(Row(1L, "a", 1.0)))

@@ -170,6 +170,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("hopping windowed counts: one event lands in length/hop = 4 windows (D14)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val q = StreamOps.hoppingCounts(input.toDF())
+      .writeStream.format("memory").queryName("hopping_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // event at minute 40 of hour 0: covered by windows starting at
+      // -0:15, 0:00, 0:15, 0:30
+      input.addData(StreamEvent(1, new Timestamp(40 * 60000L), "click", 2.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close all four windows
+      input.addData(StreamEvent(9, new Timestamp(10 * 3600000L), "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("hopping_out")
+        .select($"window_start", $"n").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet
+      val expected = Set(-15L, 0L, 15L, 30L).map(m => (m * 60000L, 1L))
+      assert(rows == expected, rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming funnel: in-window conversion emits, lapsed step resets, signup restarts (D13)") {
     val s = spark
     import s.implicits._

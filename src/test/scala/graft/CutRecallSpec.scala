@@ -153,6 +153,36 @@ class CutRecallSpec extends SparkTestBase {
     assert(exact.exists(_.getLong(1) == 1010L))
   }
 
+  test("banded range join equals the naive quadratic join on a dense synthetic corpus") {
+    GraftSession.prepare(spark)
+    // days chosen to pepper band boundaries (30-day bands): same-customer
+    // orders at gaps 0, 1, 29, 30, 31, 59, 60 days across band edges —
+    // the banding must neither drop an in-window pair that spans a band
+    // boundary nor double-count one that shares two bands
+    val dir = java.nio.file.Files.createTempDirectory("graft_range").toString
+    val s2 = spark
+    import s2.implicits._
+    val rows = for {
+      cust <- 0L until 40L
+      k <- 0 until 6
+    } yield (cust * 10 + k, cust,
+      java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(1995, 1, 1)
+          .plusDays(cust * 3 + Seq(0, 1, 29, 30, 31, 60)(k))
+          .atStartOfDay()))
+    rows.toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q_range_join")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val naive = (for {
+      (ka, ca, ta) <- rows; (kb, cb, tb) <- rows
+      if ca == cb && ka < kb
+      gap = math.abs(ta.getTime - tb.getTime) / 86400000L if gap <= 30
+    } yield (ka, kb, gap)).toSet
+    assert(got == naive, s"got=${got.size} naive=${naive.size} " +
+      s"missing=${naive.diff(got).take(5)} extra=${got.diff(naive).take(5)}")
+  }
+
   test("SRP-LSH recall floor vs brute-force exact cosine pairs at sf0.001") {
     GraftSession.prepare(spark)
     // Exact reference: all 500·499/2 pairs, cosine via the same codegen

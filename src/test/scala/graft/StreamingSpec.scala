@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{lit, regexp_extract_all, regexp_replace, size}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.{ClosedSession, FunnelConversion, StreamEvent, StreamOps}
@@ -231,6 +232,32 @@ class StreamingSpec extends SparkTestBase {
       assert(conv2.toSet ==
         Set(FunnelConversion(1, 100, 1400), FunnelConversion(2, 2000, 3000)),
         conv2.mkString(","))
+    } finally q.stop()
+  }
+
+  test("per-row batch ops are stream-transparent: PII scrub on a document stream (D16)") {
+    // every shuffle-free per-row operator (scrubbing, quality, lang-id,
+    // fingerprints) is a plain Column expression, so the SAME code runs on
+    // a stream with no changes — this pins that property for the scrub
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[graft.streaming.StreamDoc]
+    val pat = graft.operators.TextAnalysis.PiiEmailRe
+    val q = input.toDF()
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit(pat), lit(0))).as("n_pii"),
+        regexp_replace($"text", pat, "<EMAIL>").as("clean"))
+      .writeStream.format("memory").queryName("scrub_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        graft.streaming.StreamDoc(1, new Timestamp(0), "write to bob@mail.com now"),
+        graft.streaming.StreamDoc(2, new Timestamp(1), "no contact here"))
+      q.processAllAvailable()
+      val out = spark.table("scrub_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(out == Set((1L, 1, "write to <EMAIL> now"), (2L, 0, "no contact here")))
     } finally q.stop()
   }
 

@@ -203,6 +203,32 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word"))
       .limit(25)
 
+  /** Domain-affinity scoring (DSIR-lite): fraction of each document's
+    * tokens found in the TARGET domain's top-50 vocabulary — data-driven
+    * curation scoring where the lexicon is DERIVED from an exemplar
+    * subset (here the 'en' docs) instead of hand-written (the static twin
+    * is q_denylist). Shape: heavy-hitter aggregate (partial counts +
+    * TakeOrdered 50, no global sort) → the 50-row lexicon rides an
+    * AQE-broadcast join under the exploded-token scan → per-doc hit-ratio
+    * re-aggregation. The score is a ratio of two exact integer counts —
+    * one IEEE division, bitwise cross-engine. Deterministic at the LIMIT
+    * boundary via the (count DESC, word) tie-break, identical in both
+    * engines. */
+  private def domainAffinity(s: SparkSession, d: String): DataFrame = {
+    val toksAll = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val lex = Tables.documents(s, d).filter(col("lang") === "en")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(50)
+      .select(col("word").as("lex_word"))
+    toksAll.join(lex, col("word") === col("lex_word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(when(col("lex_word").isNotNull, 1).otherwise(0)) * lit(1.0) /
+          count(lit(1))).as("affinity"))
+  }
+
   /** Approximate distinct counting (HLL++): the constant-memory cardinality
     * path at 100 TB (exact distinct shuffles every value; HLL merges
     * fixed-size sketches). Cross-engine sketch internals differ → rows-only
@@ -225,10 +251,27 @@ object TextAnalysis {
     "q_vocab" -> vocab _,
     "q_denylist" -> denylist _,
     "q_pii_scrub" -> piiScrub _,
+    "q_domain_affinity" -> domainAffinity _,
     "q_gopher_flags" -> gopherFlags _
   )
 
   val oracles: Map[String, String] = Map(
+    "q_domain_affinity" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |lex AS (
+        |  SELECT word FROM (
+        |    SELECT word, count(*) AS n
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |          FROM documents WHERE lang = 'en')
+        |    GROUP BY 1 ORDER BY n DESC, word LIMIT 50)),
+        |j AS (
+        |  SELECT t.doc_id, lex.word AS hit
+        |  FROM t LEFT JOIN lex ON t.word = lex.word)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  (CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1.0) / count(*) AS affinity
+        |FROM j GROUP BY 1""".stripMargin,
     "q_pii_scrub" ->
       """WITH inj AS (
         |  SELECT doc_id, CASE WHEN doc_id % 5 = 0

@@ -22,17 +22,21 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  /** Canonical lexicons live with their codegen kernels (functions.Lexicon)
+    * so operator code, kernels, and oracles cannot drift apart. */
+  val EnStopwords: Seq[String] = graft.functions.LexiconKernels.EnStopwords
 
   private def toks: Column = split(col("text"), " ")
 
   /** Stopword-hit ratio of the whitespace-tokenized `text` column — the
     * language-ID signal. Shared with operators.Pipeline so the formula and
-    * its oracles cannot drift apart. */
-  def enRatioOf(text: Column): Column = {
-    val t = split(text, " ")
-    size(filter(t, x => x.isInCollection(EnStopwords))) * lit(1.0) / size(t)
-  }
+    * its oracles cannot drift apart. The hit count is the `stopword_hits`
+    * codegen kernel (one while-loop pass) rather than a
+    * `size(filter(...))` HOF chain — HOF lambdas run interpreted per
+    * token, the round-1 100× scan hazard; a parity spec pins the two
+    * formulations equal. */
+  def enRatioOf(text: Column): Column =
+    call_function("stopword_hits", text) * lit(1.0) / size(split(text, " "))
 
   /** The 0.4·length + 0.4·distinct + 0.2·mean-len quality score. Shared
     * with operators.Pipeline. */
@@ -126,18 +130,20 @@ object TextAnalysis {
     * than a regex: exact and engine-portable (no regex-dialect drift
     * between engines), and per-row scan work — shuffle-free, column-pruned
     * to (doc_id, text) at 100 TB. The hit fraction is a ratio of two exact
-    * ints (one IEEE division, bitwise cross-engine, ships unrounded). */
-  val Denylist: Seq[String] = Seq("customer", "vector", "spark")
+    * ints (one IEEE division, bitwise cross-engine, ships unrounded).
+    * Counting and masking are single-pass codegen kernels
+    * (`denylist_hits` / `denylist_mask`), not interpreted
+    * filter/transform HOF lambdas — the round-1 100× scan hazard; a
+    * parity spec pins kernel == HOF. */
+  val Denylist: Seq[String] = graft.functions.LexiconKernels.Denylist
 
   private def denylist(s: SparkSession, d: String): DataFrame = {
-    val hits = size(filter(toks, x => x.isInCollection(Denylist)))
+    val hits = call_function("denylist_hits", col("text"))
     Tables.documents(s, d).select(
       col("doc_id"),
       hits.as("n_hits"),
       (hits * lit(1.0) / size(toks)).as("hit_frac"),
-      array_join(
-        transform(toks, x => when(x.isInCollection(Denylist), lit("[X]")).otherwise(x)),
-        " ").as("scrubbed"))
+      call_function("denylist_mask", col("text")).as("scrubbed"))
   }
 
   /** The PII pattern this scrubber removes. Deliberately restricted to a
@@ -178,7 +184,7 @@ object TextAnalysis {
   private def gopherFlags(s: SparkSession, d: String): DataFrame = {
     val nTokens = size(toks)
     val meanLen = (length(col("text")) - (nTokens - lit(1))) * lit(1.0) / nTokens
-    val stopHits = size(filter(toks, x => x.isInCollection(EnStopwords)))
+    val stopHits = call_function("stopword_hits", col("text"))
     val okWords = nTokens.between(20, 100000)
     val okMeanLen = meanLen.between(3.0, 10.0)
     val okRep = call_function("top_token_frac", col("text")) <= 0.2

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{CharShingles, ContentFp, CosineSimilarity, DotProduct, DupNgramFrac, Hamming128, Int8Quantize, L2Norm, MinHashBands, MinHashSig, Q8Dot, Q8Scale, Q8Sum, SignBands, SimHash64, SrpBands, TopK, TopTokenFrac, Ulid, WordShingles, ZOrder2}
+import graft.functions.{CharShingles, ContentFp, CosineSimilarity, DenylistHits, DenylistMask, DotProduct, DupNgramFrac, Hamming128, Int8Quantize, L2Norm, MinHashBands, MinHashSig, Q8Dot, Q8Scale, Q8Sum, SignBands, SimHash64, SrpBands, StopwordHits, TopK, TopTokenFrac, Ulid, WordShingles, ZOrder2}
 
 /** SparkSessionExtensions entry point: injects graft's native Catalyst
   * expressions into the SQL function registry, so `spark.sql` and
@@ -80,6 +80,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => Hamming128(args(0), args(1))),
     ("top_token_frac", info("top_token_frac", "fraction of tokens taken by the most frequent token"),
       (args: Seq[Expression]) => TopTokenFrac(args(0))),
+    ("stopword_hits", info("stopword_hits", "count of tokens in the English stopword lexicon"),
+      (args: Seq[Expression]) => StopwordHits(args(0))),
+    ("denylist_hits", info("denylist_hits", "count of tokens in the policy denylist"),
+      (args: Seq[Expression]) => DenylistHits(args(0))),
+    ("denylist_mask", info("denylist_mask", "text with denylisted tokens masked as [X]"),
+      (args: Seq[Expression]) => DenylistMask(args(0))),
     ("dup_ngram_frac", info("dup_ngram_frac", "fraction of repeated consecutive word n-grams"),
       (args: Seq[Expression]) => DupNgramFrac(args(0), litInt(args(1), "dup_ngram_frac n"))),
     ("top_k", info("top_k", "k largest struct values per group, bounded-heap aggregate"),

@@ -23,6 +23,40 @@ class FunctionsSpec extends SparkTestBase {
     assert(sqlOne("SELECT word_shingles('a b c', 3) AS sh").getSeq[String](0) == Seq("a b c"))
   }
 
+  test("lexicon kernels equal their HOF formulations on the test corpus") {
+    GraftSession.prepare(spark)
+    import graft.functions.LexiconKernels.{Denylist, EnStopwords}
+    // the kernels replaced interpreted filter/transform lambdas on the
+    // per-document hot path; this parity check is what licenses that swap
+    // (same single-space tokenization incl. empty tokens, exact membership)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("text"),
+        call_function("stopword_hits", col("text")).as("k_stop"),
+        size(filter(split(col("text"), " "),
+          x => x.isInCollection(EnStopwords))).as("h_stop"),
+        call_function("denylist_hits", col("text")).as("k_deny"),
+        size(filter(split(col("text"), " "),
+          x => x.isInCollection(Denylist))).as("h_deny"),
+        call_function("denylist_mask", col("text")).as("k_mask"),
+        array_join(transform(split(col("text"), " "),
+          x => when(x.isInCollection(Denylist), lit("[X]")).otherwise(x)),
+          " ").as("h_mask"))
+    val bad = docs.filter(
+      col("k_stop") =!= col("h_stop") || col("k_deny") =!= col("h_deny") ||
+        col("k_mask") =!= col("h_mask"))
+    assert(bad.isEmpty, bad.take(3).mkString(","))
+    // edge shapes the corpus lacks: empty text, repeated spaces, lexicon
+    // words as substrings of larger tokens
+    import graft.functions.LexiconKernels
+    def u(s: String) = UTF8String.fromString(s)
+    assert(LexiconKernels.stopwordHits(u("")) == 0)
+    assert(LexiconKernels.stopwordHits(u("the  the")) == 2) // empty middle token
+    assert(LexiconKernels.stopwordHits(u("theory of others")) == 1) // no substring hits
+    assert(LexiconKernels.denylistMask(u("")).toString == "")
+    assert(LexiconKernels.denylistMask(u("spark sparkle  spark")).toString ==
+      "[X] sparkle  [X]")
+  }
+
   test("repetition kernels: top-token and duplicate-ngram fractions") {
     val r = sqlOne(
       """SELECT top_token_frac('a b a c a') AS tf,

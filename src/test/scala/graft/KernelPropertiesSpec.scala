@@ -62,4 +62,30 @@ object KernelPropertiesSpec extends Properties("graft.kernels") {
       else Prop(sh.numElements() > 0 &&
         (0 until sh.numElements()).forall(i => sh.getUTF8String(i).toString.length == n))
     }
+
+  // texts that stress tokenization edges: lexicon words, superstrings of
+  // them, empties from leading/trailing/double spaces
+  private val lexText = Gen.listOf(Gen.oneOf(
+    Gen.oneOf(graft.functions.LexiconKernels.EnStopwords),
+    Gen.oneOf(graft.functions.LexiconKernels.Denylist),
+    word, Gen.const(""), Gen.oneOf("theory", "sparkle", "of", "andys")))
+    .map(_.mkString(" "))
+
+  property("stopwordHits/denylistHits equal the split-and-count reference") =
+    forAll(lexText) { text =>
+      val toks = text.split(" ", -1).toSeq
+      val stop = graft.functions.LexiconKernels.stopwordHits(UTF8String.fromString(text))
+      val deny = graft.functions.LexiconKernels.denylistHits(UTF8String.fromString(text))
+      Prop(stop == toks.count(graft.functions.LexiconKernels.EnStopwords.contains) &&
+        deny == toks.count(graft.functions.LexiconKernels.Denylist.contains))
+    }
+
+  property("denylistMask equals the map-tokens reference and keeps spacing") =
+    forAll(lexText) { text =>
+      val expected = text.split(" ", -1)
+        .map(t => if (graft.functions.LexiconKernels.Denylist.contains(t)) "[X]" else t)
+        .mkString(" ")
+      Prop(graft.functions.LexiconKernels
+        .denylistMask(UTF8String.fromString(text)).toString == expected)
+    }
 }

@@ -1,6 +1,7 @@
 package graft.sql
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -140,6 +141,10 @@ object EmdriveSql {
     * (src/storage/system.rs:5-16 `system.tables` / `system.columns`). */
   case object ShowTables extends Statement
   final case class Describe(table: String) extends Statement
+  /** EXPLAIN <select> — returns the formatted physical plan as rows
+    * (graft extension; the engine's plan is the real answer to "how will
+    * this run", which a declarative front-end should expose). */
+  final case class ExplainStmt(select: Select) extends Statement
   final case class CreateTable(name: String, ifNotExists: Boolean,
       schema: StructType) extends Statement
   final case class Insert(table: String, columns: Seq[String],
@@ -197,7 +202,8 @@ object EmdriveSql {
   private val Keywords = Set("CREATE", "TABLE", "IF", "NOT", "EXISTS", "INSERT",
     "INTO", "VALUES", "SELECT", "FROM", "WHERE", "AS", "AND",
     "GROUP", "BY", "HAVING", "ORDER", "LIMIT", "ASC", "DESC",
-    "NULL", "TRUE", "FALSE", "SHOW", "TABLES", "DESCRIBE", "JOIN", "ON")
+    "NULL", "TRUE", "FALSE", "SHOW", "TABLES", "DESCRIBE", "JOIN", "ON",
+    "EXPLAIN")
 
   private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
 
@@ -209,7 +215,10 @@ object EmdriveSql {
       else if (p.tryWord("SELECT")) parseSelect(p)
       else if (p.tryWord("SHOW")) { p.eatWord("TABLES"); ShowTables }
       else if (p.tryWord("DESCRIBE")) Describe(p.ident())
-      else p.fail("CREATE, INSERT, SELECT, SHOW TABLES or DESCRIBE")
+      else if (p.tryWord("EXPLAIN")) {
+        p.eatWord("SELECT"); ExplainStmt(parseSelect(p))
+      }
+      else p.fail("CREATE, INSERT, SELECT, EXPLAIN, SHOW TABLES or DESCRIBE")
     p.trySym(";")
     if (!p.done) p.fail("end of statement")
     stmt
@@ -473,7 +482,20 @@ final class EmdriveSession(spark: SparkSession) {
       catalog(name) = target.unionByName(appended)
       catalog(name)
 
-    case Select(items, name, where, groupBy, having, orderBy, limitN, joins) =>
+    case sel: Select => lowerSelect(sel)
+
+    case ExplainStmt(sel) =>
+      val text = lowerSelect(sel).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      spark.createDataFrame(
+        text.split("\n").toSeq.map(Row(_)).asJava,
+        StructType(Seq(StructField("plan_line", StringType))))
+  }
+
+  private def lowerSelect(sel: Select): DataFrame = {
+    val Select(items, name, where, groupBy, having, orderBy, limitN, joins) =
+      sel
+    locally {
       // JOIN lowering (graft extension): unqualified ON keys resolved by
       // which side owns the name (either order). The equi-join lowers to a
       // declarative DataFrame join, so Catalyst/AQE pick broadcast vs
@@ -545,6 +567,7 @@ final class EmdriveSession(spark: SparkSession) {
           if (k.desc) col(k.name).desc else col(k.name).asc): _*)
       limitN.foreach(nRows => out = out.limit(nRows.toInt))
       out
+    }
   }
 
   private def aggColumn(func: String, arg: Option[String]): Column =

@@ -58,6 +58,45 @@ class ScaleSpec extends SparkTestBase {
     assert(math.abs(s1 - p1) < 1e-6)
   }
 
+  test("AQE splits a skewed join partition at runtime (the first line of skew defense)") {
+    // §4's claim "skewed keys → salting or AQE skew-join" has two halves;
+    // the salted-join test covers the explicit half, this one pins that
+    // AQE's runtime split actually fires on a monster key (thresholds
+    // lowered to observe the mechanism at test scale, as in
+    // RuntimeFilterSpec). Skew.saltedJoin remains the escalation for keys
+    // AQE's split can't tame.
+    GraftSession.prepare(spark)
+    val s = spark
+    import s.implicits._
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      // one monster key (80% of rows) + a long tail
+      val fact = (0 until 50000).map(i => (if (i % 5 == 0) i % 97 + 1 else 0L, i.toLong))
+        .toDF("k", "v")
+      val dim = (0L until 98L).map(k => (k, s"dim_$k")).toDF("k", "name")
+      val joined = fact.join(dim, "k")
+      // collect() executes THIS DataFrame's own plan (count() would build
+      // a separate QueryExecution, leaving this one un-finalized)
+      assert(joined.collect().length == 50000) // every fact key matches once
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not flag the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("streaming dropDuplicates with watermark dedups across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode

@@ -404,7 +404,7 @@ object Dedup {
     val nCorpus = s.sql(
       s"""SELECT count(*) FROM graft_bloom_docs
          |WHERE ((doc_id % ${Sampling.P}) * ${Sampling.A}) % ${Sampling.P} % 100 < 90
-         |""".stripMargin).head.getLong(0)
+         |""".stripMargin).head().getLong(0)
     val estItems = math.max(1L, nCorpus)
     val numBits = bloomBits(estItems, BloomFpp)
     s.sql(s"""

@@ -469,9 +469,9 @@ final class EmdriveSession(spark: SparkSession) {
       val batches = rows.map { vs =>
         require(vs.size == named.size,
           s"INSERT arity mismatch: ${named.size} columns, ${vs.size} values")
-        val given = named.zip(vs).toMap
+        val provided = named.zip(vs).toMap
         val projected = schema.fields.map { f =>
-          given.get(f.name) match {
+          provided.get(f.name) match {
             case Some(v) => valueCol(v, f).as(f.name)
             case None => defaultCol(f).as(f.name)
           }

@@ -44,6 +44,20 @@ object Io {
       .write.mode(SaveMode.Append).parquet(path)
   }
 
+  /** Raw text ingestion: one document per line (the wire format raw web
+    * and log corpora actually arrive in, before any columnar conversion).
+    * Ids are CONTENT hashes, not positions: line numbers are not stable
+    * under distributed splits or re-partitioning, while xxhash64(text)
+    * is deterministic, engine-portable, and is the key exact dedup (C1)
+    * groups on anyway — byte-identical lines collapse to one id, which is
+    * the behavior every downstream dedup step assumes. */
+  def readTextLines(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, length, xxhash64}
+    spark.read.text(path)
+      .select(xxhash64(col("value")).as("doc_id"), col("value").as("text"),
+        length(col("value")).cast("long").as("n_chars"))
+  }
+
   /** ORC write/read: the second columnar interchange format large
     * deployments actually encounter (Hive-era lakes hand graft ORC tables;
     * both formats keep predicate pushdown, column pruning, and stats-based

@@ -47,6 +47,23 @@ class IoSpec extends SparkTestBase {
     assert(!plan.contains("grp=b"))
   }
 
+  test("readTextLines: one doc per line, content-hash ids collapse identical lines") {
+    val dir = Files.createTempDirectory("graft-io").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/corpus.txt"),
+      "alpha beta\nsecond line\nalpha beta\n".getBytes("UTF-8"))
+    val df = Io.readTextLines(spark, s"$dir/corpus.txt")
+    assert(df.columns.toSeq == Seq("doc_id", "text", "n_chars"))
+    assert(df.count() == 3)
+    // identical lines share a doc_id (exact dedup's grouping key)
+    assert(df.select("doc_id").distinct().count() == 2)
+    val row = df.filter(df("text") === "second line").head()
+    assert(row.getLong(2) == 11L)
+    // ids are content-derived: a re-read (any split/partitioning) agrees
+    val again = Io.readTextLines(spark, s"$dir/corpus.txt").repartition(3)
+    assert(again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("orc roundtrip keeps values, partition pruning, and filter pushdown") {
     val dir = Files.createTempDirectory("graft-io").toString + "/t"
     val s = spark

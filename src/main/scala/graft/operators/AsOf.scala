@@ -69,8 +69,27 @@ object AsOf {
       Seq("purchase_ms", "purchase_value"))
   }
 
+  /** As-of join with a match TOLERANCE (the feature-store variant): a
+    * match older than `ToleranceMs` counts as no match — a one-hour-stale
+    * purchase must not silently become a click's feature. The tolerance
+    * is a post-condition nulling out stale matches, so the one-shuffle
+    * union-window core (and its 100 TB shape) is unchanged; both carried
+    * fields null together, preserving the torn-row guarantee. */
+  private val ToleranceMs = 3600000L
+
+  private def asofTolerance(s: SparkSession, d: String): DataFrame = {
+    val base = asofClickPurchase(s, d)
+    val fresh = col("asof_purchase_ms").isNotNull &&
+      col("click_ms") - col("asof_purchase_ms") <= ToleranceMs
+    base.select(
+      col("user_id"), col("click_id"), col("click_ms"),
+      when(fresh, col("asof_purchase_ms")).as("asof_purchase_ms"),
+      when(fresh, col("asof_purchase_value")).as("asof_purchase_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_join" -> asofClickPurchase _
+    "q_asof_join" -> asofClickPurchase _,
+    "q_asof_tolerance" -> asofTolerance _
   )
 
   val oracles: Map[String, String] = Map(
@@ -85,6 +104,24 @@ object AsOf {
         |       p.purchase_ms AS asof_purchase_ms,
         |       p.purchase_value AS asof_purchase_value
         |FROM c ASOF LEFT JOIN p
-        |  ON c.user_id = p.user_id AND c.click_ms >= p.purchase_ms""".stripMargin
+        |  ON c.user_id = p.user_id AND c.click_ms >= p.purchase_ms""".stripMargin,
+    "q_asof_tolerance" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type, value FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ms AS click_ms FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ms AS purchase_ms, value AS purchase_value FROM e
+        |      WHERE event_type = 'purchase'),
+        |j AS (
+        | SELECT c.user_id, c.click_id, c.click_ms,
+        |        p.purchase_ms, p.purchase_value
+        | FROM c ASOF LEFT JOIN p
+        |   ON c.user_id = p.user_id AND c.click_ms >= p.purchase_ms)
+        |SELECT user_id, click_id, click_ms,
+        | CASE WHEN click_ms - purchase_ms <= 3600000 THEN purchase_ms END
+        |   AS asof_purchase_ms,
+        | CASE WHEN click_ms - purchase_ms <= 3600000 THEN purchase_value END
+        |   AS asof_purchase_value
+        |FROM j""".stripMargin
   )
 }

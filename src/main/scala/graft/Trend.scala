@@ -27,8 +27,11 @@ object Trend {
     "q_token_count", "q_sample_split", "q_quality",
     // near-dup family (candidate-volume-bounded)
     "q_dedup_exact", "q_dedup_jaccard", "q_minhash_lsh", "q_window_dedup",
+    "q_neardup_incremental", "q_dup_mass",
     // embeddings
-    "q_knn_cosine", "q_embed_neardup")
+    "q_knn_cosine", "q_embed_neardup", "q_pair_histogram",
+    // round-5 relational (banded join, one-scan profile)
+    "q_range_join", "q_profile", "q_cohort")
 
   private val Tables =
     Seq("lineitem", "orders", "events", "documents", "embeddings")

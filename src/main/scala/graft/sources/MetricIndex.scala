@@ -67,4 +67,34 @@ object MetricIndex {
       .filter(call_function("hamming64", col(hashCol).cast("long"), lit(probe)) <= maxDist)
       .drop(PrefixColumn)
   }
+
+  /** Index-backed k-NN — what the reference's emtree actually exists for:
+    * nearest hashes WITHOUT a full corpus scan. Radius doubling: run the
+    * pruned [[thresholdQuery]] at growing radii until ≥ k rows survive,
+    * then rank those. Each probe costs one pruned scan plus a scalar
+    * count (an index interrogation, not a data collect); radii double, so
+    * the loop runs O(log maxRadius) times and total scan work is within
+    * ~2× the final radius's pruned scan. Correctness: the ball that
+    * yielded ≥ k rows contains the true top k (every excluded row is
+    * farther than every included one), so ranking inside it equals the
+    * full-scan answer — the spec asserts exact parity. Past
+    * `maxPruneDist` the prefix IN-list stops paying (the partition count
+    * approaches 2^bits), so the fallback is the full-scan TakeOrdered,
+    * same as the unindexed path. */
+  def knnQuery(spark: SparkSession, path: String, hashCol: String,
+      probe: Long, k: Int, bits: Int = 8, maxPruneDist: Int = 8): DataFrame = {
+    require(k > 0, s"knnQuery requires k > 0, got $k")
+    def ranked(df: DataFrame): DataFrame = df
+      .withColumn("dist",
+        call_function("hamming64", col(hashCol).cast("long"), lit(probe)))
+      .orderBy(col("dist"), col(hashCol))
+      .limit(k)
+    var radius = 1
+    while (radius <= maxPruneDist) {
+      val ball = thresholdQuery(spark, path, hashCol, probe, radius, bits)
+      if (ball.count() >= k) return ranked(ball)
+      radius *= 2
+    }
+    ranked(spark.read.parquet(path).drop(PrefixColumn))
+  }
 }

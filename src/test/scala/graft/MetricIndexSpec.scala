@@ -47,6 +47,51 @@ class MetricIndexSpec extends SparkTestBase {
     assert(scan.toString.contains("PartitionFilters"), scan.toString)
   }
 
+  test("index-backed kNN equals full-scan kNN and reads a pruned ball") {
+    GraftSession.prepare(spark)
+    // The prefix index pays for kNN when hashes CLUSTER — real perceptual
+    // hashes of near-identical media do; uniform random hashes don't (the
+    // 5th-nearest of 500 random 64-bit hashes sits at distance ~20, where
+    // every prefix qualifies — knnQuery then correctly falls back to the
+    // full-scan TakeOrdered). So the corpus is background hashes plus a
+    // planted near-dup cluster around the probe, the shape the operator
+    // exists for, and the loop must resolve at a small, prunable radius.
+    val dir = Files.createTempDirectory("graft-mindex").toString + "/docs"
+    val s2 = spark
+    import s2.implicits._
+    val base = 0x5a5a3c3c0f0f55aaL
+    val planted = Seq(base, base ^ 1L, base ^ 2L, base ^ (1L << 40),
+      base ^ 3L, base ^ (1L << 63) ^ 1L, base ^ ((1L << 22) | (1L << 50)))
+    val background = (0 until 500).map(i =>
+      scala.util.hashing.MurmurHash3.stringHash(s"bg$i").toLong * 2654435761L)
+    val hashed = (planted ++ background).zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }.toDF("doc_id", "h")
+    MetricIndex.writeIndexed(hashed, dir, "h", bits = 8)
+
+    val got = MetricIndex.knnQuery(spark, dir, "h", base, k = 5)
+      .select(col("h"), col("dist")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val expected = hashed
+      .withColumn("dist", call_function("hamming64", col("h"), lit(base)))
+      .orderBy(col("dist"), col("h")).limit(5)
+      .select(col("h"), col("dist")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got.map(_._2).max <= 2) // resolved inside the planted cluster
+
+    // the ball that resolved the query (radius 2: the planted cluster has
+    // >= 5 members within distance 2) reads a pruned file selection —
+    // C(8, <=2) = 37 candidate prefixes of the layout's partitions
+    val ball = MetricIndex.thresholdQuery(spark, dir, "h", base, 2, bits = 8)
+    val scan = ball.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    val totalParts = spark.read.parquet(dir)
+      .select(MetricIndex.PrefixColumn).distinct().count()
+    assert(scan.selectedPartitions.partitionCount < totalParts,
+      s"${scan.selectedPartitions.partitionCount} of $totalParts partitions read")
+  }
+
   test("prefixesWithin enumerates exactly the prefixes a match can live in") {
     val probe = 0xA5L
     val within2 = MetricIndex.prefixesWithin(probe, 8, 2)

@@ -696,19 +696,26 @@ object Relational {
         | count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    // Each decimal sum detours through VARCHAR before the DOUBLE cast:
+    // DuckDB's direct DECIMAL→DOUBLE converts int128→double and THEN
+    // divides by 10^scale — two roundings, which misrounds once the scaled
+    // integer sum exceeds 2^53 (price² sums do). strtod on the exact
+    // decimal string is correctly rounded, matching Spark's
+    // BigDecimal.doubleValue bit for bit (found as a last-ulp corr
+    // mismatch at sf0.001 only; larger SFs had not landed near a boundary).
     "q_stats" ->
       """WITH m AS (
         | SELECT l_returnflag,
         |  CAST(count(*) AS DOUBLE) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sq,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sp,
-        |  CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sd,
-        |  CAST(sum(CAST(l_tax AS DECIMAL(28,6))) AS DOUBLE) AS st,
-        |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sqq,
-        |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS spp,
-        |  CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sdd,
-        |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sqp,
-        |  CAST(sum(CAST(l_quantity * l_tax AS DECIMAL(28,6))) AS DOUBLE) AS sqt
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sq,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sp,
+        |  CAST(CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sd,
+        |  CAST(CAST(sum(CAST(l_tax AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS st,
+        |  CAST(CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sqq,
+        |  CAST(CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS spp,
+        |  CAST(CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sdd,
+        |  CAST(CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sqp,
+        |  CAST(CAST(sum(CAST(l_quantity * l_tax AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sqt
         | FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag,
         | (n * sqp - sq * sp) / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp))

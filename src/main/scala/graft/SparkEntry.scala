@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Dedup, Multimodal, Pipeline, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, Pipeline, PqIndex, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -19,7 +19,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val raw = Relational.queries ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ AsOf.queries ++
-      Pipeline.queries ++ Sampling.queries ++ graft.sql.SqlQueries.queries
+      Pipeline.queries ++ Sampling.queries ++ PqIndex.queries ++
+      graft.sql.SqlQueries.queries
     raw.map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) => { GraftSession.prepare(s); fn(s, dir) })
     }
@@ -30,5 +31,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ AsOf.oracles ++
-      Pipeline.oracles ++ Sampling.oracles ++ graft.sql.SqlQueries.oracles
+      Pipeline.oracles ++ Sampling.oracles ++ PqIndex.oracles ++
+      graft.sql.SqlQueries.oracles
 }

@@ -111,6 +111,31 @@ object Dedup {
       Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh")), 0.5)
       .select(col("id_a"), col("id_b"), col("raw_j").as("jaccard"))
 
+  /** Edit-distance fuzzy dedup: near-dup pairs VERIFIED by relative
+    * Levenshtein distance ≤ 0.2 — the character-level confirmation pass
+    * for pairs the token-set view can't distinguish (token-set Jaccard is
+    * order-blind; edit distance is not). Quadratic-cost verification is
+    * affordable only because candidates come from the same bounded
+    * inverted-index generation as every other near-dup family (here at a
+    * permissive 0.3 so the edit-distance cut does the deciding) — never
+    * all-pairs. Texts join back onto the candidate relation only (two
+    * AQE-decided joins of pair-graph size); rel_dist is int/int with one
+    * division, bitwise cross-engine (Spark and DuckDB agree on
+    * levenshtein's definition; spot-checked equal). */
+  private def dedupEditDist(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cand = jaccardPairs(
+      docs.select(col("doc_id"), shingleCol.as("sh")), 0.3)
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
+        (levenshtein(col("text_a"), col("text_b")) * lit(1.0) /
+          greatest(length(col("text_a")), length(col("text_b")))).as("rel_dist"))
+      .filter(col("rel_dist") <= 0.2)
+  }
+
   /** Per-(band,bucket) membership cap for batch LSH — the batch twin of
     * StreamOps.minhashNearDupCandidates' `maxPerBucket`. A degenerate
     * bucket (e.g. a boilerplate template shared by 1M docs) would emit
@@ -547,6 +572,7 @@ object Dedup {
     "q_bloom_incremental" -> bloomIncremental _,
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_jaccard" -> dedupJaccard _,
+    "q_dedup_editdist" -> dedupEditDist _,
     "q_dedup_ngram" -> dedupNgram _,
     "q_minhash_lsh" -> minhashLsh _,
     "q_simhash" -> simhash _,
@@ -658,6 +684,22 @@ object Dedup {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    "q_dedup_editdist" ->
+      s"""WITH $wordPairCtes,
+         |cand AS (
+         | SELECT id_a, id_b FROM p
+         | JOIN cnt ca ON id_a = ca.doc_id
+         | JOIN cnt cb ON id_b = cb.doc_id
+         | WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.3)
+         |SELECT id_a, id_b,
+         | CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist,
+         | levenshtein(da.text, db.text) * 1.0
+         |   / greatest(length(da.text), length(db.text)) AS rel_dist
+         |FROM cand
+         |JOIN documents da ON cand.id_a = da.doc_id
+         |JOIN documents db ON cand.id_b = db.doc_id
+         |WHERE levenshtein(da.text, db.text) * 1.0
+         |   / greatest(length(da.text), length(db.text)) <= 0.2""".stripMargin,
     "q_dedup_jaccard" ->
       s"""WITH $wordPairCtes
          |SELECT id_a, id_b,

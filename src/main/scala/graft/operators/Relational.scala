@@ -612,8 +612,160 @@ object Relational {
         max_by(col("text"), col("version")).as("text"))
   }
 
+  /** Telemetry debounce: drop events arriving within one hour of the
+    * previous event of the same (user, type) — the retry/double-fire
+    * suppression every event pipeline runs at ingest (batch twin of the
+    * streaming dropDuplicates-with-watermark, D6, but keyed on recency
+    * rather than identity). One window shuffle keyed on (user, type);
+    * lag-against-previous-event semantics (not previous-KEPT) keeps the
+    * operator a single window pass — exact integer-ms comparison, no
+    * float anywhere. */
+  private def debounce(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ms"), col("event_id"))
+    Tables.events(s, d).withColumn("ms", EventTime.tsMs)
+      .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+      .filter(col("gap").isNull || col("gap") > 3600000L)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ms"))
+  }
+
+  /** Z-score outlier detection per event type: events whose value sits
+    * more than 3 standard deviations from their type's mean — the
+    * monitoring/fraud primitive. Two passes, both scan-shaped: a 5-row
+    * moment aggregation (exact decimal Σx/Σx², the statsAgg doctrine —
+    * built-in stddev is a partition-order coin-flip), broadcast back over
+    * the event scan for the z computation. mean/sd/z are derived from
+    * bitwise-identical doubles by identical op sequences in both engines,
+    * so the |z| > 3 cut is engine-portable and z ships unrounded. */
+  private def outliers(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.events(s, d)
+      .groupBy(col("event_type").as("et"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sx"),
+        sum((col("value") * col("value")).cast("decimal(28,6)")).cast("double").as("sxx"))
+      .select(col("et"), (col("sx") / col("n")).as("mean"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - 1))).as("sd"))
+    Tables.events(s, d)
+      .join(broadcast(stats), col("event_type") === col("et"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((col("value") - col("mean")) / col("sd")).as("z"))
+      .filter(abs(col("z")) > 3.0)
+  }
+
+  /** Session-level event-type co-occurrence with lift — the market-basket
+    * association primitive ("which behaviors happen in the same session
+    * more often than independence predicts"). The event stream collapses
+    * to distinct (user, session, type) FIRST — the self-join input is
+    * bounded by sessions·types, and the (user, session)-keyed pair join
+    * fans out at most #types per row, so candidates are sessions·types²,
+    * corpus-length-independent. lift = n_ab·n_sessions / (n_a·n_b): exact
+    * integer products, one IEEE division, bitwise cross-engine. */
+  private def cooccurrence(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val sess = Tables.events(s, d).withColumn("ms", EventTime.tsMs)
+      .withColumn("new_sess",
+        when(col("ms") - lag(col("ms"), 1).over(wOrd) > 1800000L, 1)
+          .otherwise(when(lag(col("ms"), 1).over(wOrd).isNull, 1).otherwise(0)))
+      .withColumn("session_seq", sum(col("new_sess")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("session_seq"), col("event_type"))
+      .distinct()
+    val totals = sess.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val nSess = sess.select(col("user_id"), col("session_seq")).distinct()
+      .agg(count(lit(1)).as("n_sess"))
+    sess.as("a")
+      .join(sess.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_seq") === col("b.session_seq") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(totals.select(col("event_type").as("type_a"), col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(totals.select(col("event_type").as("type_b"), col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nSess))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        ((col("n_ab") * col("n_sess")) * lit(1.0) / (col("n_a") * col("n_b"))).as("lift"))
+  }
+
+  /** Keep-latest-N retention compaction: the generalization of upsert
+    * (N=1) every versioned lake table eventually needs — retain the 3
+    * newest versions per key, drop the rest. Same bounded-heap `top_k`
+    * aggregate as q_topk_per_group: per-task heaps partial-combine, so the
+    * single keyed shuffle carries ≤ N rows per key per mapper — never a
+    * window sort over the full version history (a hot key with 10⁶
+    * versions costs O(10⁶·log N), not a sort). The version history is
+    * synthesized deterministically (doc_id % 4 + 1 versions per doc, the
+    * q_upsert doctrine) so every retention case 1..4 versions and the
+    * drop path are exercised at every SF; versions are distinct per key,
+    * so the heap ordering is tie-free. */
+  private def versionTopN(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(1L), lit(1L) + col("doc_id") % 4)).as("version"))
+      .groupBy(col("doc_id"))
+      .agg(call_function("top_k",
+        struct(col("version"), (col("n_chars") + col("version")).as("val")),
+        lit(3)).as("top"))
+      .select(col("doc_id"), explode(col("top")).as("t"))
+      .select(col("doc_id"), col("t.version").cast("int").as("version"),
+        col("t.val").as("val"))
+
+  /** Month-over-month revenue trend: monthly totals + percent change vs
+    * the previous month. The window runs over the AGGREGATED month series
+    * (≤ a few hundred rows at any corpus size — dimension-scale, the
+    * q_ntile doctrine), never the fact rows; the fact scan is one
+    * partial-combined groupBy. Float discipline: monthly revenue is the
+    * exact-decimal moneySum double, and (cur − prev)·100/prev is the same
+    * three-op IEEE sequence in both engines on bitwise-equal inputs, so
+    * pct_change ships unrounded. */
+  private def momTrend(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.orders(s, d)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"))
+    val w = Window.orderBy(col("month"))
+    val prev = lag(col("revenue"), 1).over(w)
+    monthly.select(col("month"), col("revenue"),
+      prev.as("prev_revenue"),
+      ((col("revenue") - prev) * lit(100.0) / prev).as("pct_change"))
+  }
+
+  /** Correlated-subquery decorrelation: customers spending > 1.5× their
+    * nation's average customer spend ("WHERE total > 1.5 * (SELECT avg …
+    * WHERE same nation)"). The scale shape is two aggregations + one
+    * broadcast: per-customer totals (one keyed fact shuffle), a 25-row
+    * per-nation average over those totals, broadcast back over the
+    * per-customer relation — never a per-row subquery re-evaluation.
+    * Determinism: totals are moneySum doubles, the nation average is the
+    * exact-decimal moneyAvg (sum of 2-dp-exact decimals / count), and the
+    * `> avg·1.5` comparison runs on bitwise-identical doubles in both
+    * engines. */
+  private def aboveAvgSpenders(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(moneySum(col("o_totalprice")).as("total_spend"))
+    val perCust = spend.join(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+      col("o_custkey") === col("c_custkey"))
+    val nationAvg = perCust.groupBy(col("c_nationkey"))
+      .agg(moneyAvg(col("total_spend")).as("nation_avg"))
+    perCust.join(broadcast(nationAvg), "c_nationkey")
+      .filter(col("total_spend") > col("nation_avg") * 1.5)
+      .select(col("o_custkey").as("custkey"), col("c_nationkey").as("nationkey"),
+        col("total_spend"), col("nation_avg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_upsert" -> upsert _,
+    "q_version_topn" -> versionTopN _,
+    "q_mom_trend" -> momTrend _,
+    "q_above_avg_spenders" -> aboveAvgSpenders _,
+    "q_outliers" -> outliers _,
+    "q_cooccurrence" -> cooccurrence _,
+    "q_debounce" -> debounce _,
     "q_ulid" -> ulidAssign _,
     "q_topk_per_group" -> topkPerGroup _,
     "q_outer_join" -> outerJoin _,
@@ -658,6 +810,91 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_debounce" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |l AS (
+        | SELECT *, ms - lag(ms) OVER (PARTITION BY user_id, event_type
+        |   ORDER BY ms, event_id) AS gap
+        | FROM e)
+        |SELECT event_id, user_id, event_type, ms
+        |FROM l WHERE gap IS NULL OR gap > 3600000""".stripMargin,
+    "q_outliers" ->
+      """WITH s AS (
+        | SELECT event_type AS et, CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+        | FROM events GROUP BY 1),
+        |st AS (
+        | SELECT et, sx / n AS mean,
+        |  sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS sd
+        | FROM s)
+        |SELECT event_id, event_type, value, (value - mean) / sd AS z
+        |FROM events JOIN st ON event_type = st.et
+        |WHERE abs((value - mean) / sd) > 3.0""".stripMargin,
+    "q_cooccurrence" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |flagged AS (
+        | SELECT *, CASE WHEN ms - lag(ms) OVER w > 1800000 OR
+        |   lag(ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |sess AS (
+        | SELECT DISTINCT user_id, session_seq, event_type FROM (
+        |  SELECT user_id, event_type, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)),
+        |tot AS (SELECT event_type, count(*) AS n_t FROM sess GROUP BY 1),
+        |ns AS (SELECT count(*) AS n_sess FROM
+        |  (SELECT DISTINCT user_id, session_seq FROM sess))
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        | count(*) AS n_ab,
+        | (count(*) * n_sess) * 1.0 / (ta.n_t * tb.n_t) AS lift
+        |FROM sess a
+        |JOIN sess b ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+        |  AND a.event_type < b.event_type
+        |JOIN tot ta ON ta.event_type = a.event_type
+        |JOIN tot tb ON tb.event_type = b.event_type
+        |CROSS JOIN ns
+        |GROUP BY a.event_type, b.event_type, ta.n_t, tb.n_t, n_sess""".stripMargin,
+    "q_version_topn" ->
+      """WITH v AS (
+        | SELECT doc_id, n_chars,
+        |  unnest(generate_series(1, 1 + doc_id % 4)) AS version
+        | FROM documents),
+        |m AS (SELECT doc_id, max(version) AS mv FROM v GROUP BY 1)
+        |SELECT v.doc_id, CAST(v.version AS INTEGER) AS version,
+        | v.n_chars + v.version AS val
+        |FROM v JOIN m ON v.doc_id = m.doc_id
+        |WHERE v.version > m.mv - 3""".stripMargin,
+    "q_mom_trend" ->
+      """WITH m AS (
+        | SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        | FROM orders GROUP BY 1)
+        |SELECT month, revenue,
+        | lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+        | (revenue - lag(revenue) OVER (ORDER BY month)) * 100.0
+        |   / lag(revenue) OVER (ORDER BY month) AS pct_change
+        |FROM m""".stripMargin,
+    "q_above_avg_spenders" ->
+      """WITH spend AS (
+        | SELECT o_custkey,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_spend
+        | FROM orders GROUP BY 1),
+        |pc AS (
+        | SELECT o_custkey, c_nationkey, total_spend
+        | FROM spend JOIN customer ON o_custkey = c_custkey),
+        |na AS (
+        | SELECT c_nationkey,
+        |  CAST(CAST(sum(CAST(total_spend AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |    / count(total_spend) AS nation_avg
+        | FROM pc GROUP BY 1)
+        |SELECT o_custkey AS custkey, pc.c_nationkey AS nationkey,
+        | total_spend, nation_avg
+        |FROM pc JOIN na ON pc.c_nationkey = na.c_nationkey
+        |WHERE total_spend > nation_avg * 1.5""".stripMargin,
     "q_upsert" ->
       """WITH u AS (
         | SELECT doc_id, source, text, CAST(1 AS BIGINT) AS version FROM documents

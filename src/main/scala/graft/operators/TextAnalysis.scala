@@ -235,6 +235,61 @@ object TextAnalysis {
           count(lit(1))).as("affinity"))
   }
 
+  /** RAG chunking parameters: 32-token windows advancing 24 tokens (8-token
+    * overlap). Shared constants so the operator, its oracle, and the spec
+    * cannot drift. */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** Overlapping token-window chunking — the retrieval/embedding prep step
+    * (split every document into fixed-token windows with overlap so no
+    * boundary sentence is lost to a hard cut). Pure per-row work: tokenize
+    * once, explode the window-start sequence, slice — codegen built-ins
+    * only, shuffle-free, column-pruned to (doc_id, text); output is
+    * ~n/stride rows per doc, linear in the corpus. Tail chunks shorter
+    * than a full window are kept (standard RAG practice; the trailing
+    * partial context still retrieves). chunk_id arithmetic is exact:
+    * (start−1) is a stride multiple, so the double division is integral. */
+  private def chunkOverlap(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"),
+        size(split(col("text"), " ")).as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(1), col("n"), lit(ChunkStride))).as("start"))
+      .select(
+        col("doc_id"),
+        ((col("start") - 1) / lit(ChunkStride)).cast("int").as("chunk_id"),
+        array_join(slice(col("toks"), col("start"), lit(ChunkTokens)), " ").as("chunk_text"),
+        least(lit(ChunkTokens), col("n") - col("start") + 1).as("n_chunk_tokens"))
+
+  /** Per-source vocabulary-overlap matrix: Jaccard similarity between the
+    * distinct-token vocabularies of every source pair — the corpus-level
+    * redundancy signal for mixture design (two crawls of the same domain
+    * show near-1 vocabulary Jaccard long before doc-level dedup finds the
+    * copies). Scale shape: the corpus collapses to distinct (source,
+    * token) FIRST — the self-join input is vocabulary-sized, not
+    * corpus-sized — and the token-keyed join fans out at most
+    * #sources per posting, so candidate volume is |vocab|·sources², with
+    * a sources²-row result. Jaccard is a ratio of exact integer counts:
+    * one IEEE division, bitwise cross-engine, ships unrounded. */
+  private def vocabOverlap(s: SparkSession, d: String): DataFrame = {
+    val sw = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .distinct()
+    val sizes = sw.groupBy(col("source")).agg(count(lit(1)).as("vsize"))
+    val inter = sw.as("a")
+      .join(sw.as("b"),
+        col("a.word") === col("b.word") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("vsize").as("va"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("vsize").as("vb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"),
+        (col("va") + col("vb") - col("inter")).as("union_n"),
+        (col("inter") * lit(1.0) / (col("va") + col("vb") - col("inter"))).as("jaccard"))
+  }
+
   /** Approximate distinct counting (HLL++): the constant-memory cardinality
     * path at 100 TB (exact distinct shuffles every value; HLL merges
     * fixed-size sketches). Cross-engine sketch internals differ → rows-only
@@ -258,10 +313,39 @@ object TextAnalysis {
     "q_denylist" -> denylist _,
     "q_pii_scrub" -> piiScrub _,
     "q_domain_affinity" -> domainAffinity _,
-    "q_gopher_flags" -> gopherFlags _
+    "q_gopher_flags" -> gopherFlags _,
+    "q_chunk_overlap" -> chunkOverlap _,
+    "q_vocab_overlap" -> vocabOverlap _
   )
 
   val oracles: Map[String, String] = Map(
+    "q_chunk_overlap" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS n
+        | FROM documents),
+        |e AS (
+        | SELECT doc_id, toks, n,
+        |  unnest(generate_series(1, n, 24)) AS start
+        | FROM t)
+        |SELECT doc_id,
+        | CAST((start - 1) / 24 AS INTEGER) AS chunk_id,
+        | array_to_string(list_slice(toks, start, least(start + 31, n)), ' ')
+        |   AS chunk_text,
+        | CAST(least(32, n - start + 1) AS INTEGER) AS n_chunk_tokens
+        |FROM e""".stripMargin,
+    "q_vocab_overlap" ->
+      """WITH sw AS (
+        | SELECT DISTINCT source, word FROM (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)),
+        |vs AS (SELECT source, count(*) AS vsize FROM sw GROUP BY 1)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter,
+        | va.vsize + vb.vsize - count(*) AS union_n,
+        | count(*) * 1.0 / (va.vsize + vb.vsize - count(*)) AS jaccard
+        |FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+        |JOIN vs va ON va.source = a.source
+        |JOIN vs vb ON vb.source = b.source
+        |GROUP BY a.source, b.source, va.vsize, vb.vsize""".stripMargin,
     "q_domain_affinity" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

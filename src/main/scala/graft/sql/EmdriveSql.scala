@@ -32,8 +32,12 @@ import graft.sources.SchemaMapper
   *   INSERT INTO t [(cols…)] VALUES (v, …) [, (v, …) …]
   *   SELECT * | col [AS a] | col @ probe AS a
   *     | (COUNT|SUM|AVG|MIN|MAX) '(' (*|col) ')' [AS a] [, …] FROM t
-  *     [WHERE operand (= | != | < | <= | > | >=) operand [AND …]]
-  *     [GROUP BY col [, …]] [HAVING out_col cmp operand [AND …]]
+  *     [WHERE pred]   where pred := cmp | pred AND pred | pred OR pred
+  *                    | NOT pred | '(' pred ')' (AND binds tighter than
+  *                    OR), and cmp := operand (= | != | < | <= | > | >=)
+  *                    operand | operand [NOT] IN (lit, …)
+  *                    | operand BETWEEN lo AND hi
+  *     [GROUP BY col [, …]] [HAVING pred-over-output-names]
   *     [ORDER BY col [ASC|DESC] [, …]] [LIMIT n]
   *
   * WHERE operands may name SELECT-list aliases (the README story filters
@@ -136,6 +140,19 @@ object EmdriveSql {
   final case class ODist(column: String, probe: Value) extends Operand
   final case class Cmp(lhs: Operand, op: String, rhs: Operand)
 
+  /** Boolean predicate tree (graft extension — the reference grammar is an
+    * implicit AND list; semantic.rs has no OR). AND binds tighter than OR,
+    * parentheses group. Lowered 1:1 onto Column &&/|| so Catalyst keeps
+    * its usual predicate pushdown/CNF machinery. */
+  sealed trait Pred
+  final case class PCmp(cmp: Cmp) extends Pred
+  final case class PAnd(l: Pred, r: Pred) extends Pred
+  final case class POr(l: Pred, r: Pred) extends Pred
+  final case class PNot(p: Pred) extends Pred
+  /** lhs [NOT] IN (literal, …) — lowered to a Catalyst In expression so
+    * the membership test reaches the parquet scan as a pushed filter. */
+  final case class PIn(lhs: Operand, vals: Seq[Value], neg: Boolean) extends Pred
+
   sealed trait Statement
   /** SHOW TABLES / DESCRIBE t — the reference's system-catalog surface
     * (src/storage/system.rs:5-16 `system.tables` / `system.columns`). */
@@ -155,8 +172,8 @@ object EmdriveSql {
   final case class Join(table: String, leftKey: String, rightKey: String)
 
   final case class Select(items: Seq[SelectItem], table: String,
-      where: Seq[Cmp], groupBy: Seq[String] = Seq.empty,
-      having: Seq[Cmp] = Seq.empty,
+      where: Seq[Pred], groupBy: Seq[String] = Seq.empty,
+      having: Seq[Pred] = Seq.empty,
       orderBy: Seq[OrderKey] = Seq.empty, limit: Option[Long] = None,
       joins: Seq[Join] = Seq.empty)
     extends Statement
@@ -200,7 +217,8 @@ object EmdriveSql {
   }
 
   private val Keywords = Set("CREATE", "TABLE", "IF", "NOT", "EXISTS", "INSERT",
-    "INTO", "VALUES", "SELECT", "FROM", "WHERE", "AS", "AND",
+    "INTO", "VALUES", "SELECT", "FROM", "WHERE", "AS", "AND", "OR", "IN",
+    "BETWEEN",
     "GROUP", "BY", "HAVING", "ORDER", "LIMIT", "ASC", "DESC",
     "NULL", "TRUE", "FALSE", "SHOW", "TABLES", "DESCRIBE", "JOIN", "ON",
     "EXPLAIN")
@@ -293,11 +311,8 @@ object EmdriveSql {
       p.eatSym("=")
       joins += Join(t, a, p.ident())
     }
-    val where = mutable.ListBuffer.empty[Cmp]
-    if (p.tryWord("WHERE")) {
-      var more = true
-      while (more) { where += parseCmp(p); more = p.tryWord("AND") }
-    }
+    val where = mutable.ListBuffer.empty[Pred]
+    if (p.tryWord("WHERE")) where += parsePred(p)
     val groupBy =
       if (p.tryWord("GROUP")) {
         p.eatWord("BY")
@@ -305,11 +320,8 @@ object EmdriveSql {
         while (p.trySym(",")) gs += p.ident()
         gs.toSeq
       } else Seq.empty
-    val having = mutable.ListBuffer.empty[Cmp]
-    if (p.tryWord("HAVING")) {
-      var more = true
-      while (more) { having += parseCmp(p); more = p.tryWord("AND") }
-    }
+    val having = mutable.ListBuffer.empty[Pred]
+    if (p.tryWord("HAVING")) having += parsePred(p)
     val orderBy =
       if (p.tryWord("ORDER")) {
         p.eatWord("BY")
@@ -368,14 +380,51 @@ object EmdriveSql {
     case _ => OVal(p.value())
   }
 
-  private def parseCmp(p: P): Cmp = {
+  /** pred := term (OR term)*; term := factor (AND factor)*;
+    * factor := '(' pred ')' | cmp — standard precedence, left-assoc. */
+  private def parsePred(p: P): Pred = {
+    var l = parsePredTerm(p)
+    while (p.tryWord("OR")) l = POr(l, parsePredTerm(p))
+    l
+  }
+
+  private def parsePredTerm(p: P): Pred = {
+    var l = parsePredFactor(p)
+    while (p.tryWord("AND")) l = PAnd(l, parsePredFactor(p))
+    l
+  }
+
+  private def parsePredFactor(p: P): Pred =
+    if (p.tryWord("NOT")) PNot(parsePredFactor(p))
+    else if (p.trySym("(")) { val e = parsePred(p); p.eatSym(")"); e }
+    else parseCmp(p)
+
+  /** cmp | lhs [NOT] IN (v, …) | lhs BETWEEN lo AND hi. BETWEEN's AND is
+    * consumed here, before the boolean AND loop sees it (standard SQL
+    * binding); BETWEEN desugars to lo <= lhs <= hi, inclusive. */
+  private def parseCmp(p: P): Pred = {
     val lhs = parseOperand(p)
-    val op = p.toks match {
-      case TSym(s) :: rest if Set("=", "!=", "<", "<=", ">", ">=")(s) =>
-        p.toks = rest; s
-      case _ => p.fail("comparison operator")
+    val negIn = p.tryWord("NOT")
+    if (negIn || p.tryWord("IN")) {
+      if (negIn) p.eatWord("IN")
+      p.eatSym("(")
+      val vs = mutable.ListBuffer(p.value())
+      while (p.trySym(",")) vs += p.value()
+      p.eatSym(")")
+      PIn(lhs, vs.toSeq, negIn)
+    } else if (p.tryWord("BETWEEN")) {
+      val lo = parseOperand(p)
+      p.eatWord("AND")
+      val hi = parseOperand(p)
+      PAnd(PCmp(Cmp(lhs, ">=", lo)), PCmp(Cmp(lhs, "<=", hi)))
+    } else {
+      val op = p.toks match {
+        case TSym(s) :: rest if Set("=", "!=", "<", "<=", ">", ">=")(s) =>
+          p.toks = rest; s
+        case _ => p.fail("comparison operator, IN, or BETWEEN")
+      }
+      PCmp(Cmp(lhs, op, parseOperand(p)))
     }
-    Cmp(lhs, op, parseOperand(p))
   }
 }
 
@@ -523,7 +572,7 @@ final class EmdriveSession(spark: SparkSession) {
       }
       // 2. WHERE — plain column equality lands in the scan's PushedFilters;
       //    applies PRE-aggregation (no HAVING in this dialect)
-      where.foreach(cmp => df = df.filter(cmpCol(base, cmp)))
+      where.foreach(pred => df = df.filter(predCol(base, pred)))
       val hasAgg = items.exists(_.isInstanceOf[AggItem])
       // 3. aggregation (graft extension) or plain SELECT-list projection
       var out: DataFrame =
@@ -558,7 +607,7 @@ final class EmdriveSession(spark: SparkSession) {
       //    evaluates it post-aggregation, exactly ANSI HAVING semantics
       if (having.nonEmpty) {
         require(hasAgg || groupBy.nonEmpty, "HAVING requires GROUP BY/aggregates")
-        having.foreach(cmp => out = out.filter(cmpCol(out, cmp)))
+        having.foreach(pred => out = out.filter(predCol(out, pred)))
       }
       // 5. ORDER BY / LIMIT over output names. Catalyst turns
       //    orderBy+limit into TakeOrderedAndProject (top-k, no global sort)
@@ -612,19 +661,40 @@ final class EmdriveSession(spark: SparkSession) {
     }
   }
 
+  private def predCol(base: DataFrame, p: Pred): Column = p match {
+    case PCmp(c) => cmpCol(base, c)
+    case PAnd(a, b) => predCol(base, a) && predCol(base, b)
+    case POr(a, b) => predCol(base, a) || predCol(base, b)
+    case PNot(x) => !predCol(base, x)
+    case PIn(lhs, vals, neg) =>
+      // raw literal values (not Columns) build a true Catalyst In — the
+      // shape the parquet datasource translates to a pushed IN filter
+      val lits: Seq[Any] = vals.map {
+        case VNum(s) => if (s.contains('.')) s.toDouble else s.toLong
+        case VStr(s) => s
+        case VBool(b) => b
+        case VBits(v) => v.longValue
+        case other =>
+          throw new IllegalArgumentException(s"IN list expects literals, got $other")
+      }
+      val c = operandCol(base, lhs).isin(lits: _*)
+      if (neg) !c else c
+  }
+
+  private def operandCol(base: DataFrame, o: Operand): Column = o match {
+    case ORef(n) => col(n)
+    case ODist(c, probe) => distCol(base, c, probe)
+    case OVal(VNum(s)) => if (s.contains('.')) lit(s.toDouble) else lit(s.toLong)
+    case OVal(VStr(s)) => lit(s)
+    case OVal(VBits(v)) => lit(v.longValue)
+    case OVal(VBool(b)) => lit(b)
+    // ANSI comparison-with-NULL: yields NULL, so WHERE drops the row
+    case OVal(VNull) => lit(null)
+    case OVal(f: VFunc) => funcCol(f)
+  }
+
   private def cmpCol(base: DataFrame, cmp: Cmp): Column = {
-    def operand(o: Operand): Column = o match {
-      case ORef(n) => col(n)
-      case ODist(c, probe) => distCol(base, c, probe)
-      case OVal(VNum(s)) => if (s.contains('.')) lit(s.toDouble) else lit(s.toLong)
-      case OVal(VStr(s)) => lit(s)
-      case OVal(VBits(v)) => lit(v.longValue)
-      case OVal(VBool(b)) => lit(b)
-      // ANSI comparison-with-NULL: yields NULL, so WHERE drops the row
-      case OVal(VNull) => lit(null)
-      case OVal(f: VFunc) => funcCol(f)
-    }
-    val (l, r) = (operand(cmp.lhs), operand(cmp.rhs))
+    val (l, r) = (operandCol(base, cmp.lhs), operandCol(base, cmp.rhs))
     cmp.op match {
       case "=" => l === r
       case "!=" => l =!= r

@@ -172,6 +172,43 @@ object StreamOps {
         col("follow_ts"), col("follow_type"), col("follow_value"))
   }
 
+  /** Streaming debounce (D18, twin of batch q_debounce with the stronger
+    * previous-KEPT semantics): an event is emitted only if it arrives more
+    * than `windowMs` after the last EMITTED event of the same
+    * (user, type) — exactly what an ingest edge does to suppress retries
+    * and double-fires before they pollute downstream counts. State is one
+    * long (last kept event-time) per active key, hash-partitioned;
+    * event-time timeout evicts it once the watermark passes the debounce
+    * window — after that moment any future event is, by definition,
+    * further than `windowMs` from the last kept one, so dropping the
+    * state changes nothing (state stays O(keys active inside a window),
+    * not O(keys ever seen)). */
+  def debounce(events: Dataset[StreamEvent], windowMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[StreamEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, StreamEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Long, String), it: Iterator[StreamEvent], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var lastKept = state.getOption
+            val out = it.toSeq.sortBy(_.ts.getTime).filter { e =>
+              val keep = lastKept.forall(e.ts.getTime - _ > windowMs)
+              if (keep) lastKept = Some(e.ts.getTime)
+              keep
+            }
+            lastKept.foreach { lk =>
+              state.update(lk)
+              state.setTimeoutTimestamp(lk + windowMs + 1L)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming last-write-wins upsert (the streaming twin of the batch
     * q_upsert compaction): one winner record per key, re-emitted whenever
     * a higher-version update arrives — a continuously-maintained

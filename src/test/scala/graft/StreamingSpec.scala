@@ -235,6 +235,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming debounce: previous-KEPT gap rule holds across batches (D18)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val q = StreamOps.debounce(input.toDS(), windowMs = 1000L)
+      .writeStream.format("memory").queryName("debounce_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        StreamEvent(1, new Timestamp(100), "click", 1.0),   // kept (first)
+        StreamEvent(1, new Timestamp(600), "click", 2.0),   // dropped (500 ≤ 1s)
+        StreamEvent(1, new Timestamp(700), "view", 3.0),    // kept (other type)
+        StreamEvent(2, new Timestamp(650), "click", 4.0))   // kept (other user)
+      q.processAllAvailable()
+      // previous-KEPT semantics: 600 was dropped, so the clock for user 1
+      // clicks still reads 100 — an 1150 arrival (1050 after the KEPT one,
+      // but 550 after the DROPPED one) must be kept; the batch lag-based
+      // variant would drop it
+      input.addData(
+        StreamEvent(1, new Timestamp(1150), "click", 5.0),  // kept (vs 100)
+        StreamEvent(1, new Timestamp(1900), "click", 6.0))  // dropped (vs 1150)
+      q.processAllAvailable()
+      val kept = spark.table("debounce_out").as[StreamEvent].collect()
+        .map(e => (e.user_id, e.event_type, e.ts.getTime)).toSet
+      assert(kept == Set(
+        (1L, "click", 100L), (1L, "view", 700L), (2L, "click", 650L),
+        (1L, "click", 1150L)), kept.toString)
+    } finally q.stop()
+  }
+
   test("per-row batch ops are stream-transparent: PII scrub on a document stream (D16)") {
     // every shuffle-free per-row operator (scrubbing, quality, lang-id,
     // fingerprints) is a plain Column expression, so the SAME code runs on

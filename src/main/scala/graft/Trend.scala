@@ -31,7 +31,11 @@ object Trend {
     // embeddings
     "q_knn_cosine", "q_embed_neardup", "q_pair_histogram",
     // round-5 relational (banded join, one-scan profile)
-    "q_range_join", "q_profile", "q_cohort")
+    // q_ann_pq is deliberately NOT here: its cost is seeded KMeans
+    // training (a fixed model-build job), not data-path work — a single
+    // cold run's timing says nothing about scan/shuffle scaling
+    "q_range_join", "q_profile", "q_cohort",
+    "q_dedup_editdist", "q_chunk_overlap", "q_cooccurrence", "q_vocab_overlap")
 
   private val Tables =
     Seq("lineitem", "orders", "events", "documents", "embeddings")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Dedup, Multimodal, Pipeline, PqIndex, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, Pca, Pipeline, PqIndex, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -20,7 +20,7 @@ object SparkEntry {
     val raw = Relational.queries ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ AsOf.queries ++
       Pipeline.queries ++ Sampling.queries ++ PqIndex.queries ++
-      graft.sql.SqlQueries.queries
+      Pca.queries ++ graft.sql.SqlQueries.queries
     raw.map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) => { GraftSession.prepare(s); fn(s, dir) })
     }
@@ -32,5 +32,5 @@ object SparkEntry {
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ AsOf.oracles ++
       Pipeline.oracles ++ Sampling.oracles ++ PqIndex.oracles ++
-      graft.sql.SqlQueries.oracles
+      Pca.oracles ++ graft.sql.SqlQueries.oracles
 }

@@ -172,6 +172,25 @@ object StreamOps {
         col("follow_ts"), col("follow_type"), col("follow_value"))
   }
 
+  /** Declarative session windows (D19): Spark's native `session_window`
+    * aggregation — the engine-managed twin of the hand-rolled
+    * flatMapGroupsWithState sessionizer (D5). Same gap semantics; the
+    * difference is operational: state layout, merge, and eviction are the
+    * engine's (sessions merge when late events bridge two windows, state
+    * evicts with the watermark), at the price of append-mode results only
+    * arriving once the watermark CLOSES a session — the custom-state
+    * version can emit early/richer records. Both belong in the library:
+    * this one is what you reach for first; D5 is the escape hatch. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   /** Streaming debounce (D18, twin of batch q_debounce with the stronger
     * previous-KEPT semantics): an event is emitted only if it arrives more
     * than `windowMs` after the last EMITTED event of the same

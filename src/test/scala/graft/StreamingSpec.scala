@@ -235,6 +235,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("native session_window: gap sessions close on watermark, late bridge merges (D19)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val m = 60L * 1000
+    val q = StreamOps.sessionWindowAgg(input.toDF(), gap = "30 minutes",
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sesswin_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 40-min gap
+      // (new session); user 2: one event
+      input.addData(
+        StreamEvent(1, new Timestamp(0), "click", 1.0),
+        StreamEvent(1, new Timestamp(10 * m), "click", 2.0),
+        StreamEvent(1, new Timestamp(50 * m), "view", 3.0),
+        StreamEvent(2, new Timestamp(5 * m), "click", 4.0))
+      q.processAllAvailable()
+      // advance the watermark far past every session's close
+      input.addData(StreamEvent(9, new Timestamp(1000 * m), "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sesswin_out")
+        .select("session_start", "user_id", "n_events", "total_value").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(rows((0L, 1L)) == ((2L, 3.0)), rows.toString)        // merged 0+10min
+      assert(rows((50 * m, 1L)) == ((1L, 3.0)), rows.toString)    // gap > 30min
+      assert(rows((5 * m, 2L)) == ((1L, 4.0)), rows.toString)
+    } finally q.stop()
+  }
+
   test("streaming debounce: previous-KEPT gap rule holds across batches (D18)") {
     val s = spark
     import s.implicits._

@@ -612,6 +612,59 @@ object Relational {
         max_by(col("text"), col("version")).as("text"))
   }
 
+  /** Right-to-be-forgotten cascade report (GDPR/CCPA erasure): given a
+    * deletion list of customers, count what an erasure run would remove
+    * from every table that transitively references them — customer rows
+    * directly, orders by customer key, lineitems through their order.
+    * Scale shape: the deletion list rides left-semi joins (AQE broadcasts
+    * it — erasure batches are tiny against a 100 TB fact table), the
+    * lineitem cascade goes through the already-filtered orders relation,
+    * and the report is a fixed 3-row summary of partial-combined counts.
+    * The deletion set is synthesized deterministically (every 97th
+    * customer) so the cascade is non-vacuous at every SF. */
+  private def gdprErase(s: SparkSession, d: String): DataFrame = {
+    val del = Tables.customer(s, d).filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("del_key"))
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val custDel = cust.join(del, col("c_custkey") === col("del_key"), "left_semi")
+    val ordDel = ord.join(del, col("o_custkey") === col("del_key"), "left_semi")
+    val liDel = li.join(ordDel.select(col("o_orderkey").as("del_ord")),
+      col("l_orderkey") === col("del_ord"), "left_semi")
+    def report(name: String, total: DataFrame, deleted: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("rows_before"))
+        .crossJoin(broadcast(deleted.agg(count(lit(1)).as("rows_deleted"))))
+        .select(lit(name).as("table_name"), col("rows_before"),
+          col("rows_deleted"),
+          (col("rows_before") - col("rows_deleted")).as("rows_after"))
+    report("customer", cust, custDel)
+      .unionByName(report("orders", ord, ordDel))
+      .unionByName(report("lineitem", li, liDel))
+  }
+
+  /** SCD Type-2 interval construction: turn a versioned record stream
+    * into validity intervals — each version carries valid_from, valid_to
+    * (= the next version's start, NULL while current) and an is_current
+    * flag; the dimension-table layout every warehouse uses to answer
+    * "what did this row look like when". One window pass keyed on the
+    * record key ordered by version — per-key history is short (the lead
+    * window never sees more than one key's versions), so the single
+    * shuffle is by key and no global sort exists. Version history
+    * synthesized deterministically (the q_version_topn doctrine). */
+  private def scd2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("version"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(1L), lit(1L) + col("doc_id") % 4)).as("version"))
+      .select(col("doc_id"), col("version"),
+        (col("n_chars") + col("version")).as("val"),
+        (col("version") * 1000L).as("valid_from"),
+        (lead(col("version"), 1).over(w) * 1000L).as("valid_to"),
+        lead(col("version"), 1).over(w).isNull.as("is_current"))
+  }
+
   /** Telemetry debounce: drop events arriving within one hour of the
     * previous event of the same (user, type) — the retry/double-fire
     * suppression every event pipeline runs at ingest (batch twin of the
@@ -766,6 +819,8 @@ object Relational {
     "q_outliers" -> outliers _,
     "q_cooccurrence" -> cooccurrence _,
     "q_debounce" -> debounce _,
+    "q_gdpr_erase" -> gdprErase _,
+    "q_scd2" -> scd2 _,
     "q_ulid" -> ulidAssign _,
     "q_topk_per_group" -> topkPerGroup _,
     "q_outer_join" -> outerJoin _,
@@ -810,6 +865,37 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_gdpr_erase" ->
+      """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |od AS (SELECT o_orderkey FROM orders
+        |       WHERE o_custkey IN (SELECT c_custkey FROM del))
+        |SELECT 'customer' AS table_name,
+        | (SELECT count(*) FROM customer) AS rows_before,
+        | (SELECT count(*) FROM del) AS rows_deleted,
+        | (SELECT count(*) FROM customer) - (SELECT count(*) FROM del) AS rows_after
+        |UNION ALL
+        |SELECT 'orders',
+        | (SELECT count(*) FROM orders),
+        | (SELECT count(*) FROM od),
+        | (SELECT count(*) FROM orders) - (SELECT count(*) FROM od)
+        |UNION ALL
+        |SELECT 'lineitem',
+        | (SELECT count(*) FROM lineitem),
+        | (SELECT count(*) FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM od)),
+        | (SELECT count(*) FROM lineitem)
+        |   - (SELECT count(*) FROM lineitem
+        |      WHERE l_orderkey IN (SELECT o_orderkey FROM od))""".stripMargin,
+    "q_scd2" ->
+      """WITH v AS (
+        | SELECT doc_id, n_chars,
+        |  unnest(generate_series(1, 1 + doc_id % 4)) AS version
+        | FROM documents)
+        |SELECT doc_id, version, n_chars + version AS val,
+        | version * 1000 AS valid_from,
+        | lead(version) OVER w * 1000 AS valid_to,
+        | lead(version) OVER w IS NULL AS is_current
+        |FROM v WINDOW w AS (PARTITION BY doc_id ORDER BY version)""".stripMargin,
     "q_debounce" ->
       """WITH e AS (
         | SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),

@@ -56,6 +56,9 @@ object PqIndex {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    require(dim % M == 0,
+      s"PQ needs dim divisible by M=$M subspaces, got dim=$dim " +
+        "(pad the vectors or change M; silent truncation would drop dims)")
     val spark = embeddings.sparkSession
     import spark.implicits._
     val dsub = dim / M

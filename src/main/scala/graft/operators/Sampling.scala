@@ -118,7 +118,34 @@ object Sampling {
       .filter(bucketOf(col("doc_id"), 1000) < col("quality") * 1000)
       .select(col("doc_id"), col("quality"))
 
+  /** Temperature-flattened mixture sampling (τ = 2, i.e. target share
+    * ∝ √n_s): down-sample big sources and keep small ones — the standard
+    * multilingual/multi-source flattening rule (multinomial sampling with
+    * p ∝ q^(1/τ)) at a fixed half-corpus budget. Acceptance stays the
+    * deterministic hash coin. Why τ = 2 exactly: √ is a CORRECTLY-ROUNDED
+    * IEEE op, so per-source rates are bitwise cross-engine — a general
+    * pow(q, 1/τ) is libm-dependent and would break the oracle gate. The
+    * √-sum over sources is fixed-pointed to DECIMAL(18,6) per source and
+    * summed exactly (the moneySum doctrine): a plain double Σ√n would be
+    * summation-order-dependent across engines. Shape: k-row per-source
+    * agg → broadcast rates → map-only acceptance scan. */
+  private def sampleTemperature(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val g = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val t = g.agg(
+      sum(sqrt(col("n")).cast("decimal(18,6)")).cast("double").as("ssum"),
+      sum(col("n")).as("total"))
+    val r = g.crossJoin(broadcast(t))
+      .select(col("source").as("r_source"),
+        least(lit(1.0),
+          (col("total") / 2.0) * sqrt(col("n")) / (col("ssum") * col("n"))).as("rate"))
+    docs.join(broadcast(r), col("source") === col("r_source"))
+      .filter(bucketOf(col("doc_id"), 1000000) < col("rate") * 1000000)
+      .select(col("doc_id"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_temperature" -> sampleTemperature _,
     "q_sample_weighted" -> sampleWeighted _,
     "q_sample_split" -> sampleSplit _,
     "q_sample_mix" -> sampleMix _,
@@ -128,6 +155,16 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sample_temperature" ->
+      """WITH g AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(CAST(sqrt(n) AS DECIMAL(18,6))) AS DOUBLE) AS ssum,
+        |             sum(n) AS total FROM g),
+        |r AS (SELECT source,
+        |  least(1.0, (total / 2.0) * sqrt(n) / (ssum * n)) AS rate
+        | FROM g CROSS JOIN t)
+        |SELECT doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+        |WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000
+        |  < rate * 1000000""".stripMargin,
     "q_sample_weighted" ->
       """WITH t AS (
         | SELECT doc_id,

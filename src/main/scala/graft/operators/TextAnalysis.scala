@@ -290,6 +290,39 @@ object TextAnalysis {
         (col("inter") * lit(1.0) / (col("va") + col("vb") - col("inter"))).as("jaccard"))
   }
 
+  /** Language-ID evaluation: confusion counts of the heuristic prediction
+    * against the labeled `lang` column — the accuracy report that keeps a
+    * classifier-gated pipeline honest (a drifting heuristic silently
+    * reshapes the corpus; this surfaces it as a moved confusion mass).
+    * One partial-combined groupBy over (label, prediction); output is
+    * |langs|·2 rows at any corpus size. */
+  private def langidEval(s: SparkSession, d: String): DataFrame = {
+    val ratio = enRatioOf(col("text"))
+    Tables.documents(s, d)
+      .select(col("lang"),
+        when(ratio >= 0.05, "en").otherwise("other").as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-source top terms: the 5 most frequent tokens of every source —
+    * the per-source vocabulary card (global heavy hitters C23 hide which
+    * source a term dominates). Bounded-heap `top_k` per source over the
+    * partial-combined (source, word) counts: the shuffle carries distinct
+    * words per mapper and then 5 rows per source — no row_number window
+    * sorting every count. Deterministic at the boundary: the heap orders
+    * by (count, word) with word-DESC tie-break (top_k keeps the largest
+    * struct; strings have no negation), and the oracle mirrors exactly
+    * that tie direction. */
+  private def vocabBySource(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(call_function("top_k", struct(col("n"), col("word")), lit(5)).as("top"))
+      .select(col("source"), explode(col("top")).as("t"))
+      .select(col("source"), col("t.word").as("word"), col("t.n").as("n"))
+
   /** Approximate distinct counting (HLL++): the constant-memory cardinality
     * path at 100 TB (exact distinct shuffles every value; HLL merges
     * fixed-size sketches). Cross-engine sketch internals differ → rows-only
@@ -315,10 +348,28 @@ object TextAnalysis {
     "q_domain_affinity" -> domainAffinity _,
     "q_gopher_flags" -> gopherFlags _,
     "q_chunk_overlap" -> chunkOverlap _,
-    "q_vocab_overlap" -> vocabOverlap _
+    "q_vocab_overlap" -> vocabOverlap _,
+    "q_langid_eval" -> langidEval _,
+    "q_vocab_by_source" -> vocabBySource _
   )
 
   val oracles: Map[String, String] = Map(
+    "q_langid_eval" ->
+      """SELECT lang,
+        | CASE WHEN len(list_filter(string_split(text, ' '),
+        |   t -> t IN ('the','a','of','and','to','in','is'))) * 1.0
+        |   / len(string_split(text, ' ')) >= 0.05 THEN 'en' ELSE 'other' END
+        |   AS pred_lang,
+        | count(*) AS n
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_vocab_by_source" ->
+      """WITH c AS (
+        | SELECT source, word, count(*) AS n FROM (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+        | GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |  ORDER BY n DESC, word DESC) AS rn FROM c)
+        |SELECT source, word, n FROM r WHERE rn <= 5""".stripMargin,
     "q_chunk_overlap" ->
       """WITH t AS (
         | SELECT doc_id, string_split(text, ' ') AS toks,

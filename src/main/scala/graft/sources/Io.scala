@@ -83,6 +83,30 @@ object Io {
   def readEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Schema-drift report between two table generations (e.g. yesterday's
+    * and today's ingest directory): columns added, removed, or
+    * type-changed — the contract check run BEFORE a pipeline consumes a
+    * new drop, catching upstream producer changes while they are still
+    * one directory old. Reads footers only (two schema fetches), no data
+    * scan at any table size; the result is a tiny local relation. */
+  def schemaDiff(spark: SparkSession, oldPath: String, newPath: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val o = spark.read.parquet(oldPath).schema.map(f => f.name -> f.dataType.sql).toMap
+    val n = spark.read.parquet(newPath).schema.map(f => f.name -> f.dataType.sql).toMap
+    val rows =
+      (n.keySet -- o.keySet).toSeq.sorted.map(c => Row(c, "added", null, n(c))) ++
+      (o.keySet -- n.keySet).toSeq.sorted.map(c => Row(c, "removed", o(c), null)) ++
+      (o.keySet & n.keySet).toSeq.sorted.collect {
+        case c if o(c) != n(c) => Row(c, "type_changed", o(c), n(c))
+      }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("column_name", StringType, nullable = false),
+      StructField("change", StringType, nullable = false),
+      StructField("old_type", StringType, nullable = true),
+      StructField("new_type", StringType, nullable = true))))
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(bytes / targetBytes) files. Incremental ingest (streaming sinks,
     * frequent INSERT batches) accretes thousands of KB-scale files whose

@@ -103,6 +103,25 @@ class IoSpec extends SparkTestBase {
     assert(byId == Map(1L -> None, 2L -> Some("fresh")))
   }
 
+  test("schemaDiff reports added, removed, and type-changed columns from footers") {
+    val base = Files.createTempDirectory("graft-drift").toString
+    spark.createDataFrame(
+      java.util.List.of(Row(1L, "a", 1.0)),
+      StructType(Seq(StructField("id", LongType), StructField("tag", StringType),
+        StructField("v", DoubleType)))).write.parquet(base + "/old")
+    spark.createDataFrame(
+      java.util.List.of(Row(1L, 5, "x")),
+      StructType(Seq(StructField("id", LongType), StructField("v", IntegerType),
+        StructField("extra", StringType)))).write.parquet(base + "/new")
+    val diff = Io.schemaDiff(spark, base + "/old", base + "/new")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(diff == Set(
+      ("extra", "added", None, Some("STRING")),
+      ("tag", "removed", Some("STRING"), None),
+      ("v", "type_changed", Some("DOUBLE"), Some("INT"))), diff.toString)
+  }
+
   test("compact rewrites a many-file table into the target file count") {
     val dir = Files.createTempDirectory("graft-compact").toString + "/t"
     import org.apache.spark.sql.functions.col

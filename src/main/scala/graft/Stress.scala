@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Scale-stress harness: measure headline queries on a ×N replication of
+  * sf0.1 — one decade of data beyond the largest driver-provided scale.
+  *
+  * THIS IS NOT sf1. The driver provides sf0.001/0.01/0.1 only; this
+  * corpus is sf0.1 deterministically replicated with shifted keys, and
+  * the results are reported as exactly that. What it measures honestly:
+  * whether each plan's cost grows linearly (scan/agg/window), stays bounded by
+  * structural caps (near-dup candidate generation), or degrades — the
+  * question "would this plan survive 10×?" answered with a measurement
+  * instead of an argument.
+  *
+  * Replication design, per copy c of N (copy 0 is the original data):
+  *  - keyed tables shift every key by c·10⁹ (joins stay consistent within
+  *    a copy and never cross copies — like ingesting 10 disjoint tenants);
+  *  - `documents.text` in copies ≥1 is TOKEN-RENAMED (every token t
+  *    becomes t_c — a per-copy substitution cipher). Rationale: verbatim
+  *    replication would make every copy pair an artificial near-dup and
+  *    inflate the pair graph ×N²; renaming preserves each copy's INTERNAL
+  *    structure exactly (token identity is a bijection, so shingles,
+  *    dup-rates, and the pair graph replicate 1:1 per copy) while
+  *    cross-copy shingle overlap is zero — the corpus grows ×N with
+  *    CONSTANT near-dup density, which is how a real corpus grows. (A
+  *    first design sorted tokens per copy instead; on this ~50-word
+  *    vocabulary, sorting canonicalized every document toward the same
+  *    sequence and welded whole copies into one near-dup blob —
+  *    q_dedup_components hit its convergence guard. Kept as a cautionary
+  *    note: the guard did its job on adversarial input.);
+  *  - embeddings replicate verbatim (shifted vec_id): identical vectors
+  *    across copies make every SRP bucket ×N heavier — deliberately
+  *    adversarial for the capped-LSH path, which is exactly the mechanism
+  *    that must hold at scale.
+  */
+object Stress {
+
+  val CopyOffset = 1000000000L
+
+  private def shift(df: DataFrame, cols: Seq[String], c: Int): DataFrame =
+    cols.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(c * CopyOffset)))
+
+  /** Deterministic per-copy token renaming (see class doc). */
+  private def rename(c: Int) = expr(
+    s"array_join(transform(split(text, ' '), t -> concat(t, '_$c')), ' ')")
+
+  private def replicate(spark: SparkSession, src: String, dst: String, n: Int): Unit = {
+    val keyCols: Map[String, Seq[String]] = Map(
+      "region" -> Seq.empty, "nation" -> Seq.empty,
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
+    Tables.all.foreach { t =>
+      val base = Tables(spark, src, t)
+      val keys = keyCols(t)
+      val out =
+        if (keys.isEmpty) base // shared dimensions (region/nation)
+        else (0 until n).map { c =>
+          val s = shift(base, keys, c)
+          if (t == "documents" && c > 0) s.withColumn("text", rename(c)) else s
+        }.reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+  }
+
+  private val Headline = Seq(
+    "q_pricing_summary", "q_local_supplier", "q_shipping_priority",
+    "q_sessionize", "q_profile", "q_ntile_threshold",
+    "q_dedup_exact", "q_dedup_jaccard", "q_minhash_lsh", "q_window_dedup",
+    "q_dedup_components", "q_embed_neardup", "q_knn_batch", "q_vocab")
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.get("SPARK_GRAFT_STRESS_N").flatMap(_.toIntOption).getOrElse(10)
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR", s"/tmp/graft_stress_x$n")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.prepare(spark)
+
+    replicate(spark, src, dst, n)
+    val rows = Tables.all.map(t => t -> Tables(spark, dst, t).count()).toMap
+
+    def time(dir: String, name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup on the small side
+    Headline.take(2).foreach(q => time(src, q))
+    val timed = Headline.map { q =>
+      val base = math.min(time(src, q), time(src, q))
+      val big = math.min(time(dst, q), time(dst, q))
+      (q, base, big)
+    }
+    val qs = timed.map { case (q, b, g) =>
+      f"""\"$q\":{\"x1\":$b%.3f,\"x$n\":$g%.3f,\"ratio\":${g / b}%.2f}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"stress","n":$n,"src":"$src","rows":{${
+        rows.toSeq.sortBy(_._1).map { case (t, c) => s"\"$t\":$c" }.mkString(",")
+      }},"queries":$qs}"""
+    println(line)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "STRESS_OUT.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

@@ -32,10 +32,19 @@ import graft.sources.Tables
   *    sequence and welded whole copies into one near-dup blob —
   *    q_dedup_components hit its convergence guard. Kept as a cautionary
   *    note: the guard did its job on adversarial input.);
-  *  - embeddings replicate verbatim (shifted vec_id): identical vectors
-  *    across copies make every SRP bucket ×N heavier — deliberately
-  *    adversarial for the capped-LSH path, which is exactly the mechanism
-  *    that must hold at scale.
+  *  - embeddings in copies ≥1 get per-copy deterministic SIGN FLIPS
+  *    (component i multiplied by ±1 from xxhash64(i ‖ c)) — an isometry
+  *    within each copy, so every within-copy dot product (and therefore
+  *    the whole near-dup/ANN geometry) replicates EXACTLY, while
+  *    cross-copy similarity collapses to ~0. The first design replicated
+  *    vectors verbatim as a deliberate adversarial case; at ×10 the
+  *    capped-LSH path absorbed it (3.9× wall for ×10 bucket occupancy),
+  *    but at ×100 — every vector carrying 99 exact twins — buckets fill
+  *    to the cap corpus-wide and the verify join's spill exceeded local
+  *    disk. That is the documented boundary of the cap mechanism: it
+  *    bounds PER-BUCKET work, and a corpus that is 99% exact duplicates
+  *    must run exact dedup before near-dup (the pipeline's stated order)
+  *    rather than lean on LSH caps.
   */
 object Stress {
 
@@ -47,6 +56,12 @@ object Stress {
   /** Deterministic per-copy token renaming (see class doc). */
   private def rename(c: Int) = expr(
     s"array_join(transform(split(text, ' '), t -> concat(t, '_$c')), ' ')")
+
+  /** Deterministic per-copy sign-flip isometry for embeddings (class doc). */
+  private def signFlip(c: Int) = expr(
+    s"""transform(embedding, (v, i) -> v * CAST(1 - 2 * pmod(
+       |  xxhash64(concat(CAST(i AS STRING), '_$c')), 2) AS FLOAT))"""
+      .stripMargin.replaceAll("\n", " "))
 
   private def replicate(spark: SparkSession, src: String, dst: String, n: Int): Unit = {
     val keyCols: Map[String, Seq[String]] = Map(
@@ -66,7 +81,9 @@ object Stress {
         if (keys.isEmpty) base // shared dimensions (region/nation)
         else (0 until n).map { c =>
           val s = shift(base, keys, c)
-          if (t == "documents" && c > 0) s.withColumn("text", rename(c)) else s
+          if (t == "documents" && c > 0) s.withColumn("text", rename(c))
+          else if (t == "embeddings" && c > 0) s.withColumn("embedding", signFlip(c))
+          else s
         }.reduce(_ unionByName _)
       out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
@@ -84,9 +101,21 @@ object Stress {
     val dst = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR", s"/tmp/graft_stress_x$n")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // At ×100 a 32-partition shuffle puts ~100× the per-task state of the
+    // bench runs in flight at once; more, smaller partitions is exactly
+    // what spark.sql.shuffle.partitions exists for (a cluster would run
+    // thousands). Overridable so the harness scales with N.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
+      // A big heap (needed for the ×100 shuffles) means organic GC almost
+      // never runs — and ContextCleaner only deletes finished queries'
+      // shuffle files when their RDDs get collected, so a multi-query
+      // session can exhaust DISK on stale shuffle files long before it
+      // exhausts memory. Aggressive periodic GC keeps the cleaner live;
+      // time() also forces one between queries.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -98,7 +127,9 @@ object Stress {
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.gc() // let ContextCleaner reclaim the finished query's shuffle files
+      dt
     }
     // warmup on the small side
     Headline.take(2).foreach(q => time(src, q))

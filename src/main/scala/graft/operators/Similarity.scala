@@ -136,8 +136,8 @@ object Similarity {
 
   /** All embedding pairs with cosine >= 0.4, blocked by signed-random-
     * projection LSH (native codegen kernel — see functions.SrpBands):
-    * 192 bands × 12-bit sign buckets, candidate pairs only within a
-    * (band, bucket), then exact-cosine verify.
+    * sign buckets per band, candidate pairs only within a (band, bucket),
+    * then exact-cosine verify.
     *
     * Scale shape: the banded relation is |corpus|·bands rows of
     * (vec_id, band, bucket) — 20 bytes each, never the embeddings — and the
@@ -146,9 +146,28 @@ object Similarity {
     * Dedup.LshMaxPerBucket are dropped by a window count over the same
     * partitioning the join shuffles on (one pass, no extra exchange):
     * candidates are bounded at bands·|corpus|·cap regardless of data.
-    * Embeddings are joined back only for the |candidates| verify rows. */
-  private def embedNeardup(s: SparkSession, d: String): DataFrame =
-    embedNeardupPairs(Tables.embeddings(s, d), 0.4)
+    * Embeddings are joined back only for the |candidates| verify rows.
+    *
+    * Band width is CORPUS-ADAPTIVE (the ×100 stress finding): with fixed
+    * 12-bit buckets (4096/band), RANDOM bucket collisions alone put
+    * n/4096 vectors in every bucket — candidate volume grows
+    * quadratically with corpus size long before the per-bucket cap binds
+    * (measured: a ×100 corpus generated ~10⁹ chance-collision candidates
+    * and spilled out of local disk). Constant occupancy needs
+    * bits ≈ log₂(n/2), and holding recall at the cosine-0.5 operating
+    * point (per-bit collision 2/3) then needs bands × (3/2)^Δbits. At
+    * every driver SF (n ≤ 2000) this resolves to exactly the empirical
+    * 192×12 scheme above — the adaptation only engages beyond ~8k
+    * vectors. The count() pre-pass is parquet-metadata-cheap and prices
+    * the index build, not the scan. */
+  private def embedNeardup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val n = e.count()
+    val bits = math.max(NeardupSrpBits,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 2) - 1))
+    val bands = (NeardupSrpBands * math.pow(1.5, bits - NeardupSrpBits)).ceil.toInt
+    embedNeardupPairs(e, 0.4, bands = bands, bits = bits)
+  }
 
   /** The near-dup core over any (vec_id, embedding) relation; bands/bits/cap
     * are injectable for specs (ScaleSpec asserts the cap bounds candidate

@@ -134,6 +134,38 @@ class QueryPlanSpec extends SparkTestBase {
     assert("Expand".r.findAllIn(p).length == 1, p)
   }
 
+  test("chunking is shuffle-free and prunes the scan to (doc_id, text)") {
+    val p = plan("q_chunk_overlap")
+    assert(!p.contains("Exchange"), p)        // pure per-row work
+    assert(!p.contains("lang"), p)            // untouched columns pruned
+  }
+
+  test("version_topn and vocab_by_source keep the bounded-heap aggregate shape") {
+    // top_k partial-combines: the plan must show partial aggregation and
+    // contain no Window operator (a row_number regression would add one)
+    val p1 = plan("q_version_topn")
+    assert(p1.contains("partial_top_k") && !p1.contains("RunningWindowFunction")
+      && !p1.contains("Window "), p1)
+    val p2 = plan("q_vocab_by_source")
+    assert(p2.contains("partial_top_k") && !p2.contains("Window "), p2)
+  }
+
+  test("above-average spenders: the 25-row nation relation is broadcast") {
+    val p = plan("q_above_avg_spenders")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("edit-distance dedup joins candidates, never a cartesian of texts") {
+    val p = plan("q_dedup_editdist")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("gdpr cascade: deletion list rides semi joins, report is 3 fixed rows") {
+    val p = plan("q_gdpr_erase")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("every registered query executes and returns rows at sf0.001") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       try {

@@ -293,10 +293,41 @@ object Dedup {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** Per-(session, dir, flavor) memo of converged component labels.
+    *
+    * The components fixpoint is the most expensive shared intermediate in
+    * the library, and FOUR query keys consume the same converged labels
+    * (q_dedup_components, q_dedup_canonical, q_cluster_sizes over the word
+    * pair graph; q_embed_components over the SRP one). components() already
+    * materializes its answer as the final labels RDD's shuffle files — so
+    * the only thing needed to make the family COMPOSE instead of recompute
+    * is to hand every consumer the SAME RDD: later jobs then reuse the
+    * converged rounds as skipped stages. Nothing extra is persisted —
+    * holding the RDD reference is precisely what keeps the ContextCleaner
+    * from reclaiming those shuffle files (and memo eviction is what lets
+    * it). This is the batch-session analog of a dedup service keeping its
+    * component index on disk between queries; memory cost is one RDD
+    * reference per (session, corpus dir), data cost is the pair-graph-sized
+    * label files that already existed for the duration of each query. */
+  private val componentsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  private[graft] def memoComponents(s: SparkSession, d: String, flavor: String)(
+      build: => DataFrame): DataFrame =
+    componentsMemo.computeIfAbsent(
+      (System.identityHashCode(s), d, flavor), _ => build)
+
+  /** The word-3-shingle Jaccard-0.5 component labels every keep-one /
+    * cluster-report query shares — built once per (session, corpus). */
+  private def wordComponents(s: SparkSession, d: String): DataFrame =
+    memoComponents(s, d, "word") {
+      components(jaccardPairs(
+        Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh")), 0.5))
+    }
+
   /** Near-dup components over the word-shingle Jaccard pair graph. */
   private def dedupComponents(s: SparkSession, d: String): DataFrame =
-    components(jaccardPairs(
-      Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh")), 0.5))
+    wordComponents(s, d)
       .select(col("id").as("doc_id"), col("comp"))
 
   /** Token-window length for substring-level dedup: two documents are
@@ -349,8 +380,7 @@ object Dedup {
     * so a degenerate corpus (everything near-dup) degrades to a shuffle
     * join instead of an OOM. */
   private def dedupCanonical(s: SparkSession, d: String): DataFrame = {
-    val comp = components(jaccardPairs(
-      Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh")), 0.5))
+    val comp = wordComponents(s, d)
     Tables.documents(s, d).select(col("doc_id"))
       .join(comp, col("doc_id") === col("id"), "left")
       .select(col("doc_id"),
@@ -510,8 +540,7 @@ object Dedup {
     * Scale: the histogram is bounded by the largest cluster size; every
     * aggregation partial-combines. */
   private def clusterSizes(s: SparkSession, d: String): DataFrame = {
-    val comp = components(jaccardPairs(
-      Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh")), 0.5))
+    val comp = wordComponents(s, d)
     val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
     val singles = Tables.documents(s, d).agg(count(lit(1)).as("total"))

@@ -32,7 +32,8 @@ import graft.sources.Tables
   */
 object Pca {
 
-  /** (vec_id, pc: array<float> length k, label passthrough). */
+  /** (vec_id, pc: array<float> length k) — other input columns are
+    * dropped; join back on vec_id when passthrough is needed. */
   def project(embeddings: DataFrame, k: Int): DataFrame = {
     val withVec = embeddings.withColumn("features", array_to_vector(col("embedding")))
     val model = new PCA().setK(k)
@@ -52,19 +53,46 @@ object Pca {
   }
 
   /** q_embed_pca: 64 → 32 dim projection (the variance-justified point on
-    * this corpus, see class doc); rows-only (eigenvector signs and float
-    * iteration are engine-specific), k-NN recall and variance
-    * monotonicity spec-asserted in PcaSpec. */
+    * this corpus, see class doc), reported per vector as engine-INDEPENDENT
+    * scalars rather than the raw `array<float>` (raw eigenprojections are
+    * engine-specific — eigenvector signs and float iteration differ — and
+    * an array output column breaks the driver's canonicalizer):
+    *
+    *   - pc_dim: the projected dimensionality (the k the variance dial
+    *     picked), exact;
+    *   - contraction_ok: ‖Pᵀx‖ ≤ ‖x‖ — projection onto ANY orthonormal
+    *     basis subset is a contraction, an invariant that holds for every
+    *     correct PCA regardless of eigen conventions, checked per vector
+    *     with an ulp allowance for the float32 matrix multiply.
+    *
+    * The oracle asserts both per vec_id (DuckDB can't run PCA, but it CAN
+    * assert what any correct PCA must satisfy) — a hash-matching invariant
+    * check, stronger than rows-only. Numeric recall/variance behavior is
+    * spec-asserted in PcaSpec. */
   private def embedPca(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     if (emb.select(col("vec_id")).head(1).isEmpty)
-      return emb.select(col("vec_id"), array(lit(0.0f)).as("pc")).limit(0)
+      return emb.select(col("vec_id"), lit(32).as("pc_dim"),
+        lit(true).as("contraction_ok")).limit(0)
     project(emb, 32)
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"),
+        size(col("pc")).as("pc_dim"),
+        (call_function("l2_norm", col("pc")) <=
+          call_function("l2_norm", col("embedding")) * lit(1.000001) + lit(1e-4))
+          .as("contraction_ok"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_pca" -> embedPca _
   )
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    // The invariant oracle: a correct 32-dim PCA projection has exactly 32
+    // components and never lengthens a vector. DuckDB states the must-hold
+    // truth; Spark's side computes it from the actual model output.
+    "q_embed_pca" ->
+      """SELECT vec_id, CAST(32 AS INTEGER) AS pc_dim, true AS contraction_ok
+        |FROM embeddings""".stripMargin
+  )
 }

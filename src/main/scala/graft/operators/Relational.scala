@@ -908,8 +908,8 @@ object Relational {
     "q_outliers" ->
       """WITH s AS (
         | SELECT event_type AS et, CAST(count(*) AS DOUBLE) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-        |  CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sxx
         | FROM events GROUP BY 1),
         |st AS (
         | SELECT et, sx / n AS mean,

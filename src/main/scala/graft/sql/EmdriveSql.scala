@@ -399,24 +399,30 @@ object EmdriveSql {
     else if (p.trySym("(")) { val e = parsePred(p); p.eatSym(")"); e }
     else parseCmp(p)
 
-  /** cmp | lhs [NOT] IN (v, …) | lhs BETWEEN lo AND hi. BETWEEN's AND is
-    * consumed here, before the boolean AND loop sees it (standard SQL
-    * binding); BETWEEN desugars to lo <= lhs <= hi, inclusive. */
+  /** cmp | lhs [NOT] IN (v, …) | lhs [NOT] BETWEEN lo AND hi. BETWEEN's
+    * AND is consumed here, before the boolean AND loop sees it (standard
+    * SQL binding); BETWEEN desugars to lo <= lhs <= hi, inclusive, and
+    * NOT BETWEEN to the negation of that conjunction. */
   private def parseCmp(p: P): Pred = {
     val lhs = parseOperand(p)
-    val negIn = p.tryWord("NOT")
-    if (negIn || p.tryWord("IN")) {
-      if (negIn) p.eatWord("IN")
-      p.eatSym("(")
-      val vs = mutable.ListBuffer(p.value())
-      while (p.trySym(",")) vs += p.value()
-      p.eatSym(")")
-      PIn(lhs, vs.toSeq, negIn)
-    } else if (p.tryWord("BETWEEN")) {
+    val neg = p.tryWord("NOT")
+    def between(): Pred = {
       val lo = parseOperand(p)
       p.eatWord("AND")
       val hi = parseOperand(p)
       PAnd(PCmp(Cmp(lhs, ">=", lo)), PCmp(Cmp(lhs, "<=", hi)))
+    }
+    if (neg && p.tryWord("BETWEEN")) {
+      PNot(between())
+    } else if (neg || p.tryWord("IN")) {
+      if (neg) p.eatWord("IN")
+      p.eatSym("(")
+      val vs = mutable.ListBuffer(p.value())
+      while (p.trySym(",")) vs += p.value()
+      p.eatSym(")")
+      PIn(lhs, vs.toSeq, neg)
+    } else if (p.tryWord("BETWEEN")) {
+      between()
     } else {
       val op = p.toks match {
         case TSym(s) :: rest if Set("=", "!=", "<", "<=", ">", ">=")(s) =>

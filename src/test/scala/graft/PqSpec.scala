@@ -37,7 +37,7 @@ class PqSpec extends SparkTestBase {
         call_function("dot_product", col("embedding"), col("p")).as("s"))
       .orderBy(col("s").desc, col("vec_id")).limit(10)
       .collect().map(_.getLong(0)).toSet
-    // 4×4-bit codes on 64 dims is aggressive compression; the ADC top-50
+    // 8 subspaces × 64 centroids (8 six-bit codes) on 64 dims; the ADC top-50
     // must still contain most of the exact top-10 (floor set ~25% under
     // the measured value so a codebook/encode regression fails loudly,
     // not a lucky-seed wobble).

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped artifact registry: expensive derived artifacts — the
+  * converged near-dup component labels, fitted ANN index models — built
+  * once per (session, corpus dir) and shared by every query that consumes
+  * them.
+  *
+  * This is the Spark-session analog of the reference's persistent index
+  * (reference: src/storage/index.rs — the EM-tree is built once and lives
+  * with the table, queries only read it): an INDEX is by definition an
+  * amortized artifact, so per-query rebuilds are the wrong physical plan
+  * even when each rebuild's own shape is right. What "build once" means
+  * here per artifact kind:
+  *
+  *  - driver-side models (KMeans codebooks, PQ centroids): fitting is
+  *    eager at build time, so the registry holds the fitted coefficients —
+  *    later queries plan pure transforms over them;
+  *  - RDD-backed label sets (connected components): the registry holds the
+  *    final RDD reference, so later jobs reuse its computed shuffle files
+  *    as skipped stages — nothing is persist()ed, and dropping the entry
+  *    is what lets the ContextCleaner reclaim the files.
+  *
+  * Keying by (session identity, dir, artifact name) keeps test sessions
+  * and corpora isolated; a production deployment would key by table
+  * version the same way any index keys by its base table's snapshot. */
+object SessionMemo {
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), AnyRef]()
+
+  def of[T <: AnyRef](s: SparkSession, dir: String, key: String)(build: => T): T =
+    memo.computeIfAbsent(
+      (System.identityHashCode(s), dir, key), _ => build).asInstanceOf[T]
+
+  /** Drop every registered artifact. The scale-stress harness calls this
+    * before each timed run so its measurements price the full BUILD — the
+    * registry amortizes steady-state sessions, and letting it amortize a
+    * scaling measurement would hide exactly the cost the harness exists to
+    * expose. Dropping the RDD references also frees their shuffle files to
+    * the ContextCleaner. */
+  def evictAll(): Unit = memo.clear()
+}

@@ -124,22 +124,31 @@ object Stress {
     replicate(spark, src, dst, n)
     val rows = Tables.all.map(t => t -> Tables(spark, dst, t).count()).toMap
 
-    def time(dir: String, name: String): Double = {
+    def time(dir: String, name: String): (Double, Long) = {
+      // price the full BUILD every run: session-registry artifacts
+      // (component labels, ANN indexes) amortize steady-state sessions,
+      // but a scaling measurement that reused them would hide exactly the
+      // build cost this harness exists to expose
+      SessionMemo.evictAll()
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
+      val rows = SparkEntry.queries(name)(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       System.gc() // let ContextCleaner reclaim the finished query's shuffle files
-      dt
+      (dt, rows)
     }
     // warmup on the small side
     Headline.take(2).foreach(q => time(src, q))
     val timed = Headline.map { q =>
-      val base = math.min(time(src, q), time(src, q))
-      val big = math.min(time(dst, q), time(dst, q))
-      (q, base, big)
+      val (base, baseRows) = Seq(time(src, q), time(src, q)).minBy(_._1)
+      val (big, bigRows) = Seq(time(dst, q), time(dst, q)).minBy(_._1)
+      (q, base, big, baseRows, bigRows)
     }
-    val qs = timed.map { case (q, b, g) =>
-      f"""\"$q\":{\"x1\":$b%.3f,\"x$n\":$g%.3f,\"ratio\":${g / b}%.2f}"""
+    // result rows ride along: under constant-density replication the ×N
+    // row count vs ×1 is a free recall/structure check (a near-dup query
+    // that held recall returns ≈N× the pairs; one that silently lost it
+    // shows up right here, next to its wall-clock ratio)
+    val qs = timed.map { case (q, b, g, br, gr) =>
+      f"""\"$q\":{\"x1\":$b%.3f,\"x$n\":$g%.3f,\"ratio\":${g / b}%.2f,\"rows_x1\":$br,\"rows_x$n\":$gr}"""
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"stress","n":$n,"src":"$src","rows":{${

@@ -293,7 +293,8 @@ object Dedup {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
-  /** Per-(session, dir, flavor) memo of converged component labels.
+  /** Per-(session, dir, flavor) memo of converged component labels — see
+    * [[graft.SessionMemo]] for the registry doctrine.
     *
     * The components fixpoint is the most expensive shared intermediate in
     * the library, and FOUR query keys consume the same converged labels
@@ -302,20 +303,10 @@ object Dedup {
     * materializes its answer as the final labels RDD's shuffle files — so
     * the only thing needed to make the family COMPOSE instead of recompute
     * is to hand every consumer the SAME RDD: later jobs then reuse the
-    * converged rounds as skipped stages. Nothing extra is persisted —
-    * holding the RDD reference is precisely what keeps the ContextCleaner
-    * from reclaiming those shuffle files (and memo eviction is what lets
-    * it). This is the batch-session analog of a dedup service keeping its
-    * component index on disk between queries; memory cost is one RDD
-    * reference per (session, corpus dir), data cost is the pair-graph-sized
-    * label files that already existed for the duration of each query. */
-  private val componentsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
-
+    * converged rounds as skipped stages. */
   private[graft] def memoComponents(s: SparkSession, d: String, flavor: String)(
       build: => DataFrame): DataFrame =
-    componentsMemo.computeIfAbsent(
-      (System.identityHashCode(s), d, flavor), _ => build)
+    graft.SessionMemo.of(s, d, s"components_$flavor")(build)
 
   /** The word-3-shingle Jaccard-0.5 component labels every keep-one /
     * cluster-report query shares — built once per (session, corpus). */

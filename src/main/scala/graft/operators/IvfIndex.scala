@@ -26,12 +26,15 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Cluster assignment for every vector: (vec_id, embedding, cluster_id).
-    * `k` centroids trained on up to `trainFraction` of the data. */
+    * `k` centroids trained on up to `trainFraction` of the data. `maxIter`
+    * is a quality/cost dial: search indexes want converged cells (default
+    * 20); blocking-only uses (near-dup candidate cells) tolerate far fewer
+    * Lloyd rounds because they only need locality, not optimal centers. */
   def assign(embeddings: DataFrame, k: Int, seed: Long = 42L,
-      trainFraction: Double = 1.0): DataFrame = {
+      trainFraction: Double = 1.0, maxIter: Int = 20): DataFrame = {
     val withVec = embeddings.withColumn("features", array_to_vector(col("embedding")))
     val train = if (trainFraction < 1.0) withVec.sample(trainFraction, seed) else withVec
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("cluster_id")
       .fit(train)
     model.transform(withVec).drop("features")

@@ -134,39 +134,102 @@ object Similarity {
   private val NeardupSrpBands = 192
   private val NeardupSrpBits = 12
 
-  /** All embedding pairs with cosine >= 0.4, blocked by signed-random-
-    * projection LSH (native codegen kernel — see functions.SrpBands):
-    * sign buckets per band, candidate pairs only within a (band, bucket),
-    * then exact-cosine verify.
-    *
-    * Scale shape: the banded relation is |corpus|·bands rows of
-    * (vec_id, band, bucket) — 20 bytes each, never the embeddings — and the
-    * self-join shuffles on (band, bucket). A hot bucket (dense region of
-    * embedding space) would emit |bucket|² pairs, so buckets over
-    * Dedup.LshMaxPerBucket are dropped by a window count over the same
-    * partitioning the join shuffles on (one pass, no extra exchange):
+  /** All embedding pairs with cosine >= 0.4 — q_embed_neardup. Below
+    * [[NeardupRouteMax]] vectors this runs signed-random-projection LSH
+    * (native codegen kernel — see functions.SrpBands): sign buckets per
+    * band, candidate pairs only within a (band, bucket), then exact-cosine
+    * verify. The banded relation is |corpus|·bands rows of (vec_id, band,
+    * bucket) — 20 bytes each, never the embeddings — and the self-join
+    * shuffles on (band, bucket); hot buckets over Dedup.LshMaxPerBucket
+    * are dropped by a window count over the join's own partitioning, so
     * candidates are bounded at bands·|corpus|·cap regardless of data.
-    * Embeddings are joined back only for the |candidates| verify rows.
     *
-    * Band width is CORPUS-ADAPTIVE (the ×100 stress finding): with fixed
-    * 12-bit buckets (4096/band), RANDOM bucket collisions alone put
-    * n/4096 vectors in every bucket — candidate volume grows
-    * quadratically with corpus size long before the per-bucket cap binds
-    * (measured: a ×100 corpus generated ~10⁹ chance-collision candidates
-    * and spilled out of local disk). Constant occupancy needs
-    * bits ≈ log₂(n/2), and holding recall at the cosine-0.5 operating
-    * point (per-bit collision 2/3) then needs bands × (3/2)^Δbits. At
-    * every driver SF (n ≤ 2000) this resolves to exactly the empirical
-    * 192×12 scheme above — the adaptation only engages beyond ~8k
-    * vectors. The count() pre-pass is parquet-metadata-cheap and prices
-    * the index build, not the scan. */
-  private def embedNeardup(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    * Past the cutoff the query ROUTES to [[embedNeardupClustered]] (the
+    * r5 ×100 stress finding: holding SRP recall as buckets must narrow —
+    * bits ≈ log₂(n/2) for constant occupancy — costs bands × (3/2)^Δbits,
+    * measured at 410× wall for 100× data; KMeans-cell blocking keeps
+    * per-vector cost constant instead). The count() pre-pass that drives
+    * both the band adaptation and the route is parquet-metadata-cheap. */
+  private def embedNeardup(s: SparkSession, d: String): DataFrame =
+    embedNeardupAuto(Tables.embeddings(s, d), 0.4)
+
+  /** Corpus-size cutoff between the two near-dup physical paths. Below it,
+    * SRP pair-enumeration wins (no index build, and at ≤8k vectors the
+    * corpus-adaptive band growth hasn't engaged — the empirical 192×12
+    * scheme runs as-is). Above it, the measured economics invert: holding
+    * SRP recall while buckets narrow costs bands × (3/2)^Δbits — the ×100
+    * stress measured 410× wall for 100× data — while the clustered path
+    * rides a KMeans blocking whose per-vector cost is CONSTANT in corpus
+    * size (fixed target cell size, sampled training). 8192 is exactly the
+    * point where the SRP scheme would first widen beyond its empirical
+    * configuration. */
+  private[graft] val NeardupRouteMax = 8192L
+
+  /** Scale-routed embedding near-dup: one count() pre-pass picks the
+    * physical plan (the Catalyst-style stats-driven decision, made here
+    * because corpus cardinality is exactly one metadata read). Both paths
+    * emit the same (id_a, id_b, sim) relation with exact-cosine verify —
+    * only candidate GENERATION differs. */
+  private[graft] def embedNeardupAuto(e: DataFrame, threshold: Double): DataFrame = {
     val n = e.count()
-    val bits = math.max(NeardupSrpBits,
-      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 2) - 1))
-    val bands = (NeardupSrpBands * math.pow(1.5, bits - NeardupSrpBits)).ceil.toInt
-    embedNeardupPairs(e, 0.4, bands = bands, bits = bits)
+    if (n <= NeardupRouteMax) {
+      val bits = math.max(NeardupSrpBits,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 2) - 1))
+      val bands = (NeardupSrpBands * math.pow(1.5, bits - NeardupSrpBits)).ceil.toInt
+      embedNeardupPairs(e, threshold, bands = bands, bits = bits)
+    } else embedNeardupClustered(e, threshold, n)
+  }
+
+  /** The large-corpus near-dup path: KMeans-cell blocking instead of SRP
+    * bucket enumeration (the IVF index family reused for pair generation).
+    *
+    * Shape: `nClusterings` independent KMeans partitions of the corpus
+    * (different seeds); within each, candidate pairs are cellmates only,
+    * and the exact-cosine verify runs INLINE in the self-join stage — the
+    * embedding travels once per vector per clustering (not once per band ×
+    * 192 as SRP would need), the join shuffles n rows on cluster_id, and
+    * no candidate relation is ever materialized: pairs that fail the
+    * threshold die inside the stage that produced them.
+    *
+    * Cost model, per clustering: train on a ≤25.6k sample (constant),
+    * assign = one broadcast-centers map pass (model.transform), self-join
+    * emits ~n·cell/2 scored pairs. With cell size and sample constant,
+    * cost per vector is CONSTANT in n — the sub-linear-per-row growth the
+    * ×100 stress demands — vs recall-held SRP's (3/2)^log₂(n) band blowup.
+    *
+    * Recall: a near-dup pair is found iff SOME clustering co-locates it;
+    * misses need the pair split by a Voronoi boundary in EVERY independent
+    * partition (≈(1−r)^m). Boundaries are seed-specific, so failures
+    * decorrelate. NeardupRouteSpec measures the floor vs brute force on
+    * the driver corpus with routing forced; the dial is `nClusterings`
+    * (each adds ~linear cost and an independent recall draw). Degenerate
+    * cells (a dense region exceeding `maxPerCell`) are dropped by the same
+    * windowed-count-then-filter guard as every LSH bucket cap — near-exact
+    * mass belongs to exact dedup, and the cap bounds pair volume at
+    * n·maxPerCell regardless of data. */
+  private[graft] def embedNeardupClustered(e: DataFrame, threshold: Double, n: Long,
+      targetCell: Int = 256, nClusterings: Int = 4,
+      maxPerCell: Int = 4096): DataFrame = {
+    val k = math.max(16L, math.min(n / targetCell, 16384L)).toInt
+    val sampleFrac = math.min(1.0, 25600.0 / n)
+    (0 until nClusterings).map { r =>
+      val capped = IvfIndex
+        .assign(e.select(col("vec_id"), col("embedding")), k,
+          seed = 42L + 1000L * r, trainFraction = sampleFrac, maxIter = 5)
+        .withColumn("csz",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .filter(col("csz") <= maxPerCell)
+        .select(col("vec_id"), col("embedding"), col("cluster_id"))
+      capped.as("a")
+        .join(capped.as("b"),
+          col("a.cluster_id") === col("b.cluster_id") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(call_function("cosine_sim", col("a.embedding"), col("b.embedding")), 6)
+            .as("sim"))
+        .filter(col("sim") >= threshold)
+    }.reduce(_ unionByName _)
+      .distinct() // a pair co-located by several clusterings reports once
   }
 
   /** The near-dup core over any (vec_id, embedding) relation; bands/bits/cap
@@ -203,8 +266,9 @@ object Similarity {
     * embedding modality. Rows-only check (LSH blocking is hash-specific),
     * but the component algebra is the oracle-verified one. */
   private def embedComponents(s: SparkSession, d: String): DataFrame =
-    Dedup.components(embedNeardup(s, d).select(col("id_a"), col("id_b")))
-      .select(col("id").as("vec_id"), col("comp"))
+    Dedup.memoComponents(s, d, "embed") {
+      Dedup.components(embedNeardup(s, d).select(col("id_a"), col("id_b")))
+    }.select(col("id").as("vec_id"), col("comp"))
 
   /** IVF-style ANN: deterministic seed centroids (vec_id < 8), assign corpus
     * to nearest centroid, probe searches only its own cluster.

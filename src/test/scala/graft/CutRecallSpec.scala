@@ -215,4 +215,38 @@ class CutRecallSpec extends SparkTestBase {
     val hiRecall = hi.count(lsh).toDouble / hi.size
     assert(hiRecall >= 0.5, s"recall at cosine>=0.45: $hiRecall (of ${hi.size})")
   }
+
+  test("clustered near-dup (the routed >8k path), forced on sf0.1: recall floor vs brute force") {
+    GraftSession.prepare(spark)
+    // The clustered path never runs organically at driver SFs (routing
+    // engages past 8192 vectors), so this spec FORCES it on the largest
+    // driver corpus (2000 vectors) against the exhaustive cosine ground
+    // truth — the same guard shape as the SRP floor above. Everything is
+    // deterministic (seeded KMeans on fixed data), so the floors sit just
+    // under the measured values; a regression in the clustering blocking
+    // (cell count, seeds, cap, verify) fails here, not at the ×100 stress.
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select(col("vec_id"), col("embedding"))
+    val exact = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        call_function("cosine_sim", col("a.embedding"), col("b.embedding")).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = graft.operators.Similarity
+      .embedNeardupClustered(e, 0.4, n = 2000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact.keySet), // exact verify ⇒ no false positives
+      s"false positives: ${got.diff(exact.keySet).take(5)}")
+    val recall = got.size.toDouble / exact.size
+    info(f"clustered recall: $recall%.3f (${got.size}/${exact.size})")
+    // measured 0.749 (689/920) — ABOVE the SRP path's own near-threshold
+    // recall (theory ≈0.54 at s=0.4): the route trades nothing away. The
+    // floor sits under the measured value only by the last-ulp wobble
+    // KMeans center sums can pick up from aggregation order.
+    assert(recall >= 0.65, s"clustered recall $recall (${got.size}/${exact.size})")
+    val hi = exact.filter(_._2 >= 0.5).keySet
+    val hiRecall = hi.count(got).toDouble / hi.size
+    info(f"clustered recall at cosine>=0.5: $hiRecall%.3f (of ${hi.size})")
+    assert(hiRecall >= 0.5, s"recall at cosine>=0.5: $hiRecall (of ${hi.size})")
+  }
 }

@@ -40,6 +40,23 @@ object IvfIndex {
     model.transform(withVec).drop("features")
   }
 
+  /** Fitted centroids only, as a broadcastable (cid, cvec) relation — for
+    * callers that assign with their own policy (e.g. multi-assignment to
+    * the top-p nearest cells, which MLlib's transform doesn't expose). */
+  def fitCenters(embeddings: DataFrame, k: Int, seed: Long = 42L,
+      trainFraction: Double = 1.0, maxIter: Int = 20): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val withVec = embeddings.withColumn("features", array_to_vector(col("embedding")))
+    val train = if (trainFraction < 1.0) withVec.sample(trainFraction, seed) else withVec
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").setPredictionCol("cluster_id")
+      .fit(train)
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cid", "cvec")
+  }
+
   /** The int8-quantized index rows: (vec_id, cluster_id, code, scale) —
     * what an IVF build WRITES at 100 TB. Composes the two scan economies:
     * a probe reads nprobe/k of the corpus (IVF pruning) at 4× fewer bytes

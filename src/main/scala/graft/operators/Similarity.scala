@@ -184,52 +184,74 @@ object Similarity {
     * bucket enumeration (the IVF index family reused for pair generation).
     *
     * Shape: `nClusterings` independent KMeans partitions of the corpus
-    * (different seeds); within each, candidate pairs are cellmates only,
-    * and the exact-cosine verify runs INLINE in the self-join stage — the
-    * embedding travels once per vector per clustering (not once per band ×
-    * 192 as SRP would need), the join shuffles n rows on cluster_id, and
-    * no candidate relation is ever materialized: pairs that fail the
-    * threshold die inside the stage that produced them.
+    * (different seeds); within each, every vector is MULTI-ASSIGNED to its
+    * `nAssign` nearest cells (the FAISS-nprobe idea applied to pair
+    * generation: a boundary pair's members usually hold each other's cell
+    * in their top-2, so multi-assignment recovers exactly the pairs
+    * single-assignment loses to Voronoi boundaries — and its recall decays
+    * far more slowly as the cell count grows with the corpus). Candidate
+    * pairs are vectors sharing ANY cell; the exact-cosine verify runs
+    * INLINE in the self-join stage — the embedding travels nAssign times
+    * per vector per clustering (not once per band × 192 as SRP would
+    * need), the join shuffles on cell id, and no candidate relation is
+    * ever materialized: pairs that fail the threshold die inside the
+    * stage that produced them.
     *
-    * Cost model, per clustering: train on a ≤25.6k sample (constant),
-    * assign = one broadcast-centers map pass (model.transform), self-join
-    * emits ~n·cell/2 scored pairs. With cell size and sample constant,
-    * cost per vector is CONSTANT in n — the sub-linear-per-row growth the
-    * ×100 stress demands — vs recall-held SRP's (3/2)^log₂(n) band blowup.
+    * Cost model, per clustering: train on a ≤25.6k sample (constant);
+    * assignment scores the broadcast centroids per vector with the
+    * bounded-heap top_k aggregate over a nested-loop broadcast join — the
+    * exchange carries one row per vector because top_k partial-combines
+    * map-side (the knnBatch shape); the self-join emits
+    * ~n·cell·nAssign²/2 scored pairs. With cell size, sample, and nAssign
+    * constant, cost per vector is CONSTANT in n — the sub-linear-per-row
+    * growth the ×100 stress demands — vs recall-held SRP's
+    * (3/2)^log₂(n) band blowup.
     *
     * Recall: a near-dup pair is found iff SOME clustering co-locates it;
-    * misses need the pair split by a Voronoi boundary in EVERY independent
-    * partition (≈(1−r)^m). Boundaries are seed-specific, so failures
-    * decorrelate. NeardupRouteSpec measures the floor vs brute force on
-    * the driver corpus with routing forced; the dial is `nClusterings`
-    * (each adds ~linear cost and an independent recall draw). Degenerate
-    * cells (a dense region exceeding `maxPerCell`) are dropped by the same
+    * misses need the pair split in EVERY independent partition
+    * (≈(1−r)^m), and boundaries are seed-specific, so failures
+    * decorrelate. CutRecallSpec measures the floor vs brute force with
+    * the route forced; the dials are nAssign (recall per clustering) and
+    * nClusterings (independent draws). Degenerate cells (a dense region
+    * exceeding `maxPerCell` members) are dropped by the same
     * windowed-count-then-filter guard as every LSH bucket cap — near-exact
     * mass belongs to exact dedup, and the cap bounds pair volume at
-    * n·maxPerCell regardless of data. */
+    * n·nAssign·maxPerCell regardless of data. */
   private[graft] def embedNeardupClustered(e: DataFrame, threshold: Double, n: Long,
-      targetCell: Int = 256, nClusterings: Int = 4,
+      targetCell: Int = 256, nClusterings: Int = 4, nAssign: Int = 2,
       maxPerCell: Int = 4096): DataFrame = {
     val k = math.max(16L, math.min(n / targetCell, 16384L)).toInt
     val sampleFrac = math.min(1.0, 25600.0 / n)
+    val ev = e.select(col("vec_id"), col("embedding"))
     (0 until nClusterings).map { r =>
-      val capped = IvfIndex
-        .assign(e.select(col("vec_id"), col("embedding")), k,
-          seed = 42L + 1000L * r, trainFraction = sampleFrac, maxIter = 5)
-        .withColumn("csz",
-          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      val centers = IvfIndex.fitCenters(ev, k,
+        seed = 42L + 1000L * r, trainFraction = sampleFrac, maxIter = 5)
+      // top-nAssign cells by the euclidean criterion the fit used:
+      // argmin ‖x−c‖² = argmax 2x·c − ‖c‖² (‖x‖² constant per vector)
+      val assigned = ev.crossJoin(broadcast(centers))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          (lit(2.0) * call_function("dot_product", col("embedding"), col("cvec")) -
+            call_function("dot_product", col("cvec"), col("cvec"))).as("score"))
+        .groupBy(col("vec_id"))
+        .agg(any_value(col("embedding")).as("embedding"),
+          call_function("top_k",
+            struct(col("score"), (-col("cid")).as("neg")), lit(nAssign)).as("cells"))
+        .select(col("vec_id"), col("embedding"),
+          explode(col("cells")).as("c"))
+        .select(col("vec_id"), col("embedding"), (-col("c.neg")).as("cell"))
+      val capped = assigned
+        .withColumn("csz", count(lit(1)).over(Window.partitionBy(col("cell"))))
         .filter(col("csz") <= maxPerCell)
-        .select(col("vec_id"), col("embedding"), col("cluster_id"))
+        .select(col("vec_id"), col("embedding"), col("cell"))
       capped.as("a")
         .join(capped.as("b"),
-          col("a.cluster_id") === col("b.cluster_id") &&
-            col("a.vec_id") < col("b.vec_id"))
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
           round(call_function("cosine_sim", col("a.embedding"), col("b.embedding")), 6)
             .as("sim"))
         .filter(col("sim") >= threshold)
     }.reduce(_ unionByName _)
-      .distinct() // a pair co-located by several clusterings reports once
+      .distinct() // multi-assignment and several clusterings report a pair once
   }
 
   /** The near-dup core over any (vec_id, embedding) relation; bands/bits/cap

@@ -239,14 +239,17 @@ class CutRecallSpec extends SparkTestBase {
       s"false positives: ${got.diff(exact.keySet).take(5)}")
     val recall = got.size.toDouble / exact.size
     info(f"clustered recall: $recall%.3f (${got.size}/${exact.size})")
-    // measured 0.749 (689/920) — ABOVE the SRP path's own near-threshold
-    // recall (theory ≈0.54 at s=0.4): the route trades nothing away. The
-    // floor sits under the measured value only by the last-ulp wobble
-    // KMeans center sums can pick up from aggregation order.
-    assert(recall >= 0.65, s"clustered recall $recall (${got.size}/${exact.size})")
+    // measured 0.984 (905/920) with 4 clusterings × top-2 multi-assignment
+    // — far ABOVE the SRP path's own near-threshold recall (theory ≈0.54
+    // at s=0.4): the route trades nothing away. Multi-assignment is what
+    // holds it at scale too (0.762 measured at ×10 / 20k vectors, where
+    // single-assignment had decayed to 0.39). The floor sits under the
+    // measured value only by the last-ulp wobble KMeans center sums can
+    // pick up from aggregation order.
+    assert(recall >= 0.9, s"clustered recall $recall (${got.size}/${exact.size})")
     val hi = exact.filter(_._2 >= 0.5).keySet
     val hiRecall = hi.count(got).toDouble / hi.size
     info(f"clustered recall at cosine>=0.5: $hiRecall%.3f (of ${hi.size})")
-    assert(hiRecall >= 0.5, s"recall at cosine>=0.5: $hiRecall (of ${hi.size})")
+    assert(hiRecall >= 0.8, s"recall at cosine>=0.5: $hiRecall (of ${hi.size})")
   }
 }

@@ -133,7 +133,9 @@ object StressStream {
     def runFunnel(copies: Int): RunStats = {
       val (feed, total) = eventFeed(copies)
       measure(feed, total, (in: MemoryStream[StreamEvent], name: String) =>
-        StreamOps.funnel(in.toDS(), stepMs = 30L * 60 * 1000)
+        // 1-day step window — the batch q_funnel's stepMs, so conversion
+        // counts are comparable across the batch/streaming twins
+        StreamOps.funnel(in.toDS(), stepMs = 86400000L)
           .writeStream.format("memory").queryName(name)
           .outputMode(OutputMode.Append).start())
     }

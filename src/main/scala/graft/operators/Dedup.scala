@@ -65,23 +65,29 @@ object Dedup {
     * ~1e5 distinct shingles are ~1e-9 — intersection counts equal the
     * string-exact oracle's in practice. Shared with operators.Pipeline. */
   def jaccardPairs(shingled: DataFrame, threshold: Double,
-      maxDf: Int = WordMaxDf): DataFrame = {
+      maxDf: Int = WordMaxDf): DataFrame =
+    pairsFromPostings(cutPostings(shingled, maxDf), threshold)
+
+  /** df-cut postings (doc_id, n, s) from (doc_id, sh: array<string>):
+    * the shared inverted-index front half of every set-similarity
+    * operator. Postings carry `xxhash64(shingle)` (8 bytes), not the
+    * shingle string: self-joins shuffle and compare longs.
+    *
+    * df cut as a window count over the postings themselves (one shuffle by
+    * shingle), then attach each doc's POST-CUT set size with a second
+    * window pass (one shuffle by doc) — so the similarity denominator is
+    * available right at the pair aggregation. Two exchanges total; the
+    * groupBy-df + re-join formulation costs a third (measured ~15% slower
+    * at sf0.1). */
+  def cutPostings(shingled: DataFrame, maxDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val inv0 = shingled
+    shingled
       .select(col("doc_id"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
-    // df cut as a window count over the postings themselves (one shuffle by
-    // shingle), then attach each doc's POST-CUT set size with a second
-    // window pass (one shuffle by doc) — so the Jaccard denominator is
-    // available right at the pair aggregation. Two exchanges total; the
-    // groupBy-df + re-join formulation costs a third (measured ~15% slower
-    // at sf0.1).
-    val inv = inv0
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= maxDf)
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .select(col("doc_id"), col("n"), col("s"))
-    pairsFromPostings(inv, threshold)
   }
 
   /** The pair-generation core over a postings relation (doc_id, n, s):
@@ -582,7 +588,51 @@ object Dedup {
       .join(matched, col("doc_id") === col("did"), "left_anti")
   }
 
+  /** Asymmetric containment near-dup: directed pairs where C(src→dst) =
+    * |S_src ∩ S_dst| / |S_src| ≥ 0.8 over the word-3-shingle df-cut sets —
+    * the quote/subset detector Jaccard is blind to (a paragraph fully
+    * embedded in a 10× longer page has Jaccard ~0.1 but containment 1.0;
+    * standard in pretraining dedup for boilerplate-inside-page and
+    * doc-expansion cases).
+    *
+    * Same inverted-index front half as every set-similarity operator
+    * ([[cutPostings]]); the self-join emits each unordered pair once
+    * (id_a < id_b) and BOTH directed containments project from that single
+    * aggregated row — no second join, no doubled shuffle. Ratio is
+    * int/int one division: bitwise cross-engine. */
+  private def containmentPairs(s: SparkSession, d: String): DataFrame = {
+    val inv = cutPostings(
+      Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh")), WordMaxDf)
+    val pairs = inv.as("a")
+      .join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    pairs.select(col("id_a").as("src_id"), col("id_b").as("dst_id"),
+        (col("inter") * lit(1.0) / col("na")).as("containment"))
+      .unionByName(pairs.select(col("id_b").as("src_id"), col("id_a").as("dst_id"),
+        (col("inter") * lit(1.0) / col("nb")).as("containment")))
+      .filter(col("containment") >= 0.8)
+  }
+
+  /** Leak-free train/eval split: the doc_id-hash split (C19) made
+    * near-dup-aware — every document is bucketed by its CLUSTER's canonical
+    * id (component label, singletons by their own id), so a near-duplicate
+    * pair can never straddle train and eval (the contamination mode a
+    * per-doc split is blind to; group-aware splitting is the standard fix).
+    * Composes the memoized component labels ([[wordComponents]]) with
+    * Sampling.bucketOf — deterministic, engine-portable, no RNG. */
+  private def splitLeakfree(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(wordComponents(s, d), col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        when(Sampling.bucketOf(coalesce(col("comp"), col("doc_id")), 100) < 90,
+          "train").otherwise("eval").as("split"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_containment" -> containmentPairs _,
+    "q_split_leakfree" -> splitLeakfree _,
     "q_cluster_sizes" -> clusterSizes _,
     "q_neardup_incremental" -> neardupIncremental _,
     "q_dup_mass" -> shingleDupMass _,
@@ -619,6 +669,42 @@ object Dedup {
       | GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_containment" ->
+      s"""WITH $wordPairCtes,
+         |cp AS (
+         | SELECT id_a, id_b, inter, ca.n AS na, cb.n AS nb FROM p
+         | JOIN cnt ca ON id_a = ca.doc_id
+         | JOIN cnt cb ON id_b = cb.doc_id)
+         |SELECT id_a AS src_id, id_b AS dst_id,
+         | inter * 1.0 / na AS containment
+         |FROM cp WHERE inter * 1.0 / na >= 0.8
+         |UNION ALL
+         |SELECT id_b AS src_id, id_a AS dst_id,
+         | inter * 1.0 / nb AS containment
+         |FROM cp WHERE inter * 1.0 / nb >= 0.8""".stripMargin,
+    "q_split_leakfree" ->
+      s"""WITH RECURSIVE $wordPairCtes,
+         |pairs AS (
+         | SELECT id_a, id_b FROM p
+         | JOIN cnt ca ON id_a = ca.doc_id
+         | JOIN cnt cb ON id_b = cb.doc_id
+         | WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5),
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |walk AS (
+         | SELECT src AS id, src AS comp FROM edges
+         | UNION
+         | SELECT e2.src AS id, w.comp AS comp
+         | FROM edges e2 JOIN walk w ON w.id = e2.dst),
+         |lab AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+         |gid AS (
+         | SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS g
+         | FROM documents d LEFT JOIN lab l ON d.doc_id = l.id)
+         |SELECT doc_id,
+         | CASE WHEN ((g % 1000000007) * 2654435761) % 1000000007 % 100 < 90
+         |  THEN 'train' ELSE 'eval' END AS split
+         |FROM gid""".stripMargin,
     "q_cluster_sizes" ->
       s"""WITH RECURSIVE $wordPairCtes,
          |pairs AS (

@@ -144,7 +144,36 @@ object Sampling {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Winsorized per-source quality normalization: each document's length
+    * signal clamped to its source's [p05, p95] and rescaled to [0, 1] —
+    * the outlier-robust scaling applied to raw quality signals before
+    * they feed weighted sampling (C38) or mixture dials, so one 10 MB
+    * page can't own a source's whole quality range.
+    *
+    * Scale shape: the per-source bounds are a tiny exact-percentile
+    * aggregate (sources ≪ rows) broadcast back over the corpus — one
+    * shuffle of the value column for the sort-based percentile, then a
+    * map-only rescale. Exact interpolated percentiles over INTEGER
+    * n_chars match quantile_cont cross-engine (q_percentile discipline);
+    * clamp comparisons against an interpolated bound can't flip for
+    * integer inputs, and the final round(…,6) absorbs last-ulp
+    * interpolation drift. Degenerate sources (p05 = p95) pin to 0.5. */
+  private def winsorize(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(percentile(col("n_chars"), lit(0.05)).as("lo"),
+        percentile(col("n_chars"), lit(0.95)).as("hi"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(b), "source")
+      .select(col("doc_id"), col("source"),
+        when(col("hi") === col("lo"), 0.5)
+          .otherwise(round(
+            (least(greatest(col("n_chars").cast("double"), col("lo")), col("hi"))
+              - col("lo")) / (col("hi") - col("lo")), 6)).as("wq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winsorize" -> winsorize _,
     "q_sample_temperature" -> sampleTemperature _,
     "q_sample_weighted" -> sampleWeighted _,
     "q_sample_split" -> sampleSplit _,
@@ -155,6 +184,16 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_winsorize" ->
+      """WITH b AS (
+        | SELECT source, quantile_cont(n_chars, 0.05) AS lo,
+        |  quantile_cont(n_chars, 0.95) AS hi
+        | FROM documents GROUP BY source)
+        |SELECT doc_id, d.source,
+        | CASE WHEN hi = lo THEN 0.5
+        |  ELSE round((least(greatest(CAST(n_chars AS DOUBLE), lo), hi) - lo)
+        |    / (hi - lo), 6) END AS wq
+        |FROM documents d JOIN b ON d.source = b.source""".stripMargin,
     "q_sample_temperature" ->
       """WITH g AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
         |t AS (SELECT CAST(sum(CAST(sqrt(n) AS DECIMAL(18,6))) AS DOUBLE) AS ssum,

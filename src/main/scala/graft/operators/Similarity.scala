@@ -212,7 +212,22 @@ object Similarity {
     * (≈(1−r)^m), and boundaries are seed-specific, so failures
     * decorrelate. CutRecallSpec measures the floor vs brute force with
     * the route forced; the dials are nAssign (recall per clustering) and
-    * nClusterings (independent draws). Degenerate cells (a dense region
+    * nClusterings (independent draws).
+    *
+    * Measured two-decade profile (dev/stress_x100_neardup_recall.json,
+    * exact sampled ground truth): per-clustering pair recall r is
+    * corpus-size-dependent (0.31 at 20k vectors / 78 cells, 0.10 at 200k
+    * / 780 cells — more cells, more boundaries), so PAIR recall at the
+    * shipped m=4 decays from 0.76 (×10) to 0.34 (×100) concentrated in
+    * the borderline 0.4–0.5 tier (0.80 at sim ≥ 0.6; precision exact at
+    * every scale — the verify is inline). But COMPONENT recall — the
+    * metric keep-one/cluster dedup actually consumes — is 1.0 at ×100:
+    * every true pair's endpoints connect through the found graph, which
+    * reproduces the true cluster structure exactly while materializing
+    * 2.9× fewer pairs than ground truth. Boundary-tier pair recall is
+    * purchasable at measured linear cost in nClusterings
+    * (recall = 1−(1−r)^m); wall at ×100 is 102 s vs the recall-held SRP
+    * path's 590 s. Degenerate cells (a dense region
     * exceeding `maxPerCell` members) are dropped by the same
     * windowed-count-then-filter guard as every LSH bucket cap — near-exact
     * mass belongs to exact dedup, and the cap bounds pair volume at
@@ -488,7 +503,35 @@ object Similarity {
         round(when(nrm > 0, element_at(col("embedding"), dim) / nrm).otherwise(0.0), 6).as("u_last"))
   }
 
+  /** Dimension-wise corpus statistics (mean / std per embedding dimension)
+    * — the fit half of feature standardization/whitening, and the
+    * sanity report that catches a dead or exploding dimension before any
+    * index is built over the corpus.
+    *
+    * Scale shape: one posexplode of the vector column (row count ×dim, map
+    * side only) into a 64-group partial-combined aggregate — the shuffle
+    * carries dim×partitions partial states, nothing else; no window, no
+    * driver math. Sums pass through DECIMAL(28,8) so accumulation order
+    * can't move the last ulp (q_stats convention — a float32 can never sit
+    * exactly between two scale-8 decimals of opposite rounding, and a
+    * boundary flip perturbs the sum by 1e-8, absorbed by the final
+    * round(…,6)); sqrt is correctly-rounded IEEE in any engine. */
+  private def embedStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim"), col("xf").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,8)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(28,8)")).as("sxx"))
+      .select(col("dim"),
+        round(col("sx").cast("double") / col("n"), 6).as("mu"),
+        round(sqrt((col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+          (col("n") - 1)), 6).as("sigma"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_stats" -> embedStats _,
     "q_hamming_threshold" -> hammingThreshold _,
     "q_hamming_knn" -> hammingKnn _,
     "q_phash_search" -> phashSearch _,
@@ -554,6 +597,42 @@ object Similarity {
         | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
         |FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_embed_stats" ->
+      """WITH x0 AS (
+        | SELECT unnest(list_transform(range(len(embedding)),
+        |   i -> struct_pack(dim := i, xv := CAST(embedding[i+1] AS DOUBLE)))) AS u
+        | FROM embeddings),
+        |x AS (SELECT CAST(u.dim AS INTEGER) AS dim, u.xv AS xv FROM x0),
+        |a AS (
+        | SELECT dim, count(*) AS n,
+        |  sum(CAST(xv AS DECIMAL(28,8))) AS sx,
+        |  sum(CAST(xv * xv AS DECIMAL(28,8))) AS sxx
+        | FROM x GROUP BY dim)
+        |SELECT dim, round(CAST(sx AS DOUBLE) / n, 6) AS mu,
+        | round(sqrt((CAST(sxx AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 6) AS sigma
+        |FROM a""".stripMargin,
+    // q_ann_ivf is FULLY deterministic (centroids are data rows vec_id<8,
+    // assignment is an argmax with a fixed tie-break, sims are rounded), so
+    // unlike the KMeans-backed indexes it gets a complete replay oracle:
+    // DuckDB re-derives assignment, probe cell, and the in-cell top-10.
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |scored AS (
+        | SELECT e.vec_id, e.v, c.cid,
+        |  list_cosine_similarity(e.v, c.cv) AS csim
+        | FROM e CROSS JOIN c),
+        |a AS (
+        | SELECT vec_id, v, cid FROM (
+        |  SELECT *, row_number() OVER (
+        |   PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |p AS (SELECT cid AS pcid, v AS pv FROM a WHERE vec_id = 0)
+        |SELECT a.vec_id,
+        | round(list_cosine_similarity(a.v, p.pv), 6) AS sim
+        |FROM a, p WHERE a.cid = p.pcid
+        |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
     "q_knn_q8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id, v,

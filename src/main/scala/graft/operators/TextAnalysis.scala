@@ -325,16 +325,107 @@ object TextAnalysis {
 
   /** Approximate distinct counting (HLL++): the constant-memory cardinality
     * path at 100 TB (exact distinct shuffles every value; HLL merges
-    * fixed-size sketches). Cross-engine sketch internals differ → rows-only
-    * check; ApproxSpec asserts <5% error vs exact. */
+    * fixed-size sketches). Cross-engine sketch internals differ, so raw
+    * sketch estimates can never hash-match an independent oracle — instead
+    * the query reports the invariant a working sketch must satisfy
+    * (the q_embed_pca pattern): exact per-group cardinalities (fully
+    * DuckDB-checkable) alongside booleans asserting the HLL estimate lands
+    * within 5% of each (rsd=0.02, so 5% is ~2.5σ — a broken sketch fails
+    * the GATE, not just a spec). The exact counts ride in the same
+    * one-pass aggregate; the library op at 100 TB is the approx column
+    * alone — the exact twin here is the grader, same as q_ann_pq's. */
   private def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("as_"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+        (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.05)
+          .as("parts_ok"),
+        (abs(col("as_") - col("exact_supps")) <= col("exact_supps") * 0.05)
+          .as("supps_ok"))
+
+  /** BM25 relevance scoring (Robertson/Okapi, k1=1.2, b=0.75) of every
+    * document against a fixed query-term set — the lexical-retrieval
+    * scorer a RAG/data-curation stack runs next to embedding search.
+    * idf uses the Lucene positive form ln((N − df + 0.5)/(df + 0.5) + 1).
+    *
+    * Scale shape: one explode of the token stream filtered to the query
+    * terms (predicate on the exploded value → the shuffle only ever
+    * carries query-term hits, not the corpus vocabulary), partial-combined
+    * tf counts, then two broadcast joins (df and corpus stats are
+    * term-count- and 1-row-sized). Per-term scores pass through
+    * DECIMAL(28,10) before the final sum so summation order can't wiggle
+    * the last ulp (q_stats convention); one round(…,4) at the end. */
+  private def bm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "hash", "window")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val dl = toks.select(col("doc_id"), size(col("w")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = toks.select(col("doc_id"), explode(col("w")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1))
+          * col("tf") * lit(2.2)
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .cast("decimal(28,10)").as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("sc")).cast("double"), 4).as("bm25"))
+  }
+
+  /** Bigram-LM perplexity scoring (CCNet-style quality filter): a bigram
+    * language model with add-one smoothing is fit on the corpus itself and
+    * every document is scored by its mean negative log-likelihood — the
+    * in-domain-fluency signal used to rank web text for pretraining
+    * (CCNet scores against a held-out LM; self-scoring is the same
+    * machinery, and the model here IS a table, not an artifact).
+    *
+    *   p(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V),  nll = −mean ln p
+    *
+    * where c(w1·) counts w1 as a bigram PREFIX (so p sums to 1 per w1)
+    * and V is corpus vocabulary size. Scale shape: bigrams come from one
+    * lead() window over doc-bounded partitions (state = one row); counts
+    * partial-combine; the score join is bigram-table-sized, shuffled on
+    * the bigram key — at 100 TB the join key would be xxhash64(w1,w2),
+    * 8 bytes, the jaccardPairs trick. ln values pass through
+    * DECIMAL(28,12) so per-doc summation order can't move the last ulp;
+    * round(…,6) at the end. Docs under 2 tokens have no bigrams and no
+    * row, in both engines. */
+  private def bigramLm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val big = toks
+      .withColumn("w2",
+        lead(col("w"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+    val cb = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = toks.agg(countDistinct(col("w")).as("v"))
+    big.join(cb, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        log((col("cb") + lit(1.0)) / (col("c1") + col("v")))
+          .cast("decimal(28,12)").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("s")).cast("double") / count(lit(1)) * lit(-1), 6).as("nll"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> bm25 _,
+    "q_bigram_lm" -> bigramLm _,
     "q_tfidf" -> tfidf _,
     "q_approx_distinct" -> approxDistinct _,
     "q_langid" -> langId _,
@@ -354,6 +445,47 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, len(w) AS dl FROM tok),
+        |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |hits AS (
+        | SELECT doc_id, unnest(w) AS t FROM tok),
+        |tf AS (
+        | SELECT doc_id, t, count(*) AS tf FROM hits
+        | WHERE t IN ('spark', 'hash', 'window') GROUP BY 1, 2),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |sc AS (
+        | SELECT tf.doc_id,
+        |  CAST(ln((n - df + 0.5) / (df + 0.5) + 1)
+        |    * tf * 2.2
+        |    / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS DECIMAL(28,10)) AS sc
+        | FROM tf JOIN df USING (t) JOIN dl ON tf.doc_id = dl.doc_id, st)
+        |SELECT doc_id, round(CAST(sum(sc) AS DOUBLE), 4) AS bm25
+        |FROM sc GROUP BY doc_id""".stripMargin,
+    "q_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |big AS (
+        | SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) - 1),
+        |    i -> [w[i+1], w[i+2]])) AS bg FROM tok)),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(w) AS t FROM tok)),
+        |s AS (
+        | SELECT doc_id, CAST(ln((cb + 1.0) / (c1 + v)) AS DECIMAL(28,12)) AS s
+        | FROM big JOIN cb USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | round(CAST(sum(s) AS DOUBLE) / count(*) * -1, 6) AS nll
+        |FROM s GROUP BY doc_id""".stripMargin,
+    // Invariant oracle: exact cardinalities are independently computed;
+    // the _ok booleans assert the sketch's 5% bound held (see approxDistinct).
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS exact_parts,
+        | count(DISTINCT l_suppkey) AS exact_supps,
+        | true AS parts_ok, true AS supps_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_langid_eval" ->
       """SELECT lang,
         | CASE WHEN len(list_filter(string_split(text, ' '),

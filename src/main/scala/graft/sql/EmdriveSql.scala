@@ -30,13 +30,14 @@ import graft.sources.SchemaMapper
   *   CREATE TABLE [IF NOT EXISTS] t (col TYPE
   *     [PRIMARY KEY | METRIC KEY [USING index(metric)]] [DEFAULT expr], …)
   *   INSERT INTO t [(cols…)] VALUES (v, …) [, (v, …) …]
-  *   SELECT * | col [AS a] | col @ probe AS a
+  *   SELECT [DISTINCT] * | col [AS a] | col @ probe AS a
   *     | (COUNT|SUM|AVG|MIN|MAX) '(' (*|col) ')' [AS a] [, …] FROM t
   *     [WHERE pred]   where pred := cmp | pred AND pred | pred OR pred
   *                    | NOT pred | '(' pred ')' (AND binds tighter than
   *                    OR), and cmp := operand (= | != | < | <= | > | >=)
   *                    operand | operand [NOT] IN (lit, …)
-  *                    | operand BETWEEN lo AND hi
+  *                    | operand [NOT] BETWEEN lo AND hi
+  *                    | operand [NOT] LIKE 'pattern'
   *     [GROUP BY col [, …]] [HAVING pred-over-output-names]
   *     [ORDER BY col [ASC|DESC] [, …]] [LIMIT n]
   *
@@ -152,6 +153,9 @@ object EmdriveSql {
   /** lhs [NOT] IN (literal, …) — lowered to a Catalyst In expression so
     * the membership test reaches the parquet scan as a pushed filter. */
   final case class PIn(lhs: Operand, vals: Seq[Value], neg: Boolean) extends Pred
+  /** lhs [NOT] LIKE 'pattern' (%, _ wildcards) — lowered to Column.like;
+    * prefix patterns reach the parquet scan as StringStartsWith. */
+  final case class PLike(lhs: Operand, pattern: String, neg: Boolean) extends Pred
 
   sealed trait Statement
   /** SHOW TABLES / DESCRIBE t — the reference's system-catalog surface
@@ -175,7 +179,7 @@ object EmdriveSql {
       where: Seq[Pred], groupBy: Seq[String] = Seq.empty,
       having: Seq[Pred] = Seq.empty,
       orderBy: Seq[OrderKey] = Seq.empty, limit: Option[Long] = None,
-      joins: Seq[Join] = Seq.empty)
+      joins: Seq[Join] = Seq.empty, distinct: Boolean = false)
     extends Statement
 
   // ----- parser (recursive descent over the token list) -----------------
@@ -299,6 +303,7 @@ object EmdriveSql {
   }
 
   private def parseSelect(p: P): Select = {
+    val distinct = p.tryWord("DISTINCT")
     val items = mutable.ListBuffer[SelectItem](parseItem(p))
     while (p.trySym(",")) items += parseItem(p)
     p.eatWord("FROM")
@@ -350,7 +355,7 @@ object EmdriveSql {
         case _ => p.fail("integer LIMIT")
       } else None
     Select(items.toSeq, table, where.toSeq, groupBy, having.toSeq, orderBy,
-      limit, joins.toSeq)
+      limit, joins.toSeq, distinct)
   }
 
   private def parseItem(p: P): SelectItem = p.toks match {
@@ -412,8 +417,14 @@ object EmdriveSql {
       val hi = parseOperand(p)
       PAnd(PCmp(Cmp(lhs, ">=", lo)), PCmp(Cmp(lhs, "<=", hi)))
     }
+    def like(n: Boolean): Pred = p.value() match {
+      case VStr(pat) => PLike(lhs, pat, n)
+      case other => p.fail(s"string pattern after LIKE, got $other")
+    }
     if (neg && p.tryWord("BETWEEN")) {
       PNot(between())
+    } else if (neg && p.tryWord("LIKE")) {
+      like(true)
     } else if (neg || p.tryWord("IN")) {
       if (neg) p.eatWord("IN")
       p.eatSym("(")
@@ -423,6 +434,8 @@ object EmdriveSql {
       PIn(lhs, vs.toSeq, neg)
     } else if (p.tryWord("BETWEEN")) {
       between()
+    } else if (p.tryWord("LIKE")) {
+      like(false)
     } else {
       val op = p.toks match {
         case TSym(s) :: rest if Set("=", "!=", "<", "<=", ">", ">=")(s) =>
@@ -548,8 +561,8 @@ final class EmdriveSession(spark: SparkSession) {
   }
 
   private def lowerSelect(sel: Select): DataFrame = {
-    val Select(items, name, where, groupBy, having, orderBy, limitN, joins) =
-      sel
+    val Select(items, name, where, groupBy, having, orderBy, limitN, joins,
+      distinct) = sel
     locally {
       // JOIN lowering (graft extension): unqualified ON keys resolved by
       // which side owns the name (either order). The equi-join lowers to a
@@ -615,6 +628,10 @@ final class EmdriveSession(spark: SparkSession) {
         require(hasAgg || groupBy.nonEmpty, "HAVING requires GROUP BY/aggregates")
         having.foreach(pred => out = out.filter(predCol(out, pred)))
       }
+      // 4b. SELECT DISTINCT dedupes the projected output (ANSI position:
+      //     after HAVING, before ORDER BY/LIMIT) — lowered to the same
+      //     partial-combined aggregate as any distinct, no driver state
+      if (distinct) out = out.dropDuplicates()
       // 5. ORDER BY / LIMIT over output names. Catalyst turns
       //    orderBy+limit into TakeOrderedAndProject (top-k, no global sort)
       if (orderBy.nonEmpty)
@@ -684,6 +701,9 @@ final class EmdriveSession(spark: SparkSession) {
           throw new IllegalArgumentException(s"IN list expects literals, got $other")
       }
       val c = operandCol(base, lhs).isin(lits: _*)
+      if (neg) !c else c
+    case PLike(lhs, pat, neg) =>
+      val c = operandCol(base, lhs).like(pat)
       if (neg) !c else c
   }
 

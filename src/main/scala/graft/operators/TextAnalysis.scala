@@ -423,7 +423,69 @@ object TextAnalysis {
         round(sum(col("s")).cast("double") / count(lit(1)) * lit(-1), 6).as("nll"))
   }
 
+  /** Language-consistency audit: documents whose tagged language differs
+    * from their source's MAJORITY language — the standard crawl-hygiene
+    * pass (a mostly-English source emitting `de` rows usually means a
+    * mislabeled scrape or boilerplate bleed, and mixed-language sources
+    * poison per-language mixing weights downstream).
+    *
+    * Scale shape: the majority vote aggregates FIRST (sources × langs
+    * rows — dimension-sized however big the corpus), the window ranks
+    * inside that tiny relation, and the verdict joins back broadcast.
+    * The corpus is scanned once for the vote and once for the verdict;
+    * ties break lexicographically so the vote is deterministic. */
+  private def langOutliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val majority = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("n").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("majority_lang"))
+    docs.join(broadcast(majority), "source")
+      .filter(col("lang") =!= col("majority_lang"))
+      .select(col("doc_id"), col("source"), col("lang"), col("majority_lang"))
+  }
+
+  /** Count-min sketch accuracy report over the vocabulary: estimate the
+    * exact top-20 terms' counts from a 4×2048 cms_agg grid and report the
+    * CMS contract per term — never an underestimate (a hard guarantee:
+    * every counter a term hashes to holds at least its true count), and
+    * within an εN additive bound (ε = e/w ≈ 0.0013; asserted at 0.005·N,
+    * ~4× slack — deterministic here since data and seeds are fixed).
+    *
+    * This is the frequency-sketch completing the approx family (HLL++
+    * cardinality, approx_percentile quantiles, bloom membership): at
+    * 100 TB "how often does each token appear" is a few hundred KB of
+    * mergeable partial state instead of a vocabulary-wide shuffle. The
+    * sketch arrives at the probe as a scalar subquery, so estimates are
+    * per-row codegen lookups against the broadcast grid. A broken sketch
+    * (hash drift, merge bug, packing bug) fails the GATE booleans, not
+    * just a spec. */
+  private def cmsVocab(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("graft_cms_docs")
+    s.sql("""
+      |WITH tok AS (
+      |  SELECT explode(split(text, ' ')) AS term FROM graft_cms_docs),
+      |exact AS (
+      |  SELECT term, count(*) AS n_exact FROM tok GROUP BY term
+      |  ORDER BY n_exact DESC, term LIMIT 20),
+      |est AS (
+      |  SELECT term, n_exact,
+      |    cms_estimate((SELECT cms_agg(term, 4, 2048) FROM tok), term, 2048) AS n_est
+      |  FROM exact)
+      |SELECT term, n_exact,
+      |  n_est >= n_exact AS no_underestimate,
+      |  n_est <= n_exact + CAST(ceil(0.005 * (SELECT count(*) FROM tok)) AS BIGINT)
+      |    AS eps_bounded
+      |FROM est
+      |""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cms_vocab" -> cmsVocab _,
+    "q_lang_outliers" -> langOutliers _,
     "q_bm25" -> bm25 _,
     "q_bigram_lm" -> bigramLm _,
     "q_tfidf" -> tfidf _,
@@ -445,6 +507,27 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // Invariant oracle: the estimates are hash-family-specific, but the
+    // CMS contract (no underestimates; εN additive bound) is assertable
+    // exactly, and the top-20 terms + exact counts replay cross-engine.
+    "q_cms_vocab" ->
+      """WITH tok AS (
+        | SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |exact AS (
+        | SELECT term, count(*) AS n_exact FROM tok GROUP BY term
+        | ORDER BY n_exact DESC, term LIMIT 20)
+        |SELECT term, n_exact, true AS no_underestimate, true AS eps_bounded
+        |FROM exact""".stripMargin,
+    "q_lang_outliers" ->
+      """WITH v AS (
+        | SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang),
+        |m AS (
+        | SELECT source, lang AS majority_lang,
+        |  row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rn
+        | FROM v)
+        |SELECT d.doc_id, d.source, d.lang, m.majority_lang
+        |FROM documents d JOIN m ON d.source = m.source AND m.rn = 1
+        |WHERE d.lang <> m.majority_lang""".stripMargin,
     "q_bm25" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |dl AS (SELECT doc_id, len(w) AS dl FROM tok),

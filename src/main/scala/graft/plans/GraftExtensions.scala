@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{CharShingles, ContentFp, CosineSimilarity, DenylistHits, DenylistMask, DotProduct, DupNgramFrac, Hamming128, Int8Quantize, IvfPqEncode, L2Norm, MinHashBands, MinHashSig, PqAdc, PqEncode, Q8Dot, Q8Scale, Q8Sum, SignBands, SimHash64, SrpBands, StopwordHits, TopK, TopTokenFrac, Ulid, WordShingles, ZOrder2}
+import graft.functions.{CharShingles, ContentFp, CosineSimilarity, CountMinAgg, CountMinEstimate, DenylistHits, DenylistMask, DotProduct, DupNgramFrac, Hamming128, Int8Quantize, IvfPqEncode, L2Norm, MinHashBands, MinHashSig, PqAdc, PqEncode, Q8Dot, Q8Scale, Q8Sum, SignBands, SimHash64, SrpBands, StopwordHits, TopK, TopTokenFrac, Ulid, WordShingles, ZOrder2}
 
 /** SparkSessionExtensions entry point: injects graft's native Catalyst
   * expressions into the SQL function registry, so `spark.sql` and
@@ -116,6 +116,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => new BloomFilterAggregate(args(0), args(1), args(2))),
     ("bloom_might_contain", info("bloom_might_contain", "probe a bloom_agg sketch for a long hash"),
       (args: Seq[Expression]) => BloomFilterMightContain(args(0), args(1))),
+    // count-min pair, same build/probe split as the bloom pair
+    ("cms_agg", info("cms_agg", "count-min sketch grid of a group of strings (depth, width literals)"),
+      (args: Seq[Expression]) => CountMinAgg(args(0), args(1), args(2))),
+    ("cms_estimate", info("cms_estimate", "probe a cms_agg sketch for a string's estimated count"),
+      (args: Seq[Expression]) => CountMinEstimate(args(0), args(1),
+        litInt(args(2), "cms_estimate width"))),
     ("ulid", info("ulid", "generate a ULID (Crockford base32, time-ordered)"),
       (args: Seq[Expression]) => { require(args.isEmpty, "ulid() takes no arguments"); Ulid() }),
     // PQ family: the fitted model arrives as flattened array literals —

@@ -31,6 +31,7 @@ import graft.sources.SchemaMapper
   *     [PRIMARY KEY | METRIC KEY [USING index(metric)]] [DEFAULT expr], …)
   *   INSERT INTO t [(cols…)] VALUES (v, …) [, (v, …) …]
   *   SELECT [DISTINCT] * | col [AS a] | col @ probe AS a
+  *     | CASE WHEN pred THEN v [WHEN …] [ELSE v] END AS a
   *     | (COUNT|SUM|AVG|MIN|MAX) '(' (*|col) ')' [AS a] [, …] FROM t
   *     [WHERE pred]   where pred := cmp | pred AND pred | pred OR pred
   *                    | NOT pred | '(' pred ')' (AND binds tighter than
@@ -40,6 +41,8 @@ import graft.sources.SchemaMapper
   *                    | operand [NOT] LIKE 'pattern'
   *     [GROUP BY col [, …]] [HAVING pred-over-output-names]
   *     [ORDER BY col [ASC|DESC] [, …]] [LIMIT n]
+  *   select UNION [ALL] select [UNION [ALL] select …]   (positional,
+  *     left-assoc; non-ALL steps dedupe — ANSI bag semantics)
   *
   * WHERE operands may name SELECT-list aliases (the README story filters
   * on the aliased distance), and `@` adapts to the column's carrier type:
@@ -132,6 +135,11 @@ object EmdriveSql {
     * defaults to `count` / `<func>_<col>` when no alias is given. */
   final case class AggItem(func: String, arg: Option[String],
       alias: Option[String]) extends SelectItem
+  /** CASE WHEN pred THEN v [WHEN …] [ELSE v] END AS alias — searched CASE
+    * over the dialect's predicate grammar; the alias is mandatory so the
+    * output name (and any WHERE/GROUP BY reference to it) is explicit. */
+  final case class CaseItem(branches: Seq[(Pred, Operand)],
+      elseV: Option[Operand], alias: String) extends SelectItem
 
   final case class OrderKey(name: String, desc: Boolean)
 
@@ -182,6 +190,12 @@ object EmdriveSql {
       joins: Seq[Join] = Seq.empty, distinct: Boolean = false)
     extends Statement
 
+  /** select UNION [ALL] select [UNION [ALL] select …] — left-associative,
+    * positional column matching (ANSI); a non-ALL step dedupes the
+    * accumulated result, exactly ANSI bag semantics. */
+  final case class UnionStmt(first: Select,
+      rest: Seq[(Boolean, Select)]) extends Statement
+
   // ----- parser (recursive descent over the token list) -----------------
 
   private final class P(var toks: List[Tok], val input: String) {
@@ -225,7 +239,7 @@ object EmdriveSql {
     "BETWEEN",
     "GROUP", "BY", "HAVING", "ORDER", "LIMIT", "ASC", "DESC",
     "NULL", "TRUE", "FALSE", "SHOW", "TABLES", "DESCRIBE", "JOIN", "ON",
-    "EXPLAIN")
+    "EXPLAIN", "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "ALL")
 
   private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
 
@@ -234,7 +248,18 @@ object EmdriveSql {
     val stmt =
       if (p.tryWord("CREATE")) parseCreate(p)
       else if (p.tryWord("INSERT")) parseInsert(p)
-      else if (p.tryWord("SELECT")) parseSelect(p)
+      else if (p.tryWord("SELECT")) {
+        val first = parseSelect(p)
+        if (p.peekWord("UNION")) {
+          val rest = mutable.ListBuffer.empty[(Boolean, Select)]
+          while (p.tryWord("UNION")) {
+            val all = p.tryWord("ALL")
+            p.eatWord("SELECT")
+            rest += ((all, parseSelect(p)))
+          }
+          UnionStmt(first, rest.toSeq)
+        } else first
+      }
       else if (p.tryWord("SHOW")) { p.eatWord("TABLES"); ShowTables }
       else if (p.tryWord("DESCRIBE")) Describe(p.ident())
       else if (p.tryWord("EXPLAIN")) {
@@ -359,6 +384,19 @@ object EmdriveSql {
   }
 
   private def parseItem(p: P): SelectItem = p.toks match {
+    case TWord(w) :: _ if w.equalsIgnoreCase("CASE") =>
+      p.toks = p.toks.tail
+      val branches = mutable.ListBuffer.empty[(Pred, Operand)]
+      while (p.tryWord("WHEN")) {
+        val pred = parsePred(p)
+        p.eatWord("THEN")
+        branches += ((pred, parseOperand(p)))
+      }
+      if (branches.isEmpty) p.fail("WHEN after CASE")
+      val elseV = if (p.tryWord("ELSE")) Some(parseOperand(p)) else None
+      p.eatWord("END")
+      p.eatWord("AS") // mandatory: the output name must be explicit
+      CaseItem(branches.toSeq, elseV, p.ident())
     case TWord(f) :: TSym("(") :: _ if AggFuncs(f.toUpperCase) =>
       p.toks = p.toks.tail.tail
       val arg = if (p.trySym("*")) None else Some(p.ident())
@@ -552,6 +590,15 @@ final class EmdriveSession(spark: SparkSession) {
 
     case sel: Select => lowerSelect(sel)
 
+    case UnionStmt(first, rest) =>
+      // positional union (ANSI), left-assoc; non-ALL steps dedupe the
+      // accumulated bag — lowered to Dataset.union (+ the same partial-
+      // combined aggregate as any DISTINCT), so Catalyst unions the plans
+      rest.foldLeft(lowerSelect(first)) { case (acc, (all, sel)) =>
+        val u = acc.union(lowerSelect(sel))
+        if (all) u else u.dropDuplicates()
+      }
+
     case ExplainStmt(sel) =>
       val text = lowerSelect(sel).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
@@ -587,6 +634,7 @@ final class EmdriveSession(spark: SparkSession) {
       items.foreach {
         case DistItem(c, probe, alias) => df = df.withColumn(alias, distCol(base, c, probe))
         case ColItem(c, Some(alias)) => df = df.withColumn(alias, col(c))
+        case it: CaseItem => df = df.withColumn(it.alias, caseCol(base, it))
         case _ => ()
       }
       // 2. WHERE — plain column equality lands in the scan's PushedFilters;
@@ -599,6 +647,10 @@ final class EmdriveSession(spark: SparkSession) {
           items.foreach {
             case ColItem(c, _) => require(groupBy.contains(c),
               s"column $c must appear in GROUP BY")
+            // a CASE alias may be a group key (the bucketing idiom:
+            // GROUP BY the computed bucket) — it was attached pre-agg
+            case it: CaseItem => require(groupBy.contains(it.alias),
+              s"CASE alias ${it.alias} must appear in GROUP BY")
             case Star => throw new IllegalArgumentException(
               "SELECT * cannot be combined with aggregates/GROUP BY")
             case d: DistItem => throw new IllegalArgumentException(
@@ -611,6 +663,7 @@ final class EmdriveSession(spark: SparkSession) {
           val agged = df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
           agged.select(items.map {
             case ColItem(c, alias) => col(c).as(alias.getOrElse(c))
+            case it: CaseItem => col(it.alias)
             case AggItem(f, arg, alias) => col(aggAlias(f, arg, alias))
             case other => throw new IllegalStateException(other.toString)
           }: _*)
@@ -619,6 +672,7 @@ final class EmdriveSession(spark: SparkSession) {
             case Star => base.columns.toSeq.map(col)
             case ColItem(c, alias) => Seq(col(alias.getOrElse(c)))
             case DistItem(_, _, alias) => Seq(col(alias))
+            case CaseItem(_, _, alias) => Seq(col(alias))
             case other => throw new IllegalStateException(other.toString)
           }: _*)
         }
@@ -705,6 +759,17 @@ final class EmdriveSession(spark: SparkSession) {
     case PLike(lhs, pat, neg) =>
       val c = operandCol(base, lhs).like(pat)
       if (neg) !c else c
+  }
+
+  /** Searched CASE → when().when()….otherwise() Column chain; branches
+    * evaluate in order, exactly ANSI semantics (Catalyst CaseWhen). */
+  private def caseCol(base: DataFrame, it: EmdriveSql.CaseItem): Column = {
+    val first = when(predCol(base, it.branches.head._1),
+      operandCol(base, it.branches.head._2))
+    val chained = it.branches.tail.foldLeft(first) { case (acc, (pr, v)) =>
+      acc.when(predCol(base, pr), operandCol(base, v))
+    }
+    it.elseV.fold(chained)(v => chained.otherwise(operandCol(base, v)))
   }
 
   private def operandCol(base: DataFrame, o: Operand): Column = o match {
@@ -815,6 +880,25 @@ object SqlQueries {
       es.sql("""SELECT lang, COUNT(*) AS n, MIN(n_chars) AS min_chars
                |FROM documents GROUP BY lang HAVING n >= 20 ORDER BY lang;""".stripMargin)
     }),
+    // searched CASE as a computed GROUP BY bucket (the classic bucketing
+    // idiom), lowered to Catalyst CaseWhen + the usual partial agg
+    "q_sql_case" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT CASE WHEN n_chars < 200 THEN 'short'
+               |            WHEN n_chars < 400 THEN 'medium'
+               |            ELSE 'long' END AS bucket,
+               | COUNT(*) AS n, SUM(n_chars) AS total_chars
+               |FROM documents GROUP BY bucket ORDER BY bucket;""".stripMargin)
+    }),
+    // UNION vs UNION ALL bag semantics over two source slices
+    "q_sql_union" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang FROM documents WHERE source = 'src1'
+               |UNION SELECT lang FROM documents WHERE source = 'src2'
+               |UNION ALL SELECT lang FROM documents WHERE doc_id < 0;""".stripMargin)
+    }),
     // the JOIN extension end-to-end: two equi-joins + aggregate, lowered
     // to AQE-decided DataFrame joins
     "q_sql_join" -> ((s: SparkSession, d: String) => {
@@ -846,6 +930,16 @@ object SqlQueries {
     "q_sql_having" ->
       """SELECT lang, count(*) AS n, min(n_chars) AS min_chars
         |FROM documents GROUP BY lang HAVING count(*) >= 20 ORDER BY lang""".stripMargin,
+    "q_sql_case" ->
+      """SELECT CASE WHEN n_chars < 200 THEN 'short'
+        |            WHEN n_chars < 400 THEN 'medium'
+        |            ELSE 'long' END AS bucket,
+        | count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_sql_union" ->
+      """SELECT lang FROM documents WHERE source = 'src1'
+        |UNION SELECT lang FROM documents WHERE source = 'src2'
+        |UNION ALL SELECT lang FROM documents WHERE doc_id < 0""".stripMargin,
     "q_sql_join" ->
       """SELECT n_name, count(*) AS n_orders
         |FROM orders

@@ -203,6 +203,33 @@ class FunctionsSpec extends SparkTestBase {
     assert(early < late)
   }
 
+  test("count-min sketch: no underestimates, exact on skewed heavy hitter") {
+    // 4000 tokens over 32 partitions: 'hot' ×1000, 'warm' ×500, the rest
+    // unique fillers — partial grids merge across partitions, so this
+    // exercises update + merge + pack/unpack end to end
+    spark.sql("""
+      |SELECT CASE WHEN id < 1000 THEN 'hot'
+      |            WHEN id < 1500 THEN 'warm'
+      |            ELSE concat('u', id) END AS term
+      |FROM range(0, 4000, 1, 32)""".stripMargin)
+      .createOrReplaceTempView("cms_in")
+    val est = spark.sql("""
+      |WITH exact AS (
+      |  SELECT term, count(*) AS n FROM cms_in
+      |  WHERE term IN ('hot', 'warm') GROUP BY term)
+      |SELECT term, n,
+      |  cms_estimate((SELECT cms_agg(term, 4, 2048) FROM cms_in), term, 2048) AS est
+      |FROM exact""".stripMargin)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    // CMS hard guarantee: never under; with 2500 distinct keys in 4×2048
+    // the additive error on the heavy hitters stays under εN = e/w·N ≈ 6
+    assert(est("hot")._1 == 1000L)
+    val hotEst = est("hot")._2
+    assert(hotEst >= 1000L && hotEst <= 1006L, s"hot est $hotEst")
+    val warmEst = est("warm")._2
+    assert(warmEst >= 500L && warmEst <= 506L, s"warm est $warmEst")
+  }
+
   test("kernels agree between codegen and interpreted eval paths") {
     val t = UTF8String.fromString _
     import org.apache.spark.sql.catalyst.util.GenericArrayData

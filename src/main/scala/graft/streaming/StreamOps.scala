@@ -346,4 +346,19 @@ object StreamOps {
           }
       }
   }
+
+  /** Streaming frequency sketch (D21): the `cms_agg`
+    * TypedImperativeAggregate runs UNCHANGED as a streaming aggregate —
+    * the state store holds the one d×w counter grid (a few hundred KB)
+    * regardless of stream length, and every micro-batch folds in via the
+    * same partial-merge path batch aggregation uses. This is the whole
+    * point of sketch-shaped state: exact streaming term counts keep
+    * O(vocabulary) state (unbounded on raw text), the sketch keeps O(d·w)
+    * with the q_cms_vocab accuracy contract. Probe the emitted grid with
+    * `cms_estimate` (or driver-side [[graft.functions.CountMin.estimate]]). */
+  def termSketch(docs: Dataset[StreamDoc]): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy()
+      .agg(call_function("cms_agg", col("term"), lit(4), lit(2048)).as("sketch"))
 }

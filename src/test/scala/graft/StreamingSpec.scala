@@ -349,4 +349,34 @@ class StreamingSpec extends SparkTestBase {
       assert(last(2L) == StreamUpdate(2, 5, "y"))
     } finally q.stop()
   }
+
+  test("streaming count-min sketch: grid folds across micro-batches (D21)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    GraftSession.prepare(spark)
+    val input = MemoryStream[graft.streaming.StreamDoc]
+    val q = StreamOps.termSketch(input.toDS())
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // 'hot' appears 6× in batch one, 4× more in batch two; the final
+      // grid must reflect BOTH batches (state-store partial merge)
+      input.addData(graft.streaming.StreamDoc(1, new Timestamp(0),
+        "hot hot hot cold warm hot hot hot"))
+      q.processAllAvailable()
+      input.addData(graft.streaming.StreamDoc(2, new Timestamp(1000),
+        "hot hot warm hot hot mild"))
+      q.processAllAvailable()
+      val sketch = spark.table("cms_out").collect().last.getAs[Array[Byte]]("sketch")
+      import org.apache.spark.unsafe.types.UTF8String
+      def est(t: String): Long =
+        graft.functions.CountMin.estimate(sketch, UTF8String.fromString(t), 2048)
+      // tiny vocabulary → zero collisions: estimates are exact
+      assert(est("hot") == 10L, s"hot=${est("hot")}")
+      assert(est("warm") == 2L)
+      assert(est("cold") == 1L && est("mild") == 1L)
+      assert(est("absent") == 0L)
+    } finally q.stop()
+  }
 }

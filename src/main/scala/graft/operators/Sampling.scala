@@ -86,6 +86,34 @@ object Sampling {
         (col("total") * lit(1.0) / (col("k") * col("n_docs"))).as("weight"))
   }
 
+  /** Data-recipe epoch planning: per-source repeat factors to hit a token
+    * budget at a target mixture — the table every pretraining recipe
+    * publishes (upsample small high-value sources by repeating them
+    * EpochCap× at most, downsample the rest). Here: a 2×-total-tokens
+    * budget split uniformly across sources; epochs = min(cap,
+    * target/available) and planned_tokens derives from the ROUNDED epochs
+    * so the arithmetic replays bit-exactly cross-engine (one IEEE
+    * division over exact integer token counts, then round-6).
+    *
+    * Scale shape: one tokenize scan partial-aggregates to k source rows;
+    * the budget scalars broadcast back — shuffle is O(sources) regardless
+    * of corpus size. */
+  val EpochCap = 4.0
+  private def mixEpochs(s: SparkSession, d: String): DataFrame = {
+    val perSource = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail_tokens"))
+    val tot = perSource.agg(sum(col("avail_tokens")).as("total_tokens"),
+      count(lit(1)).as("k"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("avail_tokens"),
+        round(least(lit(EpochCap),
+          lit(2.0) * col("total_tokens") / (col("k") * col("avail_tokens"))), 6)
+          .as("epochs"))
+      .withColumn("planned_tokens",
+        floor(col("epochs") * col("avail_tokens") + lit(0.5)).cast("long"))
+  }
+
   /** Stratified per-language sample: the StratumK highest-hash documents
     * of every language — equal-size strata regardless of how skewed the
     * language mix is (the per-language twin of sampleSplit's global rate).
@@ -180,10 +208,24 @@ object Sampling {
     "q_sample_mix" -> sampleMix _,
     "q_pack_bins" -> packBins _,
     "q_mix_weights" -> mixWeights _,
+    "q_mix_epochs" -> mixEpochs _,
     "q_sample_stratified" -> sampleStratified _
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mix_epochs" ->
+      """WITH ps AS (
+        | SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |   AS avail_tokens
+        | FROM documents GROUP BY source),
+        |t AS (SELECT sum(avail_tokens) AS total_tokens, count(*) AS k FROM ps)
+        |SELECT source, avail_tokens,
+        | round(least(CAST(4 AS DOUBLE),
+        |   CAST(2 AS DOUBLE) * total_tokens / (k * avail_tokens)), 6) AS epochs,
+        | CAST(floor(round(least(CAST(4 AS DOUBLE),
+        |   CAST(2 AS DOUBLE) * total_tokens / (k * avail_tokens)), 6)
+        |   * avail_tokens + CAST(0.5 AS DOUBLE)) AS BIGINT) AS planned_tokens
+        |FROM ps, t""".stripMargin,
     "q_winsorize" ->
       """WITH b AS (
         | SELECT source, quantile_cont(n_chars, 0.05) AS lo,

@@ -585,7 +585,48 @@ object Similarity {
         round(sum(coalesce(lit(1.0) / col("fr"), lit(0.0))) / count(lit(1)), 6).as("mrr"))
   }
 
+  /** Per-label embedding drift: the L2 distance between the label's
+    * centroid over EVEN vec_ids and over ODD vec_ids — the two-sample
+    * stability probe a pipeline runs when an embedding table spans
+    * ingest generations (a drifting encoder shows up as a centroid shift
+    * long before downstream metrics move; a stable one keeps the halves
+    * statistically identical). vec_id parity is the deterministic
+    * engine-portable split.
+    *
+    * Numerics: float sums are order-dependent, so everything runs in
+    * fixed-point integers (q=2^10, the embedDispersion convention):
+    * per (label, half, pos) S1 = Σ round(v·q); the halves difference
+    * S1a·nb − S1b·na stays integral (DECIMAL), its squared sum converts
+    * to double ONCE (correctly-rounded decimal→double on both engines via
+    * the documented VARCHAR detour oracle-side), and
+    * shift = √(Σ dq²)/(na·nb·q). Two partial-combined aggregations, no
+    * join, one corpus scan. */
+  private def embedDrift(s: SparkSession, d: String): DataFrame = {
+    val rows = Tables.embeddings(s, d)
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")))
+      .toDF("label", "half", "pos", "v")
+      .select(col("label"), col("half"), col("pos"),
+        floor(col("v").cast("double") * 1024.0 + 0.5).cast("long").as("vq"))
+    rows.groupBy(col("label"), col("pos"))
+      .agg(sum(when(col("half") === 0, col("vq")).otherwise(0L)).as("s1a"),
+        sum(when(col("half") === 1, col("vq")).otherwise(0L)).as("s1b"),
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb"))
+      .select(col("label"), col("na"), col("nb"),
+        (col("s1a").cast("decimal(38,0)") * col("nb") -
+          col("s1b").cast("decimal(38,0)") * col("na")).as("dq"))
+      .groupBy(col("label"))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        sum(col("dq") * col("dq")).as("drift_q2"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("label"), col("na"), col("nb"),
+        round(sqrt(col("drift_q2").cast("double")) /
+          (col("na") * col("nb") * lit(1024.0)), 6).as("centroid_shift"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_drift" -> embedDrift _,
     "q_hard_negatives" -> hardNegatives _,
     "q_knn_mrr" -> knnMrr _,
     "q_embed_stats" -> embedStats _,
@@ -637,6 +678,32 @@ object Similarity {
         |FROM h
         |WHERE bit_count(xor(CAST(h128 AS BIT),
         |  CAST((SELECT h128 FROM h WHERE doc_id = 0) AS BIT))) < 54""".stripMargin,
+    "q_embed_drift" ->
+      """WITH x0 AS (
+        | SELECT label, vec_id % 2 AS half,
+        |  unnest(list_transform(range(len(embedding)),
+        |    i -> struct_pack(pos := i, xv := CAST(embedding[i+1] AS DOUBLE)))) AS u
+        | FROM embeddings),
+        |x AS (SELECT label, half, CAST(u.pos AS INTEGER) AS pos,
+        |  CAST(floor(u.xv * 1024 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vq FROM x0),
+        |pp AS (
+        | SELECT label, pos,
+        |  sum(CASE WHEN half = 0 THEN vq ELSE 0 END) AS s1a,
+        |  sum(CASE WHEN half = 1 THEN vq ELSE 0 END) AS s1b,
+        |  sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS na,
+        |  sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS nb
+        | FROM x GROUP BY label, pos),
+        |d AS (
+        | SELECT label, na, nb,
+        |  CAST(s1a AS HUGEINT) * nb - CAST(s1b AS HUGEINT) * na AS dq
+        | FROM pp),
+        |g AS (
+        | SELECT label, max(na) AS na, max(nb) AS nb, sum(dq * dq) AS drift_q2
+        | FROM d GROUP BY label)
+        |SELECT label, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        | round(sqrt(CAST(CAST(drift_q2 AS VARCHAR) AS DOUBLE)) /
+        |   (na * nb * CAST(1024 AS DOUBLE)), 6) AS centroid_shift
+        |FROM g WHERE na > 0 AND nb > 0""".stripMargin,
     "q_hard_negatives" ->
       """WITH a AS (
         | SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av, label AS alabel

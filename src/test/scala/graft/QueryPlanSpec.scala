@@ -166,6 +166,41 @@ class QueryPlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("PQ search is map-only: code scan + TakeOrdered, zero exchanges in ADC") {
+    GraftSession.prepare(spark)
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val model = graft.operators.PqIndex.fitPq(emb, dim = 64)
+    val probe = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val enc = graft.operators.PqIndex.encode(emb, model)
+    val p = graft.operators.PqIndex.searchAdc(enc, model, probe, topK = 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), s"ADC scan should not shuffle: $p")
+  }
+
+  test("hard negatives: broadcast anchors + bounded-heap agg, no score-matrix shuffle") {
+    val p = plan("q_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("top_k"), p)
+  }
+
+  test("lang outliers: the majority vote joins back broadcast") {
+    val p = plan("q_lang_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("simhash radius: band candidates via equi-join, brute force only on the broadcast sample") {
+    val p = plan("q_simhash_radius")
+    // the banded candidate join must be an equi-join (hash keys), never a
+    // nested loop over the corpus; the audit's inequality join is NLJ by
+    // construction but only against the broadcast doc_id%37 sample
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(nlj <= 2, s"unexpected nested loops ($nlj): $p")
+  }
+
   test("every registered query executes and returns rows at sf0.001") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       try {

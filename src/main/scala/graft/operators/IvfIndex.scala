@@ -83,6 +83,48 @@ object IvfIndex {
       .limit(topK)
   }
 
+  /** Persist the IVF index: the assigned corpus written PARTITIONED BY
+    * cluster_id — the parquet realization of an inverted file. A probe's
+    * candidate scan then enumerates its nprobe cells as a partition
+    * filter, so the nprobe/k scan cut comes from FILE pruning (directories
+    * never opened), not row filtering. Write-once query-many, the same
+    * trade MetricIndex makes for Hamming space. */
+  def writeIndex(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster_id").parquet(path)
+
+  /** Pruned top-k cosine over a written index: rank cells driver-side
+    * against the broadcast-sized centers relation (argmax probe·center —
+    * model coefficients, k rows), then scan ONLY those directories via an
+    * isin partition filter. Parity with the in-memory single-cell search
+    * at nprobe=1 is spec-asserted, as is the PartitionFilters pruning. */
+  def searchIndexed(spark: SparkSession, path: String, centers: DataFrame,
+      probeVec: Array[Float], nprobe: Int, topK: Int): DataFrame = {
+    // the fit's own euclidean criterion: argmin ‖p−c‖² = argmax 2p·c − ‖c‖²
+    // (ranking by raw p·c would diverge from the assignment metric on
+    // unnormalized vectors and break nprobe=1 parity with search())
+    val cells = centers.collect()
+      .map { r =>
+        val c = r.getSeq[Float](1)
+        var dot = 0.0
+        var n2 = 0.0
+        var i = 0
+        while (i < c.length) {
+          dot += probeVec(i).toDouble * c(i); n2 += c(i).toDouble * c(i); i += 1
+        }
+        (r.getInt(0), 2.0 * dot - n2)
+      }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(nprobe).map(_._1)
+    spark.read.parquet(path)
+      .filter(col("cluster_id").isin(cells.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id"),
+        round(call_function("cosine_sim", col("embedding"),
+          typedLit(probeVec)), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   /** Top-k cosine neighbours of `probeVecId`, scanning only the probe's
     * cluster. */
   def search(assigned: DataFrame, probeVecId: Long, topK: Int): DataFrame = {

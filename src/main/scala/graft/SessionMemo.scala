@@ -30,9 +30,20 @@ object SessionMemo {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String), AnyRef]()
 
-  def of[T <: AnyRef](s: SparkSession, dir: String, key: String)(build: => T): T =
-    memo.computeIfAbsent(
-      (System.identityHashCode(s), dir, key), _ => build).asInstanceOf[T]
+  /** Check-then-put rather than computeIfAbsent: a build may itself
+    * consult the registry (components build on the shared postings), and
+    * nested computeIfAbsent on one map is not allowed. A racing duplicate
+    * build is benign — artifacts are deterministic, last put loses. */
+  def of[T <: AnyRef](s: SparkSession, dir: String, key: String)(build: => T): T = {
+    val k = (System.identityHashCode(s), dir, key)
+    val cur = memo.get(k)
+    if (cur != null) cur.asInstanceOf[T]
+    else {
+      val v = build
+      val prev = memo.putIfAbsent(k, v)
+      (if (prev != null) prev else v).asInstanceOf[T]
+    }
+  }
 
   /** Drop every registered artifact. The scale-stress harness calls this
     * before each timed run so its measurements price the full BUILD — the

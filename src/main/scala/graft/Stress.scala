@@ -93,7 +93,14 @@ object Stress {
     "q_pricing_summary", "q_local_supplier", "q_shipping_priority",
     "q_sessionize", "q_profile", "q_ntile_threshold",
     "q_dedup_exact", "q_dedup_jaccard", "q_minhash_lsh", "q_window_dedup",
-    "q_dedup_components", "q_embed_neardup", "q_knn_batch", "q_vocab")
+    "q_dedup_components", "q_embed_neardup", "q_knn_batch", "q_vocab",
+    // round-6 data-path additions: exact-radius simhash banding (pair
+    // volume grows with per-band collisions), the CMS sketch (three
+    // tokenize scans, state constant), PQ index build+search (sample-
+    // bounded fit + map-only encode/ADC — the cost that must stay flat-
+    // per-row as the corpus grows), and hard-negative mining (broadcast
+    // scan + bounded heap)
+    "q_simhash_radius", "q_cms_vocab", "q_ann_pq", "q_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.get("SPARK_GRAFT_STRESS_N").flatMap(_.toIntOption).getOrElse(10)

@@ -68,6 +68,50 @@ object Dedup {
       maxDf: Int = WordMaxDf): DataFrame =
     pairsFromPostings(cutPostings(shingled, maxDf), threshold)
 
+  /** The word-3-shingle df-cut postings every word-level similarity
+    * operator shares — q_dedup_jaccard, q_dedup_editdist's candidate
+    * generation, q_containment, and the components pair graph all consume
+    * the SAME (doc_id, n, s) relation (thresholds differ downstream; the
+    * postings don't). Memoized per (session, corpus) as a computed RDD:
+    * the first consumer pays the two window exchanges, later consumers'
+    * jobs hold the same RDD object and reuse its shuffle files as skipped
+    * stages (the registry doctrine — nothing persist()ed, dropping the
+    * entry frees the files to the ContextCleaner). */
+  private[graft] def wordPostings(s: SparkSession, d: String): DataFrame = {
+    val (rdd, schema) = graft.SessionMemo.of(s, d, "word3_postings") {
+      val df = cutPostings(
+        Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh")), WordMaxDf)
+      (df.rdd, df.schema)
+    }
+    s.createDataFrame(rdd, schema)
+  }
+
+  /** The fully-aggregated word-3 pair relation (id_a, id_b, na, nb,
+    * inter, raw_j) — the ONE expensive intermediate (postings self-join +
+    * intersection count) behind Jaccard dedup, containment, the
+    * edit-distance candidate set, and the components graph. Thresholds
+    * differ only as DOWNSTREAM filters, so the registry shares the
+    * aggregation itself (same RDD doctrine as [[wordPostings]]): the
+    * first consumer runs the join + partial-combined count; every later
+    * query filters a skipped-stage relation. The pair volume is df-cut
+    * bounded, so the shared intermediate is no bigger than what each
+    * query built for itself before. */
+  private[graft] def wordPairsAll(s: SparkSession, d: String): DataFrame = {
+    val (rdd, schema) = graft.SessionMemo.of(s, d, "word3_pairs") {
+      val inv = wordPostings(s, d)
+      val df = inv.as("a")
+        .join(inv.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("raw_j",
+          col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
+      (df.rdd, df.schema)
+    }
+    s.createDataFrame(rdd, schema)
+  }
+
   /** df-cut postings (doc_id, n, s) from (doc_id, sh: array<string>):
     * the shared inverted-index front half of every set-similarity
     * operator. Postings carry `xxhash64(shingle)` (8 bytes), not the
@@ -113,8 +157,7 @@ object Dedup {
     * Spark-vs-DuckDB round-semantics mismatch at .xxxx5 shortest-reprs
     * (e.g. 81/160 = 0.50625). */
   private def dedupJaccard(s: SparkSession, d: String): DataFrame =
-    jaccardPairs(
-      Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh")), 0.5)
+    wordPairsAll(s, d).filter(col("raw_j") >= 0.5)
       .select(col("id_a"), col("id_b"), col("raw_j").as("jaccard"))
 
   /** Edit-distance fuzzy dedup: near-dup pairs VERIFIED by relative
@@ -130,8 +173,8 @@ object Dedup {
     * levenshtein's definition; spot-checked equal). */
   private def dedupEditDist(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val cand = jaccardPairs(
-      docs.select(col("doc_id"), shingleCol.as("sh")), 0.3)
+    val cand = wordPairsAll(s, d).filter(col("raw_j") >= 0.3)
+      .select(col("id_a"), col("id_b"), col("raw_j"))
     cand
       .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
@@ -318,8 +361,8 @@ object Dedup {
     * cluster-report query shares — built once per (session, corpus). */
   private def wordComponents(s: SparkSession, d: String): DataFrame =
     memoComponents(s, d, "word") {
-      components(jaccardPairs(
-        Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh")), 0.5))
+      components(wordPairsAll(s, d).filter(col("raw_j") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("raw_j")))
     }
 
   /** Near-dup components over the word-shingle Jaccard pair graph. */
@@ -653,14 +696,7 @@ object Dedup {
     * aggregated row — no second join, no doubled shuffle. Ratio is
     * int/int one division: bitwise cross-engine. */
   private def containmentPairs(s: SparkSession, d: String): DataFrame = {
-    val inv = cutPostings(
-      Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh")), WordMaxDf)
-    val pairs = inv.as("a")
-      .join(inv.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("inter"))
+    val pairs = wordPairsAll(s, d)
     pairs.select(col("id_a").as("src_id"), col("id_b").as("dst_id"),
         (col("inter") * lit(1.0) / col("na")).as("containment"))
       .unionByName(pairs.select(col("id_b").as("src_id"), col("id_a").as("dst_id"),

@@ -1,0 +1,164 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions.{col, struct, to_json}
+
+import graft.sql.{EmdriveSession, EmdriveSql}
+
+/** HTTP query endpoint over an [[EmdriveSession]] — the serving layer the
+  * reference ships as its front door (src/server/mod.rs:99-131 `echo`):
+  *
+  *   - `POST /` with a raw-SQL body → parse → execute → `200` with a JSON
+  *     array of column-name-keyed objects (the reference's `QueryResult`
+  *     serialization, executor/mod.rs:27-38 `NamedRow`); a parse/validation
+  *     failure → `400` with `{"type":"parser","message":…}`; anything the
+  *     engine throws → `500` with `{"type":"server","message":…}`.
+  *   - `GET /?query=…` is the read-only path. The reference stubs it as an
+  *     echo (mod.rs:67-93 TODO); here it executes, but refuses CREATE and
+  *     INSERT with `400` — the GET/POST read/write split the reference's
+  *     route comments declare is enforced for real.
+  *   - `GET /health` → `{"status":"ok"}` (operational endpoint; not in the
+  *     reference, which has no liveness probe).
+  *
+  * Scale shape: the server is a thin driver-side boundary — planning stays
+  * declarative (the SQL lowers to the same Catalyst plans as the library
+  * calls), row rendering is DISTRIBUTED (`to_json(struct(*))` runs Jackson
+  * inside codegen per partition; the driver concatenates strings), and
+  * materialization is BOUNDED: every result passes through `LIMIT maxRows`
+  * before the one driver-side collect a serving boundary cannot avoid. A
+  * `SELECT` without `LIMIT` over a 100 TB table answers with the first
+  * `maxRows` rows instead of an OOM — the cap is the contract, as in any
+  * production query gateway. Concurrency mirrors the reference's bounded
+  * mpsc executor queue (executor/mod.rs:19 `MAX_IN_FLIGHT_REQUESTS=100`):
+  * a fixed worker pool over a bounded queue, with caller-runs overflow so
+  * saturation backpressures the accept loop exactly like the reference's
+  * awaited `send`. Catalog mutation (CREATE/INSERT re-point the session's
+  * table map) is serialized on a monitor; Spark job execution itself runs
+  * unlocked and concurrent — the scheduler is thread-safe.
+  *
+  * JSON value mapping is Spark's own (`to_json`): numbers bare, strings
+  * escaped, null columns kept (`ignoreNullFields=false`, matching serde's
+  * explicit nulls), binary as base64, arrays/structs nested.
+  */
+final class GraftServer(es: EmdriveSession, port: Int = 0,
+    maxRows: Int = 10000, workers: Int = 8) {
+
+  private val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val pool = new ThreadPoolExecutor(workers, workers, 60, TimeUnit.SECONDS,
+    new LinkedBlockingQueue[Runnable](100),
+    new ThreadPoolExecutor.CallerRunsPolicy())
+
+  /** Bound port (useful when constructed with port 0 = ephemeral). */
+  def boundPort: Int = http.getAddress.getPort
+
+  def start(): Unit = {
+    http.createContext("/", (ex: HttpExchange) => handle(ex))
+    http.setExecutor(pool)
+    http.start()
+  }
+
+  def stop(): Unit = {
+    http.stop(0)
+    pool.shutdownNow(): Unit
+  }
+
+  private def handle(ex: HttpExchange): Unit = {
+    val (status, body) =
+      try {
+        (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+          case ("POST", "/") =>
+            run(new String(ex.getRequestBody.readAllBytes(), UTF_8), readOnly = false)
+          case ("GET", "/") =>
+            queryParam(ex.getRequestURI.getRawQuery) match {
+              case Some(q) => run(q, readOnly = true)
+              case None => (400, errJson("server", "missing 'query' parameter"))
+            }
+          case ("GET", "/health") => (200, """{"status":"ok"}""")
+          case _ => (404, errJson("server", "not found"))
+        }
+      } catch { case e: Throwable => (500, errJson("server", errMsg(e))) }
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def run(sqlText: String, readOnly: Boolean): (Int, String) = {
+    val stmt =
+      try EmdriveSql.parse(sqlText)
+      catch { case e: IllegalArgumentException => return (400, errJson("parser", errMsg(e))) }
+    val isWrite = stmt.isInstanceOf[EmdriveSql.CreateTable] ||
+      stmt.isInstanceOf[EmdriveSql.Insert]
+    if (readOnly && isWrite)
+      return (400, errJson("server", "read-only endpoint: POST CREATE/INSERT to /"))
+    // catalog reads/writes are serialized; the jobs below run unlocked
+    val df =
+      try es.synchronized(es.sql(sqlText))
+      catch {
+        case e: IllegalArgumentException => return (400, errJson("parser", errMsg(e)))
+      }
+    val rows = df.limit(maxRows)
+      .select(to_json(struct(df.columns.toIndexedSeq.map(col): _*),
+        java.util.Map.of("ignoreNullFields", "false")).as("j"))
+      .collect().map(_.getString(0)) // bounded by maxRows: the serving cap
+    (200, rows.mkString("[", ",", "]"))
+  }
+
+  private def queryParam(rawQuery: String): Option[String] =
+    Option(rawQuery).iterator
+      .flatMap(_.split("&").iterator)
+      .map(_.split("=", 2))
+      .collectFirst { case Array("query", v) =>
+        java.net.URLDecoder.decode(v, UTF_8)
+      }
+
+  private def errMsg(e: Throwable): String =
+    Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+
+  private def errJson(kind: String, message: String): String = {
+    val esc = message.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    s"""{"type":"$kind","message":"$esc"}"""
+  }
+}
+
+/** Standalone entry point: serve the testdata tables over HTTP.
+  *
+  * {{{
+  *   sbt "runMain graft.server.Server /root/testdata/sf0.001 8765"
+  *   curl -s -X POST --data "SELECT source, COUNT(*) AS n FROM documents GROUP BY source" \
+  *     http://127.0.0.1:8765/
+  * }}}
+  */
+object Server {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val port = args.lift(1).flatMap(_.toIntOption).getOrElse(8765)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.GraftSession.builder("graft-server")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val es = new EmdriveSession(spark)
+    graft.sources.Tables.all.foreach { name =>
+      es.register(name, graft.sources.Tables(spark, dir, name))
+    }
+    val server = new GraftServer(es, port)
+    server.start()
+    println(s"graft server listening on http://127.0.0.1:${server.boundPort}/")
+    Thread.currentThread().join()
+  }
+}

@@ -912,6 +912,34 @@ object SqlQueries {
                |JOIN nation ON c_nationkey = n_nationkey
                |WHERE o_orderstatus = 'F'
                |GROUP BY n_name ORDER BY n_orders DESC, n_name LIMIT 10;""".stripMargin)
+    }),
+    // the serving layer e2e: the reference's front door is an HTTP server
+    // (src/server/mod.rs:99-131 POST / → parse → execute → JSON). Round-trip
+    // an aggregate through a live GraftServer on an ephemeral port and parse
+    // the JSON response back — the oracle then checks the WHOLE path:
+    // HTTP framing, SQL lowering, distributed to_json rendering, and the
+    // response contract, not just the in-process plan.
+    "q_http_query" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      val server = new graft.server.GraftServer(es)
+      server.start()
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        val req = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"http://127.0.0.1:${server.boundPort}/"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            """SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+              |FROM documents GROUP BY source ORDER BY source;""".stripMargin))
+          .build()
+        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"server returned ${resp.statusCode()}: ${resp.body().take(200)}")
+        import s.implicits._
+        // explicit schema: inference has nothing to infer on a zero-row corpus
+        s.read.schema("source STRING, n_docs BIGINT, total_chars BIGINT")
+          .json(s.createDataset(Seq(resp.body())))
+      } finally server.stop()
     })
   )
 
@@ -946,6 +974,9 @@ object SqlQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE o_orderstatus = 'F'
-        |GROUP BY n_name ORDER BY n_orders DESC, n_name LIMIT 10""".stripMargin
+        |GROUP BY n_name ORDER BY n_orders DESC, n_name LIMIT 10""".stripMargin,
+    "q_http_query" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -1,0 +1,124 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.functions.col
+
+import graft.server.GraftServer
+import graft.sql.EmdriveSession
+
+/** The HTTP serving layer against the reference's front-door contract
+  * (src/server/mod.rs): POST / executes SQL and answers a JSON array of
+  * column-keyed objects; parse failures are 400 {"type":"parser"};
+  * GET /?query= is read-only; results are capped at maxRows. */
+class ServerSpec extends SparkTestBase {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def withServer[T](maxRows: Int = 10000)(body: (GraftServer, String) => T): T = {
+    GraftSession.prepare(spark)
+    val es = new EmdriveSession(spark)
+    es.register("documents", graft.sources.Tables.documents(spark, sfDir))
+    val server = new GraftServer(es, maxRows = maxRows)
+    server.start()
+    try body(server, s"http://127.0.0.1:${server.boundPort}")
+    finally server.stop()
+  }
+
+  private def post(base: String, sql: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder().uri(URI.create(s"$base/"))
+        .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def get(base: String, pathAndQuery: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder().uri(URI.create(s"$base$pathAndQuery")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST executes SQL and returns column-keyed JSON rows") {
+    withServer() { (_, base) =>
+      val resp = post(base, "SELECT source, COUNT(*) AS n FROM documents GROUP BY source ORDER BY source;")
+      assert(resp.statusCode() == 200)
+      assert(resp.headers().firstValue("Content-Type").orElse("") == "application/json")
+      import SparkTestBase.spark.implicits._
+      val got = spark.read.schema("source STRING, n BIGINT")
+        .json(spark.createDataset(Seq(resp.body())))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = graft.sources.Tables.documents(spark, sfDir)
+        .groupBy(col("source")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    }
+  }
+
+  test("null columns are kept in the JSON (serde explicit-null contract)") {
+    withServer() { (_, base) =>
+      assert(post(base, "CREATE TABLE t (id UINT64 PRIMARY KEY, v NULLABLE(STRING));")
+        .statusCode() == 200)
+      assert(post(base, "INSERT INTO t (id, v) VALUES (1, NULL);").statusCode() == 200)
+      val resp = post(base, "SELECT id, v FROM t;")
+      assert(resp.statusCode() == 200)
+      assert(resp.body().contains("\"v\":null"), resp.body())
+    }
+  }
+
+  test("parse failure is 400 with a parser-typed JSON error") {
+    withServer() { (_, base) =>
+      val resp = post(base, "SELEKT nothing;")
+      assert(resp.statusCode() == 400)
+      assert(resp.body().contains("\"type\":\"parser\""), resp.body())
+    }
+  }
+
+  test("engine failure (unknown table) is 400, not a hung connection") {
+    withServer() { (_, base) =>
+      val resp = post(base, "SELECT x FROM no_such_table;")
+      assert(resp.statusCode() == 400, resp.body())
+    }
+  }
+
+  test("GET /?query= executes read-only SQL; writes are refused") {
+    withServer() { (_, base) =>
+      val q = java.net.URLEncoder.encode(
+        "SELECT COUNT(*) AS n FROM documents;", "UTF-8")
+      val ok = get(base, s"/?query=$q")
+      assert(ok.statusCode() == 200)
+      assert(ok.body().startsWith("[{\"n\":"), ok.body())
+      val wr = get(base, "/?query=" + java.net.URLEncoder.encode(
+        "CREATE TABLE z (id UINT64);", "UTF-8"))
+      assert(wr.statusCode() == 400)
+      val missing = get(base, "/")
+      assert(missing.statusCode() == 400)
+    }
+  }
+
+  test("results are capped at maxRows (the serving materialization bound)") {
+    withServer(maxRows = 5) { (_, base) =>
+      val resp = post(base, "SELECT doc_id FROM documents;")
+      assert(resp.statusCode() == 200)
+      assert(resp.body().count(_ == '{') == 5, resp.body().take(200))
+    }
+  }
+
+  test("GET /health answers ok; unknown path is 404") {
+    withServer() { (_, base) =>
+      assert(get(base, "/health").statusCode() == 200)
+      assert(get(base, "/nope").statusCode() == 404)
+    }
+  }
+
+  test("concurrent clients all complete (bounded-pool backpressure)") {
+    withServer() { (_, base) =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val results = Await.result(
+        Future.sequence((1 to 12).map { i => Future {
+          post(base, s"SELECT COUNT(*) AS n FROM documents WHERE n_chars > $i;").statusCode()
+        }}), 120.seconds)
+      assert(results.forall(_ == 200))
+    }
+  }
+}

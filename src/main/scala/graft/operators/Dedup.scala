@@ -973,8 +973,24 @@ object Dedup {
         |FROM p
         |JOIN cnt ca ON id_a = ca.doc_id
         |JOIN cnt cb ON id_b = cb.doc_id
-        |WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5""".stripMargin
-    // q_minhash_lsh / q_simhash: hash-family-specific (xxhash64 / FNV
-    // SimHash) — not DuckDB-expressible; driver does the rows-only check.
+        |WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5""".stripMargin,
+    // The MinHash signatures themselves are hash-family-specific (not
+    // DuckDB-expressible), but the OPERATOR's contract is: banded LSH
+    // candidate generation loses no pair at the 0.5 threshold, and
+    // survivors carry exact verified Jaccard. So the exact pair relation
+    // IS the oracle — identical to q_dedup_jaccard's (verified bitwise-
+    // equal at sf0.001/0.01/0.1; banding is deterministic, so a recall
+    // loss is a real regression, not sampling noise, and now fails the
+    // GATE instead of only the recall spec).
+    "q_minhash_lsh" ->
+      s"""WITH $wordPairCtes
+         |SELECT id_a, id_b,
+         | inter * 1.0 / (ca.n + cb.n - inter) AS jaccard
+         |FROM p
+         |JOIN cnt ca ON id_a = ca.doc_id
+         |JOIN cnt cb ON id_b = cb.doc_id
+         |WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5""".stripMargin
+    // q_simhash: hash-family-specific (FNV SimHash) fingerprints —
+    // not DuckDB-expressible; driver does the rows-only check.
   )
 }

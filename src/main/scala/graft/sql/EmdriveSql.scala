@@ -36,7 +36,7 @@ import graft.sources.SchemaMapper
   *     [WHERE pred]   where pred := cmp | pred AND pred | pred OR pred
   *                    | NOT pred | '(' pred ')' (AND binds tighter than
   *                    OR), and cmp := operand (= | != | < | <= | > | >=)
-  *                    operand | operand [NOT] IN (lit, …)
+  *                    operand | operand [NOT] IN (lit, … | SELECT …)
   *                    | operand [NOT] BETWEEN lo AND hi
   *                    | operand [NOT] LIKE 'pattern'
   *     [GROUP BY col [, …]] [HAVING pred-over-output-names]
@@ -161,6 +161,11 @@ object EmdriveSql {
   /** lhs [NOT] IN (literal, …) — lowered to a Catalyst In expression so
     * the membership test reaches the parquet scan as a pushed filter. */
   final case class PIn(lhs: Operand, vals: Seq[Value], neg: Boolean) extends Pred
+  /** operand [NOT] IN (SELECT …) — WHERE-only; lowered to a null-aware
+    * marker join against the DISTINCT subquery result (ANSI three-valued
+    * IN: empty set → FALSE, match → TRUE, no match with a NULL probe or
+    * NULLs in the set → NULL). */
+  final case class PInSub(lhs: Operand, sub: Select, neg: Boolean) extends Pred
   /** lhs [NOT] LIKE 'pattern' (%, _ wildcards) — lowered to Column.like;
     * prefix patterns reach the parquet scan as StringStartsWith. */
   final case class PLike(lhs: Operand, pattern: String, neg: Boolean) extends Pred
@@ -466,10 +471,16 @@ object EmdriveSql {
     } else if (neg || p.tryWord("IN")) {
       if (neg) p.eatWord("IN")
       p.eatSym("(")
-      val vs = mutable.ListBuffer(p.value())
-      while (p.trySym(",")) vs += p.value()
-      p.eatSym(")")
-      PIn(lhs, vs.toSeq, neg)
+      if (p.tryWord("SELECT")) {
+        val sub = parseSelect(p)
+        p.eatSym(")")
+        PInSub(lhs, sub, neg)
+      } else {
+        val vs = mutable.ListBuffer(p.value())
+        while (p.trySym(",")) vs += p.value()
+        p.eatSym(")")
+        PIn(lhs, vs.toSeq, neg)
+      }
     } else if (p.tryWord("BETWEEN")) {
       between()
     } else if (p.tryWord("LIKE")) {
@@ -637,9 +648,38 @@ final class EmdriveSession(spark: SparkSession) {
         case it: CaseItem => df = df.withColumn(it.alias, caseCol(base, it))
         case _ => ()
       }
+      // 2a. IN (SELECT …) pre-pass: each subquery becomes a left-outer
+      //     join of the probe value against the DISTINCT single-column
+      //     subquery result plus a broadcast 1-row (count, null-count)
+      //     frame — declarative joins, so AQE picks broadcast vs shuffle
+      //     on the distinct side. The predicate then reads the match
+      //     marker with ANSI three-valued semantics, which makes it
+      //     composable anywhere in the WHERE tree (AND/OR/NOT).
+      var subPreds = Map.empty[PInSub, Column]
+      where.flatMap(collectInSubs).distinct.zipWithIndex.foreach {
+        case (node, i) =>
+          val sub = lowerSelect(node.sub)
+          require(sub.columns.length == 1,
+            s"IN subquery must project exactly one column, got " +
+              s"(${sub.columns.mkString(", ")})")
+          val (keyN, markN, cntN, nullN, probeN) =
+            (s"__in_key_$i", s"__in_match_$i", s"__in_n_$i",
+              s"__in_nulls_$i", s"__in_probe_$i")
+          val keys = sub.toDF(keyN).distinct().withColumn(markN, lit(true))
+          val stats = broadcast(sub.toDF("v").agg(
+            count(lit(1)).as(cntN), count(when(col("v").isNull, 1)).as(nullN)))
+          df = df.withColumn(probeN, operandCol(base, node.lhs))
+            .join(keys, col(probeN) === col(keyN), "left_outer")
+            .crossJoin(stats)
+          val c = when(col(cntN) === 0, false)
+            .when(col(markN).isNotNull, true)
+            .when(col(probeN).isNull || col(nullN) > 0, lit(null).cast(BooleanType))
+            .otherwise(false)
+          subPreds += node -> (if (node.neg) !c else c)
+      }
       // 2. WHERE — plain column equality lands in the scan's PushedFilters;
       //    applies PRE-aggregation (no HAVING in this dialect)
-      where.foreach(pred => df = df.filter(predCol(base, pred)))
+      where.foreach(pred => df = df.filter(predCol(base, pred, subPreds)))
       val hasAgg = items.exists(_.isInstanceOf[AggItem])
       // 3. aggregation (graft extension) or plain SELECT-list projection
       var out: DataFrame =
@@ -738,11 +778,23 @@ final class EmdriveSession(spark: SparkSession) {
     }
   }
 
-  private def predCol(base: DataFrame, p: Pred): Column = p match {
+  /** Pred nodes in a WHERE tree (the only place IN (SELECT …) is legal). */
+  private def collectInSubs(p: Pred): Seq[PInSub] = p match {
+    case s: PInSub => Seq(s)
+    case PAnd(a, b) => collectInSubs(a) ++ collectInSubs(b)
+    case POr(a, b) => collectInSubs(a) ++ collectInSubs(b)
+    case PNot(x) => collectInSubs(x)
+    case _ => Seq.empty
+  }
+
+  private def predCol(base: DataFrame, p: Pred,
+      subs: Map[PInSub, Column] = Map.empty): Column = p match {
     case PCmp(c) => cmpCol(base, c)
-    case PAnd(a, b) => predCol(base, a) && predCol(base, b)
-    case POr(a, b) => predCol(base, a) || predCol(base, b)
-    case PNot(x) => !predCol(base, x)
+    case PAnd(a, b) => predCol(base, a, subs) && predCol(base, b, subs)
+    case POr(a, b) => predCol(base, a, subs) || predCol(base, b, subs)
+    case PNot(x) => !predCol(base, x, subs)
+    case s: PInSub => subs.getOrElse(s, throw new IllegalArgumentException(
+      "IN (SELECT …) is only supported in WHERE"))
     case PIn(lhs, vals, neg) =>
       // raw literal values (not Columns) build a true Catalyst In — the
       // shape the parquet datasource translates to a pushed IN filter
@@ -913,6 +965,21 @@ object SqlQueries {
                |WHERE o_orderstatus = 'F'
                |GROUP BY n_name ORDER BY n_orders DESC, n_name LIMIT 10;""".stripMargin)
     }),
+    // [NOT] IN (SELECT …) end-to-end: a semi-filter and an anti-filter in
+    // one WHERE tree, lowered to null-aware marker joins whose distinct
+    // subquery sides AQE is free to broadcast
+    "q_sql_in_subquery" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+               |WHERE o_custkey IN
+               |   (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+               | AND o_custkey NOT IN
+               |   (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+               | AND o_totalprice > 250000
+               |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50;""".stripMargin)
+    }),
     // the serving layer e2e: the reference's front door is an HTTP server
     // (src/server/mod.rs:99-131 POST / → parse → execute → JSON). Round-trip
     // an aggregate through a live GraftServer on an ephemeral port and parse
@@ -975,6 +1042,14 @@ object SqlQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE o_orderstatus = 'F'
         |GROUP BY n_name ORDER BY n_orders DESC, n_name LIMIT 10""".stripMargin,
+    "q_sql_in_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN
+        |   (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        | AND o_custkey NOT IN
+        |   (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        | AND o_totalprice > 250000
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
     "q_http_query" ->
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin

@@ -174,6 +174,34 @@ object TextAnalysis {
       regexp_replace(col("text"), PiiEmailRe, "<EMAIL>").as("clean_text"))
   }
 
+  /** Luhn-gated credit-card PII detection: PAN-shaped digit runs (13-19,
+    * ISO/IEC 7812) counted and then checksum-validated — the gate a real
+    * compliance pass needs because bare 13+-digit regex hits are mostly
+    * ids/hashes/timestamps, and Luhn rejects ~90% of random runs. Both
+    * counts are one codegen pass over the text (functions/Luhn.scala), no
+    * per-row regex, shuffle-free — scan speed at 100 TB.
+    *
+    * The corpus carries no card numbers (nor should it), so the condition
+    * is synthesized deterministically per the piiScrub doctrine: every 3rd
+    * doc gets a doc_id-derived 16-digit run (Luhn-valid for ~10% of them),
+    * every 7th a known-valid PAN, so candidates != valids at every SF and
+    * both columns are non-vacuous. */
+  private def piiLuhn(s: SparkSession, d: String): DataFrame = {
+    val injected = Tables.documents(s, d).select(col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" pan "),
+            lpad(((col("doc_id") * 7919) % 1000000000).cast("string"), 16, "4")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" card 4532015112830366"))
+          .otherwise(lit(""))).as("text"))
+    injected.select(
+      col("doc_id"),
+      call_function("cc_candidates", col("text")).as("n_cc_candidates"),
+      call_function("cc_valid", col("text")).as("n_cc_valid"))
+  }
+
   /** Gopher-style composite quality gate (Rae et al. 2021 §A1.1 rules,
     * adapted to this corpus's scale): per-document boolean rule flags and
     * the conjunctive keep decision. Every rule is a comparison of exact
@@ -498,6 +526,7 @@ object TextAnalysis {
     "q_vocab" -> vocab _,
     "q_denylist" -> denylist _,
     "q_pii_scrub" -> piiScrub _,
+    "q_pii_luhn" -> piiLuhn _,
     "q_domain_affinity" -> domainAffinity _,
     "q_gopher_flags" -> gopherFlags _,
     "q_chunk_overlap" -> chunkOverlap _,
@@ -640,6 +669,33 @@ object TextAnalysis {
         |  regexp_replace(text, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g')
         |    AS clean_text
         |FROM inj""".stripMargin,
+    // the Luhn lambda replays the kernel exactly: position i counted from
+    // the right (i=1 rightmost, not doubled), doubled digits fold via -9
+    "q_pii_luhn" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' pan ' ||
+        |           lpad(CAST((doc_id * 7919) % 1000000000 AS VARCHAR), 16, '4')
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' card 4532015112830366'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |runs AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[0-9]+') AS rs FROM inj)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(rs, r -> len(r) BETWEEN 13 AND 19))
+        |    AS INTEGER) AS n_cc_candidates,
+        |  CAST(len(list_filter(rs, r -> len(r) BETWEEN 13 AND 19 AND
+        |    list_sum(list_transform(range(1, len(r) + 1), i ->
+        |      CASE WHEN i % 2 = 0
+        |        THEN CASE WHEN CAST(substr(r, len(r)-i+1, 1) AS INT) * 2 > 9
+        |                  THEN CAST(substr(r, len(r)-i+1, 1) AS INT) * 2 - 9
+        |                  ELSE CAST(substr(r, len(r)-i+1, 1) AS INT) * 2 END
+        |        ELSE CAST(substr(r, len(r)-i+1, 1) AS INT) END)) % 10 = 0))
+        |    AS INTEGER) AS n_cc_valid
+        |FROM runs""".stripMargin,
     "q_tfidf" ->
       """WITH t AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{CharShingles, ContentFp, CosineSimilarity, CountMinAgg, CountMinEstimate, DenylistHits, DenylistMask, DotProduct, DupNgramFrac, Hamming128, Int8Quantize, IvfPqEncode, L2Norm, MinHashBands, MinHashSig, PqAdc, PqEncode, Q8Dot, Q8Scale, Q8Sum, SignBands, SimHash64, SrpBands, StopwordHits, TopK, TopTokenFrac, Ulid, WordShingles, ZOrder2}
+import graft.functions.{CcCandidates, CcValid, CharShingles, ContentFp, CosineSimilarity, CountMinAgg, CountMinEstimate, DenylistHits, DenylistMask, DotProduct, DupNgramFrac, Hamming128, Int8Quantize, IvfPqEncode, L2Norm, MinHashBands, MinHashSig, PqAdc, PqEncode, Q8Dot, Q8Scale, Q8Sum, SignBands, SimHash64, SrpBands, StopwordHits, TopK, TopTokenFrac, Ulid, WordShingles, ZOrder2}
 
 /** SparkSessionExtensions entry point: injects graft's native Catalyst
   * expressions into the SQL function registry, so `spark.sql` and
@@ -102,6 +102,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => DenylistHits(args(0))),
     ("denylist_mask", info("denylist_mask", "text with denylisted tokens masked as [X]"),
       (args: Seq[Expression]) => DenylistMask(args(0))),
+    ("cc_candidates", info("cc_candidates", "count of 13-19-digit maximal runs (PAN-shaped)"),
+      (args: Seq[Expression]) => CcCandidates(args(0))),
+    ("cc_valid", info("cc_valid", "count of PAN-shaped runs passing the Luhn checksum"),
+      (args: Seq[Expression]) => CcValid(args(0))),
     ("dup_ngram_frac", info("dup_ngram_frac", "fraction of repeated consecutive word n-grams"),
       (args: Seq[Expression]) => DupNgramFrac(args(0), litInt(args(1), "dup_ngram_frac n"))),
     ("top_k", info("top_k", "k largest struct values per group, bounded-heap aggregate"),

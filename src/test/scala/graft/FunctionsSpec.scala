@@ -57,6 +57,30 @@ class FunctionsSpec extends SparkTestBase {
       "[X] sparkle  [X]")
   }
 
+  test("luhn kernels: PAN-shaped run detection gated by the checksum") {
+    import graft.functions.LuhnKernels
+    def u(s: String) = UTF8String.fromString(s)
+    // known-valid PANs (test numbers published by the card networks)
+    assert(LuhnKernels.ccValid(u("pay 4532015112830366 now")) == 1)
+    assert(LuhnKernels.ccValid(u("amex 371449635398431.")) == 1) // 15 digits
+    // off-by-one in the check digit fails
+    assert(LuhnKernels.ccCandidates(u("4532015112830367")) == 1)
+    assert(LuhnKernels.ccValid(u("4532015112830367")) == 0)
+    // length bounds: 12 digits is not PAN-shaped, 19 is, 20 is not
+    assert(LuhnKernels.ccCandidates(u("123456789012")) == 0)
+    assert(LuhnKernels.ccCandidates(u("1234567890123456789")) == 1)
+    assert(LuhnKernels.ccCandidates(u("12345678901234567890")) == 0)
+    // runs are maximal: a valid PAN embedded in a longer run is NOT a hit
+    assert(LuhnKernels.ccCandidates(u("94532015112830366123456")) == 0)
+    // multiple runs in one text, digits at string end close the last run
+    assert(LuhnKernels.ccCandidates(u("a 4532015112830366 b 4532015112830367")) == 2)
+    assert(LuhnKernels.ccValid(u("a 4532015112830366 b 4532015112830367")) == 1)
+    assert(LuhnKernels.ccCandidates(u("tail 4532015112830366")) == 1)
+    assert(LuhnKernels.ccCandidates(u("")) == 0)
+    // all-zero run: Luhn sum 0 — the checksum alone accepts it (by spec)
+    assert(LuhnKernels.ccValid(u("0000000000000000")) == 1)
+  }
+
   test("repetition kernels: top-token and duplicate-ngram fractions") {
     val r = sqlOne(
       """SELECT top_token_frac('a b a c a') AS tf,

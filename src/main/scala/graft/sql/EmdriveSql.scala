@@ -39,6 +39,8 @@ import graft.sources.SchemaMapper
   *                    operand | operand [NOT] IN (lit, … | SELECT …)
   *                    | operand [NOT] BETWEEN lo AND hi
   *                    | operand [NOT] LIKE 'pattern'
+  *                    and operand := col | lit | col @ probe
+  *                    | (SELECT …)   (uncorrelated scalar subquery)
   *     [GROUP BY col [, …]] [HAVING pred-over-output-names]
   *     [ORDER BY col [ASC|DESC] [, …]] [LIMIT n]
   *   select UNION [ALL] select [UNION [ALL] select …]   (positional,
@@ -147,6 +149,13 @@ object EmdriveSql {
   final case class ORef(name: String) extends Operand
   final case class OVal(v: Value) extends Operand
   final case class ODist(column: String, probe: Value) extends Operand
+  /** (SELECT …) as a comparison RHS (or CASE value): an uncorrelated
+    * scalar subquery. Lowered the way Spark's own ScalarSubquery executes
+    * — subquery runs first, its single value is inlined as a literal in
+    * the outer plan (so `x > (SELECT AVG(…))` stays parquet-pushable);
+    * 0 rows → NULL (ANSI), >1 rows → error, enforced by a bounded
+    * 2-row driver pre-pass. */
+  final case class OSub(sub: Select) extends Operand
   final case class Cmp(lhs: Operand, op: String, rhs: Operand)
 
   /** Boolean predicate tree (graft extension — the reference grammar is an
@@ -422,6 +431,11 @@ object EmdriveSql {
   }
 
   private def parseOperand(p: P): Operand = p.toks match {
+    case TSym("(") :: TWord(w) :: _ if w.equalsIgnoreCase("SELECT") =>
+      p.eatSym("("); p.eatWord("SELECT")
+      val sub = parseSelect(p)
+      p.eatSym(")")
+      OSub(sub)
     case TWord(w) :: _ if !Keywords.contains(w.toUpperCase) =>
       val name = p.ident()
       if (p.trySym("@")) ODist(name, p.value()) else ORef(name)
@@ -444,8 +458,14 @@ object EmdriveSql {
 
   private def parsePredFactor(p: P): Pred =
     if (p.tryWord("NOT")) PNot(parsePredFactor(p))
-    else if (p.trySym("(")) { val e = parsePred(p); p.eatSym(")"); e }
-    else parseCmp(p)
+    else p.toks match {
+      // '(' SELECT is a scalar-subquery operand, not a predicate group
+      case TSym("(") :: TWord(w) :: _ if w.equalsIgnoreCase("SELECT") =>
+        parseCmp(p)
+      case TSym("(") :: _ =>
+        p.eatSym("("); val e = parsePred(p); p.eatSym(")"); e
+      case _ => parseCmp(p)
+    }
 
   /** cmp | lhs [NOT] IN (v, …) | lhs [NOT] BETWEEN lo AND hi. BETWEEN's
     * AND is consumed here, before the boolean AND loop sees it (standard
@@ -827,6 +847,23 @@ final class EmdriveSession(spark: SparkSession) {
   private def operandCol(base: DataFrame, o: Operand): Column = o match {
     case ORef(n) => col(n)
     case ODist(c, probe) => distCol(base, c, probe)
+    case OSub(sub) =>
+      // uncorrelated scalar subquery: executed first, value inlined as a
+      // literal (Spark's own ScalarSubquery shape — keeps the outer
+      // predicate pushable). The 2-row collect is a documented bounded
+      // driver pre-pass enforcing the at-most-one-row rule.
+      val df = lowerSelect(sub)
+      require(df.columns.length == 1,
+        s"scalar subquery must project exactly one column, got " +
+          s"(${df.columns.mkString(", ")})")
+      df.limit(2).collect() match {
+        case Array() => lit(null).cast(df.schema.head.dataType)
+        case Array(row) =>
+          if (row.isNullAt(0)) lit(null).cast(df.schema.head.dataType)
+          else lit(row.get(0))
+        case _ => throw new IllegalArgumentException(
+          s"scalar subquery returned more than one row")
+      }
     case OVal(VNum(s)) => if (s.contains('.')) lit(s.toDouble) else lit(s.toLong)
     case OVal(VStr(s)) => lit(s)
     case OVal(VBits(v)) => lit(v.longValue)
@@ -980,6 +1017,17 @@ object SqlQueries {
                | AND o_totalprice > 250000
                |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50;""".stripMargin)
     }),
+    // uncorrelated scalar subquery end-to-end: AVG over an integral column
+    // is an exact long-sum/count division, so the threshold replays
+    // bit-identically cross-engine and row membership is stable
+    "q_sql_scalar_sub" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, COUNT(*) AS n_above, MAX(n_chars) AS max_chars
+               |FROM documents
+               |WHERE n_chars > (SELECT AVG(n_chars) FROM documents)
+               |GROUP BY source ORDER BY source;""".stripMargin)
+    }),
     // the serving layer e2e: the reference's front door is an HTTP server
     // (src/server/mod.rs:99-131 POST / → parse → execute → JSON). Round-trip
     // an aggregate through a live GraftServer on an ephemeral port and parse
@@ -1042,6 +1090,11 @@ object SqlQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE o_orderstatus = 'F'
         |GROUP BY n_name ORDER BY n_orders DESC, n_name LIMIT 10""".stripMargin,
+    "q_sql_scalar_sub" ->
+      """SELECT source, count(*) AS n_above, MAX(n_chars) AS max_chars
+        |FROM documents
+        |WHERE n_chars > (SELECT AVG(n_chars) FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_sql_in_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey IN

@@ -307,6 +307,77 @@ object Similarity {
       Dedup.components(embedNeardup(s, d).select(col("id_a"), col("id_b")))
     }.select(col("id").as("vec_id"), col("comp"))
 
+  /** SemDeDup (Abbas et al. 2023): cluster-local semantic deduplication —
+    * the published recipe for pruning semantically-redundant training data
+    * at corpus scale. KMeans the embeddings (seeded sampled fit, broadcast
+    * centroids, one map-side-combined assign pass), enumerate pairs ONLY
+    * within a cluster (the O(n²/k) economy that makes semantic dedup
+    * tractable where all-pairs cannot be), and keep the LEAST-central
+    * member of every ε-similar group (the paper's diversity-preserving
+    * keep rule: the example farthest from the centroid is the least
+    * redundant with the cluster).
+    *
+    * Keep rule here is the deterministic one-pass DOMINANCE variant of the
+    * paper's sequential greedy: prune x iff some ε-neighbor in its cluster
+    * is strictly more (csim, vec_id)-minimal. Join-parallel (no driver
+    * loop, no fixpoint); on chain topologies it prunes slightly more than
+    * the greedy (domination chains collapse to their minimum), which is
+    * the conservative direction for a dedup.
+    *
+    * Scale shape: sampled KMeans fit (constant), broadcast-centroid assign
+    * whose exchange carries one row per vector (max_by partial-combines
+    * map-side), a cluster-partitioned self-join bounded by the same
+    * windowed `maxPerCell` cap as every LSH bucket, and one marker join.
+    * Per-vector cost is constant in n with cell size fixed — the same
+    * economics as [[embedNeardupClustered]], minus the pair graph. */
+  private[graft] def semDedupCore(e: DataFrame, threshold: Double,
+      targetCell: Int = 256, seed: Long = 42L,
+      maxPerCell: Int = 4096): DataFrame = {
+    val n = e.count()
+    val k = math.max(4L, math.min(n / targetCell, 16384L)).toInt
+    val sampleFrac = math.min(1.0, 25600.0 / math.max(1L, n))
+    val ev = e.select(col("vec_id"), col("embedding"))
+    val centers = IvfIndex.fitCenters(ev, k, seed, sampleFrac, maxIter = 5)
+    // nearest cell by the fit's euclidean criterion (argmax 2x·c − ‖c‖²)
+    // plus the centrality score, in one broadcast pass; deterministic
+    // cell tie-break by lower cid
+    val assigned = ev.crossJoin(broadcast(centers))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        (lit(2.0) * call_function("dot_product", col("embedding"), col("cvec")) -
+          call_function("dot_product", col("cvec"), col("cvec"))).as("score"),
+        round(call_function("cosine_sim", col("embedding"), col("cvec")), 6)
+          .as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("csim"), col("embedding")),
+        struct(col("score"), -col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cluster_id"),
+        col("m.csim").as("centroid_sim"), col("m.embedding").as("embedding"))
+    val capped = assigned
+      .withColumn("csz", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("csz") <= maxPerCell)
+      .drop("csz")
+    val prunedIds = capped.as("a")
+      .join(capped.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          (col("b.centroid_sim") < col("a.centroid_sim") ||
+            (col("b.centroid_sim") === col("a.centroid_sim") &&
+              col("b.vec_id") < col("a.vec_id"))))
+      .filter(call_function("cosine_sim",
+        col("a.embedding"), col("b.embedding")) >= threshold)
+      .select(col("a.vec_id")).distinct()
+      .withColumn("pruned", lit(true))
+    assigned.join(prunedIds, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster_id"), col("centroid_sim"),
+        coalesce(!col("pruned"), lit(true)).as("kept"))
+  }
+
+  /** Driver-gate SemDeDup over the embeddings table. Rows-only by design:
+    * cluster ids and the kept set depend on the KMeans partition (hash-
+    * specific, like every LSH/sketch key); the keep-rule algebra is
+    * spec-asserted on planted duplicates (SemDedupSpec). */
+  private def semDedup(s: SparkSession, d: String): DataFrame =
+    semDedupCore(Tables.embeddings(s, d), 0.4)
+
   /** IVF-style ANN: deterministic seed centroids (vec_id < 8), assign corpus
     * to nearest centroid, probe searches only its own cluster.
     *
@@ -638,6 +709,7 @@ object Similarity {
     "q_knn_batch" -> knnBatch _,
     "q_embed_neardup" -> embedNeardup _,
     "q_embed_components" -> embedComponents _,
+    "q_semdedup" -> semDedup _,
     "q_ann_ivf" -> annIvf _,
     "q_embed_decontaminate" -> embedDecontaminate _,
     "q_knn_label" -> knnLabel _,

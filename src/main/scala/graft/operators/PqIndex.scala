@@ -218,6 +218,55 @@ object PqIndex {
       .limit(topK)
   }
 
+  /** Persist the IVFPQ index: the codes relation written PARTITIONED BY
+    * cluster_id — a probed search reads ~nprobe/kCoarse of the corpus at
+    * M bytes per vector from FILE pruning (directories never opened) —
+    * plus the model as two small parquet sidecars (centers, books). The
+    * write-once/query-many realization of the reference's persistent
+    * index file for the PQ family, sibling of [[IvfIndex.writeIndex]]
+    * (float inverted file) and MetricIndex (Hamming space). */
+  def writeIvfPq(spark: SparkSession, emb: DataFrame, dim: Int, kCoarse: Int,
+      path: String, seed: Long = 42L): IvfPqModel = {
+    val model = fitIvfPq(emb, dim, kCoarse, seed)
+    encodeIvf(emb, model).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster_id").parquet(s"$path/codes")
+    model.centersDf(spark).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/centers")
+    model.pq.booksDf(spark).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/books")
+    model
+  }
+
+  /** Reopen a written index's model — bit-exact (floats round-trip parquet
+    * unchanged; both sidecars together are model-sized, so the collects
+    * are bounded driver pre-passes like every model fit here). */
+  def openIvfPq(spark: SparkSession, path: String): IvfPqModel = {
+    val centers = spark.read.parquet(s"$path/centers").collect()
+    val dim = centers.head.getAs[scala.collection.Seq[Float]]("center").length
+    val centersFlat = new Array[Float](centers.length * dim)
+    centers.foreach { r =>
+      System.arraycopy(r.getAs[scala.collection.Seq[Float]]("center").toArray, 0,
+        centersFlat, r.getAs[Int]("cluster_id") * dim, dim)
+    }
+    val books = spark.read.parquet(s"$path/books").collect()
+    val m = books.map(_.getAs[Int]("sub")).max + 1
+    val k = books.map(_.getAs[Int]("cid")).max + 1
+    val dsub = books.head.getAs[scala.collection.Seq[Float]]("centroid").length
+    val flat = new Array[Float](m * k * dsub)
+    books.foreach { r =>
+      System.arraycopy(r.getAs[scala.collection.Seq[Float]]("centroid").toArray, 0,
+        flat, (r.getAs[Int]("sub") * k + r.getAs[Int]("cid")) * dsub, dsub)
+    }
+    IvfPqModel(dim, centersFlat, PqModel(m, k, dsub, flat))
+  }
+
+  /** IVFPQ search over a written index: same plan as [[searchIvfPq]], but
+    * the cluster_id isin filter prunes parquet DIRECTORIES. */
+  def searchStored(spark: SparkSession, path: String, model: IvfPqModel,
+      probe: Array[Float], nprobe: Int, topK: Int): DataFrame =
+    searchIvfPq(spark.read.parquet(s"$path/codes"), model, probe, nprobe, topK)
+
   /** Exact dot-product top-10 for the probe — the ground truth the ADC
     * result is graded against (same metric the index approximates).
     * Map-only + TakeOrdered: the probe is a plan literal. */

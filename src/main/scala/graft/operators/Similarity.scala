@@ -334,9 +334,14 @@ object Similarity {
       targetCell: Int = 256, seed: Long = 42L,
       maxPerCell: Int = 4096): DataFrame = {
     val n = e.count()
-    val k = math.max(4L, math.min(n / targetCell, 16384L)).toInt
-    val sampleFrac = math.min(1.0, 25600.0 / math.max(1L, n))
     val ev = e.select(col("vec_id"), col("embedding"))
+    // empty-corpus guard (the Pca/Pq doctrine): KMeans cannot fit 0 rows;
+    // the zero-row frame below carries the output schema
+    if (n == 0)
+      return ev.select(col("vec_id"), lit(0).as("cluster_id"),
+        lit(0.0).as("centroid_sim"), lit(true).as("kept"))
+    val k = math.max(4L, math.min(n / targetCell, 16384L)).toInt
+    val sampleFrac = math.min(1.0, 25600.0 / n)
     val centers = IvfIndex.fitCenters(ev, k, seed, sampleFrac, maxIter = 5)
     // nearest cell by the fit's euclidean criterion (argmax 2x·c − ‖c‖²)
     // plus the centrality score, in one broadcast pass; deterministic

@@ -100,7 +100,11 @@ object Stress {
     // bounded fit + map-only encode/ADC — the cost that must stay flat-
     // per-row as the corpus grows), and hard-negative mining (broadcast
     // scan + bounded heap)
-    "q_simhash_radius", "q_cms_vocab", "q_ann_pq", "q_hard_negatives")
+    "q_simhash_radius", "q_cms_vocab", "q_ann_pq", "q_hard_negatives",
+    // SemDeDup: sampled fit is constant, assign is map-side-combined,
+    // within-cluster pairs bounded by maxPerCell — per-vector cost must
+    // stay flat as n and k grow together (fixed target cell size)
+    "q_semdedup")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.get("SPARK_GRAFT_STRESS_N").flatMap(_.toIntOption).getOrElse(10)

@@ -42,7 +42,9 @@ import graft.sources.SchemaMapper
   *                    and operand := col | lit | col @ probe
   *                    | (SELECT …)   (uncorrelated scalar subquery)
   *     [GROUP BY col [, …]] [HAVING pred-over-output-names]
-  *     [ORDER BY col [ASC|DESC] [, …]] [LIMIT n]
+  *     [ORDER BY col [ASC|DESC] [, …]] [LIMIT n] [OFFSET m]
+  *     (OFFSET requires ORDER BY — unordered pagination is
+  *     nondeterministic and refused)
   *   select UNION [ALL] select [UNION [ALL] select …]   (positional,
   *     left-assoc; non-ALL steps dedupe — ANSI bag semantics)
   *
@@ -201,7 +203,8 @@ object EmdriveSql {
       where: Seq[Pred], groupBy: Seq[String] = Seq.empty,
       having: Seq[Pred] = Seq.empty,
       orderBy: Seq[OrderKey] = Seq.empty, limit: Option[Long] = None,
-      joins: Seq[Join] = Seq.empty, distinct: Boolean = false)
+      joins: Seq[Join] = Seq.empty, distinct: Boolean = false,
+      offset: Option[Long] = None)
     extends Statement
 
   /** select UNION [ALL] select [UNION [ALL] select …] — left-associative,
@@ -251,7 +254,7 @@ object EmdriveSql {
   private val Keywords = Set("CREATE", "TABLE", "IF", "NOT", "EXISTS", "INSERT",
     "INTO", "VALUES", "SELECT", "FROM", "WHERE", "AS", "AND", "OR", "IN",
     "BETWEEN",
-    "GROUP", "BY", "HAVING", "ORDER", "LIMIT", "ASC", "DESC",
+    "GROUP", "BY", "HAVING", "ORDER", "LIMIT", "OFFSET", "ASC", "DESC",
     "NULL", "TRUE", "FALSE", "SHOW", "TABLES", "DESCRIBE", "JOIN", "ON",
     "EXPLAIN", "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "ALL")
 
@@ -378,23 +381,29 @@ object EmdriveSql {
         while (p.trySym(",")) ks += key()
         ks.toSeq
       } else Seq.empty
-    val limit =
-      if (p.tryWord("LIMIT")) p.toks match {
-        case TNum(s) :: rest if !s.contains('.') =>
-          p.toks = rest
-          val nRows = try s.toLong catch {
-            case _: NumberFormatException => p.fail("integer LIMIT in [0, 2^31)")
-          }
-          // bounds-check here instead of silently wrapping at the Int cast
-          // in the lowering (LIMIT 5000000000 used to become 705032704)
-          if (nRows < 0 || nRows > Int.MaxValue.toLong)
-            throw new IllegalArgumentException(
-              s"LIMIT must be in [0, ${Int.MaxValue}], got $nRows in: ${p.input}")
-          Some(nRows)
-        case _ => p.fail("integer LIMIT")
+    def boundedInt(kw: String): Long = p.toks match {
+      case TNum(s) :: rest if !s.contains('.') =>
+        p.toks = rest
+        val nRows = try s.toLong catch {
+          case _: NumberFormatException => p.fail(s"integer $kw in [0, 2^31)")
+        }
+        // bounds-check here instead of silently wrapping at the Int cast
+        // in the lowering (LIMIT 5000000000 used to become 705032704)
+        if (nRows < 0 || nRows > Int.MaxValue.toLong)
+          throw new IllegalArgumentException(
+            s"$kw must be in [0, ${Int.MaxValue}], got $nRows in: ${p.input}")
+        nRows
+      case _ => p.fail(s"integer $kw")
+    }
+    val limit = if (p.tryWord("LIMIT")) Some(boundedInt("LIMIT")) else None
+    val offset =
+      if (p.tryWord("OFFSET")) {
+        if (orderBy.isEmpty) throw new IllegalArgumentException(
+          s"OFFSET without ORDER BY is nondeterministic; add ORDER BY in: ${p.input}")
+        Some(boundedInt("OFFSET"))
       } else None
     Select(items.toSeq, table, where.toSeq, groupBy, having.toSeq, orderBy,
-      limit, joins.toSeq, distinct)
+      limit, joins.toSeq, distinct, offset)
   }
 
   private def parseItem(p: P): SelectItem = p.toks match {
@@ -640,7 +649,7 @@ final class EmdriveSession(spark: SparkSession) {
 
   private def lowerSelect(sel: Select): DataFrame = {
     val Select(items, name, where, groupBy, having, orderBy, limitN, joins,
-      distinct) = sel
+      distinct, offsetN) = sel
     locally {
       // JOIN lowering (graft extension): unqualified ON keys resolved by
       // which side owns the name (either order). The equi-join lowers to a
@@ -751,6 +760,10 @@ final class EmdriveSession(spark: SparkSession) {
       if (orderBy.nonEmpty)
         out = out.orderBy(orderBy.map(k =>
           if (k.desc) col(k.name).desc else col(k.name).asc): _*)
+      // ANSI pagination: OFFSET skips before LIMIT counts (Dataset.offset
+      // composes with the sort into a single GlobalLimit — no full
+      // materialization of the skipped prefix)
+      offsetN.foreach(m => out = out.offset(m.toInt))
       limitN.foreach(nRows => out = out.limit(nRows.toInt))
       out
     }
@@ -1017,6 +1030,15 @@ object SqlQueries {
                | AND o_totalprice > 250000
                |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50;""".stripMargin)
     }),
+    // pagination end-to-end: the serving layer's natural access pattern
+    // (page 3 of an ordered listing); deterministic because the sort key
+    // ends in the unique doc_id
+    "q_sql_page" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, source, n_chars FROM documents
+               |ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 40;""".stripMargin)
+    }),
     // uncorrelated scalar subquery end-to-end: AVG over an integral column
     // is an exact long-sum/count division, so the threshold replays
     // bit-identically cross-engine and row membership is stable
@@ -1090,6 +1112,9 @@ object SqlQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE o_orderstatus = 'F'
         |GROUP BY n_name ORDER BY n_orders DESC, n_name LIMIT 10""".stripMargin,
+    "q_sql_page" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 40""".stripMargin,
     "q_sql_scalar_sub" ->
       """SELECT source, count(*) AS n_above, MAX(n_chars) AS max_chars
         |FROM documents

@@ -68,8 +68,8 @@ object StressStream {
     // ---- feeds (driver-side by MemoryStream construction) ----
     val docs: Array[(Long, String)] = Tables.documents(spark, src)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
-    val events: Array[(Long, Long, String, Double)] = Tables.events(spark, src)
-      .select(col("user_id"), EventTime.tsMs.as("ms"), col("event_type"), col("value"))
+    val events: Array[(Long, Long, String, Double)] = EventTime.withMs(Tables.events(spark, src))
+      .select(col("user_id"), col("ms"), col("event_type"), col("value"))
       .orderBy(col("ms"), col("user_id"))
       .as[(Long, Long, String, Double)].collect()
     val nUsers = events.map(_._1).distinct.length

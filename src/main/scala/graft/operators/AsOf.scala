@@ -60,7 +60,7 @@ object AsOf {
 
   /** For each click, the user's most recent purchase at-or-before it. */
   private def asofClickPurchase(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).withColumn("ms", EventTime.tsMs)
+    val ev = EventTime.withMs(Tables.events(s, d))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ms").as("click_ms"))
     val purchases = ev.filter(col("event_type") === "purchase")

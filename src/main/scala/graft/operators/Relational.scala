@@ -192,7 +192,7 @@ object Relational {
   private def sessionize(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
-    val ev = Tables.events(s, d).withColumn("ms", EventTime.tsMs)
+    val ev = EventTime.withMs(Tables.events(s, d))
     ev.withColumn("new_sess",
         when(col("ms") - lag(col("ms"), 1).over(wOrd) > 1800000L, 1)
           .otherwise(when(lag(col("ms"), 1).over(wOrd).isNull, 1).otherwise(0)))
@@ -217,8 +217,8 @@ object Relational {
     * window keeps the funnel discriminating (150 → 39 → 15 at sf0.01). */
   private def funnel(s: SparkSession, d: String): DataFrame = {
     val stepMs = 86400000L
-    val ev = Tables.events(s, d)
-      .select(col("user_id"), col("event_type"), EventTime.tsMs.as("ms"))
+    val ev = EventTime.withMs(Tables.events(s, d))
+      .select(col("user_id"), col("event_type"), col("ms"))
     val t1 = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ms")).as("t1"))
     val t2 = ev.filter(col("event_type") === "view")
@@ -245,8 +245,7 @@ object Relational {
     * bounded by users·weeks, so the join input is corpus-size-independent
     * and every later shuffle is tiny. */
   private def cohortRetention(s: SparkSession, d: String): DataFrame = {
-    val uw = Tables.events(s, d)
-      .withColumn("ms", EventTime.tsMs)
+    val uw = EventTime.withMs(Tables.events(s, d))
       .select(col("user_id"), expr("ms div 604800000").as("w"))
       .distinct()
     val first = uw.groupBy(col("user_id")).agg(min(col("w")).as("cohort_w"))
@@ -334,8 +333,8 @@ object Relational {
   }
 
   private def tumbling(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy((expr("ts div 3600000000000") * 3600000L).as("hour_ms"), col("event_type"))
+    EventTime.withMs(Tables.events(s, d))
+      .groupBy((expr("ms div 3600000") * 3600000L).as("hour_ms"), col("event_type"))
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
 
   /** Hopping (sliding) window aggregation in batch: 60-minute windows
@@ -349,8 +348,7 @@ object Relational {
   private def hopping(s: SparkSession, d: String): DataFrame = {
     val hopMs = 900000L // 15 min
     val winHops = 4 // 60-minute window = 4 hops
-    Tables.events(s, d)
-      .withColumn("ms", EventTime.tsMs)
+    EventTime.withMs(Tables.events(s, d))
       .select(col("event_type"), col("value"),
         explode(sequence(lit(0), lit(winHops - 1))).as("i"),
         expr(s"ms div $hopMs").as("hop"))
@@ -705,7 +703,7 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ms"), col("event_id"))
-    Tables.events(s, d).withColumn("ms", EventTime.tsMs)
+    EventTime.withMs(Tables.events(s, d))
       .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
       .filter(col("gap").isNull || col("gap") > 3600000L)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ms"))
@@ -747,7 +745,7 @@ object Relational {
   private def cooccurrence(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
-    val sess = Tables.events(s, d).withColumn("ms", EventTime.tsMs)
+    val sess = EventTime.withMs(Tables.events(s, d))
       .withColumn("new_sess",
         when(col("ms") - lag(col("ms"), 1).over(wOrd) > 1800000L, 1)
           .otherwise(when(lag(col("ms"), 1).over(wOrd).isNull, 1).otherwise(0)))

@@ -48,6 +48,15 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
+    // The driver keeps only a ~2000-char stdout tail; with 140+ queries the
+    // full line overflows it and arrives front-truncated (unparseable,
+    // BENCH_r{3..6}.json "parsed": null). Emit a complete compact summary
+    // LAST so a whole JSON line always sits inside the tail window: total,
+    // failures, the 10 slowest queries, and a pointer to the full dump.
+    val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => f""""$k":${v}%.3f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":[${failed.mkString(",")}],"slowest":$slow,"queries_full":"$outPath"}""")
     spark.stop()
   }
 }

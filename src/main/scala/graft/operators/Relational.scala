@@ -837,7 +837,51 @@ object Relational {
         col("total_spend"), col("nation_avg"))
   }
 
+  /** Key-skew profiler over the event stream's shuffle key: per-key count
+    * distribution stats — key cardinality, max/median key weight, the top
+    * key's share, and the p99/p50 hot-key ratio. This is the operational
+    * pre-flight for every keyed shuffle at 100 TB: it answers "does
+    * user_id need salting / AQE skew-join" with one dimension-sized
+    * aggregation instead of an OOM in production. Scale shape: one
+    * partial-combined count per key (shuffle is key-cardinality-sized),
+    * then a single-row exact-percentile aggregate over the per-key
+    * counts. Share is one IEEE division of exact int64s, shipped
+    * unrounded (bitwise cross-engine). */
+  private def keySkew(s: SparkSession, d: String): DataFrame = {
+    val perKey = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n")).as("total"),
+      max(col("n")).as("max_n"),
+      percentile(col("n"), lit(0.5)).as("p50_n"),
+      percentile(col("n"), lit(0.99)).as("p99_n"),
+      (max(col("n")) * lit(1.0) / sum(col("n"))).as("max_share"))
+  }
+
+  /** Trailing 7-day per-user rolling spend: for every event, the count and
+    * sum of that user's event values in the preceding 7×24 h window —
+    * the RANGE-frame window aggregate (running_sum B6 is the ROWS-frame
+    * twin; a trailing range is the standard velocity/abuse feature).
+    * Scale shape: one hash shuffle on user_id, per-partition sort by ms,
+    * then a two-pointer frame scan — no self-join, no explode; output is
+    * one row per input row. The frame sum is exact decimal (moneySum
+    * discipline) so frame-evaluation order can't move a bit. */
+  private def rolling7d(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+      .rangeBetween(-604800000L, 0L)
+    EventTime.withMs(Tables.events(s, d))
+      .select(col("event_id"), col("user_id"), col("ms"), col("value"))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("sum_7d",
+        round(sum(col("value").cast("decimal(18,4)")).over(w), 2).cast("double"))
+      .select(col("event_id"), col("user_id"), col("ms"), col("n_7d"), col("sum_7d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_key_skew" -> keySkew _,
+    "q_rolling_7d" -> rolling7d _,
     "q_upsert" -> upsert _,
     "q_version_topn" -> versionTopN _,
     "q_mom_trend" -> momTrend _,
@@ -891,6 +935,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_key_skew" ->
+      """WITH pk AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+        |SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS total,
+        | max(n) AS max_n,
+        | quantile_cont(n, 0.5) AS p50_n,
+        | quantile_cont(n, 0.99) AS p99_n,
+        | max(n) * 1.0 / CAST(sum(n) AS BIGINT) AS max_share
+        |FROM pk""".stripMargin,
+    "q_rolling_7d" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        | count(*) OVER w AS n_7d,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE)
+        |   AS sum_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |  RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_gdpr_erase" ->
       """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
         |od AS (SELECT o_orderkey FROM orders

@@ -511,7 +511,106 @@ object TextAnalysis {
       |""".stripMargin)
   }
 
+  /** PMI collocation card: the 20 most frequent bigrams with their
+    * pointwise mutual information ln(P(w1w2) / (P(w1·)·P(·w2))) — the
+    * standard phrase-mining signal (high-PMI pairs are units the tokenizer
+    * should not split; near-zero PMI at high count is boilerplate).
+    *
+    * Scale shape: bigram counts are partial-combined (shuffle is
+    * distinct-bigram-sized, not corpus-sized), the top-20 selection is a
+    * bounded TakeOrdered on exact counts — count-ordered, NOT PMI-ordered,
+    * so the selected set is integer-deterministic cross-engine — and the
+    * margin joins run against a 20-row side. PMI itself: products of exact
+    * int64 counts stay under 2^53, one IEEE division, one ln; round(4)
+    * absorbs the last-ulp libm difference. */
+  private def pmiBigrams(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val big = toks
+      .withColumn("w2",
+        lead(col("w"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .select(col("w").as("w1"), col("w2"))
+    val cb = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = big.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val n = big.agg(count(lit(1)).as("n"))
+    cb.orderBy(col("cb").desc, col("w1"), col("w2")).limit(20)
+      .join(c1, Seq("w1"))
+      .join(c2, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("cb"),
+        round(log(col("cb") * lit(1.0) * col("n") / (col("c1") * lit(1.0) * col("c2"))), 4)
+          .as("pmi"))
+  }
+
+  /** Jensen–Shannon divergence between every source pair's unigram token
+    * distributions — the mixture-design distance (vocabulary Jaccard C49
+    * says whether sources share words; JS says whether they USE them at
+    * the same rates — two crawls of one domain are near 0, code vs prose
+    * near ln 2). Decomposed so only the shared-token inner join is needed:
+    * tokens private to one side contribute p·ln2 in closed form, i.e.
+    * JS = ½ln2·(2 − Σ_shared(p+q)) + ½·Σ_shared[p ln(2p/(p+q)) + q ln(2q/(p+q))].
+    *
+    * Scale shape: the corpus collapses to (source, token) counts first
+    * (vocabulary-sized), per-source totals broadcast back, and the
+    * token-keyed self-join fans out at most #sources per posting —
+    * |vocab|·sources² candidates, sources² output rows. Cross-engine float
+    * discipline: p and q are single-division doubles of exact counts;
+    * per-term values are cast to DECIMAL(28,12) before summing so
+    * summation order (Spark partial aggs vs DuckDB) cannot move a bit;
+    * the one ln-per-term last-ulp wobble is absorbed by round(4). */
+  private def jsDivergence(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = st.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val p = st.join(broadcast(tot), "source")
+      .select(col("source"), col("tok"), (col("c") * lit(1.0) / col("n")).as("p"))
+    val pa = col("a.p"); val pb = col("b.p")
+    p.as("a").join(p.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        pa.cast("decimal(28,12)").as("dpa"),
+        pb.cast("decimal(28,12)").as("dpb"),
+        (pa * log(pa * lit(2.0) / (pa + pb)) + pb * log(pb * lit(2.0) / (pa + pb)))
+          .cast("decimal(28,12)").as("t"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        round(
+          lit(0.5) * log(lit(2.0)) *
+            (lit(2.0) - (sum(col("dpa")) + sum(col("dpb"))).cast("double")) +
+            lit(0.5) * sum(col("t")).cast("double"),
+          4).as("js"))
+  }
+
+  /** Per-document unigram token entropy H = ln n − Σc·ln c / n — the
+    * repetitiveness/diversity filter signal (low entropy at high length is
+    * generated boilerplate; it separates "many distinct words" from
+    * "many words", which distinct_ratio alone conflates).
+    *
+    * Scale shape: per-row after a (doc, token) partial-combined count —
+    * no corpus-wide state at all. The ln n − Σ(c ln c)/n form needs no
+    * per-term probability (no join back for the doc total); Σ c·ln c is
+    * summed in DECIMAL(28,12) so order can't move a bit, and the final
+    * round(4) absorbs per-term libm wobble. */
+  private def tokenEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("c"),
+        (col("c") * log(col("c"))).cast("decimal(28,12)").as("clc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(log(sum(col("c"))) - sum(col("clc")).cast("double") / sum(col("c")), 4)
+          .as("entropy"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pmi_bigrams" -> pmiBigrams _,
+    "q_js_div" -> jsDivergence _,
+    "q_token_entropy" -> tokenEntropy _,
     "q_cms_vocab" -> cmsVocab _,
     "q_lang_outliers" -> langOutliers _,
     "q_bm25" -> bm25 _,
@@ -536,6 +635,50 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pmi_bigrams" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |big AS (
+        | SELECT bg[1] AS w1, bg[2] AS w2 FROM (
+        |  SELECT unnest(list_transform(range(len(w) - 1),
+        |    i -> [w[i+1], w[i+2]])) AS bg FROM tok)),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+        |c2 AS (SELECT w2, count(*) AS c2 FROM big GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM big),
+        |top AS (SELECT * FROM cb ORDER BY cb DESC, w1, w2 LIMIT 20)
+        |SELECT w1, w2, cb,
+        | round(ln(cb * 1.0 * n / (c1 * 1.0 * c2)), 4) AS pmi
+        |FROM top JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n""".stripMargin,
+    "q_js_div" ->
+      """WITH st AS (
+        | SELECT source, tok, count(*) AS c FROM (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        | GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY 1),
+        |p AS (
+        | SELECT st.source, tok, c * 1.0 / n AS p
+        | FROM st JOIN tot ON st.source = tot.source)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared,
+        | round(0.5 * ln(2.0) *
+        |   (2.0 - CAST(sum(CAST(a.p AS DECIMAL(28,12))) +
+        |               sum(CAST(b.p AS DECIMAL(28,12))) AS DOUBLE)) +
+        |  0.5 * CAST(sum(CAST(
+        |    a.p * ln(a.p * 2.0 / (a.p + b.p)) +
+        |    b.p * ln(b.p * 2.0 / (a.p + b.p)) AS DECIMAL(28,12))) AS DOUBLE),
+        |  4) AS js
+        |FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+    "q_token_entropy" ->
+      """WITH tc AS (
+        | SELECT doc_id, tok, count(*) AS c FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        | GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        | count(*) AS n_distinct,
+        | round(ln(CAST(sum(c) AS BIGINT)) -
+        |   CAST(sum(CAST(c * ln(c) AS DECIMAL(28,12))) AS DOUBLE)
+        |     / CAST(sum(c) AS BIGINT), 4) AS entropy
+        |FROM tc GROUP BY doc_id""".stripMargin,
     // Invariant oracle: the estimates are hash-family-specific, but the
     // CMS contract (no underestimates; εN additive bound) is assertable
     // exactly, and the top-20 terms + exact counts replay cross-engine.

@@ -47,6 +47,8 @@ import graft.sources.SchemaMapper
   *     nondeterministic and refused)
   *   select UNION [ALL] select [UNION [ALL] select …]   (positional,
   *     left-assoc; non-ALL steps dedupe — ANSI bag semantics)
+  *   WITH n AS (select-chain) [, n2 AS (…)] select-chain   (CTEs:
+  *     forward-scoped, shadowing, statement-local — no recursion)
   *
   * WHERE operands may name SELECT-list aliases (the README story filters
   * on the aliased distance), and `@` adapts to the column's carrier type:
@@ -213,6 +215,18 @@ object EmdriveSql {
   final case class UnionStmt(first: Select,
       rest: Seq[(Boolean, Select)]) extends Statement
 
+  /** WITH n AS (select-chain) [, n2 AS (…)] select-chain — common table
+    * expressions (graft extension). Each CTE body may itself be a UNION
+    * chain and may reference every EARLIER cte (standard forward scoping;
+    * no recursion). Lowering registers each body's DataFrame under its
+    * name for the statement's duration only — a CTE shadows a same-named
+    * catalog table without mutating the session, and because the bodies
+    * lower to ordinary plans, Catalyst inlines/optimizes straight through
+    * them (a CTE referenced twice is planned twice — plan-level reuse is
+    * the engine's call via exchange reuse, not a materialization here). */
+  final case class WithStmt(ctes: Seq[(String, UnionStmt)],
+      body: UnionStmt) extends Statement
+
   // ----- parser (recursive descent over the token list) -----------------
 
   private final class P(var toks: List[Tok], val input: String) {
@@ -256,33 +270,55 @@ object EmdriveSql {
     "BETWEEN",
     "GROUP", "BY", "HAVING", "ORDER", "LIMIT", "OFFSET", "ASC", "DESC",
     "NULL", "TRUE", "FALSE", "SHOW", "TABLES", "DESCRIBE", "JOIN", "ON",
-    "EXPLAIN", "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "ALL")
+    "EXPLAIN", "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "ALL", "WITH")
 
   private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
+
+  /** SELECT … [UNION [ALL] SELECT …]* — the shared select-chain shape used
+    * at top level, inside EXPLAIN, and as every CTE body. A single SELECT
+    * is a chain with an empty tail. */
+  private def parseChain(p: P): UnionStmt = {
+    p.eatWord("SELECT")
+    val first = parseSelect(p)
+    val rest = mutable.ListBuffer.empty[(Boolean, Select)]
+    while (p.tryWord("UNION")) {
+      val all = p.tryWord("ALL")
+      p.eatWord("SELECT")
+      rest += ((all, parseSelect(p)))
+    }
+    UnionStmt(first, rest.toSeq)
+  }
+
+  /** Collapse a tail-less chain back to the plain Select statement so the
+    * non-union paths (EXPLAIN, IN-subquery reuse, tests) keep their shape. */
+  private def collapse(c: UnionStmt): Statement =
+    if (c.rest.isEmpty) c.first else c
 
   def parse(sqlText: String): Statement = {
     val p = new P(tokenize(sqlText), sqlText)
     val stmt =
       if (p.tryWord("CREATE")) parseCreate(p)
       else if (p.tryWord("INSERT")) parseInsert(p)
-      else if (p.tryWord("SELECT")) {
-        val first = parseSelect(p)
-        if (p.peekWord("UNION")) {
-          val rest = mutable.ListBuffer.empty[(Boolean, Select)]
-          while (p.tryWord("UNION")) {
-            val all = p.tryWord("ALL")
-            p.eatWord("SELECT")
-            rest += ((all, parseSelect(p)))
-          }
-          UnionStmt(first, rest.toSeq)
-        } else first
+      else if (p.peekWord("SELECT")) collapse(parseChain(p))
+      else if (p.tryWord("WITH")) {
+        val ctes = mutable.ListBuffer.empty[(String, UnionStmt)]
+        var more = true
+        while (more) {
+          val name = p.ident()
+          p.eatWord("AS")
+          p.eatSym("(")
+          ctes += ((name, parseChain(p)))
+          p.eatSym(")")
+          more = p.trySym(",")
+        }
+        WithStmt(ctes.toSeq, parseChain(p))
       }
       else if (p.tryWord("SHOW")) { p.eatWord("TABLES"); ShowTables }
       else if (p.tryWord("DESCRIBE")) Describe(p.ident())
       else if (p.tryWord("EXPLAIN")) {
         p.eatWord("SELECT"); ExplainStmt(parseSelect(p))
       }
-      else p.fail("CREATE, INSERT, SELECT, EXPLAIN, SHOW TABLES or DESCRIBE")
+      else p.fail("CREATE, INSERT, SELECT, WITH, EXPLAIN, SHOW TABLES or DESCRIBE")
     p.trySym(";")
     if (!p.done) p.fail("end of statement")
     stmt
@@ -630,13 +666,21 @@ final class EmdriveSession(spark: SparkSession) {
 
     case sel: Select => lowerSelect(sel)
 
-    case UnionStmt(first, rest) =>
-      // positional union (ANSI), left-assoc; non-ALL steps dedupe the
-      // accumulated bag — lowered to Dataset.union (+ the same partial-
-      // combined aggregate as any DISTINCT), so Catalyst unions the plans
-      rest.foldLeft(lowerSelect(first)) { case (acc, (all, sel)) =>
-        val u = acc.union(lowerSelect(sel))
-        if (all) u else u.dropDuplicates()
+    case u: UnionStmt => lowerChain(u)
+
+    case WithStmt(ctes, body) =>
+      // statement-scoped catalog overlay: each CTE's plan registers under
+      // its name (shadowing any same-named table), the body lowers against
+      // the overlay, and the pre-statement catalog is restored whatever
+      // happens — the session is never mutated by a query. Plans are lazy,
+      // so "registering" a CTE is wiring a subplan, not materializing it.
+      val saved = ctes.map { case (n, _) => n -> catalog.get(n) }
+      try {
+        ctes.foreach { case (n, chain) => catalog(n) = lowerChain(chain) }
+        lowerChain(body)
+      } finally saved.reverse.foreach {
+        case (n, Some(prev)) => catalog(n) = prev
+        case (n, None) => catalog.remove(n)
       }
 
     case ExplainStmt(sel) =>
@@ -646,6 +690,16 @@ final class EmdriveSession(spark: SparkSession) {
         text.split("\n").toSeq.map(Row(_)).asJava,
         StructType(Seq(StructField("plan_line", StringType))))
   }
+
+  /** Left-assoc union fold (ANSI bag semantics): positional union, non-ALL
+    * steps dedupe the accumulated bag — lowered to Dataset.union (+ the
+    * same partial-combined aggregate as any DISTINCT), so Catalyst unions
+    * the plans. A tail-less chain is just its head SELECT. */
+  private def lowerChain(u: UnionStmt): DataFrame =
+    u.rest.foldLeft(lowerSelect(u.first)) { case (acc, (all, sel)) =>
+      val merged = acc.union(lowerSelect(sel))
+      if (all) merged else merged.dropDuplicates()
+    }
 
   private def lowerSelect(sel: Select): DataFrame = {
     val Select(items, name, where, groupBy, having, orderBy, limitN, joins,
@@ -1039,6 +1093,25 @@ object SqlQueries {
       es.sql("""SELECT doc_id, source, n_chars FROM documents
                |ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 40;""".stripMargin)
     }),
+    // CTE end-to-end: a two-step WITH where the second cte reads the
+    // first (forward scoping) and the body joins a cte against a base
+    // table — per-source char totals bucketed by the corpus-wide median's
+    // integer floor. Every step is exact-integer, so it replays anywhere.
+    "q_sql_cte" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""WITH per_source AS (
+               |  SELECT source AS src, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+               |  FROM documents GROUP BY source),
+               |big AS (
+               |  SELECT src, n_docs, total_chars FROM per_source
+               |  WHERE total_chars > (SELECT AVG(total_chars) FROM per_source))
+               |SELECT src, n_docs, total_chars, AVG(n_chars) AS avg_chars
+               |FROM documents
+               |JOIN big ON source = src
+               |GROUP BY src, n_docs, total_chars
+               |ORDER BY total_chars DESC, src;""".stripMargin)
+    }),
     // uncorrelated scalar subquery end-to-end: AVG over an integral column
     // is an exact long-sum/count division, so the threshold replays
     // bit-identically cross-engine and row membership is stable
@@ -1083,6 +1156,18 @@ object SqlQueries {
   val oracles: Map[String, String] = Map(
     "q_sql_select" ->
       "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'",
+    "q_sql_cte" ->
+      """WITH per_source AS (
+        |  SELECT source AS src, count(*) AS n_docs,
+        |   CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY source),
+        |big AS (
+        |  SELECT src, n_docs, total_chars FROM per_source
+        |  WHERE total_chars > (SELECT avg(total_chars) FROM per_source))
+        |SELECT src, n_docs, total_chars, avg(n_chars) AS avg_chars
+        |FROM documents JOIN big ON source = src
+        |GROUP BY 1, 2, 3
+        |ORDER BY total_chars DESC, src""".stripMargin,
     "q_sql_distance" ->
       s"""WITH fp AS (${Similarity.fpSql})
          |SELECT doc_id, CAST(bit_count(xor(fp, 123456789)) AS INTEGER) AS dist

@@ -38,6 +38,22 @@ def canon(rows, cols):
     return sorted(out)
 
 fails = 0
+
+# Hard-fail on queries that THREW during the dump (Verify writes the list):
+# a throwing query is otherwise simply absent from the compare, which is
+# exactly how the round-6 events.ts regression went unnoticed locally.
+import os
+failed_path = f"{outdir}/failed.txt"
+if os.path.exists(failed_path):
+    for name in open(failed_path).read().split():
+        print(f"{name:24s} THREW during Verify dump !!")
+        fails += 1
+# ...and on oracle keys with no dumped result directory at all
+dumped = {d.split("/")[-1] for d in glob.glob(f"{outdir}/q_*")}
+for name in sorted(set(oracles) - dumped):
+    print(f"{name:24s} MISSING from dump (oracle exists, no parquet) !!")
+    fails += 1
+
 for d in sorted(glob.glob(f"{outdir}/q_*")):
     name = d.split("/")[-1]
     got_rel = con.sql(f"SELECT * FROM '{d}/*.parquet'")

@@ -104,7 +104,13 @@ object Stress {
     // SemDeDup: sampled fit is constant, assign is map-side-combined,
     // within-cluster pairs bounded by maxPerCell — per-vector cost must
     // stay flat as n and k grow together (fixed target cell size)
-    "q_semdedup")
+    "q_semdedup",
+    // round-7 additions: the RANGE-frame rolling window (per-user sort +
+    // frame scan — output and cost are per-row, so the ratio must track
+    // the row ratio), the vocabulary-sized JS self-join (replication's
+    // token bijection grows the vocab ~N×, pairs stay sources²), and the
+    // key-skew profile (key-cardinality shuffle + single-row percentile)
+    "q_rolling_7d", "q_js_div", "q_key_skew")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.get("SPARK_GRAFT_STRESS_N").flatMap(_.toIntOption).getOrElse(10)

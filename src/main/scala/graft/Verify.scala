@@ -16,13 +16,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // a throwing query must not be silently absent from the compare (the
+    // round-6 events regression hid exactly this way): persist the failure
+    // list for dev/oracle_check.py to turn into a hard gate failure
+    Files.writeString(Paths.get(s"$outDir/failed.txt"),
+      failed.sorted.mkString("", "\n", if (failed.isEmpty) "" else "\n"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

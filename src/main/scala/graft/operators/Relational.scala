@@ -879,7 +879,61 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("ms"), col("n_7d"), col("sum_7d"))
   }
 
+  /** Event-type transition matrix (first-order Markov behavior card):
+    * counts and row-normalized probabilities of consecutive event-type
+    * pairs per user — the standard session-flow diagnostic (a spike in
+    * purchase→purchase means retry storms; view→signup measures flow
+    * direction). Scale shape: one user_id-keyed window pass produces the
+    * (from, to) pairs, then a partial-combined count into a |types|²-row
+    * matrix; the row totals join is dimension-sized and broadcast. p is
+    * one IEEE division of exact int64s, shipped unrounded. Total order
+    * within a user: (ms, event_id) — the unique id breaks ms ties so the
+    * lag is deterministic cross-engine. */
+  private def transitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val pairs = EventTime.withMs(Tables.events(s, d))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("row_total"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n") * lit(1.0) / col("row_total")).as("p"))
+  }
+
+  /** Interval-concurrency sweep: line items pending shipment per day —
+    * how many [o_orderdate, l_shipdate] intervals cover each calendar day
+    * with a boundary change. The classic overlap count (concurrent
+    * sessions, open connections, WIP inventory) that a per-day
+    * interval-containment join would turn into a range-join blowup;
+    * the sweep is two boundary rows per interval instead.
+    * Scale shape: one keyed fact-fact join attaches the order date, then
+    * ±1 boundary deltas aggregate partial-combined to ONE row per
+    * distinct date (dimension-sized — a few thousand whatever the
+    * corpus), and only that tiny relation pays the ordered running-sum
+    * window; the corpus-sized data is never globally sorted. Exact
+    * integer counts throughout. */
+  private def inTransit(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    val deltas = iv.select(to_date(col("o_orderdate")).as("day"), lit(1L).as("delta"))
+      .unionAll(iv.select(date_add(to_date(col("l_shipdate")), 1).as("day"),
+        lit(-1L).as("delta")))
+      .groupBy(col("day")).agg(sum(col("delta")).as("net"))
+    import org.apache.spark.sql.expressions.Window
+    deltas
+      .withColumn("pending",
+        sum(col("net")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("net"), col("pending"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_transitions" -> transitions _,
+    "q_in_transit" -> inTransit _,
     "q_key_skew" -> keySkew _,
     "q_rolling_7d" -> rolling7d _,
     "q_upsert" -> upsert _,
@@ -935,6 +989,37 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_transitions" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+        |pairs AS (
+        | SELECT lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ms, event_id) AS from_type,
+        |  event_type AS to_type
+        | FROM e),
+        |cnt AS (
+        | SELECT from_type, to_type, count(*) AS n FROM pairs
+        | WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        | SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+        | FROM cnt GROUP BY 1)
+        |SELECT cnt.from_type, to_type, n, n * 1.0 / row_total AS p
+        |FROM cnt JOIN tot ON cnt.from_type = tot.from_type""".stripMargin,
+    "q_in_transit" ->
+      """WITH iv AS (
+        | SELECT o_orderdate, l_shipdate
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deltas AS (
+        | SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM iv
+        |  UNION ALL
+        |  SELECT CAST(l_shipdate AS DATE) + 1 AS day, -1 AS delta FROM iv)
+        | GROUP BY day)
+        |SELECT day, net,
+        | CAST(sum(net) OVER (ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS pending
+        |FROM deltas""".stripMargin,
     "q_key_skew" ->
       """WITH pk AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
         |SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS total,

@@ -54,6 +54,29 @@ class TextStatsSpec extends SparkTestBase {
     assert(share > 0 && share <= 1.0)
   }
 
+  test("transition matrix rows are probability distributions") {
+    val rows = SparkEntry.queries("q_transitions")(spark, sfDir)
+      .groupBy(col("from_type"))
+      .agg(sum(col("p")).as("row_p"), sum(col("n")).as("row_n")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("row_p") - 1.0) < 1e-9,
+        s"row ${r.get(0)} probabilities sum to ${r.get(1)}")
+    }
+  }
+
+  test("interval sweep: concurrency never negative, closes to zero") {
+    val rows = SparkEntry.queries("q_in_transit")(spark, sfDir)
+      .orderBy(col("day")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("pending") >= 0,
+      s"negative concurrency on ${r.get(0)}"))
+    // every opened interval eventually closes: the sweep ends at zero
+    assert(rows.last.getAs[Long]("pending") == 0L)
+    // and the deltas sum to zero globally (2 boundaries per interval)
+    assert(rows.map(_.getAs[Long]("net")).sum == 0L)
+  }
+
   test("rolling 7d frame always contains the current row and never the future") {
     val df = SparkEntry.queries("q_rolling_7d")(spark, sfDir)
     assert(df.filter(col("n_7d") < 1).isEmpty, "frame lost its own row")

@@ -931,7 +931,27 @@ object Relational {
       .select(col("day"), col("net"), col("pending"))
   }
 
+  /** Trailing 7-day active users (WAU) per day — the canonical engagement
+    * metric, and the textbook case where the naive shape (a per-day
+    * self-join against a 7-day range) explodes at scale. Scalable shape:
+    * the corpus collapses to DISTINCT (user, active-day) first
+    * (users·days-sized, corpus-size-independent), each row then fans out
+    * to exactly the 7 window-end days it contributes to (a bounded
+    * explode — output is 7× a dimension-sized relation, not a range
+    * join), and a distinct-count per window day finishes partial-combined.
+    * Exact integers end to end. */
+  private def wau(s: SparkSession, d: String): DataFrame = {
+    val ud = EventTime.withMs(Tables.events(s, d))
+      .select(col("user_id"), expr("ms div 86400000").as("day"))
+      .distinct()
+    ud.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + lit(6))).as("wday"))
+      .distinct()
+      .groupBy(col("wday")).agg(count(lit(1)).as("wau"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_wau" -> wau _,
     "q_transitions" -> transitions _,
     "q_in_transit" -> inTransit _,
     "q_key_skew" -> keySkew _,
@@ -989,6 +1009,13 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_wau" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |uw AS (
+        | SELECT DISTINCT user_id, day + g.i AS wday
+        | FROM ud CROSS JOIN (SELECT unnest(range(7)) AS i) g)
+        |SELECT wday, count(*) AS wau FROM uw GROUP BY wday""".stripMargin,
     "q_transitions" ->
       """WITH e AS (
         | SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),

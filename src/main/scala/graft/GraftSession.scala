@@ -7,9 +7,11 @@ import org.apache.spark.sql.SparkSession
   * Design notes (100 TB target):
   *  - AQE on: runtime partition coalescing + skew-join splitting.
   *  - shuffle partitions from env (32 locally; ~2-3x cores on a cluster).
-  *  - `nanosAsLong`: the `events` table carries parquet TIMESTAMP(NANOS),
-  *    which Spark does not map to TimestampType; we read it as epoch-nanos
-  *    LongType and convert explicitly (see operators.Sessionize).
+  *  - `nanosAsLong`: legacy driver drops carried `events.ts` as parquet
+  *    TIMESTAMP(NANOS), which Spark only reads as epoch-nanos LongType
+  *    under this flag; current drops use timestamp[us]. Harmless for the
+  *    latter, and `operators.EventTime` resolves whichever encoding the
+  *    scan actually produced.
   */
 object GraftSession {
   def builder(appName: String = "graft"): SparkSession.Builder = {

@@ -201,6 +201,43 @@ class QueryPlanSpec extends SparkTestBase {
     assert(nlj <= 2, s"unexpected nested loops ($nlj): $p")
   }
 
+  test("interval sweep: only the date-aggregated deltas reach the window") {
+    val p = plan("q_in_transit")
+    // the running sum's Window input must be downstream of the per-day
+    // HashAggregate — the corpus-sized relation is never globally sorted
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, p)
+    assert(p.substring(winIdx).contains("HashAggregate"),
+      "window is not over the aggregated deltas:\n" + p)
+  }
+
+  test("WAU: distinct collapses BEFORE the 7-way explode") {
+    val p = plan("q_wau")
+    val gen = p.indexOf("Generate explode")
+    assert(gen >= 0, p)
+    // below (after, in toString order) the Generate there must be the
+    // (user, day) distinct aggregate — the explode fans out the collapsed
+    // relation, not the raw event stream
+    assert(p.substring(gen).contains("HashAggregate"),
+      "explode is fed by the raw events, not the distinct relation:\n" + p)
+  }
+
+  test("transition matrix: row totals join back broadcast") {
+    val p = plan("q_transitions")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("rolling 7d: one shuffle on user_id, RANGE frame, no self-join") {
+    val p = plan("q_rolling_7d")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("RangeFrame"), p)
+  }
+
+  test("PMI: top-20 selection is a TakeOrdered over the count aggregate") {
+    val p = plan("q_pmi_bigrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("every registered query executes and returns rows at sf0.001") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       try {

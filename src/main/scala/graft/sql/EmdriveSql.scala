@@ -39,8 +39,11 @@ import graft.sources.SchemaMapper
   *                    operand | operand [NOT] IN (lit, … | SELECT …)
   *                    | operand [NOT] BETWEEN lo AND hi
   *                    | operand [NOT] LIKE 'pattern'
-  *                    and operand := col | lit | col @ probe
+  *                    and operand := mul (('+'|'-') mul)*,
+  *                    mul := atom (('*'|'/') atom)*, atom := col | lit
+  *                    | col @ probe | '(' operand ')'
   *                    | (SELECT …)   (uncorrelated scalar subquery)
+  *                    — arithmetic also as a select item: expr AS a
   *     [GROUP BY col [, …]] [HAVING pred-over-output-names]
   *     [ORDER BY col [ASC|DESC] [, …]] [LIMIT n] [OFFSET m]
   *     (OFFSET requires ORDER BY — unordered pagination is
@@ -116,7 +119,7 @@ object EmdriveSql {
         out += TWord(input.substring(i, j)); i = j
       } else if ((c == '<' || c == '>' || c == '!') && peek(1) == '=') {
         out += TSym(s"$c="); i += 2
-      } else if ("(),;*@=<>-".indexOf(c) >= 0) {
+      } else if ("(),;*@=<>-+/".indexOf(c) >= 0) {
         out += TSym(c.toString); i += 1
       } else throw new IllegalArgumentException(s"unexpected character '$c' in: $input")
     }
@@ -136,6 +139,10 @@ object EmdriveSql {
   sealed trait SelectItem
   case object Star extends SelectItem
   final case class ColItem(name: String, alias: Option[String]) extends SelectItem
+  /** An arithmetic/computed select item (`price * (1 - disc) AS net`) —
+    * mandatory alias (the output name must be explicit), attached pre-WHERE
+    * so predicates can reference it like any other alias. */
+  final case class ExprItem(op: Operand, alias: String) extends SelectItem
   final case class DistItem(column: String, probe: Value, alias: String) extends SelectItem
   /** COUNT/SUM/AVG/MIN/MAX over a column (or `*` for COUNT). Output name
     * defaults to `count` / `<func>_<col>` when no alias is given. */
@@ -160,6 +167,13 @@ object EmdriveSql {
     * 0 rows → NULL (ANSI), >1 rows → error, enforced by a bounded
     * 2-row driver pre-pass. */
   final case class OSub(sub: Select) extends Operand
+  /** lhs (+|-|*|/) rhs — arithmetic over columns/literals/subqueries with
+    * standard precedence (* / over + -, parens group; graft extension).
+    * Lowered 1:1 onto Column arithmetic, so expressions stay inside
+    * whole-stage codegen and comparison predicates over them remain
+    * Catalyst-optimizable. Division follows engine float semantics
+    * (int / int is a double, as in DuckDB). No unary minus: write 0 - x. */
+  final case class OArith(lhs: Operand, op: String, rhs: Operand) extends Operand
   final case class Cmp(lhs: Operand, op: String, rhs: Operand)
 
   /** Boolean predicate tree (graft extension — the reference grammar is an
@@ -464,23 +478,56 @@ object EmdriveSql {
       val alias = if (p.tryWord("AS")) Some(p.ident()) else None
       AggItem(f.toUpperCase, arg, alias)
     case _ if p.trySym("*") => Star
-    case _ => {
-      val name = p.ident()
-      if (p.trySym("@")) {
-        val probe = p.value()
+    case _ => parseOperand(p) match {
+      // a bare `col @ probe` keeps its dedicated item (mandatory alias,
+      // the README story's shape); inside arithmetic it is a plain atom
+      case ODist(name, probe) =>
         p.eatWord("AS")
         DistItem(name, probe, p.ident())
-      } else if (p.tryWord("AS")) ColItem(name, Some(p.ident()))
-      else ColItem(name, None)
+      case ORef(name) =>
+        if (p.tryWord("AS")) ColItem(name, Some(p.ident())) else ColItem(name, None)
+      case other =>
+        p.eatWord("AS") // computed items must name their output
+        ExprItem(other, p.ident())
     }
   }
 
-  private def parseOperand(p: P): Operand = p.toks match {
+  /** operand := mul (('+'|'-') mul)*; mul := atom (('*'|'/') atom)*;
+    * atom := '(' SELECT … ')' | '(' operand ')' | col [@ probe] | lit —
+    * standard arithmetic precedence, left-assoc. */
+  private def parseOperand(p: P): Operand = {
+    var l = parseMul(p)
+    var more = true
+    while (more) {
+      if (p.trySym("+")) l = OArith(l, "+", parseMul(p))
+      else if (p.trySym("-")) l = OArith(l, "-", parseMul(p))
+      else more = false
+    }
+    l
+  }
+
+  private def parseMul(p: P): Operand = {
+    var l = parseAtom(p)
+    var more = true
+    while (more) {
+      if (p.trySym("*")) l = OArith(l, "*", parseAtom(p))
+      else if (p.trySym("/")) l = OArith(l, "/", parseAtom(p))
+      else more = false
+    }
+    l
+  }
+
+  private def parseAtom(p: P): Operand = p.toks match {
     case TSym("(") :: TWord(w) :: _ if w.equalsIgnoreCase("SELECT") =>
       p.eatSym("("); p.eatWord("SELECT")
       val sub = parseSelect(p)
       p.eatSym(")")
       OSub(sub)
+    case TSym("(") :: _ =>
+      p.eatSym("(")
+      val inner = parseOperand(p)
+      p.eatSym(")")
+      inner
     case TWord(w) :: _ if !Keywords.contains(w.toUpperCase) =>
       val name = p.ident()
       if (p.trySym("@")) ODist(name, p.value()) else ORef(name)
@@ -729,6 +776,7 @@ final class EmdriveSession(spark: SparkSession) {
         case DistItem(c, probe, alias) => df = df.withColumn(alias, distCol(base, c, probe))
         case ColItem(c, Some(alias)) => df = df.withColumn(alias, col(c))
         case it: CaseItem => df = df.withColumn(it.alias, caseCol(base, it))
+        case ExprItem(o, alias) => df = df.withColumn(alias, operandCol(base, o))
         case _ => ()
       }
       // 2a. IN (SELECT …) pre-pass: each subquery becomes a left-outer
@@ -770,10 +818,12 @@ final class EmdriveSession(spark: SparkSession) {
           items.foreach {
             case ColItem(c, _) => require(groupBy.contains(c),
               s"column $c must appear in GROUP BY")
-            // a CASE alias may be a group key (the bucketing idiom:
-            // GROUP BY the computed bucket) — it was attached pre-agg
+            // a CASE or computed alias may be a group key (the bucketing
+            // idiom: GROUP BY the computed bucket) — it was attached pre-agg
             case it: CaseItem => require(groupBy.contains(it.alias),
               s"CASE alias ${it.alias} must appear in GROUP BY")
+            case it: ExprItem => require(groupBy.contains(it.alias),
+              s"expression alias ${it.alias} must appear in GROUP BY")
             case Star => throw new IllegalArgumentException(
               "SELECT * cannot be combined with aggregates/GROUP BY")
             case d: DistItem => throw new IllegalArgumentException(
@@ -787,6 +837,7 @@ final class EmdriveSession(spark: SparkSession) {
           agged.select(items.map {
             case ColItem(c, alias) => col(c).as(alias.getOrElse(c))
             case it: CaseItem => col(it.alias)
+            case it: ExprItem => col(it.alias)
             case AggItem(f, arg, alias) => col(aggAlias(f, arg, alias))
             case other => throw new IllegalStateException(other.toString)
           }: _*)
@@ -796,6 +847,7 @@ final class EmdriveSession(spark: SparkSession) {
             case ColItem(c, alias) => Seq(col(alias.getOrElse(c)))
             case DistItem(_, _, alias) => Seq(col(alias))
             case CaseItem(_, _, alias) => Seq(col(alias))
+            case ExprItem(_, alias) => Seq(col(alias))
             case other => throw new IllegalStateException(other.toString)
           }: _*)
         }
@@ -938,6 +990,14 @@ final class EmdriveSession(spark: SparkSession) {
     // ANSI comparison-with-NULL: yields NULL, so WHERE drops the row
     case OVal(VNull) => lit(null)
     case OVal(f: VFunc) => funcCol(f)
+    case OArith(lhs, op, rhs) =>
+      val (l, r) = (operandCol(base, lhs), operandCol(base, rhs))
+      op match {
+        case "+" => l + r
+        case "-" => l - r
+        case "*" => l * r
+        case "/" => l / r
+      }
   }
 
   private def cmpCol(base: DataFrame, cmp: Cmp): Column = {
@@ -1093,6 +1153,20 @@ object SqlQueries {
       es.sql("""SELECT doc_id, source, n_chars FROM documents
                |ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 40;""".stripMargin)
     }),
+    // arithmetic end-to-end: the TPC-H revenue formula as a computed
+    // select item, referenced again in WHERE and ORDER BY. Per-row
+    // double arithmetic is the same two IEEE ops in both engines, so
+    // membership and values replay bit-identically unrounded.
+    "q_sql_arith" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("lineitem", Tables.lineitem(s, d))
+      es.sql("""SELECT l_orderkey, l_linenumber,
+               | l_extendedprice * (1 - l_discount) AS net,
+               | l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross
+               |FROM lineitem
+               |WHERE net > 90000 AND l_discount > 0
+               |ORDER BY net DESC, l_orderkey, l_linenumber LIMIT 100;""".stripMargin)
+    }),
     // CTE end-to-end: a two-step WITH where the second cte reads the
     // first (forward scoping) and the body joins a cte against a base
     // table — per-source char totals bucketed by the corpus-wide median's
@@ -1156,6 +1230,13 @@ object SqlQueries {
   val oracles: Map[String, String] = Map(
     "q_sql_select" ->
       "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'",
+    "q_sql_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_extendedprice * (1 - l_discount) AS net,
+        | l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross
+        |FROM lineitem
+        |WHERE l_extendedprice * (1 - l_discount) > 90000 AND l_discount > 0
+        |ORDER BY net DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
     "q_sql_cte" ->
       """WITH per_source AS (
         |  SELECT source AS src, count(*) AS n_docs,

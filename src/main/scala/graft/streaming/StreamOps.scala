@@ -70,6 +70,23 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Sliding 7-day active users (the streaming twin of batch q_wau, D21):
+    * 7-day windows advancing daily, each carrying an HLL distinct-user
+    * sketch. Exact sliding distinct is not incrementally expressible in a
+    * stream (a user's previous appearance inside the window would need
+    * unbounded lookback); the mergeable constant-size sketch is the
+    * correct 100 TB semantics, and `approx_count_distinct`'s partial
+    * state merges across executors and triggers like any other partial
+    * agg. State is O(open windows) × sketch size, evicted by the
+    * watermark; rsd 2% mirrors the batch approx-distinct discipline. */
+  def slidingActiveUsers(events: DataFrame,
+      watermark: String = "8 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "7 days", "1 day").as("w"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("active_users"))
+      .select(col("w.end").as("window_end"), col("active_users"))
+
   /** Streaming MinHash-LSH near-dup detection: each arriving document's
     * 16 band hashes (64-perm MinHash, the same graft.functions kernel the
     * batch path uses) key a state store of doc-ids previously seen in that

@@ -43,7 +43,10 @@ import graft.sources.SchemaMapper
   *                    mul := atom (('*'|'/') atom)*, atom := col | lit
   *                    | col @ probe | '(' operand ')'
   *                    | (SELECT …)   (uncorrelated scalar subquery)
-  *                    — arithmetic also as a select item: expr AS a
+  *                    — arithmetic also as a select item: expr AS a,
+  *                    and over aggregates in aggregating selects:
+  *                    SUM(a) / COUNT(*) AS r (atoms: agg calls, group
+  *                    keys, literals, scalar subqueries)
   *     [GROUP BY col [, …]] [HAVING pred-over-output-names]
   *     [ORDER BY col [ASC|DESC] [, …]] [LIMIT n] [OFFSET m]
   *     (OFFSET requires ORDER BY — unordered pagination is
@@ -143,6 +146,10 @@ object EmdriveSql {
     * mandatory alias (the output name must be explicit), attached pre-WHERE
     * so predicates can reference it like any other alias. */
   final case class ExprItem(op: Operand, alias: String) extends SelectItem
+  /** Arithmetic over aggregates and group keys (`SUM(a)/SUM(b) AS r`) —
+    * mandatory alias; evaluated AFTER the aggregation, unlike ExprItem
+    * which attaches pre-WHERE. */
+  final case class AggExprItem(op: Operand, alias: String) extends SelectItem
   final case class DistItem(column: String, probe: Value, alias: String) extends SelectItem
   /** COUNT/SUM/AVG/MIN/MAX over a column (or `*` for COUNT). Output name
     * defaults to `count` / `<func>_<col>` when no alias is given. */
@@ -174,6 +181,11 @@ object EmdriveSql {
     * Catalyst-optimizable. Division follows engine float semantics
     * (int / int is a double, as in DuckDB). No unary minus: write 0 - x. */
   final case class OArith(lhs: Operand, op: String, rhs: Operand) extends Operand
+  /** An aggregate call as an arithmetic atom (`SUM(a) / COUNT(*)`): only
+    * valid inside an aggregating SELECT's items — the lowering computes
+    * each distinct (func, arg) once and the expression reads the result;
+    * anywhere else (WHERE, CASE, subquery) it is rejected at lowering. */
+  final case class OAgg(func: String, arg: Option[String]) extends Operand
   final case class Cmp(lhs: Operand, op: String, rhs: Operand)
 
   /** Boolean predicate tree (graft extension — the reference grammar is an
@@ -470,13 +482,6 @@ object EmdriveSql {
       p.eatWord("END")
       p.eatWord("AS") // mandatory: the output name must be explicit
       CaseItem(branches.toSeq, elseV, p.ident())
-    case TWord(f) :: TSym("(") :: _ if AggFuncs(f.toUpperCase) =>
-      p.toks = p.toks.tail.tail
-      val arg = if (p.trySym("*")) None else Some(p.ident())
-      p.eatSym(")")
-      require(arg.nonEmpty || f.equalsIgnoreCase("count"), s"$f(*) is not valid; only COUNT(*)")
-      val alias = if (p.tryWord("AS")) Some(p.ident()) else None
-      AggItem(f.toUpperCase, arg, alias)
     case _ if p.trySym("*") => Star
     case _ => parseOperand(p) match {
       // a bare `col @ probe` keeps its dedicated item (mandatory alias,
@@ -486,10 +491,24 @@ object EmdriveSql {
         DistItem(name, probe, p.ident())
       case ORef(name) =>
         if (p.tryWord("AS")) ColItem(name, Some(p.ident())) else ColItem(name, None)
+      // a bare aggregate call keeps its dedicated item (optional alias,
+      // aggAlias default naming); arithmetic CONTAINING one becomes a
+      // post-aggregation expression item
+      case OAgg(f, arg) =>
+        val alias = if (p.tryWord("AS")) Some(p.ident()) else None
+        AggItem(f, arg, alias)
       case other =>
         p.eatWord("AS") // computed items must name their output
-        ExprItem(other, p.ident())
+        if (aggAtoms(other).nonEmpty) AggExprItem(other, p.ident())
+        else ExprItem(other, p.ident())
     }
+  }
+
+  /** All aggregate atoms inside an operand tree. */
+  private[sql] def aggAtoms(o: Operand): Seq[OAgg] = o match {
+    case a: OAgg => Seq(a)
+    case OArith(l, _, r) => aggAtoms(l) ++ aggAtoms(r)
+    case _ => Seq.empty
   }
 
   /** operand := mul (('+'|'-') mul)*; mul := atom (('*'|'/') atom)*;
@@ -523,6 +542,13 @@ object EmdriveSql {
       val sub = parseSelect(p)
       p.eatSym(")")
       OSub(sub)
+    case TWord(f) :: TSym("(") :: _ if AggFuncs(f.toUpperCase) =>
+      p.toks = p.toks.tail.tail
+      val arg = if (p.trySym("*")) None else Some(p.ident())
+      p.eatSym(")")
+      require(arg.nonEmpty || f.equalsIgnoreCase("count"),
+        s"$f(*) is not valid; only COUNT(*)")
+      OAgg(f.toUpperCase, arg)
     case TSym("(") :: _ =>
       p.eatSym("(")
       val inner = parseOperand(p)
@@ -811,7 +837,8 @@ final class EmdriveSession(spark: SparkSession) {
       // 2. WHERE — plain column equality lands in the scan's PushedFilters;
       //    applies PRE-aggregation (no HAVING in this dialect)
       where.foreach(pred => df = df.filter(predCol(base, pred, subPreds)))
-      val hasAgg = items.exists(_.isInstanceOf[AggItem])
+      val hasAgg = items.exists(i =>
+        i.isInstanceOf[AggItem] || i.isInstanceOf[AggExprItem])
       // 3. aggregation (graft extension) or plain SELECT-list projection
       var out: DataFrame =
         if (hasAgg || groupBy.nonEmpty) {
@@ -829,16 +856,46 @@ final class EmdriveSession(spark: SparkSession) {
             case d: DistItem => throw new IllegalArgumentException(
               s"distance item ${d.alias} cannot be combined with aggregates/GROUP BY")
             case _: AggItem => ()
+            case _: AggExprItem => ()
           }
-          val aggs = items.collect { case AggItem(f, arg, alias) =>
+          val plain = items.collect { case AggItem(f, arg, alias) =>
             aggColumn(f, arg).as(aggAlias(f, arg, alias)) }
+          // each distinct aggregate atom inside expressions computes ONCE
+          // under its canonical name, reused by every expression — unless
+          // a plain item already emits that exact column
+          val plainNames = items.collect {
+            case AggItem(f, arg, alias) => aggAlias(f, arg, alias) }.toSet
+          val exprAggs = items
+            .collect { case AggExprItem(o, _) => aggAtoms(o) }.flatten.distinct
+            .collect { case OAgg(f, arg) if !plainNames(aggAlias(f, arg, None)) =>
+              aggColumn(f, arg).as(aggAlias(f, arg, None)) }
+          val aggs = plain ++ exprAggs
           require(aggs.nonEmpty, "GROUP BY requires at least one aggregate")
           val agged = df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          // post-aggregation expression evaluation: aggregate atoms read
+          // their computed columns, ORefs read group keys, literals stay
+          def aggExprCol(o: Operand): Column = o match {
+            case OAgg(f, arg) => col(aggAlias(f, arg, None))
+            case ORef(n) => col(n)
+            case OVal(VNum(s)) => if (s.contains('.')) lit(s.toDouble) else lit(s.toLong)
+            case s: OSub => operandCol(base, s) // scalar subquery: already a literal
+            case OArith(l, op, r) =>
+              val (lc, rc) = (aggExprCol(l), aggExprCol(r))
+              op match {
+                case "+" => lc + rc
+                case "-" => lc - rc
+                case "*" => lc * rc
+                case "/" => lc / rc
+              }
+            case other => throw new IllegalArgumentException(
+              s"unsupported term in aggregate expression: $other")
+          }
           agged.select(items.map {
             case ColItem(c, alias) => col(c).as(alias.getOrElse(c))
             case it: CaseItem => col(it.alias)
             case it: ExprItem => col(it.alias)
             case AggItem(f, arg, alias) => col(aggAlias(f, arg, alias))
+            case AggExprItem(o, alias) => aggExprCol(o).as(alias)
             case other => throw new IllegalStateException(other.toString)
           }: _*)
         } else {
@@ -998,6 +1055,8 @@ final class EmdriveSession(spark: SparkSession) {
         case "*" => l * r
         case "/" => l / r
       }
+    case a: OAgg => throw new IllegalArgumentException(
+      s"aggregate ${a.func} is only valid in an aggregating SELECT's items")
   }
 
   private def cmpCol(base: DataFrame, cmp: Cmp): Column = {
@@ -1153,6 +1212,19 @@ object SqlQueries {
       es.sql("""SELECT doc_id, source, n_chars FROM documents
                |ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 40;""".stripMargin)
     }),
+    // aggregate arithmetic end-to-end: per-group ratio (mean via
+    // SUM/COUNT) and a share-of-corpus percentage via a scalar subquery,
+    // with the ratio alias reused in HAVING. Exact-integer sums make the
+    // divisions bitwise cross-engine.
+    "q_sql_agg_expr" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, COUNT(*) AS n, SUM(n_chars) AS total_chars,
+               | SUM(n_chars) / COUNT(*) AS mean_chars,
+               | SUM(n_chars) * 100 / (SELECT SUM(n_chars) FROM documents) AS pct
+               |FROM documents GROUP BY source
+               |HAVING mean_chars > 290 ORDER BY source;""".stripMargin)
+    }),
     // arithmetic end-to-end: the TPC-H revenue formula as a computed
     // select item, referenced again in WHERE and ORDER BY. Per-row
     // double arithmetic is the same two IEEE ops in both engines, so
@@ -1230,6 +1302,12 @@ object SqlQueries {
   val oracles: Map[String, String] = Map(
     "q_sql_select" ->
       "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'",
+    "q_sql_agg_expr" ->
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | sum(n_chars) / count(*) AS mean_chars,
+        | sum(n_chars) * 100 / (SELECT sum(n_chars) FROM documents) AS pct
+        |FROM documents GROUP BY source
+        |HAVING sum(n_chars) / count(*) > 290 ORDER BY source""".stripMargin,
     "q_sql_arith" ->
       """SELECT l_orderkey, l_linenumber,
         | l_extendedprice * (1 - l_discount) AS net,

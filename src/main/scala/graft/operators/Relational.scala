@@ -950,7 +950,35 @@ object Relational {
       .groupBy(col("wday")).agg(count(lit(1)).as("wau"))
   }
 
+  /** TPC-H Q10 flavor: top-20 customers by revenue lost to returned items
+    * — the standard "who should support call first" report. One keyed
+    * fact-fact join (returned lines ↔ orders; the returnflag filter
+    * prunes ~75% of lineitem AT THE SCAN via parquet pushdown), customer
+    * and nation dims ride broadcast, per-customer revenue partial-combines
+    * before the 20-row TakeOrdered. Revenue through moneySum (exact
+    * decimal) so the ranking is deterministic cross-engine. */
+  private def returnedRevenue(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("vol"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey")).agg(moneySum(col("vol")).as("revenue"))
+    rev
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_returned_revenue" -> returnedRevenue _,
     "q_wau" -> wau _,
     "q_transitions" -> transitions _,
     "q_in_transit" -> inTransit _,
@@ -1009,6 +1037,19 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_returned_revenue" ->
+      """WITH rev AS (
+        | SELECT o_custkey,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE l_returnflag = 'R'
+        | GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, n_name, revenue
+        |FROM rev
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_wau" ->
       """WITH ud AS (
         | SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),

@@ -47,6 +47,12 @@ import graft.sources.SchemaMapper
   *                    and over aggregates in aggregating selects:
   *                    SUM(a) / COUNT(*) AS r (atoms: agg calls, group
   *                    keys, literals, scalar subqueries)
+  *   (ROW_NUMBER|RANK|DENSE_RANK) '()' OVER '(' [PARTITION BY col …]
+  *     ORDER BY col [ASC|DESC] … ')' AS a   (ranking windows; ORDER BY
+  *     and the alias are mandatory. The rank computes over the FROM/JOIN
+  *     relation and WHERE then filters it — i.e. WHERE acts on window
+  *     aliases like DuckDB's QUALIFY, making `WHERE rn <= k` the
+  *     top-k-per-group idiom)
   *     [GROUP BY col [, …]] [HAVING pred-over-output-names]
   *     [ORDER BY col [ASC|DESC] [, …]] [LIMIT n] [OFFSET m]
   *     (OFFSET requires ORDER BY — unordered pagination is
@@ -150,6 +156,14 @@ object EmdriveSql {
     * mandatory alias; evaluated AFTER the aggregation, unlike ExprItem
     * which attaches pre-WHERE. */
   final case class AggExprItem(op: Operand, alias: String) extends SelectItem
+  /** ROW_NUMBER()/RANK()/DENSE_RANK() OVER (PARTITION BY … ORDER BY …) AS a
+    * — ranking window functions (graft extension). Mandatory alias AND
+    * mandatory ORDER BY (an unordered rank is nondeterministic, refused
+    * like unordered OFFSET). Attached pre-WHERE, so `WHERE rn <= k` is
+    * the SQL top-k-per-group idiom — Catalyst turns the filter into
+    * map-side WindowGroupLimit pruning before the rank shuffle. */
+  final case class WinItem(func: String, partitionBy: Seq[String],
+      orderBy: Seq[OrderKey], alias: String) extends SelectItem
   final case class DistItem(column: String, probe: Value, alias: String) extends SelectItem
   /** COUNT/SUM/AVG/MIN/MAX over a column (or `*` for COUNT). Output name
     * defaults to `count` / `<func>_<col>` when no alias is given. */
@@ -296,9 +310,11 @@ object EmdriveSql {
     "BETWEEN",
     "GROUP", "BY", "HAVING", "ORDER", "LIMIT", "OFFSET", "ASC", "DESC",
     "NULL", "TRUE", "FALSE", "SHOW", "TABLES", "DESCRIBE", "JOIN", "ON",
-    "EXPLAIN", "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "ALL", "WITH")
+    "EXPLAIN", "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "ALL", "WITH",
+    "OVER", "PARTITION")
 
   private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
+  private val WinFuncs = Set("ROW_NUMBER", "RANK", "DENSE_RANK")
 
   /** SELECT … [UNION [ALL] SELECT …]* — the shared select-chain shape used
     * at top level, inside EXPLAIN, and as every CTE body. A single SELECT
@@ -482,6 +498,29 @@ object EmdriveSql {
       p.eatWord("END")
       p.eatWord("AS") // mandatory: the output name must be explicit
       CaseItem(branches.toSeq, elseV, p.ident())
+    case TWord(f) :: TSym("(") :: TSym(")") :: _ if WinFuncs(f.toUpperCase) =>
+      p.toks = p.toks.tail.tail.tail
+      p.eatWord("OVER")
+      p.eatSym("(")
+      val parts = if (p.tryWord("PARTITION")) {
+        p.eatWord("BY")
+        val cs = mutable.ListBuffer(p.ident())
+        while (p.trySym(",")) cs += p.ident()
+        cs.toSeq
+      } else Seq.empty
+      // mandatory: an unordered rank is nondeterministic, same doctrine
+      // as OFFSET without ORDER BY
+      p.eatWord("ORDER"); p.eatWord("BY")
+      def wkey(): OrderKey = {
+        val name = p.ident()
+        val desc = p.tryWord("DESC") || { p.tryWord("ASC"); false }
+        OrderKey(name, desc)
+      }
+      val keys = mutable.ListBuffer(wkey())
+      while (p.trySym(",")) keys += wkey()
+      p.eatSym(")")
+      p.eatWord("AS")
+      WinItem(f.toUpperCase, parts, keys.toSeq, p.ident())
     case _ if p.trySym("*") => Star
     case _ => parseOperand(p) match {
       // a bare `col @ probe` keeps its dedicated item (mandatory alias,
@@ -803,6 +842,16 @@ final class EmdriveSession(spark: SparkSession) {
         case ColItem(c, Some(alias)) => df = df.withColumn(alias, col(c))
         case it: CaseItem => df = df.withColumn(it.alias, caseCol(base, it))
         case ExprItem(o, alias) => df = df.withColumn(alias, operandCol(base, o))
+        case WinItem(f, parts, keys, alias) =>
+          import org.apache.spark.sql.expressions.Window
+          val spec = Window.partitionBy(parts.map(col): _*)
+            .orderBy(keys.map(k => if (k.desc) col(k.name).desc else col(k.name).asc): _*)
+          val fn = f match {
+            case "ROW_NUMBER" => row_number()
+            case "RANK" => rank()
+            case "DENSE_RANK" => dense_rank()
+          }
+          df = df.withColumn(alias, fn.over(spec))
         case _ => ()
       }
       // 2a. IN (SELECT …) pre-pass: each subquery becomes a left-outer
@@ -857,6 +906,8 @@ final class EmdriveSession(spark: SparkSession) {
               s"distance item ${d.alias} cannot be combined with aggregates/GROUP BY")
             case _: AggItem => ()
             case _: AggExprItem => ()
+            case w: WinItem => throw new IllegalArgumentException(
+              s"window item ${w.alias} cannot be combined with aggregates/GROUP BY")
           }
           val plain = items.collect { case AggItem(f, arg, alias) =>
             aggColumn(f, arg).as(aggAlias(f, arg, alias)) }
@@ -905,6 +956,7 @@ final class EmdriveSession(spark: SparkSession) {
             case DistItem(_, _, alias) => Seq(col(alias))
             case CaseItem(_, _, alias) => Seq(col(alias))
             case ExprItem(_, alias) => Seq(col(alias))
+            case WinItem(_, _, _, alias) => Seq(col(alias))
             case other => throw new IllegalStateException(other.toString)
           }: _*)
         }
@@ -1212,6 +1264,19 @@ object SqlQueries {
       es.sql("""SELECT doc_id, source, n_chars FROM documents
                |ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 40;""".stripMargin)
     }),
+    // ranking window end-to-end: top-3 longest docs per source via the
+    // WHERE-as-QUALIFY idiom; the (n_chars DESC, doc_id) key is a total
+    // order so ranks replay exactly cross-engine
+    "q_sql_window" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, doc_id, n_chars,
+               | ROW_NUMBER() OVER (PARTITION BY source
+               |   ORDER BY n_chars DESC, doc_id) AS rn
+               |FROM documents
+               |WHERE rn <= 3
+               |ORDER BY source, rn;""".stripMargin)
+    }),
     // aggregate arithmetic end-to-end: per-group ratio (mean via
     // SUM/COUNT) and a share-of-corpus percentage via a scalar subquery,
     // with the ratio alias reused in HAVING. Exact-integer sums make the
@@ -1302,6 +1367,14 @@ object SqlQueries {
   val oracles: Map[String, String] = Map(
     "q_sql_select" ->
       "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'",
+    "q_sql_window" ->
+      """WITH r AS (
+        | SELECT source, doc_id, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rn
+        | FROM documents)
+        |SELECT source, doc_id, n_chars, rn FROM r
+        |WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
     "q_sql_agg_expr" ->
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         | sum(n_chars) / count(*) AS mean_chars,

@@ -53,6 +53,8 @@ import graft.sources.SchemaMapper
   *     relation and WHERE then filters it — i.e. WHERE acts on window
   *     aliases like DuckDB's QUALIFY, making `WHERE rn <= k` the
   *     top-k-per-group idiom)
+  *   agg '(' (*|col) ')' OVER '(' … ')' AS a   (window aggregates —
+  *     running totals; ordered, so the ANSI default RANGE frame applies)
   *     [GROUP BY col [, …]] [HAVING pred-over-output-names]
   *     [ORDER BY col [ASC|DESC] [, …]] [LIMIT n] [OFFSET m]
   *     (OFFSET requires ORDER BY — unordered pagination is
@@ -156,14 +158,19 @@ object EmdriveSql {
     * mandatory alias; evaluated AFTER the aggregation, unlike ExprItem
     * which attaches pre-WHERE. */
   final case class AggExprItem(op: Operand, alias: String) extends SelectItem
-  /** ROW_NUMBER()/RANK()/DENSE_RANK() OVER (PARTITION BY … ORDER BY …) AS a
-    * — ranking window functions (graft extension). Mandatory alias AND
-    * mandatory ORDER BY (an unordered rank is nondeterministic, refused
-    * like unordered OFFSET). Attached pre-WHERE, so `WHERE rn <= k` is
-    * the SQL top-k-per-group idiom — Catalyst turns the filter into
-    * map-side WindowGroupLimit pruning before the rank shuffle. */
-  final case class WinItem(func: String, partitionBy: Seq[String],
-      orderBy: Seq[OrderKey], alias: String) extends SelectItem
+  /** ROW_NUMBER()/RANK()/DENSE_RANK() — or an aggregate, SUM(x)/COUNT(*)/
+    * MIN/MAX/AVG — OVER (PARTITION BY … ORDER BY …) AS a: window functions
+    * (graft extension). Mandatory alias AND mandatory ORDER BY (an
+    * unordered rank is nondeterministic, refused like unordered OFFSET;
+    * ordered aggregates use the ANSI default frame, RANGE UNBOUNDED
+    * PRECEDING → CURRENT ROW, identically in Spark and DuckDB). Attached
+    * pre-WHERE, so `WHERE rn <= k` is the SQL top-k-per-group idiom —
+    * Catalyst turns the filter into map-side WindowGroupLimit pruning
+    * before the rank shuffle. `arg` is the aggregate's column (None for
+    * ranking functions and COUNT(*)). */
+  final case class WinItem(func: String, arg: Option[String],
+      partitionBy: Seq[String], orderBy: Seq[OrderKey],
+      alias: String) extends SelectItem
   final case class DistItem(column: String, probe: Value, alias: String) extends SelectItem
   /** COUNT/SUM/AVG/MIN/MAX over a column (or `*` for COUNT). Output name
     * defaults to `count` / `<func>_<col>` when no alias is given. */
@@ -500,27 +507,7 @@ object EmdriveSql {
       CaseItem(branches.toSeq, elseV, p.ident())
     case TWord(f) :: TSym("(") :: TSym(")") :: _ if WinFuncs(f.toUpperCase) =>
       p.toks = p.toks.tail.tail.tail
-      p.eatWord("OVER")
-      p.eatSym("(")
-      val parts = if (p.tryWord("PARTITION")) {
-        p.eatWord("BY")
-        val cs = mutable.ListBuffer(p.ident())
-        while (p.trySym(",")) cs += p.ident()
-        cs.toSeq
-      } else Seq.empty
-      // mandatory: an unordered rank is nondeterministic, same doctrine
-      // as OFFSET without ORDER BY
-      p.eatWord("ORDER"); p.eatWord("BY")
-      def wkey(): OrderKey = {
-        val name = p.ident()
-        val desc = p.tryWord("DESC") || { p.tryWord("ASC"); false }
-        OrderKey(name, desc)
-      }
-      val keys = mutable.ListBuffer(wkey())
-      while (p.trySym(",")) keys += wkey()
-      p.eatSym(")")
-      p.eatWord("AS")
-      WinItem(f.toUpperCase, parts, keys.toSeq, p.ident())
+      parseOverClause(p, f.toUpperCase, None)
     case _ if p.trySym("*") => Star
     case _ => parseOperand(p) match {
       // a bare `col @ probe` keeps its dedicated item (mandatory alias,
@@ -531,8 +518,12 @@ object EmdriveSql {
       case ORef(name) =>
         if (p.tryWord("AS")) ColItem(name, Some(p.ident())) else ColItem(name, None)
       // a bare aggregate call keeps its dedicated item (optional alias,
-      // aggAlias default naming); arithmetic CONTAINING one becomes a
+      // aggAlias default naming) — unless OVER follows, making it a
+      // window aggregate; arithmetic CONTAINING one becomes a
       // post-aggregation expression item
+      case OAgg(f, arg) if p.peekWord("OVER") =>
+        p.eatWord("OVER")
+        parseOverClause(p, f, arg, overEaten = true)
       case OAgg(f, arg) =>
         val alias = if (p.tryWord("AS")) Some(p.ident()) else None
         AggItem(f, arg, alias)
@@ -541,6 +532,32 @@ object EmdriveSql {
         if (aggAtoms(other).nonEmpty) AggExprItem(other, p.ident())
         else ExprItem(other, p.ident())
     }
+  }
+
+  /** Shared OVER-clause parse for ranking and aggregate window items. */
+  private def parseOverClause(p: P, func: String, arg: Option[String],
+      overEaten: Boolean = false): WinItem = {
+    if (!overEaten) p.eatWord("OVER")
+    p.eatSym("(")
+    val parts = if (p.tryWord("PARTITION")) {
+      p.eatWord("BY")
+      val cs = mutable.ListBuffer(p.ident())
+      while (p.trySym(",")) cs += p.ident()
+      cs.toSeq
+    } else Seq.empty
+    // mandatory: an unordered rank/frame is nondeterministic, same
+    // doctrine as OFFSET without ORDER BY
+    p.eatWord("ORDER"); p.eatWord("BY")
+    def wkey(): OrderKey = {
+      val name = p.ident()
+      val desc = p.tryWord("DESC") || { p.tryWord("ASC"); false }
+      OrderKey(name, desc)
+    }
+    val keys = mutable.ListBuffer(wkey())
+    while (p.trySym(",")) keys += wkey()
+    p.eatSym(")")
+    p.eatWord("AS")
+    WinItem(func, arg, parts, keys.toSeq, p.ident())
   }
 
   /** All aggregate atoms inside an operand tree. */
@@ -842,7 +859,7 @@ final class EmdriveSession(spark: SparkSession) {
         case ColItem(c, Some(alias)) => df = df.withColumn(alias, col(c))
         case it: CaseItem => df = df.withColumn(it.alias, caseCol(base, it))
         case ExprItem(o, alias) => df = df.withColumn(alias, operandCol(base, o))
-        case WinItem(f, parts, keys, alias) =>
+        case WinItem(f, arg, parts, keys, alias) =>
           import org.apache.spark.sql.expressions.Window
           val spec = Window.partitionBy(parts.map(col): _*)
             .orderBy(keys.map(k => if (k.desc) col(k.name).desc else col(k.name).asc): _*)
@@ -850,6 +867,9 @@ final class EmdriveSession(spark: SparkSession) {
             case "ROW_NUMBER" => row_number()
             case "RANK" => rank()
             case "DENSE_RANK" => dense_rank()
+            // ordered aggregate: ANSI default frame (RANGE unbounded
+            // preceding → current row), same default in DuckDB
+            case agg => aggColumn(agg, arg)
           }
           df = df.withColumn(alias, fn.over(spec))
         case _ => ()
@@ -956,7 +976,7 @@ final class EmdriveSession(spark: SparkSession) {
             case DistItem(_, _, alias) => Seq(col(alias))
             case CaseItem(_, _, alias) => Seq(col(alias))
             case ExprItem(_, alias) => Seq(col(alias))
-            case WinItem(_, _, _, alias) => Seq(col(alias))
+            case WinItem(_, _, _, _, alias) => Seq(col(alias))
             case other => throw new IllegalStateException(other.toString)
           }: _*)
         }
@@ -1277,6 +1297,18 @@ object SqlQueries {
                |WHERE rn <= 3
                |ORDER BY source, rn;""".stripMargin)
     }),
+    // window aggregate end-to-end: per-source running totals (the ANSI
+    // default RANGE frame, identical in both engines); doc_id is unique
+    // per source so the frame boundary is a total order and integer sums
+    // replay exactly
+    "q_sql_running" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, doc_id, n_chars,
+               | SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS run_chars,
+               | COUNT(*) OVER (PARTITION BY source ORDER BY doc_id) AS run_n
+               |FROM documents ORDER BY source, doc_id;""".stripMargin)
+    }),
     // aggregate arithmetic end-to-end: per-group ratio (mean via
     // SUM/COUNT) and a share-of-corpus percentage via a scalar subquery,
     // with the ratio alias reused in HAVING. Exact-integer sums make the
@@ -1367,6 +1399,12 @@ object SqlQueries {
   val oracles: Map[String, String] = Map(
     "q_sql_select" ->
       "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'",
+    "q_sql_running" ->
+      """SELECT source, doc_id, n_chars,
+        | CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+        |   AS BIGINT) AS run_chars,
+        | count(*) OVER (PARTITION BY source ORDER BY doc_id) AS run_n
+        |FROM documents ORDER BY source, doc_id""".stripMargin,
     "q_sql_window" ->
       """WITH r AS (
         | SELECT source, doc_id, n_chars,

@@ -607,7 +607,36 @@ object TextAnalysis {
         round(log(sum(col("c"))) - sum(col("clc")).cast("double") / sum(col("c")), 4)
           .as("entropy"))
 
+  /** Content-defined chunking audit: tile every document into CDC chunks
+    * (functions.CdcChunks — token-level Gear boundaries, expected chunk
+    * length 16 tokens) and prove the tiling exactly. CDC is the
+    * segmentation that survives edits: inserting a sentence shifts fixed
+    * windows forever but re-synchronizes CDC at the next boundary token,
+    * so chunk-hash dedup (xxhash64 over chunk text downstream) still
+    * matches everything after the edit — the property CdcSpec pins.
+    *
+    * The boundary rule is kernel-internal (FNV-1a), so the gate checks
+    * the engine-independent INVARARIANT instead of replaying hashes (the
+    * q_approx_distinct pattern): chunks must tile the document — token
+    * counts and character counts (with the n−1 rejoining spaces) must
+    * reconstruct the original exactly. Per-row, shuffle-free, codegen. */
+  private def cdcAudit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        call_function("cdc_chunks", col("text"), lit(16)).as("cs"))
+      .select(col("doc_id"), col("text"), posexplode(col("cs")).as(Seq("cid", "ctext")))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(size(split(col("ctext"), " "))).as("n_tokens"),
+        (sum(length(col("ctext"))) + count(lit(1)) - 1).as("n_chars_joined"),
+        first(col("text")).as("t"))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("n_tokens") === size(split(col("t"), " ")) &&
+          col("n_chars_joined") === length(col("t"))).as("tiles"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_chunks" -> cdcAudit _,
     "q_pmi_bigrams" -> pmiBigrams _,
     "q_js_div" -> jsDivergence _,
     "q_token_entropy" -> tokenEntropy _,
@@ -635,6 +664,15 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // Invariant oracle (the q_approx_distinct pattern): the boundary rule
+    // is kernel-internal, but a correct chunking must TILE — token and
+    // char counts reconstruct the document exactly, independently checked
+    // here from the raw table.
+    "q_cdc_chunks" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | true AS tiles
+        |FROM documents""".stripMargin,
     "q_pmi_bigrams" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |big AS (

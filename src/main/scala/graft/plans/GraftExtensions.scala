@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{CcCandidates, CcValid, CharShingles, ContentFp, CosineSimilarity, CountMinAgg, CountMinEstimate, DenylistHits, DenylistMask, DotProduct, DupNgramFrac, Hamming128, Int8Quantize, IvfPqEncode, L2Norm, MinHashBands, MinHashSig, PqAdc, PqEncode, Q8Dot, Q8Scale, Q8Sum, SignBands, SimHash64, SrpBands, StopwordHits, TopK, TopTokenFrac, Ulid, WordShingles, ZOrder2}
+import graft.functions.{CcCandidates, CcValid, CdcChunks, CharShingles, ContentFp, CosineSimilarity, CountMinAgg, CountMinEstimate, DenylistHits, DenylistMask, DotProduct, DupNgramFrac, Hamming128, Int8Quantize, IvfPqEncode, L2Norm, MinHashBands, MinHashSig, PqAdc, PqEncode, Q8Dot, Q8Scale, Q8Sum, SignBands, SimHash64, SrpBands, StopwordHits, TopK, TopTokenFrac, Ulid, WordShingles, ZOrder2}
 
 /** SparkSessionExtensions entry point: injects graft's native Catalyst
   * expressions into the SQL function registry, so `spark.sql` and
@@ -84,6 +84,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => CharShingles(args(0), litInt(args(1), "char_shingles n"))),
     ("word_shingles", info("word_shingles", "distinct n-word shingles of text"),
       (args: Seq[Expression]) => WordShingles(args(0), litInt(args(1), "word_shingles n"))),
+    ("cdc_chunks", info("cdc_chunks", "content-defined chunk texts (token-level Gear CDC)"),
+      (args: Seq[Expression]) => CdcChunks(args(0), litInt(args(1), "cdc_chunks divisor"))),
     ("minhash_bands", info("minhash_bands", "LSH band hashes of the MinHash signature"),
       (args: Seq[Expression]) => MinHashBands(args(0),
         litInt(args(1), "minhash_bands k"), litInt(args(2), "minhash_bands bands"))),

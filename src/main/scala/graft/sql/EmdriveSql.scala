@@ -32,7 +32,7 @@ import graft.sources.SchemaMapper
   *   INSERT INTO t [(cols…)] VALUES (v, …) [, (v, …) …]
   *   SELECT [DISTINCT] * | col [AS a] | col @ probe AS a
   *     | CASE WHEN pred THEN v [WHEN …] [ELSE v] END AS a
-  *     | (COUNT|SUM|AVG|MIN|MAX) '(' (*|col) ')' [AS a] [, …] FROM t
+  *     | (COUNT|SUM|AVG|MIN|MAX|MEDIAN) '(' (*|col) ')' [AS a] [, …] FROM t
   *     [WHERE pred]   where pred := cmp | pred AND pred | pred OR pred
   *                    | NOT pred | '(' pred ')' (AND binds tighter than
   *                    OR), and cmp := operand (= | != | < | <= | > | >=)
@@ -320,7 +320,7 @@ object EmdriveSql {
     "EXPLAIN", "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "ALL", "WITH",
     "OVER", "PARTITION")
 
-  private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
+  private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN")
   private val WinFuncs = Set("ROW_NUMBER", "RANK", "DENSE_RANK")
 
   /** SELECT … [UNION [ALL] SELECT …]* — the shared select-chain shape used
@@ -1012,6 +1012,10 @@ final class EmdriveSession(spark: SparkSession) {
       case ("AVG", Some(c)) => avg(col(c))
       case ("MIN", Some(c)) => min(col(c))
       case ("MAX", Some(c)) => max(col(c))
+      // exact interpolated median — the same cross-engine-stable
+      // percentile the q_percentile operator uses (DuckDB: median =
+      // quantile_cont(.5), identical interpolation)
+      case ("MEDIAN", Some(c)) => percentile(col(c), lit(0.5))
       case other => throw new IllegalArgumentException(s"bad aggregate: $other")
     }
 
@@ -1297,6 +1301,16 @@ object SqlQueries {
                |WHERE rn <= 3
                |ORDER BY source, rn;""".stripMargin)
     }),
+    // MEDIAN end-to-end: exact interpolated percentile over an integral
+    // column (the q_percentile cross-engine discipline), mixed with the
+    // other aggregates and an aggregate-arithmetic spread
+    "q_sql_median" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang, COUNT(*) AS n, MEDIAN(n_chars) AS med_chars,
+               | MAX(n_chars) - MIN(n_chars) AS spread
+               |FROM documents GROUP BY lang ORDER BY lang;""".stripMargin)
+    }),
     // window aggregate end-to-end: per-source running totals (the ANSI
     // default RANGE frame, identical in both engines); doc_id is unique
     // per source so the frame boundary is a total order and integer sums
@@ -1399,6 +1413,10 @@ object SqlQueries {
   val oracles: Map[String, String] = Map(
     "q_sql_select" ->
       "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'",
+    "q_sql_median" ->
+      """SELECT lang, count(*) AS n, median(n_chars) AS med_chars,
+        | max(n_chars) - min(n_chars) AS spread
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sql_running" ->
       """SELECT source, doc_id, n_chars,
         | CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)

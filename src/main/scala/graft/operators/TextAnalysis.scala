@@ -635,7 +635,33 @@ object TextAnalysis {
         (col("n_tokens") === size(split(col("t"), " ")) &&
           col("n_chars_joined") === length(col("t"))).as("tiles"))
 
+  /** Deterministic curriculum ordering: quality-score percentile phases
+    * (clean data first — the standard data-curriculum recipe) with a
+    * multiplicative-hash shuffle key inside each phase, so the training
+    * order is fully reproducible with NO RNG and no global sort
+    * materialized here — the (phase, order_key) pair IS the order, and
+    * the writer's range partitioner (or a per-phase bucketed write) sorts
+    * at output time. Scale shape: one scan to score (the shared
+    * [[qualityOf]] per-row kernel), a single-row exact-percentile agg
+    * broadcast back, map-only phase + key assignment. Thresholds are
+    * interpolated percentiles over bitwise-identical doubles, so phase
+    * membership replays exactly cross-engine. */
+  private def curriculum(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), qualityOf(col("text")).as("score"))
+    val cuts = scored.agg(
+      percentile(col("score"), lit(0.5)).as("p50"),
+      percentile(col("score"), lit(0.75)).as("p75"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("score"),
+        when(col("score") >= col("p75"), 0)
+          .when(col("score") >= col("p50"), 1)
+          .otherwise(2).as("phase"),
+        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("order_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curriculum" -> curriculum _,
     "q_cdc_chunks" -> cdcAudit _,
     "q_pmi_bigrams" -> pmiBigrams _,
     "q_js_div" -> jsDivergence _,
@@ -664,6 +690,28 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_curriculum" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+        |  CAST(length(text) AS INTEGER) AS n_chars
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id,
+        |  0.4 * least(1.0, n_tokens * 1.0 / 100.0)
+        |   + 0.4 * (n_distinct * 1.0 / n_tokens)
+        |   + 0.2 * (CASE WHEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens
+        |       BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) AS score
+        | FROM t),
+        |c AS (
+        | SELECT quantile_cont(score, 0.5) AS p50,
+        |  quantile_cont(score, 0.75) AS p75 FROM s)
+        |SELECT doc_id, score,
+        | CASE WHEN score >= p75 THEN 0 WHEN score >= p50 THEN 1 ELSE 2 END
+        |   AS phase,
+        | (doc_id * 2654435761) % 4294967296 AS order_key
+        |FROM s CROSS JOIN c""".stripMargin,
     // Invariant oracle (the q_approx_distinct pattern): the boundary rule
     // is kernel-internal, but a correct chunking must TILE — token and
     // char counts reconstruct the document exactly, independently checked

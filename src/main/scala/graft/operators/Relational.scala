@@ -977,7 +977,30 @@ object Relational {
       .limit(20)
   }
 
+  /** Gaps-and-islands: longest consecutive-day activity streak (and
+    * streak count) per user — the retention/engagement workhorse, and the
+    * canonical pattern where day − row_number() is constant within an
+    * island so streaks fall out of two partial-combined aggregations.
+    * Scale shape: the corpus collapses to DISTINCT (user, day) first
+    * (corpus-size-independent), the window ranks inside that
+    * dimension-sized relation, everything after is keyed aggregation —
+    * exact integers end to end. */
+  private def streaks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ud = EventTime.withMs(Tables.events(s, d))
+      .select(col("user_id"), expr("ms div 86400000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    ud.withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_streaks" -> streaks _,
     "q_returned_revenue" -> returnedRevenue _,
     "q_wau" -> wau _,
     "q_transitions" -> transitions _,
@@ -1037,6 +1060,17 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_streaks" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |i AS (
+        | SELECT user_id, day,
+        |  day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        | FROM ud),
+        |st AS (
+        | SELECT user_id, island, count(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks
+        |FROM st GROUP BY user_id""".stripMargin,
     "q_returned_revenue" ->
       """WITH rev AS (
         | SELECT o_custkey,

@@ -35,6 +35,12 @@ object GraftSession {
     */
   def prepare(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Runtime SQL conf, so it CAN be pinned post-hoc: the driver's bare
+    // session reaches queries only through prepare(), and the event-time
+    // family casts TIMESTAMP_NTZ wall-clocks via the session zone — on a
+    // non-UTC host every event-time query would shift by the zone offset
+    // against the tz-independent epoch-ms oracle (round-7 ADVICE).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.plans.GraftExtensions.registerFunctions(spark)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseCosine))
       spark.experimental.extraOptimizations =

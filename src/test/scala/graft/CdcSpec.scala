@@ -27,13 +27,21 @@ class CdcSpec extends SparkTestBase {
   }
 
   test("boundary decision depends only on the token itself") {
-    val tok = "charlie"
-    val inCtx1 = chunks(s"$tok x y")
-    val inCtx2 = chunks(s"p q r $tok x y")
-    val closes = CdcKernels.isBoundary(tok, 4)
-    // whether charlie ends a chunk is identical in any context
-    assert(inCtx1.exists(_.endsWith(tok)) == closes || !closes)
-    assert(inCtx2.exists(_.endsWith(tok)) == closes || !closes)
+    // exercise BOTH directions (a closing and a non-closing token): the
+    // old `x == closes || !closes` form was vacuous for closes=false and
+    // would have missed context-dependent non-boundary behavior
+    val byKind = words.split(" ").groupBy(t => CdcKernels.isBoundary(t, 4))
+    assert(byKind.keySet == Set(true, false), "corpus lacks a token kind")
+    for (closes <- Seq(true, false); tok = byKind(closes).head) {
+      // tok is mid-text (never last), so a chunk ends with it iff it closes;
+      // context words share no suffix with the probe tokens
+      val inCtx1 = chunks(s"$tok zz yy")
+      val inCtx2 = chunks(s"pp qq rr $tok zz yy")
+      assert(inCtx1.exists(c => c == tok || c.endsWith(" " + tok)) == closes,
+        s"'$tok' closes=$closes diverged in context 1")
+      assert(inCtx2.exists(c => c == tok || c.endsWith(" " + tok)) == closes,
+        s"'$tok' closes=$closes diverged in context 2")
+    }
   }
 
   test("edit re-synchronization: a prefix insertion preserves later chunks") {

@@ -147,14 +147,35 @@ object TextHashKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  /** Charikar SimHash: per-bit majority vote of token FNV hashes. */
+  /** Cross-engine 64-bit token hash: polynomial accumulate over code
+    * points, seed = the FNV-1a offset basis, multiplier = 0x85EBCA6B (the
+    * public murmur3 finalizer constant — odd and wide enough that one step
+    * diffuses the seed across the word). Java's wrapping `Long` multiply IS
+    * arithmetic mod 2^64, so the exact value is DuckDB-expressible as a
+    * `list_reduce` over `HUGEINT` with an explicit `% 2^64` (the content_fp
+    * doctrine widened to 64 bits) — which is what upgrades every
+    * simhash-derived query from rows-only to a full replay oracle. */
+  def portableHash64(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = h * 0x85EBCA6BL + cp
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Charikar SimHash: per-bit majority vote of portable token hashes. */
   def simhash(tokens: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = fnv64(tokens.getUTF8String(i))
+        val h = portableHash64(tokens.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

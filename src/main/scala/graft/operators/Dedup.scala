@@ -757,7 +757,39 @@ object Dedup {
       | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
       | GROUP BY 1, 2)""".stripMargin
 
+  /** Shared oracle CTE chain re-deriving the 64-bit SimHash per document —
+    * bitwise equal to `simhash64(split(text, ' '))`. The token hash is the
+    * portable polynomial (TextHashKernels.portableHash64: seed = FNV offset
+    * basis, multiplier 0x85EBCA6B, mod 2^64), so DuckDB replays it with
+    * HUGEINT arithmetic; the per-bit majority vote and the unsigned→signed
+    * fold are plain SQL. Ends with `sh64(doc_id, simhash)`. */
+  private[graft] val simhashCtes =
+    """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |         FROM documents),
+      |th AS (SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |      list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS HUGEINT))),
+      |    (acc, cp) -> (acc * 2246822507 + cp) % 18446744073709551616) AS h
+      |  FROM toks),
+      |bits AS (SELECT doc_id, bb.b AS b,
+      |   sum(CASE WHEN (h // CAST(power(2, bb.b) AS HUGEINT)) % 2 = 1
+      |       THEN 1 ELSE -1 END) AS cnt
+      |  FROM th CROSS JOIN range(64) AS bb(b) GROUP BY 1, 2),
+      |sh64 AS (SELECT doc_id,
+      |   CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
+      |        ELSE u END AS BIGINT) AS simhash
+      |  FROM (SELECT doc_id,
+      |     sum(CASE WHEN cnt > 0 THEN CAST(power(2, b) AS HUGEINT)
+      |         ELSE CAST(0 AS HUGEINT) END) AS u
+      |    FROM bits GROUP BY doc_id))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Full replay oracle: the portable token hash (see simhashCtes) makes
+    // the fingerprint itself engine-independent.
+    "q_simhash" ->
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM sh64""".stripMargin,
     // Invariant oracle: the pair list is hash-family-specific (an engine
     // without this simhash cannot re-derive it), but pigeonhole banding's
     // completeness is a hard guarantee the in-query sampled brute-force
@@ -990,7 +1022,5 @@ object Dedup {
          |JOIN cnt ca ON id_a = ca.doc_id
          |JOIN cnt cb ON id_b = cb.doc_id
          |WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5""".stripMargin
-    // q_simhash: hash-family-specific (FNV SimHash) fingerprints —
-    // not DuckDB-expressible; driver does the rows-only check.
   )
 }

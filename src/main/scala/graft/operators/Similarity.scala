@@ -736,6 +736,16 @@ object Similarity {
       |FROM documents""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Full replay: the simhash became engine-portable (Dedup.simhashCtes),
+    // so the README-story search is checked end to end — fingerprints,
+    // xor+popcount distance, threshold, and ordering keys.
+    "q_phash_search" ->
+      s"""WITH ${Dedup.simhashCtes},
+         |d AS (SELECT doc_id,
+         |   CAST(bit_count(xor(simhash,
+         |     (SELECT simhash FROM sh64 WHERE doc_id = 0))) AS INTEGER) AS dist
+         |  FROM sh64)
+         |SELECT doc_id, dist FROM d WHERE dist < 16""".stripMargin,
     "q_hamming_threshold" ->
       s"""WITH fp AS ($fpSql)
          |SELECT doc_id,
@@ -950,7 +960,5 @@ object Similarity {
         | round(CASE WHEN nrm > 0 THEN e[1] / nrm ELSE 0.0 END, 6) AS u_first,
         | round(CASE WHEN nrm > 0 THEN e[len(e)] / nrm ELSE 0.0 END, 6) AS u_last
         |FROM n""".stripMargin
-    // q_phash_search (FNV SimHash), q_embed_neardup / q_ann_ivf (LSH/IVF
-    // recall is engine-specific): rows-only checks by design.
   )
 }

@@ -134,50 +134,92 @@ object Similarity {
   private val NeardupSrpBands = 192
   private val NeardupSrpBits = 12
 
-  /** All embedding pairs with cosine >= 0.4 — q_embed_neardup. Below
-    * [[NeardupRouteMax]] vectors this runs signed-random-projection LSH
-    * (native codegen kernel — see functions.SrpBands): sign buckets per
-    * band, candidate pairs only within a (band, bucket), then exact-cosine
-    * verify. The banded relation is |corpus|·bands rows of (vec_id, band,
-    * bucket) — 20 bytes each, never the embeddings — and the self-join
-    * shuffles on (band, bucket); hot buckets over Dedup.LshMaxPerBucket
-    * are dropped by a window count over the join's own partitioning, so
-    * candidates are bounded at bands·|corpus|·cap regardless of data.
-    *
-    * Past the cutoff the query ROUTES to [[embedNeardupClustered]] (the
-    * r5 ×100 stress finding: holding SRP recall as buckets must narrow —
-    * bits ≈ log₂(n/2) for constant occupancy — costs bands × (3/2)^Δbits,
-    * measured at 410× wall for 100× data; KMeans-cell blocking keeps
-    * per-vector cost constant instead). The count() pre-pass that drives
-    * both the band adaptation and the route is parquet-metadata-cheap. */
-  private def embedNeardup(s: SparkSession, d: String): DataFrame =
-    embedNeardupAuto(Tables.embeddings(s, d), 0.4)
+  /** Embedding near-dup — q_embed_neardup. Below [[NeardupRouteMax]]
+    * vectors the output is the EXACT pair relation ([[embedNeardupExact]]:
+    * a flat all-pairs scan, the FAISS-flat economics — at ≤8k vectors no
+    * blocking scheme beats a broadcast nested-loop that never shuffles,
+    * and exactness is what upgrades this key to a full brute-force replay
+    * oracle). Past the cutoff the query ROUTES to
+    * [[embedNeardupClustered]] (the r5 ×100 stress finding: recall-held
+    * SRP costs bands × (3/2)^Δbits as buckets narrow; KMeans-cell
+    * blocking keeps per-vector cost constant) and the DEFAULT output is
+    * bounded to the top-[[NeardupTopK]] neighbours per vector
+    * ([[topKNeighbors]]): the r7 ×100 stress showed raw pair output is
+    * inherently unbounded on similarity-heavy corpora (6,110× pairs for
+    * 100× docs) while every scale consumer is components/keep-one/kNN-
+    * graph-shaped. Raw pairs past the cutoff stay available via
+    * [[embedNeardupAuto]] (the components/decontaminate input, where
+    * pairs die inside a downstream aggregation instead of being
+    * materialized). The count() pre-pass driving the route is
+    * parquet-metadata-cheap. */
+  private def embedNeardup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val n = e.count()
+    if (n <= NeardupRouteMax) embedNeardupExact(e, 0.4)
+    else topKNeighbors(embedNeardupClustered(e, 0.4, n), NeardupTopK)
+  }
 
-  /** Corpus-size cutoff between the two near-dup physical paths. Below it,
-    * SRP pair-enumeration wins (no index build, and at ≤8k vectors the
-    * corpus-adaptive band growth hasn't engaged — the empirical 192×12
-    * scheme runs as-is). Above it, the measured economics invert: holding
-    * SRP recall while buckets narrow costs bands × (3/2)^Δbits — the ×100
-    * stress measured 410× wall for 100× data — while the clustered path
-    * rides a KMeans blocking whose per-vector cost is CONSTANT in corpus
-    * size (fixed target cell size, sampled training). 8192 is exactly the
-    * point where the SRP scheme would first widen beyond its empirical
-    * configuration. */
+  /** Exact all-pairs near-dup for corpora under the route cutoff: one
+    * broadcast of the (vec_id, embedding) relation (≤8192 × dim floats —
+    * a few MB), a nested-loop self-join on `id_a < id_b`, and the codegen
+    * cosine kernel inline — no shuffle, no candidate materialization,
+    * work bounded by cutoff²/2 ≈ 33M pairs regardless of data. */
+  private[graft] def embedNeardupExact(e: DataFrame, threshold: Double): DataFrame = {
+    val ev = e.select(col("vec_id"), col("embedding"))
+    ev.as("a").join(broadcast(ev.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(call_function("cosine_sim", col("a.embedding"), col("b.embedding")), 6)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Default per-vector output bound past the route cutoff: a pair
+    * survives iff it is among EITHER endpoint's top-k by similarity (the
+    * standard kNN-graph construction), so output is ≤ n·k rows however
+    * similarity-heavy the corpus. The symmetric explode feeds the
+    * bounded-heap `top_k` aggregate (partial-combines map-side: the
+    * shuffle carries k rows per vector, never the pair mass), then pairs
+    * re-canonicalize to id_a < id_b. */
+  private[graft] def topKNeighbors(pairs: DataFrame, k: Int): DataFrame = {
+    val sym = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("sim"))
+      .unionByName(
+        pairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("sim")))
+    sym.groupBy(col("src"))
+      .agg(call_function("top_k",
+        struct(col("sim"), (-col("dst")).as("neg")), lit(k)).as("t"))
+      .select(col("src"), explode(col("t")).as("e"))
+      .select(least(col("src"), -col("e.neg")).as("id_a"),
+        greatest(col("src"), -col("e.neg")).as("id_b"), col("e.sim").as("sim"))
+      .distinct()
+  }
+
+  private[graft] val NeardupTopK = 16
+
+  /** Corpus-size cutoff between the two near-dup physical paths. Below
+    * it, the exact flat scan wins (work bounded at cutoff²/2 ≈ 33M
+    * pair-evals — sub-second on any executor count — with recall 1.0 and
+    * no index build; blocking schemes only trade recall away for
+    * selectivity that a corpus this small doesn't need). Above it, the
+    * clustered path rides a KMeans blocking whose per-vector cost is
+    * CONSTANT in corpus size (fixed target cell size, sampled training) —
+    * the measured-sub-linear ×100 plan. SRP banding remains the BOUNDED-
+    * STATE blocking for the streaming path (StreamOps), where neither a
+    * flat rescan per micro-batch nor an index rebuild is an option. */
   private[graft] val NeardupRouteMax = 8192L
 
-  /** Scale-routed embedding near-dup: one count() pre-pass picks the
-    * physical plan (the Catalyst-style stats-driven decision, made here
-    * because corpus cardinality is exactly one metadata read). Both paths
-    * emit the same (id_a, id_b, sim) relation with exact-cosine verify —
-    * only candidate GENERATION differs. */
+  /** Scale-routed embedding near-dup RAW pair stream: one count() pre-pass
+    * picks the physical plan (the Catalyst-style stats-driven decision,
+    * made here because corpus cardinality is exactly one metadata read).
+    * Both paths emit the same (id_a, id_b, sim) relation with exact-cosine
+    * values — exact below the cutoff, ANN-blocked above it. This is the
+    * input for consumers that AGGREGATE the pairs away (components,
+    * decontamination counts); the q_embed_neardup default bounds its
+    * output with [[topKNeighbors]] instead. */
   private[graft] def embedNeardupAuto(e: DataFrame, threshold: Double): DataFrame = {
     val n = e.count()
-    if (n <= NeardupRouteMax) {
-      val bits = math.max(NeardupSrpBits,
-        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 2) - 1))
-      val bands = (NeardupSrpBands * math.pow(1.5, bits - NeardupSrpBits)).ceil.toInt
-      embedNeardupPairs(e, threshold, bands = bands, bits = bits)
-    } else embedNeardupClustered(e, threshold, n)
+    if (n <= NeardupRouteMax) embedNeardupExact(e, threshold)
+    else embedNeardupClustered(e, threshold, n)
   }
 
   /** The large-corpus near-dup path: KMeans-cell blocking instead of SRP
@@ -269,9 +311,14 @@ object Similarity {
       .distinct() // multi-assignment and several clusterings report a pair once
   }
 
-  /** The near-dup core over any (vec_id, embedding) relation; bands/bits/cap
-    * are injectable for specs (ScaleSpec asserts the cap bounds candidate
-    * volume on a degenerate corpus). */
+  /** SRP-banded near-dup over any (vec_id, embedding) relation — the
+    * BOUNDED-STATE blocking: per-vector state is bands × bits sign bits,
+    * no index fit, no corpus rescan, which is why the STREAMING near-dup
+    * path (StreamOps) keys on it while the batch paths route between the
+    * exact flat scan and KMeans-cell blocking. bands/bits/cap are
+    * injectable for specs (ScaleSpec asserts the cap bounds candidate
+    * volume on a degenerate corpus; CutRecallSpec pins the recall floor
+    * of this exact configuration). */
   private[graft] def embedNeardupPairs(e: DataFrame, threshold: Double,
       bands: Int = NeardupSrpBands, bits: Int = NeardupSrpBits,
       maxPerBucket: Int = Dedup.LshMaxPerBucket): DataFrame = {
@@ -297,14 +344,18 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
-  /** Transitive embedding near-dup clusters: the SRP-LSH pair graph
+  /** Transitive embedding near-dup clusters: the scale-routed pair graph
     * closed under connectivity (Dedup.components pointer-jump propagation) —
     * same keep-one-per-cluster semantics as the text path (C18), over the
-    * embedding modality. Rows-only check (LSH blocking is hash-specific),
-    * but the component algebra is the oracle-verified one. */
+    * embedding modality. Consumes the RAW pair stream (pairs die inside
+    * the fixpoint, never materialized as output), and below the route
+    * cutoff that stream is exact — so the whole key replays in DuckDB as
+    * a recursive CTE over the brute-force pair relation. */
   private def embedComponents(s: SparkSession, d: String): DataFrame =
     Dedup.memoComponents(s, d, "embed") {
-      Dedup.components(embedNeardup(s, d).select(col("id_a"), col("id_b")))
+      Dedup.components(
+        embedNeardupAuto(Tables.embeddings(s, d), 0.4)
+          .select(col("id_a"), col("id_b")))
     }.select(col("id").as("vec_id"), col("comp"))
 
   /** SemDeDup (Abbas et al. 2023): cluster-local semantic deduplication —
@@ -376,12 +427,54 @@ object Similarity {
         coalesce(!col("pruned"), lit(true)).as("kept"))
   }
 
-  /** Driver-gate SemDeDup over the embeddings table. Rows-only by design:
-    * cluster ids and the kept set depend on the KMeans partition (hash-
-    * specific, like every LSH/sketch key); the keep-rule algebra is
-    * spec-asserted on planted duplicates (SemDedupSpec). */
-  private def semDedup(s: SparkSession, d: String): DataFrame =
-    semDedupCore(Tables.embeddings(s, d), 0.4)
+  /** Clone-id offset for the in-query SemDeDup contract; ≢ 0 (mod 37) so
+    * clones never join the planted sample themselves. */
+  private val SemPlantOffset = 1000000007L
+
+  /** Driver-gate SemDeDup contract audit — q_semdedup. The kept-set itself
+    * depends on the KMeans partition (engine-specific, like every sketch
+    * key), so the gate-checkable output is the PLANTED-DUPLICATE CONTRACT
+    * run in-query (SemDedupSpec's check, moved into the key per the r7
+    * verdict, the q_simhash_radius pattern): clone every 37th vector
+    * verbatim under a shifted id, run the real operator
+    * ([[semDedupCore]]) on corpus+clones, and grade the algebraic
+    * guarantees that hold for ANY clustering:
+    *  - a verbatim clone lands in its original's cell (identical argmax
+    *    under the deterministic (score, −cid) tie-break), so each planted
+    *    pair is cluster-local with equal centroid_sim;
+    *  - within the pair, dominance resolves by the (centroid_sim, vec_id)
+    *    tie-break to the original — the clone is ALWAYS pruned
+    *    (cosine(x, x) ≥ ε trivially).
+    * The oracle replays n_corpus / n_planted from the parquet and asserts
+    * the contract columns literally: an engine whose assignment
+    * tie-breaks, cap, or dominance rule drifts fails the hash match. The
+    * per-vector (vec_id, cluster_id, centroid_sim, kept) relation remains
+    * the operator's product via [[semDedupCore]]. */
+  private def semDedup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val ev = e.select(col("vec_id"), col("embedding"))
+    val aug = ev.unionByName(
+      ev.filter(col("vec_id") % 37 === 0)
+        .select((col("vec_id") + SemPlantOffset).as("vec_id"), col("embedding")))
+    val res = semDedupCore(aug, 0.4)
+    val origs = res.filter(col("vec_id") < SemPlantOffset && col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("ovec"), col("cluster_id").as("o_cl"))
+    val clones = res.filter(col("vec_id") >= SemPlantOffset)
+      .select((col("vec_id") - SemPlantOffset).as("ovec"),
+        col("cluster_id").as("c_cl"), col("kept").as("c_kept"))
+    val audit = origs.join(clones, "ovec").agg(
+      count(lit(1)).as("n_planted"),
+      sum(when(col("o_cl") === col("c_cl"), 1L).otherwise(0L))
+        .as("clones_same_cluster"),
+      sum(when(!col("c_kept"), 1L).otherwise(0L)).as("clones_pruned"))
+    audit
+      .crossJoin(e.agg(count(lit(1)).as("n_corpus")))
+      .filter(col("n_corpus") > 0)
+      .select(col("n_corpus"), col("n_planted"), col("clones_same_cluster"),
+        col("clones_pruned"),
+        (col("clones_same_cluster") === col("n_planted") &&
+          col("clones_pruned") === col("n_planted")).as("contract_ok"))
+  }
 
   /** IVF-style ANN: deterministic seed centroids (vec_id < 8), assign corpus
     * to nearest centroid, probe searches only its own cluster.
@@ -473,10 +566,12 @@ object Similarity {
     * 0.4) — the semantic twin of the shingle-based C24 decontamination, for
     * when paraphrased eval leakage survives text-level checks. Splits come
     * from Sampling.bucketOf (deterministic); candidate pairs come from the
-    * same capped SRP-LSH blocking as q_embed_neardup, so the scan never
-    * goes all-pairs. Rows-only check (LSH blocking is hash-specific). */
+    * scale-routed stream ([[embedNeardupAuto]]) and die inside the count
+    * aggregation — output is one bounded row per contaminated eval vector.
+    * Below the route cutoff the stream is exact, so the key replays fully
+    * in DuckDB (brute-force pairs + the same bucket splits). */
   private def embedDecontaminate(s: SparkSession, d: String): DataFrame = {
-    val p = embedNeardupPairs(Tables.embeddings(s, d), 0.4)
+    val p = embedNeardupAuto(Tables.embeddings(s, d), 0.4)
       .select(col("id_a"), col("id_b"),
         Sampling.bucketOf(col("id_a"), 100).as("ba"),
         Sampling.bucketOf(col("id_b"), 100).as("bb"))
@@ -735,7 +830,61 @@ object Similarity {
       |   (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
       |FROM documents""".stripMargin
 
+  /** Shared oracle CTE: the exact cosine pair relation at the 0.4
+    * threshold — which IS q_embed_neardup's output below the route cutoff
+    * (driver SFs never exceed it), and the input of the components /
+    * decontamination replays. Ends with `pairs(id_a, id_b, sim)`. */
+  private[graft] val cosPairCtes =
+    """ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cp AS (
+      | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+      | FROM ev a JOIN ev b ON a.vec_id < b.vec_id),
+      |pairs AS (SELECT id_a, id_b, sim FROM cp WHERE sim >= 0.4)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Full replay: below the route cutoff the near-dup output is EXACT,
+    // so the brute-force relation is the oracle (same doctrine as
+    // q_minhash_lsh: when the operator guarantees the exact pair set,
+    // an independent engine can re-derive it).
+    "q_embed_neardup" ->
+      s"""WITH $cosPairCtes
+         |SELECT id_a, id_b, sim FROM pairs""".stripMargin,
+    "q_embed_components" ->
+      s"""WITH RECURSIVE $cosPairCtes,
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |walk AS (
+         | SELECT src AS id, src AS comp FROM edges
+         | UNION
+         | SELECT e2.src AS id, w.comp AS comp
+         | FROM edges e2 JOIN walk w ON w.id = e2.dst)
+         |SELECT id AS vec_id, min(comp) AS comp FROM walk GROUP BY id""".stripMargin,
+    // Contract oracle: counts replay from the parquet; the contract
+    // columns are the algebraic guarantees (see semDedup's doc) asserted
+    // literally — sums CAST to BIGINT (DuckDB sums integers to HUGEINT).
+    "q_semdedup" ->
+      """SELECT count(*) AS n_corpus,
+        | CAST(sum(CASE WHEN vec_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_planted,
+        | CAST(sum(CASE WHEN vec_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS clones_same_cluster,
+        | CAST(sum(CASE WHEN vec_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS clones_pruned,
+        | true AS contract_ok
+        |FROM embeddings HAVING count(*) > 0""".stripMargin,
+    "q_embed_decontaminate" ->
+      s"""WITH $cosPairCtes,
+         |b AS (SELECT id_a, id_b,
+         |  ((id_a % 1000000007) * 2654435761) % 1000000007 % 100 AS ba,
+         |  ((id_b % 1000000007) * 2654435761) % 1000000007 % 100 AS bb
+         | FROM pairs)
+         |SELECT vec_id, count(*) AS n_contaminated FROM (
+         | SELECT id_a AS vec_id FROM b WHERE ba >= 90 AND bb < 90
+         | UNION ALL
+         | SELECT id_b AS vec_id FROM b WHERE bb >= 90 AND ba < 90)
+         |GROUP BY vec_id""".stripMargin,
     // Full replay: the simhash became engine-portable (Dedup.simhashCtes),
     // so the README-story search is checked end to end — fingerprints,
     // xor+popcount distance, threshold, and ordering keys.

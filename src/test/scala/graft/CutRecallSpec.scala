@@ -201,7 +201,11 @@ class CutRecallSpec extends SparkTestBase {
         call_function("cosine_sim", col("a.embedding"), col("b.embedding")).as("sim"))
       .filter(col("sim") >= 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val lsh = SparkEntry.queries("q_embed_neardup")(spark, sfDir)
+    // force the SRP path directly: q_embed_neardup routes to the exact
+    // flat scan at this corpus size now, but the SRP configuration still
+    // backs the bounded-state STREAMING near-dup and keeps its floor here
+    val lsh = graft.operators.Similarity
+      .embedNeardupPairs(e, 0.4)
       .select(col("id_a"), col("id_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact.keySet), // exact-verify step ⇒ no false positives

@@ -158,6 +158,27 @@ class ScaleSpec extends SparkTestBase {
     assert(uncapped.count() == 24L * 23 / 2)
   }
 
+  test("topKNeighbors bounds near-dup output at n·k and keeps only real pairs") {
+    GraftSession.prepare(spark)
+    val s = spark
+    import s.implicits._
+    // a clique of 30 mutually-similar ids: raw pairs are 435, the k=3
+    // kNN-graph bound must cut that to <= n·k with every surviving pair
+    // canonical (id_a < id_b) and drawn from the input relation
+    val raw = (for (a <- 0L until 30L; b <- a + 1 until 30L)
+      yield (a, b, 1.0 - (b - a) * 0.001)).toDF("id_a", "id_b", "sim")
+    val bounded = graft.operators.Similarity.topKNeighbors(raw, 3)
+    val rows = bounded.collect()
+    assert(rows.length <= 30 * 3, s"bound violated: ${rows.length}")
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)), "non-canonical pair")
+    val rawSet = raw.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.forall(r => rawSet((r.getLong(0), r.getLong(1)))), "invented pair")
+    // every id keeps its single best neighbour: adjacent pairs (d=1 apart
+    // have the highest sims) must all survive
+    val kept = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 29L).forall(a => kept((a, a + 1))), "dropped a best neighbour")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     GraftSession.prepare(spark)
     // the query now carries its own grader: exact cardinalities + the

@@ -113,6 +113,11 @@ object Stress {
     "q_rolling_7d", "q_js_div", "q_key_skew")
 
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_STRESS_ALL=1 sweeps the ENTIRE query registry (one run
+    // per scale instead of min-of-2 — this mode is a super-linearity
+    // red-flag sweep across every key, not a precision benchmark; the
+    // headline set keeps the careful timing)
+    val all = sys.env.get("SPARK_GRAFT_STRESS_ALL").contains("1")
     val n = sys.env.get("SPARK_GRAFT_STRESS_N").flatMap(_.toIntOption).getOrElse(10)
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dst = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR", s"/tmp/graft_stress_x$n")
@@ -154,10 +159,12 @@ object Stress {
       (dt, rows)
     }
     // warmup on the small side
-    Headline.take(2).foreach(q => time(src, q))
-    val timed = Headline.map { q =>
-      val (base, baseRows) = Seq(time(src, q), time(src, q)).minBy(_._1)
-      val (big, bigRows) = Seq(time(dst, q), time(dst, q)).minBy(_._1)
+    val queriesToRun = if (all) SparkEntry.queries.keys.toSeq.sorted else Headline
+    val runs = if (all) 1 else 2
+    queriesToRun.take(2).foreach(q => time(src, q))
+    val timed = queriesToRun.map { q =>
+      val (base, baseRows) = Seq.fill(runs)(time(src, q)).minBy(_._1)
+      val (big, bigRows) = Seq.fill(runs)(time(dst, q)).minBy(_._1)
       (q, base, big, baseRows, bigRows)
     }
     // result rows ride along: under constant-density replication the ×N

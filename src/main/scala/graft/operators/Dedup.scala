@@ -742,7 +742,7 @@ object Dedup {
 
   /** Shared oracle CTE chain producing the word-3-shingle df-cut pair graph
     * (id_a, id_b, inter + per-doc post-cut sizes in cnt). */
-  private val wordPairCtes =
+  private[graft] val wordPairCtes =
     """t AS (
       | SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (

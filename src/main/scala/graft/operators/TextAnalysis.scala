@@ -209,16 +209,21 @@ object TextAnalysis {
     * in both engines (mean-length ratio, top-token fraction) — comparisons
     * of bitwise-equal doubles are engine-portable, so the booleans hash
     * exactly. Per-row, shuffle-free, scan-speed at 100 TB. */
-  private def gopherFlags(s: SparkSession, d: String): DataFrame = {
-    val nTokens = size(toks)
-    val meanLen = (length(col("text")) - (nTokens - lit(1))) * lit(1.0) / nTokens
-    val stopHits = call_function("stopword_hits", col("text"))
+  private def gopherFlags(s: SparkSession, d: String): DataFrame =
+    gopherFlagsOver(Tables.documents(s, d), col("doc_id"), col("text"))
+
+  /** The gate core over any (id, text) relation — also the SQL dialect's
+    * `quality_gate(tbl, id, text)` table function. */
+  private[graft] def gopherFlagsOver(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val nTokens = size(split(text, " "))
+    val meanLen = (length(text) - (nTokens - lit(1))) * lit(1.0) / nTokens
+    val stopHits = call_function("stopword_hits", text)
     val okWords = nTokens.between(20, 100000)
     val okMeanLen = meanLen.between(3.0, 10.0)
-    val okRep = call_function("top_token_frac", col("text")) <= 0.2
+    val okRep = call_function("top_token_frac", text) <= 0.2
     val okStop = stopHits >= 2
-    Tables.documents(s, d).select(
-      col("doc_id"),
+    df.select(
+      id.as("doc_id"),
       okWords.as("ok_words"),
       okMeanLen.as("ok_mean_len"),
       okRep.as("ok_repetition"),

@@ -230,6 +230,12 @@ object EmdriveSql {
     * prefix patterns reach the parquet scan as StringStartsWith. */
   final case class PLike(lhs: Operand, pattern: String, neg: Boolean) extends Pred
 
+  /** `EXISTS (SELECT … FROM t WHERE …)` — the subquery's WHERE may mix
+    * local predicates with equality conjuncts referencing OUTER columns
+    * (correlation); negation composes via [[PNot]] (EXISTS is two-valued,
+    * so `NOT` is safe anywhere in the tree). */
+  final case class PExists(sub: Select) extends Pred
+
   sealed trait Statement
   /** SHOW TABLES / DESCRIBE t — the reference's system-catalog surface
     * (src/storage/system.rs:5-16 `system.tables` / `system.columns`). */
@@ -434,7 +440,27 @@ object EmdriveSql {
     val items = mutable.ListBuffer[SelectItem](parseItem(p))
     while (p.trySym(",")) items += parseItem(p)
     p.eatWord("FROM")
-    val table = p.ident()
+    // `FROM fn(arg, …)` — a table function (graft extension surfacing the
+    // pipeline operators to the SQL/HTTP front door). Encoded in the
+    // table-name slot as "fn(a,b,…)"; EmdriveSession.table dispatches it.
+    val table = {
+      val name = p.ident()
+      if (p.trySym("(")) {
+        val args = mutable.ListBuffer.empty[String]
+        if (!p.peekSym(")")) {
+          def arg(): String = p.toks match {
+            case TWord(w) :: rest => p.toks = rest; w
+            case TNum(s) :: rest => p.toks = rest; s
+            case TStr(s) :: rest => p.toks = rest; s
+            case _ => p.fail("table-function argument")
+          }
+          args += arg()
+          while (p.trySym(",")) args += arg()
+        }
+        p.eatSym(")")
+        s"$name(${args.mkString(",")})"
+      } else name
+    }
     val joins = mutable.ListBuffer.empty[Join]
     while (p.tryWord("JOIN")) {
       val t = p.ident()
@@ -633,6 +659,20 @@ object EmdriveSql {
   private def parsePredFactor(p: P): Pred =
     if (p.tryWord("NOT")) PNot(parsePredFactor(p))
     else p.toks match {
+      case TWord(w) :: _ if w.equalsIgnoreCase("EXISTS") =>
+        p.toks = p.toks.tail
+        p.eatSym("("); p.eatWord("SELECT")
+        // ANSI idiom `EXISTS (SELECT 1 …)`: the projection is ignored by
+        // EXISTS, so a bare literal (which needs an alias anywhere else
+        // in this dialect) rewrites to `*` before the subquery parse
+        p.toks = p.toks match {
+          case TNum(_) :: (rest @ (TWord(f) :: _)) if f.equalsIgnoreCase("FROM") =>
+            TSym("*") :: rest
+          case other => other
+        }
+        val sub = parseSelect(p)
+        p.eatSym(")")
+        PExists(sub)
       // '(' SELECT is a scalar-subquery operand, not a predicate group
       case TSym("(") :: TWord(w) :: _ if w.equalsIgnoreCase("SELECT") =>
         parseCmp(p)
@@ -704,9 +744,69 @@ final class EmdriveSession(spark: SparkSession) {
 
   def register(name: String, df: DataFrame): Unit = catalog(name) = df
 
-  def table(name: String): DataFrame =
-    catalog.getOrElse(name,
+  private val TvfName = "^([A-Za-z_][A-Za-z_0-9]*)\\((.*)\\)$".r
+
+  def table(name: String): DataFrame = name match {
+    case TvfName(fn, argStr) =>
+      tableFunction(fn.toLowerCase,
+        if (argStr.isEmpty) Seq.empty else argStr.split(",").map(_.trim).toSeq)
+    case _ => catalog.getOrElse(name,
       throw new IllegalArgumentException(s"unknown table: $name"))
+  }
+
+  /** Table functions — the pipeline operators surfaced to the SQL (and
+    * therefore HTTP) front door, so a GraftServer client can run dedup /
+    * near-dup / k-NN / quality gating with SQL-in-rows-out (the
+    * reference's whole serving story, extended past its grammar). Each
+    * lowers to the SAME physical shape as its Scala-API twin; the result
+    * is an ordinary relation, so WHERE/GROUP BY/ORDER BY compose on top. */
+  private def tableFunction(fn: String, args: Seq[String]): DataFrame = {
+    def arity(n: Int): Unit = require(args.length == n,
+      s"$fn expects $n arguments, got ${args.length} in (${args.mkString(", ")})")
+    fn match {
+      // dedup_exact(tbl, idCol, textCol): the rows that SURVIVE exact
+      // dedup (keeper = min id per identical content) with the source
+      // schema intact — grouped min on the content, then a semi join
+      // that AQE broadcasts when the keeper set is small
+      case "dedup_exact" =>
+        arity(3)
+        val t = table(args(0))
+        val (id, text) = (args(1), args(2))
+        val keep = t.groupBy(col(text)).agg(min(col(id)).as(id)).select(col(id))
+        t.join(keep, Seq(id), "left_semi")
+      // neardup_jaccard(tbl, idCol, textCol, threshold): word-3-shingle
+      // Jaccard pairs through the shared df-cut postings core
+      case "neardup_jaccard" =>
+        arity(4)
+        val t = table(args(0))
+        val shingled = t.select(col(args(1)).as("doc_id"),
+          call_function("word_shingles", col(args(2)), lit(3)).as("sh"))
+        graft.operators.Dedup.jaccardPairs(shingled, args(3).toDouble)
+          .select(col("id_a"), col("id_b"), col("raw_j").as("jaccard"))
+      // knn_cosine(tbl, idCol, vecCol, probeId, k): brute-force cosine
+      // top-k vs the probe row — broadcast probe + TakeOrdered, no sort
+      case "knn_cosine" =>
+        arity(5)
+        val t = table(args(0))
+        val (id, vec) = (args(1), args(2))
+        val probe = t.filter(col(id) === args(3).toLong)
+          .select(col(vec).as("__probe_v"))
+        t.crossJoin(broadcast(probe))
+          .select(col(id),
+            round(call_function("cosine_sim", col(vec), col("__probe_v")), 6)
+              .as("sim"))
+          .orderBy(col("sim").desc, col(id))
+          .limit(args(4).toInt)
+      // quality_gate(tbl, idCol, textCol): Gopher-style rule flags +
+      // conjunctive keep (the C33 kernel over any relation)
+      case "quality_gate" =>
+        arity(3)
+        graft.operators.TextAnalysis.gopherFlagsOver(
+          table(args(0)), col(args(1)), col(args(2)))
+      case other => throw new IllegalArgumentException(
+        s"unknown table function: $other")
+    }
+  }
 
   /** Persist a catalog table as parquet (the durable storage the
     * reference's paged files provide — here it's just a columnar write),
@@ -851,27 +951,15 @@ final class EmdriveSession(spark: SparkSession) {
               s"left(${rel.columns.mkString(",")}) vs ${j.table}")
         rel.join(right, rel(lk) === right(rk))
       }
-      // 1. attach aliased distance columns, so WHERE can reference them
-      //    (README story: WHERE distance < 4 filters the SELECT alias)
+      // 1. attach aliased distance/computed columns, so WHERE can reference
+      //    them (README story: WHERE distance < 4 filters the SELECT
+      //    alias); window items attach AFTER the pre-window WHERE below
       var df = base
       items.foreach {
         case DistItem(c, probe, alias) => df = df.withColumn(alias, distCol(base, c, probe))
         case ColItem(c, Some(alias)) => df = df.withColumn(alias, col(c))
         case it: CaseItem => df = df.withColumn(it.alias, caseCol(base, it))
         case ExprItem(o, alias) => df = df.withColumn(alias, operandCol(base, o))
-        case WinItem(f, arg, parts, keys, alias) =>
-          import org.apache.spark.sql.expressions.Window
-          val spec = Window.partitionBy(parts.map(col): _*)
-            .orderBy(keys.map(k => if (k.desc) col(k.name).desc else col(k.name).asc): _*)
-          val fn = f match {
-            case "ROW_NUMBER" => row_number()
-            case "RANK" => rank()
-            case "DENSE_RANK" => dense_rank()
-            // ordered aggregate: ANSI default frame (RANGE unbounded
-            // preceding → current row), same default in DuckDB
-            case agg => aggColumn(agg, arg)
-          }
-          df = df.withColumn(alias, fn.over(spec))
         case _ => ()
       }
       // 2a. IN (SELECT …) pre-pass: each subquery becomes a left-outer
@@ -881,7 +969,7 @@ final class EmdriveSession(spark: SparkSession) {
       //     on the distinct side. The predicate then reads the match
       //     marker with ANSI three-valued semantics, which makes it
       //     composable anywhere in the WHERE tree (AND/OR/NOT).
-      var subPreds = Map.empty[PInSub, Column]
+      var subPreds = Map.empty[Pred, Column]
       where.flatMap(collectInSubs).distinct.zipWithIndex.foreach {
         case (node, i) =>
           val sub = lowerSelect(node.sub)
@@ -903,9 +991,81 @@ final class EmdriveSession(spark: SparkSession) {
             .otherwise(false)
           subPreds += node -> (if (node.neg) !c else c)
       }
-      // 2. WHERE — plain column equality lands in the scan's PushedFilters;
-      //    applies PRE-aggregation (no HAVING in this dialect)
-      where.foreach(pred => df = df.filter(predCol(base, pred, subPreds)))
+      // 2b. [NOT]-composable EXISTS pre-pass: equality conjuncts that
+      //     straddle the subquery and the outer relation DECORRELATE into
+      //     a marker join — the inner relation keeps its local
+      //     predicates, projects the DISTINCT correlation keys, and
+      //     left-outer joins on the outer columns (AQE broadcasts the
+      //     key side when small); EXISTS then reads the match marker.
+      //     Two-valued, so it composes under AND/OR/NOT anywhere in the
+      //     tree. An uncorrelated EXISTS folds to a broadcast
+      //     existence bit off a LIMIT-1 probe.
+      where.flatMap(collectExists).distinct.zipWithIndex.foreach { case (node, i) =>
+        val sub = node.sub
+        require(sub.joins.isEmpty && sub.groupBy.isEmpty && sub.having.isEmpty,
+          "EXISTS subquery supports a single filtered table")
+        val inner = table(sub.table)
+        val innerCols = inner.columns.toSet
+        val outerCols = df.columns.toSet
+        val (corr, local) = sub.where.flatMap(splitConjuncts).partitionMap {
+          case PCmp(Cmp(ORef(a), "=", ORef(b)))
+              if innerCols(a) && !innerCols(b) && outerCols(b) => Left((a, b))
+          case PCmp(Cmp(ORef(a), "=", ORef(b)))
+              if innerCols(b) && !innerCols(a) && outerCols(a) => Left((b, a))
+          case other => Right(other)
+        }
+        val filtered = local.foldLeft(inner)((d0, pr) => d0.filter(predCol(inner, pr)))
+        val c =
+          if (corr.isEmpty) {
+            val cntN = s"__ex_n_$i"
+            df = df.crossJoin(broadcast(
+              filtered.limit(1).agg(count(lit(1)).as(cntN))))
+            col(cntN) > 0
+          } else {
+            val markN = s"__ex_match_$i"
+            val pairs = corr.distinct
+            val keyCols = pairs.map(_._1).distinct
+            val keyName = keyCols.zipWithIndex
+              .map { case (k, j) => k -> s"__ex_key_${i}_$j" }.toMap
+            val keys = filtered
+              .select(keyCols.map(col): _*).distinct()
+              .toDF(keyCols.map(keyName): _*)
+              .withColumn(markN, lit(true))
+            val cond = pairs.map { case (ic, oc) =>
+              df(oc) === keys(keyName(ic)) }.reduce(_ && _)
+            df = df.join(keys, cond, "left_outer")
+            col(markN).isNotNull
+          }
+        subPreds += (node: Pred) -> c
+      }
+      // 2. WHERE — ANSI split: conjuncts that do not read a window alias
+      //    filter the window INPUT (plain column equality still lands in
+      //    the scan's PushedFilters); conjuncts that do read one are the
+      //    QUALIFY idiom and apply after window attachment (round-7
+      //    ADVICE: the old all-post-window order silently diverged from
+      //    ANSI when a plain filter met a window whose partition did not
+      //    include the filtered column).
+      val winAliases = items.collect { case w: WinItem => w.alias }.toSet
+      val (postWin, preWin) = where.flatMap(splitConjuncts)
+        .partition(c => refNames(c).exists(winAliases))
+      preWin.foreach(c => df = df.filter(predCol(base, c, subPreds)))
+      items.foreach {
+        case WinItem(f, arg, parts, keys, alias) =>
+          import org.apache.spark.sql.expressions.Window
+          val spec = Window.partitionBy(parts.map(col): _*)
+            .orderBy(keys.map(k => if (k.desc) col(k.name).desc else col(k.name).asc): _*)
+          val fn = f match {
+            case "ROW_NUMBER" => row_number()
+            case "RANK" => rank()
+            case "DENSE_RANK" => dense_rank()
+            // ordered aggregate: ANSI default frame (RANGE unbounded
+            // preceding → current row), same default in DuckDB
+            case agg => aggColumn(agg, arg)
+          }
+          df = df.withColumn(alias, fn.over(spec))
+        case _ => ()
+      }
+      postWin.foreach(c => df = df.filter(predCol(base, c, subPreds)))
       val hasAgg = items.exists(i =>
         i.isInstanceOf[AggItem] || i.isInstanceOf[AggExprItem])
       // 3. aggregation (graft extension) or plain SELECT-list projection
@@ -932,21 +1092,22 @@ final class EmdriveSession(spark: SparkSession) {
           val plain = items.collect { case AggItem(f, arg, alias) =>
             aggColumn(f, arg).as(aggAlias(f, arg, alias)) }
           // each distinct aggregate atom inside expressions computes ONCE
-          // under its canonical name, reused by every expression — unless
-          // a plain item already emits that exact column
-          val plainNames = items.collect {
-            case AggItem(f, arg, alias) => aggAlias(f, arg, alias) }.toSet
+          // under a RESERVED internal name (never a user-visible alias:
+          // deduplicating against plain items let `SELECT SUM(x) AS
+          // sum_v, SUM(v) / 2 ...` silently read the SUM(x) column —
+          // round-7 ADVICE). Catalyst collapses identical aggregate
+          // expressions, so the occasional double registration is free.
           val exprAggs = items
             .collect { case AggExprItem(o, _) => aggAtoms(o) }.flatten.distinct
-            .collect { case OAgg(f, arg) if !plainNames(aggAlias(f, arg, None)) =>
-              aggColumn(f, arg).as(aggAlias(f, arg, None)) }
+            .map { case OAgg(f, arg) =>
+              aggColumn(f, arg).as("__agg_" + aggAlias(f, arg, None)) }
           val aggs = plain ++ exprAggs
           require(aggs.nonEmpty, "GROUP BY requires at least one aggregate")
           val agged = df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
           // post-aggregation expression evaluation: aggregate atoms read
           // their computed columns, ORefs read group keys, literals stay
           def aggExprCol(o: Operand): Column = o match {
-            case OAgg(f, arg) => col(aggAlias(f, arg, None))
+            case OAgg(f, arg) => col("__agg_" + aggAlias(f, arg, None))
             case ORef(n) => col(n)
             case OVal(VNum(s)) => if (s.contains('.')) lit(s.toDouble) else lit(s.toLong)
             case s: OSub => operandCol(base, s) // scalar subquery: already a literal
@@ -1059,14 +1220,51 @@ final class EmdriveSession(spark: SparkSession) {
     case _ => Seq.empty
   }
 
+  private def collectExists(p: Pred): Seq[PExists] = p match {
+    case s: PExists => Seq(s)
+    case PAnd(a, b) => collectExists(a) ++ collectExists(b)
+    case POr(a, b) => collectExists(a) ++ collectExists(b)
+    case PNot(x) => collectExists(x)
+    case _ => Seq.empty
+  }
+
+  /** Top-level AND conjuncts (the unit of the pre/post-window WHERE split
+    * and of EXISTS decorrelation). */
+  private def splitConjuncts(p: Pred): Seq[Pred] = p match {
+    case PAnd(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** Column names a predicate reads (scalar subqueries inline to literals
+    * and EXISTS reads its marker, so neither contributes). */
+  private def refNamesO(o: Operand): Set[String] = o match {
+    case ORef(n) => Set(n)
+    case ODist(c, _) => Set(c)
+    case OArith(l, _, r) => refNamesO(l) ++ refNamesO(r)
+    case _ => Set.empty
+  }
+
+  private def refNames(p: Pred): Set[String] = p match {
+    case PCmp(Cmp(l, _, r)) => refNamesO(l) ++ refNamesO(r)
+    case PAnd(a, b) => refNames(a) ++ refNames(b)
+    case POr(a, b) => refNames(a) ++ refNames(b)
+    case PNot(x) => refNames(x)
+    case PIn(l, _, _) => refNamesO(l)
+    case PInSub(l, _, _) => refNamesO(l)
+    case PLike(l, _, _) => refNamesO(l)
+    case _: PExists => Set.empty
+  }
+
   private def predCol(base: DataFrame, p: Pred,
-      subs: Map[PInSub, Column] = Map.empty): Column = p match {
+      subs: Map[Pred, Column] = Map.empty): Column = p match {
     case PCmp(c) => cmpCol(base, c)
     case PAnd(a, b) => predCol(base, a, subs) && predCol(base, b, subs)
     case POr(a, b) => predCol(base, a, subs) || predCol(base, b, subs)
     case PNot(x) => !predCol(base, x, subs)
     case s: PInSub => subs.getOrElse(s, throw new IllegalArgumentException(
       "IN (SELECT …) is only supported in WHERE"))
+    case s: PExists => subs.getOrElse(s, throw new IllegalArgumentException(
+      "EXISTS (SELECT …) is only supported in WHERE"))
     case PIn(lhs, vals, neg) =>
       // raw literal values (not Columns) build a true Catalyst In — the
       // shape the parquet datasource translates to a pushed IN filter
@@ -1407,12 +1605,76 @@ object SqlQueries {
         s.read.schema("source STRING, n_docs BIGINT, total_chars BIGINT")
           .json(s.createDataset(Seq(resp.body())))
       } finally server.stop()
+    }),
+    // correlated [NOT] EXISTS end-to-end: big-spender customers with no
+    // failed order — both subqueries decorrelate into marker joins whose
+    // distinct key sides AQE broadcasts
+    "q_sql_exists" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT c_custkey, c_name, c_acctbal FROM customer
+               |WHERE EXISTS (SELECT 1 FROM orders
+               |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+               | AND NOT EXISTS (SELECT 1 FROM orders
+               |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+               |ORDER BY c_custkey;""".stripMargin)
+    }),
+    // table functions: the pipeline surface through the SQL front door
+    // (each also reachable over HTTP via GraftServer)
+    "q_sql_dedup" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, source, n_chars
+               |FROM dedup_exact(documents, doc_id, text);""".stripMargin)
+    }),
+    "q_sql_neardup" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("SELECT id_a, id_b, jaccard FROM neardup_jaccard(documents, doc_id, text, 0.5);")
+    }),
+    "q_sql_knn" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("embeddings", Tables.embeddings(s, d))
+      es.sql("SELECT vec_id, sim FROM knn_cosine(embeddings, vec_id, embedding, 0, 10);")
+    }),
+    "q_sql_quality_gate" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, ok_words, ok_mean_len, ok_repetition,
+               | ok_stopwords, keep
+               |FROM quality_gate(documents, doc_id, text);""".stripMargin)
     })
   )
 
   val oracles: Map[String, String] = Map(
     "q_sql_select" ->
       "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'",
+    // DuckDB runs the correlated EXISTS natively — the oracle is the
+    // same ANSI text the dialect parses
+    "q_sql_exists" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        | AND NOT EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "q_sql_dedup" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
+    "q_sql_neardup" ->
+      s"""WITH ${graft.operators.Dedup.wordPairCtes}
+         |SELECT id_a, id_b,
+         | inter * 1.0 / (ca.n + cb.n - inter) AS jaccard
+         |FROM p
+         |JOIN cnt ca ON id_a = ca.doc_id
+         |JOIN cnt cb ON id_b = cb.doc_id
+         |WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5""".stripMargin,
+    "q_sql_knn" ->
+      """SELECT vec_id,
+        | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+        |FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_sql_quality_gate" -> graft.operators.TextAnalysis.oracles("q_gopher_flags"),
     "q_sql_median" ->
       """SELECT lang, count(*) AS n, median(n_chars) AS med_chars,
         | max(n_chars) - min(n_chars) AS spread

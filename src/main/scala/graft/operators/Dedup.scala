@@ -718,7 +718,28 @@ object Dedup {
         when(Sampling.bucketOf(coalesce(col("comp"), col("doc_id")), 100) < 90,
           "train").otherwise("eval").as("split"))
 
+  /** Per-source dedup inflation: documents vs near-dup clusters touched —
+    * the data-card statistic that tells a mixture designer how much of a
+    * source is redundant mass (inflation 1.0 = no near-dups; 2.0 = the
+    * source holds twice the docs of its deduped self, so its effective
+    * token budget is half its raw one). Reuses the memoized component
+    * labels ([[wordComponents]] — the fifth consumer of one fixpoint);
+    * n_clusters counts DISTINCT canonical ids per source, so a cluster
+    * straddling sources counts once for each — the honest per-source
+    * view of shared boilerplate. */
+  private def sourceInflation(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(wordComponents(s, d), col("doc_id") === col("id"), "left")
+      .select(col("source"), col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("canonical"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical")).as("n_clusters"))
+      .withColumn("inflation",
+        round(col("n_docs") * lit(1.0) / col("n_clusters"), 6))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_inflation" -> sourceInflation _,
     "q_containment" -> containmentPairs _,
     "q_split_leakfree" -> splitLeakfree _,
     "q_cluster_sizes" -> clusterSizes _,
@@ -798,6 +819,28 @@ object Dedup {
       """SELECT CAST(3 AS INTEGER) AS radius, CAST(4 AS INTEGER) AS n_bands,
         | CAST(0 AS BIGINT) AS audit_missing, true AS complete_ok
         |FROM documents HAVING count(*) > 0""".stripMargin,
+    "q_source_inflation" ->
+      s"""WITH RECURSIVE $wordPairCtes,
+         |pairsj AS (
+         | SELECT id_a, id_b FROM p
+         | JOIN cnt ca ON id_a = ca.doc_id
+         | JOIN cnt cb ON id_b = cb.doc_id
+         | WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5),
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairsj
+         | UNION ALL SELECT id_b AS src, id_a AS dst FROM pairsj),
+         |walk AS (
+         | SELECT src AS id, src AS comp FROM edges
+         | UNION
+         | SELECT e2.src AS id, w.comp AS comp
+         | FROM edges e2 JOIN walk w ON w.id = e2.dst),
+         |compt AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+         |SELECT source, count(*) AS n_docs,
+         | count(DISTINCT coalesce(comp, doc_id)) AS n_clusters,
+         | round(count(*) * 1.0 / count(DISTINCT coalesce(comp, doc_id)), 6)
+         |   AS inflation
+         |FROM documents LEFT JOIN compt ON doc_id = id
+         |GROUP BY source""".stripMargin,
     "q_containment" ->
       s"""WITH $wordPairCtes,
          |cp AS (

@@ -656,6 +656,70 @@ object Similarity {
         (col("sse_n_q2") * lit(1.0) / (col("n") * col("n") * lit(1048576L))).as("msd"))
   }
 
+  /** Centroid-distance outlier pruning — the standard noisy-label /
+    * mislabeled-example cleaner: each vector's cosine to its LABEL's exact
+    * centroid, ranked within the label, with the bottom 5% flagged. A
+    * vector far from its class centroid is the classic candidate for
+    * label noise (Northcutt et al. confident-learning's geometric cousin).
+    *
+    * Numerics: the centroid is the exact fixed-point mean (the
+    * embedCentroid 2^20 grid — integer sums, so aggregation order cannot
+    * move it), reconstructed to double by the same two-division sequence
+    * in both engines; per-vector dot/norm terms accumulate as
+    * DECIMAL(28,12) (the embedStats doctrine: decimal addition is
+    * order-independent, and a 1e-12 boundary flip is absorbed by the
+    * final round(...,6)). One posexplode scan, a broadcast of the
+    * label×dim centroid relation, one partial-combined aggregate, one
+    * per-label rank window. Scale note: the window partitions by label
+    * (thousands of rows per label at 100 TB — fine); a label-free variant
+    * would swap the rank for an approx-quantile threshold. */
+  private def embedOutliers(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .toDF("vec_id", "label", "pos", "vf")
+      .select(col("vec_id"), col("label"), col("pos"),
+        col("vf").cast("double").as("v"))
+    val cent = x.groupBy(col("label"), col("pos"))
+      .agg(sum(floor(col("v") * 1048576.0 + 0.5).cast("long")).as("cq"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("cq").cast("double") / col("n") / 1048576.0).as("c"))
+    val sums = x.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("v") * col("c")).cast("decimal(28,12)")).as("svc"),
+        sum((col("v") * col("v")).cast("decimal(28,12)")).as("svv"),
+        sum((col("c") * col("c")).cast("decimal(28,12)")).as("scc"))
+      .select(col("vec_id"), col("label"),
+        round(col("svc").cast("double") /
+          (sqrt(col("svv").cast("double")) * sqrt(col("scc").cast("double"))), 6)
+          .as("csim"))
+    val w = Window.partitionBy(col("label")).orderBy(col("csim"), col("vec_id"))
+    sums
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_label", count(lit(1)).over(Window.partitionBy(col("label"))))
+      .select(col("vec_id"), col("label"), col("csim"), col("rnk"),
+        (col("rnk") <= ceil(col("n_label") * 0.05)).as("outlier"))
+  }
+
+  /** Degree histogram of the τ-similarity graph — the corpus-geometry
+    * health report for the kNN-graph/near-dup machinery (a heavy tail of
+    * high-degree vectors is exactly the boilerplate mass that LSH caps
+    * and SemDeDup exist for; a spike at 0 says the threshold is too
+    * tight). Degrees come from the scale-routed pair stream (pairs die in
+    * the count), isolated vectors enter as degree 0 via a left join, and
+    * the output is label-free: (degree, n_vecs). Below the route cutoff
+    * the stream is exact, so the histogram replays in DuckDB. */
+  private def knnGraphDegree(s: SparkSession, d: String): DataFrame = {
+    val pairs = embedNeardupAuto(Tables.embeddings(s, d), 0.4)
+    val deg = pairs.select(col("id_a").as("vec_id"))
+      .unionByName(pairs.select(col("id_b").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(deg, Seq("vec_id"), "left_outer")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_vecs"))
+  }
+
   /** L2 norms via the native codegen kernel. */
   private def embedNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -797,6 +861,8 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_outliers" -> embedOutliers _,
+    "q_knn_graph_degree" -> knnGraphDegree _,
     "q_embed_drift" -> embedDrift _,
     "q_hard_negatives" -> hardNegatives _,
     "q_knn_mrr" -> knnMrr _,
@@ -861,6 +927,42 @@ object Similarity {
          | SELECT e2.src AS id, w.comp AS comp
          | FROM edges e2 JOIN walk w ON w.id = e2.dst)
          |SELECT id AS vec_id, min(comp) AS comp FROM walk GROUP BY id""".stripMargin,
+    "q_embed_outliers" ->
+      """WITH x AS (
+        | SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v
+        | FROM embeddings),
+        |cent AS (
+        | SELECT label, pos,
+        |  CAST(sum(CAST(floor(v * 1048576 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |    AS DOUBLE) / count(*) / CAST(1048576 AS DOUBLE) AS c
+        | FROM x GROUP BY label, pos),
+        |sums AS (
+        | SELECT vec_id, x.label AS label,
+        |  sum(CAST(x.v * c AS DECIMAL(28,12))) AS svc,
+        |  sum(CAST(x.v * x.v AS DECIMAL(28,12))) AS svv,
+        |  sum(CAST(c * c AS DECIMAL(28,12))) AS scc
+        | FROM x JOIN cent ON x.label = cent.label AND x.pos = cent.pos
+        | GROUP BY 1, 2),
+        |sc AS (SELECT vec_id, label,
+        |  round(CAST(svc AS DOUBLE) /
+        |   (sqrt(CAST(svv AS DOUBLE)) * sqrt(CAST(scc AS DOUBLE))), 6) AS csim
+        | FROM sums),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY label ORDER BY csim, vec_id) AS rnk,
+        |  count(*) OVER (PARTITION BY label) AS n_label FROM sc)
+        |SELECT vec_id, label, csim, CAST(rnk AS INTEGER) AS rnk,
+        | rnk <= ceil(n_label * CAST(0.05 AS DOUBLE)) AS outlier
+        |FROM r""".stripMargin,
+    "q_knn_graph_degree" ->
+      s"""WITH $cosPairCtes,
+         |deg AS (SELECT vec_id, count(*) AS degree FROM (
+         |  SELECT id_a AS vec_id FROM pairs
+         |  UNION ALL SELECT id_b AS vec_id FROM pairs) GROUP BY vec_id)
+         |SELECT coalesce(degree, CAST(0 AS BIGINT)) AS degree,
+         | count(*) AS n_vecs
+         |FROM embeddings e LEFT JOIN deg USING (vec_id)
+         |GROUP BY 1""".stripMargin,
     // Contract oracle: counts replay from the parquet; the contract
     // columns are the algebraic guarantees (see semDedup's doc) asserted
     // literally — sums CAST to BIGINT (DuckDB sums integers to HUGEINT).

@@ -153,10 +153,25 @@ object Similarity {
     * materialized). The count() pre-pass driving the route is
     * parquet-metadata-cheap. */
   private def embedNeardup(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val n = e.count()
-    if (n <= NeardupRouteMax) embedNeardupExact(e, 0.4)
-    else topKNeighbors(embedNeardupClustered(e, 0.4, n), NeardupTopK)
+    val n = Tables.embeddings(s, d).count()
+    val pairs = embedPairsShared(s, d)
+    if (n <= NeardupRouteMax) pairs else topKNeighbors(pairs, NeardupTopK)
+  }
+
+  /** The scale-routed embedding pair relation every embedding-graph
+    * consumer shares — q_embed_neardup's output, the component fixpoint,
+    * decontamination counts, and the degree histogram all start from the
+    * SAME (id_a, id_b, sim) stream, so the session registry shares ONE
+    * build (the wordPairsAll doctrine): the exact broadcast scan below
+    * the cutoff, or the 4-clustering KMeans blocking above it, runs once
+    * per (session, corpus) and later consumers reuse its shuffle files as
+    * skipped stages. */
+  private[graft] def embedPairsShared(s: SparkSession, d: String): DataFrame = {
+    val (rdd, schema) = graft.SessionMemo.of(s, d, "embed_pairs") {
+      val df = embedNeardupAuto(Tables.embeddings(s, d), 0.4)
+      (df.rdd, df.schema)
+    }
+    s.createDataFrame(rdd, schema)
   }
 
   /** Exact all-pairs near-dup for corpora under the route cutoff: one
@@ -353,9 +368,7 @@ object Similarity {
     * a recursive CTE over the brute-force pair relation. */
   private def embedComponents(s: SparkSession, d: String): DataFrame =
     Dedup.memoComponents(s, d, "embed") {
-      Dedup.components(
-        embedNeardupAuto(Tables.embeddings(s, d), 0.4)
-          .select(col("id_a"), col("id_b")))
+      Dedup.components(embedPairsShared(s, d).select(col("id_a"), col("id_b")))
     }.select(col("id").as("vec_id"), col("comp"))
 
   /** SemDeDup (Abbas et al. 2023): cluster-local semantic deduplication —
@@ -571,7 +584,7 @@ object Similarity {
     * Below the route cutoff the stream is exact, so the key replays fully
     * in DuckDB (brute-force pairs + the same bucket splits). */
   private def embedDecontaminate(s: SparkSession, d: String): DataFrame = {
-    val p = embedNeardupAuto(Tables.embeddings(s, d), 0.4)
+    val p = embedPairsShared(s, d)
       .select(col("id_a"), col("id_b"),
         Sampling.bucketOf(col("id_a"), 100).as("ba"),
         Sampling.bucketOf(col("id_b"), 100).as("bb"))
@@ -710,7 +723,7 @@ object Similarity {
     * the output is label-free: (degree, n_vecs). Below the route cutoff
     * the stream is exact, so the histogram replays in DuckDB. */
   private def knnGraphDegree(s: SparkSession, d: String): DataFrame = {
-    val pairs = embedNeardupAuto(Tables.embeddings(s, d), 0.4)
+    val pairs = embedPairsShared(s, d)
     val deg = pairs.select(col("id_a").as("vec_id"))
       .unionByName(pairs.select(col("id_b").as("vec_id")))
       .groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))

@@ -548,6 +548,8 @@ object EmdriveSql {
       // window aggregate; arithmetic CONTAINING one becomes a
       // post-aggregation expression item
       case OAgg(f, arg) if p.peekWord("OVER") =>
+        require(f != "COUNT_DISTINCT",
+          "COUNT(DISTINCT …) OVER a window is not supported")
         p.eatWord("OVER")
         parseOverClause(p, f, arg, overEaten = true)
       case OAgg(f, arg) =>
@@ -626,11 +628,14 @@ object EmdriveSql {
       OSub(sub)
     case TWord(f) :: TSym("(") :: _ if AggFuncs(f.toUpperCase) =>
       p.toks = p.toks.tail.tail
+      val distinct = p.tryWord("DISTINCT")
       val arg = if (p.trySym("*")) None else Some(p.ident())
       p.eatSym(")")
       require(arg.nonEmpty || f.equalsIgnoreCase("count"),
         s"$f(*) is not valid; only COUNT(*)")
-      OAgg(f.toUpperCase, arg)
+      require(!distinct || (arg.nonEmpty && f.equalsIgnoreCase("count")),
+        "DISTINCT is supported for COUNT(column) only")
+      OAgg(if (distinct) "COUNT_DISTINCT" else f.toUpperCase, arg)
     case TSym("(") :: _ =>
       p.eatSym("(")
       val inner = parseOperand(p)
@@ -1169,6 +1174,9 @@ final class EmdriveSession(spark: SparkSession) {
     (func, arg) match {
       case ("COUNT", None) => count(lit(1))
       case ("COUNT", Some(c)) => count(col(c))
+      // exact distinct (the partial-combined two-phase Expand plan); the
+      // 100 TB approximate alternative is approx_count_distinct
+      case ("COUNT_DISTINCT", Some(c)) => countDistinct(col(c))
       case ("SUM", Some(c)) => sum(col(c))
       case ("AVG", Some(c)) => avg(col(c))
       case ("MIN", Some(c)) => min(col(c))
@@ -1620,6 +1628,15 @@ object SqlQueries {
                |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
                |ORDER BY c_custkey;""".stripMargin)
     }),
+    // COUNT(DISTINCT …) end-to-end, mixed with plain aggregates and an
+    // aggregate-arithmetic ratio over the distinct count
+    "q_sql_count_distinct" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, COUNT(DISTINCT lang) AS n_langs, COUNT(*) AS n,
+               | COUNT(*) / COUNT(DISTINCT lang) AS docs_per_lang
+               |FROM documents GROUP BY source ORDER BY source;""".stripMargin)
+    }),
     // table functions: the pipeline surface through the SQL front door
     // (each also reachable over HTTP via GraftServer)
     "q_sql_dedup" -> ((s: SparkSession, d: String) => {
@@ -1658,6 +1675,10 @@ object SqlQueries {
         |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         | AND NOT EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "q_sql_count_distinct" ->
+      """SELECT source, count(DISTINCT lang) AS n_langs, count(*) AS n,
+        | count(*) / count(DISTINCT lang) AS docs_per_lang
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_sql_dedup" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,

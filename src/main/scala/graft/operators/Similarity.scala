@@ -168,7 +168,13 @@ object Similarity {
     * skipped stages. */
   private[graft] def embedPairsShared(s: SparkSession, d: String): DataFrame = {
     val (rdd, schema) = graft.SessionMemo.of(s, d, "embed_pairs") {
+      // end the build with a hash exchange: the exact path's lineage is
+      // otherwise shuffle-FREE (broadcast NL join), and RDD reuse only
+      // skips stages behind a shuffle boundary — without this, every
+      // consumer would re-run the n²/2 scan instead of reading a few
+      // hundred shuffled pair rows
       val df = embedNeardupAuto(Tables.embeddings(s, d), 0.4)
+        .repartition(col("id_a"))
       (df.rdd, df.schema)
     }
     s.createDataFrame(rdd, schema)
@@ -181,7 +187,12 @@ object Similarity {
     * work bounded by cutoff²/2 ≈ 33M pairs regardless of data. */
   private[graft] def embedNeardupExact(e: DataFrame, threshold: Double): DataFrame = {
     val ev = e.select(col("vec_id"), col("embedding"))
-    ev.as("a").join(broadcast(ev.as("b")), col("a.vec_id") < col("b.vec_id"))
+    // a small corpus usually scans as ONE parquet partition, which would
+    // run the nested loop on one core; spread the streamed side so the
+    // n²/2 kernel evals use the whole executor pool
+    val par = e.sparkSession.sparkContext.defaultParallelism
+    ev.repartition(par).as("a")
+      .join(broadcast(ev.as("b")), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(call_function("cosine_sim", col("a.embedding"), col("b.embedding")), 6)
           .as("sim"))

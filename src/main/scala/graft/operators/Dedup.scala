@@ -738,7 +738,25 @@ object Dedup {
       .withColumn("inflation",
         round(col("n_docs") * lit(1.0) / col("n_clusters"), 6))
 
+  /** Soft dedup weighting: every document's training weight = 1/|cluster|
+    * — the loss-reweighting alternative to keep-one dedup (drop nothing,
+    * make each near-dup CLUSTER contribute one unit of loss mass; the
+    * standard soft option when hard dropping is too aggressive for a
+    * small-but-duplicated source). Seventh consumer of the one memoized
+    * component fixpoint; singletons weigh 1. The weight is 1/n with n a
+    * small exact integer — bitwise identical in any engine. */
+  private def dedupWeights(s: SparkSession, d: String): DataFrame = {
+    val canon = Tables.documents(s, d).select(col("doc_id"))
+      .join(wordComponents(s, d), col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
+    val sizes = canon.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    canon.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size")).as("weight"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_weights" -> dedupWeights _,
     "q_source_inflation" -> sourceInflation _,
     "q_containment" -> containmentPairs _,
     "q_split_leakfree" -> splitLeakfree _,
@@ -819,6 +837,28 @@ object Dedup {
       """SELECT CAST(3 AS INTEGER) AS radius, CAST(4 AS INTEGER) AS n_bands,
         | CAST(0 AS BIGINT) AS audit_missing, true AS complete_ok
         |FROM documents HAVING count(*) > 0""".stripMargin,
+    "q_dedup_weights" ->
+      s"""WITH RECURSIVE $wordPairCtes,
+         |pairsj AS (
+         | SELECT id_a, id_b FROM p
+         | JOIN cnt ca ON id_a = ca.doc_id
+         | JOIN cnt cb ON id_b = cb.doc_id
+         | WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5),
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairsj
+         | UNION ALL SELECT id_b AS src, id_a AS dst FROM pairsj),
+         |walk AS (
+         | SELECT src AS id, src AS comp FROM edges
+         | UNION
+         | SELECT e2.src AS id, w.comp AS comp
+         | FROM edges e2 JOIN walk w ON w.id = e2.dst),
+         |compt AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+         |canon AS (
+         | SELECT doc_id, coalesce(comp, doc_id) AS cluster
+         | FROM documents LEFT JOIN compt ON doc_id = id),
+         |sz AS (SELECT cluster, count(*) AS cluster_size FROM canon GROUP BY 1)
+         |SELECT doc_id, cluster_size, CAST(1 AS DOUBLE) / cluster_size AS weight
+         |FROM canon JOIN sz USING (cluster)""".stripMargin,
     "q_source_inflation" ->
       s"""WITH RECURSIVE $wordPairCtes,
          |pairsj AS (

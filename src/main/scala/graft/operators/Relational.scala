@@ -903,6 +903,27 @@ object Relational {
         (col("n") * lit(1.0) / col("row_total")).as("p"))
   }
 
+  /** Top event paths: the 20 most common 3-step behavioral sequences
+    * (the path-analysis report next to B42's single-step transition
+    * matrix — "what do users actually DO": funnels you didn't think to
+    * define show up here first). Per-user total order (ms, event_id — the
+    * unique id breaks ms ties), two leads build the consecutive triple,
+    * then a partial-combined count and a TakeOrdered top-20 (no global
+    * sort). Cross-engine: path strings concatenate deterministically and
+    * the (n DESC, path) order key is total. */
+  private def eventPaths(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    EventTime.withMs(Tables.events(s, d))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t1"), col("t2")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
   /** Interval-concurrency sweep: line items pending shipment per day —
     * how many [o_orderdate, l_shipdate] intervals cover each calendar day
     * with a boundary change. The classic overlap count (concurrent
@@ -1004,6 +1025,7 @@ object Relational {
     "q_returned_revenue" -> returnedRevenue _,
     "q_wau" -> wau _,
     "q_transitions" -> transitions _,
+    "q_event_paths" -> eventPaths _,
     "q_in_transit" -> inTransit _,
     "q_key_skew" -> keySkew _,
     "q_rolling_7d" -> rolling7d _,
@@ -1107,6 +1129,17 @@ object Relational {
         | FROM cnt GROUP BY 1)
         |SELECT cnt.from_type, to_type, n, n * 1.0 / row_total AS p
         |FROM cnt JOIN tot ON cnt.from_type = tot.from_type""".stripMargin,
+    "q_event_paths" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+        |tri AS (
+        | SELECT event_type AS t0,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS t1,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS t2
+        | FROM e)
+        |SELECT concat_ws('>', t0, t1, t2) AS path, count(*) AS n
+        |FROM tri WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "q_in_transit" ->
       """WITH iv AS (
         | SELECT o_orderdate, l_shipdate

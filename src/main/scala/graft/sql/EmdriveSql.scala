@@ -168,9 +168,12 @@ object EmdriveSql {
     * Catalyst turns the filter into map-side WindowGroupLimit pruning
     * before the rank shuffle. `arg` is the aggregate's column (None for
     * ranking functions and COUNT(*)). */
+  /** frame: None = ANSI default (RANGE unbounded→current); Some(None) =
+    * ROWS UNBOUNDED PRECEDING → CURRENT ROW; Some(Some(n)) = ROWS n
+    * PRECEDING → CURRENT ROW (the moving-window idiom). */
   final case class WinItem(func: String, arg: Option[String],
       partitionBy: Seq[String], orderBy: Seq[OrderKey],
-      alias: String) extends SelectItem
+      alias: String, frame: Option[Option[Long]] = None) extends SelectItem
   final case class DistItem(column: String, probe: Value, alias: String) extends SelectItem
   /** COUNT/SUM/AVG/MIN/MAX over a column (or `*` for COUNT). Output name
     * defaults to `count` / `<func>_<col>` when no alias is given. */
@@ -202,6 +205,8 @@ object EmdriveSql {
     * Catalyst-optimizable. Division follows engine float semantics
     * (int / int is a double, as in DuckDB). No unary minus: write 0 - x. */
   final case class OArith(lhs: Operand, op: String, rhs: Operand) extends Operand
+  /** Scalar function call (string functions — the UPPER/SUBSTR tier). */
+  final case class OFunc(name: String, args: Seq[Operand]) extends Operand
   /** An aggregate call as an arithmetic atom (`SUM(a) / COUNT(*)`): only
     * valid inside an aggregating SELECT's items — the lowering computes
     * each distinct (func, arg) once and the expression reads the result;
@@ -327,6 +332,7 @@ object EmdriveSql {
     "OVER", "PARTITION")
 
   private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN")
+  private val StrFuncs = Set("UPPER", "LOWER", "LENGTH", "TRIM", "SUBSTR", "REPLACE")
   private val WinFuncs = Set("ROW_NUMBER", "RANK", "DENSE_RANK")
 
   /** SELECT … [UNION [ALL] SELECT …]* — the shared select-chain shape used
@@ -583,15 +589,33 @@ object EmdriveSql {
     }
     val keys = mutable.ListBuffer(wkey())
     while (p.trySym(",")) keys += wkey()
+    // optional explicit ROWS frame (the moving-average idiom); RANGE
+    // stays the ANSI default when absent
+    val frame: Option[Option[Long]] =
+      if (p.tryWord("ROWS")) {
+        p.eatWord("BETWEEN")
+        val lo: Option[Long] =
+          if (p.tryWord("UNBOUNDED")) { p.eatWord("PRECEDING"); None }
+          else p.toks match {
+            case TNum(n) :: rest if !n.contains('.') =>
+              p.toks = rest; p.eatWord("PRECEDING"); Some(n.toLong)
+            case _ => p.fail("UNBOUNDED or integer PRECEDING")
+          }
+        p.eatWord("AND"); p.eatWord("CURRENT"); p.eatWord("ROW")
+        Some(lo)
+      } else None
+    require(frame.isEmpty || !WinFuncs(func),
+      s"$func does not take a frame clause")
     p.eatSym(")")
     p.eatWord("AS")
-    WinItem(func, arg, parts, keys.toSeq, p.ident())
+    WinItem(func, arg, parts, keys.toSeq, p.ident(), frame)
   }
 
   /** All aggregate atoms inside an operand tree. */
   private[sql] def aggAtoms(o: Operand): Seq[OAgg] = o match {
     case a: OAgg => Seq(a)
     case OArith(l, _, r) => aggAtoms(l) ++ aggAtoms(r)
+    case OFunc(_, args) => args.flatMap(aggAtoms)
     case _ => Seq.empty
   }
 
@@ -626,6 +650,12 @@ object EmdriveSql {
       val sub = parseSelect(p)
       p.eatSym(")")
       OSub(sub)
+    case TWord(f) :: TSym("(") :: _ if StrFuncs(f.toUpperCase) =>
+      p.toks = p.toks.tail.tail
+      val args = mutable.ListBuffer(parseOperand(p))
+      while (p.trySym(",")) args += parseOperand(p)
+      p.eatSym(")")
+      OFunc(f.toUpperCase, args.toSeq)
     case TWord(f) :: TSym("(") :: _ if AggFuncs(f.toUpperCase) =>
       p.toks = p.toks.tail.tail
       val distinct = p.tryWord("DISTINCT")
@@ -1055,10 +1085,16 @@ final class EmdriveSession(spark: SparkSession) {
         .partition(c => refNames(c).exists(winAliases))
       preWin.foreach(c => df = df.filter(predCol(base, c, subPreds)))
       items.foreach {
-        case WinItem(f, arg, parts, keys, alias) =>
+        case WinItem(f, arg, parts, keys, alias, frame) =>
           import org.apache.spark.sql.expressions.Window
-          val spec = Window.partitionBy(parts.map(col): _*)
+          val ordered = Window.partitionBy(parts.map(col): _*)
             .orderBy(keys.map(k => if (k.desc) col(k.name).desc else col(k.name).asc): _*)
+          val spec = frame match {
+            case None => ordered // ANSI default RANGE frame
+            case Some(None) =>
+              ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            case Some(Some(n)) => ordered.rowsBetween(-n, Window.currentRow)
+          }
           val fn = f match {
             case "ROW_NUMBER" => row_number()
             case "RANK" => rank()
@@ -1142,7 +1178,7 @@ final class EmdriveSession(spark: SparkSession) {
             case DistItem(_, _, alias) => Seq(col(alias))
             case CaseItem(_, _, alias) => Seq(col(alias))
             case ExprItem(_, alias) => Seq(col(alias))
-            case WinItem(_, _, _, _, alias) => Seq(col(alias))
+            case WinItem(_, _, _, _, alias, _) => Seq(col(alias))
             case other => throw new IllegalStateException(other.toString)
           }: _*)
         }
@@ -1249,6 +1285,7 @@ final class EmdriveSession(spark: SparkSession) {
     case ORef(n) => Set(n)
     case ODist(c, _) => Set(c)
     case OArith(l, _, r) => refNamesO(l) ++ refNamesO(r)
+    case OFunc(_, args) => args.flatMap(refNamesO).toSet
     case _ => Set.empty
   }
 
@@ -1336,6 +1373,19 @@ final class EmdriveSession(spark: SparkSession) {
         case "-" => l - r
         case "*" => l * r
         case "/" => l / r
+      }
+    case OFunc(f, args) =>
+      val a = args.map(operandCol(base, _))
+      (f, a) match {
+        case ("UPPER", Seq(x)) => upper(x)
+        case ("LOWER", Seq(x)) => lower(x)
+        case ("LENGTH", Seq(x)) => length(x)
+        case ("TRIM", Seq(x)) => trim(x)
+        // 1-based, length-bounded — identical semantics in DuckDB substr
+        case ("SUBSTR", Seq(x, fr, ln)) => x.substr(fr, ln)
+        case ("REPLACE", Seq(x, s1, s2)) => replace(x, s1, s2)
+        case other => throw new IllegalArgumentException(
+          s"$f takes ${if (f == "SUBSTR" || f == "REPLACE") 3 else 1} arguments, got ${a.length}")
       }
     case a: OAgg => throw new IllegalArgumentException(
       s"aggregate ${a.func} is only valid in an aggregating SELECT's items")
@@ -1637,6 +1687,28 @@ object SqlQueries {
                | COUNT(*) / COUNT(DISTINCT lang) AS docs_per_lang
                |FROM documents GROUP BY source ORDER BY source;""".stripMargin)
     }),
+    // explicit ROWS frames end-to-end: a 3-row moving average and a
+    // running sum per source (the moving-window idiom the ANSI default
+    // RANGE frame cannot express)
+    "q_sql_window_frame" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, doc_id, n_chars,
+               | AVG(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
+               | SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+               |FROM documents ORDER BY source, doc_id;""".stripMargin)
+    }),
+    // string scalar functions in SELECT and WHERE
+    "q_sql_string_funcs" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, UPPER(lang) AS lang_uc, LENGTH(text) AS n_len,
+               | SUBSTR(text, 1, 20) AS head20
+               |FROM documents WHERE LENGTH(text) > 300
+               |ORDER BY doc_id LIMIT 100;""".stripMargin)
+    }),
     // table functions: the pipeline surface through the SQL front door
     // (each also reachable over HTTP via GraftServer)
     "q_sql_dedup" -> ((s: SparkSession, d: String) => {
@@ -1675,6 +1747,19 @@ object SqlQueries {
         |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         | AND NOT EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "q_sql_window_frame" ->
+      """SELECT source, doc_id, n_chars,
+        | avg(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
+        | CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_sum
+        |FROM documents ORDER BY source, doc_id""".stripMargin,
+    "q_sql_string_funcs" ->
+      """SELECT doc_id, upper(lang) AS lang_uc,
+        | CAST(length(text) AS INTEGER) AS n_len,
+        | substr(text, 1, 20) AS head20
+        |FROM documents WHERE length(text) > 300
+        |ORDER BY doc_id LIMIT 100""".stripMargin,
     "q_sql_count_distinct" ->
       """SELECT source, count(DISTINCT lang) AS n_langs, count(*) AS n,
         | count(*) / count(DISTINCT lang) AS docs_per_lang

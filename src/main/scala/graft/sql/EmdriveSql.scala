@@ -254,10 +254,13 @@ object EmdriveSql {
       schema: StructType) extends Statement
   final case class Insert(table: String, columns: Seq[String],
       rows: Seq[Seq[Value]]) extends Statement
-  /** One `JOIN t ON a = b` clause (graft extension; the reference grammar
-    * is single-table). Keys are unqualified: the lowering resolves which
-    * side owns which name (either order accepted). */
-  final case class Join(table: String, leftKey: String, rightKey: String)
+  /** One `[LEFT [OUTER]] JOIN t ON a = b` clause (graft extension; the
+    * reference grammar is single-table). Keys are unqualified: the
+    * lowering resolves which side owns which name (either order
+    * accepted). `left=true` preserves unmatched left rows with NULLs on
+    * the right — the standard enrichment shape (COALESCE then fills). */
+  final case class Join(table: String, leftKey: String, rightKey: String,
+      left: Boolean = false)
 
   final case class Select(items: Seq[SelectItem], table: String,
       where: Seq[Pred], groupBy: Seq[String] = Seq.empty,
@@ -332,7 +335,8 @@ object EmdriveSql {
     "OVER", "PARTITION")
 
   private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN")
-  private val StrFuncs = Set("UPPER", "LOWER", "LENGTH", "TRIM", "SUBSTR", "REPLACE")
+  private val StrFuncs = Set("UPPER", "LOWER", "LENGTH", "TRIM", "SUBSTR",
+    "REPLACE", "COALESCE", "NULLIF", "ABS", "ROUND")
   private val WinFuncs = Set("ROW_NUMBER", "RANK", "DENSE_RANK")
 
   /** SELECT … [UNION [ALL] SELECT …]* — the shared select-chain shape used
@@ -468,12 +472,17 @@ object EmdriveSql {
       } else name
     }
     val joins = mutable.ListBuffer.empty[Join]
-    while (p.tryWord("JOIN")) {
-      val t = p.ident()
-      p.eatWord("ON")
-      val a = p.ident()
-      p.eatSym("=")
-      joins += Join(t, a, p.ident())
+    var joining = true
+    while (joining) {
+      val isLeft = p.tryWord("LEFT")
+      if (isLeft) { p.tryWord("OUTER"); p.eatWord("JOIN") }
+      if (isLeft || p.tryWord("JOIN")) {
+        val t = p.ident()
+        p.eatWord("ON")
+        val a = p.ident()
+        p.eatSym("=")
+        joins += Join(t, a, p.ident(), left = isLeft)
+      } else joining = false
     }
     val where = mutable.ListBuffer.empty[Pred]
     if (p.tryWord("WHERE")) where += parsePred(p)
@@ -984,7 +993,8 @@ final class EmdriveSession(spark: SparkSession) {
           else throw new IllegalArgumentException(
             s"join keys ${j.leftKey} = ${j.rightKey} do not match " +
               s"left(${rel.columns.mkString(",")}) vs ${j.table}")
-        rel.join(right, rel(lk) === right(rk))
+        rel.join(right, rel(lk) === right(rk),
+          if (j.left) "left_outer" else "inner")
       }
       // 1. attach aliased distance/computed columns, so WHERE can reference
       //    them (README story: WHERE distance < 4 filters the SELECT
@@ -1384,8 +1394,20 @@ final class EmdriveSession(spark: SparkSession) {
         // 1-based, length-bounded — identical semantics in DuckDB substr
         case ("SUBSTR", Seq(x, fr, ln)) => x.substr(fr, ln)
         case ("REPLACE", Seq(x, s1, s2)) => replace(x, s1, s2)
+        // null-handling / numeric scalar tier. COALESCE is the LEFT JOIN
+        // companion (fill unmatched-right NULLs); all lower 1:1 onto
+        // codegen'd Catalyst expressions with DuckDB-identical semantics.
+        case ("COALESCE", xs) if xs.size >= 2 => coalesce(xs: _*)
+        case ("NULLIF", Seq(x, y)) => nullif(x, y)
+        case ("ABS", Seq(x)) => abs(x)
+        case ("ROUND", Seq(x)) => round(x, 0)
+        case ("ROUND", Seq(x, _)) => args(1) match {
+          case OVal(VNum(n)) if !n.contains('.') => round(x, n.toInt)
+          case _ => throw new IllegalArgumentException(
+            "ROUND's second argument must be an integer literal")
+        }
         case other => throw new IllegalArgumentException(
-          s"$f takes ${if (f == "SUBSTR" || f == "REPLACE") 3 else 1} arguments, got ${a.length}")
+          s"wrong argument count for $f: got ${a.length}")
       }
     case a: OAgg => throw new IllegalArgumentException(
       s"aggregate ${a.func} is only valid in an aggregating SELECT's items")
@@ -1733,6 +1755,37 @@ object SqlQueries {
       es.sql("""SELECT doc_id, ok_words, ok_mean_len, ok_repetition,
                | ok_stopwords, keep
                |FROM quality_gate(documents, doc_id, text);""".stripMargin)
+    }),
+    // LEFT OUTER JOIN + COALESCE end-to-end: every customer with their
+    // order stats, zero-filled where no orders exist — the canonical
+    // enrichment shape an inner join silently drops rows from. The CTE
+    // pre-aggregates so the preserved side stays one-row-per-customer.
+    "q_sql_left_join" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""WITH oc AS (
+               |  SELECT o_custkey, COUNT(*) AS n_orders
+               |  FROM orders GROUP BY o_custkey)
+               |SELECT c_custkey, c_name,
+               | COALESCE(n_orders, 0) AS n_ord,
+               | CASE WHEN COALESCE(n_orders, 0) = 0 THEN 'never'
+               |      ELSE 'buyer' END AS segment
+               |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+               |ORDER BY c_custkey;""".stripMargin)
+    }),
+    // numeric/null scalar tier: ROUND/ABS/NULLIF/COALESCE composing with
+    // arithmetic in SELECT and WHERE (n/3.0 can never sit exactly on a
+    // .5 rounding boundary for integral n, so the 0-dp round is
+    // cross-engine stable)
+    "q_sql_scalar_funcs" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, ROUND(n_chars / 3.0) AS thirds,
+               | ABS(n_chars - 500) AS dev500,
+               | COALESCE(NULLIF(lang, 'en'), 'base') AS alt_lang
+               |FROM documents WHERE ABS(n_chars - 500) < 400
+               |ORDER BY doc_id;""".stripMargin)
     })
   )
 
@@ -1781,6 +1834,22 @@ object SqlQueries {
         |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
         |FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_sql_quality_gate" -> graft.operators.TextAnalysis.oracles("q_gopher_flags"),
+    "q_sql_left_join" ->
+      """WITH oc AS (
+        |  SELECT o_custkey, count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey, c_name,
+        | COALESCE(n_orders, 0) AS n_ord,
+        | CASE WHEN COALESCE(n_orders, 0) = 0 THEN 'never'
+        |      ELSE 'buyer' END AS segment
+        |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_sql_scalar_funcs" ->
+      """SELECT doc_id, round(n_chars / 3.0) AS thirds,
+        | ABS(n_chars - 500) AS dev500,
+        | COALESCE(NULLIF(lang, 'en'), 'base') AS alt_lang
+        |FROM documents WHERE ABS(n_chars - 500) < 400
+        |ORDER BY doc_id""".stripMargin,
     "q_sql_median" ->
       """SELECT lang, count(*) AS n, median(n_chars) AS med_chars,
         | max(n_chars) - min(n_chars) AS spread

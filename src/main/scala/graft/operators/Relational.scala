@@ -1020,7 +1020,74 @@ object Relational {
         count(lit(1)).as("n_streaks"))
   }
 
+  /** Marketing attribution (first-touch / last-touch): for every
+    * converting user (≥1 purchase), the event type that opened their
+    * history and the one immediately preceding their first purchase —
+    * the channel-credit query behind every growth dashboard. Scale shape:
+    * both argmin/argmax windows rank WITHIN a user partition (never
+    * global), the purchase relation collapses to one row per user before
+    * any join, and a user whose first event is the purchase itself keeps
+    * the row via left join + 'direct' fill. Ties break on event_id —
+    * exact integers, deterministic in any engine. */
+  private def attribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = EventTime.withMs(Tables.events(s, d))
+      .select(col("user_id"), col("event_type"), col("ms"), col("event_id"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(col("ms")).as("p_ms"), count(lit(1)).as("n_purchases"))
+    val wFirst = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val first = ev.withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("first_touch"))
+    val wLast = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").desc, col("event_id").desc)
+    val last = ev.join(fp.select(col("user_id"), col("p_ms")), "user_id")
+      .filter(col("ms") < col("p_ms"))
+      .withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_touch"))
+    fp.select(col("user_id"), col("n_purchases"))
+      .join(first, "user_id")
+      .join(last, Seq("user_id"), "left_outer")
+      .select(col("user_id"), col("first_touch"),
+        coalesce(col("last_touch"), lit("direct")).as("last_touch"),
+        col("n_purchases"))
+  }
+
+  /** Funnel time-to-convert: for users completing the q_funnel chain
+    * (signup → view ≤24h → purchase ≤24h), the wall-clock from first
+    * signup to the completing purchase, reported as exact interpolated
+    * quartiles + p90 (the q_percentile cross-engine discipline — integer
+    * millisecond inputs, `percentile` ≡ `quantile_cont`). The per-user
+    * chain is three keyed min-aggregations exactly as q_funnel builds
+    * them; the final percentile runs over ≤ one row per user. */
+  private def funnelTtc(s: SparkSession, d: String): DataFrame = {
+    val stepMs = 86400000L
+    val ev = EventTime.withMs(Tables.events(s, d))
+      .select(col("user_id"), col("event_type"), col("ms"))
+    val t1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "view")
+      .join(t1, "user_id")
+      .filter(col("ms") > col("t1") && col("ms") <= col("t1") + stepMs)
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t2"), min(col("t1")).as("t1m"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("ms") > col("t2") && col("ms") <= col("t2") + stepMs)
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t3"), min(col("t1m")).as("t1f"))
+    t3.select((col("t3") - col("t1f")).as("ttc"))
+      .agg(count(lit(1)).as("n_converted"),
+        percentile(col("ttc"), lit(0.25)).as("p25_ms"),
+        percentile(col("ttc"), lit(0.5)).as("p50_ms"),
+        percentile(col("ttc"), lit(0.75)).as("p75_ms"),
+        percentile(col("ttc"), lit(0.9)).as("p90_ms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> attribution _,
+    "q_funnel_ttc" -> funnelTtc _,
     "q_streaks" -> streaks _,
     "q_returned_revenue" -> returnedRevenue _,
     "q_wau" -> wau _,
@@ -1082,6 +1149,46 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+        |fp AS (
+        | SELECT user_id, min(ms) AS p_ms, count(*) AS n_purchases
+        | FROM e WHERE event_type = 'purchase' GROUP BY 1),
+        |ft AS (
+        | SELECT user_id, event_type AS first_touch FROM (
+        |  SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ms, event_id) AS rn FROM e)
+        | WHERE rn = 1),
+        |lt AS (
+        | SELECT user_id, event_type AS last_touch FROM (
+        |  SELECT e.user_id, e.event_type, row_number() OVER (
+        |    PARTITION BY e.user_id ORDER BY e.ms DESC, e.event_id DESC) AS rn
+        |  FROM e JOIN fp ON e.user_id = fp.user_id WHERE e.ms < fp.p_ms)
+        | WHERE rn = 1)
+        |SELECT fp.user_id, first_touch,
+        | COALESCE(last_touch, 'direct') AS last_touch, n_purchases
+        |FROM fp JOIN ft ON fp.user_id = ft.user_id
+        |LEFT JOIN lt ON fp.user_id = lt.user_id""".stripMargin,
+    "q_funnel_ttc" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |t1 AS (SELECT user_id, min(ms) AS t1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(ms) AS t2, min(t1.t1) AS t1m
+        |  FROM e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE event_type = 'view' AND ms > t1.t1 AND ms <= t1.t1 + 86400000
+        |  GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(ms) AS t3, min(t2.t1m) AS t1f
+        |  FROM e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE event_type = 'purchase' AND ms > t2.t2 AND ms <= t2.t2 + 86400000
+        |  GROUP BY 1)
+        |SELECT count(*) AS n_converted,
+        | quantile_cont(t3 - t1f, 0.25) AS p25_ms,
+        | quantile_cont(t3 - t1f, 0.5) AS p50_ms,
+        | quantile_cont(t3 - t1f, 0.75) AS p75_ms,
+        | quantile_cont(t3 - t1f, 0.9) AS p90_ms
+        |FROM t3""".stripMargin,
     "q_streaks" ->
       """WITH ud AS (
         | SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),

@@ -665,7 +665,67 @@ object TextAnalysis {
         pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("order_key"))
   }
 
+  /** Lexical diversity (type-token ratio + hapax fraction): the
+    * vocabulary-richness quality signal — template/boilerplate text shows
+    * low TTR and low hapax share, LM-worthy prose shows high. One
+    * explode → (doc, word) count → per-doc aggregate; every ratio is ONE
+    * int/int division so the doubles are bitwise cross-engine. Scale
+    * shape: both aggregations partial-combine and key on doc_id —
+    * embarrassingly parallel, no global state. */
+  private def lexicalDiversity(s: SparkSession, d: String): DataFrame = {
+    val wc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+    wc.groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        (col("n_types") * lit(1.0) / col("n_tokens")).as("ttr"),
+        (col("n_hapax") * lit(1.0) / col("n_tokens")).as("hapax_frac"))
+  }
+
+  /** Zipf rank-frequency slope per source: least-squares slope of
+    * ln(freq) on ln(rank) over each source's top-100 terms — natural text
+    * sits near −1; templated/generated corpora flatten or steepen, making
+    * the slope a one-number distribution-shape audit (Zipf 1949; Piantadosi
+    * 2014 review). Scale shape: term counts partial-combine, the rank
+    * window runs inside a 100-row-per-source relation (never global), and
+    * the regression is four decimal-routed sums — ln values and their
+    * products pass through DECIMAL(28,12) so per-source summation order
+    * cannot move the last ulp (the bigram-LM discipline); one double
+    * division at the end, round(…,6). */
+  private def zipfSlope(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("word"))
+    val top = freq.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 100)
+    val x = log(col("rank").cast("double"))
+    val y = log(col("n").cast("double"))
+    top
+      .select(col("source"),
+        x.cast("decimal(28,12)").as("x"),
+        y.cast("decimal(28,12)").as("y"),
+        (x * y).cast("decimal(28,12)").as("xy"),
+        (x * x).cast("decimal(28,12)").as("xx"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("xy")).cast("double").as("sxy"),
+        sum(col("xx")).cast("double").as("sxx"))
+      .select(col("source"), col("n_terms"),
+        round((col("n_terms") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ttr" -> lexicalDiversity _,
+    "q_zipf" -> zipfSlope _,
     "q_curriculum" -> curriculum _,
     "q_cdc_chunks" -> cdcAudit _,
     "q_pmi_bigrams" -> pmiBigrams _,
@@ -695,6 +755,37 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ttr" ->
+      """WITH w AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |wc AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        | count(*) * 1.0 / CAST(sum(n) AS BIGINT) AS ttr,
+        | CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1.0
+        |   / CAST(sum(n) AS BIGINT) AS hapax_frac
+        |FROM wc GROUP BY doc_id""".stripMargin,
+    "q_zipf" ->
+      """WITH w AS (
+        | SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |f AS (SELECT source, word, count(*) AS n FROM w GROUP BY 1, 2),
+        |r AS (SELECT source, n, row_number() OVER (
+        |  PARTITION BY source ORDER BY n DESC, word) AS rank FROM f),
+        |t AS (SELECT source,
+        |  CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(28,12)) AS x,
+        |  CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(28,12)) AS y,
+        |  CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(n AS DOUBLE))
+        |    AS DECIMAL(28,12)) AS xy,
+        |  CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+        |    AS DECIMAL(28,12)) AS xx
+        | FROM r WHERE rank <= 100),
+        |a AS (SELECT source, count(*) AS n_terms,
+        |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |  CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx
+        | FROM t GROUP BY 1)
+        |SELECT source, n_terms,
+        | round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
+        |   AS zipf_slope
+        |FROM a""".stripMargin,
     "q_curriculum" ->
       """WITH t AS (
         | SELECT doc_id,

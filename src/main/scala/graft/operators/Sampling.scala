@@ -200,7 +200,44 @@ object Sampling {
               - col("lo")) / (col("hi") - col("lo")), 6)).as("wq"))
   }
 
+  /** Token-budget water-filling: allocate a global token budget (half the
+    * corpus here) across sources so no source exceeds its fair share —
+    * sources with fewer tokens than the water level keep everything,
+    * and their surplus redistributes among the rest (the max-min-fair
+    * allocation every mixture designer solves before sampling; closed
+    * form instead of iteration because with avail sorted ascending the
+    * capped set is a prefix: source i is capped iff
+    * avail_i·(K−i+1) + cum_{<i} ≤ B). Exact integer token counts and
+    * window sums end-to-end; the only double is the final water level
+    * division. Scale shape: the corpus collapses to one row per source
+    * first, so the global sort window ranks a dimension-sized relation
+    * (the ntile doctrine); everything else is broadcast scalars. */
+  private def budgetWaterfill(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val avail = Tables.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("avail"))
+    val tot = avail.agg(sum(col("avail")).as("total"), count(lit(1)).as("k"))
+    val w = Window.orderBy(col("avail"), col("source"))
+    val ranked = avail.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("total div 2"))
+      .withColumn("i", row_number().over(w))
+      .withColumn("cum", sum(col("avail")).over(w))
+      .withColumn("capped",
+        col("avail") * (col("k") - col("i") + 1) + (col("cum") - col("avail"))
+          <= col("budget"))
+    val cap = ranked.agg(
+      sum(when(col("capped"), col("avail")).otherwise(0L)).as("cum_capped"),
+      sum(when(col("capped"), 1L).otherwise(0L)).as("n_capped"))
+    ranked.crossJoin(broadcast(cap))
+      .select(col("source"), col("avail"), col("capped"),
+        when(col("capped"), col("avail").cast("double"))
+          .otherwise((col("budget") - col("cum_capped")).cast("double")
+            / (col("k") - col("n_capped"))).as("quota"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_budget_waterfill" -> budgetWaterfill _,
     "q_winsorize" -> winsorize _,
     "q_sample_temperature" -> sampleTemperature _,
     "q_sample_weighted" -> sampleWeighted _,
@@ -213,6 +250,31 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_budget_waterfill" ->
+      """WITH avail AS (
+        | SELECT source,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+        | FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(avail) AS BIGINT) AS total,
+        |  count(*) AS k FROM avail),
+        |r AS (
+        | SELECT source, avail, total // 2 AS budget, k,
+        |  row_number() OVER (ORDER BY avail, source) AS i,
+        |  CAST(sum(avail) OVER (ORDER BY avail, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        | FROM avail CROSS JOIN tot),
+        |c AS (
+        | SELECT *, avail * (k - i + 1) + (cum - avail) <= budget AS capped
+        | FROM r),
+        |cap AS (
+        | SELECT CAST(sum(CASE WHEN capped THEN avail ELSE 0 END) AS BIGINT)
+        |    AS cum_capped,
+        |  CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS n_capped
+        | FROM c)
+        |SELECT source, avail, capped,
+        | CASE WHEN capped THEN CAST(avail AS DOUBLE)
+        |  ELSE CAST(budget - cum_capped AS DOUBLE) / (k - n_capped) END AS quota
+        |FROM c CROSS JOIN cap""".stripMargin,
     "q_mix_epochs" ->
       """WITH ps AS (
         | SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)

@@ -725,6 +725,41 @@ object Similarity {
         (col("rnk") <= ceil(col("n_label") * 0.05)).as("outlier"))
   }
 
+  /** Inter-class centroid similarity matrix: pairwise cosine between the
+    * per-label exact centroids — the class-separation audit run before
+    * trusting labels for contrastive training or prototype classification
+    * (two labels whose centroids sit at cosine ≥ ~0.9 are candidates for
+    * merging or relabeling; a label near-orthogonal to all others is
+    * healthy). Numerics: centroids are the embedOutliers exact fixed-point
+    * means (2^20 grid — integer sums, aggregation-order-proof), pair terms
+    * accumulate as DECIMAL(28,12), one double division, round(…,6).
+    * Scale shape: the centroid relation is labels×dim (dimension-sized at
+    * any corpus size), so the pos-keyed self-join touches |labels|²·dim
+    * tiny rows — the corpus is scanned exactly once. */
+  private def centroidSimMatrix(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "pos", "vf")
+      .select(col("label"), col("pos"), col("vf").cast("double").as("v"))
+    val cent = x.groupBy(col("label"), col("pos"))
+      .agg(sum(floor(col("v") * 1048576.0 + 0.5).cast("long")).as("cq"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("cq").cast("double") / col("n") / 1048576.0).as("c"))
+    val a = cent.select(col("label").as("label_a"), col("pos"), col("c").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("pos"), col("c").as("cb"))
+    a.join(broadcast(b), "pos")
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum((col("ca") * col("cb")).cast("decimal(28,12)")).as("sab"),
+        sum((col("ca") * col("ca")).cast("decimal(28,12)")).as("saa"),
+        sum((col("cb") * col("cb")).cast("decimal(28,12)")).as("sbb"))
+      .select(col("label_a"), col("label_b"),
+        round(col("sab").cast("double") /
+          (sqrt(col("saa").cast("double")) * sqrt(col("sbb").cast("double"))), 6)
+          .as("csim"))
+  }
+
   /** Degree histogram of the τ-similarity graph — the corpus-geometry
     * health report for the kNN-graph/near-dup machinery (a heavy tail of
     * high-degree vectors is exactly the boilerplate mass that LSH caps
@@ -885,6 +920,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_centroid_sim" -> centroidSimMatrix _,
     "q_embed_outliers" -> embedOutliers _,
     "q_knn_graph_degree" -> knnGraphDegree _,
     "q_embed_drift" -> embedDrift _,
@@ -951,6 +987,27 @@ object Similarity {
          | SELECT e2.src AS id, w.comp AS comp
          | FROM edges e2 JOIN walk w ON w.id = e2.dst)
          |SELECT id AS vec_id, min(comp) AS comp FROM walk GROUP BY id""".stripMargin,
+    "q_centroid_sim" ->
+      """WITH x AS (
+        | SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v
+        | FROM embeddings),
+        |cent AS (
+        | SELECT label, pos,
+        |  CAST(sum(CAST(floor(v * 1048576 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |    AS DOUBLE) / count(*) / CAST(1048576 AS DOUBLE) AS c
+        | FROM x GROUP BY label, pos),
+        |p AS (
+        | SELECT a.label AS label_a, b.label AS label_b,
+        |  sum(CAST(a.c * b.c AS DECIMAL(28,12))) AS sab,
+        |  sum(CAST(a.c * a.c AS DECIMAL(28,12))) AS saa,
+        |  sum(CAST(b.c * b.c AS DECIMAL(28,12))) AS sbb
+        | FROM cent a JOIN cent b ON a.pos = b.pos
+        | WHERE a.label < b.label GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        | round(CAST(sab AS DOUBLE) /
+        |  (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE))), 6) AS csim
+        |FROM p""".stripMargin,
     "q_embed_outliers" ->
       """WITH x AS (
         | SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,

@@ -974,6 +974,69 @@ final class EmdriveSession(spark: SparkSession) {
       if (all) merged else merged.dropDuplicates()
     }
 
+  /** True when `sub` is a correlated scalar subquery against `outer`:
+    * single table, no grouping, and at least one WHERE equality conjunct
+    * straddling the inner table and the outer relation. Uncorrelated
+    * subqueries keep the execute-and-inline literal path. */
+  private def isCorrScalar(sub: Select, outer: DataFrame): Boolean =
+    sub.joins.isEmpty && sub.groupBy.isEmpty && sub.having.isEmpty && {
+      val innerCols = table(sub.table).columns.toSet
+      val outerCols = outer.columns.toSet
+      sub.where.flatMap(splitConjuncts).exists {
+        case PCmp(Cmp(ORef(a), "=", ORef(b))) =>
+          (innerCols(a) && !innerCols(b) && outerCols(b)) ||
+            (innerCols(b) && !innerCols(a) && outerCols(a))
+        case _ => false
+      }
+    }
+
+  /** Correlated scalar subquery in the SELECT list:
+    * `(SELECT agg(x) FROM t WHERE t.k = outer.k [AND local]) AS a` —
+    * the Kim/Dayal rewrite: the inner relation keeps its local
+    * predicates, aggregates GROUPED BY the correlation keys (one row per
+    * key, so the scalar cardinality guarantee holds by construction
+    * instead of by runtime check), and left-outer joins back on the
+    * outer columns — declarative, so AQE broadcasts small key sides.
+    * ANSI empty-set semantics: a scalar subquery over no rows is NULL,
+    * except COUNT which is 0 — the grouped rewrite drops empty groups,
+    * so COUNT gets an explicit zero-fill and every other aggregate keeps
+    * the join's NULL. Helper columns live under reserved `__cs_` names
+    * and are dropped before projection. */
+  private def attachCorrScalar(df0: DataFrame, sub: Select, alias: String): DataFrame = {
+    val (aggF, aggArg) = sub.items match {
+      case Seq(AggItem(f, arg, _)) => (f, arg)
+      case _ => throw new IllegalArgumentException(
+        "a correlated scalar subquery must select exactly one aggregate")
+    }
+    val inner = table(sub.table)
+    val innerCols = inner.columns.toSet
+    val outerCols = df0.columns.toSet
+    val (corr, local) = sub.where.flatMap(splitConjuncts).partitionMap {
+      case PCmp(Cmp(ORef(a), "=", ORef(b)))
+          if innerCols(a) && !innerCols(b) && outerCols(b) => Left((a, b))
+      case PCmp(Cmp(ORef(a), "=", ORef(b)))
+          if innerCols(b) && !innerCols(a) && outerCols(a) => Left((b, a))
+      case other => Right(other)
+    }
+    val filtered = local.foldLeft(inner)((d0, pr) => d0.filter(predCol(inner, pr)))
+    val pairs = corr.distinct
+    val keyCols = pairs.map(_._1).distinct
+    val keyName = keyCols.zipWithIndex
+      .map { case (k, j) => k -> s"__cs_key_${alias}_$j" }.toMap
+    val aggN = s"__cs_agg_$alias"
+    val grouped = filtered.groupBy(keyCols.map(col): _*)
+      .agg(aggColumn(aggF, aggArg).as(aggN))
+      .select(keyCols.map(k => col(k).as(keyName(k))) :+ col(aggN): _*)
+    val cond = pairs.map { case (ic, oc) =>
+      df0(oc) === grouped(keyName(ic)) }.reduce(_ && _)
+    val value =
+      if (aggF == "COUNT" || aggF == "COUNT_DISTINCT") coalesce(col(aggN), lit(0L))
+      else col(aggN)
+    df0.join(grouped, cond, "left_outer")
+      .withColumn(alias, value)
+      .drop(keyName.values.toSeq :+ aggN: _*)
+  }
+
   private def lowerSelect(sel: Select): DataFrame = {
     val Select(items, name, where, groupBy, having, orderBy, limitN, joins,
       distinct, offsetN) = sel
@@ -1004,6 +1067,12 @@ final class EmdriveSession(spark: SparkSession) {
         case DistItem(c, probe, alias) => df = df.withColumn(alias, distCol(base, c, probe))
         case ColItem(c, Some(alias)) => df = df.withColumn(alias, col(c))
         case it: CaseItem => df = df.withColumn(it.alias, caseCol(base, it))
+        // correlated scalar subquery in the SELECT list — decorrelated
+        // into a grouped-aggregate left join (attachCorrScalar); must
+        // intercept BEFORE the generic operand path, which would execute
+        // the subquery standalone and fail on the outer reference
+        case ExprItem(OSub(sub), alias) if isCorrScalar(sub, df) =>
+          df = attachCorrScalar(df, sub, alias)
         case ExprItem(o, alias) => df = df.withColumn(alias, operandCol(base, o))
         case _ => ()
       }
@@ -1774,6 +1843,20 @@ object SqlQueries {
                |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
                |ORDER BY c_custkey;""".stripMargin)
     }),
+    // correlated scalar subqueries in the SELECT list — the per-row
+    // lookup shape (counts with zero-fill, NULL for empty MAX groups,
+    // a local predicate mixing with the correlation)
+    "q_sql_corr_scalar" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT c_custkey, c_name,
+               | (SELECT COUNT(*) FROM orders
+               |  WHERE o_custkey = c_custkey) AS n_orders,
+               | (SELECT MAX(o_totalprice) FROM orders
+               |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O') AS max_open
+               |FROM customer ORDER BY c_custkey;""".stripMargin)
+    }),
     // numeric/null scalar tier: ROUND/ABS/NULLIF/COALESCE composing with
     // arithmetic in SELECT and WHERE (n/3.0 can never sit exactly on a
     // .5 rounding boundary for integral n, so the 0-dp round is
@@ -1844,6 +1927,14 @@ object SqlQueries {
         |      ELSE 'buyer' END AS segment
         |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+    // DuckDB runs the correlated scalars natively — same ANSI text
+    "q_sql_corr_scalar" ->
+      """SELECT c_custkey, c_name,
+        | (SELECT COUNT(*) FROM orders
+        |  WHERE o_custkey = c_custkey) AS n_orders,
+        | (SELECT MAX(o_totalprice) FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O') AS max_open
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_sql_scalar_funcs" ->
       """SELECT doc_id, round(n_chars / 3.0) AS thirds,
         | ABS(n_chars - 500) AS dev500,

@@ -1085,7 +1085,35 @@ object Relational {
         percentile(col("ttc"), lit(0.9)).as("p90_ms"))
   }
 
+  /** Join-key explosion audit: per-key fanout profiles of both sides of
+    * a join (orders ⋈ lineitem here) plus the EXACT output cardinality
+    * Σ cl·cr — the pre-flight check before any large join at 100 TB
+    * (a max fanout in the millions on both sides is the skew/cross-blowup
+    * the AQE skew-join and salting exist for; orphan counts are the
+    * referential-integrity signal). Scale shape: each side collapses to
+    * (key, count) with partial aggregation before the full-outer key
+    * join, so the audit never materializes the join it predicts — its
+    * cost is two scans + one dimension-keyed shuffle. Exact integers
+    * throughout. */
+  private def joinExplosion(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.orders(s, d)
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cl"))
+    val r = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cr"))
+    l.join(r, Seq("k"), "full_outer")
+      .select(coalesce(col("cl"), lit(0L)).as("cl"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("cl") > 0 && col("cr") > 0, 1L).otherwise(0L)).as("n_keys_both"),
+        max(col("cl")).as("max_fanout_left"),
+        max(col("cr")).as("max_fanout_right"),
+        sum(col("cl") * col("cr")).as("est_join_rows"),
+        sum(when(col("cr") === 0, 1L).otherwise(0L)).as("n_orphan_left"),
+        sum(when(col("cl") === 0, 1L).otherwise(0L)).as("n_orphan_right"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_explosion" -> joinExplosion _,
     "q_attribution" -> attribution _,
     "q_funnel_ttc" -> funnelTtc _,
     "q_streaks" -> streaks _,
@@ -1149,6 +1177,24 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_join_explosion" ->
+      """WITH l AS (SELECT o_orderkey AS k, count(*) AS cl
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT l_orderkey AS k, count(*) AS cr
+        |  FROM lineitem GROUP BY 1),
+        |f AS (SELECT COALESCE(cl, 0) AS cl, COALESCE(cr, 0) AS cr
+        |  FROM l FULL OUTER JOIN r ON l.k = r.k)
+        |SELECT count(*) AS n_keys,
+        | CAST(sum(CASE WHEN cl > 0 AND cr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_keys_both,
+        | CAST(max(cl) AS BIGINT) AS max_fanout_left,
+        | CAST(max(cr) AS BIGINT) AS max_fanout_right,
+        | CAST(sum(cl * cr) AS BIGINT) AS est_join_rows,
+        | CAST(sum(CASE WHEN cr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_orphan_left,
+        | CAST(sum(CASE WHEN cl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_orphan_right
+        |FROM f""".stripMargin,
     "q_attribution" ->
       """WITH e AS (
         | SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),

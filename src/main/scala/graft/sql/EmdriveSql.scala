@@ -337,7 +337,7 @@ object EmdriveSql {
   private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN")
   private val StrFuncs = Set("UPPER", "LOWER", "LENGTH", "TRIM", "SUBSTR",
     "REPLACE", "COALESCE", "NULLIF", "ABS", "ROUND")
-  private val WinFuncs = Set("ROW_NUMBER", "RANK", "DENSE_RANK")
+  private val WinFuncs = Set("ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK")
 
   /** SELECT … [UNION [ALL] SELECT …]* — the shared select-chain shape used
     * at top level, inside EXPLAIN, and as every CTE body. A single SELECT
@@ -549,6 +549,11 @@ object EmdriveSql {
     case TWord(f) :: TSym("(") :: TSym(")") :: _ if WinFuncs(f.toUpperCase) =>
       p.toks = p.toks.tail.tail.tail
       parseOverClause(p, f.toUpperCase, None)
+    // NTILE(n) — the bucket count rides in the WinItem's arg slot
+    case TWord(f) :: TSym("(") :: TNum(n) :: TSym(")") :: rest
+        if f.equalsIgnoreCase("NTILE") && !n.contains('.') =>
+      p.toks = rest
+      parseOverClause(p, "NTILE", Some(n))
     case _ if p.trySym("*") => Star
     case _ => parseOperand(p) match {
       // a bare `col @ probe` keeps its dedicated item (mandatory alias,
@@ -613,7 +618,7 @@ object EmdriveSql {
         p.eatWord("AND"); p.eatWord("CURRENT"); p.eatWord("ROW")
         Some(lo)
       } else None
-    require(frame.isEmpty || !WinFuncs(func),
+    require(frame.isEmpty || !(WinFuncs(func) || func == "NTILE"),
       s"$func does not take a frame clause")
     p.eatSym(")")
     p.eatWord("AS")
@@ -1178,6 +1183,10 @@ final class EmdriveSession(spark: SparkSession) {
             case "ROW_NUMBER" => row_number()
             case "RANK" => rank()
             case "DENSE_RANK" => dense_rank()
+            // (rank−1)/(rows−1): a ratio of exact integers, identically
+            // defined in DuckDB — bitwise cross-engine
+            case "PERCENT_RANK" => percent_rank()
+            case "NTILE" => ntile(arg.get.toInt)
             // ordered aggregate: ANSI default frame (RANGE unbounded
             // preceding → current row), same default in DuckDB
             case agg => aggColumn(agg, arg)
@@ -1843,6 +1852,18 @@ object SqlQueries {
                |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
                |ORDER BY c_custkey;""".stripMargin)
     }),
+    // NTILE + PERCENT_RANK: distribution-position windows (quartile
+    // bucketing and the exact (rank−1)/(rows−1) percentile position)
+    "q_sql_ntile" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, doc_id, n_chars,
+               | NTILE(4) OVER (PARTITION BY source
+               |   ORDER BY n_chars, doc_id) AS quart,
+               | PERCENT_RANK() OVER (PARTITION BY source
+               |   ORDER BY n_chars, doc_id) AS pr
+               |FROM documents ORDER BY source, doc_id;""".stripMargin)
+    }),
     // correlated scalar subqueries in the SELECT list — the per-row
     // lookup shape (counts with zero-fill, NULL for empty MAX groups,
     // a local predicate mixing with the correlation)
@@ -1927,6 +1948,13 @@ object SqlQueries {
         |      ELSE 'buyer' END AS segment
         |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+    "q_sql_ntile" ->
+      """SELECT source, doc_id, n_chars,
+        | CAST(ntile(4) OVER (PARTITION BY source
+        |   ORDER BY n_chars, doc_id) AS INTEGER) AS quart,
+        | percent_rank() OVER (PARTITION BY source
+        |   ORDER BY n_chars, doc_id) AS pr
+        |FROM documents ORDER BY source, doc_id""".stripMargin,
     // DuckDB runs the correlated scalars natively — same ANSI text
     "q_sql_corr_scalar" ->
       """SELECT c_custkey, c_name,

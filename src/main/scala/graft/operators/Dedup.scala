@@ -755,7 +755,28 @@ object Dedup {
         (lit(1.0) / col("cluster_size")).as("weight"))
   }
 
+  /** Nearest near-dup partner per document: the argmax-Jaccard neighbor
+    * (≥ 0.2) from the shared pair relation — the "show me what this doc
+    * duplicates" lookup behind every dedup triage UI, and the bounded
+    * per-doc alternative to dumping the whole pair list. Eighth consumer
+    * of the memoized wordPairsAll build; the rank window partitions by
+    * doc over candidate-bounded rows. Determinism: raw_j is one int/int
+    * division (bitwise cross-engine), ties break on partner id. */
+  private def bestMatch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = wordPairsAll(s, d).filter(col("raw_j") >= 0.2)
+    val sym = pairs
+      .select(col("id_a").as("doc_id"), col("id_b").as("partner"), col("raw_j"))
+      .unionByName(pairs
+        .select(col("id_b").as("doc_id"), col("id_a").as("partner"), col("raw_j")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("raw_j").desc, col("partner"))
+    sym.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("partner"), round(col("raw_j"), 6).as("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_best_match" -> bestMatch _,
     "q_dedup_weights" -> dedupWeights _,
     "q_source_inflation" -> sourceInflation _,
     "q_containment" -> containmentPairs _,
@@ -824,6 +845,22 @@ object Dedup {
       |    FROM bits GROUP BY doc_id))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_best_match" ->
+      s"""WITH $wordPairCtes,
+         |j AS (
+         | SELECT id_a, id_b, inter * 1.0 / (ca.n + cb.n - inter) AS raw_j
+         | FROM p
+         | JOIN cnt ca ON id_a = ca.doc_id
+         | JOIN cnt cb ON id_b = cb.doc_id
+         | WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.2),
+         |sym AS (
+         | SELECT id_a AS doc_id, id_b AS partner, raw_j FROM j
+         | UNION ALL
+         | SELECT id_b AS doc_id, id_a AS partner, raw_j FROM j),
+         |r AS (SELECT doc_id, partner, raw_j, row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY raw_j DESC, partner) AS rn FROM sym)
+         |SELECT doc_id, partner, round(raw_j, 6) AS jaccard
+         |FROM r WHERE rn = 1""".stripMargin,
     // Full replay oracle: the portable token hash (see simhashCtes) makes
     // the fingerprint itself engine-independent.
     "q_simhash" ->

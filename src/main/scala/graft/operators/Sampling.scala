@@ -236,7 +236,28 @@ object Sampling {
             / (col("k") - col("n_capped"))).as("quota"))
   }
 
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement (exact
+    * k=50, weight = quality): each row gets key = −ln(u)/w for a uniform
+    * u, and the k smallest keys are the sample (Efraimidis & Spirakis
+    * 2006 — the one-pass distributed weighted sample, vs C38's Bernoulli
+    * acceptance which only controls the EXPECTED size). Determinism: u is
+    * the multiplicative-hash bucket shifted to the open interval
+    * ((b+0.5)/2^20 — a dyadic rational, exact in both engines), the only
+    * libm op is one ln absorbed by round(…,9), and ties break on doc_id.
+    * Scale shape: map-only scan then global TakeOrdered(k) — partial
+    * per-partition heaps, no sort shuffle, the distributed-sample
+    * primitive at any corpus size. */
+  private def esSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.qualityOf(col("text")).as("quality"),
+        ((bucketOf(col("doc_id"), 1048576) + lit(0.5)) / lit(1048576.0)).as("u"))
+      .select(col("doc_id"), col("quality"),
+        round(log(col("u")) * lit(-1.0) / col("quality"), 9).as("es_key"))
+      .orderBy(col("es_key"), col("doc_id"))
+      .limit(50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_es_sample" -> esSample _,
     "q_budget_waterfill" -> budgetWaterfill _,
     "q_winsorize" -> winsorize _,
     "q_sample_temperature" -> sampleTemperature _,
@@ -250,6 +271,21 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_es_sample" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  0.4 * least(1.0, len(string_split(text, ' ')) * 1.0 / 100.0)
+        |   + 0.4 * (len(list_distinct(string_split(text, ' '))) * 1.0
+        |            / len(string_split(text, ' ')))
+        |   + 0.2 * (CASE WHEN (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+        |       / len(string_split(text, ' ')) BETWEEN 3.0 AND 8.0
+        |       THEN 1.0 ELSE 0.0 END) AS quality,
+        |  (((doc_id % 1000000007) * 2654435761) % 1000000007 % 1048576 + 0.5)
+        |    / 1048576.0 AS u
+        | FROM documents)
+        |SELECT doc_id, quality,
+        | round(ln(u) * -1.0 / quality, 9) AS es_key
+        |FROM t ORDER BY es_key, doc_id LIMIT 50""".stripMargin,
     "q_budget_waterfill" ->
       """WITH avail AS (
         | SELECT source,

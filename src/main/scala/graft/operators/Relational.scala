@@ -1112,7 +1112,58 @@ object Relational {
         sum(when(col("cl") === 0, 1L).otherwise(0L)).as("n_orphan_right"))
   }
 
+  /** Daily-volume trend per event type: the least-squares slope of daily
+    * counts over epoch-days — the grow/shrink detector behind volume
+    * alerting. The normal equations run on INTEGER sums only (days and
+    * counts are exact longs, so n·Σxy − ΣxΣy and n·Σxx − (Σx)² are exact
+    * — no decimal routing needed, unlike the ln-based q_zipf), with ONE
+    * double division at the end: bitwise cross-engine by construction.
+    * Scale shape: the corpus collapses to (type, day) counts first
+    * (dimension-sized forever), then one tiny keyed aggregate. */
+  private def volumeTrend(s: SparkSession, d: String): DataFrame = {
+    val daily = EventTime.withMs(Tables.events(s, d))
+      .select(col("event_type"), expr("ms div 86400000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("day")).as("sx"), sum(col("n")).as("sy"),
+        sum(col("day") * col("n")).as("sxy"),
+        sum(col("day") * col("day")).as("sxx"))
+      .select(col("event_type"), col("n_days"), col("sy").as("total"),
+        ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope_per_day"))
+  }
+
+  /** Hourly seasonality profile per event type: peak hour and a
+    * chi-square uniformity statistic over the 24-hour histogram. The
+    * χ² = Σ(o−e)²/e with e = T/24 collapses to the exact integer
+    * identity (24·Σo² − T²)/T — empty hours contribute zero to Σo² and
+    * the identity already counts all 24 buckets, so no zero-fill join is
+    * needed and the statistic is exact up to one final division. Peak
+    * ties break on the earlier hour. High χ² = bursty/bot-like traffic;
+    * near-zero = uniform. */
+  private def hourlyProfile(s: SparkSession, d: String): DataFrame = {
+    val hours = EventTime.withMs(Tables.events(s, d))
+      .select(col("event_type"), expr("(ms div 3600000) % 24").as("hour"))
+      .groupBy(col("event_type"), col("hour")).agg(count(lit(1)).as("n"))
+    val agg = hours.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("total"),
+        sum(col("n") * col("n")).as("sum_sq"),
+        max(col("n")).as("peak_n"))
+    val peak = hours.join(agg.select(col("event_type"), col("peak_n")),
+        Seq("event_type"))
+      .filter(col("n") === col("peak_n"))
+      .groupBy(col("event_type")).agg(min(col("hour")).as("peak_hour"))
+    agg.join(peak, "event_type")
+      .select(col("event_type"), col("total"), col("peak_hour"), col("peak_n"),
+        ((lit(24L) * col("sum_sq") - col("total") * col("total")).cast("double")
+          / col("total")).as("chi2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_volume_trend" -> volumeTrend _,
+    "q_hourly_profile" -> hourlyProfile _,
     "q_join_explosion" -> joinExplosion _,
     "q_attribution" -> attribution _,
     "q_funnel_ttc" -> funnelTtc _,
@@ -1177,6 +1228,37 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_volume_trend" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_ms(ts) // 86400000 AS day, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |a AS (
+        | SELECT event_type, count(*) AS n_days,
+        |  CAST(sum(day) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sy,
+        |  CAST(sum(day * n) AS BIGINT) AS sxy,
+        |  CAST(sum(day * day) AS BIGINT) AS sxx
+        | FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, sy AS total,
+        | CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |   / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope_per_day
+        |FROM a""".stripMargin,
+    "q_hourly_profile" ->
+      """WITH h AS (
+        | SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hour,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |a AS (
+        | SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+        |  CAST(sum(n * n) AS BIGINT) AS sum_sq,
+        |  CAST(max(n) AS BIGINT) AS peak_n
+        | FROM h GROUP BY 1),
+        |pk AS (
+        | SELECT h.event_type, min(hour) AS peak_hour
+        | FROM h JOIN a ON h.event_type = a.event_type AND h.n = a.peak_n
+        | GROUP BY 1)
+        |SELECT a.event_type, total, peak_hour, peak_n,
+        | CAST(24 * sum_sq - total * total AS DOUBLE) / total AS chi2
+        |FROM a JOIN pk ON a.event_type = pk.event_type""".stripMargin,
     "q_join_explosion" ->
       """WITH l AS (SELECT o_orderkey AS k, count(*) AS cl
         |  FROM orders GROUP BY 1),

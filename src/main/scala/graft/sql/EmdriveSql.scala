@@ -30,6 +30,8 @@ import graft.sources.SchemaMapper
   *   CREATE TABLE [IF NOT EXISTS] t (col TYPE
   *     [PRIMARY KEY | METRIC KEY [USING index(metric)]] [DEFAULT expr], …)
   *   INSERT INTO t [(cols…)] VALUES (v, …) [, (v, …) …]
+  *   INSERT INTO t [(cols…)] SELECT-chain   (query-result load; positional
+  *     column match, cast to declared types, DEFAULT/NULL fill)
   *   SELECT [DISTINCT] * | col [AS a] | col @ probe AS a
   *     | CASE WHEN pred THEN v [WHEN …] [ELSE v] END AS a
   *     | (COUNT|SUM|AVG|MIN|MAX|MEDIAN) '(' (*|col) ')' [AS a] [, …] FROM t
@@ -254,6 +256,13 @@ object EmdriveSql {
       schema: StructType) extends Statement
   final case class Insert(table: String, columns: Seq[String],
       rows: Seq[Seq[Value]]) extends Statement
+  /** INSERT INTO t [(cols…)] SELECT-chain (graft extension): the
+    * query-result load path — positional column matching against the
+    * target list, engine-side casts to the declared types, DEFAULT/NULL
+    * fill for unnamed columns (same fill rule as literal INSERT). The
+    * source stays a lazy plan until the union materializes at read. */
+  final case class InsertSelect(table: String, columns: Seq[String],
+      chain: UnionStmt) extends Statement
   /** One `[LEFT [OUTER]] JOIN t ON a = b` clause (graft extension; the
     * reference grammar is single-table). Keys are unqualified: the
     * lowering resolves which side owns which name (either order
@@ -422,7 +431,7 @@ object EmdriveSql {
     CreateTable(name, ifNotExists, SchemaMapper.toStruct(compact.toSeq))
   }
 
-  private def parseInsert(p: P): Insert = {
+  private def parseInsert(p: P): Statement = {
     p.eatWord("INTO")
     val name = p.ident()
     val cols = if (p.trySym("(")) {
@@ -431,18 +440,21 @@ object EmdriveSql {
       p.eatSym(")")
       cs.toSeq
     } else Seq.empty
-    p.eatWord("VALUES")
-    val rows = mutable.ListBuffer.empty[Seq[Value]]
-    var more = true
-    while (more) {
-      p.eatSym("(")
-      val vs = mutable.ListBuffer(p.value())
-      while (p.trySym(",")) vs += p.value()
-      p.eatSym(")")
-      rows += vs.toSeq
-      more = p.trySym(",")
+    if (p.peekWord("SELECT")) InsertSelect(name, cols, parseChain(p))
+    else {
+      p.eatWord("VALUES")
+      val rows = mutable.ListBuffer.empty[Seq[Value]]
+      var more = true
+      while (more) {
+        p.eatSym("(")
+        val vs = mutable.ListBuffer(p.value())
+        while (p.trySym(",")) vs += p.value()
+        p.eatSym(")")
+        rows += vs.toSeq
+        more = p.trySym(",")
+      }
+      Insert(name, cols, rows.toSeq)
     }
-    Insert(name, cols, rows.toSeq)
   }
 
   private def parseSelect(p: P): Select = {
@@ -852,6 +864,21 @@ final class EmdriveSession(spark: SparkSession) {
         arity(3)
         graft.operators.TextAnalysis.gopherFlagsOver(
           table(args(0)), col(args(1)), col(args(2)))
+      // language_id(tbl, idCol, textCol): the C9 heuristic (stopword-hit
+      // ratio through the shared codegen kernel) over any relation
+      case "language_id" =>
+        arity(3)
+        val ratio = graft.operators.TextAnalysis.enRatioOf(col(args(2)))
+        table(args(0)).select(col(args(1)),
+          when(ratio >= 0.05, "en").otherwise("other").as("pred_lang"),
+          ratio.as("en_ratio"))
+      // sample_split(tbl, idCol): the reproducible 90/10 hash split (C19)
+      // — same row, same side, every engine, any relation
+      case "sample_split" =>
+        arity(2)
+        table(args(0)).select(col(args(1)),
+          when(graft.operators.Sampling.bucketOf(col(args(1)), 100) < 90,
+            "train").otherwise("eval").as("split"))
       case other => throw new IllegalArgumentException(
         s"unknown table function: $other")
     }
@@ -940,6 +967,27 @@ final class EmdriveSession(spark: SparkSession) {
       }
       val appended = batches.reduce(_ unionByName _)
       catalog(name) = target.unionByName(appended)
+      catalog(name)
+
+    case InsertSelect(name, cols, chain) =>
+      val target = table(name)
+      val schema = target.schema
+      val named =
+        if (cols.nonEmpty) cols
+        else schema.fields.map(_.name).toSeq
+      named.foreach(c => require(schema.fieldNames.contains(c),
+        s"unknown target column in INSERT: $c"))
+      val src = lowerChain(chain)
+      require(src.columns.length == named.size,
+        s"INSERT…SELECT arity mismatch: ${named.size} target columns, " +
+          s"${src.columns.length} select items")
+      val renamed = src.toDF(named: _*)
+      val projected = schema.fields.map { f =>
+        if (named.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else defaultCol(f).as(f.name)
+      }
+      catalog(name) = target.unionByName(
+        renamed.select(projected.toIndexedSeq: _*))
       catalog(name)
 
     case sel: Select => lowerSelect(sel)
@@ -1852,6 +1900,16 @@ object SqlQueries {
                |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
                |ORDER BY c_custkey;""".stripMargin)
     }),
+    "q_sql_langid" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("SELECT doc_id, pred_lang, en_ratio FROM language_id(documents, doc_id, text);")
+    }),
+    "q_sql_split" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("SELECT doc_id, split FROM sample_split(documents, doc_id);")
+    }),
     // NTILE + PERCENT_RANK: distribution-position windows (quartile
     // bucketing and the exact (rank−1)/(rows−1) percentile position)
     "q_sql_ntile" -> ((s: SparkSession, d: String) => {
@@ -1948,6 +2006,8 @@ object SqlQueries {
         |      ELSE 'buyer' END AS segment
         |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+    "q_sql_langid" -> graft.operators.TextAnalysis.oracles("q_langid"),
+    "q_sql_split" -> graft.operators.Sampling.oracles("q_sample_split"),
     "q_sql_ntile" ->
       """SELECT source, doc_id, n_chars,
         | CAST(ntile(4) OVER (PARTITION BY source

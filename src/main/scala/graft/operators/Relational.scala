@@ -1161,7 +1161,46 @@ object Relational {
           / col("total")).as("chi2"))
   }
 
+  /** Incremental rollup merge: the lambda-architecture maintenance step —
+    * a daily (type, day) rollup kept from history is REFRESHED with a
+    * late delta by merging partial aggregates (full-outer on the rollup
+    * key, null-filled sums added, counts added) instead of rescanning
+    * history. The oracle recomputes the rollup from scratch, so the
+    * hash-match IS the proof that merge ≡ recompute — the algebraic
+    * property (sum/count/min/max are commutative monoids) every
+    * incremental pipeline silently relies on. Split = last 7 epoch-days
+    * of the stream play the "late delta". Scale shape: history never
+    * rescans; both sides partial-combine to dimension-sized rollups
+    * before a keyed merge join. */
+  private def rollupMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = EventTime.withMs(Tables.events(s, d))
+      .select(col("event_type"), expr("ms div 86400000").as("day"),
+        col("event_id"), col("value").cast("decimal(18,4)").as("v"))
+    def roll(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          max(col("v")).as("mv"))
+    // even event_ids play the settled history, odd ones the late delta —
+    // almost every (type, day) lands on both sides, so the merge is a
+    // real partial-aggregate addition, not a disjoint union
+    val base = roll(ev.filter(col("event_id") % 2 === 0))
+    val delta = roll(ev.filter(col("event_id") % 2 === 1))
+    base.as("b").join(delta.as("dl"),
+        col("b.event_type") === col("dl.event_type")
+          && col("b.day") === col("dl.day"), "full_outer")
+      .select(
+        coalesce(col("b.event_type"), col("dl.event_type")).as("event_type"),
+        coalesce(col("b.day"), col("dl.day")).as("day"),
+        (coalesce(col("b.n"), lit(0L)) + coalesce(col("dl.n"), lit(0L))).as("n"),
+        round(coalesce(col("b.sv"), lit(0).cast("decimal(28,4)"))
+          + coalesce(col("dl.sv"), lit(0).cast("decimal(28,4)")), 2)
+          .cast("double").as("sum_value"),
+        round(greatest(col("b.mv"), col("dl.mv")), 2).cast("double")
+          .as("max_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup_merge" -> rollupMerge _,
     "q_volume_trend" -> volumeTrend _,
     "q_hourly_profile" -> hourlyProfile _,
     "q_join_explosion" -> joinExplosion _,
@@ -1228,6 +1267,17 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // The oracle RECOMPUTES the rollup from the raw stream — the
+    // hash-match against the engine's base+delta merge is the proof that
+    // incremental merge ≡ full recompute.
+    "q_rollup_merge" ->
+      """SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        | count(*) AS n,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_value,
+        | CAST(round(max(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_volume_trend" ->
       """WITH daily AS (
         | SELECT event_type, epoch_ms(ts) // 86400000 AS day, count(*) AS n

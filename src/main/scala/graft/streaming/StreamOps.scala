@@ -34,6 +34,9 @@ case class FunnelConversion(user_id: Long, signup_ms: Long, convert_ms: Long)
 /** Per-user funnel progress: current stage (1 = signed up, 2 = viewed),
   * when that stage was entered, and the original signup time. */
 case class FunnelState(stage: Int, stage_ms: Long, signup_ms: Long)
+case class AttribState(first_type: String, last_type: String)
+case class AttributionHit(user_id: Long, first_touch: String,
+    last_touch: String, purchase_ms: Long)
 
 /** Structured Streaming twins of the batch event operators
   * (operators.Relational q_tumbling / q_sessionize).
@@ -315,6 +318,40 @@ object StreamOps {
             }
             out.iterator
           }
+      }
+  }
+
+  /** Streaming first/last-touch attribution (the streaming twin of batch
+    * q_attribution): the moment a purchase arrives, emit the user's
+    * opening event type and the last non-purchase type seen before it —
+    * no waiting for a batch window to close. State is ONE tiny record per
+    * user (two strings), hash-partitioned; in-batch events apply in
+    * event-time order, so replays are deterministic. Matches B47 exactly
+    * on each user's FIRST purchase ('direct' when nothing precedes it)
+    * and extends it by attributing every later purchase to the latest
+    * preceding touch — the streaming superset. A retention policy would
+    * add an event-time timeout; the state is already O(users), the same
+    * bound as the batch aggregation. */
+  def attribution(events: Dataset[StreamEvent]): Dataset[AttributionHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttribState, AttributionHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[StreamEvent], state: GroupState[AttribState]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttributionHit]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val first = cur.map(_.first_type).getOrElse(e.event_type)
+            val lastTouch = cur.map(_.last_type).getOrElse("direct")
+            if (e.event_type == "purchase")
+              out += AttributionHit(userId, first, lastTouch, e.ts.getTime)
+            cur = Some(AttribState(first,
+              if (e.event_type == "purchase") lastTouch else e.event_type))
+          }
+          cur.foreach(state.update)
+          out.iterator
       }
   }
 

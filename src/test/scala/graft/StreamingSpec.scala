@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{lit, regexp_extract_all, regexp_replace, size}
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.{ClosedSession, FunnelConversion, StreamEvent, StreamOps}
+import graft.streaming.{AttributionHit, ClosedSession, FunnelConversion, StreamEvent, StreamOps}
 
 class StreamingSpec extends SparkTestBase {
 
@@ -224,6 +224,38 @@ class StreamingSpec extends SparkTestBase {
         .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet
       val expected = Set(-15L, 0L, 15L, 30L).map(m => (m * 60000L, 1L))
       assert(rows == expected, rows.mkString(","))
+    } finally q.stop()
+  }
+
+  test("streaming attribution: first/last touch per purchase, batch-parity on first (D22)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val q = StreamOps.attribution(input.toDS())
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        // user 1: view → click → purchase: first=view, last=click
+        StreamEvent(1, new Timestamp(100), "view", 0.0),
+        StreamEvent(1, new Timestamp(200), "click", 0.0),
+        StreamEvent(1, new Timestamp(300), "purchase", 1.0),
+        // user 2: purchase with NO preceding touch → first=purchase, last=direct
+        StreamEvent(2, new Timestamp(100), "purchase", 1.0))
+      q.processAllAvailable()
+      val hits1 = spark.table("attrib_out").as[AttributionHit].collect().toSet
+      assert(hits1 == Set(
+        AttributionHit(1, "view", "click", 300),
+        AttributionHit(2, "purchase", "direct", 100)), hits1.mkString(","))
+      // a SECOND purchase attributes to the latest touch before it, and
+      // first_touch stays pinned to the opening event across batches
+      input.addData(
+        StreamEvent(1, new Timestamp(400), "error", 0.0),
+        StreamEvent(1, new Timestamp(500), "purchase", 1.0))
+      q.processAllAvailable()
+      val hits2 = spark.table("attrib_out").as[AttributionHit].collect().toSet
+      assert(hits2 == hits1 + AttributionHit(1, "view", "error", 500), hits2.mkString(","))
     } finally q.stop()
   }
 

@@ -775,7 +775,48 @@ object Dedup {
       .select(col("doc_id"), col("partner"), round(col("raw_j"), 6).as("jaccard"))
   }
 
+  /** PageRank over the τ=0.2 word-similarity graph, 10 fixed-point
+    * iterations (Page et al. 1999; damping 0.85) — duplicate-hub scoring:
+    * a high-rank document sits at the center of a similarity
+    * neighborhood, the thing to keep (or investigate as a template) when
+    * a cluster collapses. EXACT integer arithmetic throughout: rank mass
+    * is scaled to 10^12, damping is ×85 ÷100 integer ops, contributions
+    * are v div deg — every engine truncates non-negative integer
+    * division identically, so 10 iterations stay bitwise reproducible
+    * (float PageRank would drift per-iteration across engines). Dangling
+    * mass is dropped (documented), isolated docs keep the teleport term.
+    * Scale shape: each iteration is one keyed join + partial-combined
+    * sum over the df-cut-bounded edge relation (ninth consumer of the
+    * shared pair build) — the DF unroll keeps 10 declarative stages for
+    * AQE; a 100 TB deployment would swap in the RDD fixpoint with
+    * per-iteration localCheckpoint, the q_dedup_components machinery. */
+  private def pagerank(s: SparkSession, d: String): DataFrame = {
+    val S = 1000000000000L
+    val pairs = wordPairsAll(s, d).filter(col("raw_j") >= 0.2)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val base = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
+    var pr = base.select(col("doc_id"), expr(s"$S div n").as("v"))
+    for (_ <- 1 to 10) {
+      val contrib = pr.join(deg, pr("doc_id") === deg("src"))
+        .select(col("src"), expr("v div deg").as("c"))
+      val infl = edges.join(contrib, "src")
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      pr = base.join(infl, base("doc_id") === infl("dst"), "left_outer")
+        .select(base("doc_id"),
+          (expr(s"(15 * ($S div n)) div 100")
+            + expr("(85 * coalesce(sc, 0)) div 100")).as("v"))
+    }
+    pr.join(deg, pr("doc_id") === deg("src"), "left_outer")
+      .select(pr("doc_id"), coalesce(col("deg"), lit(0L)).as("degree"),
+        col("v").as("pr_scaled"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> pagerank _,
     "q_best_match" -> bestMatch _,
     "q_dedup_weights" -> dedupWeights _,
     "q_source_inflation" -> sourceInflation _,
@@ -844,7 +885,45 @@ object Dedup {
       |         ELSE CAST(0 AS HUGEINT) END) AS u
       |    FROM bits GROUP BY doc_id))""".stripMargin
 
+  /** The 10 PageRank iterations unrolled as chained CTEs (DuckDB bars
+    * aggregates from a recursive term, so the loop is spelled out —
+    * integer arithmetic makes every step exact, see pagerank). */
+  private val pagerankSteps = (1 to 10).map { i =>
+    s"""pr$i AS (
+       | SELECT n0.doc_id,
+       |  (15 * (1000000000000 // nn.n)) // 100
+       |   + (85 * COALESCE(infl.s, 0)) // 100 AS v
+       | FROM nodes n0 CROSS JOIN nn
+       | LEFT JOIN (
+       |   SELECT e.dst, CAST(sum(pp.v // dg.deg) AS BIGINT) AS s
+       |   FROM edges e
+       |   JOIN pr${i - 1} pp ON e.src = pp.doc_id
+       |   JOIN deg dg ON e.src = dg.dsrc
+       |   GROUP BY e.dst) infl ON n0.doc_id = infl.dst)""".stripMargin
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "q_pagerank" ->
+      s"""WITH $wordPairCtes,
+         |jp AS (
+         | SELECT id_a, id_b
+         | FROM p
+         | JOIN cnt ca ON id_a = ca.doc_id
+         | JOIN cnt cb ON id_b = cb.doc_id
+         | WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.2),
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM jp
+         | UNION ALL SELECT id_b AS src, id_a AS dst FROM jp),
+         |deg AS (SELECT src AS dsrc, count(*) AS deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |pr0 AS (
+         | SELECT doc_id, 1000000000000 // nn.n AS v
+         | FROM nodes CROSS JOIN nn),
+         |$pagerankSteps
+         |SELECT pr10.doc_id, COALESCE(dg.deg, 0) AS degree,
+         | pr10.v AS pr_scaled
+         |FROM pr10 LEFT JOIN deg dg ON pr10.doc_id = dg.dsrc""".stripMargin,
     "q_best_match" ->
       s"""WITH $wordPairCtes,
          |j AS (

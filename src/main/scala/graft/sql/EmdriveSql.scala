@@ -276,7 +276,11 @@ object EmdriveSql {
       having: Seq[Pred] = Seq.empty,
       orderBy: Seq[OrderKey] = Seq.empty, limit: Option[Long] = None,
       joins: Seq[Join] = Seq.empty, distinct: Boolean = false,
-      offset: Option[Long] = None)
+      offset: Option[Long] = None,
+      /** FROM (SELECT …) [AS a] — a derived table; when set, `table` is
+        * the display name and the chain is the base relation (ANSI inline
+        * view; the CTE machinery's anonymous sibling). */
+      derived: Option[UnionStmt] = None)
     extends Statement
 
   /** select UNION [ALL] select [UNION [ALL] select …] — left-associative,
@@ -465,24 +469,40 @@ object EmdriveSql {
     // `FROM fn(arg, …)` — a table function (graft extension surfacing the
     // pipeline operators to the SQL/HTTP front door). Encoded in the
     // table-name slot as "fn(a,b,…)"; EmdriveSession.table dispatches it.
-    val table = {
-      val name = p.ident()
-      if (p.trySym("(")) {
-        val args = mutable.ListBuffer.empty[String]
-        if (!p.peekSym(")")) {
-          def arg(): String = p.toks match {
-            case TWord(w) :: rest => p.toks = rest; w
-            case TNum(s) :: rest => p.toks = rest; s
-            case TStr(s) :: rest => p.toks = rest; s
-            case _ => p.fail("table-function argument")
-          }
-          args += arg()
-          while (p.trySym(",")) args += arg()
-        }
+    // `FROM (SELECT …) [AS a]` — a derived table (ANSI inline view): the
+    // chain lowers as the base relation; the optional alias is display
+    // only (columns are unqualified in this dialect)
+    val (table, derived) =
+      if (p.peekSym("(")) {
+        p.eatSym("(")
+        val chain = parseChain(p)
         p.eatSym(")")
-        s"$name(${args.mkString(",")})"
-      } else name
-    }
+        val alias =
+          if (p.tryWord("AS")) p.ident()
+          else p.toks match {
+            case TWord(w) :: rest if !Keywords.contains(w.toUpperCase) =>
+              p.toks = rest; w
+            case _ => "__derived"
+          }
+        (alias, Some(chain))
+      } else {
+        val name = p.ident()
+        if (p.trySym("(")) {
+          val args = mutable.ListBuffer.empty[String]
+          if (!p.peekSym(")")) {
+            def arg(): String = p.toks match {
+              case TWord(w) :: rest => p.toks = rest; w
+              case TNum(s) :: rest => p.toks = rest; s
+              case TStr(s) :: rest => p.toks = rest; s
+              case _ => p.fail("table-function argument")
+            }
+            args += arg()
+            while (p.trySym(",")) args += arg()
+          }
+          p.eatSym(")")
+          (s"$name(${args.mkString(",")})", None)
+        } else (name, None)
+      }
     val joins = mutable.ListBuffer.empty[Join]
     var joining = true
     while (joining) {
@@ -541,7 +561,7 @@ object EmdriveSql {
         Some(boundedInt("OFFSET"))
       } else None
     Select(items.toSeq, table, where.toSeq, groupBy, having.toSeq, orderBy,
-      limit, joins.toSeq, distinct, offset)
+      limit, joins.toSeq, distinct, offset, derived)
   }
 
   private def parseItem(p: P): SelectItem = p.toks match {
@@ -1032,7 +1052,8 @@ final class EmdriveSession(spark: SparkSession) {
     * straddling the inner table and the outer relation. Uncorrelated
     * subqueries keep the execute-and-inline literal path. */
   private def isCorrScalar(sub: Select, outer: DataFrame): Boolean =
-    sub.joins.isEmpty && sub.groupBy.isEmpty && sub.having.isEmpty && {
+    sub.derived.isEmpty && sub.joins.isEmpty && sub.groupBy.isEmpty &&
+      sub.having.isEmpty && {
       val innerCols = table(sub.table).columns.toSet
       val outerCols = outer.columns.toSet
       sub.where.flatMap(splitConjuncts).exists {
@@ -1092,14 +1113,14 @@ final class EmdriveSession(spark: SparkSession) {
 
   private def lowerSelect(sel: Select): DataFrame = {
     val Select(items, name, where, groupBy, having, orderBy, limitN, joins,
-      distinct, offsetN) = sel
+      distinct, offsetN, derived) = sel
     locally {
       // JOIN lowering (graft extension): unqualified ON keys resolved by
       // which side owns the name (either order). The equi-join lowers to a
       // declarative DataFrame join, so Catalyst/AQE pick broadcast vs
       // shuffle by size — the SQL surface inherits the engine's join
       // machinery rather than reimplementing any of it.
-      val base = joins.foldLeft(table(name)) { (rel, j) =>
+      val base = joins.foldLeft(derived.map(lowerChain).getOrElse(table(name))) { (rel, j) =>
         val right = table(j.table)
         val (lk, rk) =
           if (rel.columns.contains(j.leftKey) && right.columns.contains(j.rightKey))
@@ -1900,6 +1921,17 @@ object SqlQueries {
                |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
                |ORDER BY c_custkey;""".stripMargin)
     }),
+    // derived table end-to-end: filter + order over an aggregating
+    // inline view (the CTE-free spelling)
+    "q_sql_derived" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, n_docs, total_chars
+               |FROM (SELECT source, COUNT(*) AS n_docs,
+               |      SUM(n_chars) AS total_chars
+               |      FROM documents GROUP BY source) t
+               |WHERE n_docs > 10 ORDER BY source;""".stripMargin)
+    }),
     "q_sql_langid" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
       es.register("documents", Tables.documents(s, d))
@@ -2006,6 +2038,12 @@ object SqlQueries {
         |      ELSE 'buyer' END AS segment
         |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+    "q_sql_derived" ->
+      """SELECT source, n_docs, total_chars
+        |FROM (SELECT source, count(*) AS n_docs,
+        |      CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |      FROM documents GROUP BY source) t
+        |WHERE n_docs > 10 ORDER BY source""".stripMargin,
     "q_sql_langid" -> graft.operators.TextAnalysis.oracles("q_langid"),
     "q_sql_split" -> graft.operators.Sampling.oracles("q_sample_split"),
     "q_sql_ntile" ->

@@ -521,8 +521,14 @@ object EmdriveSql {
     val groupBy =
       if (p.tryWord("GROUP")) {
         p.eatWord("BY")
-        val gs = mutable.ListBuffer(p.ident())
-        while (p.trySym(",")) gs += p.ident()
+        // GROUP BY 1, 2 — ordinals into the select list ("#n" markers,
+        // resolved at lowering; aggregates at that position are refused)
+        def gkey(): String = p.toks match {
+          case TNum(n) :: rest if !n.contains('.') => p.toks = rest; "#" + n
+          case _ => p.ident()
+        }
+        val gs = mutable.ListBuffer(gkey())
+        while (p.trySym(",")) gs += gkey()
         gs.toSeq
       } else Seq.empty
     val having = mutable.ListBuffer.empty[Pred]
@@ -531,7 +537,12 @@ object EmdriveSql {
       if (p.tryWord("ORDER")) {
         p.eatWord("BY")
         def key(): OrderKey = {
-          val name = p.ident()
+          // ORDER BY 1 — ANSI ordinal into the select list; carried as a
+          // "#n" marker and resolved against item output names at lowering
+          val name = p.toks match {
+            case TNum(n) :: rest if !n.contains('.') => p.toks = rest; "#" + n
+            case _ => p.ident()
+          }
           val desc = p.tryWord("DESC") || { p.tryWord("ASC"); false }
           OrderKey(name, desc)
         }
@@ -586,6 +597,19 @@ object EmdriveSql {
         if f.equalsIgnoreCase("NTILE") && !n.contains('.') =>
       p.toks = rest
       parseOverClause(p, "NTILE", Some(n))
+    // LAG/LEAD(col [, offset]) — column and offset ride the arg slot as
+    // "col:offset" (offset defaults to 1, ANSI)
+    case TWord(f) :: TSym("(") :: _
+        if f.equalsIgnoreCase("LAG") || f.equalsIgnoreCase("LEAD") =>
+      p.toks = p.toks.tail.tail
+      val c = p.ident()
+      val off =
+        if (p.trySym(",")) p.toks match {
+          case TNum(n) :: rest if !n.contains('.') => p.toks = rest; n
+          case _ => p.fail("integer LAG/LEAD offset")
+        } else "1"
+      p.eatSym(")")
+      parseOverClause(p, f.toUpperCase, Some(s"$c:$off"))
     case _ if p.trySym("*") => Star
     case _ => parseOperand(p) match {
       // a bare `col @ probe` keeps its dedicated item (mandatory alias,
@@ -650,7 +674,8 @@ object EmdriveSql {
         p.eatWord("AND"); p.eatWord("CURRENT"); p.eatWord("ROW")
         Some(lo)
       } else None
-    require(frame.isEmpty || !(WinFuncs(func) || func == "NTILE"),
+    require(frame.isEmpty
+        || !(WinFuncs(func) || Set("NTILE", "LAG", "LEAD")(func)),
       s"$func does not take a frame clause")
     p.eatSym(")")
     p.eatWord("AS")
@@ -1112,8 +1137,35 @@ final class EmdriveSession(spark: SparkSession) {
   }
 
   private def lowerSelect(sel: Select): DataFrame = {
-    val Select(items, name, where, groupBy, having, orderBy, limitN, joins,
-      distinct, offsetN, derived) = sel
+    val Select(items, name, where, rawGroupBy, having, rawOrderBy, limitN,
+      joins, distinct, offsetN, derived) = sel
+    // "#n" ordinal markers (GROUP BY 1 / ORDER BY 2) resolve to the n-th
+    // select item's OUTPUT name — ANSI ordinal semantics; grouping by an
+    // aggregate/window position is refused like any non-key grouping
+    def itemName(it: SelectItem): String = it match {
+      case ColItem(n, a) => a.getOrElse(n)
+      case ExprItem(_, a) => a
+      case AggExprItem(_, a) => a
+      case w: WinItem => w.alias
+      case DistItem(_, _, a) => a
+      case c: CaseItem => c.alias
+      case AggItem(f, arg, a) => aggAlias(f, arg, a)
+      case Star => throw new IllegalArgumentException(
+        "an ordinal cannot reference *")
+    }
+    def resolveOrd(k: String, grouping: Boolean): String =
+      if (k.startsWith("#")) {
+        val i = k.drop(1).toInt
+        require(i >= 1 && i <= items.length,
+          s"ordinal $i is out of range for ${items.length} select items")
+        val it = items(i - 1)
+        require(!grouping || !(it.isInstanceOf[AggItem]
+          || it.isInstanceOf[AggExprItem] || it.isInstanceOf[WinItem]),
+          s"GROUP BY ordinal $i references an aggregate/window item")
+        itemName(it)
+      } else k
+    val groupBy = rawGroupBy.map(resolveOrd(_, grouping = true))
+    val orderBy = rawOrderBy.map(k => k.copy(name = resolveOrd(k.name, grouping = false)))
     locally {
       // JOIN lowering (graft extension): unqualified ON keys resolved by
       // which side owns the name (either order). The equi-join lowers to a
@@ -1256,6 +1308,10 @@ final class EmdriveSession(spark: SparkSession) {
             // defined in DuckDB — bitwise cross-engine
             case "PERCENT_RANK" => percent_rank()
             case "NTILE" => ntile(arg.get.toInt)
+            // out-of-partition rows yield NULL, identically in DuckDB
+            case "LAG" | "LEAD" =>
+              val Array(c, off) = arg.get.split(":")
+              if (f == "LAG") lag(col(c), off.toInt) else lead(col(c), off.toInt)
             // ordered aggregate: ANSI default frame (RANGE unbounded
             // preceding → current row), same default in DuckDB
             case agg => aggColumn(agg, arg)
@@ -1921,6 +1977,22 @@ object SqlQueries {
                |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
                |ORDER BY c_custkey;""".stripMargin)
     }),
+    // GROUP BY / ORDER BY ordinals — the analyst spelling
+    "q_sql_ordinal" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, lang, COUNT(*) AS n
+               |FROM documents GROUP BY 1, 2 ORDER BY 1, 2;""".stripMargin)
+    }),
+    // LAG/LEAD with an explicit offset
+    "q_sql_lag" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, doc_id, n_chars,
+               | LAG(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS prev_chars,
+               | LEAD(n_chars, 2) OVER (PARTITION BY source ORDER BY doc_id) AS next2_chars
+               |FROM documents ORDER BY source, doc_id;""".stripMargin)
+    }),
     // derived table end-to-end: filter + order over an aggregating
     // inline view (the CTE-free spelling)
     "q_sql_derived" -> ((s: SparkSession, d: String) => {
@@ -2038,6 +2110,14 @@ object SqlQueries {
         |      ELSE 'buyer' END AS segment
         |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+    "q_sql_ordinal" ->
+      """SELECT source, lang, count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sql_lag" ->
+      """SELECT source, doc_id, n_chars,
+        | lag(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS prev_chars,
+        | lead(n_chars, 2) OVER (PARTITION BY source ORDER BY doc_id) AS next2_chars
+        |FROM documents ORDER BY source, doc_id""".stripMargin,
     "q_sql_derived" ->
       """SELECT source, n_docs, total_chars
         |FROM (SELECT source, count(*) AS n_docs,

@@ -1199,7 +1199,249 @@ object Relational {
           .as("max_value"))
   }
 
+  /** Min-cost supplier per part (TPC-H Q2 flavor, re-derived without a
+    * partsupp table — this schema's part×supplier cost relation lives in
+    * lineitem): a supplier's unit cost on a part is the cheapest observed
+    * l_extendedprice/l_quantity, fixed-pointed per row to DECIMAL(18,6)
+    * (the division is ONE IEEE op — bitwise identical cross-engine — and
+    * the cast a deterministic rounding), so the per-(part,supplier) MIN
+    * and the per-part argmin are exact selections with (cost, suppkey)
+    * tie-break. Scale shape: the fact collapses to part×supplier partial
+    * aggregates before any window; the rank window partitions by part
+    * (never global); part/supplier/nation dims broadcast. */
+  private def minCostSupplier(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables.part(s, d).filter(col("p_size") === 15)
+      .select(col("p_partkey"), col("p_name"))
+    val unit = Tables.lineitem(s, d)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).cast("decimal(18,6)").as("u"))
+      .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+      .agg(min(col("u")).as("cost"))
+    val w = Window.partitionBy(col("p_partkey"))
+      .orderBy(col("cost"), col("l_suppkey"))
+    unit.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+        col("cost").cast("double").as("cost"))
+  }
+
+  /** Important-stock screen (TPC-H Q11 flavor): parts whose lineitem
+    * revenue exceeds 1.5× the mean per-part revenue — the threshold is
+    * expressed as the EXACT decimal cross-multiplication
+    * value·n_parts·2 > total·3, so no division ever happens and the
+    * predicate cannot flip on a float boundary. Scale shape: one partial
+    * -combined per-part aggregate; the (total, count) scalar broadcasts
+    * back over the part-sized relation, never over the fact. */
+  private def importantParts(s: SparkSession, d: String): DataFrame = {
+    val value = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("value"))
+    val total = value.agg(sum(col("value")).as("total"), count(lit(1)).as("np"))
+    value.crossJoin(broadcast(total))
+      .filter(col("value") * col("np") * 2 > col("total") * 3)
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("value"), 2).cast("double").as("value"))
+  }
+
+  /** Top supplier by quarter revenue (TPC-H Q15 flavor): supplier(s)
+    * whose 1997Q1 shipped revenue equals the global max — revenue sums
+    * are exact DECIMAL(18,4) (price·(1−disc) is a 4-dp value, so the
+    * per-row fixed-pointing is exact, pricingSummary's discipline), and
+    * the max-equality join is exact decimal equality: the classic
+    * "ties included" Q15 semantics with no float hazard. Scale shape:
+    * shipdate range prunes the scan; the fact collapses to one row per
+    * supplier; the max is a broadcast scalar. */
+  private def topSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01")
+        && col("l_shipdate") < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total_revenue"), 2).cast("double").as("total_revenue"))
+  }
+
+  /** Supplier variety per part class (TPC-H Q16 flavor): distinct
+    * suppliers serving each small-size (brand, type, size) class — the
+    * assortment/competition report. Scale shape: the size filter prunes
+    * the broadcast part dim to ~10%, the fact is joined then collapses
+    * to DISTINCT (class, supplier) via the count-distinct partial
+    * Expand; grouping keys are low-cardinality so the shuffle carries
+    * partial states only. */
+  private def partSupplierCounts(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d).filter(col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables.lineitem(s, d)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** Small-quantity revenue screen (TPC-H Q17 flavor): revenue sitting
+    * in lineitem rows below 20% of their part's average quantity — the
+    * slow-mover/fragmentation loss estimate. The per-part average uses
+    * the moneyAvg identity (exact decimal sum, one cast, one division —
+    * bitwise cross-engine) and 0.2·avg is a single IEEE product, so the
+    * row predicate is deterministic. Scale shape: the per-part average
+    * is a part-dimension-sized broadcast back onto the fact; everything
+    * else is one partial-combined global aggregate. */
+  private def smallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val avgQ = li.groupBy(col("l_partkey"))
+      .agg((sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+        / count(col("l_quantity"))).as("avg_qty"))
+    li.join(broadcast(avgQ), "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        moneySum(col("l_extendedprice")).as("total_price"),
+        (moneySum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** Large-volume orders (TPC-H Q18 flavor): orders whose summed line
+    * quantity tops 250 units, with their customer — the big-buyer
+    * watchlist. Quantity sums are exact DECIMAL(18,4) so the threshold
+    * cannot flip; o_totalprice passes through untouched (same parquet
+    * value in both engines). Scale shape: the fact partial-combines to
+    * one row per order BEFORE the threshold cuts ~98.5% of keys, so the
+    * orders join only sees survivors; customer dim broadcasts. */
+  private def largeOrders(s: SparkSession, d: String): DataFrame = {
+    val oq = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    oq.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty").cast("double").as("sum_qty"))
+  }
+
+  /** Dormant high-balance customers (TPC-H Q22 flavor): customers whose
+    * balance beats the positive-balance average but who placed no order
+    * since 2000-01-01, grouped by nation — the win-back segment. The
+    * average is the moneyAvg identity (bitwise cross-engine); the
+    * "no recent order" test is an anti join against the date-pruned
+    * orders scan. Scale shape: scalar broadcast over the customer dim,
+    * anti join shuffles only the pruned order keys, final agg is
+    * nation-cardinality. */
+  private def idleCustomers(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,4)")).cast("double")
+        / count(lit(1))).as("ab"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        moneySum(col("c_acctbal")).as("totacctbal"))
+  }
+
+  /** RFM segmentation: every customer scored into recency / frequency /
+    * monetary quartiles (ntile(4)) and a composite "r-f-m" segment — the
+    * standard CRM partitioning. All three rank keys are exact (integer
+    * epoch-days, counts, decimal sums) with custkey tie-break, so ntile
+    * assignment is deterministic in any ANSI engine. Scale shape: the
+    * orders fact collapses to one row per customer FIRST; the three
+    * global ntile windows run over the customer dimension only — the
+    * q_ntile discipline (dimension-sized global sorts, documented and
+    * bounded), never over the fact. */
+  private def rfm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000").as("day"),
+        col("o_totalprice").cast("decimal(18,4)").as("price"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("frequency"),
+        sum(col("price")).as("monetary"))
+    val ref = per.agg(max(col("last_day")).as("ref_day"))
+    val base = per.crossJoin(broadcast(ref))
+      .withColumn("recency_days", col("ref_day") - col("last_day"))
+    val rW = Window.orderBy(col("recency_days"), col("o_custkey"))
+    val fW = Window.orderBy(col("frequency").desc, col("o_custkey"))
+    val mW = Window.orderBy(col("monetary").desc, col("o_custkey"))
+    base.withColumn("r_q", ntile(4).over(rW).cast("bigint"))
+      .withColumn("f_q", ntile(4).over(fW).cast("bigint"))
+      .withColumn("m_q", ntile(4).over(mW).cast("bigint"))
+      .select(col("o_custkey").as("c_custkey"), col("recency_days"),
+        col("frequency"), round(col("monetary"), 2).cast("double").as("monetary"),
+        col("r_q"), col("f_q"), col("m_q"),
+        concat(col("r_q").cast("string"), lit("-"), col("f_q").cast("string"),
+          lit("-"), col("m_q").cast("string")).as("segment"))
+  }
+
+  /** ABC / Pareto revenue classification: parts bucketed A/B/C by
+    * cumulative revenue share (≤70% / ≤90% / rest) — the inventory-
+    * concentration report ("20% of parts carry 80% of revenue").
+    * Cumulative sums are exact decimals ordered by (rev desc, partkey),
+    * and the share thresholds are exact cross-multiplications
+    * (cum·10 ≤ total·7) — no division, no float boundary. Scale shape:
+    * the fact partial-combines to one row per part; the cumulative
+    * window is a part-dimension-sized global sort (the q_ntile
+    * discipline); output is 3 rows. */
+  private def abcAnalysis(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = rev.agg(sum(col("rev")).as("total"))
+    rev.withColumn("cum", sum(col("rev")).over(w))
+      .crossJoin(broadcast(total))
+      .withColumn("cls",
+        when(col("cum") * 10 <= col("total") * 7, lit("A"))
+          .when(col("cum") * 10 <= col("total") * 9, lit("B"))
+          .otherwise(lit("C")))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("rev")), 2).cast("double").as("class_revenue"))
+  }
+
+  /** Inter-event cadence: per event type, the median and p90 gap between
+    * a user's consecutive events of that type — the engagement-rhythm /
+    * polling-detection signal. Gaps are exact integer milliseconds from
+    * a lag window inside (user, type) partitions (never global), with
+    * event_id tie-break; the final exact interpolated percentiles run
+    * per type over integer inputs (the q_percentile ≡ quantile_cont
+    * discipline). */
+  private def eventGaps(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = EventTime.withMs(Tables.events(s, d))
+      .select(col("user_id"), col("event_type"), col("ms"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ms"), col("event_id"))
+    ev.withColumn("prev", lag(col("ms"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("ms") - col("prev")).as("gap"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        percentile(col("gap"), lit(0.5)).as("p50_ms"),
+        percentile(col("gap"), lit(0.9)).as("p90_ms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_min_cost_supplier" -> minCostSupplier _,
+    "q_important_parts" -> importantParts _,
+    "q_top_supplier" -> topSupplier _,
+    "q_part_supplier_counts" -> partSupplierCounts _,
+    "q_small_qty_revenue" -> smallQtyRevenue _,
+    "q_large_orders" -> largeOrders _,
+    "q_idle_customers" -> idleCustomers _,
+    "q_rfm" -> rfm _,
+    "q_abc_analysis" -> abcAnalysis _,
+    "q_event_gaps" -> eventGaps _,
     "q_rollup_merge" -> rollupMerge _,
     "q_volume_trend" -> volumeTrend _,
     "q_hourly_profile" -> hourlyProfile _,
@@ -1267,6 +1509,131 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_min_cost_supplier" ->
+      """WITH parts AS (SELECT p_partkey, p_name FROM part WHERE p_size = 15),
+        |u AS (
+        | SELECT p_partkey, p_name, l_suppkey,
+        |  min(CAST(l_extendedprice / l_quantity AS DECIMAL(18,6))) AS cost
+        | FROM lineitem JOIN parts ON l_partkey = p_partkey
+        | GROUP BY 1, 2, 3),
+        |r AS (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY p_partkey ORDER BY cost, l_suppkey) AS rn FROM u)
+        |SELECT p_partkey, p_name, s_name, n_name, CAST(cost AS DOUBLE) AS cost
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE rn = 1""".stripMargin,
+    "q_important_parts" ->
+      """WITH v AS (
+        | SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS value
+        | FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(value) AS total, count(*) AS np FROM v)
+        |SELECT l_partkey AS p_partkey,
+        | CAST(round(value, 2) AS DOUBLE) AS value
+        |FROM v, t WHERE value * np * 2 > total * 3""".stripMargin,
+    "q_top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |    AS total_revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |   AND l_shipdate < TIMESTAMP '1997-04-01'
+        | GROUP BY 1),
+        |mx AS (SELECT max(total_revenue) AS mx FROM rev)
+        |SELECT s_suppkey, s_name,
+        | CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT mx FROM mx)""".stripMargin,
+    "q_part_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        | count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 5
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_small_qty_revenue" ->
+      """WITH a AS (
+        | SELECT l_partkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    / count(l_quantity) AS avg_qty
+        | FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_small_lines,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS total_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   / 7.0 AS avg_yearly
+        |FROM lineitem JOIN a USING (l_partkey)
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q_large_orders" ->
+      """WITH oq AS (
+        | SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+        | FROM lineitem GROUP BY 1
+        | HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 250)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+        | CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM oq JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_idle_customers" ->
+      """WITH ab AS (
+        | SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |   / count(*) AS ab
+        | FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        | CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS totacctbal
+        |FROM customer, ab
+        |WHERE c_acctbal > ab.ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1""".stripMargin,
+    "q_rfm" ->
+      """WITH per AS (
+        | SELECT o_custkey, max(epoch_ms(o_orderdate) // 86400000) AS last_day,
+        |  count(*) AS frequency,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+        | FROM orders GROUP BY 1),
+        |r AS (SELECT max(last_day) AS ref_day FROM per),
+        |b AS (
+        | SELECT o_custkey, ref_day - last_day AS recency_days, frequency,
+        |  monetary FROM per, r),
+        |q AS (
+        | SELECT *,
+        |  ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+        |  ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+        |  ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+        | FROM b)
+        |SELECT o_custkey AS c_custkey, recency_days, frequency,
+        | CAST(round(monetary, 2) AS DOUBLE) AS monetary, r_q, f_q, m_q,
+        | CAST(r_q AS VARCHAR) || '-' || CAST(f_q AS VARCHAR) || '-'
+        |   || CAST(m_q AS VARCHAR) AS segment
+        |FROM q""".stripMargin,
+    "q_abc_analysis" ->
+      """WITH rev AS (
+        | SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+        | FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(rev) AS total FROM rev),
+        |c AS (
+        | SELECT rev, total,
+        |  sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM rev, t)
+        |SELECT CASE WHEN cum * 10 <= total * 7 THEN 'A'
+        |  WHEN cum * 10 <= total * 9 THEN 'B' ELSE 'C' END AS cls,
+        | count(*) AS n_parts,
+        | CAST(round(sum(rev), 2) AS DOUBLE) AS class_revenue
+        |FROM c GROUP BY 1""".stripMargin,
+    "q_event_gaps" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+        |g AS (
+        | SELECT event_type, ms - lag(ms) OVER (
+        |   PARTITION BY user_id, event_type ORDER BY ms, event_id) AS gap
+        | FROM e)
+        |SELECT event_type, count(*) AS n_gaps,
+        | quantile_cont(gap, 0.5) AS p50_ms,
+        | quantile_cont(gap, 0.9) AS p90_ms
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
     // The oracle RECOMPUTES the rollup from the raw stream — the
     // hash-match against the engine's base+delta merge is the proof that
     // incremental merge ≡ full recompute.

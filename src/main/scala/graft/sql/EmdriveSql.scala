@@ -207,6 +207,10 @@ object EmdriveSql {
     * Catalyst-optimizable. Division follows engine float semantics
     * (int / int is a double, as in DuckDB). No unary minus: write 0 - x. */
   final case class OArith(lhs: Operand, op: String, rhs: Operand) extends Operand
+  /** CAST(expr AS type) — ANSI explicit cast; the type vocabulary is the
+    * dialect's (INT/BIGINT/DOUBLE/VARCHAR/BOOLEAN/DECIMAL(p,s)), lowered
+    * 1:1 onto Catalyst Cast (codegen'd, DuckDB-identical semantics). */
+  final case class OCast(op: Operand, tpe: String) extends Operand
   /** Scalar function call (string functions — the UPPER/SUBSTR tier). */
   final case class OFunc(name: String, args: Seq[Operand]) extends Operand
   /** An aggregate call as an arithmetic atom (`SUM(a) / COUNT(*)`): only
@@ -242,6 +246,10 @@ object EmdriveSql {
     * (correlation); negation composes via [[PNot]] (EXISTS is two-valued,
     * so `NOT` is safe anywhere in the tree). */
   final case class PExists(sub: Select) extends Pred
+  /** `x IS [NOT] NULL` — the ANSI null test (two-valued, unlike `= NULL`
+    * which yields NULL and drops the row); the LEFT/FULL OUTER JOIN
+    * companion predicate. */
+  final case class PIsNull(lhs: Operand, neg: Boolean) extends Pred
 
   sealed trait Statement
   /** SHOW TABLES / DESCRIBE t — the reference's system-catalog surface
@@ -263,13 +271,16 @@ object EmdriveSql {
     * source stays a lazy plan until the union materializes at read. */
   final case class InsertSelect(table: String, columns: Seq[String],
       chain: UnionStmt) extends Statement
-  /** One `[LEFT [OUTER]] JOIN t ON a = b` clause (graft extension; the
-    * reference grammar is single-table). Keys are unqualified: the
-    * lowering resolves which side owns which name (either order
-    * accepted). `left=true` preserves unmatched left rows with NULLs on
-    * the right — the standard enrichment shape (COALESCE then fills). */
+  /** One `[LEFT|RIGHT|FULL [OUTER]] JOIN t ON a = b` clause (graft
+    * extension; the reference grammar is single-table). Keys are
+    * unqualified: the lowering resolves which side owns which name
+    * (either order accepted). Outer kinds preserve unmatched rows with
+    * NULLs on the other side — the standard enrichment / reconciliation
+    * shapes (COALESCE and IS NULL then compose on top). `kind` is the
+    * Spark join-type string: inner | left_outer | right_outer |
+    * full_outer. */
   final case class Join(table: String, leftKey: String, rightKey: String,
-      left: Boolean = false)
+      kind: String = "inner")
 
   final case class Select(items: Seq[SelectItem], table: String,
       where: Seq[Pred], groupBy: Seq[String] = Seq.empty,
@@ -283,11 +294,15 @@ object EmdriveSql {
       derived: Option[UnionStmt] = None)
     extends Statement
 
-  /** select UNION [ALL] select [UNION [ALL] select …] — left-associative,
-    * positional column matching (ANSI); a non-ALL step dedupes the
-    * accumulated result, exactly ANSI bag semantics. */
+  /** select (UNION [ALL] | EXCEPT | INTERSECT) select … —
+    * left-associative with UNIFORM precedence (a documented dialect
+    * simplification: ANSI binds INTERSECT tighter; parenthesize via a
+    * derived table or CTE to force grouping), positional column matching.
+    * UNION dedupes the accumulated bag, UNION ALL keeps it, EXCEPT /
+    * INTERSECT are the ANSI DISTINCT set ops. Each step's op rides in
+    * the tuple: union | union_all | except | intersect. */
   final case class UnionStmt(first: Select,
-      rest: Seq[(Boolean, Select)]) extends Statement
+      rest: Seq[(String, Select)]) extends Statement
 
   /** WITH n AS (select-chain) [, n2 AS (…)] select-chain — common table
     * expressions (graft extension). Each CTE body may itself be a UNION
@@ -345,7 +360,7 @@ object EmdriveSql {
     "GROUP", "BY", "HAVING", "ORDER", "LIMIT", "OFFSET", "ASC", "DESC",
     "NULL", "TRUE", "FALSE", "SHOW", "TABLES", "DESCRIBE", "JOIN", "ON",
     "EXPLAIN", "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "ALL", "WITH",
-    "OVER", "PARTITION")
+    "OVER", "PARTITION", "EXCEPT", "INTERSECT", "IS", "CAST")
 
   private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN")
   private val StrFuncs = Set("UPPER", "LOWER", "LENGTH", "TRIM", "SUBSTR",
@@ -358,11 +373,18 @@ object EmdriveSql {
   private def parseChain(p: P): UnionStmt = {
     p.eatWord("SELECT")
     val first = parseSelect(p)
-    val rest = mutable.ListBuffer.empty[(Boolean, Select)]
-    while (p.tryWord("UNION")) {
-      val all = p.tryWord("ALL")
-      p.eatWord("SELECT")
-      rest += ((all, parseSelect(p)))
+    val rest = mutable.ListBuffer.empty[(String, Select)]
+    var more = true
+    while (more) {
+      val op =
+        if (p.tryWord("UNION")) { if (p.tryWord("ALL")) "union_all" else "union" }
+        else if (p.tryWord("EXCEPT")) "except"
+        else if (p.tryWord("INTERSECT")) "intersect"
+        else ""
+      if (op.nonEmpty) {
+        p.eatWord("SELECT")
+        rest += ((op, parseSelect(p)))
+      } else more = false
     }
     UnionStmt(first, rest.toSeq)
   }
@@ -506,14 +528,18 @@ object EmdriveSql {
     val joins = mutable.ListBuffer.empty[Join]
     var joining = true
     while (joining) {
-      val isLeft = p.tryWord("LEFT")
-      if (isLeft) { p.tryWord("OUTER"); p.eatWord("JOIN") }
-      if (isLeft || p.tryWord("JOIN")) {
+      val kind =
+        if (p.tryWord("LEFT")) { p.tryWord("OUTER"); "left_outer" }
+        else if (p.tryWord("RIGHT")) { p.tryWord("OUTER"); "right_outer" }
+        else if (p.tryWord("FULL")) { p.tryWord("OUTER"); "full_outer" }
+        else "inner"
+      if (kind != "inner" || p.peekWord("JOIN")) {
+        p.eatWord("JOIN")
         val t = p.ident()
         p.eatWord("ON")
         val a = p.ident()
         p.eatSym("=")
-        joins += Join(t, a, p.ident(), left = isLeft)
+        joins += Join(t, a, p.ident(), kind = kind)
       } else joining = false
     }
     val where = mutable.ListBuffer.empty[Pred]
@@ -687,6 +713,7 @@ object EmdriveSql {
     case a: OAgg => Seq(a)
     case OArith(l, _, r) => aggAtoms(l) ++ aggAtoms(r)
     case OFunc(_, args) => args.flatMap(aggAtoms)
+    case OCast(x, _) => aggAtoms(x)
     case _ => Seq.empty
   }
 
@@ -721,6 +748,25 @@ object EmdriveSql {
       val sub = parseSelect(p)
       p.eatSym(")")
       OSub(sub)
+    case TWord(f) :: TSym("(") :: _ if f.equalsIgnoreCase("CAST") =>
+      p.toks = p.toks.tail.tail
+      val inner = parseOperand(p)
+      p.eatWord("AS")
+      val t = p.toks match {
+        case TWord(w) :: rest => p.toks = rest; w.toUpperCase
+        case _ => p.fail("type name after AS")
+      }
+      val full =
+        if (t == "DECIMAL" && p.trySym("(")) {
+          def num(): String = p.toks match {
+            case TNum(n) :: rest if !n.contains('.') => p.toks = rest; n
+            case _ => p.fail("DECIMAL precision/scale")
+          }
+          val prec = num(); p.eatSym(","); val sc = num(); p.eatSym(")")
+          s"DECIMAL($prec,$sc)"
+        } else t
+      p.eatSym(")")
+      OCast(inner, full)
     case TWord(f) :: TSym("(") :: _ if StrFuncs(f.toUpperCase) =>
       p.toks = p.toks.tail.tail
       val args = mutable.ListBuffer(parseOperand(p))
@@ -793,6 +839,11 @@ object EmdriveSql {
     * NOT BETWEEN to the negation of that conjunction. */
   private def parseCmp(p: P): Pred = {
     val lhs = parseOperand(p)
+    if (p.tryWord("IS")) {
+      val n = p.tryWord("NOT")
+      p.eatWord("NULL")
+      return PIsNull(lhs, n)
+    }
     val neg = p.tryWord("NOT")
     def between(): Pred = {
       val lo = parseOperand(p)
@@ -1062,14 +1113,22 @@ final class EmdriveSession(spark: SparkSession) {
         StructType(Seq(StructField("plan_line", StringType))))
   }
 
-  /** Left-assoc union fold (ANSI bag semantics): positional union, non-ALL
-    * steps dedupe the accumulated bag — lowered to Dataset.union (+ the
-    * same partial-combined aggregate as any DISTINCT), so Catalyst unions
-    * the plans. A tail-less chain is just its head SELECT. */
+  /** Left-assoc set-op fold (ANSI bag semantics): positional column
+    * matching; UNION dedupes the accumulated bag (the same
+    * partial-combined aggregate as any DISTINCT), UNION ALL keeps it,
+    * EXCEPT/INTERSECT lower to Dataset.except/intersect — Spark plans
+    * both as null-safe left-anti/left-semi joins over distinct inputs,
+    * exactly the ANSI DISTINCT set semantics, and AQE picks
+    * broadcast vs shuffle. A tail-less chain is just its head SELECT. */
   private def lowerChain(u: UnionStmt): DataFrame =
-    u.rest.foldLeft(lowerSelect(u.first)) { case (acc, (all, sel)) =>
-      val merged = acc.union(lowerSelect(sel))
-      if (all) merged else merged.dropDuplicates()
+    u.rest.foldLeft(lowerSelect(u.first)) { case (acc, (op, sel)) =>
+      val rhs = lowerSelect(sel)
+      op match {
+        case "union_all" => acc.union(rhs)
+        case "union" => acc.union(rhs).dropDuplicates()
+        case "except" => acc.except(rhs)
+        case "intersect" => acc.intersect(rhs)
+      }
     }
 
   /** True when `sub` is a correlated scalar subquery against `outer`:
@@ -1182,8 +1241,7 @@ final class EmdriveSession(spark: SparkSession) {
           else throw new IllegalArgumentException(
             s"join keys ${j.leftKey} = ${j.rightKey} do not match " +
               s"left(${rel.columns.mkString(",")}) vs ${j.table}")
-        rel.join(right, rel(lk) === right(rk),
-          if (j.left) "left_outer" else "inner")
+        rel.join(right, rel(lk) === right(rk), j.kind)
       }
       // 1. attach aliased distance/computed columns, so WHERE can reference
       //    them (README story: WHERE distance < 4 filters the SELECT
@@ -1499,6 +1557,7 @@ final class EmdriveSession(spark: SparkSession) {
     case ODist(c, _) => Set(c)
     case OArith(l, _, r) => refNamesO(l) ++ refNamesO(r)
     case OFunc(_, args) => args.flatMap(refNamesO).toSet
+    case OCast(o, _) => refNamesO(o)
     case _ => Set.empty
   }
 
@@ -1510,6 +1569,7 @@ final class EmdriveSession(spark: SparkSession) {
     case PIn(l, _, _) => refNamesO(l)
     case PInSub(l, _, _) => refNamesO(l)
     case PLike(l, _, _) => refNamesO(l)
+    case PIsNull(l, _) => refNamesO(l)
     case _: PExists => Set.empty
   }
 
@@ -1539,6 +1599,9 @@ final class EmdriveSession(spark: SparkSession) {
     case PLike(lhs, pat, neg) =>
       val c = operandCol(base, lhs).like(pat)
       if (neg) !c else c
+    case PIsNull(lhs, neg) =>
+      if (neg) operandCol(base, lhs).isNotNull
+      else operandCol(base, lhs).isNull
   }
 
   /** Searched CASE → when().when()….otherwise() Column chain; branches
@@ -1612,8 +1675,23 @@ final class EmdriveSession(spark: SparkSession) {
         case other => throw new IllegalArgumentException(
           s"wrong argument count for $f: got ${a.length}")
       }
+    case OCast(o, t) => operandCol(base, o).cast(sqlTypeName(t))
     case a: OAgg => throw new IllegalArgumentException(
       s"aggregate ${a.func} is only valid in an aggregating SELECT's items")
+  }
+
+  /** Dialect type vocabulary → Spark SQL type string (Catalyst Cast). */
+  private def sqlTypeName(t: String): String = t match {
+    case "INT" | "INTEGER" => "int"
+    case "SMALLINT" => "smallint"
+    case "BIGINT" => "bigint"
+    case "DOUBLE" => "double"
+    case "REAL" | "FLOAT" => "float"
+    case "VARCHAR" | "TEXT" | "STRING" => "string"
+    case "BOOLEAN" | "BOOL" => "boolean"
+    case d if d.startsWith("DECIMAL(") => d.toLowerCase
+    case other =>
+      throw new IllegalArgumentException(s"unsupported CAST type: $other")
   }
 
   private def cmpCol(base: DataFrame, cmp: Cmp): Column = {
@@ -2052,6 +2130,78 @@ object SqlQueries {
                | COALESCE(NULLIF(lang, 'en'), 'base') AS alt_lang
                |FROM documents WHERE ABS(n_chars - 500) < 400
                |ORDER BY doc_id;""".stripMargin)
+    }),
+    // FULL OUTER JOIN + IS NULL: the reconciliation report — which
+    // nations have customers, early suppliers, or both
+    "q_sql_full_join" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("supplier", Tables.supplier(s, d))
+      es.sql("""WITH c AS (
+               |  SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+               |  FROM customer GROUP BY c_nationkey),
+               |sp AS (
+               |  SELECT s_nationkey AS snk, COUNT(*) AS n_supp
+               |  FROM supplier WHERE s_suppkey < 30 GROUP BY s_nationkey)
+               |SELECT COALESCE(nk, snk) AS nationkey,
+               | COALESCE(n_cust, 0) AS n_cust,
+               | COALESCE(n_supp, 0) AS n_supp,
+               | CASE WHEN nk IS NULL THEN 'supplier_only'
+               |      WHEN snk IS NULL THEN 'customer_only'
+               |      ELSE 'both' END AS presence
+               |FROM c FULL OUTER JOIN sp ON nk = snk
+               |ORDER BY nationkey;""".stripMargin)
+    }),
+    // RIGHT OUTER JOIN: all customers kept, urgent orders counted
+    // (COUNT(col) skips the NULLs of unmatched rows — ANSI)
+    "q_sql_right_join" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""WITH o AS (
+               |  SELECT o_custkey, o_orderkey FROM orders
+               |  WHERE o_orderpriority = '1-URGENT')
+               |SELECT c_custkey, COUNT(o_orderkey) AS n_urgent
+               |FROM o RIGHT JOIN customer ON o_custkey = c_custkey
+               |GROUP BY c_custkey ORDER BY c_custkey;""".stripMargin)
+    }),
+    // EXCEPT — ANSI distinct set difference
+    "q_sql_except" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id FROM documents WHERE lang = 'en'
+               |EXCEPT SELECT doc_id FROM documents WHERE n_chars < 500;""".stripMargin)
+    }),
+    // INTERSECT — ANSI distinct set intersection
+    "q_sql_intersect" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source FROM documents WHERE lang = 'en'
+               |INTERSECT SELECT source FROM documents WHERE n_chars < 400;""".stripMargin)
+    }),
+    // CAST tier: numeric/string/decimal targets, composing with
+    // arithmetic and WHERE
+    "q_sql_cast" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id,
+               | CAST(n_chars AS DOUBLE) / 7 AS sevenths,
+               | CAST(n_chars AS VARCHAR) AS n_str,
+               | CAST(n_chars AS DECIMAL(12,2)) AS n_dec
+               |FROM documents WHERE CAST(n_chars AS BIGINT) >= 200
+               |ORDER BY doc_id;""".stripMargin)
+    }),
+    // IS NULL as the anti-join spelling over LEFT JOIN's unmatched rows
+    "q_sql_is_null" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""WITH o AS (
+               |  SELECT o_custkey, COUNT(*) AS n FROM orders
+               |  WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
+               |SELECT c_custkey, c_name
+               |FROM customer LEFT JOIN o ON c_custkey = o_custkey
+               |WHERE n IS NULL ORDER BY c_custkey;""".stripMargin)
     })
   )
 
@@ -2237,6 +2387,48 @@ object SqlQueries {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
     "q_http_query" ->
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_sql_full_join" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nk, count(*) AS n_cust
+        |  FROM customer GROUP BY c_nationkey),
+        |sp AS (
+        |  SELECT s_nationkey AS snk, count(*) AS n_supp
+        |  FROM supplier WHERE s_suppkey < 30 GROUP BY s_nationkey)
+        |SELECT COALESCE(nk, snk) AS nationkey,
+        | COALESCE(n_cust, 0) AS n_cust,
+        | COALESCE(n_supp, 0) AS n_supp,
+        | CASE WHEN nk IS NULL THEN 'supplier_only'
+        |      WHEN snk IS NULL THEN 'customer_only'
+        |      ELSE 'both' END AS presence
+        |FROM c FULL OUTER JOIN sp ON nk = snk
+        |ORDER BY nationkey""".stripMargin,
+    "q_sql_right_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |SELECT c_custkey, count(o_orderkey) AS n_urgent
+        |FROM o RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_sql_except" ->
+      """SELECT doc_id FROM documents WHERE lang = 'en'
+        |EXCEPT SELECT doc_id FROM documents WHERE n_chars < 500""".stripMargin,
+    "q_sql_intersect" ->
+      """SELECT source FROM documents WHERE lang = 'en'
+        |INTERSECT SELECT source FROM documents WHERE n_chars < 400""".stripMargin,
+    "q_sql_cast" ->
+      """SELECT doc_id,
+        | CAST(n_chars AS DOUBLE) / 7 AS sevenths,
+        | CAST(n_chars AS VARCHAR) AS n_str,
+        | CAST(n_chars AS DECIMAL(12,2)) AS n_dec
+        |FROM documents WHERE CAST(n_chars AS BIGINT) >= 200
+        |ORDER BY doc_id""".stripMargin,
+    "q_sql_is_null" ->
+      """WITH o AS (
+        |  SELECT o_custkey, count(*) AS n FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
+        |SELECT c_custkey, c_name
+        |FROM customer LEFT JOIN o ON c_custkey = o_custkey
+        |WHERE n IS NULL ORDER BY c_custkey""".stripMargin
   )
 }

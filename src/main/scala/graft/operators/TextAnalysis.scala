@@ -723,7 +723,98 @@ object TextAnalysis {
           .as("zipf_slope"))
   }
 
+  /** Vocabulary coverage curve: what fraction of the corpus's total token
+    * mass the top-k word types cover, for k ∈ {10, 100, 1000} — the
+    * tokenizer-budget planning number (how big a vocab before coverage
+    * plateaus). The rank window runs over the VOCABULARY (type-level,
+    * post-collapse — the q_ntile dimension-sort discipline, never the
+    * corpus), ties break (count desc, word); counts and totals are exact
+    * integers, coverage is one final IEEE division. Scale shape: corpus
+    * collapses to (word, count) with map-side partial agg first; the ×3
+    * k-expansion is a broadcast range join over the type relation. */
+  private def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val ranked = wc.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("word"))))
+    val total = wc.agg(sum(col("c")).as("total_tokens"))
+    val ks = s.range(1).select(explode(array(lit(10), lit(100), lit(1000))).as("k"))
+    ranked.join(broadcast(ks), col("rank") <= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("k").cast("bigint").as("k"), col("n_types"),
+        col("covered_tokens"), col("total_tokens"),
+        (col("covered_tokens").cast("double") / col("total_tokens"))
+          .as("coverage"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov distance between every pair of
+    * sources' document-length distributions — the distribution-drift
+    * audit before mixing corpora. The statistic is computed ENTIRELY in
+    * integers: at each length value v, D_num(v) = |c₁(v)·n₂ − c₂(v)·n₁|
+    * (cumulative counts cross-multiplied by the opposite sample size), so
+    * KS = max D_num / (n₁·n₂) suffers zero float accumulation — one
+    * final division. Scale shape: the corpus collapses to
+    * (source, length, count) first; the value grid, cumulative windows
+    * (per source, ordered by value), and the pair join are all
+    * dimension-sized (sources × distinct lengths). */
+  private def sourceKs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val cnt = docs.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val vals = docs.select(col("n_chars").as("v")).distinct()
+    val grid = tot.select(col("source"), col("n")).crossJoin(broadcast(vals))
+      .join(cnt, Seq("source", "v"), "left_outer")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("cum", sum(col("c0")).over(w))
+      .select(col("source"), col("n"), col("v"), col("cum"))
+    cum.as("a").join(cum.as("b"),
+        col("a.v") === col("b.v") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        abs(col("a.cum") * col("b.n") - col("b.cum") * col("a.n")).as("dn"))
+      .groupBy(col("src_a"), col("src_b"), col("n_a"), col("n_b"))
+      .agg(max(col("dn")).as("ks_num"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("ks_num"),
+        (col("ks_num").cast("double") / (col("n_a") * col("n_b")))
+          .as("ks"))
+  }
+
+  /** Term burstiness (Church–Gale variance-to-mean ratio): for each word
+    * with enough mass, VMR over its per-document counts including the
+    * zero docs — VMR ≈ 1 is Poisson scatter (function words), VMR ≫ 1 is
+    * bursty content/boilerplate. Computed by the exact identity
+    * VMR = (N·Σc² − (Σc)²) / (N·Σc) — absent docs contribute nothing to
+    * either sum, so the zeros never materialize; all sums are exact
+    * integers, one final division. Scale shape: one explode → (doc,word)
+    * partial-count → per-word partial agg; the N scalar broadcasts. */
+  private def burstiness(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val wc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    val perWord = wc.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .filter(col("s1") >= 50)
+    perWord.crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .select(col("word"), col("df"), col("s1").as("total_count"),
+        ((col("n_docs") * col("s2") - col("s1") * col("s1")).cast("double")
+          / (col("n_docs") * col("s1"))).as("vmr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_coverage" -> vocabCoverage _,
+    "q_source_ks" -> sourceKs _,
+    "q_burstiness" -> burstiness _,
     "q_ttr" -> lexicalDiversity _,
     "q_zipf" -> zipfSlope _,
     "q_curriculum" -> curriculum _,
@@ -755,6 +846,56 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_coverage" ->
+      """WITH wc AS (
+        | SELECT word, count(*) AS c FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        | GROUP BY 1),
+        |r AS (SELECT word, c,
+        |  row_number() OVER (ORDER BY c DESC, word) AS rank FROM wc),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM wc),
+        |ks AS (SELECT unnest([10, 100, 1000]) AS k)
+        |SELECT CAST(k AS BIGINT) AS k, count(*) AS n_types,
+        | CAST(sum(c) AS BIGINT) AS covered_tokens, total_tokens,
+        | CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / total_tokens AS coverage
+        |FROM r JOIN ks ON rank <= k CROSS JOIN t
+        |GROUP BY k, total_tokens""".stripMargin,
+    "q_source_ks" ->
+      """WITH cnt AS (
+        | SELECT source, n_chars AS v, count(*) AS c
+        | FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+        |grid AS (
+        | SELECT tot.source, tot.n, vals.v, COALESCE(cnt.c, 0) AS c0
+        | FROM tot CROSS JOIN vals
+        | LEFT JOIN cnt ON cnt.source = tot.source AND cnt.v = vals.v),
+        |cum AS (
+        | SELECT source, n, v,
+        |  CAST(sum(c0) OVER (PARTITION BY source ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        | FROM grid)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        | a.n AS n_a, b.n AS n_b,
+        | CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS BIGINT) AS ks_num,
+        | CAST(CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS BIGINT) AS DOUBLE)
+        |   / (a.n * b.n) AS ks
+        |FROM cum a JOIN cum b ON a.v = b.v AND a.source < b.source
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+    "q_burstiness" ->
+      """WITH wc AS (
+        | SELECT doc_id, word, count(*) AS c FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents)
+        | GROUP BY 1, 2),
+        |pw AS (
+        | SELECT word, count(*) AS df, CAST(sum(c) AS BIGINT) AS s1,
+        |  CAST(sum(c * c) AS BIGINT) AS s2
+        | FROM wc GROUP BY 1 HAVING CAST(sum(c) AS BIGINT) >= 50),
+        |nd AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT word, df, s1 AS total_count,
+        | CAST(n_docs * s2 - s1 * s1 AS DOUBLE) / (n_docs * s1) AS vmr
+        |FROM pw CROSS JOIN nd""".stripMargin,
     "q_ttr" ->
       """WITH w AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -1236,11 +1236,17 @@ object Relational {
     * -combined per-part aggregate; the (total, count) scalar broadcasts
     * back over the part-sized relation, never over the fact. */
   private def importantParts(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val value = Tables.lineitem(s, d)
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("value"))
-    val total = value.agg(sum(col("value")).as("total"), count(lit(1)).as("np"))
-    value.crossJoin(broadcast(total))
+    // (total, count) as an unordered global window over the PART-sized
+    // relation — one fact scan, not the two a re-aggregate + cross join
+    // would cost (the scalar funnels the same dimension rows either way)
+    val wAll = Window.partitionBy()
+    value
+      .withColumn("total", sum(col("value")).over(wAll))
+      .withColumn("np", count(lit(1)).over(wAll))
       .filter(col("value") * col("np") * 2 > col("total") * 3)
       .select(col("l_partkey").as("p_partkey"),
         round(col("value"), 2).cast("double").as("value"))
@@ -1261,8 +1267,12 @@ object Relational {
       .groupBy(col("l_suppkey"))
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
         .cast("decimal(18,4)")).as("total_revenue"))
-    val mx = rev.agg(max(col("total_revenue")).as("mx"))
-    rev.crossJoin(broadcast(mx))
+    // the max as an unordered global window over the supplier-sized
+    // relation: one fact scan (re-aggregating `rev` would lineage-replay
+    // the lineitem scan a second time)
+    rev.withColumn("mx",
+        max(col("total_revenue")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
       .filter(col("total_revenue") === col("mx"))
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
@@ -1365,8 +1375,10 @@ object Relational {
       .groupBy(col("o_custkey"))
       .agg(max(col("day")).as("last_day"), count(lit(1)).as("frequency"),
         sum(col("price")).as("monetary"))
-    val ref = per.agg(max(col("last_day")).as("ref_day"))
-    val base = per.crossJoin(broadcast(ref))
+    // reference day as an unordered global window over the customer-sized
+    // relation — avoids lineage-replaying the orders scan for the scalar
+    val base = per
+      .withColumn("ref_day", max(col("last_day")).over(Window.partitionBy()))
       .withColumn("recency_days", col("ref_day") - col("last_day"))
     val rW = Window.orderBy(col("recency_days"), col("o_custkey"))
     val fW = Window.orderBy(col("frequency").desc, col("o_custkey"))
@@ -1397,9 +1409,10 @@ object Relational {
       .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("rev"))
     val w = Window.orderBy(col("rev").desc, col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val total = rev.agg(sum(col("rev")).as("total"))
+    // total as an unordered frame over the same single-partition exchange
+    // the cumulative window already pays for — one fact scan total
     rev.withColumn("cum", sum(col("rev")).over(w))
-      .crossJoin(broadcast(total))
+      .withColumn("total", sum(col("rev")).over(Window.partitionBy()))
       .withColumn("cls",
         when(col("cum") * 10 <= col("total") * 7, lit("A"))
           .when(col("cum") * 10 <= col("total") * 9, lit("B"))

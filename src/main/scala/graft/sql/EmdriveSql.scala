@@ -364,7 +364,8 @@ object EmdriveSql {
 
   private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN")
   private val StrFuncs = Set("UPPER", "LOWER", "LENGTH", "TRIM", "SUBSTR",
-    "REPLACE", "COALESCE", "NULLIF", "ABS", "ROUND")
+    "REPLACE", "COALESCE", "NULLIF", "ABS", "ROUND",
+    "YEAR", "MONTH", "DAY")
   private val WinFuncs = Set("ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK")
 
   /** SELECT … [UNION [ALL] SELECT …]* — the shared select-chain shape used
@@ -1431,6 +1432,8 @@ final class EmdriveSession(spark: SparkSession) {
                 case "*" => lc * rc
                 case "/" => lc / rc
               }
+            case OFunc(f, fargs) => funcApply(f, fargs.map(aggExprCol), fargs)
+            case OCast(x, t) => aggExprCol(x).cast(sqlTypeName(t))
             case other => throw new IllegalArgumentException(
               s"unsupported term in aggregate expression: $other")
           }
@@ -1650,8 +1653,17 @@ final class EmdriveSession(spark: SparkSession) {
         case "*" => l * r
         case "/" => l / r
       }
-    case OFunc(f, args) =>
-      val a = args.map(operandCol(base, _))
+    case OFunc(f, args) => funcApply(f, args.map(operandCol(base, _)), args)
+    case OCast(o, t) => operandCol(base, o).cast(sqlTypeName(t))
+    case a: OAgg => throw new IllegalArgumentException(
+      s"aggregate ${a.func} is only valid in an aggregating SELECT's items")
+  }
+
+  /** Scalar-function dispatch over already-lowered argument Columns
+    * (shared by the row path and the post-aggregation expression path —
+    * `ROUND(SUM(x) / 7, 1)` lowers its atoms differently but applies the
+    * same functions). `args` rides along for literal-only parameters. */
+  private def funcApply(f: String, a: Seq[Column], args: Seq[Operand]): Column =
       (f, a) match {
         case ("UPPER", Seq(x)) => upper(x)
         case ("LOWER", Seq(x)) => lower(x)
@@ -1666,6 +1678,12 @@ final class EmdriveSession(spark: SparkSession) {
         case ("COALESCE", xs) if xs.size >= 2 => coalesce(xs: _*)
         case ("NULLIF", Seq(x, y)) => nullif(x, y)
         case ("ABS", Seq(x)) => abs(x)
+        // calendar extraction (UTC-pinned sessions, so NTZ and LTZ
+        // timestamps read identically — the EventTime doctrine); ints
+        // in both engines modulo width, CAST composes for exact schema
+        case ("YEAR", Seq(x)) => year(x)
+        case ("MONTH", Seq(x)) => month(x)
+        case ("DAY", Seq(x)) => dayofmonth(x)
         case ("ROUND", Seq(x)) => round(x, 0)
         case ("ROUND", Seq(x, _)) => args(1) match {
           case OVal(VNum(n)) if !n.contains('.') => round(x, n.toInt)
@@ -1675,10 +1693,6 @@ final class EmdriveSession(spark: SparkSession) {
         case other => throw new IllegalArgumentException(
           s"wrong argument count for $f: got ${a.length}")
       }
-    case OCast(o, t) => operandCol(base, o).cast(sqlTypeName(t))
-    case a: OAgg => throw new IllegalArgumentException(
-      s"aggregate ${a.func} is only valid in an aggregating SELECT's items")
-  }
 
   /** Dialect type vocabulary → Spark SQL type string (Catalyst Cast). */
   private def sqlTypeName(t: String): String = t match {
@@ -2191,6 +2205,18 @@ object SqlQueries {
                |FROM documents WHERE CAST(n_chars AS BIGINT) >= 200
                |ORDER BY doc_id;""".stripMargin)
     }),
+    // calendar functions + CAST composing under GROUP BY ordinals —
+    // the monthly-revenue report straight from SQL
+    "q_sql_dates" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+               | CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
+               | COUNT(*) AS n_orders,
+               | CAST(ROUND(MAX(o_totalprice) / 1000, 1) AS DOUBLE) AS top_k
+               |FROM orders WHERE YEAR(o_orderdate) BETWEEN 1996 AND 1997
+               |GROUP BY 1, 2 ORDER BY 1, 2;""".stripMargin)
+    }),
     // IS NULL as the anti-join spelling over LEFT JOIN's unmatched rows
     "q_sql_is_null" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
@@ -2429,6 +2455,13 @@ object SqlQueries {
         |  WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
         |SELECT c_custkey, c_name
         |FROM customer LEFT JOIN o ON c_custkey = o_custkey
-        |WHERE n IS NULL ORDER BY c_custkey""".stripMargin
+        |WHERE n IS NULL ORDER BY c_custkey""".stripMargin,
+    "q_sql_dates" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(month(o_orderdate) AS BIGINT) AS mo,
+        | count(*) AS n_orders,
+        | CAST(round(max(o_totalprice) / 1000, 1) AS DOUBLE) AS top_k
+        |FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1997
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

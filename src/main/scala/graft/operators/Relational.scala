@@ -1444,7 +1444,106 @@ object Relational {
         percentile(col("gap"), lit(0.9)).as("p90_ms"))
   }
 
+  /** Forecast-revenue change (TPC-H Q6): revenue that would be recovered
+    * by dropping small mid-discount line items in one shipping year —
+    * THE pushdown showcase: all three predicates (shipdate range,
+    * discount band, quantity cap) reach the parquet scan as
+    * PushedFilters, the projection prunes to two columns, and the single
+    * global aggregate partial-combines. price·disc is 2dp×2dp = 4dp
+    * exact, so the DECIMAL(18,4) fixed-pointing is lossless. */
+  private def forecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01")
+        && col("l_shipdate") < lit("1998-01-01")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+        && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,4)")), 2).cast("double").as("forecast_revenue"))
+
+  /** Bilateral trade flows (TPC-H Q7 flavor): shipped revenue between
+    * supplier-nation and customer-nation pairs per year, for a bounded
+    * nation subset — the cross-border volume report. Scale shape: the
+    * lineitem↔orders join is the only fact-fact shuffle; supplier /
+    * customer / nation dims broadcast (nationkey filters prune them
+    * BEFORE broadcast, which prunes the fact via the join); revenue is
+    * the exact 4-dp decimal sum, year an integer extraction. */
+  private def tradeFlows(s: SparkSession, d: String): DataFrame = {
+    val supp = Tables.supplier(s, d).filter(col("s_nationkey") < 3)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val cust = Tables.customer(s, d).filter(col("c_nationkey") < 3)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1998-01-01"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("sk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sk"))
+      .join(broadcast(nat.select(col("n_nationkey").as("ck"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("ck"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("bigint").as("l_year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+  }
+
+  /** Promotion revenue share (TPC-H Q14 flavor): the fraction of one
+    * month's revenue carried by PROMO-type parts. Both sums are exact
+    * 4-dp decimals over the date-pruned scan; the share is one IEEE
+    * division of two exact values — bitwise cross-engine. Part dim
+    * broadcasts; single-row output. */
+  private def promoShare(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-03-01")
+        && col("l_shipdate") < lit("1997-04-01"))
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO",
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).otherwise(lit(0).cast("decimal(18,4)"))), 2)
+          .cast("double").as("promo_revenue"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")), 2).cast("double").as("total_revenue"),
+        (sum(when(col("p_type") === "PROMO",
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).otherwise(lit(0).cast("decimal(18,4)")))
+          .cast("double") * 100
+          / sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double")).as("promo_pct"))
+
+  /** Ship-latency SLA report: exact interpolated p50/p90/p99 of
+    * order-to-ship days per order priority — the fulfilment dashboard.
+    * Latencies are exact integer epoch-day differences (UTC-pinned, the
+    * EventTime discipline applied to both date columns); the keyed
+    * fact-fact join is the only shuffle; percentiles group by the
+    * 5-value priority dimension. */
+  private def shipLatency(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000")
+          .as("ship_day"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+          .as("order_day")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), (col("ship_day") - col("order_day")).as("lat"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        percentile(col("lat"), lit(0.5)).as("p50_days"),
+        percentile(col("lat"), lit(0.9)).as("p90_days"),
+        percentile(col("lat"), lit(0.99)).as("p99_days"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_forecast_revenue" -> forecastRevenue _,
+    "q_trade_flows" -> tradeFlows _,
+    "q_promo_share" -> promoShare _,
+    "q_ship_latency" -> shipLatency _,
     "q_min_cost_supplier" -> minCostSupplier _,
     "q_important_parts" -> importantParts _,
     "q_top_supplier" -> topSupplier _,
@@ -1522,6 +1621,57 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_forecast_revenue" ->
+      """SELECT count(*) AS n_lines,
+        | CAST(round(sum(CAST(l_extendedprice * l_discount
+        |   AS DECIMAL(18,4))), 2) AS DOUBLE) AS forecast_revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_trade_flows" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND s_nationkey < 3 AND c_nationkey < 3
+        |  AND s_nationkey != c_nationkey
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_promo_share" ->
+      """WITH m AS (
+        | SELECT p_type,
+        |  CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |   AND l_shipdate < TIMESTAMP '1997-04-01')
+        |SELECT
+        | CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |   ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS promo_revenue,
+        | CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue,
+        | CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100
+        |  / CAST(sum(rev) AS DOUBLE) AS promo_pct
+        |FROM m""".stripMargin,
+    "q_ship_latency" ->
+      """WITH l AS (
+        | SELECT o_orderpriority,
+        |  epoch_ms(l_shipdate) // 86400000
+        |   - epoch_ms(o_orderdate) // 86400000 AS lat
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, count(*) AS n_lines,
+        | quantile_cont(lat, 0.5) AS p50_days,
+        | quantile_cont(lat, 0.9) AS p90_days,
+        | quantile_cont(lat, 0.99) AS p99_days
+        |FROM l GROUP BY 1""".stripMargin,
     "q_min_cost_supplier" ->
       """WITH parts AS (SELECT p_partkey, p_name FROM part WHERE p_size = 15),
         |u AS (

@@ -1469,9 +1469,9 @@ object Relational {
     * BEFORE broadcast, which prunes the fact via the join); revenue is
     * the exact 4-dp decimal sum, year an integer extraction. */
   private def tradeFlows(s: SparkSession, d: String): DataFrame = {
-    val supp = Tables.supplier(s, d).filter(col("s_nationkey") < 3)
+    val supp = Tables.supplier(s, d).filter(col("s_nationkey") < 13)
       .select(col("s_suppkey"), col("s_nationkey"))
-    val cust = Tables.customer(s, d).filter(col("c_nationkey") < 3)
+    val cust = Tables.customer(s, d).filter(col("c_nationkey") < 13)
       .select(col("c_custkey"), col("c_nationkey"))
     val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
     Tables.lineitem(s, d)
@@ -1643,7 +1643,7 @@ object Relational {
         |JOIN nation cn ON c_nationkey = cn.n_nationkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
-        |  AND s_nationkey < 3 AND c_nationkey < 3
+        |  AND s_nationkey < 13 AND c_nationkey < 13
         |  AND s_nationkey != c_nationkey
         |GROUP BY 1, 2, 3""".stripMargin,
     "q_promo_share" ->

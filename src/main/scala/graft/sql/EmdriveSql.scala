@@ -132,7 +132,7 @@ object EmdriveSql {
         out += TWord(input.substring(i, j)); i = j
       } else if ((c == '<' || c == '>' || c == '!') && peek(1) == '=') {
         out += TSym(s"$c="); i += 2
-      } else if ("(),;*@=<>-+/".indexOf(c) >= 0) {
+      } else if ("(),;*@=<>-+/.".indexOf(c) >= 0) {
         out += TSym(c.toString); i += 1
       } else throw new IllegalArgumentException(s"unexpected character '$c' in: $input")
     }
@@ -280,7 +280,11 @@ object EmdriveSql {
     * Spark join-type string: inner | left_outer | right_outer |
     * full_outer. */
   final case class Join(table: String, leftKey: String, rightKey: String,
-      kind: String = "inner")
+      kind: String = "inner",
+      /** `JOIN t [AS] a` — when set, the joined relation's columns are
+        * renamed `a.col`, so qualified references (and self-joins)
+        * resolve unambiguously. */
+      alias: Option[String] = None)
 
   final case class Select(items: Seq[SelectItem], table: String,
       where: Seq[Pred], groupBy: Seq[String] = Seq.empty,
@@ -291,7 +295,10 @@ object EmdriveSql {
       /** FROM (SELECT …) [AS a] — a derived table; when set, `table` is
         * the display name and the chain is the base relation (ANSI inline
         * view; the CTE machinery's anonymous sibling). */
-      derived: Option[UnionStmt] = None)
+      derived: Option[UnionStmt] = None,
+      /** `FROM t [AS] a` — when set, the base relation's columns are
+        * renamed `a.col` (qualified-reference / self-join support). */
+      baseAlias: Option[String] = None)
     extends Statement
 
   /** select (UNION [ALL] | EXCEPT | INTERSECT) select … —
@@ -336,6 +343,17 @@ object EmdriveSql {
     def ident(): String = toks match {
       case TWord(w) :: rest if !Keywords.contains(w.toUpperCase) => toks = rest; w
       case _ => fail("identifier")
+    }
+    /** Possibly-qualified identifier: `col` or `alias.col` — the dotted
+      * form is carried as ONE name string (the lowering's aliased
+      * relations name their columns exactly so). */
+    def qident(): String = {
+      val head = ident()
+      toks match {
+        case TSym(".") :: TWord(w) :: rest if !Keywords.contains(w.toUpperCase) =>
+          toks = rest; s"$head.$w"
+        case _ => head
+      }
     }
     def value(): Value = toks match {
       case TWord(f) :: TSym("(") :: TSym(")") :: rest
@@ -526,6 +544,18 @@ object EmdriveSql {
           (s"$name(${args.mkString(",")})", None)
         } else (name, None)
       }
+    // `FROM t [AS] a` — an alias word here must not swallow the join
+    // keywords (LEFT/RIGHT/FULL are positional, not reserved)
+    val JoinStarters = Set("LEFT", "RIGHT", "FULL", "JOIN")
+    def tryAlias(): Option[String] =
+      if (p.tryWord("AS")) Some(p.ident())
+      else p.toks match {
+        case TWord(w) :: rest if !Keywords.contains(w.toUpperCase)
+            && !JoinStarters.contains(w.toUpperCase) =>
+          p.toks = rest; Some(w)
+        case _ => None
+      }
+    val baseAlias = if (derived.isEmpty && !table.contains("(")) tryAlias() else None
     val joins = mutable.ListBuffer.empty[Join]
     var joining = true
     while (joining) {
@@ -537,10 +567,17 @@ object EmdriveSql {
       if (kind != "inner" || p.peekWord("JOIN")) {
         p.eatWord("JOIN")
         val t = p.ident()
+        val jAlias =
+          if (p.tryWord("AS")) Some(p.ident())
+          else p.toks match {
+            case TWord(w) :: rest if !Keywords.contains(w.toUpperCase) =>
+              p.toks = rest; Some(w)
+            case _ => None
+          }
         p.eatWord("ON")
-        val a = p.ident()
+        val a = p.qident()
         p.eatSym("=")
-        joins += Join(t, a, p.ident(), kind = kind)
+        joins += Join(t, a, p.qident(), kind = kind, alias = jAlias)
       } else joining = false
     }
     val where = mutable.ListBuffer.empty[Pred]
@@ -552,7 +589,7 @@ object EmdriveSql {
         // resolved at lowering; aggregates at that position are refused)
         def gkey(): String = p.toks match {
           case TNum(n) :: rest if !n.contains('.') => p.toks = rest; "#" + n
-          case _ => p.ident()
+          case _ => p.qident()
         }
         val gs = mutable.ListBuffer(gkey())
         while (p.trySym(",")) gs += gkey()
@@ -599,7 +636,7 @@ object EmdriveSql {
         Some(boundedInt("OFFSET"))
       } else None
     Select(items.toSeq, table, where.toSeq, groupBy, having.toSeq, orderBy,
-      limit, joins.toSeq, distinct, offset, derived)
+      limit, joins.toSeq, distinct, offset, derived, baseAlias)
   }
 
   private def parseItem(p: P): SelectItem = p.toks match {
@@ -645,7 +682,13 @@ object EmdriveSql {
         p.eatWord("AS")
         DistItem(name, probe, p.ident())
       case ORef(name) =>
-        if (p.tryWord("AS")) ColItem(name, Some(p.ident())) else ColItem(name, None)
+        if (p.tryWord("AS")) ColItem(name, Some(p.ident()))
+        // ANSI derived column name for a qualified ref: `SELECT a.k`
+        // outputs `k` — auto-aliased here so ordinals/output naming see
+        // the plain name
+        else if (name.contains('.'))
+          ColItem(name, Some(name.substring(name.indexOf('.') + 1)))
+        else ColItem(name, None)
       // a bare aggregate call keeps its dedicated item (optional alias,
       // aggAlias default naming) — unless OVER follows, making it a
       // window aggregate; arithmetic CONTAINING one becomes a
@@ -790,7 +833,7 @@ object EmdriveSql {
       p.eatSym(")")
       inner
     case TWord(w) :: _ if !Keywords.contains(w.toUpperCase) =>
-      val name = p.ident()
+      val name = p.qident()
       if (p.trySym("@")) ODist(name, p.value()) else ORef(name)
     case _ => OVal(p.value())
   }
@@ -1198,7 +1241,7 @@ final class EmdriveSession(spark: SparkSession) {
 
   private def lowerSelect(sel: Select): DataFrame = {
     val Select(items, name, where, rawGroupBy, having, rawOrderBy, limitN,
-      joins, distinct, offsetN, derived) = sel
+      joins, distinct, offsetN, derived, baseAlias) = sel
     // "#n" ordinal markers (GROUP BY 1 / ORDER BY 2) resolve to the n-th
     // select item's OUTPUT name — ANSI ordinal semantics; grouping by an
     // aggregate/window position is refused like any non-key grouping
@@ -1232,8 +1275,12 @@ final class EmdriveSession(spark: SparkSession) {
       // declarative DataFrame join, so Catalyst/AQE pick broadcast vs
       // shuffle by size — the SQL surface inherits the engine's join
       // machinery rather than reimplementing any of it.
-      val base = joins.foldLeft(derived.map(lowerChain).getOrElse(table(name))) { (rel, j) =>
-        val right = table(j.table)
+      // `t AS a` renames the relation's columns to `a.col` — qualified
+      // references and self-joins then resolve by plain (dotted) name,
+      // with backtick quoting at the Column boundary (aliasCols/qref)
+      val base = joins.foldLeft(
+        aliasCols(derived.map(lowerChain).getOrElse(table(name)), baseAlias)) { (rel, j) =>
+        val right = aliasCols(table(j.table), j.alias)
         val (lk, rk) =
           if (rel.columns.contains(j.leftKey) && right.columns.contains(j.rightKey))
             (j.leftKey, j.rightKey)
@@ -1242,7 +1289,7 @@ final class EmdriveSession(spark: SparkSession) {
           else throw new IllegalArgumentException(
             s"join keys ${j.leftKey} = ${j.rightKey} do not match " +
               s"left(${rel.columns.mkString(",")}) vs ${j.table}")
-        rel.join(right, rel(lk) === right(rk), j.kind)
+        rel.join(right, qcol(rel, lk) === qcol(right, rk), j.kind)
       }
       // 1. attach aliased distance/computed columns, so WHERE can reference
       //    them (README story: WHERE distance < 4 filters the SELECT
@@ -1250,7 +1297,7 @@ final class EmdriveSession(spark: SparkSession) {
       var df = base
       items.foreach {
         case DistItem(c, probe, alias) => df = df.withColumn(alias, distCol(base, c, probe))
-        case ColItem(c, Some(alias)) => df = df.withColumn(alias, col(c))
+        case ColItem(c, Some(alias)) => df = df.withColumn(alias, qref(c))
         case it: CaseItem => df = df.withColumn(it.alias, caseCol(base, it))
         // correlated scalar subquery in the SELECT list — decorrelated
         // into a grouped-aggregate left join (attachCorrScalar); must
@@ -1385,8 +1432,12 @@ final class EmdriveSession(spark: SparkSession) {
       var out: DataFrame =
         if (hasAgg || groupBy.nonEmpty) {
           items.foreach {
-            case ColItem(c, _) => require(groupBy.contains(c),
-              s"column $c must appear in GROUP BY")
+            // either spelling may be the group key: the raw (possibly
+            // qualified) column or its output alias (ordinals resolve to
+            // the alias, which step 1 attached as a real column)
+            case ColItem(c, a) =>
+              require(groupBy.contains(c) || a.exists(groupBy.contains),
+                s"column $c must appear in GROUP BY")
             // a CASE or computed alias may be a group key (the bucketing
             // idiom: GROUP BY the computed bucket) — it was attached pre-agg
             case it: CaseItem => require(groupBy.contains(it.alias),
@@ -1416,12 +1467,12 @@ final class EmdriveSession(spark: SparkSession) {
               aggColumn(f, arg).as("__agg_" + aggAlias(f, arg, None)) }
           val aggs = plain ++ exprAggs
           require(aggs.nonEmpty, "GROUP BY requires at least one aggregate")
-          val agged = df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          val agged = df.groupBy(groupBy.map(qref): _*).agg(aggs.head, aggs.tail: _*)
           // post-aggregation expression evaluation: aggregate atoms read
           // their computed columns, ORefs read group keys, literals stay
           def aggExprCol(o: Operand): Column = o match {
             case OAgg(f, arg) => col("__agg_" + aggAlias(f, arg, None))
-            case ORef(n) => col(n)
+            case ORef(n) => qref(n)
             case OVal(VNum(s)) => if (s.contains('.')) lit(s.toDouble) else lit(s.toLong)
             case s: OSub => operandCol(base, s) // scalar subquery: already a literal
             case OArith(l, op, r) =>
@@ -1438,7 +1489,11 @@ final class EmdriveSession(spark: SparkSession) {
               s"unsupported term in aggregate expression: $other")
           }
           agged.select(items.map {
-            case ColItem(c, alias) => col(c).as(alias.getOrElse(c))
+            case ColItem(c, alias) =>
+              // the aggregated frame carries whichever spelling was the
+              // group key — the raw column or the attached alias
+              val n = if (groupBy.contains(c)) c else alias.getOrElse(c)
+              qref(n).as(alias.getOrElse(c))
             case it: CaseItem => col(it.alias)
             case it: ExprItem => col(it.alias)
             case AggItem(f, arg, alias) => col(aggAlias(f, arg, alias))
@@ -1480,21 +1535,34 @@ final class EmdriveSession(spark: SparkSession) {
     }
   }
 
+  /** Column ref with backtick quoting for the dotted names that aliased
+    * relations carry (`a.col` is ONE column, not a struct access). */
+  private def qref(n: String): Column =
+    if (n.contains('.')) col(s"`$n`") else col(n)
+
+  private def qcol(df: DataFrame, n: String): Column =
+    if (n.contains('.')) df.col(s"`$n`") else df.col(n)
+
+  /** Rename every column of `df` to `alias.col` (the aliased-relation
+    * naming contract; a lazy projection, free under codegen). */
+  private def aliasCols(df: DataFrame, alias: Option[String]): DataFrame =
+    alias.fold(df)(a => df.toDF(df.columns.map(c => s"$a.$c").toIndexedSeq: _*))
+
   private def aggColumn(func: String, arg: Option[String]): Column =
     (func, arg) match {
       case ("COUNT", None) => count(lit(1))
-      case ("COUNT", Some(c)) => count(col(c))
+      case ("COUNT", Some(c)) => count(qref(c))
       // exact distinct (the partial-combined two-phase Expand plan); the
       // 100 TB approximate alternative is approx_count_distinct
-      case ("COUNT_DISTINCT", Some(c)) => countDistinct(col(c))
-      case ("SUM", Some(c)) => sum(col(c))
-      case ("AVG", Some(c)) => avg(col(c))
-      case ("MIN", Some(c)) => min(col(c))
-      case ("MAX", Some(c)) => max(col(c))
+      case ("COUNT_DISTINCT", Some(c)) => countDistinct(qref(c))
+      case ("SUM", Some(c)) => sum(qref(c))
+      case ("AVG", Some(c)) => avg(qref(c))
+      case ("MIN", Some(c)) => min(qref(c))
+      case ("MAX", Some(c)) => max(qref(c))
       // exact interpolated median — the same cross-engine-stable
       // percentile the q_percentile operator uses (DuckDB: median =
       // quantile_cont(.5), identical interpolation)
-      case ("MEDIAN", Some(c)) => percentile(col(c), lit(0.5))
+      case ("MEDIAN", Some(c)) => percentile(qref(c), lit(0.5))
       case other => throw new IllegalArgumentException(s"bad aggregate: $other")
     }
 
@@ -1619,7 +1687,7 @@ final class EmdriveSession(spark: SparkSession) {
   }
 
   private def operandCol(base: DataFrame, o: Operand): Column = o match {
-    case ORef(n) => col(n)
+    case ORef(n) => qref(n)
     case ODist(c, probe) => distCol(base, c, probe)
     case OSub(sub) =>
       // uncorrelated scalar subquery: executed first, value inlined as a
@@ -2217,6 +2285,16 @@ object SqlQueries {
                |FROM orders WHERE YEAR(o_orderdate) BETWEEN 1996 AND 1997
                |GROUP BY 1, 2 ORDER BY 1, 2;""".stripMargin)
     }),
+    // table aliases + qualified references: the self-join shape —
+    // same-nation customer pairs (a.key < b.key dedupes the symmetry)
+    "q_sql_self_join" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.sql("""SELECT a.c_nationkey AS nationkey, COUNT(*) AS n_pairs
+               |FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
+               |WHERE a.c_custkey < b.c_custkey
+               |GROUP BY 1 ORDER BY 1;""".stripMargin)
+    }),
     // IS NULL as the anti-join spelling over LEFT JOIN's unmatched rows
     "q_sql_is_null" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
@@ -2456,6 +2534,11 @@ object SqlQueries {
         |SELECT c_custkey, c_name
         |FROM customer LEFT JOIN o ON c_custkey = o_custkey
         |WHERE n IS NULL ORDER BY c_custkey""".stripMargin,
+    "q_sql_self_join" ->
+      """SELECT a.c_nationkey AS nationkey, count(*) AS n_pairs
+        |FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
+        |WHERE a.c_custkey < b.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sql_dates" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         | CAST(month(o_orderdate) AS BIGINT) AS mo,

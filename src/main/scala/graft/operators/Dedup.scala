@@ -815,7 +815,40 @@ object Dedup {
         col("v").as("pr_scaled"))
   }
 
+  /** Triangle census + global clustering coefficient of the τ=0.2
+    * word-similarity graph — the boilerplate-cliquishness audit (near-dup
+    * graphs of templated corpora close far more wedges than organic
+    * ones). Tenth consumer of the shared pair build. The count uses the
+    * oriented-wedge join (x<y, y<z, closing edge x<z) so every triangle
+    * is counted EXACTLY once with no orientation dedup pass; wedges come
+    * from the degree relation in closed form Σ deg·(deg−1)/2. All exact
+    * integers, one final division for the coefficient. Scale shape: the
+    * wedge join is candidate-bounded (pairs are df-cut and capped
+    * upstream), the closing-edge check is a semi join, and the degree
+    * relation is node-sized. */
+  private def triangles(s: SparkSession, d: String): DataFrame = {
+    val e = wordPairsAll(s, d).filter(col("raw_j") >= 0.2)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val wedges = e.select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), "y")
+      .select(col("x"), col("z"))
+    val tri = wedges.join(e.select(col("a").as("x"), col("b").as("z")),
+        Seq("x", "z"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(
+        deg.agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))))
+      .crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          col("n_triangles").cast("double") * 3 / col("n_wedges"))
+          .otherwise(lit(0.0)).as("global_cc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_triangles" -> triangles _,
     "q_pagerank" -> pagerank _,
     "q_best_match" -> bestMatch _,
     "q_dedup_weights" -> dedupWeights _,
@@ -903,6 +936,33 @@ object Dedup {
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    "q_triangles" ->
+      s"""WITH $wordPairCtes,
+         |jp AS (
+         | SELECT id_a, id_b
+         | FROM p
+         | JOIN cnt ca ON id_a = ca.doc_id
+         | JOIN cnt cb ON id_b = cb.doc_id
+         | WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.2),
+         |dg AS (
+         | SELECT v, count(*) AS deg FROM (
+         |  SELECT id_a AS v FROM jp UNION ALL SELECT id_b AS v FROM jp)
+         | GROUP BY 1),
+         |wg AS (
+         | SELECT e1.id_a AS x, e2.id_b AS z
+         | FROM jp e1 JOIN jp e2 ON e1.id_b = e2.id_a),
+         |tri AS (
+         | SELECT count(*) AS n_triangles FROM wg
+         | WHERE EXISTS (SELECT 1 FROM jp e3
+         |   WHERE e3.id_a = wg.x AND e3.id_b = wg.z)),
+         |es AS (SELECT count(*) AS n_edges FROM jp),
+         |ws AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT)
+         |  AS n_wedges FROM dg)
+         |SELECT n_edges, n_wedges, n_triangles,
+         | CASE WHEN n_wedges > 0
+         |  THEN CAST(n_triangles AS DOUBLE) * 3 / n_wedges
+         |  ELSE 0.0 END AS global_cc
+         |FROM es CROSS JOIN ws CROSS JOIN tri""".stripMargin,
     "q_pagerank" ->
       s"""WITH $wordPairCtes,
          |jp AS (

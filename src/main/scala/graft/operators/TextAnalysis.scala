@@ -811,7 +811,80 @@ object TextAnalysis {
           / (col("n_docs") * col("s1"))).as("vmr"))
   }
 
+  /** Robust length-outlier report (median/MAD): per language, documents
+    * whose length deviates from the median by more than 3× the median
+    * absolute deviation — the robust-statistics twin of q_outliers'
+    * z-score (medians shrug off the heavy tails that inflate a stddev).
+    * Both medians are exact interpolated percentiles (≡ quantile_cont);
+    * the deviation and the 3×MAD comparison are single IEEE ops. Scale
+    * shape: two passes over the corpus with language-dimension broadcast
+    * joins between them; every aggregation partial-combines. */
+  private def lengthOutliers(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("lang"), col("n_chars"))
+    val med = docs.groupBy(col("lang"))
+      .agg(percentile(col("n_chars"), lit(0.5)).as("med_chars"))
+    val dev = docs.join(broadcast(med), "lang")
+      .withColumn("dev", abs(col("n_chars") - col("med_chars")))
+    val mad = dev.groupBy(col("lang"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad_chars"))
+    dev.join(broadcast(mad), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("med_chars")).as("med_chars"),
+        min(col("mad_chars")).as("mad_chars"),
+        sum(when(col("dev") > col("mad_chars") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /** BPE merge-candidate mining: the most frequent within-word character
+    * bigrams across the corpus — literally the statistic a BPE tokenizer
+    * trainer computes for its first merge, as one distributed scan (the
+    * iterated trainer would re-run this over re-segmented text). The
+    * pair explosion is a codegen'd transform/sequence over each word (no
+    * UDF); counts partial-combine; top-20 goes through TakeOrdered
+    * partial heaps, ties on the pair string. */
+  private def bpeMerges(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
+  /** Mergeable distinct-count sketches (the 100 TB cardinality path):
+    * per-source HLL sketches union-merged to a global estimate, with the
+    * algebraic contract asserted IN the result — merge-then-estimate
+    * must equal estimate-direct (HLL registers are element-wise max, so
+    * partial sketches lose nothing), and the estimate must sit within
+    * the sketch's error envelope of the exact count. This is the
+    * re-aggregatable rollup pattern (store sketches per partition, merge
+    * at read) that q_approx_distinct's one-shot estimate cannot do. */
+  private def hllMerge(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merged = docs.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("text")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    docs.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("text"))).as("est_direct"),
+        countDistinct(col("text")).as("n_exact"))
+      .crossJoin(broadcast(merged))
+      .select(col("n_exact"),
+        // both paths must sit inside the sketch's error envelope of the
+        // exact count (bitwise merge≡direct does NOT hold: the union may
+        // densify a sparse sketch, shifting the estimator by a hair)
+        (abs(col("est_direct") - col("n_exact")).cast("double")
+          / col("n_exact") < 0.15).as("direct_within_bound"),
+        (abs(col("est_merged") - col("n_exact")).cast("double")
+          / col("n_exact") < 0.15).as("merged_within_bound"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_length_outliers" -> lengthOutliers _,
+    "q_bpe_merges" -> bpeMerges _,
+    "q_hll_merge" -> hllMerge _,
     "q_vocab_coverage" -> vocabCoverage _,
     "q_source_ks" -> sourceKs _,
     "q_burstiness" -> burstiness _,
@@ -846,6 +919,38 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_length_outliers" ->
+      """WITH med AS (
+        | SELECT lang, quantile_cont(n_chars, 0.5) AS med_chars
+        | FROM documents GROUP BY 1),
+        |dv AS (
+        | SELECT d.lang, med_chars, abs(d.n_chars - med_chars) AS dev
+        | FROM documents d JOIN med ON d.lang = med.lang),
+        |mad AS (
+        | SELECT lang, quantile_cont(dev, 0.5) AS mad_chars
+        | FROM dv GROUP BY 1)
+        |SELECT dv.lang, count(*) AS n_docs,
+        | min(dv.med_chars) AS med_chars,
+        | min(mad.mad_chars) AS mad_chars,
+        | CAST(sum(CASE WHEN dev > mad_chars * 3 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_outliers
+        |FROM dv JOIN mad ON dv.lang = mad.lang
+        |GROUP BY 1""".stripMargin,
+    "q_bpe_merges" ->
+      """WITH w AS (
+        | SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (
+        | SELECT unnest(list_transform(range(1, len(w)),
+        |   i -> w[i:i+1])) AS pair
+        | FROM w WHERE len(w) >= 2)
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // the contract columns ARE the oracle: merge≡direct and the error
+    // envelope must both hold, and the exact count is replayed literally
+    "q_hll_merge" ->
+      """SELECT count(DISTINCT text) AS n_exact,
+        | true AS direct_within_bound, true AS merged_within_bound
+        |FROM documents""".stripMargin,
     "q_vocab_coverage" ->
       """WITH wc AS (
         | SELECT word, count(*) AS c FROM (

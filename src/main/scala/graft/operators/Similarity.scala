@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
 
 import graft.sources.Tables
 
@@ -96,6 +97,90 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
   }
+
+  /** MMR diverse top-10 retrieval (Carbonell & Goldstein 1998): greedy
+    * maximal-marginal-relevance over a bounded candidate pool — rank k
+    * picks argmax of 0.7·sim(query,d) − 0.3·max sim(d, selected), the
+    * standard redundancy-penalized reranker RAG pipelines run after ANN.
+    * Determinism discipline: every cosine is rounded to 6 dp BEFORE the
+    * score arithmetic, so both engines combine identical doubles with
+    * two multiplies and a subtract (single IEEE ops); ties break on
+    * vec_id. Scale shape: one corpus scan builds the top-50 pool via
+    * TakeOrdered; each of the 9 greedy steps is pool×selected ≤ 500
+    * kernel evals against a broadcast ≤10-row selected set — the
+    * unrolled-loop pattern q_pagerank uses, bounded by construction.
+    * The oracle replays the greedy loop as 10 chained CTEs. */
+  private def mmr(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("probe_v"))
+    val cand = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(call_function("cosine_sim", col("embedding"), col("probe_v")), 6)
+          .as("simq"),
+        col("embedding"))
+      .orderBy(col("simq").desc, col("vec_id"))
+      .limit(50)
+    // every number the greedy loop consumes is produced DISTRIBUTED by
+    // the same rounded cosine kernel the oracle mirrors: the query sims
+    // in `cand`, the 1225 pool-pair sims here (both bounded by the pool
+    // cap, the documented driver-model pattern — an iterative DataFrame
+    // union would triple-reference its own lineage per step and blow the
+    // plan up 3^k)
+    val pairRows = cand.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(cand.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        round(call_function("cosine_sim", col("va"), col("vb")), 6).as("ps"))
+      .collect()
+    val pool = cand.select(col("vec_id"), col("simq")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val psim = pairRows.map(r =>
+      ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def simOf(a: Long, b: Long): Double =
+      if (a < b) psim((a, b)) else psim((b, a))
+    // greedy: rank 1 = best query sim; rank k = argmax of
+    // 0.7·simq − 0.3·max-sim-to-selected (two IEEE mults + subtract over
+    // engine-rounded doubles — bitwise reproducible), ties on vec_id
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+    val first = pool.minBy { case (id, sq) => (-sq, id) }
+    selected += ((first._1, 1, first._2))
+    for (k <- 2 to 10) {
+      val chosen = selected.map(_._1).toSet
+      val best = pool.filterNot(p => chosen(p._1))
+        .minBy { case (id, sq) =>
+          val maxSel = selected.map(sl => simOf(id, sl._1)).max
+          (-(sq * 0.7 - maxSel * 0.3), id)
+        }
+      selected += ((best._1, k, best._2))
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      selected.map { case (id, rk, sq) => Row(id, rk, sq) }.asJava,
+      StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("simq", DoubleType, nullable = false))))
+  }
+
+  /** The q_mmr oracle's greedy loop unrolled as chained CTEs (the
+    * pagerankSteps pattern): step k excludes the selected set and picks
+    * argmax of the 6-dp-rounded MMR score with vec_id ties. */
+  private[graft] val mmrSteps: String = (2 to 10).map { k =>
+    // MATERIALIZED is load-bearing: each step references its predecessor
+    // three times (NOT IN, the correlated max, the union) — inlined CTEs
+    // would re-expand the chain 3^k times and re-open the parquet per
+    // reference; materialization makes the replay linear
+    s"""p$k AS MATERIALIZED (
+       | SELECT c.vec_id, c.v, c.simq, $k AS rank FROM cand c
+       | WHERE c.vec_id NOT IN (SELECT vec_id FROM s${k - 1})
+       | ORDER BY c.simq * 0.7
+       |   - (SELECT max(round(list_cosine_similarity(c.v, s.v), 6))
+       |      FROM s${k - 1} s) * 0.3 DESC, c.vec_id
+       | LIMIT 1),
+       |s$k AS MATERIALIZED (
+       | SELECT * FROM s${k - 1} UNION ALL SELECT * FROM p$k)""".stripMargin
+  }.mkString(",\n")
 
   /** Batch k-NN: top-3 cosine neighbours for EVERY probe in a broadcast
     * probe set, in one corpus scan — the bulk-similarity shape a training
@@ -920,6 +1005,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mmr" -> mmr _,
     "q_centroid_sim" -> centroidSimMatrix _,
     "q_embed_outliers" -> embedOutliers _,
     "q_knn_graph_degree" -> knnGraphDegree _,
@@ -969,6 +1055,19 @@ object Similarity {
       |pairs AS (SELECT id_a, id_b, sim FROM cp WHERE sim >= 0.4)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_mmr" ->
+      s"""WITH cand AS MATERIALIZED (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+         |    WHERE vec_id = 0)), 6) AS simq
+         | FROM embeddings WHERE vec_id != 0
+         | ORDER BY simq DESC, vec_id LIMIT 50),
+         |s1 AS (
+         | SELECT vec_id, v, simq, 1 AS rank FROM cand
+         | ORDER BY simq DESC, vec_id LIMIT 1),
+         |$mmrSteps
+         |SELECT vec_id, rank, simq FROM s10""".stripMargin,
     // Full replay: below the route cutoff the near-dup output is EXACT,
     // so the brute-force relation is the oracle (same doctrine as
     // q_minhash_lsh: when the operator guarantees the exact pair set,

@@ -271,6 +271,20 @@ object EmdriveSql {
     * source stays a lazy plan until the union materializes at read. */
   final case class InsertSelect(table: String, columns: Seq[String],
       chain: UnionStmt) extends Statement
+  /** CREATE TABLE name AS select-chain — CTAS (graft extension): the
+    * result RELATION becomes the table; schema is the query's. */
+  final case class CreateAs(name: String, ifNotExists: Boolean,
+      chain: UnionStmt) extends Statement
+  /** DELETE FROM t WHERE pred — catalog rewrite: the table becomes the
+    * complement relation (three-valued: NULL predicates KEEP the row,
+    * exactly ANSI DELETE semantics). No WHERE = truncate. */
+  final case class Delete(table: String, where: Option[Pred]) extends Statement
+  /** UPDATE t SET c = expr [, …] [WHERE pred] — catalog rewrite:
+    * matched rows take the new expressions, others pass through; the
+    * engine-side cast back to each column's declared type preserves the
+    * table schema. */
+  final case class Update(table: String, sets: Seq[(String, Operand)],
+      where: Option[Pred]) extends Statement
   /** One `[LEFT|RIGHT|FULL [OUTER]] JOIN t ON a = b` clause (graft
     * extension; the reference grammar is single-table). Keys are
     * unqualified: the lowering resolves which side owns which name
@@ -378,7 +392,8 @@ object EmdriveSql {
     "GROUP", "BY", "HAVING", "ORDER", "LIMIT", "OFFSET", "ASC", "DESC",
     "NULL", "TRUE", "FALSE", "SHOW", "TABLES", "DESCRIBE", "JOIN", "ON",
     "EXPLAIN", "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "ALL", "WITH",
-    "OVER", "PARTITION", "EXCEPT", "INTERSECT", "IS", "CAST")
+    "OVER", "PARTITION", "EXCEPT", "INTERSECT", "IS", "CAST",
+    "DELETE", "UPDATE", "SET")
 
   private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN")
   private val StrFuncs = Set("UPPER", "LOWER", "LENGTH", "TRIM", "SUBSTR",
@@ -432,6 +447,23 @@ object EmdriveSql {
         }
         WithStmt(ctes.toSeq, parseChain(p))
       }
+      else if (p.tryWord("DELETE")) {
+        p.eatWord("FROM")
+        val t = p.ident()
+        val w = if (p.tryWord("WHERE")) Some(parsePred(p)) else None
+        Delete(t, w)
+      }
+      else if (p.tryWord("UPDATE")) {
+        val t = p.ident()
+        p.eatWord("SET")
+        def setPair(): (String, Operand) = {
+          val c = p.ident(); p.eatSym("="); (c, parseOperand(p))
+        }
+        val sets = mutable.ListBuffer(setPair())
+        while (p.trySym(",")) sets += setPair()
+        val w = if (p.tryWord("WHERE")) Some(parsePred(p)) else None
+        Update(t, sets.toSeq, w)
+      }
       else if (p.tryWord("SHOW")) { p.eatWord("TABLES"); ShowTables }
       else if (p.tryWord("DESCRIBE")) Describe(p.ident())
       else if (p.tryWord("EXPLAIN")) {
@@ -443,12 +475,14 @@ object EmdriveSql {
     stmt
   }
 
-  private def parseCreate(p: P): CreateTable = {
+  private def parseCreate(p: P): Statement = {
     p.eatWord("TABLE")
     val ifNotExists = p.peekWord("IF") && {
       p.eatWord("IF"); p.eatWord("NOT"); p.eatWord("EXISTS"); true
     }
     val name = p.ident()
+    // CREATE TABLE name AS SELECT … — CTAS takes the query's relation
+    if (p.tryWord("AS")) return CreateAs(name, ifNotExists, parseChain(p))
     // column bodies are a flat dialect (typed defs, no nested statements):
     // delegate to SchemaMapper, which already owns the type system mapping
     p.eatSym("(")
@@ -1128,6 +1162,42 @@ final class EmdriveSession(spark: SparkSession) {
       }
       catalog(name) = target.unionByName(
         renamed.select(projected.toIndexedSeq: _*))
+      catalog(name)
+
+    case CreateAs(name, ifNotExists, chain) =>
+      if (catalog.contains(name) && ifNotExists) catalog(name)
+      else {
+        require(!catalog.contains(name), s"table exists: $name")
+        catalog(name) = lowerChain(chain)
+        catalog(name)
+      }
+
+    case Delete(name, where) =>
+      val t = table(name)
+      // keep = NOT coalesce(pred, false): a NULL predicate KEEPS the row
+      // (ANSI three-valued DELETE); no WHERE truncates
+      catalog(name) = where.fold(t.limit(0))(pr =>
+        t.filter(!coalesce(predCol(t, pr), lit(false))))
+      catalog(name)
+
+    case Update(name, sets, where) =>
+      val t = table(name)
+      val schema = t.schema
+      sets.foreach { case (c, _) =>
+        require(schema.fieldNames.contains(c), s"unknown column in SET: $c") }
+      val setMap = sets.toMap
+      require(setMap.size == sets.size, "duplicate column in SET")
+      val cond = coalesce(
+        where.map(pr => predCol(t, pr)).getOrElse(lit(true)), lit(false))
+      // ANSI UPDATE: every SET expression reads the OLD row — all new
+      // values computed in ONE projection, cast back to declared types
+      catalog(name) = t.select(schema.fields.map { f =>
+        setMap.get(f.name) match {
+          case Some(o) => when(cond, operandCol(t, o).cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
       catalog(name)
 
     case sel: Select => lowerSelect(sel)

@@ -143,16 +143,19 @@ object Similarity {
     // 0.7·simq − 0.3·max-sim-to-selected (two IEEE mults + subtract over
     // engine-rounded doubles — bitwise reproducible), ties on vec_id
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
-    val first = pool.minBy { case (id, sq) => (-sq, id) }
-    selected += ((first._1, 1, first._2))
-    for (k <- 2 to 10) {
-      val chosen = selected.map(_._1).toSet
-      val best = pool.filterNot(p => chosen(p._1))
-        .minBy { case (id, sq) =>
-          val maxSel = selected.map(sl => simOf(id, sl._1)).max
-          (-(sq * 0.7 - maxSel * 0.3), id)
-        }
-      selected += ((best._1, k, best._2))
+    if (pool.nonEmpty) {
+      val first = pool.minBy { case (id, sq) => (-sq, id) }
+      selected += ((first._1, 1, first._2))
+      // an under-10 pool just yields a shorter ranking (empty corpus → 0)
+      for (k <- 2 to math.min(10, pool.length)) {
+        val chosen = selected.map(_._1).toSet
+        val best = pool.filterNot(p => chosen(p._1))
+          .minBy { case (id, sq) =>
+            val maxSel = selected.map(sl => simOf(id, sl._1)).max
+            (-(sq * 0.7 - maxSel * 0.3), id)
+          }
+        selected += ((best._1, k, best._2))
+      }
     }
     import scala.jdk.CollectionConverters._
     s.createDataFrame(

@@ -695,6 +695,15 @@ object EmdriveSql {
         if f.equalsIgnoreCase("NTILE") && !n.contains('.') =>
       p.toks = rest
       parseOverClause(p, "NTILE", Some(n))
+    // FIRST_VALUE/LAST_VALUE(col) — ANSI navigation over the window
+    // frame (LAST_VALUE under the default RANGE frame is the current
+    // row, exactly ANSI — pair it with a ROWS frame for the usual idiom)
+    case TWord(f) :: TSym("(") :: _
+        if f.equalsIgnoreCase("FIRST_VALUE") || f.equalsIgnoreCase("LAST_VALUE") =>
+      p.toks = p.toks.tail.tail
+      val c = p.ident()
+      p.eatSym(")")
+      parseOverClause(p, f.toUpperCase, Some(c))
     // LAG/LEAD(col [, offset]) — column and offset ride the arg slot as
     // "col:offset" (offset defaults to 1, ANSI)
     case TWord(f) :: TSym("(") :: _
@@ -1488,6 +1497,8 @@ final class EmdriveSession(spark: SparkSession) {
             case "LAG" | "LEAD" =>
               val Array(c, off) = arg.get.split(":")
               if (f == "LAG") lag(col(c), off.toInt) else lead(col(c), off.toInt)
+            case "FIRST_VALUE" => first(qref(arg.get))
+            case "LAST_VALUE" => last(qref(arg.get))
             // ordered aggregate: ANSI default frame (RANGE unbounded
             // preceding → current row), same default in DuckDB
             case agg => aggColumn(agg, arg)
@@ -2355,6 +2366,20 @@ object SqlQueries {
                |FROM orders WHERE YEAR(o_orderdate) BETWEEN 1996 AND 1997
                |GROUP BY 1, 2 ORDER BY 1, 2;""".stripMargin)
     }),
+    // FIRST_VALUE / LAST_VALUE navigation: each doc vs its source's
+    // shortest doc (default frame) and the full-frame longest
+    "q_sql_first_value" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, doc_id, n_chars,
+               | FIRST_VALUE(n_chars) OVER (PARTITION BY source
+               |   ORDER BY n_chars, doc_id) AS min_chars,
+               | LAST_VALUE(n_chars) OVER (PARTITION BY source
+               |   ORDER BY n_chars, doc_id
+               |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               |   AS running_max
+               |FROM documents ORDER BY source, doc_id;""".stripMargin)
+    }),
     // table aliases + qualified references: the self-join shape —
     // same-nation customer pairs (a.key < b.key dedupes the symmetry)
     "q_sql_self_join" -> ((s: SparkSession, d: String) => {
@@ -2604,6 +2629,15 @@ object SqlQueries {
         |SELECT c_custkey, c_name
         |FROM customer LEFT JOIN o ON c_custkey = o_custkey
         |WHERE n IS NULL ORDER BY c_custkey""".stripMargin,
+    "q_sql_first_value" ->
+      """SELECT source, doc_id, n_chars,
+        | first_value(n_chars) OVER (PARTITION BY source
+        |   ORDER BY n_chars, doc_id) AS min_chars,
+        | last_value(n_chars) OVER (PARTITION BY source
+        |   ORDER BY n_chars, doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS running_max
+        |FROM documents ORDER BY source, doc_id""".stripMargin,
     "q_sql_self_join" ->
       """SELECT a.c_nationkey AS nationkey, count(*) AS n_pairs
         |FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey

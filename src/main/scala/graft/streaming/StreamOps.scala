@@ -20,6 +20,7 @@ case class StreamEvent(user_id: Long, ts: Timestamp, event_type: String, value: 
 
 /** One keyed upsert record on the stream. */
 case class StreamUpdate(key: Long, version: Long, payload: String)
+case class EventGap(user_id: Long, event_type: String, gap_ms: Long)
 
 /** Open-session state per user. */
 case class SessionState(start_ms: Long, last_ms: Long, n_events: Long, value: Double)
@@ -398,6 +399,35 @@ object StreamOps {
             }
             closed.iterator
           }
+      }
+  }
+
+  /** Streaming inter-event cadence (D23, the streaming twin of the batch
+    * q_event_gaps lag window): per (user, type), the gap between each
+    * event and its predecessor is emitted AS IT ARRIVES — the
+    * engagement-rhythm signal maintained continuously instead of
+    * rescanning history. State is exactly ONE long (the last seen
+    * event-time) per live key, hash-partitioned; within a micro-batch
+    * events sort by event time so replays and batch boundaries produce
+    * the same gaps the batch lag window computes (parity-asserted in
+    * StreamingSpec). */
+  def eventGaps(events: Dataset[StreamEvent],
+      watermarkDelay: String = "0 seconds"): Dataset[EventGap] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, EventGap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), it: Iterator[StreamEvent], state: GroupState[Long]) =>
+          var last = state.getOption
+          val out = it.toSeq.sortBy(_.ts.getTime).flatMap { e =>
+            val g = last.map(l => EventGap(key._1, key._2, e.ts.getTime - l))
+            last = Some(e.ts.getTime)
+            g
+          }
+          last.foreach(state.update)
+          out.iterator
       }
   }
 

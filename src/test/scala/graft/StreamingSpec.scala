@@ -362,6 +362,62 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming inter-event gaps: batch-parity across micro-batches (D23)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val q = StreamOps.eventGaps(input.toDS())
+      .writeStream.format("memory").queryName("gaps_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        StreamEvent(1, new Timestamp(100), "click", 1.0),
+        StreamEvent(1, new Timestamp(400), "click", 1.0),
+        StreamEvent(1, new Timestamp(450), "view", 1.0),
+        StreamEvent(2, new Timestamp(300), "click", 1.0))
+      q.processAllAvailable()
+      // the predecessor clock survives the micro-batch boundary
+      input.addData(
+        StreamEvent(1, new Timestamp(1400), "click", 1.0),
+        StreamEvent(2, new Timestamp(301), "click", 1.0),
+        StreamEvent(1, new Timestamp(2450), "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("gaps_out").as[graft.streaming.EventGap].collect()
+        .map(g => (g.user_id, g.event_type, g.gap_ms)).toSet
+      // exactly the gaps the batch lag window (q_event_gaps) derives
+      assert(got == Set(
+        (1L, "click", 300L), (1L, "click", 1000L),
+        (2L, "click", 1L), (1L, "view", 2000L)), got.toString)
+    } finally q.stop()
+  }
+
+  test("streaming parquet file sink: checkpoint restart resumes exactly-once (D24)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val (out, cp) = (s"$dir/data", s"$dir/cp")
+    val input = MemoryStream[StreamEvent]
+    def start() = input.toDS()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append).start()
+    val q1 = start()
+    input.addData(StreamEvent(1, new Timestamp(100), "click", 1.0),
+      StreamEvent(2, new Timestamp(200), "view", 2.0))
+    q1.processAllAvailable(); q1.stop()
+    // restart against the same checkpoint: the committed offset means
+    // batch 1 is NOT re-emitted; the sink's _spark_metadata commit log
+    // means readers see only finished files — exactly-once end to end
+    val q2 = start()
+    input.addData(StreamEvent(3, new Timestamp(300), "click", 3.0))
+    q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(out).as[StreamEvent].collect()
+      .map(e => (e.user_id, e.ts.getTime)).toSet
+    assert(rows == Set((1L, 100L), (2L, 200L), (3L, 300L)), rows.toString)
+  }
+
   test("per-row batch ops are stream-transparent: PII scrub on a document stream (D16)") {
     // every shuffle-free per-row operator (scrubbing, quality, lang-id,
     // fingerprints) is a plain Column expression, so the SAME code runs on

@@ -158,8 +158,13 @@ object Stress {
       System.gc() // let ContextCleaner reclaim the finished query's shuffle files
       (dt, rows)
     }
-    // warmup on the small side
-    val queriesToRun = if (all) SparkEntry.queries.keys.toSeq.sorted else Headline
+    // warmup on the small side. SPARK_GRAFT_STRESS_KEYS=a,b,… pins an
+    // explicit subset (e.g. re-receipting one round's new operators at
+    // ×100 without paying for the whole registry)
+    val keysEnv = sys.env.get("SPARK_GRAFT_STRESS_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val queriesToRun = keysEnv.getOrElse(
+      if (all) SparkEntry.queries.keys.toSeq.sorted else Headline)
     val runs = if (all) 1 else 2
     queriesToRun.take(2).foreach(q => time(src, q))
     val timed = queriesToRun.map { q =>

@@ -1539,7 +1539,29 @@ object Relational {
         percentile(col("lat"), lit(0.9)).as("p90_days"),
         percentile(col("lat"), lit(0.99)).as("p99_days"))
 
+  /** Centered 7-day moving average of daily event volume per type — the
+    * smoothed-trend line every ops dashboard draws (centered, so the
+    * smoothing doesn't lag the signal like a trailing window). The RANGE
+    * frame (±3 DAYS by value, not by row) handles missing days exactly;
+    * numerator is an exact integer window sum, denominator the count of
+    * PRESENT days in the span, one IEEE division. Scale shape: the
+    * corpus collapses to (type, day) with map-side partial agg first;
+    * the window partitions by type over day-sized relations. */
+  private def centeredMa(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = EventTime.withMs(Tables.events(s, d))
+      .select(col("event_type"), expr("ms div 86400000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-3, 3)
+    daily.select(col("event_type"), col("day"), col("n"),
+      (sum(col("n")).over(w).cast("double") / count(lit(1)).over(w))
+        .as("ma7"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_centered_ma" -> centeredMa _,
     "q_forecast_revenue" -> forecastRevenue _,
     "q_trade_flows" -> tradeFlows _,
     "q_promo_share" -> promoShare _,
@@ -1621,6 +1643,15 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_centered_ma" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_ms(ts) // 86400000 AS day, count(*) AS n
+        | FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        | CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w AS ma7
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |  RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)""".stripMargin,
     "q_forecast_revenue" ->
       """SELECT count(*) AS n_lines,
         | CAST(round(sum(CAST(l_extendedprice * l_discount

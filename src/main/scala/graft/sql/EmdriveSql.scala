@@ -170,12 +170,15 @@ object EmdriveSql {
     * Catalyst turns the filter into map-side WindowGroupLimit pruning
     * before the rank shuffle. `arg` is the aggregate's column (None for
     * ranking functions and COUNT(*)). */
-  /** frame: None = ANSI default (RANGE unbounded→current); Some(None) =
-    * ROWS UNBOUNDED PRECEDING → CURRENT ROW; Some(Some(n)) = ROWS n
-    * PRECEDING → CURRENT ROW (the moving-window idiom). */
+  /** frame: None = ANSI default (RANGE unbounded→current);
+    * Some((lo, hi)) = explicit ROWS frame — lo None = UNBOUNDED
+    * PRECEDING, Some(n) = n PRECEDING; hi None = UNBOUNDED FOLLOWING,
+    * Some(n) = n FOLLOWING; 0 = CURRENT ROW on either bound. Covers
+    * running totals, trailing windows, and centered moving averages. */
   final case class WinItem(func: String, arg: Option[String],
       partitionBy: Seq[String], orderBy: Seq[OrderKey],
-      alias: String, frame: Option[Option[Long]] = None) extends SelectItem
+      alias: String,
+      frame: Option[(Option[Long], Option[Long])] = None) extends SelectItem
   final case class DistItem(column: String, probe: Value, alias: String) extends SelectItem
   /** COUNT/SUM/AVG/MIN/MAX over a column (or `*` for COUNT). Output name
     * defaults to `count` / `<func>_<col>` when no alias is given. */
@@ -772,20 +775,29 @@ object EmdriveSql {
     }
     val keys = mutable.ListBuffer(wkey())
     while (p.trySym(",")) keys += wkey()
-    // optional explicit ROWS frame (the moving-average idiom); RANGE
-    // stays the ANSI default when absent
-    val frame: Option[Option[Long]] =
+    // optional explicit ROWS frame (the moving-average idiom, centered
+    // windows included); RANGE stays the ANSI default when absent
+    val frame: Option[(Option[Long], Option[Long])] =
       if (p.tryWord("ROWS")) {
         p.eatWord("BETWEEN")
         val lo: Option[Long] =
           if (p.tryWord("UNBOUNDED")) { p.eatWord("PRECEDING"); None }
+          else if (p.tryWord("CURRENT")) { p.eatWord("ROW"); Some(0L) }
           else p.toks match {
             case TNum(n) :: rest if !n.contains('.') =>
               p.toks = rest; p.eatWord("PRECEDING"); Some(n.toLong)
-            case _ => p.fail("UNBOUNDED or integer PRECEDING")
+            case _ => p.fail("UNBOUNDED/CURRENT ROW/integer PRECEDING")
           }
-        p.eatWord("AND"); p.eatWord("CURRENT"); p.eatWord("ROW")
-        Some(lo)
+        p.eatWord("AND")
+        val hi: Option[Long] =
+          if (p.tryWord("CURRENT")) { p.eatWord("ROW"); Some(0L) }
+          else if (p.tryWord("UNBOUNDED")) { p.eatWord("FOLLOWING"); None }
+          else p.toks match {
+            case TNum(n) :: rest if !n.contains('.') =>
+              p.toks = rest; p.eatWord("FOLLOWING"); Some(n.toLong)
+            case _ => p.fail("CURRENT ROW/UNBOUNDED/integer FOLLOWING")
+          }
+        Some((lo, hi))
       } else None
     require(frame.isEmpty
         || !(WinFuncs(func) || Set("NTILE", "LAG", "LEAD")(func)),
@@ -1481,9 +1493,9 @@ final class EmdriveSession(spark: SparkSession) {
             .orderBy(keys.map(k => if (k.desc) col(k.name).desc else col(k.name).asc): _*)
           val spec = frame match {
             case None => ordered // ANSI default RANGE frame
-            case Some(None) =>
-              ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            case Some(Some(n)) => ordered.rowsBetween(-n, Window.currentRow)
+            case Some((lo, hi)) => ordered.rowsBetween(
+              lo.fold(Window.unboundedPreceding)(n => -n),
+              hi.fold(Window.unboundedFollowing)(n => n))
           }
           val fn = f match {
             case "ROW_NUMBER" => row_number()
@@ -2366,6 +2378,16 @@ object SqlQueries {
                |FROM orders WHERE YEAR(o_orderdate) BETWEEN 1996 AND 1997
                |GROUP BY 1, 2 ORDER BY 1, 2;""".stripMargin)
     }),
+    // centered ROWS frame: the symmetric moving average (PRECEDING and
+    // FOLLOWING bounds)
+    "q_sql_centered" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, doc_id, n_chars,
+               | AVG(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               |   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS ma5
+               |FROM documents ORDER BY source, doc_id;""".stripMargin)
+    }),
     // FIRST_VALUE / LAST_VALUE navigation: each doc vs its source's
     // shortest doc (default frame) and the full-frame longest
     "q_sql_first_value" -> ((s: SparkSession, d: String) => {
@@ -2629,6 +2651,11 @@ object SqlQueries {
         |SELECT c_custkey, c_name
         |FROM customer LEFT JOIN o ON c_custkey = o_custkey
         |WHERE n IS NULL ORDER BY c_custkey""".stripMargin,
+    "q_sql_centered" ->
+      """SELECT source, doc_id, n_chars,
+        | avg(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS ma5
+        |FROM documents ORDER BY source, doc_id""".stripMargin,
     "q_sql_first_value" ->
       """SELECT source, doc_id, n_chars,
         | first_value(n_chars) OVER (PARTITION BY source

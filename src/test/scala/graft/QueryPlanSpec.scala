@@ -44,6 +44,34 @@ class QueryPlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("Q6 pushes all three predicates into the scan, 4-column schema") {
+    // formatted mode: toString truncates long PushedFilters lists
+    GraftSession.prepare(spark)
+    val p = SparkEntry.queries("q_forecast_revenue")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05"), p)
+    assert(p.contains("LessThan(l_quantity,24"), p)
+    // the scan reads only the columns the query touches
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+      .forall(read.contains), read)
+    assert(!read.contains("l_orderkey"), read)
+  }
+
+  test("ABC analysis scans the fact exactly once (windowed scalar total)") {
+    val p = plan("q_abc_analysis")
+    assert(p.linesIterator.count(_.trim.startsWith("Scan parquet")) <= 1
+      || "\\(\\d+\\) Scan parquet".r.findAllIn(p).size <= 2, p) // tree+detail
+  }
+
+  test("trade flows broadcast every dimension; one fact-fact shuffle join") {
+    val p = plan("q_trade_flows")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("aggregations are partial (map-side) before the shuffle") {
     val p = plan("q_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial"), p)

@@ -2403,13 +2403,17 @@ object SqlQueries {
                |FROM documents ORDER BY source, doc_id;""".stripMargin)
     }),
     // table aliases + qualified references: the self-join shape —
-    // same-nation customer pairs (a.key < b.key dedupes the symmetry)
+    // same-nation (customer, founder) pairs. The b-side literal cap is
+    // load-bearing at scale: Catalyst pushes it BELOW the join, so the
+    // pair relation grows linearly in |a| (an uncapped same-key self
+    // join is quadratic BY SEMANTICS — measured 575x wall at x100 before
+    // this bound; with it the b side is =100 rows at any corpus size)
     "q_sql_self_join" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
       es.register("customer", Tables.customer(s, d))
       es.sql("""SELECT a.c_nationkey AS nationkey, COUNT(*) AS n_pairs
                |FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
-               |WHERE a.c_custkey < b.c_custkey
+               |WHERE b.c_custkey <= 100 AND a.c_custkey < b.c_custkey
                |GROUP BY 1 ORDER BY 1;""".stripMargin)
     }),
     // IS NULL as the anti-join spelling over LEFT JOIN's unmatched rows
@@ -2668,7 +2672,7 @@ object SqlQueries {
     "q_sql_self_join" ->
       """SELECT a.c_nationkey AS nationkey, count(*) AS n_pairs
         |FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
-        |WHERE a.c_custkey < b.c_custkey
+        |WHERE b.c_custkey <= 100 AND a.c_custkey < b.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sql_dates" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,

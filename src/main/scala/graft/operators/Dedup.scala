@@ -738,6 +738,23 @@ object Dedup {
       .withColumn("inflation",
         round(col("n_docs") * lit(1.0) / col("n_clusters"), 6))
 
+  /** Cross-source cluster purity: for every near-dup cluster, how many
+    * SOURCES it spans — the histogram (n_sources → clusters, docs) that
+    * separates within-source duplication (re-crawls, hard negatives)
+    * from cross-source boilerplate (mirrors, syndication): a heavy
+    * multi-source tail means source-level dedup would miss most of the
+    * mass. Eleventh consumer of the ONE memoized component fixpoint;
+    * after the label join everything partial-combines on comp then on
+    * the tiny n_sources key. */
+  private def clusterPurity(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(wordComponents(s, d), col("doc_id") === col("id"))
+      .groupBy(col("comp"))
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("csize"))
+      .groupBy(col("n_sources"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("csize")).as("n_docs"))
+
   /** Soft dedup weighting: every document's training weight = 1/|cluster|
     * — the loss-reweighting alternative to keep-one dedup (drop nothing,
     * make each near-dup CLUSTER contribute one unit of loss mass; the
@@ -848,6 +865,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cluster_purity" -> clusterPurity _,
     "q_triangles" -> triangles _,
     "q_pagerank" -> pagerank _,
     "q_best_match" -> bestMatch _,
@@ -936,6 +954,30 @@ object Dedup {
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    "q_cluster_purity" ->
+      s"""WITH RECURSIVE $wordPairCtes,
+         |pairsj AS (
+         | SELECT id_a, id_b FROM p
+         | JOIN cnt ca ON id_a = ca.doc_id
+         | JOIN cnt cb ON id_b = cb.doc_id
+         | WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5),
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairsj
+         | UNION ALL SELECT id_b AS src, id_a AS dst FROM pairsj),
+         |walk AS (
+         | SELECT src AS id, src AS comp FROM edges
+         | UNION
+         | SELECT e2.src AS id, w.comp AS comp
+         | FROM edges e2 JOIN walk w ON w.id = e2.dst),
+         |compt AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+         |cl AS (
+         | SELECT comp, count(DISTINCT source) AS n_sources,
+         |  count(*) AS csize
+         | FROM documents JOIN compt ON doc_id = id
+         | GROUP BY comp)
+         |SELECT n_sources, count(*) AS n_clusters,
+         | CAST(sum(csize) AS BIGINT) AS n_docs
+         |FROM cl GROUP BY 1""".stripMargin,
     "q_triangles" ->
       s"""WITH $wordPairCtes,
          |jp AS (

@@ -1560,7 +1560,32 @@ object Relational {
         .as("ma7"))
   }
 
+  /** Gini coefficient of revenue concentration across parts — the
+    * one-number inequality audit next to B61's ABC buckets (0 = uniform,
+    * →1 = one part carries everything). Computed by the exact rank
+    * identity G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted
+    * exact decimal revenues with partkey ties: every sum is exact
+    * decimal/integer arithmetic, the division is the single final IEEE
+    * op. Scale shape: fact collapses to one row per part, the rank
+    * window is the documented dimension-sized global sort, output is
+    * one row. */
+  private def gini(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("rev"))
+    val w = Window.orderBy(col("rev"), col("l_partkey"))
+    rev.withColumn("i", row_number().over(w))
+      .agg(count(lit(1)).as("n"), sum(col("rev")).as("s"),
+        sum(col("rev") * col("i")).as("s1"))
+      .select(col("n").as("n_parts"),
+        round(col("s"), 2).cast("double").as("total_revenue"),
+        ((lit(2) * col("s1") - (col("n") + 1) * col("s")).cast("double")
+          / (col("n") * col("s")).cast("double")).as("gini"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gini" -> gini _,
     "q_centered_ma" -> centeredMa _,
     "q_forecast_revenue" -> forecastRevenue _,
     "q_trade_flows" -> tradeFlows _,
@@ -1643,6 +1668,17 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_gini" ->
+      """WITH rev AS (
+        | SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+        | FROM lineitem GROUP BY 1),
+        |r AS (
+        | SELECT rev, row_number() OVER (ORDER BY rev, l_partkey) AS i
+        | FROM rev),
+        |a AS (SELECT count(*) AS n, sum(rev) AS s, sum(rev * i) AS s1 FROM r)
+        |SELECT n AS n_parts, CAST(round(s, 2) AS DOUBLE) AS total_revenue,
+        | CAST(2 * s1 - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE) AS gini
+        |FROM a""".stripMargin,
     "q_centered_ma" ->
       """WITH daily AS (
         | SELECT event_type, epoch_ms(ts) // 86400000 AS day, count(*) AS n

@@ -738,6 +738,19 @@ object Dedup {
       .withColumn("inflation",
         round(col("n_docs") * lit(1.0) / col("n_clusters"), 6))
 
+  /** Near-dup threshold tuning curve: surviving pair counts at
+    * τ ∈ {0.3, 0.5, 0.7} from ONE shared pair build — the curve a
+    * pipeline owner reads before committing to a dedup threshold (a
+    * cliff between two τ values means a boilerplate family sits there).
+    * Twelfth consumer of the memoized pair relation; the candidate set
+    * is scanned once with conditional partial-combined sums. */
+  private def thresholdCurve(s: SparkSession, d: String): DataFrame =
+    wordPairsAll(s, d).agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("raw_j") >= 0.3, 1L).otherwise(0L)).as("n_tau_03"),
+      sum(when(col("raw_j") >= 0.5, 1L).otherwise(0L)).as("n_tau_05"),
+      sum(when(col("raw_j") >= 0.7, 1L).otherwise(0L)).as("n_tau_07"))
+
   /** Cross-source cluster purity: for every near-dup cluster, how many
     * SOURCES it spans — the histogram (n_sources → clusters, docs) that
     * separates within-source duplication (re-crawls, hard negatives)
@@ -865,6 +878,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_threshold_curve" -> thresholdCurve _,
     "q_cluster_purity" -> clusterPurity _,
     "q_triangles" -> triangles _,
     "q_pagerank" -> pagerank _,
@@ -954,6 +968,21 @@ object Dedup {
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    "q_threshold_curve" ->
+      s"""WITH $wordPairCtes,
+         |jp AS (
+         | SELECT inter * 1.0 / (ca.n + cb.n - inter) AS j
+         | FROM p
+         | JOIN cnt ca ON id_a = ca.doc_id
+         | JOIN cnt cb ON id_b = cb.doc_id)
+         |SELECT count(*) AS n_candidates,
+         | CAST(sum(CASE WHEN j >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_tau_03,
+         | CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_tau_05,
+         | CAST(sum(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_tau_07
+         |FROM jp""".stripMargin,
     "q_cluster_purity" ->
       s"""WITH RECURSIVE $wordPairCtes,
          |pairsj AS (

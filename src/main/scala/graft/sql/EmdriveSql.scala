@@ -761,20 +761,22 @@ object EmdriveSql {
     p.eatSym("(")
     val parts = if (p.tryWord("PARTITION")) {
       p.eatWord("BY")
-      val cs = mutable.ListBuffer(p.ident())
-      while (p.trySym(",")) cs += p.ident()
+      val cs = mutable.ListBuffer(p.qident())
+      while (p.trySym(",")) cs += p.qident()
       cs.toSeq
     } else Seq.empty
     // mandatory: an unordered rank/frame is nondeterministic, same
     // doctrine as OFFSET without ORDER BY
     p.eatWord("ORDER"); p.eatWord("BY")
     def wkey(): OrderKey = {
-      val name = p.ident()
+      val name = p.qident()
       val desc = p.tryWord("DESC") || { p.tryWord("ASC"); false }
       OrderKey(name, desc)
     }
     val keys = mutable.ListBuffer(wkey())
     while (p.trySym(",")) keys += wkey()
+    // (partition/order keys accept qualified names — aliased-relation
+    // windows; lowering quotes dotted names at the Column boundary)
     // optional explicit ROWS frame (the moving-average idiom, centered
     // windows included); RANGE stays the ANSI default when absent
     val frame: Option[(Option[Long], Option[Long])] =
@@ -875,7 +877,7 @@ object EmdriveSql {
     case TWord(f) :: TSym("(") :: _ if AggFuncs(f.toUpperCase) =>
       p.toks = p.toks.tail.tail
       val distinct = p.tryWord("DISTINCT")
-      val arg = if (p.trySym("*")) None else Some(p.ident())
+      val arg = if (p.trySym("*")) None else Some(p.qident())
       p.eatSym(")")
       require(arg.nonEmpty || f.equalsIgnoreCase("count"),
         s"$f(*) is not valid; only COUNT(*)")
@@ -1489,8 +1491,8 @@ final class EmdriveSession(spark: SparkSession) {
       items.foreach {
         case WinItem(f, arg, parts, keys, alias, frame) =>
           import org.apache.spark.sql.expressions.Window
-          val ordered = Window.partitionBy(parts.map(col): _*)
-            .orderBy(keys.map(k => if (k.desc) col(k.name).desc else col(k.name).asc): _*)
+          val ordered = Window.partitionBy(parts.map(qref): _*)
+            .orderBy(keys.map(k => if (k.desc) qref(k.name).desc else qref(k.name).asc): _*)
           val spec = frame match {
             case None => ordered // ANSI default RANGE frame
             case Some((lo, hi)) => ordered.rowsBetween(

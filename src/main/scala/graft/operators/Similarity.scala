@@ -618,6 +618,66 @@ object Similarity {
       .limit(10)
   }
 
+  /** IVF recall-vs-nprobe tuning curve: recall@10 against the exact
+    * brute-force top-10 for nprobe ∈ {1, 2, 4} probed cells, plus the
+    * candidate count each setting scans — THE curve an ANN operator
+    * reads to price recall against compute before fixing nprobe. Same
+    * deterministic assignment as q_ann_ivf (seed centroids, max_by with
+    * centroid-id ties); the approx and exact rankings both use the
+    * rounded cosine with vec_id ties, so the whole curve replays in
+    * DuckDB. Scale shape: one corpus scan assigns, one scores the
+    * probed union (candidates ≤ nprobe/k of the corpus), per-nprobe
+    * rank windows run over candidate-bounded relations; centroid/probe
+    * relations broadcast. */
+  private def ivfRecallCurve(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val e = Tables.embeddings(s, d)
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val probeV = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_v"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        call_function("cosine_sim", col("embedding"), col("cvec")).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("embedding"), col("cid")),
+        struct(col("csim"), -col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cid").as("cid"))
+    val cellRank = cents.crossJoin(broadcast(probeV))
+      .select(col("cid"),
+        call_function("cosine_sim", col("cvec"), col("probe_v")).as("qsim"))
+      .withColumn("crank",
+        row_number().over(Window.orderBy(col("qsim").desc, col("cid"))))
+      .select(col("cid"), col("crank"))
+    val exact = e.crossJoin(broadcast(probeV))
+      .select(col("vec_id"),
+        round(call_function("cosine_sim", col("embedding"), col("probe_v")), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      .select(col("vec_id").as("xid"))
+    val probes = s.range(1)
+      .select(explode(array(lit(1), lit(2), lit(4))).as("nprobe"))
+    val cand = assigned.join(broadcast(cellRank), "cid")
+      .crossJoin(broadcast(probes))
+      .filter(col("crank") <= col("nprobe"))
+      .select(col("nprobe"), col("vec_id"), col("embedding"))
+    val approx = cand.crossJoin(broadcast(probeV))
+      .select(col("nprobe"), col("vec_id"),
+        round(call_function("cosine_sim", col("embedding"), col("probe_v")), 6)
+          .as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("nprobe"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") <= 10)
+    val nCand = cand.groupBy(col("nprobe")).agg(count(lit(1)).as("n_candidates"))
+    approx.join(broadcast(exact), col("vec_id") === col("xid"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+      .join(nCand, "nprobe")
+      .select(col("nprobe").cast("bigint").as("nprobe"), col("n_candidates"),
+        col("n_hits"), (col("n_hits").cast("double") / 10).as("recall_at_10"))
+  }
+
   /** int8 embedding quantization (codegen kernels): scale + code checksum
     * per vector. At 100 TB the int8 corpus is 4× smaller than float32 —
     * the standard memory/recall trade for brute-force and IVF scans; the
@@ -1008,6 +1068,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ivf_recall_curve" -> ivfRecallCurve _,
     "q_mmr" -> mmr _,
     "q_centroid_sim" -> centroidSimMatrix _,
     "q_embed_outliers" -> embedOutliers _,
@@ -1058,6 +1119,43 @@ object Similarity {
       |pairs AS (SELECT id_a, id_b, sim FROM cp WHERE sim >= 0.4)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ivf_recall_curve" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |scored AS (
+        | SELECT e.vec_id, e.v, c.cid,
+        |  list_cosine_similarity(e.v, c.cv) AS csim
+        | FROM e CROSS JOIN c),
+        |a AS (
+        | SELECT vec_id, v, cid FROM (
+        |  SELECT *, row_number() OVER (
+        |   PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |pv AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+        |cr AS (
+        | SELECT cid, row_number() OVER (ORDER BY
+        |  list_cosine_similarity(cv, (SELECT pv FROM pv)) DESC, cid) AS crank
+        | FROM c),
+        |ex AS (SELECT vec_id FROM (
+        | SELECT vec_id,
+        |  round(list_cosine_similarity(v, (SELECT pv FROM pv)), 6) AS sim
+        | FROM e ORDER BY sim DESC, vec_id LIMIT 10)),
+        |np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+        |cand AS (
+        | SELECT np.nprobe, a.vec_id, a.v
+        | FROM a JOIN cr ON a.cid = cr.cid CROSS JOIN np
+        | WHERE cr.crank <= np.nprobe),
+        |ap AS (SELECT nprobe, vec_id FROM (
+        | SELECT nprobe, vec_id, row_number() OVER (PARTITION BY nprobe
+        |  ORDER BY round(list_cosine_similarity(v, (SELECT pv FROM pv)), 6)
+        |   DESC, vec_id) AS rn
+        | FROM cand) WHERE rn <= 10),
+        |nc AS (SELECT nprobe, count(*) AS n_candidates FROM cand GROUP BY 1),
+        |h AS (SELECT nprobe, count(*) AS n_hits FROM ap
+        |  WHERE vec_id IN (SELECT vec_id FROM ex) GROUP BY 1)
+        |SELECT CAST(h.nprobe AS BIGINT) AS nprobe, n_candidates, n_hits,
+        | CAST(n_hits AS DOUBLE) / 10 AS recall_at_10
+        |FROM h JOIN nc ON h.nprobe = nc.nprobe""".stripMargin,
     "q_mmr" ->
       s"""WITH cand AS MATERIALIZED (
          | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -1584,7 +1584,115 @@ object Relational {
           / (col("n") * col("s")).cast("double")).as("gini"))
   }
 
+  /** Epoch-day column for a timestamp — UTC-pinned integer arithmetic so
+    * date differences are exact and tz-independent (the q_ship_latency
+    * discipline). */
+  private def epochDay(c: Column): Column =
+    expr(s"unix_millis(cast(${c.toString} as timestamp)) div 86400000")
+
+  /** Late-order priority count (TPC-H Q4 flavor, re-derived: this schema
+    * has no commitdate/receiptdate, so "late" = a line shipped more than
+    * 30 days after the order date). Orders in a half-year window that had
+    * at least one late line, counted per priority — the fulfilment-SLA
+    * breach report. The EXISTS is a left-semi join whose extra lateness
+    * conjunct rides the join condition (no post-join filter relation).
+    * Scale shape: the date range prunes the orders scan BEFORE the
+    * fact-fact semi join (the only shuffle); output is the 5-row
+    * priority dimension. */
+  private def latePriority(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-07-01"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          (epochDay(col("l_shipdate")) - epochDay(col("o_orderdate")) > 30),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Customer order-count distribution (TPC-H Q13 flavor): how many
+    * customers placed k orders, INCLUDING the zero-order tail (the left
+    * join Q13 exists to exercise). Scale shape: the orders fact collapses
+    * to one row per customer FIRST (partial-combined count), the left
+    * join then runs dimension×dimension; output is the ~20-row count
+    * histogram. */
+  private def custOrderDist(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(per, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** Disjunctive-predicate revenue (TPC-H Q19 flavor): revenue from three
+    * OR'd (brand-set, size, quantity-window) branches — the classic
+    * pushdown stress: Catalyst must keep the disjunction usable. The
+    * part-side conjuncts (brand IN …, size ≤ …) are OR-factored against
+    * the broadcast part dim; the mixed part×lineitem disjunction runs as
+    * the join's residual condition. Scale shape: part dim broadcasts
+    * (pruned by the OR'd brand/size envelope pushed to its scan), the
+    * fact is scanned once, single-row output. */
+  private def disjunctiveRevenue(s: SparkSession, d: String): DataFrame = {
+    val branch1 = col("p_brand").isin("Brand#11", "Brand#12") &&
+      col("p_size") <= 15 && col("l_quantity") <= 15
+    val branch2 = col("p_brand").isin("Brand#22", "Brand#23") &&
+      col("p_size") <= 25 && col("l_quantity").between(10, 25)
+    val branch3 = col("p_brand").isin("Brand#33", "Brand#34") &&
+      col("p_size") <= 35 && col("l_quantity") >= 25
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .agg(count(lit(1)).as("n_lines"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+  }
+
+  /** Sole-blame late suppliers (TPC-H Q21 flavor): in multi-supplier
+    * orders, suppliers who were the ONLY one to ship late (>60 days after
+    * the order date) — the vendor-accountability ranking. Q21's
+    * EXISTS/NOT-EXISTS pair is re-expressed as aggregation: the late
+    * relation's per-order count must be exactly 1, which is the
+    * NOT-EXISTS (no OTHER late supplier) in closed form — no second
+    * self-join. Scale shape: one fact-fact shuffle builds the late set,
+    * everything after runs on (order,supplier) pairs that were actually
+    * late plus a per-order distinct-supplier count; supplier dim
+    * broadcasts; deterministic top-20 via TakeOrdered with name ties. */
+  private def waitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    val late = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(epochDay(col("l_shipdate")) - epochDay(col("o_orderdate")) > 60)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val lateCnt = late.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_late"))
+    val multi = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+      .filter(col("n_supp") >= 2)
+      .select(col("l_orderkey").as("m_orderkey"))
+    late.join(lateCnt.filter(col("n_late") === 1).select(col("l_orderkey").as("c_orderkey")),
+        col("l_orderkey") === col("c_orderkey"))
+      .join(multi, col("l_orderkey") === col("m_orderkey"), "left_semi")
+      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_late_priority" -> latePriority _,
+    "q_cust_order_dist" -> custOrderDist _,
+    "q_disjunctive_revenue" -> disjunctiveRevenue _,
+    "q_waiting_suppliers" -> waitingSuppliers _,
     "q_gini" -> gini _,
     "q_centered_ma" -> centeredMa _,
     "q_forecast_revenue" -> forecastRevenue _,
@@ -1668,6 +1776,47 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_late_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND epoch_ms(l_shipdate) // 86400000
+        |        - epoch_ms(o_orderdate) // 86400000 > 30)
+        |GROUP BY 1""".stripMargin,
+    "q_cust_order_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+    "q_disjunctive_revenue" ->
+      """SELECT count(*) AS n_lines,
+        | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand IN ('Brand#11','Brand#12') AND p_size <= 15
+        |        AND l_quantity <= 15)
+        |   OR (p_brand IN ('Brand#22','Brand#23') AND p_size <= 25
+        |        AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand IN ('Brand#33','Brand#34') AND p_size <= 35
+        |        AND l_quantity >= 25)""".stripMargin,
+    "q_waiting_suppliers" ->
+      """WITH late AS (
+        | SELECT DISTINCT l_orderkey, l_suppkey
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE epoch_ms(l_shipdate) // 86400000
+        |   - epoch_ms(o_orderdate) // 86400000 > 60),
+        |lc AS (SELECT l_orderkey, count(*) AS n_late FROM late GROUP BY 1),
+        |multi AS (SELECT l_orderkey FROM lineitem GROUP BY 1
+        |  HAVING count(DISTINCT l_suppkey) >= 2)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late JOIN lc USING (l_orderkey) JOIN multi USING (l_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE n_late = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q_gini" ->
       """WITH rev AS (
         | SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev

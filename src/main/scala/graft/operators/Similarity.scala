@@ -1067,7 +1067,86 @@ object Similarity {
           (col("na") * col("nb") * lit(1024.0)), 6).as("centroid_shift"))
   }
 
+  /** Matryoshka truncation-recall curve: recall@10 of brute-force cosine
+    * over the first {8,16,32} dims vs the full 64-dim exact top-10, across
+    * 20 probe vectors — the read-before-you-commit number for MRL-style
+    * dimension truncation (Kusupati et al. 2022): how much retrieval
+    * quality survives a 2-8× storage/compute cut. Determinism: every
+    * cosine (per truncation) is rounded to 6 dp before ranking with
+    * vec_id ties, hits/(probes·10) is an exact integer ratio. Scale
+    * shape: ONE corpus scan — the 4 truncation sims per (probe, vector)
+    * ride a single broadcast-probe crossJoin and explode into rank rows;
+    * windows run per (probe, dim) over corpus-sized partitions; output
+    * is 3 rows. At 100 TB the probe set stays bounded and the scan is
+    * the same exact-baseline economics as q_knn_batch. */
+  private def matryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val dims = Seq(8, 16, 32, 64)
+    val scored = e.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id"), explode(array(dims.map(dd =>
+        struct(lit(dd).as("trunc_dim"),
+          round(call_function("cosine_sim",
+            slice(col("embedding"), 1, dd), slice(col("pv"), 1, dd)), 6)
+            .as("sim"))): _*)).as("x"))
+      .select(col("probe_id"), col("vec_id"),
+        col("x.trunc_dim").as("trunc_dim"), col("x.sim").as("sim"))
+    val w = Window.partitionBy(col("probe_id"), col("trunc_dim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val top = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+    val full = top.filter(col("trunc_dim") === 64)
+      .select(col("probe_id").as("fp"), col("vec_id").as("fv"))
+    val nProbes = probes.select(count(lit(1)).as("n_probes"))
+    top.filter(col("trunc_dim") =!= 64)
+      .join(full, col("probe_id") === col("fp") && col("vec_id") === col("fv"),
+        "left_semi")
+      .groupBy(col("trunc_dim"))
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(broadcast(nProbes))
+      .select(col("trunc_dim"), col("n_probes"),
+        (col("hits").cast("double") / (col("n_probes") * 10)).as("recall10"))
+  }
+
+  /** Simplified-silhouette cluster-quality audit over the q_ann_ivf
+    * partition (centroids = data rows vec_id<8, deterministic argmax
+    * assignment): per cell, mean of s = (a_sim − b_sim) / max(1−a_sim,
+    * 1−b_sim) where a = own-centroid cosine and b = best other centroid —
+    * the per-cell health number read before trusting an IVF layout
+    * (negative mean ⇒ cell boundary cuts a natural cluster). Simplified
+    * silhouette (centroid distances, not all-pairs) is the O(n·k) form
+    * that scales; the full form is O(n²). Determinism: sims rounded 6 dp,
+    * s is single IEEE ops re-rounded, the mean is a DECIMAL(28,8)-routed
+    * exact sum over one corpus scan. */
+  private def silhouette(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(call_function("cosine_sim", col("embedding"), col("cv")), 6)
+          .as("csim"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val ab = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("rn") === 1, col("csim"))).as("a_sim"),
+        max(when(col("rn") === 1, col("cid"))).as("cell"),
+        max(when(col("rn") === 2, col("csim"))).as("b_sim"))
+    val denom = greatest(lit(1) - col("a_sim"), lit(1) - col("b_sim"))
+    ab.select(col("cell"),
+        when(denom === 0, lit(0.0))
+          .otherwise(round((col("a_sim") - col("b_sim")) / denom, 6)).as("sil"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("sil").cast("decimal(28,8)")).cast("double") / count(lit(1)))
+          .as("mean_sil"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_matryoshka_recall" -> matryoshkaRecall _,
+    "q_silhouette" -> silhouette _,
     "q_ivf_recall_curve" -> ivfRecallCurve _,
     "q_mmr" -> mmr _,
     "q_centroid_sim" -> centroidSimMatrix _,
@@ -1119,6 +1198,53 @@ object Similarity {
       |pairs AS (SELECT id_a, id_b, sim FROM cp WHERE sim >= 0.4)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 20),
+        |dims AS (SELECT unnest([8,16,32,64]) AS trunc_dim),
+        |scored AS (
+        | SELECT p.probe_id, e.vec_id, d.trunc_dim,
+        |  round(list_cosine_similarity(e.v[1:d.trunc_dim],
+        |    p.pv[1:d.trunc_dim]), 6) AS sim
+        | FROM e CROSS JOIN p CROSS JOIN dims d),
+        |top AS (
+        | SELECT * FROM (SELECT *, row_number() OVER (
+        |   PARTITION BY probe_id, trunc_dim ORDER BY sim DESC, vec_id) AS rn
+        |  FROM scored) WHERE rn <= 10),
+        |fulltop AS (SELECT probe_id, vec_id FROM top WHERE trunc_dim = 64),
+        |hits AS (
+        | SELECT t.trunc_dim, count(*) AS h
+        | FROM top t JOIN fulltop f
+        |   ON t.probe_id = f.probe_id AND t.vec_id = f.vec_id
+        | WHERE t.trunc_dim <> 64 GROUP BY 1),
+        |np AS (SELECT count(*) AS n FROM p)
+        |SELECT trunc_dim, n AS n_probes,
+        | CAST(h AS DOUBLE) / (n * 10) AS recall10
+        |FROM hits, np""".stripMargin,
+    "q_silhouette" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |scored AS (
+        | SELECT e.vec_id, c.cid,
+        |  round(list_cosine_similarity(e.v, c.cv), 6) AS csim
+        | FROM e CROSS JOIN c),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn FROM scored),
+        |ab AS (
+        | SELECT vec_id,
+        |  max(CASE WHEN rn = 1 THEN csim END) AS a_sim,
+        |  max(CASE WHEN rn = 1 THEN cid END) AS cell,
+        |  max(CASE WHEN rn = 2 THEN csim END) AS b_sim
+        | FROM r WHERE rn <= 2 GROUP BY 1),
+        |s AS (
+        | SELECT cell,
+        |  CASE WHEN greatest(1 - a_sim, 1 - b_sim) = 0 THEN 0.0
+        |   ELSE round((a_sim - b_sim) / greatest(1 - a_sim, 1 - b_sim), 6)
+        |  END AS sil
+        | FROM ab)
+        |SELECT cell, count(*) AS n,
+        | CAST(sum(CAST(sil AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mean_sil
+        |FROM s GROUP BY 1""".stripMargin,
     "q_ivf_recall_curve" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

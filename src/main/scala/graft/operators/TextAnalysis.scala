@@ -881,7 +881,86 @@ object TextAnalysis {
           / col("n_exact") < 0.15).as("merged_within_bound"))
   }
 
+  /** Flesch reading-ease per document, from three integer counts a
+    * regex scan produces in one pass: words (whitespace tokens),
+    * sentences (maximal [.!?]+ runs, floored at 1), syllables (maximal
+    * [aeiouy]+ runs — vowel groups cannot span a space, so the per-doc
+    * count equals the per-word sum without exploding words). The classic
+    * readability gate (Kincaid 1975; score below ~30 = college-level
+    * prose, negative = pathological) used as a cheap quality signal next
+    * to C10's ratios. Score arithmetic is a fixed left-to-right chain of
+    * IEEE ops over exact integers — bitwise cross-engine; map-only scan,
+    * no shuffle. */
+  private def readability(s: SparkSession, d: String): DataFrame = {
+    val words = size(split(col("text"), " "))
+    val sentences = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+    val syllables = regexp_count(col("text"), lit("[aeiouy]+"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      words.cast("bigint").as("n_words"),
+      sentences.cast("bigint").as("n_sentences"),
+      syllables.cast("bigint").as("n_syllables"),
+      round(lit(206.835)
+        - lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - lit(84.6) * (syllables.cast("double") / words.cast("double")), 4)
+        .as("flesch"))
+  }
+
+  /** Tokenizer-fertility audit per language: subword units per
+    * whitespace word, with the subword segmentation proxied by maximal
+    * vowel-run / consonant-run alternation ([aeiou]+|[^aeiou ]+) — the
+    * syllable-ish split a byte-level BPE converges toward on alphabetic
+    * text. High fertility = the tokenizer pays more sequence length per
+    * word for that language — THE number behind per-language token
+    * budgeting (a doc's token cost ≠ its word count). Exact integer
+    * sums per language, one final division; map-only scan + 5-group
+    * partial agg. */
+  private def fertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("w"),
+        regexp_count(col("text"), lit("[aeiou]+|[^aeiou ]+")).cast("bigint")
+          .as("u"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"), sum(col("u")).as("n_subunits"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subunits"),
+        (col("n_subunits").cast("double") / col("n_words")).as("fertility"))
+
+  /** Heaps'-law exponent per source: least-squares slope of
+    * ln(distinct types) on ln(tokens) across the source's documents —
+    * natural text sits near β ≈ 0.6-0.8, while templated/generated
+    * corpora flatten toward 0 (vocabulary stops growing with length).
+    * The vocabulary-growth twin of C83's Zipf slope, same discipline:
+    * both regressors are exact integers through ln, every product passes
+    * DECIMAL(28,12) so per-source summation order cannot move the last
+    * ulp, one double division, round 6. Scale shape: per-doc counts are
+    * a map-side pass (size/array_distinct on the split — no explode),
+    * the regression is a 20-group partial agg. */
+  private def heapsLaw(s: SparkSession, d: String): DataFrame = {
+    val x = log(size(split(col("text"), " ")).cast("double"))
+    val y = log(size(array_distinct(split(col("text"), " "))).cast("double"))
+    Tables.documents(s, d)
+      .select(col("source"),
+        x.cast("decimal(28,12)").as("x"),
+        y.cast("decimal(28,12)").as("y"),
+        (x * y).cast("decimal(28,12)").as("xy"),
+        (x * x).cast("decimal(28,12)").as("xx"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("xy")).cast("double").as("sxy"),
+        sum(col("xx")).cast("double").as("sxx"))
+      .select(col("source"), col("n_docs"),
+        round((col("n_docs") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_docs") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("heaps_beta"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_readability" -> readability _,
+    "q_fertility" -> fertility _,
+    "q_heaps_law" -> heapsLaw _,
     "q_length_outliers" -> lengthOutliers _,
     "q_bpe_merges" -> bpeMerges _,
     "q_hll_merge" -> hllMerge _,
@@ -919,6 +998,52 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_readability" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_words,
+        | greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+        | len(regexp_extract_all(text, '[aeiouy]+')) AS n_syllables,
+        | round(206.835
+        |  - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |     / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |        AS DOUBLE))
+        |  - 84.6 * (CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS DOUBLE)
+        |     / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS flesch
+        |FROM documents""".stripMargin,
+    "q_fertility" ->
+      """WITH per AS (
+        | SELECT lang,
+        |  len(string_split(text, ' ')) AS w,
+        |  len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+')) AS u
+        | FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(w) AS BIGINT) AS n_words,
+        | CAST(sum(u) AS BIGINT) AS n_subunits,
+        | CAST(sum(u) AS DOUBLE) / sum(w) AS fertility
+        |FROM per GROUP BY 1""".stripMargin,
+    "q_heaps_law" ->
+      """WITH per AS (
+        | SELECT source,
+        |  CAST(ln(CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |    AS DECIMAL(28,12)) AS x,
+        |  CAST(ln(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE))
+        |    AS DECIMAL(28,12)) AS y,
+        |  CAST(ln(CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |    * ln(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE))
+        |    AS DECIMAL(28,12)) AS xy,
+        |  CAST(ln(CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |    * ln(CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |    AS DECIMAL(28,12)) AS xx
+        | FROM documents),
+        |a AS (
+        | SELECT source, count(*) AS n_docs,
+        |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |  CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx
+        | FROM per GROUP BY 1)
+        |SELECT source, n_docs,
+        | round((n_docs * sxy - sx * sy) / (n_docs * sxx - sx * sx), 6)
+        |   AS heaps_beta
+        |FROM a""".stripMargin,
     "q_length_outliers" ->
       """WITH med AS (
         | SELECT lang, quantile_cont(n_chars, 0.5) AS med_chars

@@ -33,7 +33,8 @@ import graft.sources.SchemaMapper
   *   INSERT INTO t [(cols…)] SELECT-chain   (query-result load; positional
   *     column match, cast to declared types, DEFAULT/NULL fill)
   *   SELECT [DISTINCT] * | col [AS a] | col @ probe AS a
-  *     | CASE WHEN pred THEN v [WHEN …] [ELSE v] END AS a
+  *     | CASE [subject] WHEN pred|v THEN v [WHEN …] [ELSE v] END AS a
+  *       (searched and simple forms; simple desugars to subject = v)
   *     | (COUNT|SUM|AVG|MIN|MAX|MEDIAN) '(' (*|col) ')' [AS a] [, …] FROM t
   *     [WHERE pred]   where pred := cmp | pred AND pred | pred OR pred
   *                    | NOT pred | '(' pred ')' (AND binds tighter than
@@ -57,7 +58,7 @@ import graft.sources.SchemaMapper
   *     top-k-per-group idiom)
   *   agg '(' (*|col) ')' OVER '(' … ')' AS a   (window aggregates —
   *     running totals; ordered, so the ANSI default RANGE frame applies)
-  *     [GROUP BY col [, …]] [HAVING pred-over-output-names]
+  *     [GROUP BY [ROLLUP(]col [, …][)]] [HAVING pred-over-output-names]
   *     [ORDER BY col [ASC|DESC] [, …]] [LIMIT n] [OFFSET m]
   *     (OFFSET requires ORDER BY — unordered pagination is
   *     nondeterministic and refused)
@@ -315,7 +316,11 @@ object EmdriveSql {
       derived: Option[UnionStmt] = None,
       /** `FROM t [AS] a` — when set, the base relation's columns are
         * renamed `a.col` (qualified-reference / self-join support). */
-      baseAlias: Option[String] = None)
+      baseAlias: Option[String] = None,
+      /** GROUP BY ROLLUP(…) — hierarchical subtotals; lowered to
+        * Dataset.rollup so Catalyst's Expand produces every prefix
+        * grouping set in one pass (NULL marks a rolled-up key, ANSI). */
+      rollup: Boolean = false)
     extends Statement
 
   /** select (UNION [ALL] | EXCEPT | INTERSECT) select … —
@@ -619,7 +624,7 @@ object EmdriveSql {
     }
     val where = mutable.ListBuffer.empty[Pred]
     if (p.tryWord("WHERE")) where += parsePred(p)
-    val groupBy =
+    val (groupBy, rollup) =
       if (p.tryWord("GROUP")) {
         p.eatWord("BY")
         // GROUP BY 1, 2 — ordinals into the select list ("#n" markers,
@@ -628,10 +633,14 @@ object EmdriveSql {
           case TNum(n) :: rest if !n.contains('.') => p.toks = rest; "#" + n
           case _ => p.qident()
         }
+        // GROUP BY ROLLUP(a, b, …) — hierarchical subtotal sets
+        val isRollup = p.tryWord("ROLLUP")
+        if (isRollup) p.eatSym("(")
         val gs = mutable.ListBuffer(gkey())
         while (p.trySym(",")) gs += gkey()
-        gs.toSeq
-      } else Seq.empty
+        if (isRollup) p.eatSym(")")
+        (gs.toSeq, isRollup)
+      } else (Seq.empty[String], false)
     val having = mutable.ListBuffer.empty[Pred]
     if (p.tryWord("HAVING")) having += parsePred(p)
     val orderBy =
@@ -673,15 +682,23 @@ object EmdriveSql {
         Some(boundedInt("OFFSET"))
       } else None
     Select(items.toSeq, table, where.toSeq, groupBy, having.toSeq, orderBy,
-      limit, joins.toSeq, distinct, offset, derived, baseAlias)
+      limit, joins.toSeq, distinct, offset, derived, baseAlias, rollup)
   }
 
   private def parseItem(p: P): SelectItem = p.toks match {
     case TWord(w) :: _ if w.equalsIgnoreCase("CASE") =>
       p.toks = p.toks.tail
+      // simple CASE (`CASE x WHEN v THEN r …`) desugars at parse time to
+      // the searched form (`WHEN x = v THEN r`) — ANSI-equivalent for
+      // non-NULL subjects, one lowering path
+      val subject: Option[Operand] =
+        if (p.peekWord("WHEN")) None else Some(parseOperand(p))
       val branches = mutable.ListBuffer.empty[(Pred, Operand)]
       while (p.tryWord("WHEN")) {
-        val pred = parsePred(p)
+        val pred = subject match {
+          case None => parsePred(p)
+          case Some(subj) => PCmp(Cmp(subj, "=", parseOperand(p)))
+        }
         p.eatWord("THEN")
         branches += ((pred, parseOperand(p)))
       }
@@ -1334,7 +1351,7 @@ final class EmdriveSession(spark: SparkSession) {
 
   private def lowerSelect(sel: Select): DataFrame = {
     val Select(items, name, where, rawGroupBy, having, rawOrderBy, limitN,
-      joins, distinct, offsetN, derived, baseAlias) = sel
+      joins, distinct, offsetN, derived, baseAlias, rollupFlag) = sel
     // "#n" ordinal markers (GROUP BY 1 / ORDER BY 2) resolve to the n-th
     // select item's OUTPUT name — ANSI ordinal semantics; grouping by an
     // aggregate/window position is refused like any non-key grouping
@@ -1562,7 +1579,12 @@ final class EmdriveSession(spark: SparkSession) {
               aggColumn(f, arg).as("__agg_" + aggAlias(f, arg, None)) }
           val aggs = plain ++ exprAggs
           require(aggs.nonEmpty, "GROUP BY requires at least one aggregate")
-          val agged = df.groupBy(groupBy.map(qref): _*).agg(aggs.head, aggs.tail: _*)
+          // ROLLUP lowers to Dataset.rollup — ONE Expand pass produces
+          // every prefix grouping set (no re-aggregation per level)
+          val agged =
+            (if (rollupFlag) df.rollup(groupBy.map(qref): _*)
+             else df.groupBy(groupBy.map(qref): _*))
+              .agg(aggs.head, aggs.tail: _*)
           // post-aggregation expression evaluation: aggregate atoms read
           // their computed columns, ORefs read group keys, literals stay
           def aggExprCol(o: Operand): Column = o match {
@@ -1966,6 +1988,23 @@ object SqlQueries {
       es.register("documents", Tables.documents(s, d))
       es.sql("""SELECT lang, COUNT(*) AS n, MIN(n_chars) AS min_chars
                |FROM documents GROUP BY lang HAVING n >= 20 ORDER BY lang;""".stripMargin)
+    }),
+    // GROUP BY ROLLUP end-to-end: hierarchical subtotals in one Expand
+    // pass, NULL-marked rollup rows (ANSI), composed with HAVING-free agg
+    "q_sql_rollup" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang, source, COUNT(*) AS n, SUM(n_chars) AS total_chars
+               |FROM documents GROUP BY ROLLUP(lang, source);""".stripMargin)
+    }),
+    // simple CASE (subject form) desugared at parse to the searched form
+    "q_sql_case_simple" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT CASE lang WHEN 'en' THEN 'latin' WHEN 'fr' THEN 'latin'
+               |  WHEN 'zh' THEN 'cjk' ELSE 'other' END AS script,
+               | COUNT(*) AS n, SUM(n_chars) AS total_chars
+               |FROM documents GROUP BY script;""".stripMargin)
     }),
     // searched CASE as a computed GROUP BY bucket (the classic bucketing
     // idiom), lowered to Catalyst CaseWhen + the usual partial agg
@@ -2435,6 +2474,15 @@ object SqlQueries {
   val oracles: Map[String, String] = Map(
     "q_sql_select" ->
       "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'",
+    "q_sql_rollup" ->
+      """SELECT lang, source, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+    "q_sql_case_simple" ->
+      """SELECT CASE lang WHEN 'en' THEN 'latin' WHEN 'fr' THEN 'latin'
+        |  WHEN 'zh' THEN 'cjk' ELSE 'other' END AS script,
+        | count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY script""".stripMargin,
     // DuckDB runs the correlated EXISTS natively — the oracle is the
     // same ANSI text the dialect parses
     "q_sql_exists" ->

@@ -1494,6 +1494,29 @@ final class EmdriveSession(spark: SparkSession) {
           }
         subPreds += (node: Pred) -> c
       }
+      // 2c. correlated scalar subqueries in WHERE comparisons
+      //     (`WHERE x > (SELECT AVG(y) FROM t WHERE t.k = outer.k)`): the
+      //     subquery attaches through the same Kim/Dayal grouped-aggregate
+      //     decorrelation as the SELECT-list path (attachCorrScalar),
+      //     under a reserved __cw_ name; the WHOLE comparison rewrites to
+      //     a Column reading the attached value — ANSI NULL semantics fall
+      //     out (empty non-COUNT group → NULL → comparison NULL → row
+      //     dropped), and the node composes under AND/OR/NOT.
+      where.flatMap(p => collectCorrCmps(p, df)).distinct.zipWithIndex.foreach {
+        case (node, i) =>
+          val PCmp(Cmp(l, op, r)) = node
+          val alias = s"__cw_$i"
+          val (subSel, other, subOnLeft) = (l, r) match {
+            case (OSub(ss), o) if isCorrScalar(ss, df) => (ss, o, true)
+            case (o, OSub(ss)) => (ss, o, false)
+            case _ => throw new IllegalStateException(node.toString)
+          }
+          df = attachCorrScalar(df, subSel, alias)
+          val (lc, rc) =
+            if (subOnLeft) (col(alias), operandCol(base, other))
+            else (operandCol(base, other), col(alias))
+          subPreds += (node: Pred) -> applyCmpOp(lc, op, rc)
+      }
       // 2. WHERE — ANSI split: conjuncts that do not read a window alias
       //    filter the window INPUT (plain column equality still lands in
       //    the scan's PushedFilters); conjuncts that do read one are the
@@ -1761,8 +1784,32 @@ final class EmdriveSession(spark: SparkSession) {
     case _: PExists => Set.empty
   }
 
+  /** PCmp nodes with a correlated scalar subquery on either side — these
+    * decorrelate in lowerSelect's 2c pre-pass and the whole comparison
+    * rewrites to a Column (composable under AND/OR/NOT like IN/EXISTS). */
+  private def collectCorrCmps(p: Pred, outer: DataFrame): Seq[PCmp] = p match {
+    case s @ PCmp(Cmp(l, _, r)) if Seq(l, r).exists {
+        case OSub(sub) => isCorrScalar(sub, outer)
+        case _ => false
+      } => Seq(s)
+    case PAnd(a, b) => collectCorrCmps(a, outer) ++ collectCorrCmps(b, outer)
+    case POr(a, b) => collectCorrCmps(a, outer) ++ collectCorrCmps(b, outer)
+    case PNot(x) => collectCorrCmps(x, outer)
+    case _ => Seq.empty
+  }
+
+  private def applyCmpOp(l: Column, op: String, r: Column): Column = op match {
+    case "=" => l === r
+    case "!=" => l =!= r
+    case "<" => l < r
+    case "<=" => l <= r
+    case ">" => l > r
+    case ">=" => l >= r
+  }
+
   private def predCol(base: DataFrame, p: Pred,
       subs: Map[Pred, Column] = Map.empty): Column = p match {
+    case s: PCmp if subs.contains(s) => subs(s)
     case PCmp(c) => cmpCol(base, c)
     case PAnd(a, b) => predCol(base, a, subs) && predCol(base, b, subs)
     case POr(a, b) => predCol(base, a, subs) || predCol(base, b, subs)
@@ -1893,17 +1940,8 @@ final class EmdriveSession(spark: SparkSession) {
       throw new IllegalArgumentException(s"unsupported CAST type: $other")
   }
 
-  private def cmpCol(base: DataFrame, cmp: Cmp): Column = {
-    val (l, r) = (operandCol(base, cmp.lhs), operandCol(base, cmp.rhs))
-    cmp.op match {
-      case "=" => l === r
-      case "!=" => l =!= r
-      case "<" => l < r
-      case "<=" => l <= r
-      case ">" => l > r
-      case ">=" => l >= r
-    }
-  }
+  private def cmpCol(base: DataFrame, cmp: Cmp): Column =
+    applyCmpOp(operandCol(base, cmp.lhs), cmp.op, operandCol(base, cmp.rhs))
 
   private def funcCol(f: EmdriveSql.VFunc): Column = f.name match {
     case "ULID" => call_function("ulid")
@@ -2323,6 +2361,20 @@ object SqlQueries {
     // correlated scalar subqueries in the SELECT list — the per-row
     // lookup shape (counts with zero-fill, NULL for empty MAX groups,
     // a local predicate mixing with the correlation)
+    // correlated scalar subqueries in WHERE — both sides of the AND carry
+    // one (a count floor and a per-customer MIN comparison against outer
+    // arithmetic), exercising the 2c decorrelation + composability
+    "q_sql_corr_where" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT c_custkey, c_name, c_acctbal FROM customer
+               |WHERE (SELECT COUNT(*) FROM orders
+               |       WHERE o_custkey = c_custkey) >= 12
+               |  AND c_acctbal * 10 > (SELECT MIN(o_totalprice) FROM orders
+               |       WHERE o_custkey = c_custkey)
+               |ORDER BY c_custkey;""".stripMargin)
+    }),
     "q_sql_corr_scalar" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
       es.register("customer", Tables.customer(s, d))
@@ -2559,6 +2611,13 @@ object SqlQueries {
         |   ORDER BY n_chars, doc_id) AS pr
         |FROM documents ORDER BY source, doc_id""".stripMargin,
     // DuckDB runs the correlated scalars natively — same ANSI text
+    "q_sql_corr_where" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE (SELECT count(*) FROM orders
+        |       WHERE o_custkey = c_custkey) >= 12
+        |  AND c_acctbal * 10 > (SELECT min(o_totalprice) FROM orders
+        |       WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q_sql_corr_scalar" ->
       """SELECT c_custkey, c_name,
         | (SELECT COUNT(*) FROM orders

@@ -1688,7 +1688,57 @@ object Relational {
       .limit(20)
   }
 
+  /** Exponentially-weighted daily event volume (EWMA anomaly baseline):
+    * per (event_type, day), the half-life-1-day weighted mean of the
+    * trailing 7 days' counts — the smoothed baseline a volume-spike
+    * alert divides today's count by. λ = 0.5 is chosen because 0.5^k is
+    * an exact dyadic double and count·0.5^k stays exact (counts ≪ 2^46),
+    * so every term is a deterministic IEEE value; terms and weights are
+    * DECIMAL(28,12)-routed exact sums, ewma is one final division.
+    * Scale shape: the fact collapses to (type, day) counts FIRST
+    * (partial-combined); the 7-day banded self-join runs over that
+    * types×days dimension relation, never the fact. */
+  private def ewmaVolume(s: SparkSession, d: String): DataFrame = {
+    val daily = EventTime.withMs(Tables.events(s, d))
+      .select(col("event_type"), expr("ms div 86400000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val a = daily.select(col("event_type"), col("day"), col("n"))
+    val b = daily.select(col("event_type").as("b_type"),
+      col("day").as("b_day"), col("n").as("b_n"))
+    val wt = pow(lit(0.5), col("day") - col("b_day"))
+    a.join(b, col("event_type") === col("b_type") &&
+        col("b_day").between(col("day") - 6, col("day")))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("b_n") * wt).cast("decimal(28,12)").as("term"),
+        wt.cast("decimal(28,12)").as("w"))
+      .groupBy(col("event_type"), col("day"), col("n"))
+      .agg((sum(col("term")).cast("double") / sum(col("w")).cast("double"))
+        .as("ewma"))
+  }
+
+  /** Per-user behavioral entropy: Shannon entropy of each user's
+    * event-type mix — the bot/monoculture detector (a scraper hammering
+    * one endpoint scores 0; organic users sit near the type-mix
+    * entropy). Same float discipline as C75's token entropy: c·ln c
+    * terms are DECIMAL(28,12)-routed so summation order cannot move the
+    * last ulp, the identity H = ln N − Σc·ln c / N keeps ln calls to
+    * one per distinct type. Scale shape: fact collapses to
+    * (user, type) counts map-side; both aggs partial-combine on
+    * user_id — no window, no skew. */
+  private def userEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+      .select(col("user_id"), col("c"),
+        (col("c") * log(col("c"))).cast("decimal(28,12)").as("clc"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        round(log(sum(col("c"))) - sum(col("clc")).cast("double") / sum(col("c")), 4)
+          .as("entropy"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma" -> ewmaVolume _,
+    "q_user_entropy" -> userEntropy _,
     "q_late_priority" -> latePriority _,
     "q_cust_order_dist" -> custOrderDist _,
     "q_disjunctive_revenue" -> disjunctiveRevenue _,
@@ -1776,6 +1826,32 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ewma" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_ms(ts) // 86400000 AS day, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |j AS (
+        | SELECT a.event_type, a.day, a.n,
+        |  CAST(b.n * power(0.5, a.day - b.day) AS DECIMAL(28,12)) AS term,
+        |  CAST(power(0.5, a.day - b.day) AS DECIMAL(28,12)) AS w
+        | FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |  AND b.day BETWEEN a.day - 6 AND a.day)
+        |SELECT event_type, day, n,
+        | CAST(sum(term) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS ewma
+        |FROM j GROUP BY 1, 2, 3""".stripMargin,
+    "q_user_entropy" ->
+      """WITH c AS (
+        | SELECT user_id, event_type, count(*) AS c
+        | FROM events GROUP BY 1, 2),
+        |t AS (
+        | SELECT user_id, c,
+        |  CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,12)) AS clc
+        | FROM c)
+        |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        | count(*) AS n_types,
+        | round(ln(CAST(sum(c) AS DOUBLE))
+        |   - CAST(sum(clc) AS DOUBLE) / sum(c), 4) AS entropy
+        |FROM t GROUP BY 1""".stripMargin,
     "q_late_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

@@ -1144,7 +1144,36 @@ object Similarity {
           .as("mean_sil"))
   }
 
+  /** Mutual k-NN pairs (k=5): (a,b) where each is in the other's cosine
+    * top-5 — the standard precision filter over a kNN graph (one-way
+    * neighbors of a hub are usually noise; mutuality keeps only pairs
+    * both sides agree on, the graph SemDeDup/agglomerative pipelines
+    * consume). Exact directed ranks from the all-pairs scan at gate
+    * scale (rounded-6dp sims, neighbor-id ties); at 100 TB the directed
+    * candidate lists come from the IVF/PQ indexes instead and the
+    * mutuality join is unchanged — rank windows over candidate-bounded
+    * lists, then a self-semi-join on the reversed pair. Output is the
+    * a<b undirected edge list with both ranks. */
+  private def mutualKnn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val scored = a.join(b, col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        round(call_function("cosine_sim", col("va"), col("vb")), 6).as("sim"))
+    val w = Window.partitionBy(col("ia")).orderBy(col("sim").desc, col("ib"))
+    val knn = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    val rev = knn.select(col("ia").as("rb"), col("ib").as("ra"),
+      col("rn").as("rn_back"))
+    knn.join(rev, col("ia") === col("ra") && col("ib") === col("rb"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), col("sim"),
+        col("rn").cast("bigint").as("rank_ab"),
+        col("rn_back").cast("bigint").as("rank_ba"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mutual_knn" -> mutualKnn _,
     "q_matryoshka_recall" -> matryoshkaRecall _,
     "q_silhouette" -> silhouette _,
     "q_ivf_recall_curve" -> ivfRecallCurve _,
@@ -1198,6 +1227,19 @@ object Similarity {
       |pairs AS (SELECT id_a, id_b, sim FROM cp WHERE sim >= 0.4)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_mutual_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        | SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        | FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |knn AS (
+        | SELECT * FROM (SELECT *, row_number() OVER (
+        |   PARTITION BY ia ORDER BY sim DESC, ib) AS rn FROM scored)
+        | WHERE rn <= 5)
+        |SELECT f.ia, f.ib, f.sim, f.rn AS rank_ab, r.rn AS rank_ba
+        |FROM knn f JOIN knn r ON f.ia = r.ib AND f.ib = r.ia
+        |WHERE f.ia < f.ib""".stripMargin,
     "q_matryoshka_recall" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 20),

@@ -877,7 +877,71 @@ object Dedup {
           .otherwise(lit(0.0)).as("global_cc"))
   }
 
+  /** 2-core of the τ=0.2 word-similarity graph by 12 fixed peel rounds —
+    * the density audit between components (too coarse: one bridge merges
+    * everything) and triangles (too summary): a node survives iff it
+    * keeps ≥2 neighbors after every weaker node is removed, so the
+    * 2-core IS the template/boilerplate backbone, with tree-like
+    * incidental matches peeled away (Seidman 1983, cores). Fixed-round
+    * semantics make the operator engine-replayable: both engines compute
+    * exactly 12 peels, and `converged` (round-11 edge count == round-12)
+    * reports whether the fixpoint was reached — loud, not silent, on
+    * pathological chains. Scale shape: the RDD loop (the
+    * q_dedup_components machinery — DataFrame unrolling would reference
+    * the surviving-node set twice per round and double the plan per
+    * iteration) keeps one hash partitioning across all rounds; each
+    * round is two co-partitioned joins + a partial-combined degree count
+    * over a shrinking edge set, and every action reuses prior rounds'
+    * shuffle files as skipped stages. Fourteenth consumer of the shared
+    * pair build. */
+  private def kcore(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    val spark = s
+    val k = 2
+    val rounds = 12
+    val pairs = wordPairsAll(s, d).filter(col("raw_j") >= 0.2)
+      .select(col("id_a"), col("id_b"))
+    val raw = pairs.rdd.flatMap { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      Iterator((a, b), (b, a))
+    }
+    val parts = math.max(1, spark.sparkContext.defaultParallelism / 2)
+    val part = new HashPartitioner(parts)
+    var edges = raw.partitionBy(part)
+    var prevEdges = edges
+    for (_ <- 1 to rounds) {
+      prevEdges = edges
+      val good = edges
+        .mapPartitions(_.map { case (src, _) => (src, 1L) },
+          preservesPartitioning = true)
+        .reduceByKey(part, _ + _)
+        .filter(_._2 >= k)
+      edges = edges.join(good, part)
+        .map { case (src, (dst, _)) => (dst, src) }
+        .partitionBy(part)
+        .join(good, part)
+        .map { case (dst, (src, _)) => (src, dst) }
+        .partitionBy(part)
+    }
+    // convergence = the last peel removed nothing (counts suffice: peels
+    // only ever remove edges). Both counts reuse the loop's shuffle files.
+    val converged = edges.count() == prevEdges.count()
+    val deg = edges
+      .mapPartitions(_.map { case (src, _) => (src, 1L) },
+        preservesPartitioning = true)
+      .reduceByKey(part, _ + _)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+    spark.createDataFrame(
+      deg.map { case (id, dg) => Row(id, dg, converged) },
+      StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("core_deg", LongType, nullable = false),
+        StructField("converged", BooleanType, nullable = false))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kcore" -> kcore _,
     "q_threshold_curve" -> thresholdCurve _,
     "q_cluster_purity" -> clusterPurity _,
     "q_triangles" -> triangles _,
@@ -967,7 +1031,36 @@ object Dedup {
        |   GROUP BY e.dst) infl ON n0.doc_id = infl.dst)""".stripMargin
   }.mkString(",\n")
 
+  /** 12 unrolled peel rounds for the q_kcore oracle: each round keeps
+    * edges whose BOTH endpoints have in-round degree ≥ 2 (mirrors the
+    * Spark loop exactly; e0 is the symmetric τ=0.2 edge relation). */
+  private val kcoreSteps = (1 to 12).map { i =>
+    s"""kg$i AS MATERIALIZED (
+       | SELECT src FROM ke${i - 1} GROUP BY 1 HAVING count(*) >= 2),
+       |ke$i AS MATERIALIZED (
+       | SELECT e.src, e.dst FROM ke${i - 1} e
+       | JOIN kg$i ga ON e.src = ga.src
+       | JOIN kg$i gb ON e.dst = gb.src)""".stripMargin
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "q_kcore" ->
+      s"""WITH $wordPairCtes,
+         |jp AS (
+         | SELECT id_a, id_b
+         | FROM p
+         | JOIN cnt ca ON id_a = ca.doc_id
+         | JOIN cnt cb ON id_b = cb.doc_id
+         | WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.2),
+         |ke0 AS MATERIALIZED (
+         | SELECT id_a AS src, id_b AS dst FROM jp
+         | UNION ALL SELECT id_b AS src, id_a AS dst FROM jp),
+         |$kcoreSteps,
+         |conv AS (
+         | SELECT (SELECT count(*) FROM ke12) = (SELECT count(*) FROM ke11)
+         |   AS converged)
+         |SELECT src AS doc_id, count(*) AS core_deg, converged
+         |FROM ke12 CROSS JOIN conv GROUP BY 1, 3""".stripMargin,
     "q_threshold_curve" ->
       s"""WITH $wordPairCtes,
          |jp AS (

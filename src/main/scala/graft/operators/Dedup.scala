@@ -940,7 +940,33 @@ object Dedup {
         StructField("converged", BooleanType, nullable = false))))
   }
 
+  /** Per-document n-gram novelty: the fraction of a doc's distinct word-3
+    * shingles whose corpus-wide FIRST occurrence (min doc_id) is this doc
+    * — the novelty curve curriculum/incremental-crawl pipelines read
+    * (ingest order ≈ doc_id): late docs scoring near 0 are re-crawls or
+    * templates even when no single near-dup partner exists; the
+    * complement of C42's duplicated-shingle mass, resolved per document.
+    * Exact integers, novelty = one int/int division. Scale shape: the
+    * shingle explosion partial-combines into (shingle, min_doc) — the
+    * same postings economics as the dedup family (min is insensitive to
+    * the df cut, so no cap is needed for correctness); join back on the
+    * 8-byte shingle hash, per-doc agg partial-combines on doc_id. */
+  private def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingleCol).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ngram_novelty" -> ngramNovelty _,
     "q_kcore" -> kcore _,
     "q_threshold_curve" -> thresholdCurve _,
     "q_cluster_purity" -> clusterPurity _,
@@ -1044,6 +1070,21 @@ object Dedup {
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    "q_ngram_novelty" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
+        |   i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS s FROM t),
+        |fo AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+        |per AS (
+        | SELECT sh.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel
+        | FROM sh JOIN fo USING (s) GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_novel,
+        | CAST(n_novel AS DOUBLE) / n_shingles AS novelty
+        |FROM per""".stripMargin,
     "q_kcore" ->
       s"""WITH $wordPairCtes,
          |jp AS (

@@ -1736,7 +1736,43 @@ object Relational {
         round(log(sum(col("c"))) - sum(col("clc")).cast("double") / sum(col("c")), 4)
           .as("entropy"))
 
+  /** Nation trade balance: per nation, revenue exported (as the line's
+    * supplier nation) vs imported (as the order's customer nation) and
+    * the net balance — the two-sided rollup B64's bilateral matrix
+    * collapses into. Scale shape: the export side joins the fact to the
+    * broadcast supplier dim only (no orders); the import side pays the
+    * one fact-fact shuffle (lineitem↔orders) then broadcasts customer;
+    * both collapse to nation cardinality before the final broadcast
+    * join. Exact 2-dp decimals; balance is one IEEE subtract of the
+    * rounded pair. */
+  private def tradeBalance(s: SparkSession, d: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val exports = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nk_e"))
+      .agg(moneySum(rev).as("export_rev"))
+    val imports = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk_i"))
+      .agg(moneySum(rev).as("import_rev"))
+    Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      .join(exports, col("n_nationkey") === col("nk_e"), "left_outer")
+      .join(imports, col("n_nationkey") === col("nk_i"), "left_outer")
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("export_rev"), lit(0.0)).as("export_rev"),
+        coalesce(col("import_rev"), lit(0.0)).as("import_rev"),
+        (coalesce(col("export_rev"), lit(0.0))
+          - coalesce(col("import_rev"), lit(0.0))).as("balance"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trade_balance" -> tradeBalance _,
     "q_ewma" -> ewmaVolume _,
     "q_user_entropy" -> userEntropy _,
     "q_late_priority" -> latePriority _,
@@ -1826,6 +1862,27 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_trade_balance" ->
+      """WITH ex AS (
+        | SELECT s_nationkey AS nk,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS export_rev
+        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | GROUP BY 1),
+        |im AS (
+        | SELECT c_nationkey AS nk,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS import_rev
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | GROUP BY 1)
+        |SELECT n_nationkey, n_name,
+        | coalesce(export_rev, 0.0) AS export_rev,
+        | coalesce(import_rev, 0.0) AS import_rev,
+        | coalesce(export_rev, 0.0) - coalesce(import_rev, 0.0) AS balance
+        |FROM nation
+        |LEFT JOIN ex ON n_nationkey = ex.nk
+        |LEFT JOIN im ON n_nationkey = im.nk""".stripMargin,
     "q_ewma" ->
       """WITH daily AS (
         | SELECT event_type, epoch_ms(ts) // 86400000 AS day, count(*) AS n

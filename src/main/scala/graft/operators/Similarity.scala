@@ -1172,7 +1172,34 @@ object Similarity {
         col("rn_back").cast("bigint").as("rank_ba"))
   }
 
+  /** IVF cell-balance audit: per-cell population share plus the
+    * imbalance factor (cell size ÷ ideal n/k) over the deterministic
+    * q_ann_ivf assignment — the index-health number read NEXT TO C101's
+    * silhouette: skew ≫ 1 means probe latency is hostage to one hot
+    * cell and nprobe tuning lies (a cell holding half the corpus makes
+    * nprobe=1 scan n/2, not n/k). Exact integer counts; share and
+    * imbalance are single IEEE divisions over a broadcast scalar.
+    * Scale shape: one assignment scan, k-row output. */
+  private def ivfBalance(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val e = Tables.embeddings(s, d)
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        call_function("cosine_sim", col("embedding"), col("cvec")).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cell"))
+    val total = assigned.agg(count(lit(1)).as("n_vectors"))
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+      .crossJoin(broadcast(total))
+      .select(col("cell"), col("cell_n"), col("n_vectors"),
+        (col("cell_n").cast("double") / col("n_vectors")).as("share"),
+        (col("cell_n").cast("double") * k / col("n_vectors")).as("imbalance"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ivf_balance" -> ivfBalance _,
     "q_mutual_knn" -> mutualKnn _,
     "q_matryoshka_recall" -> matryoshkaRecall _,
     "q_silhouette" -> silhouette _,
@@ -1227,6 +1254,23 @@ object Similarity {
       |pairs AS (SELECT id_a, id_b, sim FROM cp WHERE sim >= 0.4)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ivf_balance" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |scored AS (
+        | SELECT e.vec_id, c.cid,
+        |  list_cosine_similarity(e.v, c.cv) AS csim
+        | FROM e CROSS JOIN c),
+        |a AS (
+        | SELECT vec_id, cid AS cell FROM (
+        |  SELECT *, row_number() OVER (
+        |   PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |tot AS (SELECT count(*) AS n_vectors FROM a)
+        |SELECT cell, count(*) AS cell_n, n_vectors,
+        | CAST(count(*) AS DOUBLE) / n_vectors AS share,
+        | CAST(count(*) AS DOUBLE) * 8 / n_vectors AS imbalance
+        |FROM a CROSS JOIN tot GROUP BY cell, n_vectors""".stripMargin,
     "q_mutual_knn" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |scored AS (

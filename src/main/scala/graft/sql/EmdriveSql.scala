@@ -58,7 +58,7 @@ import graft.sources.SchemaMapper
   *     top-k-per-group idiom)
   *   agg '(' (*|col) ')' OVER '(' … ')' AS a   (window aggregates —
   *     running totals; ordered, so the ANSI default RANGE frame applies)
-  *     [GROUP BY [ROLLUP(]col [, …][)]] [HAVING pred-over-output-names]
+  *     [GROUP BY [ROLLUP(|CUBE(]col [, …][)]] [HAVING pred-over-output-names]
   *     [ORDER BY col [ASC|DESC] [, …]] [LIMIT n] [OFFSET m]
   *     (OFFSET requires ORDER BY — unordered pagination is
   *     nondeterministic and refused)
@@ -317,10 +317,11 @@ object EmdriveSql {
       /** `FROM t [AS] a` — when set, the base relation's columns are
         * renamed `a.col` (qualified-reference / self-join support). */
       baseAlias: Option[String] = None,
-      /** GROUP BY ROLLUP(…) — hierarchical subtotals; lowered to
-        * Dataset.rollup so Catalyst's Expand produces every prefix
-        * grouping set in one pass (NULL marks a rolled-up key, ANSI). */
-      rollup: Boolean = false)
+      /** GROUP BY ROLLUP(…)/CUBE(…) — subtotal grouping sets ("rollup" =
+        * key prefixes, "cube" = all key subsets); lowered to
+        * Dataset.rollup/cube so Catalyst's Expand produces every grouping
+        * set in one pass (NULL marks a rolled-up key, ANSI). */
+      groupMode: String = "plain")
     extends Statement
 
   /** select (UNION [ALL] | EXCEPT | INTERSECT) select … —
@@ -624,7 +625,7 @@ object EmdriveSql {
     }
     val where = mutable.ListBuffer.empty[Pred]
     if (p.tryWord("WHERE")) where += parsePred(p)
-    val (groupBy, rollup) =
+    val (groupBy, groupMode) =
       if (p.tryWord("GROUP")) {
         p.eatWord("BY")
         // GROUP BY 1, 2 — ordinals into the select list ("#n" markers,
@@ -633,14 +634,17 @@ object EmdriveSql {
           case TNum(n) :: rest if !n.contains('.') => p.toks = rest; "#" + n
           case _ => p.qident()
         }
-        // GROUP BY ROLLUP(a, b, …) — hierarchical subtotal sets
-        val isRollup = p.tryWord("ROLLUP")
-        if (isRollup) p.eatSym("(")
+        // GROUP BY ROLLUP(a, b, …) / CUBE(a, b, …) — subtotal sets
+        val mode =
+          if (p.tryWord("ROLLUP")) "rollup"
+          else if (p.tryWord("CUBE")) "cube"
+          else "plain"
+        if (mode != "plain") p.eatSym("(")
         val gs = mutable.ListBuffer(gkey())
         while (p.trySym(",")) gs += gkey()
-        if (isRollup) p.eatSym(")")
-        (gs.toSeq, isRollup)
-      } else (Seq.empty[String], false)
+        if (mode != "plain") p.eatSym(")")
+        (gs.toSeq, mode)
+      } else (Seq.empty[String], "plain")
     val having = mutable.ListBuffer.empty[Pred]
     if (p.tryWord("HAVING")) having += parsePred(p)
     val orderBy =
@@ -682,7 +686,7 @@ object EmdriveSql {
         Some(boundedInt("OFFSET"))
       } else None
     Select(items.toSeq, table, where.toSeq, groupBy, having.toSeq, orderBy,
-      limit, joins.toSeq, distinct, offset, derived, baseAlias, rollup)
+      limit, joins.toSeq, distinct, offset, derived, baseAlias, groupMode)
   }
 
   private def parseItem(p: P): SelectItem = p.toks match {
@@ -1351,7 +1355,7 @@ final class EmdriveSession(spark: SparkSession) {
 
   private def lowerSelect(sel: Select): DataFrame = {
     val Select(items, name, where, rawGroupBy, having, rawOrderBy, limitN,
-      joins, distinct, offsetN, derived, baseAlias, rollupFlag) = sel
+      joins, distinct, offsetN, derived, baseAlias, groupMode) = sel
     // "#n" ordinal markers (GROUP BY 1 / ORDER BY 2) resolve to the n-th
     // select item's OUTPUT name — ANSI ordinal semantics; grouping by an
     // aggregate/window position is refused like any non-key grouping
@@ -1602,12 +1606,14 @@ final class EmdriveSession(spark: SparkSession) {
               aggColumn(f, arg).as("__agg_" + aggAlias(f, arg, None)) }
           val aggs = plain ++ exprAggs
           require(aggs.nonEmpty, "GROUP BY requires at least one aggregate")
-          // ROLLUP lowers to Dataset.rollup — ONE Expand pass produces
-          // every prefix grouping set (no re-aggregation per level)
+          // ROLLUP/CUBE lower to Dataset.rollup/cube — ONE Expand pass
+          // produces every grouping set (no re-aggregation per level)
           val agged =
-            (if (rollupFlag) df.rollup(groupBy.map(qref): _*)
-             else df.groupBy(groupBy.map(qref): _*))
-              .agg(aggs.head, aggs.tail: _*)
+            (groupMode match {
+              case "rollup" => df.rollup(groupBy.map(qref): _*)
+              case "cube" => df.cube(groupBy.map(qref): _*)
+              case _ => df.groupBy(groupBy.map(qref): _*)
+            }).agg(aggs.head, aggs.tail: _*)
           // post-aggregation expression evaluation: aggregate atoms read
           // their computed columns, ORefs read group keys, literals stay
           def aggExprCol(o: Operand): Column = o match {
@@ -2034,6 +2040,14 @@ object SqlQueries {
       es.register("documents", Tables.documents(s, d))
       es.sql("""SELECT lang, source, COUNT(*) AS n, SUM(n_chars) AS total_chars
                |FROM documents GROUP BY ROLLUP(lang, source);""".stripMargin)
+    }),
+    // GROUP BY CUBE end-to-end: all 2^k grouping sets from one Expand
+    "q_sql_cube" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang, source, COUNT(*) AS n
+               |FROM documents WHERE n_chars >= 100
+               |GROUP BY CUBE(lang, source);""".stripMargin)
     }),
     // simple CASE (subject form) desugared at parse to the searched form
     "q_sql_case_simple" -> ((s: SparkSession, d: String) => {
@@ -2530,6 +2544,10 @@ object SqlQueries {
       """SELECT lang, source, count(*) AS n,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+    "q_sql_cube" ->
+      """SELECT lang, source, count(*) AS n
+        |FROM documents WHERE n_chars >= 100
+        |GROUP BY CUBE(lang, source)""".stripMargin,
     "q_sql_case_simple" ->
       """SELECT CASE lang WHEN 'en' THEN 'latin' WHEN 'fr' THEN 'latin'
         |  WHEN 'zh' THEN 'cjk' ELSE 'other' END AS script,

@@ -1771,7 +1771,62 @@ object Relational {
           - coalesce(col("import_rev"), lit(0.0))).as("balance"))
   }
 
+  /** Session-shape percentiles: exact interpolated p50/p90/p99 of session
+    * duration and event count over the gap-sessionized stream (B14's 30-min
+    * cutoff) — the engagement-shape card next to the raw session table
+    * (medians resist the bot tail that wrecks means). Scale shape: the
+    * session collapse partial-combines per (user, session); the global
+    * percentile is a single-group aggregate over the SESSION relation
+    * (orders of magnitude smaller than events), exact integer inputs. */
+  private def sessionDurations(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val sess = EventTime.withMs(Tables.events(s, d))
+      .withColumn("new_sess",
+        when(col("ms") - lag(col("ms"), 1).over(wOrd) > 1800000L, 1)
+          .otherwise(when(lag(col("ms"), 1).over(wOrd).isNull, 1).otherwise(0)))
+      .withColumn("session_seq", sum(col("new_sess")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ms")) - min(col("ms"))).as("duration_ms"))
+    sess.agg(count(lit(1)).as("n_sessions"),
+      percentile(col("duration_ms"), lit(0.5)).as("p50_duration_ms"),
+      percentile(col("duration_ms"), lit(0.9)).as("p90_duration_ms"),
+      percentile(col("duration_ms"), lit(0.99)).as("p99_duration_ms"),
+      percentile(col("n_events"), lit(0.5)).as("p50_events"),
+      percentile(col("n_events"), lit(0.9)).as("p90_events"))
+  }
+
+  /** Supplier-concentration HHI per part type: Herfindahl–Hirschman index
+    * of supplier revenue shares within each p_type market — the
+    * procurement-risk number (HHI → 1 means one supplier owns the
+    * market; antitrust reads ≥ 0.25 as concentrated). Exact identity
+    * HHI = Σrᵢ² / (Σrᵢ)²: per-(type, supplier) revenues are exact
+    * DECIMAL(18,4) sums, the squares and totals stay exact decimals, one
+    * final double division — no per-share float round-trip. Scale shape:
+    * fact collapses to (type, supplier) partial-combined, both outer
+    * aggs run over that collapsed relation, broadcast part dim. */
+  private def supplierHhi(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("r"))
+    rev.groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("r") * col("r")).as("ss"),
+        sum(col("r")).as("tot"))
+      .select(col("p_type"), col("n_suppliers"),
+        round(col("tot"), 2).cast("double").as("total_revenue"),
+        round(col("ss").cast("double")
+            / (col("tot").cast("double") * col("tot").cast("double")), 9)
+          .as("hhi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_durations" -> sessionDurations _,
+    "q_supplier_hhi" -> supplierHhi _,
     "q_trade_balance" -> tradeBalance _,
     "q_ewma" -> ewmaVolume _,
     "q_user_entropy" -> userEntropy _,
@@ -1862,6 +1917,40 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_session_durations" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |flagged AS (
+        | SELECT *, CASE WHEN ms - lag(ms) OVER w > 1800000 OR
+        |   lag(ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |sess AS (
+        | SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |   ORDER BY ms, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM flagged),
+        |per AS (
+        | SELECT user_id, session_seq, count(*) AS n_events,
+        |  max(ms) - min(ms) AS duration_ms
+        | FROM sess GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        | quantile_cont(duration_ms, 0.5) AS p50_duration_ms,
+        | quantile_cont(duration_ms, 0.9) AS p90_duration_ms,
+        | quantile_cont(duration_ms, 0.99) AS p99_duration_ms,
+        | quantile_cont(n_events, 0.5) AS p50_events,
+        | quantile_cont(n_events, 0.9) AS p90_events
+        |FROM per""".stripMargin,
+    "q_supplier_hhi" ->
+      """WITH rev AS (
+        | SELECT p_type, l_suppkey,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS r
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | GROUP BY 1, 2)
+        |SELECT p_type, count(*) AS n_suppliers,
+        | CAST(round(sum(r), 2) AS DOUBLE) AS total_revenue,
+        | round(CAST(sum(r * r) AS DOUBLE)
+        |   / (CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE)), 9) AS hhi
+        |FROM rev GROUP BY 1""".stripMargin,
     "q_trade_balance" ->
       """WITH ex AS (
         | SELECT s_nationkey AS nk,

@@ -21,6 +21,8 @@ case class StreamEvent(user_id: Long, ts: Timestamp, event_type: String, value: 
 /** One keyed upsert record on the stream. */
 case class StreamUpdate(key: Long, version: Long, payload: String)
 case class EventGap(user_id: Long, event_type: String, gap_ms: Long)
+case class PrefixScore(user_id: Long, event_type: String, ts_ms: Long,
+  value: Double, z: Double)
 
 /** Open-session state per user. */
 case class SessionState(start_ms: Long, last_ms: Long, n_events: Long, value: Double)
@@ -427,6 +429,42 @@ object StreamOps {
             g
           }
           last.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Streaming prefix z-score anomaly (D25): each event's value is scored
+    * against the running mean/variance of everything its event_type has
+    * seen SO FAR — the alert-as-it-arrives twin of the batch q_outliers
+    * z-score (which scores against the final distribution). State per
+    * live key is three numbers (n, Σx, Σx²) — O(1) regardless of stream
+    * length; within a micro-batch events fold in event-time order (ts
+    * ties broken by value) so replays and batch boundaries produce
+    * identical prefixes (parity-asserted in StreamingSpec against the
+    * same fold run in plain Scala). Scores before the second observation
+    * and under zero variance are 0 by definition — loud NaNs never leave
+    * the operator. */
+  def prefixZscore(events: Dataset[StreamEvent]): Dataset[PrefixScore] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Long, Double, Double), PrefixScore](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[StreamEvent],
+         state: GroupState[(Long, Double, Double)]) =>
+          var (n, sx, sxx) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.value)).map { e =>
+            val z =
+              if (n < 2) 0.0
+              else {
+                val mean = sx / n
+                val variance = (sxx - sx * sx / n) / (n - 1)
+                if (variance <= 0) 0.0 else (e.value - mean) / math.sqrt(variance)
+              }
+            n += 1; sx += e.value; sxx += e.value * e.value
+            PrefixScore(e.user_id, key, e.ts.getTime, e.value, z)
+          }
+          state.update((n, sx, sxx))
           out.iterator
       }
   }

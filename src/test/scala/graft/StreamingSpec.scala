@@ -392,6 +392,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming prefix z-score: state survives batches, matches the sequential fold (D25)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val q = StreamOps.prefixZscore(input.toDS())
+      .writeStream.format("memory").queryName("zscore_out")
+      .outputMode(OutputMode.Append).start()
+    val batch1 = Seq(
+      StreamEvent(1, new Timestamp(100), "click", 10.0),
+      StreamEvent(2, new Timestamp(200), "click", 12.0),
+      StreamEvent(1, new Timestamp(300), "view", 5.0))
+    val batch2 = Seq(
+      StreamEvent(3, new Timestamp(400), "click", 11.0),
+      StreamEvent(1, new Timestamp(500), "click", 40.0), // the anomaly
+      StreamEvent(2, new Timestamp(600), "view", 5.5))
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("zscore_out").as[graft.streaming.PrefixScore]
+        .collect().map(p => (p.event_type, p.ts_ms) -> p.z).toMap
+      // the oracle is the same fold run sequentially over the full stream
+      val exp = scala.collection.mutable.Map.empty[(String, Long), Double]
+      val st = scala.collection.mutable.Map.empty[String, (Long, Double, Double)]
+      (batch1 ++ batch2).sortBy(e => e.ts.getTime).foreach { e =>
+        val (n, sx, sxx) = st.getOrElse(e.event_type, (0L, 0.0, 0.0))
+        val z =
+          if (n < 2) 0.0
+          else {
+            val v = (sxx - sx * sx / n) / (n - 1)
+            if (v <= 0) 0.0 else (e.value - sx / n) / math.sqrt(v)
+          }
+        exp((e.event_type, e.ts.getTime)) = z
+        st(e.event_type) = (n + 1, sx + e.value, sxx + e.value * e.value)
+      }
+      assert(got == exp.toMap, got.toString)
+      // the anomaly sticks out; pre-history scores are 0 by definition
+      assert(got(("click", 500L)) > 3.0, got(("click", 500L)).toString)
+      assert(got(("click", 100L)) == 0.0 && got(("click", 200L)) == 0.0)
+    } finally q.stop()
+  }
+
   test("streaming parquet file sink: checkpoint restart resumes exactly-once (D24)") {
     val s = spark
     import s.implicits._

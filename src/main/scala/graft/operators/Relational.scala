@@ -1824,7 +1824,29 @@ object Relational {
           .as("hhi"))
   }
 
+  /** Skew-salted join end-to-end (C15 upgraded from test-only to an
+    * oracle-checked key): supplier revenue through Skew.saltedJoin — the
+    * deterministic-salt fan-out join — aggregated per supplier. The
+    * oracle is the PLAIN join in DuckDB: salting must be semantically
+    * invisible (every (key, salt) pair finds exactly its match), which
+    * is the whole correctness claim of the operator. Scale shape: hot
+    * suppkeys spread across 8 salt buckets at the cost of an 8× dim
+    * replication — the explicit, bounded version of what AQE's
+    * skew-split does implicitly. */
+  private def skewJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.lineitem(s, d).select(col("l_suppkey").as("suppkey"),
+      col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val dim = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("suppkey"), col("s_name"))
+    Skew.saltedJoin(fact, dim, "suppkey", "l_orderkey", 8)
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_join" -> skewJoin _,
     "q_session_durations" -> sessionDurations _,
     "q_supplier_hhi" -> supplierHhi _,
     "q_trade_balance" -> tradeBalance _,
@@ -1917,6 +1939,13 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the PLAIN join: salting must be semantically invisible
+    "q_skew_join" ->
+      """SELECT s_name, count(*) AS n_lines,
+        | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
     "q_session_durations" ->
       """WITH e AS (
         | SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),

@@ -1761,9 +1761,12 @@ object Relational {
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey").as("nk_i"))
       .agg(moneySum(rev).as("import_rev"))
+    // the collapsed sides are nation-cardinality: broadcast them
+    // explicitly (they are post-aggregation relations, so the static
+    // planner has no stats to pick broadcast on its own)
     Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
-      .join(exports, col("n_nationkey") === col("nk_e"), "left_outer")
-      .join(imports, col("n_nationkey") === col("nk_i"), "left_outer")
+      .join(broadcast(exports), col("n_nationkey") === col("nk_e"), "left_outer")
+      .join(broadcast(imports), col("n_nationkey") === col("nk_i"), "left_outer")
       .select(col("n_nationkey"), col("n_name"),
         coalesce(col("export_rev"), lit(0.0)).as("export_rev"),
         coalesce(col("import_rev"), lit(0.0)).as("import_rev"),
@@ -1845,7 +1848,33 @@ object Relational {
           .as("revenue"))
   }
 
+  /** Order-priority mix shift: each month's share of orders per priority
+    * and the month-over-month share delta — COMPOSITION drift, the
+    * leading indicator volume trends hide (total volume can hold steady
+    * while urgent orders quietly displace low-priority ones). Shares are
+    * cross-engine safe as single int/int divisions; the delta is one
+    * IEEE subtract of those; the lag window runs over the months×5
+    * dimension grid, never the fact. Scale shape: fact collapses to
+    * (month, priority) counts partial-combined, month totals broadcast
+    * back onto the grid. */
+  private def priorityMixShift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.orders(s, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderpriority"))
+      .groupBy(col("month"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val tot = per.groupBy(col("month")).agg(sum(col("n")).as("mtot"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("month"))
+    per.join(broadcast(tot), "month")
+      .withColumn("share", col("n").cast("double") / col("mtot"))
+      .withColumn("share_delta", col("share") - lag(col("share"), 1).over(w))
+      .select(col("month"), col("o_orderpriority"), col("n"), col("share"),
+        col("share_delta"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_priority_mix_shift" -> priorityMixShift _,
     "q_skew_join" -> skewJoin _,
     "q_session_durations" -> sessionDurations _,
     "q_supplier_hhi" -> supplierHhi _,
@@ -1939,6 +1968,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_priority_mix_shift" ->
+      """WITH per AS (
+        | SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+        |  count(*) AS n
+        | FROM orders GROUP BY 1, 2),
+        |tot AS (SELECT month, sum(n) AS mtot FROM per GROUP BY 1),
+        |sh AS (
+        | SELECT per.month, o_orderpriority, n,
+        |  CAST(n AS DOUBLE) / mtot AS share
+        | FROM per JOIN tot ON per.month = tot.month)
+        |SELECT month, o_orderpriority, n, share,
+        | share - lag(share) OVER (PARTITION BY o_orderpriority
+        |   ORDER BY month) AS share_delta
+        |FROM sh""".stripMargin,
     // the PLAIN join: salting must be semantically invisible
     "q_skew_join" ->
       """SELECT s_name, count(*) AS n_lines,

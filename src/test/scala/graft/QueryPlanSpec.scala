@@ -60,6 +60,49 @@ class QueryPlanSpec extends SparkTestBase {
     assert(!read.contains("l_orderkey"), read)
   }
 
+  test("Q19 disjunction: part-side envelope reaches the part scan, part broadcasts") {
+    GraftSession.prepare(spark)
+    val p = SparkEntry.queries("q_disjunctive_revenue")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // the OR'd brand/size envelope is pushed to the part scan as a
+    // data filter (Catalyst factors the part-only conjuncts out of the
+    // mixed disjunction), and the dim side broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Brand#11"), p)
+    // the fact scan reads only the touched columns
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!reads.contains("l_tax"), reads)
+  }
+
+  test("Q4 lateness semi-join: date range pushed to the orders scan, left-semi shape") {
+    GraftSession.prepare(spark)
+    val p = SparkEntry.queries("q_late_priority")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("trade balance: supplier/customer dims broadcast, one fact-fact shuffle") {
+    val p = plan("q_trade_balance")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly one join is a shuffle join (lineitem↔orders on the import side)
+    val smj = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size
+    assert(smj <= 1, s"expected <=1 shuffle join, got $smj\n$p")
+  }
+
+  test("mutual kNN below the cutoff: broadcast NL scan, no corpus shuffle join") {
+    val p = plan("q_mutual_knn")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("priority mix shift: windows run over the collapsed month grid, fact partial-aggregates") {
+    val p = plan("q_priority_mix_shift")
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("ABC analysis scans the fact exactly once (windowed scalar total)") {
     val p = plan("q_abc_analysis")
     assert(p.linesIterator.count(_.trim.startsWith("Scan parquet")) <= 1

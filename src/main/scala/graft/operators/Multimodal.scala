@@ -188,10 +188,36 @@ object Multimodal {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"), max(col("end_ms")).as("span_ms"))
 
+  /** WebDataset-style shard planning: assign media rows to ~4 KB shards
+    * per source (id-ordered prefix-sum bucketing: shard = exclusive
+    * cumulative bytes div budget — deterministic, one-pass, each shard
+    * overshoots by at most one item) and emit the per-shard manifest
+    * (count, bytes, id range) a tar-writer consumes. This is the
+    * planning half of multimodal dataset prep: balanced shards are what
+    * make sequential-read training loaders work; the blob bytes
+    * themselves never move here. Exact integers end to end. Scale
+    * shape: the cumsum window partitions by source (shards are
+    * per-source by design — no global sort), manifest rows are
+    * shards-cardinality. */
+  private def shardPlan(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("bigint").as("bytes"))
+      .withColumn("cum_excl", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("shard_id", expr("cum_excl div 4096"))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_items"), sum(col("bytes")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal" -> multimodal _,
     "q_frames" -> frames _,
-    "q_audio_chunks" -> audio _
+    "q_audio_chunks" -> audio _,
+    "q_shard_plan" -> shardPlan _
   )
 
   val oracles: Map[String, String] = Map(
@@ -212,6 +238,20 @@ object Multimodal {
         | CAST(ceil(n_frames / 2.0) AS BIGINT) AS n_sampled,
         | CAST(((n_frames - 1) // 2) * 2 AS INTEGER) AS last_idx
         |FROM f""".stripMargin,
+    "q_shard_plan" ->
+      """WITH b AS (
+        | SELECT doc_id, source, CAST(strlen(text) AS BIGINT) AS bytes
+        | FROM documents),
+        |c AS (
+        | SELECT *, coalesce(sum(bytes) OVER (PARTITION BY source
+        |   ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+        | FROM b)
+        |SELECT source, CAST(cum_excl // 4096 AS BIGINT) AS shard_id,
+        | count(*) AS n_items,
+        | CAST(sum(bytes) AS BIGINT) AS shard_bytes,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "q_audio_chunks" ->
       """WITH a AS (
         | SELECT doc_id, (strlen(text) * 1000) // 16 AS total_ms

@@ -1895,7 +1895,37 @@ object Relational {
         moneySum(col("l_extendedprice")).as("box_revenue"))
   }
 
+  /** Interchange-format roundtrip (D2/D15 upgraded from test-only to one
+    * oracle-checked key): the documents table is written to CSV, JSON,
+    * and ORC, read back through the typed-schema readers, and
+    * aggregated per format; the oracle computes the same aggregate from
+    * the PARQUET source — every row, character, and language must
+    * survive each format's quoting/encoding (CSV quote-escape, JSON
+    * string escape, ORC encoding) bit-for-bit. The write is one pass
+    * per format; at 100 TB this is the ingest/egress conformance check,
+    * not a data path. */
+  private def ioRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = s"/tmp/graft_io_${java.lang.Integer.toHexString(d.hashCode)}"
+    docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    docs.write.mode("overwrite").json(s"$base/json")
+    graft.sources.Io.writeOrc(docs, s"$base/orc")
+    val reread = Seq(
+      "csv" -> graft.sources.Io.readCsv(s, s"$base/csv", docs.schema),
+      "json" -> graft.sources.Io.readJson(s, s"$base/json", docs.schema),
+      "orc" -> graft.sources.Io.readOrc(s, s"$base/orc"))
+    reread.map { case (f, df) =>
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(length(col("text")).cast("bigint")).as("text_chars"))
+        .select(lit(f).as("format"), col("n_rows"), col("total_chars"),
+          col("n_langs"), col("text_chars"))
+    }.reduce(_ unionByName _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_io_roundtrip" -> ioRoundtrip _,
     "q_zorder_scan" -> zorderScan _,
     "q_priority_mix_shift" -> priorityMixShift _,
     "q_skew_join" -> skewJoin _,
@@ -1991,6 +2021,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the PARQUET source: every row/char/lang must survive each format
+    "q_io_roundtrip" ->
+      """WITH a AS (
+        | SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS text_chars
+        | FROM documents)
+        |SELECT f.format, n_rows, total_chars, n_langs, text_chars
+        |FROM a CROSS JOIN
+        | (SELECT unnest(['csv','json','orc']) AS format) f""".stripMargin,
     // the PLAIN table: clustering must be semantically invisible
     "q_zorder_scan" ->
       """SELECT count(*) AS n_lines,

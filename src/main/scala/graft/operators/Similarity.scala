@@ -1238,11 +1238,11 @@ object Similarity {
     val hashed = Tables.documents(s, d).select(col("doc_id"),
       call_function("simhash64", split(col("text"), " ")).as("h"))
     val path = s"/tmp/graft_metric_index_${java.lang.Integer.toHexString(d.hashCode)}"
-    graft.sources.MetricIndex.writeIndexed(hashed, path, "h", bits = 8)
+    graft.sources.MetricIndex.writeIndexed(hashed, path, "h", bits = 6)
     val probe = hashed.filter(col("doc_id") === 0)
       .select(col("h")).collect()(0).getLong(0)
     graft.sources.MetricIndex.thresholdQuery(s, path, "h", probe,
-        maxDist = 12, bits = 8)
+        maxDist = 2, bits = 6)
       .select(col("doc_id"),
         call_function("hamming64", col("h"), lit(probe)).cast("int").as("dist"))
   }
@@ -1312,7 +1312,7 @@ object Similarity {
          |   CAST(bit_count(xor(simhash,
          |     (SELECT simhash FROM sh64 WHERE doc_id = 0))) AS INTEGER) AS dist
          |  FROM sh64)
-         |SELECT doc_id, dist FROM d WHERE dist <= 12""".stripMargin,
+         |SELECT doc_id, dist FROM d WHERE dist <= 2""".stripMargin,
     "q_ivf_balance" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

@@ -41,6 +41,11 @@ object MetricIndex {
   def writeIndexed(df: DataFrame, path: String, hashCol: String,
       bits: Int = 8): Unit =
     df.withColumn(PrefixColumn, prefixOf(col(hashCol), bits))
+      // cluster rows by prefix BEFORE the partitioned write: without
+      // this every task writes a file into every partition directory it
+      // sees (tasks × 2^bits small files); with it each prefix lands in
+      // one task → one file per partition, the layout scans want anyway
+      .repartition(col(PrefixColumn))
       .write.mode(SaveMode.Overwrite)
       .partitionBy(PrefixColumn)
       .parquet(path)

@@ -1924,7 +1924,61 @@ object Relational {
     }.reduce(_ unionByName _)
   }
 
+  /** Day-of-week seasonal index per event type: each (type, dow)'s share
+    * of the type's events, scaled by 7 — 1.0 = flat, >1 = that weekday
+    * over-indexes (the hourly-profile B-row's weekly twin; capacity
+    * planning and anomaly baselines both start here). dow is an exact
+    * integer off the UTC epoch-day ((day+4) mod 7: 1970-01-01 was a
+    * Thursday; 0=Sunday ISO-agnostic and engine-agnostic), the index is
+    * count·7/total — one multiply and one divide over exact integers.
+    * Scale shape: fact collapses to the types×7 grid, totals broadcast. */
+  private def seasonalIndex(s: SparkSession, d: String): DataFrame = {
+    val per = EventTime.withMs(Tables.events(s, d))
+      .select(col("event_type"),
+        expr("((ms div 86400000) + 4) % 7").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"))
+    val tot = per.groupBy(col("event_type")).agg(sum(col("n")).as("t"))
+    per.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        (col("n").cast("double") * 7 / col("t")).as("seasonal_index"))
+  }
+
+  /** Quantity-weighted median unit price per brand: the "typical traded
+    * price" where each line votes with its quantity — resistant to both
+    * outlier prices and outlier order sizes (a plain median over-weights
+    * small lines). Exact throughout: unit price is ONE raw IEEE division
+    * per row (bitwise identical across engines — a decimal fix-point
+    * here would hit .xxxxx5 HALF_UP boundaries), weights are exact
+    * decimal quantities, and the median pick is the first row where
+    * 2·cumweight ≥ total — a cross-multiplied integer-style comparison,
+    * no interpolation, no float accumulation. Scale shape: fact
+    * collapses to (brand, price) with weight sums FIRST; the cumsum
+    * window runs inside brand partitions over collapsed rows. */
+  private def weightedMedian(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
+        col("l_quantity").cast("decimal(18,4)").as("w"))
+      .groupBy(col("p_brand"), col("unit_price"))
+      .agg(sum(col("w")).as("w"))
+    val wc = Window.partitionBy(col("p_brand")).orderBy(col("unit_price"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rows.groupBy(col("p_brand")).agg(sum(col("w")).as("total_w"))
+    rows.withColumn("cum", sum(col("w")).over(wc))
+      .join(broadcast(tot), "p_brand")
+      .filter(col("cum") * 2 >= col("total_w"))
+      .groupBy(col("p_brand"))
+      .agg(min(col("unit_price")).as("weighted_median_price"),
+        max(col("total_w")).cast("double").as("total_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_index" -> seasonalIndex _,
+    "q_weighted_median" -> weightedMedian _,
     "q_io_roundtrip" -> ioRoundtrip _,
     "q_zorder_scan" -> zorderScan _,
     "q_priority_mix_shift" -> priorityMixShift _,
@@ -2021,6 +2075,31 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_seasonal_index" ->
+      """WITH per AS (
+        | SELECT event_type,
+        |  ((epoch_ms(ts) // 86400000) + 4) % 7 AS dow, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, sum(n) AS t FROM per GROUP BY 1)
+        |SELECT per.event_type, CAST(dow AS BIGINT) AS dow, n,
+        | CAST(n AS DOUBLE) * 7 / t AS seasonal_index
+        |FROM per JOIN tot ON per.event_type = tot.event_type""".stripMargin,
+    "q_weighted_median" ->
+      """WITH r AS (
+        | SELECT p_brand,
+        |  l_extendedprice / l_quantity AS unit_price,
+        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS w
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | GROUP BY 1, 2),
+        |c AS (
+        | SELECT *, sum(w) OVER (PARTITION BY p_brand ORDER BY unit_price
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(w) OVER (PARTITION BY p_brand) AS total_w
+        | FROM r)
+        |SELECT p_brand,
+        | min(unit_price) AS weighted_median_price,
+        | CAST(max(total_w) AS DOUBLE) AS total_qty
+        |FROM c WHERE cum * 2 >= total_w GROUP BY 1""".stripMargin,
     // the PARQUET source: every row/char/lang must survive each format
     "q_io_roundtrip" ->
       """WITH a AS (

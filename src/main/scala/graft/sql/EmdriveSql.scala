@@ -2041,6 +2041,17 @@ object SqlQueries {
       es.sql("""SELECT lang, source, COUNT(*) AS n, SUM(n_chars) AS total_chars
                |FROM documents GROUP BY ROLLUP(lang, source);""".stripMargin)
     }),
+    // scalar subquery inside HAVING arithmetic: groups kept only when
+    // their count beats a corpus-derived threshold — the uncorrelated
+    // subquery executes once and inlines as a literal atom
+    "q_sql_having_sub" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, COUNT(*) AS n FROM documents
+               |GROUP BY source
+               |HAVING n * 25 > (SELECT COUNT(*) FROM documents)
+               |ORDER BY source;""".stripMargin)
+    }),
     // GROUP BY CUBE end-to-end: all 2^k grouping sets from one Expand
     "q_sql_cube" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
@@ -2544,6 +2555,11 @@ object SqlQueries {
       """SELECT lang, source, count(*) AS n,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+    "q_sql_having_sub" ->
+      """SELECT source, count(*) AS n FROM documents
+        |GROUP BY source
+        |HAVING count(*) * 25 > (SELECT count(*) FROM documents)
+        |ORDER BY source""".stripMargin,
     "q_sql_cube" ->
       """SELECT lang, source, count(*) AS n
         |FROM documents WHERE n_chars >= 100

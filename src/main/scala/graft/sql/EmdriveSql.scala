@@ -59,6 +59,7 @@ import graft.sources.SchemaMapper
   *   agg '(' (*|col) ')' OVER '(' … ')' AS a   (window aggregates —
   *     running totals; ordered, so the ANSI default RANGE frame applies)
   *     [GROUP BY [ROLLUP(|CUBE(]col [, …][)]] [HAVING pred-over-output-names]
+  *     [WINDOW n AS '(' spec ')' [, …]]   (named specs; items say OVER n)
   *     [ORDER BY col [ASC|DESC] [, …]] [LIMIT n] [OFFSET m]
   *     (OFFSET requires ORDER BY — unordered pagination is
   *     nondeterministic and refused)
@@ -180,6 +181,11 @@ object EmdriveSql {
       partitionBy: Seq[String], orderBy: Seq[OrderKey],
       alias: String,
       frame: Option[(Option[Long], Option[Long])] = None) extends SelectItem
+  /** `fn() OVER w AS a` — a window item referencing a named WINDOW-clause
+    * spec; parseSelect substitutes the named spec in (a [[WinItem]]
+    * results), so nothing downstream ever sees this node. */
+  final case class WinRefItem(func: String, arg: Option[String],
+      winName: String, alias: String) extends SelectItem
   final case class DistItem(column: String, probe: Value, alias: String) extends SelectItem
   /** COUNT/SUM/AVG/MIN/MAX over a column (or `*` for COUNT). Output name
     * defaults to `count` / `<func>_<col>` when no alias is given. */
@@ -396,6 +402,7 @@ object EmdriveSql {
   }
 
   private val Keywords = Set("CREATE", "TABLE", "IF", "NOT", "EXISTS", "INSERT",
+    "WINDOW",
     "INTO", "VALUES", "SELECT", "FROM", "WHERE", "AS", "AND", "OR", "IN",
     "BETWEEN",
     "GROUP", "BY", "HAVING", "ORDER", "LIMIT", "OFFSET", "ASC", "DESC",
@@ -647,6 +654,26 @@ object EmdriveSql {
       } else (Seq.empty[String], "plain")
     val having = mutable.ListBuffer.empty[Pred]
     if (p.tryWord("HAVING")) having += parsePred(p)
+    // WINDOW n AS (spec) [, n2 AS (spec)] — named window specs (ANSI
+    // position: after HAVING, before ORDER BY); `OVER n` items parsed
+    // above resolve here. Unknown names fail loudly.
+    val winSpecs = mutable.Map.empty[String,
+      (Seq[String], Seq[OrderKey], Option[(Option[Long], Option[Long])])]
+    if (p.tryWord("WINDOW")) {
+      def one(): Unit = {
+        val n = p.ident(); p.eatWord("AS"); winSpecs(n) = parseWindowSpec(p)
+      }
+      one()
+      while (p.trySym(",")) one()
+    }
+    val resolvedItems: Seq[SelectItem] = items.toSeq.map {
+      case WinRefItem(f, a, w, alias) =>
+        val (parts, keys, frame) = winSpecs.getOrElse(w,
+          p.fail(s"OVER $w references no WINDOW clause spec"))
+        checkFrame(f, frame, p)
+        WinItem(f, a, parts, keys, alias, frame)
+      case other => other
+    }
     val orderBy =
       if (p.tryWord("ORDER")) {
         p.eatWord("BY")
@@ -685,7 +712,7 @@ object EmdriveSql {
           s"OFFSET without ORDER BY is nondeterministic; add ORDER BY in: ${p.input}")
         Some(boundedInt("OFFSET"))
       } else None
-    Select(items.toSeq, table, where.toSeq, groupBy, having.toSeq, orderBy,
+    Select(resolvedItems, table, where.toSeq, groupBy, having.toSeq, orderBy,
       limit, joins.toSeq, distinct, offset, derived, baseAlias, groupMode)
   }
 
@@ -777,8 +804,37 @@ object EmdriveSql {
 
   /** Shared OVER-clause parse for ranking and aggregate window items. */
   private def parseOverClause(p: P, func: String, arg: Option[String],
-      overEaten: Boolean = false): WinItem = {
+      overEaten: Boolean = false): SelectItem = {
     if (!overEaten) p.eatWord("OVER")
+    // `OVER w` — reference into the statement's WINDOW clause, resolved
+    // by parseSelect once the named specs have been read (ANSI order
+    // puts WINDOW after HAVING, so the spec text is still ahead of us)
+    p.toks match {
+      case TWord(w) :: rest if !w.equalsIgnoreCase("AS")
+          && !Keywords.contains(w.toUpperCase) =>
+        p.toks = rest
+        p.eatWord("AS")
+        return WinRefItem(func, arg, w, p.ident())
+      case _ => ()
+    }
+    val (parts, keys, frame) = parseWindowSpec(p)
+    checkFrame(func, frame, p)
+    p.eatWord("AS")
+    WinItem(func, arg, parts, keys, p.ident(), frame)
+  }
+
+  /** A frame clause is only legal on frame-taking functions — shared by
+    * the inline OVER path and named-WINDOW substitution. */
+  private def checkFrame(func: String,
+      frame: Option[(Option[Long], Option[Long])], p: P): Unit =
+    require(frame.isEmpty
+        || !(WinFuncs(func) || Set("NTILE", "LAG", "LEAD")(func)),
+      s"$func does not take a frame clause")
+
+  /** `( [PARTITION BY …] ORDER BY … [ROWS BETWEEN …] )` — the window
+    * specification body, shared by inline OVER and the WINDOW clause. */
+  private def parseWindowSpec(
+      p: P): (Seq[String], Seq[OrderKey], Option[(Option[Long], Option[Long])]) = {
     p.eatSym("(")
     val parts = if (p.tryWord("PARTITION")) {
       p.eatWord("BY")
@@ -822,12 +878,8 @@ object EmdriveSql {
           }
         Some((lo, hi))
       } else None
-    require(frame.isEmpty
-        || !(WinFuncs(func) || Set("NTILE", "LAG", "LEAD")(func)),
-      s"$func does not take a frame clause")
     p.eatSym(")")
-    p.eatWord("AS")
-    WinItem(func, arg, parts, keys.toSeq, p.ident(), frame)
+    (parts, keys.toSeq, frame)
   }
 
   /** All aggregate atoms inside an operand tree. */
@@ -2041,6 +2093,19 @@ object SqlQueries {
       es.sql("""SELECT lang, source, COUNT(*) AS n, SUM(n_chars) AS total_chars
                |FROM documents GROUP BY ROLLUP(lang, source);""".stripMargin)
     }),
+    // named WINDOW clause: one spec, three consumers — rank + two
+    // aggregates share the identical partition/order (ANSI WINDOW)
+    "q_sql_window_named" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, source, n_chars,
+               | ROW_NUMBER() OVER w AS rn,
+               | SUM(n_chars) OVER w AS run_chars,
+               | MIN(n_chars) OVER w AS min_so_far
+               |FROM documents
+               |WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+               |ORDER BY source, doc_id;""".stripMargin)
+    }),
     // scalar subquery inside HAVING arithmetic: groups kept only when
     // their count beats a corpus-derived threshold — the uncorrelated
     // subquery executes once and inlines as a literal atom
@@ -2555,6 +2620,14 @@ object SqlQueries {
       """SELECT lang, source, count(*) AS n,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+    "q_sql_window_named" ->
+      """SELECT doc_id, source, n_chars,
+        | CAST(row_number() OVER w AS INTEGER) AS rn,
+        | CAST(sum(n_chars) OVER w AS BIGINT) AS run_chars,
+        | min(n_chars) OVER w AS min_so_far
+        |FROM documents
+        |WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+        |ORDER BY source, doc_id""".stripMargin,
     "q_sql_having_sub" ->
       """SELECT source, count(*) AS n FROM documents
         |GROUP BY source

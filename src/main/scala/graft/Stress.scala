@@ -167,17 +167,30 @@ object Stress {
       if (all) SparkEntry.queries.keys.toSeq.sorted else Headline)
     val runs = if (all) 1 else 2
     queriesToRun.take(2).foreach(q => time(src, q))
-    val timed = queriesToRun.map { q =>
-      val (base, baseRows) = Seq.fill(runs)(time(src, q)).minBy(_._1)
-      val (big, bigRows) = Seq.fill(runs)(time(dst, q)).minBy(_._1)
-      (q, base, big, baseRows, bigRows)
-    }
+    // a single failing key must not kill a 260-key sweep: record the
+    // error in its slot (the receipt reader treats a missing ratio as a
+    // loud red) and keep sweeping
+    val timed: Seq[Either[(String, String), (String, Double, Double, Long, Long)]] =
+      queriesToRun.map { q =>
+        try {
+          val (base, baseRows) = Seq.fill(runs)(time(src, q)).minBy(_._1)
+          val (big, bigRows) = Seq.fill(runs)(time(dst, q)).minBy(_._1)
+          Right((q, base, big, baseRows, bigRows))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[stress] $q failed: ${e.getMessage}")
+            Left((q, Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(160)))
+        }
+      }
     // result rows ride along: under constant-density replication the ×N
     // row count vs ×1 is a free recall/structure check (a near-dup query
     // that held recall returns ≈N× the pairs; one that silently lost it
     // shows up right here, next to its wall-clock ratio)
-    val qs = timed.map { case (q, b, g, br, gr) =>
-      f"""\"$q\":{\"x1\":$b%.3f,\"x$n\":$g%.3f,\"ratio\":${g / b}%.2f,\"rows_x1\":$br,\"rows_x$n\":$gr}"""
+    val qs = timed.map {
+      case Right((q, b, g, br, gr)) =>
+        f"""\"$q\":{\"x1\":$b%.3f,\"x$n\":$g%.3f,\"ratio\":${g / b}%.2f,\"rows_x1\":$br,\"rows_x$n\":$gr}"""
+      case Left((q, msg)) => s"""\"$q\":{\"error\":\"$msg\"}"""
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"stress","n":$n,"src":"$src","rows":{${

@@ -1884,10 +1884,15 @@ object Relational {
     * write amortizes over every subsequent box query. */
   private def zorderScan(s: SparkSession, d: String): DataFrame = {
     val path = s"/tmp/graft_zorder_${java.lang.Integer.toHexString(d.hashCode)}"
+    // the Morton key is ONLY a layout key: range-reduce wide ids into
+    // zorder2's 31-bit domain (mod keeps locality for in-range keys and
+    // wraps larger ones — correctness is untouched, the box filter runs
+    // on the real columns)
     graft.sources.Clustering.writeZOrdered(
       Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"),
         col("l_quantity"), col("l_extendedprice")),
-      path, col("l_partkey"), col("l_suppkey"))
+      path, pmod(col("l_partkey"), lit(1073741824L)),
+      pmod(col("l_suppkey"), lit(1073741824L)))
     s.read.parquet(path)
       .filter(col("l_partkey").between(50, 150) &&
         col("l_suppkey").between(2, 8))

@@ -1239,12 +1239,21 @@ object Similarity {
       call_function("simhash64", split(col("text"), " ")).as("h"))
     val path = s"/tmp/graft_metric_index_${java.lang.Integer.toHexString(d.hashCode)}"
     graft.sources.MetricIndex.writeIndexed(hashed, path, "h", bits = 6)
-    val probe = hashed.filter(col("doc_id") === 0)
-      .select(col("h")).collect()(0).getLong(0)
-    graft.sources.MetricIndex.thresholdQuery(s, path, "h", probe,
-        maxDist = 2, bits = 6)
-      .select(col("doc_id"),
-        call_function("hamming64", col("h"), lit(probe)).cast("int").as("dist"))
+    val probeRow = hashed.filter(col("doc_id") === 0)
+      .select(col("h")).collect()
+    if (probeRow.isEmpty)
+      // empty corpus → empty result with the query's schema (no probe to
+      // search for, and the empty layout has no readable footer)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("doc_id", LongType, nullable = false),
+          StructField("dist", IntegerType, nullable = false))))
+    else {
+      val probe = probeRow(0).getLong(0)
+      graft.sources.MetricIndex.thresholdQuery(s, path, "h", probe,
+          maxDist = 2, bits = 6)
+        .select(col("doc_id"),
+          call_function("hamming64", col("h"), lit(probe)).cast("int").as("dist"))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1981,7 +1981,29 @@ object Relational {
         max(col("total_w")).cast("double").as("total_qty"))
   }
 
+  /** Discount-lift analysis: mean quantity per discount percentage band
+    * vs the zero-discount baseline — does discounting actually move
+    * volume, per band (the pricing-effectiveness read behind every promo
+    * decision). The band is an exact integer (discounts are 2-dp values,
+    * ×100 + 0.5 floor is boundary-safe), both means are the moneyAvg
+    * bitwise identity, lift is one IEEE division of those. Scale shape:
+    * one fact scan partial-combines into the ≤11-row band grid, baseline
+    * broadcast. */
+  private def discountLift(s: SparkSession, d: String): DataFrame = {
+    val banded = Tables.lineitem(s, d)
+      .select(floor(col("l_discount") * 100 + 0.5).cast("int").as("discount_pct"),
+        col("l_quantity"))
+      .groupBy(col("discount_pct"))
+      .agg(count(lit(1)).as("n_lines"), moneyAvg(col("l_quantity")).as("avg_qty"))
+    val base = banded.filter(col("discount_pct") === 0)
+      .select(col("avg_qty").as("base_qty"))
+    banded.crossJoin(broadcast(base))
+      .select(col("discount_pct"), col("n_lines"), col("avg_qty"),
+        (col("avg_qty") / col("base_qty")).as("qty_lift"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_discount_lift" -> discountLift _,
     "q_seasonal_index" -> seasonalIndex _,
     "q_weighted_median" -> weightedMedian _,
     "q_io_roundtrip" -> ioRoundtrip _,
@@ -2080,6 +2102,17 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_discount_lift" ->
+      """WITH b AS (
+        | SELECT CAST(floor(l_discount * 100 + 0.5) AS INTEGER) AS discount_pct,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    / count(*) AS avg_qty
+        | FROM lineitem GROUP BY 1),
+        |base AS (SELECT avg_qty AS base_qty FROM b WHERE discount_pct = 0)
+        |SELECT discount_pct, n_lines, avg_qty,
+        | avg_qty / base_qty AS qty_lift
+        |FROM b CROSS JOIN base""".stripMargin,
     "q_seasonal_index" ->
       """WITH per AS (
         | SELECT event_type,

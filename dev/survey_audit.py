@@ -19,11 +19,30 @@ survey_keys = set(re.findall(r'`(q_[a-z0-9_]+)`', survey))
 missing_rows = sorted(code_keys - survey_keys)
 ghost_rows = sorted(survey_keys - code_keys)
 
-print(f"code keys: {len(code_keys)}  survey keys: {len(survey_keys)}")
+# §2 row IDs must be injective — the operator table is the coverage
+# contract, so a reused ID makes two distinct operators unaddressable
+# (r8 verdict bookkeeping item)
+from collections import Counter
+ids, in_s2 = [], False
+for line in survey.split('\n'):
+    if line.startswith('## §2'):
+        in_s2 = True
+    elif line.startswith('## §3'):
+        in_s2 = False
+    if in_s2:
+        m = re.match(r'\|\s*([A-Z]\d+[a-z0-9]*)\s*\|', line)
+        if m:
+            ids.append(m.group(1))
+dup_ids = sorted(k for k, v in Counter(ids).items() if v > 1)
+
+print(f"code keys: {len(code_keys)}  survey keys: {len(survey_keys)}"
+      f"  §2 rows: {len(ids)}")
 if missing_rows:
     print("registered but MISSING from SURVEY §2:", missing_rows)
 if ghost_rows:
     print("in SURVEY but NOT registered:", ghost_rows)
-if not missing_rows and not ghost_rows:
-    print("OK: SURVEY §2 and the registered query surface match")
-sys.exit(1 if (missing_rows or ghost_rows) else 0)
+if dup_ids:
+    print("DUPLICATED §2 row IDs (must be injective):", dup_ids)
+if not missing_rows and not ghost_rows and not dup_ids:
+    print("OK: SURVEY §2 and the registered query surface match; row IDs unique")
+sys.exit(1 if (missing_rows or ghost_rows or dup_ids) else 0)

@@ -150,7 +150,12 @@ object Stress {
       // price the full BUILD every run: session-registry artifacts
       // (component labels, ANN indexes) amortize steady-state sessions,
       // but a scaling measurement that reused them would hide exactly the
-      // build cost this harness exists to expose
+      // build cost this harness exists to expose. ON-DISK artifacts
+      // (PairStore's persisted pair graph) deliberately survive eviction:
+      // write-once/read-many IS their production plan, so the sweep
+      // prices the build once (the first consumer) and the read path
+      // everywhere else — set SPARK_GRAFT_PAIR_STORE=off to price every
+      // key's raw build instead
       SessionMemo.evictAll()
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, dir).count()
@@ -166,7 +171,13 @@ object Stress {
     val queriesToRun = keysEnv.getOrElse(
       if (all) SparkEntry.queries.keys.toSeq.sorted else Headline)
     val runs = if (all) 1 else 2
-    queriesToRun.take(2).foreach(q => time(src, q))
+    // warm-up failures must not kill the sweep either (same isolation as
+    // the timed loop): a broken first-sorted key costs its own slot below,
+    // not the whole 260-key receipt
+    queriesToRun.take(2).foreach(q =>
+      try time(src, q)
+      catch { case e: Throwable =>
+        System.err.println(s"[stress] warm-up $q failed: ${e.getMessage}") })
     // a single failing key must not kill a 260-key sweep: record the
     // error in its slot (the receipt reader treats a missing ratio as a
     // loud red) and keep sweeping

@@ -249,24 +249,23 @@ object Similarity {
   /** The scale-routed embedding pair relation every embedding-graph
     * consumer shares — q_embed_neardup's output, the component fixpoint,
     * decontamination counts, and the degree histogram all start from the
-    * SAME (id_a, id_b, sim) stream, so the session registry shares ONE
-    * build (the wordPairsAll doctrine): the exact broadcast scan below
-    * the cutoff, or the 4-clustering KMeans blocking above it, runs once
-    * per (session, corpus) and later consumers reuse its shuffle files as
-    * skipped stages. */
-  private[graft] def embedPairsShared(s: SparkSession, d: String): DataFrame = {
-    val (rdd, schema) = graft.SessionMemo.of(s, d, "embed_pairs") {
-      // end the build with a hash exchange: the exact path's lineage is
-      // otherwise shuffle-FREE (broadcast NL join), and RDD reuse only
-      // skips stages behind a shuffle boundary — without this, every
-      // consumer would re-run the n²/2 scan instead of reading a few
-      // hundred shuffled pair rows
-      val df = embedNeardupAuto(Tables.embeddings(s, d), 0.4)
-        .repartition(col("id_a"))
-      (df.rdd, df.schema)
+    * SAME (id_a, id_b, sim) stream. Since r9 the build is a PERSISTED
+    * artifact ([[graft.sources.PairStore]], the IvfStore/writeIvfPq
+    * pattern): the first consumer of a corpus VERSION — in any session —
+    * writes the pair graph as partitioned parquet keyed by the corpus
+    * fingerprint, and every later consumer (this session, the next one, a
+    * standalone run) plans a columnar scan instead of the clustered
+    * KMeans build. This is the reference's index-as-artifact trade
+    * (src/storage/index.rs) applied to the similarity graph — the one
+    * standalone ×100 cost center the r8 receipts left open. The session
+    * registry still wraps the read so one session plans one scan
+    * lineage. */
+  private[graft] def embedPairsShared(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.of(s, d, "embed_pairs_df") {
+      graft.sources.PairStore.readOrBuild(s, d, "embed_pairs", "embeddings") {
+        embedNeardupAuto(Tables.embeddings(s, d), 0.4)
+      }
     }
-    s.createDataFrame(rdd, schema)
-  }
 
   /** Exact all-pairs near-dup for corpora under the route cutoff: one
     * broadcast of the (vec_id, embedding) relation (≤8192 × dim floats —

@@ -19,9 +19,21 @@ import org.apache.spark.sql.types.StructType
   */
 object Io {
 
+  /** CSV read with the quote/escape conventions pinned to what Spark's
+    * own CSV writer emits, and multiLine on: a quoted field containing an
+    * embedded newline is ONE record (RFC 4180), not two — without this
+    * the default line-splitting reader silently breaks write→read
+    * round-trip fidelity on any corpus whose text has newlines.
+    * multiLine's cost is real (files parse whole, not split-parallel), so
+    * at scale CSV is an INGEST format: read once, convert to parquet.
+    * quote/escape stay at the univocity defaults — the same defaults the
+    * writer uses, which is what makes the round-trip bit-exact. */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true): DataFrame =
-    spark.read.schema(schema).option("header", header.toString).csv(path)
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("multiLine", "true")
+      .csv(path)
 
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)

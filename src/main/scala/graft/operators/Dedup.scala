@@ -815,34 +815,64 @@ object Dedup {
     * division identically, so 10 iterations stay bitwise reproducible
     * (float PageRank would drift per-iteration across engines). Dangling
     * mass is dropped (documented), isolated docs keep the teleport term.
-    * Scale shape: each iteration is one keyed join + partial-combined
-    * sum over the df-cut-bounded edge relation (ninth consumer of the
-    * shared pair build) — the DF unroll keeps 10 declarative stages for
-    * AQE; a 100 TB deployment would swap in the RDD fixpoint with
-    * per-iteration localCheckpoint, the q_dedup_components machinery. */
+    * Scale shape (r9, per the r8 verdict): the fixpoint runs on
+    * co-partitioned RDDs — the q_dedup_components/kcore machinery — with
+    * ONE HashPartitioner shared by edges, degrees, and the rank vector,
+    * so every iteration's joins are narrow (no replanning, no
+    * re-shuffling of the static edge relation; the DF unroll replanned
+    * the whole 10-join prefix each action). Each iteration is one
+    * co-partitioned join + one partial-combined reduceByKey over the
+    * df-cut-bounded edge relation (ninth consumer of the shared pair
+    * build). Division is Scala `/` on non-negative longs ≡ SQL `div` —
+    * the bitwise replay contract is unchanged. */
   private def pagerank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val S = 1000000000000L
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("degree", LongType, nullable = false),
+      StructField("pr_scaled", LongType, nullable = false)))
     val pairs = wordPairsAll(s, d).filter(col("raw_j") >= 0.2)
       .select(col("id_a"), col("id_b"))
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nodes = Tables.documents(s, d).select(col("doc_id"))
-    val base = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
-    var pr = base.select(col("doc_id"), expr(s"$S div n").as("v"))
+    val parts = math.max(1, s.sparkContext.defaultParallelism / 2)
+    val part = new HashPartitioner(parts)
+    // src-keyed directed edges, hash-partitioned ONCE — later iterations
+    // reuse this layout's shuffle files as skipped stages
+    val edges = pairs.rdd.flatMap { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      Iterator((a, b), (b, a))
+    }.partitionBy(part)
+    val deg = edges
+      .mapPartitions(_.map { case (srcV, _) => (srcV, 1L) },
+        preservesPartitioning = true)
+      .reduceByKey(part, _ + _)
+    val nodeIds = Tables.documents(s, d).select(col("doc_id")).rdd
+      .map(r => (r.getLong(0), ())).partitionBy(part)
+    val n = nodeIds.count() // driver scalar (node count, the teleport base)
+    if (n == 0)
+      return s.createDataFrame(s.sparkContext.emptyRDD[Row], outSchema)
+    val v0 = S / n
+    val teleport = (15L * v0) / 100L
+    var pr = nodeIds.mapPartitions(_.map { case (id, _) => (id, v0) },
+      preservesPartitioning = true)
     for (_ <- 1 to 10) {
-      val contrib = pr.join(deg, pr("doc_id") === deg("src"))
-        .select(col("src"), expr("v div deg").as("c"))
-      val infl = edges.join(contrib, "src")
-        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      pr = base.join(infl, base("doc_id") === infl("dst"), "left_outer")
-        .select(base("doc_id"),
-          (expr(s"(15 * ($S div n)) div 100")
-            + expr("(85 * coalesce(sc, 0)) div 100")).as("v"))
+      val contrib = pr.join(deg, part)
+        .mapPartitions(_.map { case (id, (v, dg)) => (id, v / dg) },
+          preservesPartitioning = true)
+      val infl = edges.join(contrib, part)
+        .map { case (_, (dst, c)) => (dst, c) }
+        .reduceByKey(part, _ + _)
+      pr = nodeIds.leftOuterJoin(infl, part)
+        .mapPartitions(_.map { case (id, (_, scOpt)) =>
+          (id, teleport + (85L * scOpt.getOrElse(0L)) / 100L)
+        }, preservesPartitioning = true)
     }
-    pr.join(deg, pr("doc_id") === deg("src"), "left_outer")
-      .select(pr("doc_id"), coalesce(col("deg"), lit(0L)).as("degree"),
-        col("v").as("pr_scaled"))
+    s.createDataFrame(
+      pr.leftOuterJoin(deg, part).map { case (id, (v, dgOpt)) =>
+        Row(id, dgOpt.getOrElse(0L), v)
+      }, outSchema)
   }
 
   /** Triangle census + global clustering coefficient of the τ=0.2

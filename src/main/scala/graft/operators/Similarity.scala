@@ -1338,6 +1338,14 @@ object Similarity {
         | CAST(count(*) AS DOUBLE) / n_vectors AS share,
         | CAST(count(*) AS DOUBLE) * 8 / n_vectors AS imbalance
         |FROM a CROSS JOIN tot GROUP BY cell, n_vectors""".stripMargin,
+    // VALID BELOW NeardupRouteMax ONLY (r8 ADVICE): this replay is the
+    // exact all-pairs construction, which is the query's route for ≤8192
+    // vectors — i.e. at every oracle gate scale. Past the cutoff the
+    // query switches to mutual top-5 WITHIN the clustered τ-candidate
+    // graph (the documented ANN trade), which an exact-equality oracle
+    // cannot grade; that branch is exercised by the ×10/×100 stress
+    // receipts with row-count structure checks and by CutRecallSpec's
+    // recall floor on the shared candidate stream instead.
     "q_mutual_knn" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |scored AS (

@@ -1075,6 +1075,22 @@ final class EmdriveSession(spark: SparkSession) {
 
   def register(name: String, df: DataFrame): Unit = catalog(name) = df
 
+  /** Session-scoped persisted-index registry: (kind, table, column) →
+    * on-disk layout path. Built lazily on the FIRST index-backed search
+    * and reused by every later query in the session — the reference's
+    * index-lives-with-the-table economics (src/storage/index.rs) at the
+    * SQL layer; a production catalog would key layouts by table snapshot
+    * the way [[graft.sources.PairStore]] fingerprints its corpus. */
+  private val indexPaths = mutable.Map.empty[(String, String, String), String]
+
+  private def ensureIndex(kind: String, tbl: String, column: String)
+      (build: String => Unit): String =
+    indexPaths.getOrElseUpdate((kind, tbl, column), {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_${kind}_idx").toString
+      build(p)
+      p
+    })
+
   private val TvfName = "^([A-Za-z_][A-Za-z_0-9]*)\\((.*)\\)$".r
 
   def table(name: String): DataFrame = name match {
@@ -1149,6 +1165,80 @@ final class EmdriveSession(spark: SparkSession) {
         table(args(0)).select(col(args(1)),
           when(graft.operators.Sampling.bucketOf(col(args(1)), 100) < 90,
             "train").otherwise("eval").as("split"))
+      // metric_search(tbl, idCol, hashCol, probeId, maxDist): the
+      // reference's core story (`hash @ probe <= r`) served from the
+      // PERSISTED prefix-partitioned metric layout — first call writes
+      // the index (hive-partitioned by hash prefix), every later call
+      // answers via the IN-list PARTITION prune + codegen Hamming verify
+      // (exact: the prefix distance lower-bounds the full distance).
+      // Output: the table's columns + `dist`.
+      case "metric_search" =>
+        arity(5)
+        val (tbl, id, h) = (args(0), args(1), args(2))
+        val bits = 6
+        // 1-row driver probe lookup FIRST (the bounded-collect pattern
+        // the PQ sidecars use) — a missing probe (incl. the empty-corpus
+        // case) yields the empty relation with the query's schema, and
+        // no index is written for a corpus with nothing to find
+        val probeRows = table(tbl).filter(col(id) === args(3).toLong)
+          .select(col(h).cast("long")).limit(1).collect()
+        if (probeRows.isEmpty) {
+          table(tbl).limit(0).withColumn("dist", lit(0).cast("int"))
+        } else {
+          val probe = probeRows(0).getLong(0)
+          val path = ensureIndex("metric", tbl, h)(p =>
+            graft.sources.MetricIndex.writeIndexed(table(tbl), p, h, bits))
+          graft.sources.MetricIndex
+            .thresholdQuery(spark, path, h, probe, args(4).toInt, bits)
+            .withColumn("dist",
+              call_function("hamming64", col(h).cast("long"), lit(probe))
+                .cast("int"))
+        }
+      // ann_search(tbl, idCol, vecCol, probeId, k): index-backed cosine
+      // top-k from a PERSISTED IVF layout. Cells are the 8 lowest-id
+      // vectors (the q_ann_ivf deterministic-centroid scheme, so the
+      // whole path — assignment, probe cell, in-cell ranking — replays
+      // exactly in an independent engine); assignment is a broadcast
+      // argmax; the layout is parquet partitioned by cluster_id, so the
+      // probe's single-cell scan is DIRECTORY pruning, not row filtering.
+      case "ann_search" =>
+        arity(5)
+        val (tbl, id, vec) = (args(0), args(1), args(2))
+        val nCells = 8
+        // probe presence check first: a missing probe (incl. the empty
+        // corpus, whose layout would not even be readable) is the empty
+        // relation, not an error or a doomed index build
+        if (table(tbl).filter(col(id) === args(3).toLong).limit(1)
+            .collect().isEmpty)
+          return table(tbl).limit(0)
+            .select(col(id), lit(0.0).as("sim"))
+        val path = ensureIndex("ivf", tbl, vec) { p =>
+          val e = table(tbl).select(col(id).as("__vid"), col(vec).as("__v"))
+          val cents = e.orderBy(col("__vid")).limit(nCells)
+            .select(col("__vid").as("cid"), col("__v").as("cvec"))
+          val assigned = e.crossJoin(broadcast(cents))
+            .select(col("__vid"), col("__v"), col("cid"),
+              call_function("cosine_sim", col("__v"), col("cvec")).as("csim"))
+            .groupBy(col("__vid"))
+            .agg(max_by(struct(col("__v"), col("cid")),
+              struct(col("csim"), -col("cid"))).as("b"))
+            .select(col("__vid").as("vec_id"), col("b.__v").as("embedding"),
+              col("b.cid").cast("int").as("cluster_id"))
+          graft.operators.IvfIndex.writeIndex(assigned, p)
+        }
+        val idx = spark.read.parquet(path)
+        val pr = idx.filter(col("vec_id") === args(3).toLong)
+          .select(col("cluster_id").cast("int"), col("embedding"))
+          .limit(1).collect()
+        require(pr.nonEmpty,
+          s"ann_search: probe row ${args(3)} not found in $tbl")
+        val (pc, pv) = (pr(0).getInt(0), pr(0).getSeq[Float](1).toArray)
+        idx.filter(col("cluster_id") === pc) // partition-directory prune
+          .select(col("vec_id").as(id),
+            round(call_function("cosine_sim", col("embedding"),
+              typedLit(pv)), 6).as("sim"))
+          .orderBy(col("sim").desc, col(id))
+          .limit(args(4).toInt)
       case other => throw new IllegalArgumentException(
         s"unknown table function: $other")
     }
@@ -2497,6 +2587,31 @@ object SqlQueries {
       es.register("documents", Tables.documents(s, d))
       es.sql("SELECT id_a, id_b, jaccard FROM neardup_jaccard(documents, doc_id, text, 0.5);")
     }),
+    // index-backed metric search at the SQL layer (r8 verdict #5): the
+    // reference's emtree story — `hash @ probe <= r` answered from the
+    // PERSISTED prefix-partitioned layout, written on first use by the
+    // session's index registry; WHERE/ORDER BY compose on top like any
+    // relation. The oracle brute-forces the same radius over the
+    // portable-simhash replay — proving the pruned scan lossless.
+    "q_sql_metric_search" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("doc_hashes", Tables.documents(s, d).select(col("doc_id"),
+        call_function("simhash64", split(col("text"), " ")).as("h")))
+      es.sql("""SELECT doc_id, dist
+               |FROM metric_search(doc_hashes, doc_id, h, 0, 2)
+               |ORDER BY doc_id;""".stripMargin)
+    }),
+    // index-backed ANN search at the SQL layer: cosine top-10 for probe
+    // vec_id=0 from the PERSISTED IVF layout (deterministic lowest-8-id
+    // centroids — the q_ann_ivf scheme, so DuckDB replays assignment,
+    // probe cell, and the in-cell ranking exactly)
+    "q_sql_ann_search" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("embeddings", Tables.embeddings(s, d))
+      es.sql("""SELECT vec_id, sim
+               |FROM ann_search(embeddings, vec_id, embedding, 0, 10)
+               |ORDER BY sim DESC, vec_id;""".stripMargin)
+    }),
     "q_sql_knn" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
       es.register("embeddings", Tables.embeddings(s, d))
@@ -2839,6 +2954,38 @@ object SqlQueries {
         | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
         |FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    // brute-force replay of the same radius over the portable simhash —
+    // the pruned partition scan must lose nothing (the q_metric_index
+    // proof, now for the SQL/HTTP surface)
+    "q_sql_metric_search" ->
+      s"""WITH ${graft.operators.Dedup.simhashCtes},
+         |d AS (SELECT doc_id,
+         |   CAST(bit_count(xor(simhash,
+         |     (SELECT simhash FROM sh64 WHERE doc_id = 0))) AS INTEGER) AS dist
+         |  FROM sh64)
+         |SELECT doc_id, dist FROM d WHERE dist <= 2""".stripMargin,
+    // complete replay of the deterministic IVF path: lowest-8-id
+    // centroids, argmax assignment with the cid tie-break, probe cell,
+    // in-cell top-10 (the q_ann_ivf oracle parameterized by the
+    // LIMIT-8 centroid set)
+    "q_sql_ann_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e
+        |      WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
+        |scored AS (
+        | SELECT e.vec_id, e.v, c.cid,
+        |  list_cosine_similarity(e.v, c.cv) AS csim
+        | FROM e CROSS JOIN c),
+        |a AS (
+        | SELECT vec_id, v, cid FROM (
+        |  SELECT *, row_number() OVER (
+        |   PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |p AS (SELECT cid AS pcid, v AS pv FROM a WHERE vec_id = 0)
+        |SELECT a.vec_id,
+        | round(list_cosine_similarity(a.v, p.pv), 6) AS sim
+        |FROM a, p WHERE a.cid = p.pcid
+        |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
     "q_sql_quality_gate" -> graft.operators.TextAnalysis.oracles("q_gopher_flags"),
     "q_sql_left_join" ->
       """WITH oc AS (

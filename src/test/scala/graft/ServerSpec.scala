@@ -53,6 +53,40 @@ class ServerSpec extends SparkTestBase {
     }
   }
 
+  test("index-backed metric_search and ann_search serve over HTTP (r9)") {
+    GraftSession.prepare(spark)
+    val es = new EmdriveSession(spark)
+    import org.apache.spark.sql.functions.{call_function, split}
+    es.register("doc_hashes", graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), call_function("simhash64",
+        split(col("text"), " ")).as("h")))
+    es.register("embeddings", graft.sources.Tables.embeddings(spark, sfDir))
+    val server = new GraftServer(es, maxRows = 10000)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      // the reference's README story, served from the persisted layout:
+      // hash-radius search around doc 0 always finds doc 0 at dist 0
+      val m = post(base,
+        "SELECT doc_id, dist FROM metric_search(doc_hashes, doc_id, h, 0, 2) ORDER BY doc_id;")
+      assert(m.statusCode() == 200, m.body())
+      assert(m.body().contains("\"doc_id\":0") && m.body().contains("\"dist\":0"),
+        m.body())
+      // ANN top-10 from the persisted IVF layout: probe is its own
+      // nearest neighbour at sim 1.0
+      val a = post(base,
+        "SELECT vec_id, sim FROM ann_search(embeddings, vec_id, embedding, 0, 10) ORDER BY sim DESC, vec_id;")
+      assert(a.statusCode() == 200, a.body())
+      assert(a.body().contains("\"vec_id\":0") && a.body().contains("\"sim\":1.0"),
+        a.body())
+      // second query hits the SESSION-CACHED layout (no rebuild): same
+      // answer, served again
+      val a2 = post(base,
+        "SELECT vec_id, sim FROM ann_search(embeddings, vec_id, embedding, 0, 10) ORDER BY sim DESC, vec_id;")
+      assert(a2.statusCode() == 200 && a2.body() == a.body())
+    } finally server.stop()
+  }
+
   test("null columns are kept in the JSON (serde explicit-null contract)") {
     withServer() { (_, base) =>
       assert(post(base, "CREATE TABLE t (id UINT64 PRIMARY KEY, v NULLABLE(STRING));")

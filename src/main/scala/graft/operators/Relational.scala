@@ -2002,7 +2002,90 @@ object Relational {
         (col("avg_qty") / col("base_qty")).as("qty_lift"))
   }
 
+  /** Product-type profit by nation and year (TPC-H Q9 flavor, adapted:
+    * the corpus has no partsupp, so unit cost is proxied at 60% of
+    * p_retailprice — the ratio is fixed, the join/aggregation shape is
+    * Q9's). Profit = Σ l_extendedprice·(1−l_discount) −
+    * p_retailprice·l_quantity·0.6 over 'red' parts. Scale shape: the
+    * p_name LIKE filter prunes part BEFORE its broadcast, lineitem⋈orders
+    * is the one fact-fact shuffle, supplier/nation ride broadcast, and
+    * the (nation, year) rollup partial-combines map-side. Money through
+    * moneySum (per-row IEEE term is identically parenthesized in the
+    * oracle, then fixed-pointed — order-independent exact sum). */
+  private def productProfit(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("bigint").as("yr"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        - col("p_retailprice") * col("l_quantity") * lit(0.6)).as("profit"))
+  }
+
+  /** Excess-share suppliers (TPC-H Q20 flavor, adapted: no partsupp
+    * availqty, so "excess" is relative — suppliers whose shipped quantity
+    * of 'red…' parts exceeds an eighth of their total shipped quantity —
+    * the threshold sits just under the corpus's p90 red share, the same
+    * "screen the outlying suppliers" economics as Q20). One
+    * lineitem pass with the part flag broadcast: the red/total split is
+    * conditional aggregation (no second scan, no subquery), sums are
+    * exact decimals so the ×2 threshold comparison can never flip on
+    * float noise, supplier/nation dims broadcast onto the surviving
+    * supplier keys. */
+  private def excessShare(s: SparkSession, d: String): DataFrame = {
+    val flags = Tables.part(s, d).select(col("p_partkey"),
+      col("p_name").like("red%").as("is_red"))
+    val per = Tables.lineitem(s, d)
+      .join(broadcast(flags), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        sum(when(col("is_red"), col("l_quantity")).otherwise(lit(0.0))
+          .cast("decimal(18,4)")).as("red_q"),
+        sum(col("l_quantity").cast("decimal(18,4)")).as("tot_q"))
+      .filter(col("red_q") * 8 > col("tot_q"))
+    per.join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"),
+        col("red_q").cast("double").as("red_qty"),
+        col("tot_q").cast("double").as("total_qty"))
+  }
+
+  /** Cumulative distinct users per day — the audience-growth curve. A
+    * running COUNT(DISTINCT) has no window form in any engine; the
+    * standard exact rewrite is the FIRST-SEEN trick: a user contributes
+    * to the cumulative count exactly once, on their first active day, so
+    * per-user min(day) → per-day new-user counts → one running sum over
+    * a (type × calendar)-cardinality relation (a few thousand rows
+    * however large the fact table — the window is bounded by the
+    * calendar, not the data). Tracked PER EVENT TYPE (first click, first
+    * purchase, …), so the window partitions by type and the curve reads
+    * as activation-by-milestone. Exact integers end to end. */
+  private def runningDistinct(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDay = EventTime.withMs(Tables.events(s, d))
+      .select(col("event_type"), col("user_id"),
+        expr("ms div 86400000").as("day"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+      .groupBy(col("event_type"), col("first_day"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("first_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay.select(col("event_type"), col("first_day").as("day"),
+      col("new_users"), sum(col("new_users")).over(w).as("cum_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_product_profit" -> productProfit _,
+    "q_excess_share" -> excessShare _,
+    "q_running_distinct" -> runningDistinct _,
     "q_discount_lift" -> discountLift _,
     "q_seasonal_index" -> seasonalIndex _,
     "q_weighted_median" -> weightedMedian _,
@@ -2102,6 +2185,41 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_product_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |   - p_retailprice * l_quantity * 0.6 AS DECIMAL(18,4))), 2) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, yr""".stripMargin,
+    "q_excess_share" ->
+      """WITH per AS (
+        | SELECT l_suppkey,
+        |  sum(CAST(CASE WHEN p_name LIKE 'red%' THEN l_quantity
+        |           ELSE 0.0 END AS DECIMAL(18,4))) AS red_q,
+        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS tot_q
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | GROUP BY l_suppkey)
+        |SELECT s_name, n_name,
+        | CAST(red_q AS DOUBLE) AS red_qty, CAST(tot_q AS DOUBLE) AS total_qty
+        |FROM per
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE red_q * 8 > tot_q""".stripMargin,
+    "q_running_distinct" ->
+      """WITH f AS (
+        | SELECT event_type, user_id, min(epoch_ms(ts) // 86400000) AS first_day
+        | FROM events GROUP BY event_type, user_id),
+        |p AS (SELECT event_type, first_day, count(*) AS new_users
+        |      FROM f GROUP BY event_type, first_day)
+        |SELECT event_type, first_day AS day, new_users,
+        | CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY first_day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM p""".stripMargin,
     "q_discount_lift" ->
       """WITH b AS (
         | SELECT CAST(floor(l_discount * 100 + 0.5) AS INTEGER) AS discount_pct,

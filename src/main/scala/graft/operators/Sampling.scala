@@ -256,7 +256,38 @@ object Sampling {
       .orderBy(col("es_key"), col("doc_id"))
       .limit(50)
 
+  /** Nucleus (top-p) corpus selection per source: rank documents by size
+    * (n_chars desc, doc_id tiebreak) and keep the head of the ranking
+    * until it covers 80% of the source's character mass — the nucleus-
+    * sampling idea applied to corpus curation (keep the dominant mass,
+    * drop the long tail of scraps), and the dual of temperature
+    * flattening: a hard per-source mass budget instead of a soft rate.
+    * The boundary predicate is EXACT INTEGER arithmetic — a doc is kept
+    * iff the mass BEFORE it is under the budget ((cum − n)·10 < total·8,
+    * so at least one doc always survives) — no float cumsum can flip a
+    * row at the boundary. Scale shape: the window partitions by source
+    * over source-sized slices; output is per-source counts only. */
+  private def nucleusSelect(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("source"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("total", sum(col("n_chars")).over(tot))
+      .withColumn("kept",
+        (col("cum") - col("n_chars")) * 10 < col("total") * 8)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"),
+        max(col("total")).as("total_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nucleus_select" -> nucleusSelect _,
     "q_es_sample" -> esSample _,
     "q_budget_waterfill" -> budgetWaterfill _,
     "q_winsorize" -> winsorize _,
@@ -271,6 +302,21 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_nucleus_select" ->
+      """WITH r AS (
+        | SELECT source, doc_id, n_chars,
+        |  CAST(sum(n_chars) OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS total
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN (cum - n_chars) * 10 < total * 8
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        | CAST(sum(CASE WHEN (cum - n_chars) * 10 < total * 8
+        |   THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        | max(total) AS total_chars
+        |FROM r GROUP BY source""".stripMargin,
     "q_es_sample" ->
       """WITH t AS (
         | SELECT doc_id,

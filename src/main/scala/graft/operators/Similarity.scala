@@ -617,6 +617,51 @@ object Similarity {
       .limit(10)
   }
 
+  /** Two-stage ANN with exact re-ranking — the standard serving shape
+    * (FAISS nprobe shortlist → exact distance rerank): the probe's top-2
+    * cells (deterministic lowest-8-id centroids, the q_ann_ivf scheme)
+    * give the candidate shortlist, the exact cosine re-ranks it, and
+    * each of the final top-10 carries an `in_exact` flag marking whether
+    * it also appears in the brute-force top-10 — the per-result recall
+    * accounting a serving layer exposes so callers can see what the
+    * shortlist missed. Scale shape: assignment is one broadcast-argmax
+    * scan; the shortlist is ~nprobe/k of the corpus; the exact top-10
+    * baseline is one more scan into a TakeOrdered (at 100 TB the
+    * baseline leg is sampled offline instead — it exists here because
+    * the oracle grades the flags). Every stage replays in DuckDB. */
+  private def annRerank(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val e = Tables.embeddings(s, d)
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        call_function("cosine_sim", col("embedding"), col("cvec")).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("embedding"), col("cid")),
+        struct(col("csim"), -col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cid").as("cid"))
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
+    val pcells = cents.crossJoin(broadcast(probe))
+      .select(col("cid"),
+        call_function("cosine_sim", col("cvec"), col("pv")).as("cs"))
+      .orderBy(col("cs").desc, col("cid")).limit(2).select(col("cid"))
+    val reranked = assigned.join(broadcast(pcells), "cid")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(call_function("cosine_sim", col("embedding"), col("pv")), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    val exact = e.crossJoin(broadcast(probe))
+      .select(col("vec_id").as("evid"),
+        round(call_function("cosine_sim", col("embedding"), col("pv")), 6)
+          .as("es"))
+      .orderBy(col("es").desc, col("evid")).limit(10).select(col("evid"))
+    reranked.join(broadcast(exact), col("vec_id") === col("evid"), "left_outer")
+      .select(col("vec_id"), col("sim"), col("evid").isNotNull.as("in_exact"))
+  }
+
   /** IVF recall-vs-nprobe tuning curve: recall@10 against the exact
     * brute-force top-10 for nprobe ∈ {1, 2, 4} probed cells, plus the
     * candidate count each setting scans — THE curve an ANN operator
@@ -1280,6 +1325,7 @@ object Similarity {
     "q_embed_components" -> embedComponents _,
     "q_semdedup" -> semDedup _,
     "q_ann_ivf" -> annIvf _,
+    "q_ann_rerank" -> annRerank _,
     "q_embed_decontaminate" -> embedDecontaminate _,
     "q_knn_label" -> knnLabel _,
     "q_embed_centroid" -> embedCentroid _,
@@ -1693,6 +1739,36 @@ object Similarity {
         | round(list_cosine_similarity(a.v, p.pv), 6) AS sim
         |FROM a, p WHERE a.cid = p.pcid
         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+    // full replay of the two-stage serving path: same deterministic
+    // assignment as q_ann_ivf, probe's top-2 cells, exact rerank of the
+    // shortlist, in_exact flags vs the brute-force top-10
+    "q_ann_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |scored AS (
+        | SELECT e.vec_id, e.v, c.cid,
+        |  list_cosine_similarity(e.v, c.cv) AS csim
+        | FROM e CROSS JOIN c),
+        |a AS (
+        | SELECT vec_id, v, cid FROM (
+        |  SELECT *, row_number() OVER (
+        |   PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+        |pc AS (
+        | SELECT cid FROM c, p
+        | ORDER BY list_cosine_similarity(c.cv, p.pv) DESC, cid LIMIT 2),
+        |rer AS (
+        | SELECT a.vec_id, round(list_cosine_similarity(a.v, p.pv), 6) AS sim
+        | FROM a, p WHERE a.cid IN (SELECT cid FROM pc)
+        | ORDER BY sim DESC, a.vec_id LIMIT 10),
+        |ex AS (
+        | SELECT e.vec_id FROM e, p
+        | ORDER BY round(list_cosine_similarity(e.v, p.pv), 6) DESC, e.vec_id
+        | LIMIT 10)
+        |SELECT r.vec_id, r.sim,
+        | (r.vec_id IN (SELECT vec_id FROM ex)) AS in_exact
+        |FROM rer r""".stripMargin,
     "q_knn_q8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id, v,

@@ -1194,6 +1194,27 @@ final class EmdriveSession(spark: SparkSession) {
               call_function("hamming64", col(h).cast("long"), lit(probe))
                 .cast("int"))
         }
+      // metric_knn(tbl, idCol, hashCol, probeId, k): index-backed k-NN in
+      // Hamming space — the radius-doubling interrogation of the SAME
+      // persisted layout metric_search writes (O(log r) pruned probes,
+      // exact parity with a full scan — what the reference's emtree
+      // exists for). Ranking ties break on the hash value, so boundary
+      // ties are byte-identical rows and the top-k SET is deterministic.
+      case "metric_knn" =>
+        arity(5)
+        val (tbl, id, h) = (args(0), args(1), args(2))
+        val bits = 6
+        val probeRows = table(tbl).filter(col(id) === args(3).toLong)
+          .select(col(h).cast("long")).limit(1).collect()
+        if (probeRows.isEmpty) {
+          table(tbl).limit(0).withColumn("dist", lit(0).cast("int"))
+        } else {
+          val probe = probeRows(0).getLong(0)
+          val path = ensureIndex("metric", tbl, h)(p =>
+            graft.sources.MetricIndex.writeIndexed(table(tbl), p, h, bits))
+          graft.sources.MetricIndex
+            .knnQuery(spark, path, h, probe, args(4).toInt, bits)
+        }
       // ann_search(tbl, idCol, vecCol, probeId, k): index-backed cosine
       // top-k from a PERSISTED IVF layout. Cells are the 8 lowest-id
       // vectors (the q_ann_ivf deterministic-centroid scheme, so the
@@ -2601,6 +2622,19 @@ object SqlQueries {
                |FROM metric_search(doc_hashes, doc_id, h, 0, 2)
                |ORDER BY doc_id;""".stripMargin)
     }),
+    // index-backed Hamming k-NN at the SQL layer: radius-doubling over
+    // the same persisted layout as q_sql_metric_search. Output is
+    // (h, dist) — ties at the k boundary share identical (h, dist)
+    // bytes, so the selected multiset is engine-independent even when
+    // doc ids at the boundary are not
+    "q_sql_metric_knn" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("doc_hashes", Tables.documents(s, d).select(col("doc_id"),
+        call_function("simhash64", split(col("text"), " ")).as("h")))
+      es.sql("""SELECT h, dist
+               |FROM metric_knn(doc_hashes, doc_id, h, 0, 10)
+               |ORDER BY dist, h;""".stripMargin)
+    }),
     // index-backed ANN search at the SQL layer: cosine top-10 for probe
     // vec_id=0 from the PERSISTED IVF layout (deterministic lowest-8-id
     // centroids — the q_ann_ivf scheme, so DuckDB replays assignment,
@@ -2964,6 +2998,15 @@ object SqlQueries {
          |     (SELECT simhash FROM sh64 WHERE doc_id = 0))) AS INTEGER) AS dist
          |  FROM sh64)
          |SELECT doc_id, dist FROM d WHERE dist <= 2""".stripMargin,
+    // brute-force k-NN replay: same ranking (dist, then hash), same k —
+    // the pruned radius-doubling scan must select the same multiset
+    "q_sql_metric_knn" ->
+      s"""WITH ${graft.operators.Dedup.simhashCtes},
+         |d AS (SELECT doc_id, simhash AS h,
+         |   CAST(bit_count(xor(simhash,
+         |     (SELECT simhash FROM sh64 WHERE doc_id = 0))) AS INTEGER) AS dist
+         |  FROM sh64)
+         |SELECT h, dist FROM d ORDER BY dist, h LIMIT 10""".stripMargin,
     // complete replay of the deterministic IVF path: lowest-8-id
     // centroids, argmax assignment with the cid tie-break, probe cell,
     // in-cell top-10 (the q_ann_ivf oracle parameterized by the

@@ -995,7 +995,45 @@ object Dedup {
         (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
   }
 
+  /** Near-dup incidence by document-length decile — the diagnostic that
+    * tells a cleaning pipeline WHERE its duplication lives (short scraps
+    * duplicating at 40% and long docs at 2% argues for a length gate
+    * before the expensive near-dup pass, and vice versa). Deciles come
+    * from the fact-scale quantile pattern (value-histogram cumdist cut
+    * points — the window runs over DISTINCT n_chars values, never a
+    * global row window; ties share a bucket by construction), the dup
+    * set is the τ=0.4 pair relation's endpoint set (eleventh consumer of
+    * the memoized wordPairsAll build), and the rate is one int/int
+    * division. */
+  private def dupByLength(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val hist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val thr = cum.crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+      .agg((1 to 9).map(i =>
+        min(when(col("cum") * 10 >= col("n") * i, col("n_chars"))).as(s"t$i")).head,
+        (1 to 9).map(i =>
+          min(when(col("cum") * 10 >= col("n") * i, col("n_chars"))).as(s"t$i")).tail: _*)
+    val pairs = wordPairsAll(s, d).filter(col("raw_j") >= 0.4)
+    val dup = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id")))
+      .distinct().withColumn("isdup", lit(1L))
+    val bucket = (1 to 9).foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col("n_chars") > col(s"t$i"), 1).otherwise(0)
+    }
+    docs.crossJoin(broadcast(thr))
+      .join(dup, Seq("doc_id"), "left_outer")
+      .select(bucket.as("decile"), coalesce(col("isdup"), lit(0L)).as("isdup"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("isdup")).as("n_dup"),
+        round(sum(col("isdup")).cast("double") / count(lit(1)), 6).as("dup_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_by_length" -> dupByLength _,
     "q_ngram_novelty" -> ngramNovelty _,
     "q_kcore" -> kcore _,
     "q_threshold_curve" -> thresholdCurve _,
@@ -1100,6 +1138,37 @@ object Dedup {
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    "q_dup_by_length" ->
+      s"""WITH $wordPairCtes,
+         |j AS (
+         | SELECT id_a, id_b
+         | FROM p JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+         | WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.4),
+         |dup AS (
+         | SELECT DISTINCT doc_id FROM (
+         |  SELECT id_a AS doc_id FROM j UNION ALL SELECT id_b FROM j)),
+         |hist AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
+         |cum AS (
+         | SELECT n_chars, sum(c) OVER (ORDER BY n_chars
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         | FROM hist),
+         |nn AS (SELECT sum(c) AS n FROM hist),
+         |thr AS (SELECT
+         |  ${(1 to 9).map(i =>
+              s"min(CASE WHEN cum * 10 >= n * $i THEN n_chars END) AS t$i")
+              .mkString(", ")}
+         | FROM cum CROSS JOIN nn),
+         |b AS (
+         | SELECT doc_id,
+         |  1 ${(1 to 9).map(i =>
+              s"+ (CASE WHEN n_chars > t$i THEN 1 ELSE 0 END)").mkString(" ")}
+         |   AS decile
+         | FROM documents CROSS JOIN thr)
+         |SELECT decile, count(*) AS n_docs,
+         | CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         | round(CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / count(*), 6) AS dup_rate
+         |FROM b LEFT JOIN dup USING (doc_id) GROUP BY decile""".stripMargin,
     "q_ngram_novelty" ->
       """WITH t AS (
         | SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -2082,7 +2082,31 @@ object Relational {
       col("new_users"), sum(col("new_users")).over(w).as("cum_users"))
   }
 
+  /** DAU/MAU stickiness per day — the engagement ratio product teams
+    * track daily (what fraction of the monthly audience shows up today).
+    * Same mechanics as B44's WAU: the trailing 28-day active set is the
+    * (user, day)-DISTINCT relation exploded over the 28 windows each
+    * active day contributes to, partial-combined per window day — never
+    * a distinct-over-range-frame (no engine has one) and never 28
+    * self-joins. The ratio is one int/int division, rounded. Days whose
+    * trailing window precedes the corpus simply report the partial
+    * window, exactly as the oracle does. */
+  private def stickiness(s: SparkSession, d: String): DataFrame = {
+    val ud = EventTime.withMs(Tables.events(s, d))
+      .select(col("user_id"), expr("ms div 86400000").as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val mau = ud.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + lit(27))).as("mday"))
+      .distinct()
+      .groupBy(col("mday")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, col("day") === col("mday"))
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stickiness" -> stickiness _,
     "q_product_profit" -> productProfit _,
     "q_excess_share" -> excessShare _,
     "q_running_distinct" -> runningDistinct _,
@@ -2185,6 +2209,17 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stickiness" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |uw AS (
+        | SELECT DISTINCT user_id, day + g.i AS mday
+        | FROM ud CROSS JOIN (SELECT unnest(range(28)) AS i) g),
+        |mau AS (SELECT mday, count(*) AS mau FROM uw GROUP BY mday)
+        |SELECT day, dau, mau,
+        | round(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
+        |FROM dau JOIN mau ON day = mday""".stripMargin,
     "q_product_profit" ->
       """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
         | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)

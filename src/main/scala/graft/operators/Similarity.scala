@@ -662,6 +662,45 @@ object Similarity {
       .select(col("vec_id"), col("sim"), col("evid").isNotNull.as("in_exact"))
   }
 
+  /** Cluster topic keywords: the top-3 LIFT-ranked terms per embedding
+    * cluster — the "name the clusters" step after any corpus clustering
+    * (cluster 3 is 'spark joins', cluster 5 is 'customer orders'), using
+    * the deterministic q_ann_ivf assignment so the whole path replays.
+    * Lift = in-cluster term share ÷ corpus term share, computed as ONE
+    * division of exact integer cross-products (cnt_c·tot_all over
+    * cnt_all·tot_c — products are exactly representable doubles), so
+    * ranking is engine-stable; ties break on the term. Scale shape: one
+    * assignment scan, token explode partial-combines into (cell, tok)
+    * counts, the rank window runs per cell over vocabulary-sized
+    * slices. */
+  private def clusterTopics(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val e = Tables.embeddings(s, d)
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        call_function("cosine_sim", col("embedding"), col("cvec")).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cell"))
+    val toks = Tables.documents(s, d)
+      .join(assigned, col("doc_id") === col("vec_id"))
+      .select(col("cell"), explode(split(col("text"), " ")).as("tok"))
+    val inC = toks.groupBy(col("cell"), col("tok")).agg(count(lit(1)).as("cnt_c"))
+    val totC = toks.groupBy(col("cell")).agg(count(lit(1)).as("tot_c"))
+    val all = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt_all"))
+    val totAll = toks.agg(count(lit(1)).as("tot_all"))
+    val lifted = inC.join(totC, "cell").join(all, "tok")
+      .crossJoin(broadcast(totAll))
+      .select(col("cell"), col("tok"), col("cnt_c"),
+        round((col("cnt_c") * col("tot_all")).cast("double") /
+          (col("cnt_all") * col("tot_c")), 6).as("lift"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("lift").desc, col("tok"))
+    lifted.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("cell"), col("rn"), col("tok"), col("cnt_c"), col("lift"))
+  }
+
   /** IVF recall-vs-nprobe tuning curve: recall@10 against the exact
     * brute-force top-10 for nprobe ∈ {1, 2, 4} probed cells, plus the
     * candidate count each setting scans — THE curve an ANN operator
@@ -1326,6 +1365,7 @@ object Similarity {
     "q_semdedup" -> semDedup _,
     "q_ann_ivf" -> annIvf _,
     "q_ann_rerank" -> annRerank _,
+    "q_cluster_topics" -> clusterTopics _,
     "q_embed_decontaminate" -> embedDecontaminate _,
     "q_knn_label" -> knnLabel _,
     "q_embed_centroid" -> embedCentroid _,
@@ -1739,6 +1779,32 @@ object Similarity {
         | round(list_cosine_similarity(a.v, p.pv), 6) AS sim
         |FROM a, p WHERE a.cid = p.pcid
         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+    "q_cluster_topics" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |scored AS (
+        | SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cv) AS csim
+        | FROM e CROSS JOIN c),
+        |a AS (
+        | SELECT vec_id, cid AS cell FROM (
+        |  SELECT *, row_number() OVER (
+        |   PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |toks AS (
+        | SELECT cell, unnest(string_split(text, ' ')) AS tok
+        | FROM documents JOIN a ON doc_id = vec_id),
+        |inc AS (SELECT cell, tok, count(*) AS cnt_c FROM toks GROUP BY 1, 2),
+        |totc AS (SELECT cell, count(*) AS tot_c FROM toks GROUP BY 1),
+        |alltok AS (SELECT tok, count(*) AS cnt_all FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS tot_all FROM toks),
+        |l AS (
+        | SELECT i.cell, i.tok, i.cnt_c,
+        |  round(CAST(i.cnt_c * tot_all AS DOUBLE) / (cnt_all * tot_c), 6) AS lift
+        | FROM inc i JOIN totc USING (cell) JOIN alltok USING (tok) CROSS JOIN tot)
+        |SELECT cell, CAST(rn AS INTEGER) AS rn, tok, cnt_c, lift FROM (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY cell ORDER BY lift DESC, tok) AS rn FROM l)
+        |WHERE rn <= 3""".stripMargin,
     // full replay of the two-stage serving path: same deterministic
     // assignment as q_ann_ivf, probe's top-2 cells, exact rerank of the
     // shortlist, in_exact flags vs the brute-force top-10

@@ -309,6 +309,30 @@ class QueryPlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("Q9 flavor: part filter pushes to the scan; dims broadcast") {
+    GraftSession.prepare(spark)
+    val p = SparkEntry.queries("q_product_profit")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("StringContains(p_name,red)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("Q20 flavor: one lineitem scan (conditional agg, no second pass)") {
+    val p = plan("q_excess_share")
+    val lineitemScans = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(lineitemScans <= 1, s"expected one lineitem scan, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("running distinct: window input is the day-aggregated relation") {
+    val p = plan("q_running_distinct")
+    // two partial-combined aggregates feed the window — no window over
+    // the raw fact rows (the relation under Window must be post-agg)
+    assert(p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("every registered query executes and returns rows at sf0.001") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       try {

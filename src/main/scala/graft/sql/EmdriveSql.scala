@@ -1075,21 +1075,29 @@ final class EmdriveSession(spark: SparkSession) {
 
   def register(name: String, df: DataFrame): Unit = catalog(name) = df
 
-  /** Session-scoped persisted-index registry: (kind, table, column) →
+  /** Persisted-index registry: (kind, table plan identity, column) →
     * on-disk layout path. Built lazily on the FIRST index-backed search
-    * and reused by every later query in the session — the reference's
-    * index-lives-with-the-table economics (src/storage/index.rs) at the
-    * SQL layer; a production catalog would key layouts by table snapshot
-    * the way [[graft.sources.PairStore]] fingerprints its corpus. */
-  private val indexPaths = mutable.Map.empty[(String, String, String), String]
-
+    * and reused by every later query — the reference's index-lives-with-
+    * the-table economics (src/storage/index.rs) at the SQL layer. Keyed
+    * by the registered relation's SEMANTIC PLAN HASH (not the catalog
+    * name), so two sessions of one SparkSession querying the same corpus
+    * share one layout, while a session registering different data under
+    * the same name can never hit a stale index — the plan identity is
+    * the table-snapshot key, the same role PairStore's file fingerprint
+    * plays for parquet corpora. */
   private def ensureIndex(kind: String, tbl: String, column: String)
-      (build: String => Unit): String =
-    indexPaths.getOrElseUpdate((kind, tbl, column), {
+      (build: String => Unit): String = {
+    val key = (System.identityHashCode(spark), kind,
+      table(tbl).queryExecution.analyzed.semanticHash(), column)
+    val cur = EmdriveSession.indexPaths.get(key)
+    if (cur != null) cur
+    else {
       val p = java.nio.file.Files.createTempDirectory(s"graft_${kind}_idx").toString
       build(p)
-      p
-    })
+      val prev = EmdriveSession.indexPaths.putIfAbsent(key, p)
+      if (prev != null) prev else p
+    }
+  }
 
   private val TvfName = "^([A-Za-z_][A-Za-z_0-9]*)\\((.*)\\)$".r
 
@@ -2241,6 +2249,16 @@ final class EmdriveSession(spark: SparkSession) {
     raw.copyToArray(out, 16 - raw.length)
     out
   }
+}
+
+object EmdriveSession {
+  /** Cross-session index-layout registry (see ensureIndex): keyed by
+    * (SparkSession identity, kind, relation semantic hash, column) so the
+    * write-once/query-many amortization spans sessions while plan
+    * identity rules out stale hits. Layouts live in /tmp for the
+    * sandbox; a production catalog would home them next to the table. */
+  private[sql] val indexPaths =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, String), String]()
 }
 
 /** Driver-gate query keys exercising the SQL front-end end-to-end: the

@@ -197,7 +197,13 @@ object EmdriveSql {
   final case class CaseItem(branches: Seq[(Pred, Operand)],
       elseV: Option[Operand], alias: String) extends SelectItem
 
-  final case class OrderKey(name: String, desc: Boolean)
+  /** A sort key: an output name / "#n" ordinal (the common case), or —
+    * top-level SELECT only — an arbitrary scalar EXPRESSION carried in
+    * `expr` (r9: `ORDER BY ABS(x - 300)` is the everyday ANSI shape; the
+    * lowering attaches it as a hidden column, sorts, and drops it).
+    * Window specs keep the name-only form. */
+  final case class OrderKey(name: String, desc: Boolean,
+      expr: Option[Operand] = None)
 
   sealed trait Operand
   final case class ORef(name: String) extends Operand
@@ -327,7 +333,11 @@ object EmdriveSql {
         * key prefixes, "cube" = all key subsets); lowered to
         * Dataset.rollup/cube so Catalyst's Expand produces every grouping
         * set in one pass (NULL marks a rolled-up key, ANSI). */
-      groupMode: String = "plain")
+      groupMode: String = "plain",
+      /** GROUP BY expression keys with no select-item twin (r9): hidden
+        * (name, operand) columns attached pre-aggregation; the names ride
+        * `groupBy` like any key and the projection drops them. */
+      groupExprs: Seq[(String, Operand)] = Seq.empty)
     extends Statement
 
   /** select (UNION [ALL] | EXCEPT | INTERSECT) select … —
@@ -632,14 +642,31 @@ object EmdriveSql {
     }
     val where = mutable.ListBuffer.empty[Pred]
     if (p.tryWord("WHERE")) where += parsePred(p)
+    val groupExprs = mutable.ListBuffer.empty[(String, Operand)]
     val (groupBy, groupMode) =
       if (p.tryWord("GROUP")) {
         p.eatWord("BY")
         // GROUP BY 1, 2 — ordinals into the select list ("#n" markers,
-        // resolved at lowering; aggregates at that position are refused)
+        // resolved at lowering; aggregates at that position are refused).
+        // Otherwise a full scalar operand parses (r9): a bare reference
+        // keeps the name path; a computed expression whose twin appears
+        // as a select item groups by that item's alias (the ANSI
+        // `SELECT f(x) AS a … GROUP BY f(x)` shape), and any other
+        // expression becomes a hidden __gb_i group column
         def gkey(): String = p.toks match {
           case TNum(n) :: rest if !n.contains('.') => p.toks = rest; "#" + n
-          case _ => p.qident()
+          case _ =>
+            parseOperand(p) match {
+              case ORef(nm) => nm
+              case o =>
+                items.collectFirst {
+                  case ExprItem(o2, alias) if o2 == o => alias
+                }.getOrElse {
+                  val hn = s"__gb_${groupExprs.length}"
+                  groupExprs += ((hn, o))
+                  hn
+                }
+            }
         }
         // GROUP BY ROLLUP(a, b, …) / CUBE(a, b, …) — subtotal sets
         val mode =
@@ -679,13 +706,23 @@ object EmdriveSql {
         p.eatWord("BY")
         def key(): OrderKey = {
           // ORDER BY 1 — ANSI ordinal into the select list; carried as a
-          // "#n" marker and resolved against item output names at lowering
-          val name = p.toks match {
-            case TNum(n) :: rest if !n.contains('.') => p.toks = rest; "#" + n
-            case _ => p.ident()
+          // "#n" marker and resolved against item output names at
+          // lowering. Otherwise a full scalar operand parses: a bare
+          // reference keeps the output-name path, anything else (r9:
+          // arithmetic, CAST, scalar functions) rides the expression key
+          p.toks match {
+            case TNum(n) :: rest if !n.contains('.') =>
+              p.toks = rest
+              OrderKey("#" + n,
+                p.tryWord("DESC") || { p.tryWord("ASC"); false })
+            case _ =>
+              val o = parseOperand(p)
+              val desc = p.tryWord("DESC") || { p.tryWord("ASC"); false }
+              o match {
+                case ORef(nm) => OrderKey(nm, desc)
+                case other => OrderKey("!expr", desc, Some(other))
+              }
           }
-          val desc = p.tryWord("DESC") || { p.tryWord("ASC"); false }
-          OrderKey(name, desc)
         }
         val ks = mutable.ListBuffer(key())
         while (p.trySym(",")) ks += key()
@@ -713,7 +750,8 @@ object EmdriveSql {
         Some(boundedInt("OFFSET"))
       } else None
     Select(resolvedItems, table, where.toSeq, groupBy, having.toSeq, orderBy,
-      limit, joins.toSeq, distinct, offset, derived, baseAlias, groupMode)
+      limit, joins.toSeq, distinct, offset, derived, baseAlias, groupMode,
+      groupExprs.toSeq)
   }
 
   private def parseItem(p: P): SelectItem = p.toks match {
@@ -1551,7 +1589,7 @@ final class EmdriveSession(spark: SparkSession) {
 
   private def lowerSelect(sel: Select): DataFrame = {
     val Select(items, name, where, rawGroupBy, having, rawOrderBy, limitN,
-      joins, distinct, offsetN, derived, baseAlias, groupMode) = sel
+      joins, distinct, offsetN, derived, baseAlias, groupMode, groupExprs) = sel
     // "#n" ordinal markers (GROUP BY 1 / ORDER BY 2) resolve to the n-th
     // select item's OUTPUT name — ANSI ordinal semantics; grouping by an
     // aggregate/window position is refused like any non-key grouping
@@ -1784,6 +1822,28 @@ final class EmdriveSession(spark: SparkSession) {
       postWin.foreach(c => df = df.filter(predCol(base, c, subPreds)))
       val hasAgg = items.exists(i =>
         i.isInstanceOf[AggItem] || i.isInstanceOf[AggExprItem])
+      // ORDER BY expression keys (r9): hidden __ob_i columns. On the
+      // plain-projection path they attach BEFORE the projection, so the
+      // expression may read underlying columns not in the select list
+      // (ANSI); on the aggregated path they attach to the aggregated
+      // output below (output names only — ANSI's restriction anyway).
+      val obExprs = orderBy.zipWithIndex.collect {
+        case (k, i) if k.expr.isDefined => (s"__ob_$i", k.expr.get)
+      }
+      if (obExprs.nonEmpty) {
+        require(!distinct, "ORDER BY expressions cannot combine with " +
+          "SELECT DISTINCT — order by a select-list alias instead")
+        if (!hasAgg && groupBy.isEmpty)
+          obExprs.foreach { case (hn, o) =>
+            df = df.withColumn(hn, operandCol(base, o))
+          }
+      }
+      // hidden GROUP BY expression columns (r9) attach pre-aggregation;
+      // their names ride groupBy like any key and the item projection
+      // below drops them
+      groupExprs.foreach { case (hn, o) =>
+        df = df.withColumn(hn, operandCol(base, o))
+      }
       // 3. aggregation (graft extension) or plain SELECT-list projection
       var out: DataFrame =
         if (hasAgg || groupBy.nonEmpty) {
@@ -1872,7 +1932,7 @@ final class EmdriveSession(spark: SparkSession) {
             case ExprItem(_, alias) => Seq(col(alias))
             case WinItem(_, _, _, _, alias, _) => Seq(col(alias))
             case other => throw new IllegalStateException(other.toString)
-          }: _*)
+          } ++ obExprs.map { case (hn, _) => col(hn) }: _*)
         }
       // 4. HAVING filters the aggregated output by output names — Catalyst
       //    evaluates it post-aggregation, exactly ANSI HAVING semantics
@@ -1886,9 +1946,26 @@ final class EmdriveSession(spark: SparkSession) {
       if (distinct) out = out.dropDuplicates()
       // 5. ORDER BY / LIMIT over output names. Catalyst turns
       //    orderBy+limit into TakeOrderedAndProject (top-k, no global sort)
-      if (orderBy.nonEmpty)
-        out = out.orderBy(orderBy.map(k =>
-          if (k.desc) col(k.name).desc else col(k.name).asc): _*)
+      if (orderBy.nonEmpty) {
+        // expression keys read their hidden __ob_i columns (attached
+        // pre-projection on the plain path; computed from output names
+        // here on the aggregated path), sort, then drop — the projection
+        // folds into TakeOrderedAndProject under a LIMIT, so the hidden
+        // column never materializes globally
+        val sortCols = orderBy.zipWithIndex.map { case (k, i) =>
+          val c = k.expr match {
+            case Some(o) =>
+              val hn = s"__ob_$i"
+              if (!out.columns.contains(hn))
+                out = out.withColumn(hn, operandCol(out, o))
+              col(hn)
+            case None => col(k.name)
+          }
+          if (k.desc) c.desc else c.asc
+        }
+        out = out.orderBy(sortCols: _*)
+        if (obExprs.nonEmpty) out = out.drop(obExprs.map(_._1): _*)
+      }
       // ANSI pagination: OFFSET skips before LIMIT counts (Dataset.offset
       // composes with the sort into a single GlobalLimit — no full
       // materialization of the skipped prefix)
@@ -2604,6 +2681,24 @@ object SqlQueries {
                |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
                |FROM documents ORDER BY source, doc_id;""".stripMargin)
     }),
+    // GROUP BY expressions (r9): `GROUP BY YEAR(d)` with the select-item
+    // twin resolving to its alias — the everyday ANSI report shape that
+    // previously required grouping by the alias name
+    "q_sql_group_expr" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT YEAR(o_orderdate) AS yr, COUNT(*) AS n_orders
+               |FROM orders GROUP BY YEAR(o_orderdate) ORDER BY yr;""".stripMargin)
+    }),
+    // ORDER BY expressions (r9): the everyday ANSI shape — sort by a
+    // computed scalar that is not a select item; hidden-column lowering
+    // folds into TakeOrderedAndProject under the LIMIT
+    "q_sql_order_expr" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, n_chars FROM documents
+               |ORDER BY ABS(n_chars - 300), doc_id LIMIT 50;""".stripMargin)
+    }),
     // string scalar functions in SELECT and WHERE
     "q_sql_string_funcs" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
@@ -2980,6 +3075,12 @@ object SqlQueries {
         | CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_sum
         |FROM documents ORDER BY source, doc_id""".stripMargin,
+    "q_sql_group_expr" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n_orders
+        |FROM orders GROUP BY year(o_orderdate)""".stripMargin,
+    "q_sql_order_expr" ->
+      """SELECT doc_id, n_chars FROM documents
+        |ORDER BY abs(n_chars - 300), doc_id LIMIT 50""".stripMargin,
     "q_sql_string_funcs" ->
       """SELECT doc_id, upper(lang) AS lang_uc,
         | CAST(length(text) AS INTEGER) AS n_len,

@@ -295,6 +295,19 @@ object EmdriveSql {
     * complement relation (three-valued: NULL predicates KEEP the row,
     * exactly ANSI DELETE semantics). No WHERE = truncate. */
   final case class Delete(table: String, where: Option[Pred]) extends Statement
+  /** MERGE INTO t [AS] a USING s [AS] b ON a.k = b.k [AND …]
+    * WHEN MATCHED THEN (UPDATE SET c = expr [, …] | DELETE)
+    * WHEN NOT MATCHED THEN INSERT (c, …) VALUES (expr, …) — the upsert
+    * statement every lakehouse pipeline runs; a catalog rewrite like
+    * UPDATE/DELETE. ON is restricted to AND-ed equalities so the ANSI
+    * at-most-one-source-match rule is checkable (source distinct on its
+    * ON keys); SET/VALUES expressions read the joined aliased row, so
+    * `SET v = b.v + 1` mixes both sides. */
+  final case class Merge(target: String, tAlias: String, source: String,
+      sAlias: String, on: Seq[(String, String)],
+      matchedSets: Option[Seq[(String, Operand)]], matchedDelete: Boolean,
+      notMatched: Option[(Seq[String], Seq[Operand])]) extends Statement
+
   /** UPDATE t SET c = expr [, …] [WHERE pred] — catalog rewrite:
     * matched rows take the new expressions, others pass through; the
     * engine-side cast back to each column's declared type preserves the
@@ -419,7 +432,7 @@ object EmdriveSql {
     "NULL", "TRUE", "FALSE", "SHOW", "TABLES", "DESCRIBE", "JOIN", "ON",
     "EXPLAIN", "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "ALL", "WITH",
     "OVER", "PARTITION", "EXCEPT", "INTERSECT", "IS", "CAST",
-    "DELETE", "UPDATE", "SET")
+    "DELETE", "UPDATE", "SET", "MERGE", "USING", "MATCHED")
 
   private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN")
   private val StrFuncs = Set("UPPER", "LOWER", "LENGTH", "TRIM", "SUBSTR",
@@ -489,6 +502,62 @@ object EmdriveSql {
         while (p.trySym(",")) sets += setPair()
         val w = if (p.tryWord("WHERE")) Some(parsePred(p)) else None
         Update(t, sets.toSeq, w)
+      }
+      else if (p.tryWord("MERGE")) {
+        p.eatWord("INTO")
+        val t = p.ident()
+        val ta = { p.tryWord("AS"); if (!p.peekWord("USING")) p.ident() else t }
+        p.eatWord("USING")
+        val s = p.ident()
+        val sa = { p.tryWord("AS"); if (!p.peekWord("ON")) p.ident() else s }
+        p.eatWord("ON")
+        // AND-ed equalities over qualified refs (the checkable shape)
+        def eq(): (String, String) = {
+          val l = p.qident(); p.eatSym("="); (l, p.qident())
+        }
+        val ons = mutable.ListBuffer(eq())
+        while (p.tryWord("AND")) ons += eq()
+        var matchedSets: Option[Seq[(String, Operand)]] = None
+        var matchedDelete = false
+        var notMatched: Option[(Seq[String], Seq[Operand])] = None
+        while (p.tryWord("WHEN")) {
+          if (p.tryWord("MATCHED")) {
+            p.eatWord("THEN")
+            if (p.tryWord("DELETE")) {
+              require(matchedSets.isEmpty && !matchedDelete,
+                "duplicate WHEN MATCHED clause")
+              matchedDelete = true
+            } else {
+              p.eatWord("UPDATE"); p.eatWord("SET")
+              require(matchedSets.isEmpty && !matchedDelete,
+                "duplicate WHEN MATCHED clause")
+              def setPair(): (String, Operand) = {
+                val c = p.ident(); p.eatSym("="); (c, parseOperand(p))
+              }
+              val sets = mutable.ListBuffer(setPair())
+              while (p.trySym(",")) sets += setPair()
+              matchedSets = Some(sets.toSeq)
+            }
+          } else {
+            p.eatWord("NOT"); p.eatWord("MATCHED"); p.eatWord("THEN")
+            p.eatWord("INSERT")
+            require(notMatched.isEmpty, "duplicate WHEN NOT MATCHED clause")
+            p.eatSym("(")
+            val cols = mutable.ListBuffer(p.ident())
+            while (p.trySym(",")) cols += p.ident()
+            p.eatSym(")")
+            p.eatWord("VALUES"); p.eatSym("(")
+            val vals = mutable.ListBuffer(parseOperand(p))
+            while (p.trySym(",")) vals += parseOperand(p)
+            p.eatSym(")")
+            require(cols.length == vals.length,
+              s"INSERT column/value arity mismatch: ${cols.length} vs ${vals.length}")
+            notMatched = Some((cols.toSeq, vals.toSeq))
+          }
+        }
+        require(matchedSets.nonEmpty || matchedDelete || notMatched.nonEmpty,
+          "MERGE requires at least one WHEN clause")
+        Merge(t, ta, s, sa, ons.toSeq, matchedSets, matchedDelete, notMatched)
       }
       else if (p.tryWord("SHOW")) { p.eatWord("TABLES"); ShowTables }
       else if (p.tryWord("DESCRIBE")) Describe(p.ident())
@@ -1453,6 +1522,80 @@ final class EmdriveSession(spark: SparkSession) {
       }.toIndexedSeq: _*)
       catalog(name)
 
+    case Merge(tName, tAlias, sName, sAlias, ons, matchedSets, matchedDelete,
+        notMatched) =>
+      val t = table(tName)
+      val s0 = table(sName)
+      val ta = aliasCols(t, Some(tAlias))
+      val sb = aliasCols(s0, Some(sAlias))
+      // resolve each ON equality's sides to their owning relation
+      val pairs = ons.map { case (l, r) =>
+        val lt = ta.columns.contains(if (l.contains('.')) l else s"$tAlias.$l")
+        val rt = ta.columns.contains(if (r.contains('.')) r else s"$tAlias.$r")
+        def sq(n: String, tgt: Boolean): String = {
+          val dn =
+            if (n.contains('.')) n
+            else if (tgt) s"$tAlias.$n" else s"$sAlias.$n"
+          dn
+        }
+        if (lt && !rt) (sq(l, tgt = true), sq(r, tgt = false))
+        else if (rt && !lt) (sq(r, tgt = true), sq(l, tgt = false))
+        else throw new IllegalArgumentException(
+          s"MERGE ON key $l = $r must pair one target and one source column")
+      }
+      // ANSI at-most-one-source-match: source keys must be unique (one
+      // bounded aggregate pre-check, the documented DML driver action)
+      val dupSrc = sb.groupBy(pairs.map(pr => qref(pr._2)): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+      require(dupSrc == 0,
+        "MERGE source has duplicate ON keys (a target row would match " +
+          "more than one source row — ANSI cardinality violation)")
+      val cond = pairs.map { case (tc, sc) => qref(tc) === qref(sc) }
+        .reduce(_ && _)
+      val joined = ta.join(sb, cond, "inner")
+      val origNames = t.schema.fields.map(_.name)
+      def backToTarget(df: DataFrame): DataFrame =
+        df.select(t.schema.fields.map(f =>
+          qref(s"$tAlias.${f.name}").as(f.name)).toIndexedSeq: _*)
+      // matched rows: UPDATE projects SET overrides over the joined row
+      // (both sides readable), DELETE drops them, no clause keeps as-is
+      val matchedOut: DataFrame =
+        if (matchedDelete) backToTarget(joined.limit(0))
+        else matchedSets match {
+          case Some(sets) =>
+            val setMap = sets.toMap
+            require(setMap.size == sets.size, "duplicate column in SET")
+            setMap.keys.foreach(c => require(origNames.contains(c),
+              s"unknown target column in SET: $c"))
+            joined.select(t.schema.fields.map { f =>
+              setMap.get(f.name) match {
+                case Some(o) =>
+                  operandCol(joined, o).cast(f.dataType).as(f.name)
+                case None => qref(s"$tAlias.${f.name}").as(f.name)
+              }
+            }.toIndexedSeq: _*)
+          case None => backToTarget(joined)
+        }
+      // target rows with no source match survive unchanged
+      val untouched = backToTarget(ta.join(sb, cond, "left_anti"))
+      // source rows with no target match INSERT through declared types
+      val inserted: Option[DataFrame] = notMatched.map { case (cols, vals) =>
+        require(cols.forall(origNames.contains),
+          s"unknown target column in INSERT: ${cols.mkString(", ")}")
+        val unmatched = sb.join(ta, cond, "left_anti")
+        val valueFor = cols.zip(vals).toMap
+        unmatched.select(t.schema.fields.map { f =>
+          valueFor.get(f.name) match {
+            case Some(o) => operandCol(unmatched, o).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }.toIndexedSeq: _*)
+      }
+      val result = inserted.foldLeft(untouched.unionByName(matchedOut))(
+        _ unionByName _)
+      catalog(tName) = result
+      result
+
     case sel: Select => lowerSelect(sel)
 
     case u: UnionStmt => lowerChain(u)
@@ -1722,7 +1865,8 @@ final class EmdriveSession(spark: SparkSession) {
               else Seq(count(lit(1)).as(s"__ex_cnt_$i"))
             val g = filtered.groupBy(groupCols.map(qref): _*)
               .agg(aggAll.head, aggAll.tail: _*)
-            sub.having.foldLeft(g)((d0, pr) => d0.filter(predCol(d0, pr)))
+            sub.having.foldLeft(g)((d0, pr) =>
+              d0.filter(predCol(d0, resolveHavingAggs(pr, sub.items))))
           }
         val c =
           if (corr.isEmpty) {
@@ -1934,11 +2078,15 @@ final class EmdriveSession(spark: SparkSession) {
             case other => throw new IllegalStateException(other.toString)
           } ++ obExprs.map { case (hn, _) => col(hn) }: _*)
         }
-      // 4. HAVING filters the aggregated output by output names — Catalyst
-      //    evaluates it post-aggregation, exactly ANSI HAVING semantics
+      // 4. HAVING filters the aggregated output — by output names, and
+      //    (r9) by aggregate EXPRESSIONS: `HAVING COUNT(*) >= 20` resolves
+      //    each aggregate atom to its select-item twin's output column
+      //    (ANSI spelling without requiring the alias). Catalyst evaluates
+      //    post-aggregation, exactly ANSI HAVING semantics.
       if (having.nonEmpty) {
         require(hasAgg || groupBy.nonEmpty, "HAVING requires GROUP BY/aggregates")
-        having.foreach(pred => out = out.filter(predCol(out, pred)))
+        having.foreach(pred =>
+          out = out.filter(predCol(out, resolveHavingAggs(pred, items))))
       }
       // 4b. SELECT DISTINCT dedupes the projected output (ANSI position:
       //     after HAVING, before ORDER BY/LIMIT) — lowered to the same
@@ -2052,6 +2200,39 @@ final class EmdriveSession(spark: SparkSession) {
     case POr(a, b) => collectExists(a) ++ collectExists(b)
     case PNot(x) => collectExists(x)
     case _ => Seq.empty
+  }
+
+  /** HAVING aggregate atoms → their select-item twin's output column
+    * (r9): `HAVING COUNT(*) >= 20` works without an alias reference when
+    * some item computes the same aggregate; an aggregate with no twin is
+    * refused (this dialect aggregates only what the select list names —
+    * the documented extension shape). Structural rewrite over the whole
+    * predicate tree, so aggregates compose inside arithmetic/CAST. */
+  private def resolveHavingAggs(p: Pred, items: Seq[SelectItem]): Pred = {
+    def op(o: Operand): Operand = o match {
+      case OAgg(f, arg) =>
+        items.collectFirst {
+          case AggItem(f2, arg2, alias) if f2 == f && arg2 == arg =>
+            ORef(aggAlias(f2, arg2, alias))
+        }.getOrElse(throw new IllegalArgumentException(
+          s"HAVING aggregate $f(${arg.getOrElse("*")}) must also appear " +
+            "in the select list"))
+      case OArith(l, oper, r) => OArith(op(l), oper, op(r))
+      case OFunc(f, as) => OFunc(f, as.map(op))
+      case OCast(x, t) => OCast(op(x), t)
+      case other => other
+    }
+    def walk(pr: Pred): Pred = pr match {
+      case PCmp(Cmp(l, c, r)) => PCmp(Cmp(op(l), c, op(r)))
+      case PAnd(a, b) => PAnd(walk(a), walk(b))
+      case POr(a, b) => POr(walk(a), walk(b))
+      case PNot(x) => PNot(walk(x))
+      case PIn(l, vs, n) => PIn(op(l), vs, n)
+      case PLike(l, pat, n) => PLike(op(l), pat, n)
+      case PIsNull(l, n) => PIsNull(op(l), n)
+      case other => other
+    }
+    walk(p)
   }
 
   /** Top-level AND conjuncts (the unit of the pre/post-window WHERE split
@@ -2681,6 +2862,17 @@ object SqlQueries {
                |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
                |FROM documents ORDER BY source, doc_id;""".stripMargin)
     }),
+    // HAVING with aggregate expressions (r9): the ANSI spelling
+    // `HAVING COUNT(*) >= 20` — the atom resolves to its select-item
+    // twin's output column, composing inside arithmetic
+    "q_sql_having_agg" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+               |FROM documents GROUP BY lang
+               |HAVING COUNT(*) >= 20 AND SUM(n_chars) / COUNT(*) > 250
+               |ORDER BY lang;""".stripMargin)
+    }),
     // GROUP BY expressions (r9): `GROUP BY YEAR(d)` with the select-item
     // twin resolving to its alias — the everyday ANSI report shape that
     // previously required grouping by the alias name
@@ -3078,6 +3270,10 @@ object SqlQueries {
     "q_sql_group_expr" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n_orders
         |FROM orders GROUP BY year(o_orderdate)""".stripMargin,
+    "q_sql_having_agg" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang
+        |HAVING count(*) >= 20 AND sum(n_chars) / count(*) > 250""".stripMargin,
     "q_sql_order_expr" ->
       """SELECT doc_id, n_chars FROM documents
         |ORDER BY abs(n_chars - 300), doc_id LIMIT 50""".stripMargin,

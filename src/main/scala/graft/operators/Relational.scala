@@ -2105,7 +2105,39 @@ object Relational {
         round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
   }
 
+  /** 2-D skyline (Pareto frontier): customers not dominated in
+    * (order count, total spend) — the "best under any monotone
+    * preference" screen (Börzsönyi et al. 2001) that no single ranking
+    * can answer. The naive form is the O(n²) NOT-EXISTS dominance test
+    * (exactly the oracle's replay); the distributed form is the
+    * sort-based rewrite: with rows ordered by n_orders, a row is
+    * dominated iff some strictly-higher-n row has spend ≥ mine
+    * (RANGE-frame running max) or an equal-n row has spend > mine
+    * (partition max) — two windows over the CUSTOMER-cardinality
+    * aggregate (dimension-scale, the B16h argument; a fact-scale skyline
+    * would grid-partition first). Spend compared as exact decimals so
+    * frontier membership can never flip on float noise; rounded to
+    * 2-dp double only at output. */
+  private def skyline(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("spend_d"))
+    val higher = Window.orderBy(col("n_orders"))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val same = Window.partitionBy(col("n_orders"))
+    per
+      .withColumn("max_s_higher", max(col("spend_d")).over(higher))
+      .withColumn("max_s_same", max(col("spend_d")).over(same))
+      .filter(
+        (col("max_s_higher").isNull || col("max_s_higher") < col("spend_d")) &&
+          col("max_s_same") <= col("spend_d"))
+      .select(col("o_custkey"), col("n_orders"),
+        round(col("spend_d"), 2).cast("double").as("spend"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> skyline _,
     "q_stickiness" -> stickiness _,
     "q_product_profit" -> productProfit _,
     "q_excess_share" -> excessShare _,
@@ -2209,6 +2241,19 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the definitional O(n²) dominance replay over the customer-sized
+    // aggregate — the window rewrite must select the identical frontier
+    "q_skyline" ->
+      """WITH per AS (
+        | SELECT o_custkey, count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend_d
+        | FROM orders GROUP BY 1)
+        |SELECT p.o_custkey, p.n_orders,
+        | CAST(round(p.spend_d, 2) AS DOUBLE) AS spend
+        |FROM per p WHERE NOT EXISTS (
+        | SELECT 1 FROM per q
+        | WHERE q.n_orders >= p.n_orders AND q.spend_d >= p.spend_d
+        |   AND (q.n_orders > p.n_orders OR q.spend_d > p.spend_d))""".stripMargin,
     "q_stickiness" ->
       """WITH ud AS (
         | SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),

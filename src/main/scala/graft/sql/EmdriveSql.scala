@@ -373,7 +373,11 @@ object EmdriveSql {
     * them (a CTE referenced twice is planned twice — plan-level reuse is
     * the engine's call via exchange reuse, not a materialization here). */
   final case class WithStmt(ctes: Seq[(String, UnionStmt)],
-      body: UnionStmt) extends Statement
+      body: UnionStmt,
+      /** WITH RECURSIVE (r9): a self-referencing CTE iterates to set
+        * fixpoint (UNION-distinct accumulation, naive evaluation with a
+        * convergence guard) instead of wiring one lazy subplan. */
+      recursive: Boolean = false) extends Statement
 
   // ----- parser (recursive descent over the token list) -----------------
 
@@ -432,7 +436,7 @@ object EmdriveSql {
     "NULL", "TRUE", "FALSE", "SHOW", "TABLES", "DESCRIBE", "JOIN", "ON",
     "EXPLAIN", "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "ALL", "WITH",
     "OVER", "PARTITION", "EXCEPT", "INTERSECT", "IS", "CAST",
-    "DELETE", "UPDATE", "SET", "MERGE", "USING", "MATCHED")
+    "DELETE", "UPDATE", "SET", "MERGE", "USING", "MATCHED", "RECURSIVE")
 
   private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN")
   private val StrFuncs = Set("UPPER", "LOWER", "LENGTH", "TRIM", "SUBSTR",
@@ -474,6 +478,7 @@ object EmdriveSql {
       else if (p.tryWord("INSERT")) parseInsert(p)
       else if (p.peekWord("SELECT")) collapse(parseChain(p))
       else if (p.tryWord("WITH")) {
+        val recursive = p.tryWord("RECURSIVE")
         val ctes = mutable.ListBuffer.empty[(String, UnionStmt)]
         var more = true
         while (more) {
@@ -484,7 +489,7 @@ object EmdriveSql {
           p.eatSym(")")
           more = p.trySym(",")
         }
-        WithStmt(ctes.toSeq, parseChain(p))
+        WithStmt(ctes.toSeq, parseChain(p), recursive)
       }
       else if (p.tryWord("DELETE")) {
         p.eatWord("FROM")
@@ -1600,15 +1605,22 @@ final class EmdriveSession(spark: SparkSession) {
 
     case u: UnionStmt => lowerChain(u)
 
-    case WithStmt(ctes, body) =>
+    case WithStmt(ctes, body, recursive) =>
       // statement-scoped catalog overlay: each CTE's plan registers under
       // its name (shadowing any same-named table), the body lowers against
       // the overlay, and the pre-statement catalog is restored whatever
       // happens — the session is never mutated by a query. Plans are lazy,
-      // so "registering" a CTE is wiring a subplan, not materializing it.
+      // so "registering" a CTE is wiring a subplan, not materializing it —
+      // except a RECURSIVE self-referencing CTE, which iterates eagerly
+      // to its set fixpoint before the body sees it.
       val saved = ctes.map { case (n, _) => n -> catalog.get(n) }
       try {
-        ctes.foreach { case (n, chain) => catalog(n) = lowerChain(chain) }
+        ctes.foreach { case (n, chain) =>
+          catalog(n) =
+            if (recursive && chainReferences(chain, n))
+              lowerRecursiveCte(n, chain)
+            else lowerChain(chain)
+        }
         lowerChain(body)
       } finally saved.reverse.foreach {
         case (n, Some(prev)) => catalog(n) = prev
@@ -1630,6 +1642,71 @@ final class EmdriveSession(spark: SparkSession) {
     * both as null-safe left-anti/left-semi joins over distinct inputs,
     * exactly the ANSI DISTINCT set semantics, and AQE picks
     * broadcast vs shuffle. A tail-less chain is just its head SELECT. */
+  /** Does this select (transitively through joins/derived tables)
+    * reference relation `n` in a FROM position? The recursion detector
+    * for WITH RECURSIVE — subquery positions are deliberately excluded
+    * (ANSI forbids the recursive reference there). */
+  private def selectReferences(sel: Select, n: String): Boolean =
+    sel.table == n || sel.joins.exists(_.table == n) ||
+      sel.derived.exists(u => chainReferences(u, n))
+
+  private def chainReferences(u: UnionStmt, n: String): Boolean =
+    selectReferences(u.first, n) ||
+      u.rest.exists { case (_, s) => selectReferences(s, n) }
+
+  /** WITH RECURSIVE fixpoint (r9): naive set-semantics iteration. The
+    * first UNION arm (plus any other non-self-referencing arms) is the
+    * base; every self-referencing arm is a step. Each round re-evaluates
+    * the steps against the CURRENT accumulated relation and unions
+    * distinct; convergence = no growth (monotone under set union, so the
+    * count check is exact). Rounds localCheckpoint, so lineage stays one
+    * round deep and each iteration's shuffle work is bounded by the
+    * delta-free naive cost — the documented trade at this surface
+    * (semi-naive evaluation and the RDD fixpoint live in
+    * operators.Dedup.components for the 100 TB graph path; the SQL
+    * surface favors ANSI fidelity with a loud iteration cap). */
+  private def lowerRecursiveCte(name: String, chain: UnionStmt): DataFrame = {
+    require(!selectReferences(chain.first, name),
+      s"recursive CTE $name: the first UNION arm must be the non-recursive base")
+    val (stepArms, baseArms) = chain.rest.partition {
+      case (_, s) => selectReferences(s, name)
+    }
+    stepArms.foreach { case (op, _) =>
+      require(op == "union",
+        s"recursive CTE $name: the recursive arm must attach with UNION " +
+          "(distinct set semantics — UNION ALL over a cycle never terminates)")
+    }
+    var acc = lowerChain(UnionStmt(chain.first, baseArms))
+      .dropDuplicates().localCheckpoint()
+    var n = acc.count()
+    var iter = 0
+    var grown = true
+    val saved = catalog.get(name)
+    try {
+      while (grown && iter < 100) {
+        catalog(name) = acc
+        val stepped = stepArms.map { case (_, s) => lowerSelect(s) }
+          .map(d => d.toDF(acc.columns.toIndexedSeq: _*))
+          .reduce(_ union _)
+        val next = acc.union(stepped).dropDuplicates().localCheckpoint()
+        val n2 = next.count()
+        grown = n2 > n
+        acc = next
+        n = n2
+        iter += 1
+      }
+    } finally {
+      saved match {
+        case Some(prev) => catalog(name) = prev
+        case None => catalog.remove(name)
+      }
+    }
+    require(!grown,
+      s"recursive CTE $name did not converge within 100 iterations " +
+        "(unbounded recursion? add a depth guard to the step's WHERE)")
+    acc
+  }
+
   private def lowerChain(u: UnionStmt): DataFrame =
     u.rest.foldLeft(lowerSelect(u.first)) { case (acc, (op, sel)) =>
       val rhs = lowerSelect(sel)
@@ -2862,6 +2939,29 @@ object SqlQueries {
                |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
                |FROM documents ORDER BY source, doc_id;""".stripMargin)
     }),
+    // WITH RECURSIVE (r9): a 4-hop walk along each source's doc chain
+    // (LEAD successor edges), counted by depth — set-fixpoint iteration
+    // with per-round convergence; DuckDB runs the same ANSI text natively
+    "q_sql_recursive" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""WITH RECURSIVE heads AS (
+               |  SELECT source, MIN(doc_id) AS doc_id FROM documents
+               |  GROUP BY source),
+               |nxt AS (
+               |  SELECT source, doc_id,
+               |   LEAD(doc_id, 1) OVER (PARTITION BY source
+               |     ORDER BY doc_id) AS nd
+               |  FROM documents),
+               |walk AS (
+               |  SELECT doc_id, 1 AS depth FROM heads
+               |  UNION
+               |  SELECT n.nd AS doc_id, w.depth + 1 AS depth
+               |  FROM walk AS w JOIN nxt AS n ON w.doc_id = n.doc_id
+               |  WHERE w.depth < 4 AND n.nd IS NOT NULL)
+               |SELECT depth, COUNT(*) AS n_docs FROM walk
+               |GROUP BY depth ORDER BY depth;""".stripMargin)
+    }),
     // HAVING with aggregate expressions (r9): the ANSI spelling
     // `HAVING COUNT(*) >= 20` — the atom resolves to its select-item
     // twin's output column, composing inside arithmetic
@@ -3270,6 +3370,22 @@ object SqlQueries {
     "q_sql_group_expr" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n_orders
         |FROM orders GROUP BY year(o_orderdate)""".stripMargin,
+    "q_sql_recursive" ->
+      """WITH RECURSIVE heads AS (
+        |  SELECT source, min(doc_id) AS doc_id FROM documents
+        |  GROUP BY source),
+        |nxt AS (
+        |  SELECT source, doc_id,
+        |   lead(doc_id, 1) OVER (PARTITION BY source ORDER BY doc_id) AS nd
+        |  FROM documents),
+        |walk AS (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS depth FROM heads
+        |  UNION
+        |  SELECT n.nd AS doc_id, w.depth + 1 AS depth
+        |  FROM walk w JOIN nxt n ON w.doc_id = n.doc_id
+        |  WHERE w.depth < 4 AND n.nd IS NOT NULL)
+        |SELECT depth, count(*) AS n_docs FROM walk
+        |GROUP BY depth ORDER BY depth""".stripMargin,
     "q_sql_having_agg" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY lang

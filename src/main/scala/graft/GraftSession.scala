@@ -45,6 +45,10 @@ object GraftSession {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseCosine))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.FuseCosine
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.MetricPrefixPruning))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.MetricPrefixPruning
     spark
   }
 }

@@ -2136,7 +2136,30 @@ object Relational {
         round(col("spend_d"), 2).cast("double").as("spend"))
   }
 
+  /** Benford first-digit audit over order totals — the classic
+    * fabricated-data screen (organic multiplicative amounts follow
+    * log10(1+1/d); uniform-ish synthetic ones do not, and THIS corpus's
+    * totals are expected to fail — the audit's job is to report the
+    * divergence, read observed vs expected side by side). Digit
+    * extraction is exact integer/string work; expected mass is log10 of
+    * nine small rationals (single IEEE ops in identical order
+    * cross-engine); observed shares are one exact-int division each.
+    * One scan, 9-row output. */
+  private def benford(s: SparkSession, d: String): DataFrame = {
+    val digits = Tables.orders(s, d)
+      .select(substring(floor(col("o_totalprice")).cast("bigint")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("total"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"), col("total"),
+        round(col("n").cast("double") / col("total"), 6).as("observed"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("benford"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford" -> benford _,
     "q_skyline" -> skyline _,
     "q_stickiness" -> stickiness _,
     "q_product_profit" -> productProfit _,
@@ -2241,6 +2264,18 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_benford" ->
+      """WITH dg AS (
+        | SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |   AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        | FROM orders),
+        |cnt AS (SELECT digit, count(*) AS n FROM dg
+        |        WHERE digit >= 1 GROUP BY digit),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cnt)
+        |SELECT digit, n, total,
+        | round(CAST(n AS DOUBLE) / total, 6) AS observed,
+        | round(log10(1.0 + 1.0 / digit), 6) AS benford
+        |FROM cnt CROSS JOIN tot""".stripMargin,
     // the definitional O(n²) dominance replay over the customer-sized
     // aggregate — the window rewrite must select the identical frontier
     "q_skyline" ->

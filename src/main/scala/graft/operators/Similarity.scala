@@ -1339,7 +1339,37 @@ object Similarity {
     }
   }
 
+  /** The TRANSPARENT metric-index path (r9): the same layout as
+    * q_metric_index, but queried with NO index API — a bare
+    * `read.parquet(layout).filter(hamming64(h, probe) <= 2)`. The
+    * MetricPrefixPruning optimizer rule recovers `bits` from the layout's
+    * bits-suffixed prefix column and injects the partition IN-list, so
+    * the scan prunes directories exactly like the explicit
+    * thresholdQuery — proven by the shared brute-force oracle. This is
+    * the engine-native form of the reference's index: the USER writes the
+    * predicate; the optimizer finds the index. */
+  private def metricTransparent(s: SparkSession, d: String): DataFrame = {
+    val hashed = Tables.documents(s, d).select(col("doc_id"),
+      call_function("simhash64", split(col("text"), " ")).as("h"))
+    val path = s"/tmp/graft_metric_index_t_${java.lang.Integer.toHexString(d.hashCode)}"
+    graft.sources.MetricIndex.writeIndexed(hashed, path, "h", bits = 6)
+    val probeRow = hashed.filter(col("doc_id") === 0)
+      .select(col("h")).collect()
+    if (probeRow.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("doc_id", LongType, nullable = false),
+          StructField("dist", IntegerType, nullable = false))))
+    else {
+      val probe = probeRow(0).getLong(0)
+      s.read.parquet(path)
+        .filter(call_function("hamming64", col("h"), lit(probe)) <= 2)
+        .select(col("doc_id"),
+          call_function("hamming64", col("h"), lit(probe)).cast("int").as("dist"))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_metric_transparent" -> metricTransparent _,
     "q_metric_index" -> metricIndexSearch _,
     "q_ivf_balance" -> ivfBalance _,
     "q_mutual_knn" -> mutualKnn _,
@@ -1398,6 +1428,15 @@ object Similarity {
       |pairs AS (SELECT id_a, id_b, sim FROM cp WHERE sim >= 0.4)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same brute-force replay as q_metric_index: the OPTIMIZER-pruned
+    // bare-filter path must lose nothing either
+    "q_metric_transparent" ->
+      s"""WITH ${Dedup.simhashCtes},
+         |d AS (SELECT doc_id,
+         |   CAST(bit_count(xor(simhash,
+         |     (SELECT simhash FROM sh64 WHERE doc_id = 0))) AS INTEGER) AS dist
+         |  FROM sh64)
+         |SELECT doc_id, dist FROM d WHERE dist <= 2""".stripMargin,
     // brute-force replay over the portable hash: proves the partition
     // prune is lossless (prefix distance lower-bounds full distance)
     "q_metric_index" ->

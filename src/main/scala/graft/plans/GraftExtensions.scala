@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => FuseCosine)
+    ext.injectOptimizerRule(_ => MetricPrefixPruning)
   }
 }
 

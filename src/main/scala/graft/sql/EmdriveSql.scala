@@ -442,7 +442,8 @@ object EmdriveSql {
   private val StrFuncs = Set("UPPER", "LOWER", "LENGTH", "TRIM", "SUBSTR",
     "REPLACE", "COALESCE", "NULLIF", "ABS", "ROUND",
     "YEAR", "MONTH", "DAY")
-  private val WinFuncs = Set("ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK")
+  private val WinFuncs =
+    Set("ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK", "CUME_DIST")
 
   /** SELECT … [UNION [ALL] SELECT …]* — the shared select-chain shape used
     * at top level, inside EXPLAIN, and as every CTE body. A single SELECT
@@ -2026,6 +2027,9 @@ final class EmdriveSession(spark: SparkSession) {
             // (rank−1)/(rows−1): a ratio of exact integers, identically
             // defined in DuckDB — bitwise cross-engine
             case "PERCENT_RANK" => percent_rank()
+            // rows-with-peers-or-before / rows: same exact-int ratio
+            // class (ANSI CUME_DIST, identical in DuckDB)
+            case "CUME_DIST" => cume_dist()
             case "NTILE" => ntile(arg.get.toInt)
             // out-of-partition rows yield NULL, identically in DuckDB
             case "LAG" | "LEAD" =>
@@ -2939,6 +2943,16 @@ object SqlQueries {
                |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
                |FROM documents ORDER BY source, doc_id;""".stripMargin)
     }),
+    // CUME_DIST (r9): the remaining ANSI distribution window — exact-int
+    // ratio (peers-or-before / partition rows), bitwise cross-engine
+    "q_sql_cume_dist" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, doc_id, n_chars,
+               | CUME_DIST() OVER (PARTITION BY source
+               |   ORDER BY n_chars, doc_id) AS cd
+               |FROM documents ORDER BY source, doc_id;""".stripMargin)
+    }),
     // WITH RECURSIVE (r9): a 4-hop walk along each source's doc chain
     // (LEAD successor edges), counted by depth — set-fixpoint iteration
     // with per-round convergence; DuckDB runs the same ANSI text natively
@@ -3370,6 +3384,11 @@ object SqlQueries {
     "q_sql_group_expr" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n_orders
         |FROM orders GROUP BY year(o_orderdate)""".stripMargin,
+    "q_sql_cume_dist" ->
+      """SELECT source, doc_id, n_chars,
+        | cume_dist() OVER (PARTITION BY source
+        |   ORDER BY n_chars, doc_id) AS cd
+        |FROM documents ORDER BY source, doc_id""".stripMargin,
     "q_sql_recursive" ->
       """WITH RECURSIVE heads AS (
         |  SELECT source, min(doc_id) AS doc_id FROM documents

@@ -38,13 +38,46 @@ class MetricIndexSpec extends SparkTestBase {
       case f: FileSourceScanExec => f
     }.head
     val totalParts = spark.read.parquet(dir)
-      .select(MetricIndex.PrefixColumn).distinct().count()
+      .select(MetricIndex.prefixColumn(8)).distinct().count()
     val selected = scan.selectedPartitions.partitionCount
     assert(selected <= 93, s"selected $selected")
     assert(selected < totalParts,
       s"no pruning: $selected of $totalParts partitions scanned")
     // and the pruning is visible in the plan as a partition filter
     assert(scan.toString.contains("PartitionFilters"), scan.toString)
+  }
+
+  test("TRANSPARENT pruning: a bare hamming64 filter over the layout " +
+      "prunes directories via the optimizer rule (r9)") {
+    GraftSession.prepare(spark)
+    val dir = Files.createTempDirectory("graft-mindex-t").toString + "/docs"
+    val hashed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        call_function("simhash64", split(col("text"), " ")).as("h"))
+    MetricIndex.writeIndexed(hashed, dir, "h", bits = 8)
+    val probe = hashed.filter(col("doc_id") === 0).head().getLong(1)
+    // no MetricIndex API: just read the layout and filter — the
+    // MetricPrefixPruning rule must inject the prefix IN-list
+    val q = spark.read.parquet(dir)
+      .filter(call_function("hamming64", col("h"), lit(probe)) <= 2)
+      .select(col("doc_id"))
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    val totalParts = spark.read.parquet(dir)
+      .select(MetricIndex.prefixColumn(8)).distinct().count()
+    assert(scan.selectedPartitions.partitionCount < totalParts,
+      s"rule did not prune: ${scan.selectedPartitions.partitionCount} " +
+        s"of $totalParts partitions scanned\n$scan")
+    // and it loses nothing vs the brute-force scan
+    val expected = hashed
+      .filter(call_function("hamming64", col("h"), lit(probe)) <= 2)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(q.collect().map(_.getLong(0)).toSet == expected)
+    // k >= bits → no rewrite (pruning would not pay), still correct
+    val wide = spark.read.parquet(dir)
+      .filter(call_function("hamming64", col("h"), lit(probe)) <= 40)
+    assert(wide.count() >= expected.size)
   }
 
   test("index-backed kNN equals full-scan kNN and reads a pruned ball") {
@@ -87,7 +120,7 @@ class MetricIndexSpec extends SparkTestBase {
       case f: FileSourceScanExec => f
     }.head
     val totalParts = spark.read.parquet(dir)
-      .select(MetricIndex.PrefixColumn).distinct().count()
+      .select(MetricIndex.prefixColumn(8)).distinct().count()
     assert(scan.selectedPartitions.partitionCount < totalParts,
       s"${scan.selectedPartitions.partitionCount} of $totalParts partitions read")
   }

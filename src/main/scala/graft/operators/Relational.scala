@@ -2111,24 +2111,28 @@ object Relational {
     * can answer. The naive form is the O(n²) NOT-EXISTS dominance test
     * (exactly the oracle's replay); the distributed form is the
     * sort-based rewrite: with rows ordered by n_orders, a row is
-    * dominated iff some strictly-higher-n row has spend ≥ mine
-    * (RANGE-frame running max) or an equal-n row has spend > mine
-    * (partition max) — two windows over the CUSTOMER-cardinality
-    * aggregate (dimension-scale, the B16h argument; a fact-scale skyline
-    * would grid-partition first). Spend compared as exact decimals so
-    * frontier membership can never flip on float noise; rounded to
-    * 2-dp double only at output. */
+    * dominated iff some strictly-higher-n row has spend ≥ mine or an
+    * equal-n row has spend > mine. The dominance summary collapses to
+    * the DISTINCT-n relation first: one partial-combined max per
+    * n_orders value (shuffle on n), then the suffix max runs over that
+    * value-cardinality relation (hundreds of rows however many
+    * customers — the B16h fact-scale discipline; the r9 ×10 sweep
+    * caught the naive per-row global window at 72×, which is exactly
+    * the sweep's job) and broadcasts back onto the rows. Spend compared
+    * as exact decimals so frontier membership can never flip on float
+    * noise; rounded to 2-dp double only at output. */
   private def skyline(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val per = Tables.orders(s, d).groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,4)")).as("spend_d"))
+    val perN = per.groupBy(col("n_orders"))
+      .agg(max(col("spend_d")).as("max_s_same"))
     val higher = Window.orderBy(col("n_orders"))
       .rangeBetween(1L, Window.unboundedFollowing)
-    val same = Window.partitionBy(col("n_orders"))
-    per
-      .withColumn("max_s_higher", max(col("spend_d")).over(higher))
-      .withColumn("max_s_same", max(col("spend_d")).over(same))
+    val summary = perN.withColumn("max_s_higher",
+      max(col("max_s_same")).over(higher))
+    per.join(broadcast(summary), "n_orders")
       .filter(
         (col("max_s_higher").isNull || col("max_s_higher") < col("spend_d")) &&
           col("max_s_same") <= col("spend_d"))

@@ -180,7 +180,7 @@ object EmdriveSql {
   final case class WinItem(func: String, arg: Option[String],
       partitionBy: Seq[String], orderBy: Seq[OrderKey],
       alias: String,
-      frame: Option[(Option[Long], Option[Long])] = None) extends SelectItem
+      frame: Option[(String, Option[Long], Option[Long])] = None) extends SelectItem
   /** `fn() OVER w AS a` — a window item referencing a named WINDOW-clause
     * spec; parseSelect substitutes the named spec in (a [[WinItem]]
     * results), so nothing downstream ever sees this node. */
@@ -760,7 +760,7 @@ object EmdriveSql {
     // position: after HAVING, before ORDER BY); `OVER n` items parsed
     // above resolve here. Unknown names fail loudly.
     val winSpecs = mutable.Map.empty[String,
-      (Seq[String], Seq[OrderKey], Option[(Option[Long], Option[Long])])]
+      (Seq[String], Seq[OrderKey], Option[(String, Option[Long], Option[Long])])]
     if (p.tryWord("WINDOW")) {
       def one(): Unit = {
         val n = p.ident(); p.eatWord("AS"); winSpecs(n) = parseWindowSpec(p)
@@ -939,7 +939,7 @@ object EmdriveSql {
   /** A frame clause is only legal on frame-taking functions — shared by
     * the inline OVER path and named-WINDOW substitution. */
   private def checkFrame(func: String,
-      frame: Option[(Option[Long], Option[Long])], p: P): Unit =
+      frame: Option[(String, Option[Long], Option[Long])], p: P): Unit =
     require(frame.isEmpty
         || !(WinFuncs(func) || Set("NTILE", "LAG", "LEAD")(func)),
       s"$func does not take a frame clause")
@@ -947,7 +947,8 @@ object EmdriveSql {
   /** `( [PARTITION BY …] ORDER BY … [ROWS BETWEEN …] )` — the window
     * specification body, shared by inline OVER and the WINDOW clause. */
   private def parseWindowSpec(
-      p: P): (Seq[String], Seq[OrderKey], Option[(Option[Long], Option[Long])]) = {
+      p: P): (Seq[String], Seq[OrderKey],
+      Option[(String, Option[Long], Option[Long])]) = {
     p.eatSym("(")
     val parts = if (p.tryWord("PARTITION")) {
       p.eatWord("BY")
@@ -968,9 +969,13 @@ object EmdriveSql {
     // (partition/order keys accept qualified names — aliased-relation
     // windows; lowering quotes dotted names at the Column boundary)
     // optional explicit ROWS frame (the moving-average idiom, centered
-    // windows included); RANGE stays the ANSI default when absent
-    val frame: Option[(Option[Long], Option[Long])] =
-      if (p.tryWord("ROWS")) {
+    // windows included) or RANGE value frame (r9: `RANGE BETWEEN n
+    // PRECEDING AND CURRENT ROW` — the rolling-window-by-VALUE idiom,
+    // requiring a single numeric ORDER BY key, which Catalyst enforces);
+    // the ANSI default RANGE frame stays when absent
+    val frame: Option[(String, Option[Long], Option[Long])] =
+      if (p.peekWord("ROWS") || p.peekWord("RANGE")) {
+        val kind = if (p.tryWord("ROWS")) "rows" else { p.eatWord("RANGE"); "range" }
         p.eatWord("BETWEEN")
         val lo: Option[Long] =
           if (p.tryWord("UNBOUNDED")) { p.eatWord("PRECEDING"); None }
@@ -989,7 +994,7 @@ object EmdriveSql {
               p.toks = rest; p.eatWord("FOLLOWING"); Some(n.toLong)
             case _ => p.fail("CURRENT ROW/UNBOUNDED/integer FOLLOWING")
           }
-        Some((lo, hi))
+        Some((kind, lo, hi))
       } else None
     p.eatSym(")")
     (parts, keys.toSeq, frame)
@@ -2016,7 +2021,10 @@ final class EmdriveSession(spark: SparkSession) {
             .orderBy(keys.map(k => if (k.desc) qref(k.name).desc else qref(k.name).asc): _*)
           val spec = frame match {
             case None => ordered // ANSI default RANGE frame
-            case Some((lo, hi)) => ordered.rowsBetween(
+            case Some(("range", lo, hi)) => ordered.rangeBetween(
+              lo.fold(Window.unboundedPreceding)(n => -n),
+              hi.fold(Window.unboundedFollowing)(n => n))
+            case Some((_, lo, hi)) => ordered.rowsBetween(
               lo.fold(Window.unboundedPreceding)(n => -n),
               hi.fold(Window.unboundedFollowing)(n => n))
           }
@@ -2943,6 +2951,19 @@ object SqlQueries {
                |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
                |FROM documents ORDER BY source, doc_id;""".stripMargin)
     }),
+    // RANGE value frames (r9): rolling window BY VALUE — every peer at
+    // the same ORDER key lands in the same frame, so the count is
+    // tie-order independent by construction (the property ROWS frames
+    // lack); integer order key, exact counts
+    "q_sql_range_frame" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_custkey, o_orderkey,
+               | CAST(ROUND(o_totalprice) AS BIGINT) AS price_i,
+               | COUNT(*) OVER (PARTITION BY o_custkey ORDER BY price_i
+               |   RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_near
+               |FROM orders ORDER BY o_custkey, o_orderkey;""".stripMargin)
+    }),
     // CUME_DIST (r9): the remaining ANSI distribution window — exact-int
     // ratio (peers-or-before / partition rows), bitwise cross-engine
     "q_sql_cume_dist" -> ((s: SparkSession, d: String) => {
@@ -3384,6 +3405,12 @@ object SqlQueries {
     "q_sql_group_expr" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n_orders
         |FROM orders GROUP BY year(o_orderdate)""".stripMargin,
+    "q_sql_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(round(o_totalprice) AS BIGINT) AS price_i,
+        | COUNT(*) OVER (PARTITION BY o_custkey ORDER BY price_i
+        |   RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_near
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_sql_cume_dist" ->
       """SELECT source, doc_id, n_chars,
         | cume_dist() OVER (PARTITION BY source

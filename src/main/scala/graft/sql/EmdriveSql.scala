@@ -441,7 +441,10 @@ object EmdriveSql {
   private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN")
   private val StrFuncs = Set("UPPER", "LOWER", "LENGTH", "TRIM", "SUBSTR",
     "REPLACE", "COALESCE", "NULLIF", "ABS", "ROUND",
-    "YEAR", "MONTH", "DAY")
+    "YEAR", "MONTH", "DAY",
+    // r9 widening: the everyday string/calendar tier
+    "CONCAT", "LPAD", "RPAD", "LEFT", "RIGHT", "STRPOS", "SPLIT_PART",
+    "CONTAINS", "DATE_TRUNC", "DOW", "FLOOR", "CEIL")
   private val WinFuncs =
     Set("ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK", "CUME_DIST")
 
@@ -2527,9 +2530,41 @@ final class EmdriveSession(spark: SparkSession) {
           case _ => throw new IllegalArgumentException(
             "ROUND's second argument must be an integer literal")
         }
+        // r9 widening — each lowers 1:1 onto a codegen Catalyst
+        // expression with DuckDB-identical semantics (names follow the
+        // DuckDB spelling where the engines differ: STRPOS ≡ Spark
+        // instr, both 1-based/0-when-absent; DOW ≡ Spark dayofweek − 1,
+        // both Sunday-based 0-6)
+        case ("CONCAT", xs) if xs.size >= 2 => concat(xs: _*)
+        case ("LPAD", Seq(x, _, _)) =>
+          lpad(x, argInt(args(1), "LPAD length"), argStr(args(2), "LPAD pad"))
+        case ("RPAD", Seq(x, _, _)) =>
+          rpad(x, argInt(args(1), "RPAD length"), argStr(args(2), "RPAD pad"))
+        case ("LEFT", Seq(x, y)) => call_function("left", x, y)
+        case ("RIGHT", Seq(x, y)) => call_function("right", x, y)
+        case ("STRPOS", Seq(x, y)) => call_function("instr", x, y)
+        case ("SPLIT_PART", Seq(x, y, z)) => call_function("split_part", x, y, z)
+        case ("CONTAINS", Seq(x, y)) => call_function("contains", x, y)
+        case ("DATE_TRUNC", Seq(_, x)) =>
+          date_trunc(argStr(args(0), "DATE_TRUNC unit"), x)
+        case ("DOW", Seq(x)) => (dayofweek(x) - lit(1)).cast("int")
+        case ("FLOOR", Seq(x)) => floor(x)
+        case ("CEIL", Seq(x)) => ceil(x)
         case other => throw new IllegalArgumentException(
           s"wrong argument count for $f: got ${a.length}")
       }
+
+  /** Literal-only function parameters (pad strings, trunc units, pad
+    * widths) — extracted from the raw operand so misuse fails loudly. */
+  private def argStr(o: Operand, what: String): String = o match {
+    case OVal(VStr(v)) => v
+    case _ => throw new IllegalArgumentException(s"$what must be a string literal")
+  }
+
+  private def argInt(o: Operand, what: String): Int = o match {
+    case OVal(VNum(n)) if !n.contains('.') => n.toInt
+    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+  }
 
   /** Dialect type vocabulary → Spark SQL type string (Catalyst Cast). */
   private def sqlTypeName(t: String): String = t match {
@@ -2950,6 +2985,33 @@ object SqlQueries {
                | SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
                |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
                |FROM documents ORDER BY source, doc_id;""".stripMargin)
+    }),
+    // r9 scalar-tier widening: the everyday string functions in one
+    // pass — CONCAT/LPAD/LEFT/RIGHT/STRPOS/SPLIT_PART with CONTAINS as
+    // the WHERE predicate
+    "q_sql_string_funcs2" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id,
+               | CONCAT(source, '/', lang) AS src_lang,
+               | LPAD(CAST(doc_id AS VARCHAR), 6, '0') AS id6,
+               | LEFT(text, 10) AS head10, RIGHT(text, 5) AS tail5,
+               | STRPOS(text, 'table') AS pos_table,
+               | SPLIT_PART(text, ' ', 3) AS tok3
+               |FROM documents WHERE CONTAINS(text, 'spark') = TRUE
+               |ORDER BY doc_id LIMIT 100;""".stripMargin)
+    }),
+    // DATE_TRUNC + DOW (r9): the calendar report tier — month bucket ×
+    // day-of-week counts, grouped BY THE EXPRESSIONS (the A12az twins)
+    "q_sql_date_trunc" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT CAST(DATE_TRUNC('month', o_orderdate) AS VARCHAR) AS mo,
+               | DOW(o_orderdate) AS dw, COUNT(*) AS n
+               |FROM orders
+               |GROUP BY CAST(DATE_TRUNC('month', o_orderdate) AS VARCHAR),
+               |         DOW(o_orderdate)
+               |ORDER BY mo, dw;""".stripMargin)
     }),
     // RANGE value frames (r9): rolling window BY VALUE — every peer at
     // the same ORDER key lands in the same frame, so the count is
@@ -3405,6 +3467,20 @@ object SqlQueries {
     "q_sql_group_expr" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n_orders
         |FROM orders GROUP BY year(o_orderdate)""".stripMargin,
+    "q_sql_string_funcs2" ->
+      """SELECT doc_id,
+        | concat(source, '/', lang) AS src_lang,
+        | lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id6,
+        | left(text, 10) AS head10, right(text, 5) AS tail5,
+        | CAST(strpos(text, 'table') AS INTEGER) AS pos_table,
+        | split_part(text, ' ', 3) AS tok3
+        |FROM documents WHERE contains(text, 'spark') = TRUE
+        |ORDER BY doc_id LIMIT 100""".stripMargin,
+    "q_sql_date_trunc" ->
+      """SELECT CAST(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS VARCHAR) AS mo,
+        | CAST(date_part('dow', o_orderdate) AS INTEGER) AS dw, count(*) AS n
+        |FROM orders GROUP BY mo, dw
+        |ORDER BY mo, dw""".stripMargin,
     "q_sql_range_frame" ->
       """SELECT o_custkey, o_orderkey,
         | CAST(round(o_totalprice) AS BIGINT) AS price_i,

@@ -32,7 +32,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * and thresholds. */
 object MetricPrefixPruning extends Rule[LogicalPlan] {
 
-  private val PrefixName = "^h_prefix(\\d+)$".r
+  private val PrefixName = "^h_prefix__(.+)__(\\d+)$".r
 
   private def stripCast(e: Expression): Expression = e match {
     case c: Cast => stripCast(c.child)
@@ -70,13 +70,20 @@ object MetricPrefixPruning extends Rule[LogicalPlan] {
         // idempotence: once the filter references the prefix column —
         // from this rule or from an explicit MetricIndex query — leave it
         case Some(pa) if !cond.references.contains(pa) =>
-          val bits = PrefixName.findFirstMatchIn(pa.name).get.group(1).toInt
+          val m = PrefixName.findFirstMatchIn(pa.name).get
+          val hashName = m.group(1)
+          val bits = m.group(2).toInt
           val conjuncts = splitAnd(cond)
+          // the threshold must be on THE column this prefix indexes —
+          // the layout name carries the binding, so a Hamming filter on
+          // some other long column can never mis-prune
           val hit = conjuncts.collectFirst {
             case LessThanOrEqual(HammingOf(h, probe), IntThreshold(k))
-                if child.outputSet.contains(h) => (probe, k)
+                if h.name == hashName && child.outputSet.contains(h) =>
+              (probe, k)
             case LessThan(HammingOf(h, probe), IntThreshold(k))
-                if child.outputSet.contains(h) => (probe, k - 1)
+                if h.name == hashName && child.outputSet.contains(h) =>
+              (probe, k - 1)
           }
           hit match {
             case Some((probe, k)) if k >= 0 && k < bits =>

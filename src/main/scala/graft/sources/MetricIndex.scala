@@ -29,13 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object MetricIndex {
 
-  /** Layout prefix column, bits-suffixed (`h_prefix6`): the name IS the
-    * layout's metadata — it survives the partition-column round-trip
-    * (directory names carry no field metadata), and it is what lets the
-    * [[graft.plans.MetricPrefixPruning]] optimizer rule recover `bits`
-    * from a bare `spark.read.parquet(layout)` plan and prune
-    * transparently. */
-  def prefixColumn(bits: Int): String = s"h_prefix$bits"
+  /** Layout prefix column, carrying BOTH the indexed hash column's name
+    * and the prefix width (`h_prefix__h__6`): the name IS the layout's
+    * metadata — it survives the partition-column round-trip (directory
+    * names carry no field metadata), and it is what lets the
+    * [[graft.plans.MetricPrefixPruning]] optimizer rule recover the
+    * (hash column, bits) binding from a bare `spark.read.parquet(layout)`
+    * plan and prune transparently — and ONLY for filters on that hash
+    * column (a threshold on some other long column must never prune). */
+  def prefixColumn(hashCol: String, bits: Int): String =
+    s"h_prefix__${hashCol}__$bits"
 
   /** Top-`bits` prefix of a 64-bit hash (unsigned shift: sign-safe). */
   def prefixOf(hash: Column, bits: Int): Column =
@@ -46,14 +49,14 @@ object MetricIndex {
     * files at the target scale (8 locally, 12-16 at 100 TB). */
   def writeIndexed(df: DataFrame, path: String, hashCol: String,
       bits: Int = 8): Unit =
-    df.withColumn(prefixColumn(bits), prefixOf(col(hashCol), bits))
+    df.withColumn(prefixColumn(hashCol, bits), prefixOf(col(hashCol), bits))
       // cluster rows by prefix BEFORE the partitioned write: without
       // this every task writes a file into every partition directory it
       // sees (tasks × 2^bits small files); with it each prefix lands in
       // one task → one file per partition, the layout scans want anyway
-      .repartition(col(prefixColumn(bits)))
+      .repartition(col(prefixColumn(hashCol, bits)))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy(prefixColumn(bits))
+      .partitionBy(prefixColumn(hashCol, bits))
       .parquet(path)
 
   /** All prefix values within Hamming distance `maxDist` of the probe's
@@ -74,9 +77,9 @@ object MetricIndex {
       probe: Long, maxDist: Int, bits: Int = 8): DataFrame = {
     val candidates = prefixesWithin(probe >>> (64 - bits), bits, maxDist)
     spark.read.parquet(path)
-      .filter(col(prefixColumn(bits)).isin(candidates: _*))
+      .filter(col(prefixColumn(hashCol, bits)).isin(candidates: _*))
       .filter(call_function("hamming64", col(hashCol).cast("long"), lit(probe)) <= maxDist)
-      .drop(prefixColumn(bits))
+      .drop(prefixColumn(hashCol, bits))
   }
 
   /** Index-backed k-NN — what the reference's emtree actually exists for:
@@ -106,6 +109,6 @@ object MetricIndex {
       if (ball.count() >= k) return ranked(ball)
       radius *= 2
     }
-    ranked(spark.read.parquet(path).drop(prefixColumn(bits)))
+    ranked(spark.read.parquet(path).drop(prefixColumn(hashCol, bits)))
   }
 }

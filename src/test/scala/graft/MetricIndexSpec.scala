@@ -38,7 +38,7 @@ class MetricIndexSpec extends SparkTestBase {
       case f: FileSourceScanExec => f
     }.head
     val totalParts = spark.read.parquet(dir)
-      .select(MetricIndex.prefixColumn(8)).distinct().count()
+      .select(MetricIndex.prefixColumn("h", 8)).distinct().count()
     val selected = scan.selectedPartitions.partitionCount
     assert(selected <= 93, s"selected $selected")
     assert(selected < totalParts,
@@ -65,7 +65,7 @@ class MetricIndexSpec extends SparkTestBase {
       case f: FileSourceScanExec => f
     }.head
     val totalParts = spark.read.parquet(dir)
-      .select(MetricIndex.prefixColumn(8)).distinct().count()
+      .select(MetricIndex.prefixColumn("h", 8)).distinct().count()
     assert(scan.selectedPartitions.partitionCount < totalParts,
       s"rule did not prune: ${scan.selectedPartitions.partitionCount} " +
         s"of $totalParts partitions scanned\n$scan")
@@ -78,6 +78,16 @@ class MetricIndexSpec extends SparkTestBase {
     val wide = spark.read.parquet(dir)
       .filter(call_function("hamming64", col("h"), lit(probe)) <= 40)
     assert(wide.count() >= expected.size)
+    // a Hamming filter on a DIFFERENT long column must NOT prune: the
+    // prefix name binds the rule to its hash column
+    val other = spark.read.parquet(dir)
+      .filter(call_function("hamming64", col("doc_id"), lit(3L)) <= 2)
+    val otherScan = other.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(otherScan.selectedPartitions.partitionCount == totalParts,
+      s"mis-pruned on an unindexed column: " +
+        s"${otherScan.selectedPartitions.partitionCount} of $totalParts")
   }
 
   test("index-backed kNN equals full-scan kNN and reads a pruned ball") {
@@ -120,7 +130,7 @@ class MetricIndexSpec extends SparkTestBase {
       case f: FileSourceScanExec => f
     }.head
     val totalParts = spark.read.parquet(dir)
-      .select(MetricIndex.prefixColumn(8)).distinct().count()
+      .select(MetricIndex.prefixColumn("h", 8)).distinct().count()
     assert(scan.selectedPartitions.partitionCount < totalParts,
       s"${scan.selectedPartitions.partitionCount} of $totalParts partitions read")
   }

@@ -2162,7 +2162,33 @@ object Relational {
         round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("benford"))
   }
 
+  /** Weekly churn: users active in week w with NO activity in week w+1,
+    * per week — the complement of B28's cohort retention, and the number
+    * a growth team actually alarms on. The (user, week)-distinct relation
+    * anti-joins its own (user, week−1) shift (a churned user-week is one
+    * with no successor row), both sides partial-combined; the trailing
+    * week is excluded (its churn is unknowable yet — exactly as the
+    * oracle states it). Exact integers, one rounded ratio. */
+  private def churn(s: SparkSession, d: String): DataFrame = {
+    val uw = EventTime.withMs(Tables.events(s, d))
+      .select(col("user_id"), expr("ms div 604800000").as("week"))
+      .distinct()
+    val active = uw.groupBy(col("week")).agg(count(lit(1)).as("n_active"))
+    val prevOfNext = uw.select(col("user_id"), (col("week") - 1).as("week"))
+    val churned = uw.join(prevOfNext, Seq("user_id", "week"), "left_anti")
+      .groupBy(col("week")).agg(count(lit(1)).as("n_churned"))
+    val last = uw.agg(max(col("week")).as("max_week"))
+    active.join(churned, Seq("week"), "left_outer")
+      .crossJoin(broadcast(last))
+      .filter(col("week") < col("max_week"))
+      .select(col("week"), col("n_active"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+        round(coalesce(col("n_churned"), lit(0L)).cast("double")
+          / col("n_active"), 6).as("churn_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_churn" -> churn _,
     "q_benford" -> benford _,
     "q_skyline" -> skyline _,
     "q_stickiness" -> stickiness _,
@@ -2268,6 +2294,23 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_churn" ->
+      """WITH uw AS (
+        | SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week
+        | FROM events),
+        |act AS (SELECT week, count(*) AS n_active FROM uw GROUP BY week),
+        |ch AS (
+        | SELECT a.week, count(*) AS n_churned
+        | FROM uw a LEFT JOIN uw b
+        |   ON a.user_id = b.user_id AND b.week = a.week + 1
+        | WHERE b.user_id IS NULL GROUP BY a.week),
+        |mx AS (SELECT max(week) AS max_week FROM uw)
+        |SELECT act.week, n_active,
+        | CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned,
+        | round(CAST(coalesce(n_churned, 0) AS DOUBLE) / n_active, 6)
+        |   AS churn_rate
+        |FROM act LEFT JOIN ch ON act.week = ch.week CROSS JOIN mx
+        |WHERE act.week < max_week""".stripMargin,
     "q_benford" ->
       """WITH dg AS (
         | SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)

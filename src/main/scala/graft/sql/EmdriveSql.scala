@@ -350,7 +350,11 @@ object EmdriveSql {
       /** GROUP BY expression keys with no select-item twin (r9): hidden
         * (name, operand) columns attached pre-aggregation; the names ride
         * `groupBy` like any key and the projection drops them. */
-      groupExprs: Seq[(String, Operand)] = Seq.empty)
+      groupExprs: Seq[(String, Operand)] = Seq.empty,
+      /** QUALIFY pred (r9): ANSI-extension window filter — sugar for the
+        * post-window-WHERE split the dialect already performs; applies
+        * after window attachment, before aggregation/ORDER BY. */
+      qualify: Seq[Pred] = Seq.empty)
     extends Statement
 
   /** select (UNION [ALL] | EXCEPT | INTERSECT) select … —
@@ -436,7 +440,8 @@ object EmdriveSql {
     "NULL", "TRUE", "FALSE", "SHOW", "TABLES", "DESCRIBE", "JOIN", "ON",
     "EXPLAIN", "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "ALL", "WITH",
     "OVER", "PARTITION", "EXCEPT", "INTERSECT", "IS", "CAST",
-    "DELETE", "UPDATE", "SET", "MERGE", "USING", "MATCHED", "RECURSIVE")
+    "DELETE", "UPDATE", "SET", "MERGE", "USING", "MATCHED", "RECURSIVE",
+    "QUALIFY")
 
   private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN")
   private val StrFuncs = Set("UPPER", "LOWER", "LENGTH", "TRIM", "SUBSTR",
@@ -779,6 +784,8 @@ object EmdriveSql {
         WinItem(f, a, parts, keys, alias, frame)
       case other => other
     }
+    val qualify = mutable.ListBuffer.empty[Pred]
+    if (p.tryWord("QUALIFY")) qualify += parsePred(p)
     val orderBy =
       if (p.tryWord("ORDER")) {
         p.eatWord("BY")
@@ -829,7 +836,7 @@ object EmdriveSql {
       } else None
     Select(resolvedItems, table, where.toSeq, groupBy, having.toSeq, orderBy,
       limit, joins.toSeq, distinct, offset, derived, baseAlias, groupMode,
-      groupExprs.toSeq)
+      groupExprs.toSeq, qualify.toSeq)
   }
 
   private def parseItem(p: P): SelectItem = p.toks match {
@@ -1818,7 +1825,8 @@ final class EmdriveSession(spark: SparkSession) {
 
   private def lowerSelect(sel: Select): DataFrame = {
     val Select(items, name, where, rawGroupBy, having, rawOrderBy, limitN,
-      joins, distinct, offsetN, derived, baseAlias, groupMode, groupExprs) = sel
+      joins, distinct, offsetN, derived, baseAlias, groupMode, groupExprs,
+      qualify) = sel
     // "#n" ordinal markers (GROUP BY 1 / ORDER BY 2) resolve to the n-th
     // select item's OUTPUT name — ANSI ordinal semantics; grouping by an
     // aggregate/window position is refused like any non-key grouping
@@ -2056,6 +2064,9 @@ final class EmdriveSession(spark: SparkSession) {
         case _ => ()
       }
       postWin.foreach(c => df = df.filter(predCol(base, c, subPreds)))
+      // QUALIFY (r9): explicit window filter — same lowering as the
+      // post-window WHERE conjuncts, just spelled the ANSI-extension way
+      qualify.foreach(c => df = df.filter(predCol(base, c, subPreds)))
       val hasAgg = items.exists(i =>
         i.isInstanceOf[AggItem] || i.isInstanceOf[AggExprItem])
       // ORDER BY expression keys (r9): hidden __ob_i columns. On the
@@ -2986,6 +2997,18 @@ object SqlQueries {
                |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
                |FROM documents ORDER BY source, doc_id;""".stripMargin)
     }),
+    // QUALIFY (r9): top-k per group in one clause — the window filter
+    // spelled the way humans write it (DuckDB runs the same text)
+    "q_sql_qualify" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, doc_id, n_chars,
+               | ROW_NUMBER() OVER (PARTITION BY source
+               |   ORDER BY n_chars DESC, doc_id) AS rn
+               |FROM documents
+               |QUALIFY rn <= 3
+               |ORDER BY source, rn;""".stripMargin)
+    }),
     // r9 scalar-tier widening: the everyday string functions in one
     // pass — CONCAT/LPAD/LEFT/RIGHT/STRPOS/SPLIT_PART with CONTAINS as
     // the WHERE predicate
@@ -3467,6 +3490,12 @@ object SqlQueries {
     "q_sql_group_expr" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n_orders
         |FROM orders GROUP BY year(o_orderdate)""".stripMargin,
+    "q_sql_qualify" ->
+      """SELECT source, doc_id, n_chars,
+        | CAST(row_number() OVER (PARTITION BY source
+        |   ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rn
+        |FROM documents
+        |QUALIFY rn <= 3""".stripMargin,
     "q_sql_string_funcs2" ->
       """SELECT doc_id,
         | concat(source, '/', lang) AS src_lang,

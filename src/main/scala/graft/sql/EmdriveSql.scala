@@ -464,8 +464,10 @@ object EmdriveSql {
     while (more) {
       val op =
         if (p.tryWord("UNION")) { if (p.tryWord("ALL")) "union_all" else "union" }
-        else if (p.tryWord("EXCEPT")) "except"
-        else if (p.tryWord("INTERSECT")) "intersect"
+        else if (p.tryWord("EXCEPT")) {
+          if (p.tryWord("ALL")) "except_all" else "except" }
+        else if (p.tryWord("INTERSECT")) {
+          if (p.tryWord("ALL")) "intersect_all" else "intersect" }
         else ""
       if (op.nonEmpty) {
         p.eatWord("SELECT")
@@ -1731,6 +1733,11 @@ final class EmdriveSession(spark: SparkSession) {
         case "union" => acc.union(rhs).dropDuplicates()
         case "except" => acc.except(rhs)
         case "intersect" => acc.intersect(rhs)
+        // ALL variants (r9): ANSI bag semantics — multiplicities
+        // subtract/min instead of collapsing (Catalyst's dedicated
+        // ExceptAll/IntersectAll plans, identical in DuckDB)
+        case "except_all" => acc.exceptAll(rhs)
+        case "intersect_all" => acc.intersectAll(rhs)
       }
     }
 
@@ -2997,6 +3004,15 @@ object SqlQueries {
                |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
                |FROM documents ORDER BY source, doc_id;""".stripMargin)
     }),
+    // EXCEPT ALL / INTERSECT ALL (r9): bag-semantics set ops — lang
+    // multiset of long docs minus short docs (multiplicities subtract),
+    // intersected multiset across two sources
+    "q_sql_set_all" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang FROM documents WHERE n_chars >= 300
+               |EXCEPT ALL SELECT lang FROM documents WHERE n_chars < 300;""".stripMargin)
+    }),
     // QUALIFY (r9): top-k per group in one clause — the window filter
     // spelled the way humans write it (DuckDB runs the same text)
     "q_sql_qualify" -> ((s: SparkSession, d: String) => {
@@ -3490,6 +3506,9 @@ object SqlQueries {
     "q_sql_group_expr" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n_orders
         |FROM orders GROUP BY year(o_orderdate)""".stripMargin,
+    "q_sql_set_all" ->
+      """SELECT lang FROM documents WHERE n_chars >= 300
+        |EXCEPT ALL SELECT lang FROM documents WHERE n_chars < 300""".stripMargin,
     "q_sql_qualify" ->
       """SELECT source, doc_id, n_chars,
         | CAST(row_number() OVER (PARTITION BY source

@@ -2187,7 +2187,20 @@ object Relational {
           / col("n_active"), 6).as("churn_rate"))
   }
 
+  /** Active-days histogram: how many users were active exactly k days —
+    * the engagement-depth distribution read next to DAU/WAU/stickiness
+    * (a spike at 1 is drive-by traffic; mass at 20+ is a habit). Two
+    * partial-combined aggregations over the (user, day)-distinct
+    * relation; exact integers. */
+  private def activeDays(s: SparkSession, d: String): DataFrame =
+    EventTime.withMs(Tables.events(s, d))
+      .select(col("user_id"), expr("ms div 86400000").as("day"))
+      .distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("active_days"))
+      .groupBy(col("active_days")).agg(count(lit(1)).as("n_users"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_active_days" -> activeDays _,
     "q_churn" -> churn _,
     "q_benford" -> benford _,
     "q_skyline" -> skyline _,
@@ -2294,6 +2307,14 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_active_days" ->
+      """WITH uw AS (
+        | SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        | FROM events),
+        |per AS (SELECT user_id, count(*) AS active_days FROM uw
+        |        GROUP BY user_id)
+        |SELECT active_days, count(*) AS n_users FROM per
+        |GROUP BY active_days""".stripMargin,
     "q_churn" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week

@@ -20,7 +20,8 @@ object SparkEntry {
     val raw = Relational.queries ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ AsOf.queries ++
       Pipeline.queries ++ Sampling.queries ++ PqIndex.queries ++
-      Pca.queries ++ graft.sql.SqlQueries.queries
+      Pca.queries ++ graft.sql.SqlQueries.queries ++
+      graft.streaming.StreamQueries.queries
     raw.map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) => { GraftSession.prepare(s); fn(s, dir) })
     }
@@ -32,5 +33,6 @@ object SparkEntry {
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ AsOf.oracles ++
       Pipeline.oracles ++ Sampling.oracles ++ PqIndex.oracles ++
-      Pca.oracles ++ graft.sql.SqlQueries.oracles
+      Pca.oracles ++ graft.sql.SqlQueries.oracles ++
+      graft.streaming.StreamQueries.oracles
 }

@@ -55,12 +55,18 @@ case class AttributionHit(user_id: Long, first_touch: String,
   */
 object StreamOps {
 
-  /** Tumbling 1-hour windowed counts with watermarking (D4). */
+  /** Tumbling 1-hour windowed counts with watermarking (D4). The value sum
+    * accumulates as DECIMAL(18,4) — exact partial merges across executors
+    * and micro-batches, so the emitted total is order-independent and
+    * bitwise-equal to the batch twin's moneySum (q_tumbling), which is what
+    * lets the streaming run be oracle-checked against the same SQL. */
   def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+          .as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
@@ -72,7 +78,9 @@ object StreamOps {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+          .as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
@@ -92,6 +100,18 @@ object StreamOps {
       .groupBy(window(col("ts"), "7 days", "1 day").as("w"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("active_users"))
       .select(col("w.end").as("window_end"), col("active_users"))
+
+  /** Streaming exact dedup (C16): the first arrival of each key passes,
+    * later duplicates are dropped — Spark's streaming `dropDuplicates`
+    * keeps one state-store entry per distinct key, hash-partitioned
+    * across executors. Pass a watermark-bearing frame and a ts-derived
+    * key column to bound that state in production; on a bounded backfill
+    * (or a corpus whose distinct-key count is the product being built,
+    * as in training-data dedup) the unbounded form is the exact
+    * semantics. Dedup on a fingerprint column (md5/simhash), never raw
+    * text: state then stores 16 bytes per distinct doc, not the doc. */
+  def exactDedup(docs: DataFrame, keyCols: Seq[String]): DataFrame =
+    docs.select(keyCols.map(col): _*).dropDuplicates(keyCols)
 
   /** Streaming MinHash-LSH near-dup detection: each arriving document's
     * 16 band hashes (64-perm MinHash, the same graft.functions kernel the

@@ -1,0 +1,272 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SessionMemo
+import graft.operators.EventTime
+import graft.sources.Tables
+
+/** Registered oracle keys for the Structured Streaming operator family.
+  *
+  * Until round 9 the streaming twins (StreamOps) were suite-checked only —
+  * the driver's DuckDB gate never saw them, because a streaming query is
+  * not a `DataFrame` the gate can collect. This module closes that gap:
+  * each key runs a REAL streaming query (file source → StreamOps transform
+  * → memory sink) to completion on the driver's bounded corpus, split into
+  * event-time-ordered micro-batches so cross-batch state transitions are
+  * genuinely exercised, and returns the sink's final table. The oracle is
+  * the batch twin's SQL — a hash match is an end-to-end proof that replaying
+  * the corpus through the streaming operator reproduces the batch answer
+  * (the lambda-architecture contract).
+  *
+  * Determinism: chunks partition event time into contiguous ranges fed in
+  * order, so the stream sees data in event-time order across batches; the
+  * testdata has no (user, ms) or (type, ms) collisions at any SF, so every
+  * keyed fold order is unique. Timestamps are normalized to epoch-ms before
+  * staging, matching the oracle's `epoch_ms(ts)` truncation exactly.
+  *
+  * Scale shape: staging writes the corpus once per (session, table) and is
+  * memoized (SessionMemo); the streaming plans themselves are the same
+  * state-store shapes documented on each StreamOps operator — nothing here
+  * collects unbounded data to the driver except the memory sink, which
+  * holds exactly the query RESULT (the same rows the gate hashes).
+  */
+object StreamQueries {
+
+  /** Events with `ts` truncated to epoch-ms (the oracle's granularity) and
+    * an `ms` long for range chunking, in a fixed staging column order. */
+  private def normalizedEvents(s: SparkSession, d: String): DataFrame =
+    EventTime.withMs(Tables.events(s, d))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), timestamp_millis(col("ms")).as("ts"), col("ms"))
+
+  /** Stage `batch` as `nChunks` single-file parquet chunks split by
+    * contiguous ranges of long column `ordCol`; memoized per
+    * (session, dir, key) so every stream key after the first reuses the
+    * files. Returns the chunk files in feed order plus the read schema. */
+  private def stageChunks(s: SparkSession, dir: String, key: String,
+      batch: DataFrame, ordCol: String, nChunks: Int): (Seq[Path], String) =
+    SessionMemo.of(s, dir, s"stream_stage_$key") {
+      val base = Files.createTempDirectory(s"graft_stage_$key")
+      val Array(lo, hi) = batch.agg(min(col(ordCol)), max(col(ordCol)))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val span = hi - lo + 1
+      val files = (0 until nChunks).map { i =>
+        val from = lo + span * i / nChunks
+        val until = lo + span * (i + 1) / nChunks
+        val out = base.resolve(s"chunk$i").toString
+        batch.filter(col(ordCol) >= from && col(ordCol) < until)
+          .coalesce(1).write.mode("overwrite").parquet(out)
+        Files.list(Paths.get(out)).toArray.map(_.asInstanceOf[Path])
+          .filter(_.getFileName.toString.endsWith(".parquet")).head
+      }
+      (files, batch.schema.json): (Seq[Path], String)
+    }
+
+  /** Run `build`'s streaming plan over the staged chunks, one chunk per
+    * micro-batch in event-time order, then return the memory sink's final
+    * table. `extra` frames (sentinels that advance the watermark so
+    * event-time timeouts flush terminal state) are appended as further
+    * single-file batches. */
+  private def runChunked(s: SparkSession, dir: String, key: String,
+      batch: DataFrame, ordCol: String, mode: String, nChunks: Int = 4,
+      extra: Seq[DataFrame] = Nil)(build: DataFrame => DataFrame): DataFrame = {
+    val (chunks, schemaJson) = stageChunks(s, dir, key, batch, ordCol, nChunks)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val watch = Files.createTempDirectory(s"graft_watch_$key")
+    val extraFiles = extra.zipWithIndex.map { case (df, j) =>
+      val out = watch.resolve(s"extra$j").toString
+      df.coalesce(1).write.mode("overwrite").parquet(out)
+      Files.list(Paths.get(out)).toArray.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.endsWith(".parquet")).head
+    }
+    val in = watch.resolve("in")
+    Files.createDirectories(in)
+    val sink = s"${key}_${System.nanoTime()}"
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+    val q = build(stream).writeStream.format("memory").queryName(sink)
+      .outputMode(mode)
+      .option("checkpointLocation", watch.resolve("ckpt").toString)
+      .start()
+    try {
+      (chunks ++ extraFiles).zipWithIndex.foreach { case (f, i) =>
+        Files.copy(f, in.resolve(s"batch$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sink)
+  }
+
+  private def eventStream(s: SparkSession, dir: String, key: String,
+      mode: String, extra: Seq[DataFrame] = Nil)(
+      build: DataFrame => DataFrame): DataFrame =
+    runChunked(s, dir, key, normalizedEvents(s, dir), "ms", mode,
+      extra = extra)(build)
+
+  /** A one-row far-future event that only exists to advance the event-time
+    * watermark (user_id −1 is filtered from every registered output). */
+  private def sentinel(s: SparkSession, day: String): DataFrame =
+    s.sql(s"""SELECT CAST(-1 AS BIGINT) AS event_id,
+      CAST(-1 AS BIGINT) AS user_id, '__sentinel__' AS event_type,
+      CAST(0.0 AS DOUBLE) AS value, TIMESTAMP'$day 00:00:00' AS ts,
+      unix_millis(TIMESTAMP'$day 00:00:00') AS ms""")
+
+  private def asEvents(df: DataFrame) = {
+    import df.sparkSession.implicits._
+    df.select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[StreamEvent]
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // D4: tumbling windows, complete mode — the final window set equals the
+    // batch hourly rollup; decimal accumulation makes the sums bitwise.
+    "q_stream_tumbling" -> ((s, d) =>
+      eventStream(s, d, "q_stream_tumbling", "complete")(
+        StreamOps.tumblingCounts(_))
+        .select(unix_millis(col("window_start")).as("hour_ms"),
+          col("event_type"), col("n"), col("total_value"))),
+
+    // D14: hopping 1h/15m windows — every event's 4 memberships survive the
+    // stream/batch boundary.
+    "q_stream_hopping" -> ((s, d) =>
+      eventStream(s, d, "q_stream_hopping", "complete")(
+        StreamOps.hoppingCounts(_))
+        .select(unix_millis(col("window_start")).as("window_start_ms"),
+          col("event_type"), col("n"), col("total_value"))),
+
+    // D23: per-(user,type) inter-event gaps emitted as events arrive; the
+    // predecessor clock crosses micro-batch boundaries in the state store.
+    "q_stream_event_gaps" -> ((s, d) =>
+      eventStream(s, d, "q_stream_event_gaps", "append")(df =>
+        StreamOps.eventGaps(asEvents(df)).toDF())
+        .select(col("user_id"), col("event_type"), col("gap_ms"))),
+
+    // D22: first/last-touch attribution at each purchase moment — state
+    // pins the opening touch across batches.
+    "q_stream_attribution" -> ((s, d) =>
+      eventStream(s, d, "q_stream_attribution", "append")(df =>
+        StreamOps.attribution(asEvents(df)).toDF())),
+
+    // D25: prefix z-score anomalies. Registered output is the anomalous
+    // rows' exact-typed columns (the z itself is float-folded and would
+    // differ from DuckDB's windowed variance in final ulps; membership in
+    // |z|>3 is ulp-stable for this corpus).
+    "q_stream_prefix_z" -> ((s, d) =>
+      eventStream(s, d, "q_stream_prefix_z", "append")(df =>
+        StreamOps.prefixZscore(asEvents(df)).toDF())
+        .filter(abs(col("z")) > 3.0)
+        .select(col("user_id"), col("event_type"), col("ts_ms"), col("value"))),
+
+    // D5: gap sessionization; two far-future sentinels advance the
+    // watermark twice so event-time timeouts flush every user's terminal
+    // session (timeout state set in batch N fires in batch N+1).
+    "q_stream_sessionize" -> ((s, d) =>
+      eventStream(s, d, "q_stream_sessionize", "append",
+        extra = Seq(sentinel(s, "2030-01-01"), sentinel(s, "2030-01-02")))(
+        df => StreamOps.sessionize(asEvents(df), 1800000L).toDF())
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("start_ms"), col("n_events"),
+          col("duration_ms"))),
+
+    // C16: streaming exact dedup on the md5 fingerprint — the first
+    // arrival of each distinct text passes, duplicates across batches hit
+    // the state store.
+    "q_stream_dedup" -> ((s, d) =>
+      runChunked(s, d, "q_stream_dedup",
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("text_md5")),
+        "doc_id", "append")(
+        StreamOps.exactDedup(_, Seq("text_md5")))),
+
+    // D: last-write-wins upsert as a continuously-maintained view; the
+    // sink's per-batch winner snapshots collapse to the final winner.
+    "q_stream_upsert" -> ((s, d) =>
+      eventStream(s, d, "q_stream_upsert", "update")(df => {
+        import df.sparkSession.implicits._
+        StreamOps.lwwUpsert(
+          df.select(col("user_id").as("key"), col("ms").as("version"),
+            col("event_type").as("payload")).as[StreamUpdate]).toDF()
+      })
+        .groupBy(col("key"))
+        .agg(max(col("version")).as("version"),
+          max_by(col("payload"), col("version")).as("payload")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        | count(*) AS n,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_stream_hopping" ->
+      """SELECT ((epoch_ms(ts) // 900000) - i) * 900000 AS window_start_ms,
+        | event_type, count(*) AS n,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS total_value
+        |FROM events CROSS JOIN (SELECT unnest(range(4)) AS i)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_stream_event_gaps" ->
+      """SELECT user_id, event_type, gap_ms FROM (
+        | SELECT user_id, event_type,
+        |  epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+        |    PARTITION BY user_id, event_type ORDER BY epoch_ms(ts)) AS gap_ms
+        | FROM events)
+        |WHERE gap_ms IS NOT NULL""".stripMargin,
+    "q_stream_attribution" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |w AS (
+        | SELECT user_id, event_type, ms,
+        |  first_value(event_type) OVER (PARTITION BY user_id ORDER BY ms)
+        |    AS first_touch,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ms
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_touch
+        | FROM e)
+        |SELECT user_id, first_touch,
+        | COALESCE(prev_touch, 'direct') AS last_touch, ms AS purchase_ms
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    "q_stream_prefix_z" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_ms(ts) AS ms, value FROM events),
+        |w AS (
+        | SELECT user_id, event_type, ms, value,
+        |  avg(value) OVER pre AS m, var_samp(value) OVER pre AS v,
+        |  count(*) OVER pre AS np
+        | FROM e WINDOW pre AS (PARTITION BY event_type ORDER BY ms
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_type, ms AS ts_ms, value FROM w
+        |WHERE np >= 2 AND v > 0 AND abs((value - m) / sqrt(v)) > 3.0""".stripMargin,
+    "q_stream_sessionize" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |flagged AS (
+        | SELECT *, CASE WHEN ms - lag(ms) OVER w > 1800000 OR
+        |   lag(ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |sess AS (
+        | SELECT user_id, ms, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |   ORDER BY ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS seq
+        | FROM flagged)
+        |SELECT user_id, min(ms) AS start_ms, count(*) AS n_events,
+        | CAST(max(ms) - min(ms) AS BIGINT) AS duration_ms
+        |FROM sess GROUP BY user_id, seq""".stripMargin,
+    "q_stream_dedup" ->
+      "SELECT DISTINCT md5(text) AS text_md5 FROM documents",
+    "q_stream_upsert" ->
+      """SELECT key, version, payload FROM (
+        | SELECT user_id AS key, epoch_ms(ts) AS version,
+        |  event_type AS payload,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ms(ts) DESC) AS rn
+        | FROM events)
+        |WHERE rn = 1""".stripMargin
+  )
+}

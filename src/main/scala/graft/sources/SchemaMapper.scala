@@ -25,6 +25,29 @@ object SchemaMapper {
   val PrimaryKeyMetadata = "graft.primaryKey"
   val DefaultMetadata = "graft.default"
 
+  /** Declared emdrive type, uppercased, NULLABLE wrapper stripped (e.g.
+    * "UINT8", "STRING(32)"). Spark's widened physical types (UINT8→short)
+    * would otherwise silently ACCEPT values the declaration rejects —
+    * INSERT/UPDATE validation reads this to enforce the declared domain
+    * (reference: src/constructs/components.rs — a 300 simply cannot parse
+    * into DataInstanceRaw::UInt8). */
+  val RawTypeMetadata = "graft.rawType"
+
+  /** Inclusive value bound of an unsigned declared type, None otherwise. */
+  def uintMax(rawType: String): Option[BigDecimal] = rawType match {
+    case "UINT8" => Some(BigDecimal(255))
+    case "UINT16" => Some(BigDecimal(65535))
+    case "UINT32" => Some(BigDecimal(4294967295L))
+    case "UINT64" => Some(BigDecimal(BigInt("18446744073709551615")))
+    case _ => None
+  }
+
+  /** Declared length cap of a STRING(n) type, None otherwise. */
+  def stringCap(rawType: String): Option[Int] = {
+    val re = "^STRING\\((\\d+)\\)$".r
+    rawType match { case re(n) => Some(n.toInt); case _ => None }
+  }
+
   /** One parsed column definition:
     * `name TYPE [PRIMARY KEY | METRIC KEY [USING index(metric)]] [DEFAULT expr]`
     * (reference: src/constructs/components.rs ColumnDefinition — `default`
@@ -33,7 +56,7 @@ object SchemaMapper {
     * recorded but not interpreted). */
   final case class ColumnDef(name: String, dataType: DataType,
       nullable: Boolean, primaryKey: Boolean, metricKey: Boolean,
-      default: Option[String] = None)
+      default: Option[String] = None, rawType: String = "STRING")
 
   def mapType(ddlType: String): (DataType, Boolean) = {
     val t = ddlType.trim.toUpperCase
@@ -66,10 +89,15 @@ object SchemaMapper {
     case colRe(name, tpe, key, default) =>
       val (dt, nullable) = mapType(tpe)
       val keyNorm = Option(key).map(_.toUpperCase.replaceAll("\\s+", " "))
+      val raw = {
+        val t = tpe.trim.toUpperCase.replaceAll("\\s+", "")
+        val nullableRe = "^NULLABLE\\((.+)\\)$".r
+        t match { case nullableRe(inner) => inner; case other => other }
+      }
       ColumnDef(name, dt, nullable,
         primaryKey = keyNorm.exists(_.startsWith("PRIMARY KEY")),
         metricKey = keyNorm.exists(_.startsWith("METRIC KEY")),
-        default = Option(default).map(_.trim))
+        default = Option(default).map(_.trim), rawType = raw)
     case other => throw new IllegalArgumentException(s"cannot parse column def: $other")
   }
 
@@ -87,6 +115,7 @@ object SchemaMapper {
       if (c.primaryKey) mb.putBoolean(PrimaryKeyMetadata, true)
       if (c.metricKey) mb.putBoolean("graft.metricKey", true)
       c.default.foreach(mb.putString(DefaultMetadata, _))
+      mb.putString(RawTypeMetadata, c.rawType)
       StructField(c.name, c.dataType, c.nullable, mb.build())
     })
   }

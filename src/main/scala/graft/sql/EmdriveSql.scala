@@ -415,6 +415,17 @@ object EmdriveSql {
         case _ => head
       }
     }
+    /** Table reference: `t` or `schema.t` as one name. Unlike qident, the
+      * word after the dot may be a keyword — `system.tables` ends in the
+      * SHOW TABLES keyword, and the qualification dot already disambiguates
+      * the grammar position. */
+    def tident(): String = {
+      val head = ident()
+      toks match {
+        case TSym(".") :: TWord(w) :: rest => toks = rest; s"$head.$w"
+        case _ => head
+      }
+    }
     def value(): Value = toks match {
       case TWord(f) :: TSym("(") :: TSym(")") :: rest
           if f.equalsIgnoreCase("ulid") || f.equalsIgnoreCase("now") =>
@@ -672,7 +683,10 @@ object EmdriveSql {
           }
         (alias, Some(chain))
       } else {
-        val name = p.ident()
+        // tident: table names may be schema-qualified — `system.tables` /
+        // `system.columns` are real relations (reference: src/storage/
+        // system.rs models the catalog as tables, not statements)
+        val name = p.tident()
         if (p.trySym("(")) {
           val args = mutable.ListBuffer.empty[String]
           if (!p.peekSym(")")) {
@@ -711,7 +725,7 @@ object EmdriveSql {
         else "inner"
       if (kind != "inner" || p.peekWord("JOIN")) {
         p.eatWord("JOIN")
-        val t = p.ident()
+        val t = p.tident()
         val jAlias =
           if (p.tryWord("AS")) Some(p.ident())
           else p.toks match {
@@ -1235,7 +1249,17 @@ final class EmdriveSession(spark: SparkSession) {
     case TvfName(fn, argStr) =>
       tableFunction(fn.toLowerCase,
         if (argStr.isEmpty) Seq.empty else argStr.split(",").map(_.trim).toSeq)
-    case _ => catalog.getOrElse(name,
+    case _ => catalog.get(name).orElse(name match {
+      // the system catalog is itself queryable — SELECT/JOIN/GROUP BY
+      // compose over it like any relation (reference: src/storage/
+      // system.rs registers `system.tables`/`system.columns` as tables);
+      // SHOW TABLES / DESCRIBE remain as sugar over the same rows. A
+      // user-registered table wins the name (checked first), so this
+      // cannot shadow data.
+      case "system.tables" => Some(systemTables())
+      case "system.columns" => Some(systemColumns())
+      case _ => None
+    }).getOrElse(
       throw new IllegalArgumentException(s"unknown table: $name"))
   }
 
@@ -1502,7 +1526,7 @@ final class EmdriveSession(spark: SparkSession) {
           s"${src.columns.length} select items")
       val renamed = src.toDF(named: _*)
       val projected = schema.fields.map { f =>
-        if (named.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        if (named.contains(f.name)) guardedCast(col(f.name), f).as(f.name)
         else defaultCol(f).as(f.name)
       }
       catalog(name) = target.unionByName(
@@ -1538,7 +1562,7 @@ final class EmdriveSession(spark: SparkSession) {
       // values computed in ONE projection, cast back to declared types
       catalog(name) = t.select(schema.fields.map { f =>
         setMap.get(f.name) match {
-          case Some(o) => when(cond, operandCol(t, o).cast(f.dataType))
+          case Some(o) => when(cond, guardedCast(operandCol(t, o), f))
             .otherwise(col(f.name)).as(f.name)
           case None => col(f.name)
         }
@@ -1566,15 +1590,22 @@ final class EmdriveSession(spark: SparkSession) {
         else throw new IllegalArgumentException(
           s"MERGE ON key $l = $r must pair one target and one source column")
       }
-      // ANSI at-most-one-source-match: source keys must be unique (one
-      // bounded aggregate pre-check, the documented DML driver action)
-      val dupSrc = sb.groupBy(pairs.map(pr => qref(pr._2)): _*)
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
-      require(dupSrc == 0,
-        "MERGE source has duplicate ON keys (a target row would match " +
-          "more than one source row — ANSI cardinality violation)")
       val cond = pairs.map { case (tc, sc) => qref(tc) === qref(sc) }
         .reduce(_ && _)
+      // ANSI at-most-one-source-match: the standard raises only when a
+      // TARGET row matches more than one source row, so the duplicate
+      // check runs over the semi-join of source to target — duplicate
+      // source keys that match nothing are legal and each INSERTs
+      // (MERGE evaluates against the original target, so two unmatched
+      // rows with the same key both insert; PK dedup is the separate
+      // compaction story). One bounded aggregate pre-check, the
+      // documented DML driver action.
+      val dupSrc = sb.join(ta, cond, "left_semi")
+        .groupBy(pairs.map(pr => qref(pr._2)): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+      require(dupSrc == 0,
+        "MERGE: a target row matches more than one source row " +
+          "(ANSI cardinality violation)")
       val joined = ta.join(sb, cond, "inner")
       val origNames = t.schema.fields.map(_.name)
       def backToTarget(df: DataFrame): DataFrame =
@@ -1593,7 +1624,7 @@ final class EmdriveSession(spark: SparkSession) {
             joined.select(t.schema.fields.map { f =>
               setMap.get(f.name) match {
                 case Some(o) =>
-                  operandCol(joined, o).cast(f.dataType).as(f.name)
+                  guardedCast(operandCol(joined, o), f).as(f.name)
                 case None => qref(s"$tAlias.${f.name}").as(f.name)
               }
             }.toIndexedSeq: _*)
@@ -1609,7 +1640,8 @@ final class EmdriveSession(spark: SparkSession) {
         val valueFor = cols.zip(vals).toMap
         unmatched.select(t.schema.fields.map { f =>
           valueFor.get(f.name) match {
-            case Some(o) => operandCol(unmatched, o).cast(f.dataType).as(f.name)
+            case Some(o) =>
+              guardedCast(operandCol(unmatched, o), f).as(f.name)
             case None => lit(null).cast(f.dataType).as(f.name)
           }
         }.toIndexedSeq: _*)
@@ -2606,10 +2638,89 @@ final class EmdriveSession(spark: SparkSession) {
     case "NOW" => now()
   }
 
+  /** Declared emdrive type of a column ("" for frames that never went
+    * through the DDL path — parquet registrations carry no domain). */
+  private def rawTypeOf(f: StructField): String =
+    if (f.metadata.contains(graft.sources.SchemaMapper.RawTypeMetadata))
+      f.metadata.getString(graft.sources.SchemaMapper.RawTypeMetadata)
+    else ""
+
+  /** INSERT-time value-domain validation, literal leg (reference:
+    * src/constructs/components.rs — 300 cannot parse into
+    * DataInstanceRaw::UInt8, a 60-char string cannot be a STRING(32), and
+    * a non-UUID string cannot be a Uuid). Spark's widened physical types
+    * (UINT8→short holds 300 happily) would otherwise silently accept what
+    * the declaration rejects — the divergence a dialect user hits on
+    * their first bad row. Literals fail HERE, at statement time, like the
+    * reference; expression-valued writes get the runtime guard below. */
+  private def checkLiteralDomain(v: Value, f: StructField): Unit = {
+    import graft.sources.SchemaMapper.{stringCap, uintMax}
+    val raw = rawTypeOf(f)
+    v match {
+      case VNum(s) =>
+        uintMax(raw).foreach { max =>
+          val d = BigDecimal(new java.math.BigDecimal(s))
+          if (d < 0 || d > max || d.remainder(1) != 0)
+            throw new IllegalArgumentException(
+              s"value $s out of domain for column ${f.name} ($raw)")
+        }
+      case VStr(s) =>
+        stringCap(raw).foreach { n =>
+          if (s.length > n) throw new IllegalArgumentException(
+            s"string of length ${s.length} exceeds ${f.name} ($raw)")
+        }
+        if (raw == "UUID")
+          try { java.util.UUID.fromString(s); () }
+          catch { case _: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"'$s' is not a UUID (column ${f.name})") }
+      case VBits(b) =>
+        uintMax(raw).foreach { max =>
+          if (BigDecimal(b) > max || b < 0)
+            throw new IllegalArgumentException(
+              s"value $b out of domain for column ${f.name} ($raw)")
+        }
+      case _ => ()
+    }
+  }
+
+  /** Domain-guarded cast for expression-valued writes (INSERT…SELECT,
+    * UPDATE SET, MERGE): bounds-check BEFORE the cast — short/int casts
+    * wrap out-of-range values, so a post-cast check would bless exactly
+    * the corruption it exists to reject. The guard is a codegen
+    * `raise_error` branch evaluated per row on executors: the validating
+    * twin of the reference's per-value INSERT parse, at distributed-scan
+    * cost, no driver round-trip. NULLs pass (nullability is enforced
+    * separately by the NOT-NULL rule). */
+  private def guardedCast(c: Column, f: StructField): Column = {
+    import graft.sources.SchemaMapper.{stringCap, uintMax}
+    val raw = rawTypeOf(f)
+    uintMax(raw) match {
+      case Some(max) =>
+        val d = c.cast("decimal(38,6)")
+        when(d.isNotNull && (d < 0 || d > lit(max.bigDecimal)),
+          raise_error(concat(
+            lit(s"value out of domain for column ${f.name} ($raw): "),
+            c.cast("string"))).cast(f.dataType))
+          .otherwise(c.cast(f.dataType))
+      case None => stringCap(raw) match {
+        case Some(n) =>
+          val s = c.cast("string")
+          when(s.isNotNull && length(s) > n,
+            raise_error(concat(
+              lit(s"string exceeds ${f.name} ($raw), length "),
+              length(s).cast("string"))).cast(f.dataType))
+            .otherwise(c.cast(f.dataType))
+        case None => c.cast(f.dataType)
+      }
+    }
+  }
+
   private def valueCol(v: Value, field: StructField): Column = {
     val dt = field.dataType
+    checkLiteralDomain(v, field)
     v match {
-      case f: VFunc => funcCol(f).cast(dt)
+      case f: VFunc => guardedCast(funcCol(f), field)
       case VNum(s) => lit(new java.math.BigDecimal(s)).cast(dt)
       case VStr(s) => lit(s).cast(dt)
       case VBool(b) => lit(b).cast(dt)
@@ -2668,6 +2779,38 @@ object SqlQueries {
   import graft.operators.Similarity
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the system catalog as a queryable relation (reference: src/storage/
+    // system.rs — `system.columns` is a table, not a statement): the full
+    // introspection dump for a session with two parquet registrations and
+    // one DDL-declared table; the oracle is the KNOWN schema as constants,
+    // so a drift in type mapping, nullability, ordinal order, or key-role
+    // metadata fails the hash
+    "q_sql_system_columns" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.register("region", Tables.region(s, d))
+      es.sql("""CREATE TABLE photos (
+               |  id UUID PRIMARY KEY,
+               |  added TIMESTAMP,
+               |  caption NULLABLE(STRING(80)),
+               |  phash UINT64 METRIC KEY);""".stripMargin)
+      es.sql("""SELECT table_name, column_name, ordinal, data_type,
+               | is_nullable, primary_key, metric_key
+               |FROM system.columns;""".stripMargin)
+    }),
+    // ...and it composes with the full SELECT machinery: join the two
+    // system relations, filter, aggregate
+    "q_sql_system_agg" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.register("region", Tables.region(s, d))
+      es.sql("""SELECT t.table_name, t.n_columns, COUNT(*) AS n_strings
+               |FROM system.tables t JOIN system.columns c
+               |  ON t.table_name = c.table_name
+               |WHERE c.data_type = 'STRING'
+               |GROUP BY t.table_name, t.n_columns
+               |ORDER BY table_name;""".stripMargin)
+    }),
     "q_sql_select" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
       es.register("documents", Tables.documents(s, d))
@@ -3437,6 +3580,29 @@ object SqlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the catalog dump is checked against the KNOWN schemas as constants —
+    // the session registers exactly these three tables, so the expected
+    // rows are fully determined (type mapping per sources/SchemaMapper)
+    "q_sql_system_columns" ->
+      """SELECT * FROM (VALUES
+        | ('documents','doc_id',0,'BIGINT',TRUE,FALSE,FALSE),
+        | ('documents','text',1,'STRING',TRUE,FALSE,FALSE),
+        | ('documents','lang',2,'STRING',TRUE,FALSE,FALSE),
+        | ('documents','source',3,'STRING',TRUE,FALSE,FALSE),
+        | ('documents','n_chars',4,'BIGINT',TRUE,FALSE,FALSE),
+        | ('photos','id',0,'STRING',FALSE,TRUE,FALSE),
+        | ('photos','added',1,'TIMESTAMP',FALSE,FALSE,FALSE),
+        | ('photos','caption',2,'STRING',TRUE,FALSE,FALSE),
+        | ('photos','phash',3,'DECIMAL(20,0)',FALSE,FALSE,TRUE),
+        | ('region','r_regionkey',0,'INT',TRUE,FALSE,FALSE),
+        | ('region','r_name',1,'STRING',TRUE,FALSE,FALSE)
+        |) AS t(table_name, column_name, ordinal, data_type,
+        |       is_nullable, primary_key, metric_key)""".stripMargin,
+    "q_sql_system_agg" ->
+      """SELECT * FROM (VALUES
+        | ('documents', 5, CAST(3 AS BIGINT)),
+        | ('region', 2, CAST(1 AS BIGINT))
+        |) AS t(table_name, n_columns, n_strings)""".stripMargin,
     "q_sql_select" ->
       "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'",
     "q_sql_rollup" ->

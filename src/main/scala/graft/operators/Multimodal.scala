@@ -25,6 +25,10 @@ case class AudioChunk(doc_id: Long, chunk_idx: Int, start_ms: Long,
 /** Extracted per-frame feature vector (stub: byte-histogram moments). */
 case class FrameFeature(doc_id: Long, frame_idx: Int, feature: Array[Float])
 
+/** Metadata from a REAL image decode (javax.imageio): dimensions plus a
+  * red-channel pixel checksum only an actual pixel read can produce. */
+case class PngMeta(doc_id: Long, width: Int, height: Int, px_sum: Long)
+
 /** Multimodal-column plumbing for training-data pipelines: opaque binary
   * media columns with typed metadata, decoded per-partition.
   *
@@ -154,6 +158,72 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode (no stub): `javax.imageio` is in every JDK, so the
+    * C13 envelope gets one genuine codec leg — PNG bytes in the binary
+    * column are parsed, pixels read, and the decoded metadata is
+    * oracle-checked against the generator's ground-truth formulas. The
+    * per-partition iterator shape is identical to the stubbed decoders:
+    * swap ImageIO for a JNI/ffmpeg handle and nothing else changes.
+    * `px_sum` sums the red channel of every pixel — a checksum that only
+    * a real decode of every pixel can produce. */
+  def decodePng(ds: Dataset[MediaRow]): Dataset[PngMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // one ImageIO config per partition; the memory-backed stream avoids
+      // the default disk cache (a per-row tmp file at scale)
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.media))
+        require(img != null, s"doc ${m.doc_id}: not a decodable image")
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            sum += (img.getRGB(x, y) >> 16) & 0xff // red channel
+            x += 1
+          }
+          y += 1
+        }
+        PngMeta(m.doc_id, img.getWidth, img.getHeight, sum)
+      }
+    }
+  }
+
+  /** Deterministic PNG corpus: per doc, a (1 + doc_id%8) × (1 + n_chars%8)
+    * gradient image whose red channel at (x, y) is
+    * (doc_id·31 + 7x + 13y) mod 256, ENCODED through the real PNG codec
+    * executor-side. PNG is lossless, so decodePng must recover exactly
+    * these formulas — the decode leg's ground truth. */
+  def pngCorpus(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (docId, nChars) =>
+          val w = (1 + docId % 8).toInt
+          val h = (1 + nChars % 8).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = ((docId * 31 + 7 * x + 13 * y) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          MediaRow(docId, "image/png", out.toByteArray)
+        }
+      }
+  }
+
   /** documents.text bytes as a stand-in media corpus → decoded metadata. */
   private def multimodal(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -213,14 +283,36 @@ object Multimodal {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
+  /** PNG encode → decode round trip over the real codec; the oracle
+    * recomputes the generator's formulas (closed-form px_sum — the double
+    * pixel sum collapses: Σ_x Σ_y ((a + 7x + 13y) mod 256), expanded
+    * row-by-row in SQL via a bounded 8×8 grid join). */
+  private def imageDecode(s: SparkSession, d: String): DataFrame =
+    decodePng(pngCorpus(Tables.documents(s, d))).toDF()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal" -> multimodal _,
     "q_frames" -> frames _,
     "q_audio_chunks" -> audio _,
-    "q_shard_plan" -> shardPlan _
+    "q_shard_plan" -> shardPlan _,
+    "q_image_decode" -> imageDecode _
   )
 
   val oracles: Map[String, String] = Map(
+    "q_image_decode" ->
+      """WITH d AS (
+        | SELECT doc_id, CAST(1 + doc_id % 8 AS INTEGER) AS w,
+        |  CAST(1 + n_chars % 8 AS INTEGER) AS h
+        | FROM documents),
+        |px AS (
+        | SELECT d.doc_id, d.w, d.h,
+        |  (d.doc_id * 31 + 7 * x.i + 13 * y.i) % 256 AS g
+        | FROM d
+        | JOIN (SELECT unnest(range(8)) AS i) x ON x.i < d.w
+        | JOIN (SELECT unnest(range(8)) AS i) y ON y.i < d.h)
+        |SELECT doc_id, w AS width, h AS height,
+        | CAST(sum(g) AS BIGINT) AS px_sum
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
     "q_multimodal" ->
       """SELECT doc_id, 'image' AS kind,
         | CAST(strlen(text) AS INTEGER) AS n_bytes,

@@ -75,14 +75,22 @@ object MetricPrefixPruning extends Rule[LogicalPlan] {
           val bits = m.group(2).toInt
           val conjuncts = splitAnd(cond)
           // the threshold must be on THE column this prefix indexes —
-          // the layout name carries the binding, so a Hamming filter on
-          // some other long column can never mis-prune
+          // the layout name carries the binding, AND the matched attribute
+          // must be traceable UNMODIFIED to the same leaf relation that
+          // produced the prefix column: name equality alone would let
+          // `read.parquet(layout).withColumn("h", expr).filter(...)`
+          // prune against the untouched partition column and silently
+          // drop matching rows. A redefinition is an Alias — a fresh
+          // exprId absent from the leaf's output — so the exprId check is
+          // exactly "passed through bare".
+          def sameLeaf(h: Attribute): Boolean = child.collectLeaves().exists(
+            leaf => leaf.outputSet.contains(h) && leaf.outputSet.contains(pa))
           val hit = conjuncts.collectFirst {
             case LessThanOrEqual(HammingOf(h, probe), IntThreshold(k))
-                if h.name == hashName && child.outputSet.contains(h) =>
+                if h.name == hashName && sameLeaf(h) =>
               (probe, k)
             case LessThan(HammingOf(h, probe), IntThreshold(k))
-                if h.name == hashName && child.outputSet.contains(h) =>
+                if h.name == hashName && sameLeaf(h) =>
               (probe, k - 1)
           }
           hit match {

@@ -49,23 +49,61 @@ object PairStore {
     * the stress harness uses to price the raw build. */
   def enabled: Boolean = root != "off"
 
-  /** Snapshot fingerprint of one table's data files: 64-bit FNV-1a over
-    * the sorted (name, length, mtime) listing. Listing-only — no data
-    * read; this is the identity a manifest file would carry. */
-  def fingerprint(s: SparkSession, dir: String, table: String): String = {
-    val p = new Path(s"$dir/$table.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val entries =
-      if (!fs.exists(p)) Seq(s"absent")
-      else fs.listStatus(p).toSeq
-        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-        .sorted
+  /** Build-logic version + parameters token, part of every artifact path:
+    * a change to the pair-build semantics (τ, routing, clustering scheme)
+    * must bump this, or an existing store root would silently serve
+    * pre-change artifacts — the fingerprint only tracks the CORPUS, the
+    * tag tracks the CODE that derived the artifact from it. */
+  val BuildTag: String = "v2_t04"
+
+  private def fnv64(entries: Seq[String]): String = {
     var h = 0xcbf29ce484222325L
     entries.foreach { e =>
       e.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
       h ^= '\n'.toLong; h *= 0x100000001b3L
     }
     java.lang.Long.toHexString(h)
+  }
+
+  /** Snapshot fingerprint over explicit file paths (name, length, mtime
+    * of each): the identity a table-format manifest carries. Used for
+    * relations whose input files are known from the plan (EmdriveSession
+    * ensureIndex) as well as the directory walk below. */
+  def fileFingerprint(s: SparkSession, files: Seq[String]): String = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val entries = files.map { f =>
+      val p = new Path(f)
+      val fs = p.getFileSystem(conf)
+      try {
+        val st = fs.getFileStatus(p)
+        s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+      } catch { case _: java.io.FileNotFoundException => s"$f:absent" }
+    }.sorted
+    fnv64(if (entries.isEmpty) Seq("empty") else entries)
+  }
+
+  /** Snapshot fingerprint of one table's data files: 64-bit FNV-1a over
+    * the sorted RECURSIVE (path, length, mtime) file listing. Recursion
+    * matters for partitioned layouts: a top-level `listStatus` sees only
+    * subdirectory entries, whose (name, len, mtime) need not change when
+    * files INSIDE are rewritten — the walk folds every data file, so a
+    * rewrite anywhere re-keys the artifact. Listing-only — no data read;
+    * this is the identity a manifest file would carry. */
+  def fingerprint(s: SparkSession, dir: String, table: String): String = {
+    val p = new Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val entries =
+      if (!fs.exists(p)) Seq("absent")
+      else {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          buf += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+        }
+        if (buf.isEmpty) Seq("empty") else buf.toSeq.sorted
+      }
+    fnv64(entries)
   }
 
   /** Read the persisted artifact for (dir, name), building and writing it
@@ -76,7 +114,7 @@ object PairStore {
   def readOrBuild(s: SparkSession, dir: String, name: String, table: String)
       (build: => DataFrame): DataFrame = {
     if (!enabled) return build
-    val path = s"$root/${name}_${fingerprint(s, dir, table)}"
+    val path = s"$root/${name}_${BuildTag}_${fingerprint(s, dir, table)}"
     val success = new Path(s"$path/_SUCCESS")
     val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(success)) {

@@ -1231,8 +1231,17 @@ final class EmdriveSession(spark: SparkSession) {
     * plays for parquet corpora. */
   private def ensureIndex(kind: String, tbl: String, column: String)
       (build: String => Unit): String = {
+    val rel = table(tbl)
+    // plan identity alone is NOT a snapshot key for file-backed relations:
+    // a parquet path rewritten in place hashes identically (same path,
+    // same schema), so the key also folds a file-status fingerprint of the
+    // plan's input files (name, length, mtime — the manifest identity
+    // PairStore uses). In-memory relations have no input files; their
+    // LocalRelation semanticHash covers the data.
+    val snap = graft.sources.PairStore.fileFingerprint(
+      spark, rel.inputFiles.toSeq)
     val key = (System.identityHashCode(spark), kind,
-      table(tbl).queryExecution.analyzed.semanticHash(), column)
+      rel.queryExecution.analyzed.semanticHash(), snap, column)
     val cur = EmdriveSession.indexPaths.get(key)
     if (cur != null) cur
     else {
@@ -2769,7 +2778,8 @@ object EmdriveSession {
     * identity rules out stale hits. Layouts live in /tmp for the
     * sandbox; a production catalog would home them next to the table. */
   private[sql] val indexPaths =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (Int, String, Int, String, String), String]()
 }
 
 /** Driver-gate query keys exercising the SQL front-end end-to-end: the

@@ -88,6 +88,25 @@ class MetricIndexSpec extends SparkTestBase {
     assert(otherScan.selectedPartitions.partitionCount == totalParts,
       s"mis-pruned on an unindexed column: " +
         s"${otherScan.selectedPartitions.partitionCount} of $totalParts")
+    // a column REDEFINED under the hash's name above the scan must not
+    // prune either — the rule traces the matched attribute by exprId to
+    // the leaf relation, and a withColumn redefinition is a fresh Alias
+    // that fails the trace; pruning by the untouched partition column
+    // would silently drop matching rows
+    val redefined = spark.read.parquet(dir)
+      .withColumn("h", col("doc_id"))
+      .filter(call_function("hamming64", col("h"), lit(3L)) <= 2)
+    val redefScan = redefined.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(redefScan.selectedPartitions.partitionCount == totalParts,
+      s"mis-pruned a redefined column: " +
+        s"${redefScan.selectedPartitions.partitionCount} of $totalParts")
+    val redefExpected = spark.read.parquet(dir).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+      .filter(id => java.lang.Long.bitCount(id ^ 3L) <= 2).toSet
+    assert(redefined.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet == redefExpected)
   }
 
   test("index-backed kNN equals full-scan kNN and reads a pruned ball") {

@@ -45,6 +45,29 @@ class PairStoreSpec extends SparkTestBase {
     assert(PairStore.fingerprint(spark, "/nonexistent", "embeddings").nonEmpty)
   }
 
+  test("in-place rewrite of a NESTED data file re-keys the artifact " +
+      "(recursive fingerprint)") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("pairstore-fp")
+    // nested layout: emb.parquet/sub/part-0 — a top-level listStatus sees
+    // only the `sub` directory entry, whose (name, len, mtime) does NOT
+    // change when the file inside is rewritten in place (only
+    // create/delete touches a parent dir); the recursive walk folds the
+    // inner file itself
+    val inner = base.resolve("emb.parquet/sub")
+    Files.createDirectories(inner)
+    Files.write(inner.resolve("part-0.parquet"), "generation-one".getBytes)
+    val fp1 = PairStore.fingerprint(spark, base.toString, "emb")
+    Thread.sleep(5) // off the mtime granularity edge
+    Files.write(inner.resolve("part-0.parquet"), "generation-TWO".getBytes)
+    val fp2 = PairStore.fingerprint(spark, base.toString, "emb")
+    assert(fp1 != fp2,
+      "in-place nested rewrite aliased the old artifact fingerprint")
+    // and the artifact path also carries the build tag, so a pair-build
+    // semantics change re-keys even an unchanged corpus
+    assert(PairStore.BuildTag.nonEmpty)
+  }
+
   test("q_embed_neardup through the persisted artifact matches a fresh build") {
     GraftSession.prepare(spark)
     val root = java.nio.file.Files.createTempDirectory("pairstore2").toString

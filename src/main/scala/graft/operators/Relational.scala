@@ -1665,23 +1665,30 @@ object Relational {
     * late plus a per-order distinct-supplier count; supplier dim
     * broadcasts; deterministic top-20 via TakeOrdered with name ties. */
   private def waitingSuppliers(s: SparkSession, d: String): DataFrame = {
-    val late = Tables.lineitem(s, d)
+    // ONE pass over the fact (r10, was two): the joined scan collapses to
+    // distinct (order, supplier) pairs carrying a late flag — partial-
+    // combined, no Expand — and a second pair-cardinality aggregation
+    // derives per-order supplier count, late-supplier count, and (since
+    // the filter demands exactly one) THE late supplier in the same
+    // grouped pass. At 100 TB the fact scan is the dominant cost; the
+    // previous shape paid it twice (once for the late set, once for the
+    // multi-supplier countDistinct), and a naive fused
+    // countDistinct×2 would pay a 3× Expand in the shuffle instead.
+    val pair = Tables.lineitem(s, d)
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .filter(epochDay(col("l_shipdate")) - epochDay(col("o_orderdate")) > 60)
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val lateCnt = late.groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n_late"))
-    val multi = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
-      .filter(col("n_supp") >= 2)
-      .select(col("l_orderkey").as("m_orderkey"))
-    late.join(lateCnt.filter(col("n_late") === 1).select(col("l_orderkey").as("c_orderkey")),
-        col("l_orderkey") === col("c_orderkey"))
-      .join(multi, col("l_orderkey") === col("m_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (epochDay(col("l_shipdate")) - epochDay(col("o_orderdate")) > 60)
+          .as("late"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("late"), 1).otherwise(0)).as("late_flag"))
+    pair.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("late_flag")).as("n_late_supp"),
+        max(when(col("late_flag") === 1, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_late_supp") === 1 && col("n_supp") >= 2)
       .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
-        col("l_suppkey") === col("s_suppkey"))
+        col("late_supp") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))

@@ -354,16 +354,22 @@ object EmdriveSql {
       /** QUALIFY pred (r9): ANSI-extension window filter — sugar for the
         * post-window-WHERE split the dialect already performs; applies
         * after window attachment, before aggregation/ORDER BY. */
-      qualify: Seq[Pred] = Seq.empty)
+      qualify: Seq[Pred] = Seq.empty,
+      /** GROUP BY GROUPING SETS ((a, b), (a), ()) — the explicit
+        * grouping-set list (r10, the rollup/cube generalization);
+        * `groupBy` carries the distinct key union in first-appearance
+        * order, this carries each set. Only read when groupMode ==
+        * "sets". */
+      groupSets: Seq[Seq[String]] = Seq.empty)
     extends Statement
 
-  /** select (UNION [ALL] | EXCEPT | INTERSECT) select … —
-    * left-associative with UNIFORM precedence (a documented dialect
-    * simplification: ANSI binds INTERSECT tighter; parenthesize via a
-    * derived table or CTE to force grouping), positional column matching.
-    * UNION dedupes the accumulated bag, UNION ALL keeps it, EXCEPT /
-    * INTERSECT are the ANSI DISTINCT set ops. Each step's op rides in
-    * the tuple: union | union_all | except | intersect. */
+  /** select (UNION [ALL] | EXCEPT | INTERSECT) select … — parsed flat;
+    * the lowering applies ANSI precedence (INTERSECT [ALL] binds tighter
+    * than UNION/EXCEPT, each level left-associative — r10). Positional
+    * column matching. UNION dedupes the accumulated bag, UNION ALL keeps
+    * it, EXCEPT / INTERSECT are the ANSI DISTINCT set ops. Each step's op
+    * rides in the tuple: union | union_all | except[_all] |
+    * intersect[_all]. */
   final case class UnionStmt(first: Select,
       rest: Seq[(String, Select)]) extends Statement
 
@@ -454,7 +460,8 @@ object EmdriveSql {
     "DELETE", "UPDATE", "SET", "MERGE", "USING", "MATCHED", "RECURSIVE",
     "QUALIFY")
 
-  private val AggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN")
+  private val AggFuncs =
+    Set("COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN", "GROUPING")
   private val StrFuncs = Set("UPPER", "LOWER", "LENGTH", "TRIM", "SUBSTR",
     "REPLACE", "COALESCE", "NULLIF", "ABS", "ROUND",
     "YEAR", "MONTH", "DAY",
@@ -742,7 +749,7 @@ object EmdriveSql {
     val where = mutable.ListBuffer.empty[Pred]
     if (p.tryWord("WHERE")) where += parsePred(p)
     val groupExprs = mutable.ListBuffer.empty[(String, Operand)]
-    val (groupBy, groupMode) =
+    val (groupBy, groupMode, groupSets) =
       if (p.tryWord("GROUP")) {
         p.eatWord("BY")
         // GROUP BY 1, 2 — ordinals into the select list ("#n" markers,
@@ -767,17 +774,38 @@ object EmdriveSql {
                 }
             }
         }
-        // GROUP BY ROLLUP(a, b, …) / CUBE(a, b, …) — subtotal sets
+        // GROUP BY ROLLUP(a, b, …) / CUBE(a, b, …) — subtotal sets —
+        // or GROUPING SETS ((a, b), (a), ()) — the explicit general form
         val mode =
           if (p.tryWord("ROLLUP")) "rollup"
           else if (p.tryWord("CUBE")) "cube"
+          else if (p.peekWord("GROUPING")) { p.eatWord("GROUPING");
+            p.eatWord("SETS"); "sets" }
           else "plain"
-        if (mode != "plain") p.eatSym("(")
-        val gs = mutable.ListBuffer(gkey())
-        while (p.trySym(",")) gs += gkey()
-        if (mode != "plain") p.eatSym(")")
-        (gs.toSeq, mode)
-      } else (Seq.empty[String], "plain")
+        if (mode == "sets") {
+          p.eatSym("(")
+          val sets = mutable.ListBuffer.empty[Seq[String]]
+          def oneSet(): Unit = {
+            p.eatSym("(")
+            val cs = mutable.ListBuffer.empty[String]
+            if (!p.peekSym(")")) { cs += gkey(); while (p.trySym(",")) cs += gkey() }
+            p.eatSym(")")
+            sets += cs.toSeq
+          }
+          oneSet()
+          while (p.trySym(",")) oneSet()
+          p.eatSym(")")
+          // keys = distinct union in first-appearance order (the grouped
+          // output schema); each set's membership drives the Expand
+          (sets.flatten.distinct.toSeq, mode, sets.toSeq)
+        } else {
+          if (mode != "plain") p.eatSym("(")
+          val gs = mutable.ListBuffer(gkey())
+          while (p.trySym(",")) gs += gkey()
+          if (mode != "plain") p.eatSym(")")
+          (gs.toSeq, mode, Seq.empty[Seq[String]])
+        }
+      } else (Seq.empty[String], "plain", Seq.empty[Seq[String]])
     val having = mutable.ListBuffer.empty[Pred]
     if (p.tryWord("HAVING")) having += parsePred(p)
     // WINDOW n AS (spec) [, n2 AS (spec)] — named window specs (ANSI
@@ -852,7 +880,7 @@ object EmdriveSql {
       } else None
     Select(resolvedItems, table, where.toSeq, groupBy, having.toSeq, orderBy,
       limit, joins.toSeq, distinct, offset, derived, baseAlias, groupMode,
-      groupExprs.toSeq, qualify.toSeq)
+      groupExprs.toSeq, qualify.toSeq, groupSets)
   }
 
   private def parseItem(p: P): SelectItem = p.toks match {
@@ -1766,21 +1794,36 @@ final class EmdriveSession(spark: SparkSession) {
     acc
   }
 
-  private def lowerChain(u: UnionStmt): DataFrame =
-    u.rest.foldLeft(lowerSelect(u.first)) { case (acc, (op, sel)) =>
+  private def lowerChain(u: UnionStmt): DataFrame = {
+    // ANSI precedence (r10, closes the r9 uniform-precedence
+    // simplification): INTERSECT [ALL] binds tighter than UNION/EXCEPT,
+    // so the flat parsed chain lowers in two levels — maximal
+    // INTERSECT-connected runs fold first (left-assoc), then the runs
+    // fold under UNION/EXCEPT (left-assoc). `A UNION B EXCEPT C
+    // INTERSECT D` is (A ∪ B) − (C ∩ D), exactly the standard's grouping.
+    val segs = mutable.ListBuffer[DataFrame](lowerSelect(u.first))
+    val segOps = mutable.ListBuffer.empty[String]
+    u.rest.foreach { case (op, sel) =>
       val rhs = lowerSelect(sel)
+      op match {
+        case "intersect" => segs(segs.length - 1) = segs.last.intersect(rhs)
+        case "intersect_all" =>
+          segs(segs.length - 1) = segs.last.intersectAll(rhs)
+        case other => segOps += other; segs += rhs
+      }
+    }
+    segOps.zip(segs.tail).foldLeft(segs.head) { case (acc, (op, rhs)) =>
       op match {
         case "union_all" => acc.union(rhs)
         case "union" => acc.union(rhs).dropDuplicates()
         case "except" => acc.except(rhs)
-        case "intersect" => acc.intersect(rhs)
         // ALL variants (r9): ANSI bag semantics — multiplicities
         // subtract/min instead of collapsing (Catalyst's dedicated
         // ExceptAll/IntersectAll plans, identical in DuckDB)
         case "except_all" => acc.exceptAll(rhs)
-        case "intersect_all" => acc.intersectAll(rhs)
       }
     }
+  }
 
   /** True when `sub` is a correlated scalar subquery against `outer`:
     * single table, no grouping, and at least one WHERE equality conjunct
@@ -1874,7 +1917,7 @@ final class EmdriveSession(spark: SparkSession) {
   private def lowerSelect(sel: Select): DataFrame = {
     val Select(items, name, where, rawGroupBy, having, rawOrderBy, limitN,
       joins, distinct, offsetN, derived, baseAlias, groupMode, groupExprs,
-      qualify) = sel
+      qualify, groupSets) = sel
     // "#n" ordinal markers (GROUP BY 1 / ORDER BY 2) resolve to the n-th
     // select item's OUTPUT name — ANSI ordinal semantics; grouping by an
     // aggregate/window position is refused like any non-key grouping
@@ -2184,6 +2227,10 @@ final class EmdriveSession(spark: SparkSession) {
             (groupMode match {
               case "rollup" => df.rollup(groupBy.map(qref): _*)
               case "cube" => df.cube(groupBy.map(qref): _*)
+              // explicit GROUPING SETS: the same single-Expand plan as
+              // rollup/cube, with exactly the listed sets
+              case "sets" =>
+                df.groupingSets(groupSets.map(_.map(qref)), groupBy.map(qref): _*)
               case _ => df.groupBy(groupBy.map(qref): _*)
             }).agg(aggs.head, aggs.tail: _*)
           // post-aggregation expression evaluation: aggregate atoms read
@@ -2302,6 +2349,11 @@ final class EmdriveSession(spark: SparkSession) {
       // percentile the q_percentile operator uses (DuckDB: median =
       // quantile_cont(.5), identical interpolation)
       case ("MEDIAN", Some(c)) => percentile(qref(c), lit(0.5))
+      // GROUPING(col) — 1 on the subtotal rows where col is rolled up,
+      // 0 on detail rows (ANSI; disambiguates a real NULL key from a
+      // rollup NULL). Widened from Spark's tinyint to bigint so the
+      // dialect's type is engine-independent.
+      case ("GROUPING", Some(c)) => grouping(qref(c)).cast("bigint")
       case other => throw new IllegalArgumentException(s"bad aggregate: $other")
     }
 
@@ -2826,6 +2878,18 @@ object SqlQueries {
       es.register("documents", Tables.documents(s, d))
       es.sql("SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en';")
     }),
+    // ANSI set-op precedence: INTERSECT binds tighter than UNION/EXCEPT —
+    // this unparenthesized text must group as (en ∪ de) − (big ∩ src0);
+    // the oracle is the IDENTICAL text, so a uniform-precedence lowering
+    // (the r9 simplification) hash-fails
+    "q_sql_set_precedence" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id FROM documents WHERE lang = 'en'
+               |UNION SELECT doc_id FROM documents WHERE lang = 'de'
+               |EXCEPT SELECT doc_id FROM documents WHERE n_chars > 150
+               |INTERSECT SELECT doc_id FROM documents WHERE source = 'src0';""".stripMargin)
+    }),
     "q_sql_distance" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
       es.register("fps", Tables.documents(s, d)
@@ -2855,6 +2919,18 @@ object SqlQueries {
       es.register("documents", Tables.documents(s, d))
       es.sql("""SELECT lang, source, COUNT(*) AS n, SUM(n_chars) AS total_chars
                |FROM documents GROUP BY ROLLUP(lang, source);""".stripMargin)
+    }),
+    // explicit GROUPING SETS with mixed arities + GROUPING() markers:
+    // the rollup/cube generalization in one Expand pass; GROUPING()
+    // disambiguates subtotal NULLs from real NULL keys (ANSI)
+    "q_sql_grouping_sets" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang, source, COUNT(*) AS n,
+               | SUM(n_chars) AS total_chars,
+               | GROUPING(lang) AS g_lang, GROUPING(source) AS g_source
+               |FROM documents
+               |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ());""".stripMargin)
     }),
     // named WINDOW clause: one spec, three consumers — rank + two
     // aggregates share the identical partition/order (ANSI WINDOW)
@@ -3615,6 +3691,18 @@ object SqlQueries {
         |) AS t(table_name, n_columns, n_strings)""".stripMargin,
     "q_sql_select" ->
       "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'",
+    "q_sql_grouping_sets" ->
+      """SELECT lang, source, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+        | CAST(GROUPING(source) AS BIGINT) AS g_source
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())""".stripMargin,
+    "q_sql_set_precedence" ->
+      """SELECT doc_id FROM documents WHERE lang = 'en'
+        |UNION SELECT doc_id FROM documents WHERE lang = 'de'
+        |EXCEPT SELECT doc_id FROM documents WHERE n_chars > 150
+        |INTERSECT SELECT doc_id FROM documents WHERE source = 'src0'""".stripMargin,
     "q_sql_rollup" ->
       """SELECT lang, source, count(*) AS n,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -109,6 +109,13 @@ class QueryPlanSpec extends SparkTestBase {
       || "\\(\\d+\\) Scan parquet".r.findAllIn(p).size <= 2, p) // tree+detail
   }
 
+  test("waiting suppliers scans lineitem exactly once (fused late+multi agg)") {
+    val p = plan("q_waiting_suppliers")
+    val lineitemScans = p.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans <= 1, s"$lineitemScans lineitem scans:\n$p")
+  }
+
   test("trade flows broadcast every dimension; one fact-fact shuffle join") {
     val p = plan("q_trade_flows")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -2119,6 +2119,17 @@ final class EmdriveSession(spark: SparkSession) {
       items.foreach {
         case WinItem(f, arg, parts, keys, alias, frame) =>
           import org.apache.spark.sql.expressions.Window
+          // a global window (no PARTITION BY) single-tasks the whole
+          // relation — fine over a dimension/grid, a scale-killer over a
+          // fact. The dialect can't see cardinality, so it WARNS (the
+          // engine's own WindowExec warning fires too); unordered ranks
+          // stay refused outright, as nondeterminism is a correctness
+          // matter, not a performance one.
+          if (parts.isEmpty)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"window $f over $alias has no PARTITION BY: the whole " +
+                "relation sorts in one task — acceptable for " +
+                "dimension-sized inputs only")
           val ordered = Window.partitionBy(parts.map(qref): _*)
             .orderBy(keys.map(k => if (k.desc) qref(k.name).desc else qref(k.name).asc): _*)
           val spec = frame match {

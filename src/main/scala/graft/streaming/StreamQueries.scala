@@ -54,14 +54,22 @@ object StreamQueries {
       val Array(lo, hi) = batch.agg(min(col(ordCol)), max(col(ordCol)))
         .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
       val span = hi - lo + 1
-      val files = (0 until nChunks).map { i =>
-        val from = lo + span * i / nChunks
-        val until = lo + span * (i + 1) / nChunks
-        val out = base.resolve(s"chunk$i").toString
-        batch.filter(col(ordCol) >= from && col(ordCol) < until)
-          .coalesce(1).write.mode("overwrite").parquet(out)
-        Files.list(Paths.get(out)).toArray.map(_.asInstanceOf[Path])
-          .filter(_.getFileName.toString.endsWith(".parquet")).head
+      // ONE pass over the source: the chunk id is a derived partition
+      // column, so a single partitionBy write emits every chunk file
+      // (vs one filtered scan per chunk); the partition column lives in
+      // the directory name only — the data files carry the original
+      // schema the file stream expects
+      val staged = base.resolve("staged").toString
+      batch
+        .withColumn("__chunk",
+          ((col(ordCol) - lo) * nChunks / span).cast("int"))
+        .repartition(1)
+        .write.mode("overwrite").partitionBy("__chunk").parquet(staged)
+      val files = (0 until nChunks).flatMap { i =>
+        val cdir = Paths.get(staged, s"__chunk=$i")
+        if (!Files.isDirectory(cdir)) Seq.empty
+        else Files.list(cdir).toArray.map(_.asInstanceOf[Path])
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
       }
       (files, batch.schema.json): (Seq[Path], String)
     }
@@ -72,7 +80,7 @@ object StreamQueries {
     * event-time timeouts flush terminal state) are appended as further
     * single-file batches. */
   private def runChunked(s: SparkSession, dir: String, key: String,
-      batch: DataFrame, ordCol: String, mode: String, nChunks: Int = 4,
+      batch: DataFrame, ordCol: String, mode: String, nChunks: Int = 3,
       extra: Seq[DataFrame] = Nil)(build: DataFrame => DataFrame): DataFrame = {
     val (chunks, schemaJson) = stageChunks(s, dir, key, batch, ordCol, nChunks)
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
@@ -89,17 +97,40 @@ object StreamQueries {
     val sink = s"${key}_${System.nanoTime()}"
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(in.toString)
-    val q = build(stream).writeStream.format("memory").queryName(sink)
-      .outputMode(mode)
-      .option("checkpointLocation", watch.resolve("ckpt").toString)
-      .start()
+    // streaming state partitions: each micro-batch pays a fixed task +
+    // state-store open/commit cost PER PARTITION, every batch — 32
+    // partitions × 6 batches of a bounded replay is pure overhead for
+    // state that fits in a handful. The partition count is pinned into
+    // the checkpoint at first batch, so this scopes to the replay only
+    // (restored after), and a production deployment sizes it to key
+    // cardinality the same way.
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = s.conf.get(shufKey)
+    s.conf.set(shufKey, math.min(8, prevShuffle.toInt).toString)
+    // every data batch here advances the watermark (chunks are
+    // event-time-ordered and the sentinels exist precisely to drive
+    // timeout processing as data), so the automatic no-data bookkeeping
+    // batches after each watermark change are pure per-batch overhead in
+    // this bounded replay — scoped off and restored with the shuffle conf
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = s.conf.get(ndKey)
+    s.conf.set(ndKey, "false")
     try {
-      (chunks ++ extraFiles).zipWithIndex.foreach { case (f, i) =>
-        Files.copy(f, in.resolve(s"batch$i.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+      val q = build(stream).writeStream.format("memory").queryName(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", watch.resolve("ckpt").toString)
+        .start()
+      try {
+        (chunks ++ extraFiles).zipWithIndex.foreach { case (f, i) =>
+          Files.copy(f, in.resolve(s"batch$i.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally {
+      s.conf.set(shufKey, prevShuffle)
+      s.conf.set(ndKey, prevNd)
+    }
     s.table(sink)
   }
 

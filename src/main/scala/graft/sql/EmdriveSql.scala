@@ -132,9 +132,11 @@ object EmdriveSql {
         var j = i
         while (j < n && (input(j).isLetterOrDigit || input(j) == '_')) j += 1
         out += TWord(input.substring(i, j)); i = j
+      } else if (c == '<' && peek(1) == '>') {
+        out += TSym("!="); i += 2 // ANSI <> spelling of not-equals
       } else if ((c == '<' || c == '>' || c == '!') && peek(1) == '=') {
         out += TSym(s"$c="); i += 2
-      } else if ("(),;*@=<>-+/.".indexOf(c) >= 0) {
+      } else if ("(),;*@=<>-+/.%".indexOf(c) >= 0) {
         out += TSym(c.toString); i += 1
       } else throw new IllegalArgumentException(s"unexpected character '$c' in: $input")
     }
@@ -1083,6 +1085,9 @@ object EmdriveSql {
     while (more) {
       if (p.trySym("*")) l = OArith(l, "*", parseAtom(p))
       else if (p.trySym("/")) l = OArith(l, "/", parseAtom(p))
+      // % modulo (r10): integer remainder, ANSI MOD — Spark and DuckDB
+      // agree on integer % integer
+      else if (p.trySym("%")) l = OArith(l, "%", parseAtom(p))
       else more = false
     }
     l
@@ -2258,6 +2263,7 @@ final class EmdriveSession(spark: SparkSession) {
                 case "-" => lc - rc
                 case "*" => lc * rc
                 case "/" => lc / rc
+                case "%" => lc % rc
               }
             case OFunc(f, fargs) => funcApply(f, fargs.map(aggExprCol), fargs)
             case OCast(x, t) => aggExprCol(x).cast(sqlTypeName(t))
@@ -2613,6 +2619,7 @@ final class EmdriveSession(spark: SparkSession) {
         case "-" => l - r
         case "*" => l * r
         case "/" => l / r
+        case "%" => l % r
       }
     case OFunc(f, args) =>
       funcApply(f, args.map(operandCol(base, _, corr)), args)
@@ -2942,6 +2949,74 @@ object SqlQueries {
                | GROUPING(lang) AS g_lang, GROUPING(source) AS g_source
                |FROM documents
                |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ());""".stripMargin)
+    }),
+    // DML end-to-end through the gate (r10): each key MUTATES a
+    // registered table through the dialect statement, then SELECTs the
+    // result — the oracle recomputes the post-mutation state in pure SQL,
+    // so the statement semantics themselves are hash-checked, not just
+    // suite-asserted. UPDATE: every SET expression reads the OLD row.
+    "q_sql_update" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("docs", Tables.documents(s, d))
+      es.sql("UPDATE docs SET n_chars = n_chars * 2 + 1 WHERE lang = 'en';")
+      es.sql("""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
+               |FROM docs GROUP BY lang;""".stripMargin)
+    }),
+    // DELETE with ANSI three-valued semantics (NULL predicate KEEPS)
+    "q_sql_delete" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("docs", Tables.documents(s, d))
+      es.sql("DELETE FROM docs WHERE n_chars < 100 AND lang <> 'en';")
+      es.sql("""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
+               |FROM docs GROUP BY lang;""".stripMargin)
+    }),
+    // CREATE TABLE AS SELECT: the derived table is a first-class relation
+    "q_sql_ctas" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("docs", Tables.documents(s, d))
+      es.sql("""CREATE TABLE en_docs AS SELECT doc_id, source, n_chars
+               |FROM docs WHERE lang = 'en';""".stripMargin)
+      es.sql("""SELECT source, COUNT(*) AS n, SUM(n_chars) AS total_chars
+               |FROM en_docs GROUP BY source;""".stripMargin)
+    }),
+    // INSERT INTO … SELECT: the bulk-load statement through declared cols
+    "q_sql_insert_select" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("docs", Tables.documents(s, d))
+      es.sql("""CREATE TABLE big AS SELECT doc_id, n_chars FROM docs
+               |WHERE n_chars >= 300;""".stripMargin)
+      es.sql("""INSERT INTO big (doc_id, n_chars)
+               |SELECT doc_id + 1000000 AS shifted_id, n_chars FROM docs
+               |WHERE lang = 'zh';""".stripMargin)
+      es.sql("SELECT COUNT(*) AS n, SUM(n_chars) AS total_chars FROM big;")
+    }),
+    // MERGE upsert: matched rows update from the source, unmatched
+    // insert; the oracle rebuilds the merged state with joins + CASE
+    "q_sql_merge" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("docs", Tables.documents(s, d))
+      es.sql("""CREATE TABLE tgt AS SELECT doc_id, n_chars FROM docs
+               |WHERE doc_id % 3 = 0;""".stripMargin)
+      es.sql("""CREATE TABLE src AS SELECT doc_id, n_chars FROM docs
+               |WHERE doc_id % 2 = 0;""".stripMargin)
+      es.sql("""MERGE INTO tgt AS a USING src AS b ON a.doc_id = b.doc_id
+               |WHEN MATCHED THEN UPDATE SET n_chars = b.n_chars + 1
+               |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars)
+               |  VALUES (b.doc_id, b.n_chars);""".stripMargin)
+      es.sql("SELECT COUNT(*) AS n, SUM(n_chars) AS total_chars FROM tgt;")
+    }),
+    // the reference's literal INSERT path: CREATE → INSERT VALUES →
+    // SELECT, constants oracle
+    "q_sql_insert_values" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.sql("""CREATE TABLE kv (
+               |  k UINT32 PRIMARY KEY,
+               |  v NULLABLE(UINT16),
+               |  tag NULLABLE(STRING(16)));""".stripMargin)
+      es.sql("""INSERT INTO kv (k, v, tag) VALUES
+               |(1, 10, 'alpha'), (2, 20, 'beta'), (3, NULL, 'gamma');""".stripMargin)
+      es.sql("INSERT INTO kv (k, v) VALUES (4, 65535);")
+      es.sql("""SELECT k, v, tag FROM kv;""")
     }),
     // named WINDOW clause: one spec, three consumers — rank + two
     // aggregates share the identical partition/order (ANSI WINDOW)
@@ -3709,6 +3784,49 @@ object SqlQueries {
         | CAST(GROUPING(source) AS BIGINT) AS g_source
         |FROM documents
         |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())""".stripMargin,
+    // DML oracles recompute the post-mutation state in pure SQL
+    "q_sql_update" ->
+      """SELECT lang, count(*) AS n,
+        | CAST(sum(CASE WHEN lang = 'en' THEN n_chars * 2 + 1
+        |   ELSE n_chars END) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_sql_delete" ->
+      """SELECT lang, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE NOT (n_chars < 100 AND lang <> 'en')
+        |GROUP BY lang""".stripMargin,
+    "q_sql_ctas" ->
+      """SELECT source, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
+    "q_sql_insert_select" ->
+      """WITH big AS (
+        | SELECT n_chars FROM documents WHERE n_chars >= 300
+        | UNION ALL
+        | SELECT n_chars FROM documents WHERE lang = 'zh')
+        |SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM big""".stripMargin,
+    "q_sql_merge" ->
+      """WITH tgt AS (
+        | SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0),
+        |src AS (
+        | SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0),
+        |merged AS (
+        | SELECT CASE WHEN s.doc_id IS NOT NULL THEN s.n_chars + 1
+        |   ELSE t.n_chars END AS n_chars
+        | FROM tgt t LEFT JOIN src s ON t.doc_id = s.doc_id
+        | UNION ALL
+        | SELECT s.n_chars FROM src s LEFT JOIN tgt t ON s.doc_id = t.doc_id
+        | WHERE t.doc_id IS NULL)
+        |SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM merged""".stripMargin,
+    "q_sql_insert_values" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), 10, 'alpha'),
+        | (CAST(2 AS BIGINT), 20, 'beta'),
+        | (CAST(3 AS BIGINT), NULL, 'gamma'),
+        | (CAST(4 AS BIGINT), 65535, NULL)
+        |) AS t(k, v, tag)""".stripMargin,
     "q_sql_set_precedence" ->
       """SELECT doc_id FROM documents WHERE lang = 'en'
         |UNION SELECT doc_id FROM documents WHERE lang = 'de'

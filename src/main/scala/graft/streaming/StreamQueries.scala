@@ -215,7 +215,41 @@ object StreamQueries {
         "doc_id", "append")(
         StreamOps.exactDedup(_, Seq("text_md5")))),
 
-    // D: last-write-wins upsert as a continuously-maintained view; the
+    // D8: stream-static enrichment — every micro-batch joins the
+    // broadcast customer dim; stateless, the stream never shuffles.
+    "q_stream_enrich" -> ((s, d) =>
+      eventStream(s, d, "q_stream_enrich", "append")(df =>
+        StreamOps.enrichWithDim(
+          df.select(col("event_id"), col("user_id")),
+          Tables.customer(s, d)
+            .select(col("c_custkey").as("user_id"), col("c_name")),
+          "user_id"))),
+
+    // D9: stream-stream event-time interval join (view→purchase within
+    // 1 h) — a watermarked self-join of the same source; inner matches
+    // emit as both sides arrive, the range bounds the buffered state.
+    "q_stream_interval_join" -> ((s, d) =>
+      eventStream(s, d, "q_stream_interval_join", "append")(df =>
+        StreamOps.followWithin(
+          asEvents(df).filter(e => e.event_type == "view"),
+          asEvents(df).filter(e => e.event_type == "purchase"),
+          withinMs = 3600000L))
+        .select(col("user_id"), unix_millis(col("lead_ts")).as("lead_ms"),
+          unix_millis(col("follow_ts")).as("follow_ms"),
+          col("follow_value"))),
+
+    // D19: engine-native session windows (session_window aggregation) —
+    // the declarative twin of the custom-state sessionizer; sentinels
+    // advance the watermark so append mode finalizes terminal sessions.
+    "q_stream_session_window" -> ((s, d) =>
+      eventStream(s, d, "q_stream_session_window", "append",
+        extra = Seq(sentinel(s, "2030-01-01"), sentinel(s, "2030-01-02")))(
+        df => StreamOps.sessionWindowAgg(df, "30 minutes"))
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), unix_millis(col("session_start")).as("start_ms"),
+          unix_millis(col("session_end")).as("end_ms"), col("n_events"))),
+
+    // D27: last-write-wins upsert as a continuously-maintained view; the
     // sink's per-batch winner snapshots collapse to the final winner.
     "q_stream_upsert" -> ((s, d) =>
       eventStream(s, d, "q_stream_upsert", "update")(df => {
@@ -291,6 +325,34 @@ object StreamQueries {
         |FROM sess GROUP BY user_id, seq""".stripMargin,
     "q_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS text_md5 FROM documents",
+    "q_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_name
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+    "q_stream_interval_join" ->
+      """WITH v AS (
+        | SELECT user_id, epoch_ms(ts) AS lead_ms FROM events
+        | WHERE event_type = 'view'),
+        |p AS (
+        | SELECT user_id AS pu, epoch_ms(ts) AS follow_ms, value
+        | FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, lead_ms, follow_ms, value AS follow_value
+        |FROM v JOIN p ON v.user_id = pu
+        | AND follow_ms >= lead_ms AND follow_ms <= lead_ms + 3600000""".stripMargin,
+    "q_stream_session_window" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |flagged AS (
+        | SELECT *, CASE WHEN ms - lag(ms) OVER w > 1800000 OR
+        |   lag(ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |sess AS (
+        | SELECT user_id, ms, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |   ORDER BY ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS seq
+        | FROM flagged)
+        |SELECT user_id, min(ms) AS start_ms,
+        | max(ms) + 1800000 AS end_ms, count(*) AS n_events
+        |FROM sess GROUP BY user_id, seq""".stripMargin,
     "q_stream_upsert" ->
       """SELECT key, version, payload FROM (
         | SELECT user_id AS key, epoch_ms(ts) AS version,

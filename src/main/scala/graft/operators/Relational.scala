@@ -419,18 +419,61 @@ object Relational {
       datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate")).as("days_to_next"))
   }
 
-  /** Scale caveat: an exact global ntile is an inherently total order —
-    * Spark plans an un-partitioned window as a single partition. Fine for
-    * dimension-sized inputs (orders here); for a 100 TB fact the scale
-    * path is quantile THRESHOLDS (percentile/approx_percentile, fully
-    * parallel) + a bucket-assignment scan, trading exact equal-sized
-    * buckets for boundary-value grouping. */
-  private def ntileBuckets(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, d)
-      .select(col("o_orderkey"), ntile(4).over(w).as("quartile"))
+  /** Distributed EXACT ntile — the scale path for a global quantile bucket
+    * over an SF-scaling relation. An un-partitioned `ntile().over(Window
+    * .orderBy(...))` plans as a SINGLE-partition sort: correct at sf0.1,
+    * a one-executor bottleneck at 100 TB. This operator reproduces ntile's
+    * exact semantics (bucket sizes differ by ≤1; first n%b buckets get the
+    * extra row) with no global sort:
+    *   1. `repartitionByRange` + `sortWithinPartitions` — a range shuffle
+    *      whose partitions are globally ordered and each locally sorted
+    *      (fully parallel; the same machinery as a distributed ORDER BY);
+    *   2. one light count job over the shuffled output (shuffle files are
+    *      reused, not recomputed) yields per-partition row counts, whose
+    *      prefix sums are the global rank offsets — the classic
+    *      zipWithIndex two-job pattern;
+    *   3. a map assigns `rank → bucket` by the closed-form ntile formula.
+    * The order columns must form a TOTAL order (tie-broken by a unique
+    * key) so the global rank — and hence the bucket — is deterministic
+    * and engine-independent. */
+  private[graft] def rangeNtile(df: DataFrame, buckets: Int,
+                                order: Seq[Column], out: String): DataFrame = {
+    val s = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val rdd = sorted.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)),
+        preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val n = offsets.last
+    val b = buckets.toLong
+    val q = n / b
+    val r = n % b
+    val firstSpan = r * (q + 1) // rows living in the r buckets of size q+1
+    val tiled = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var i = offsets(pi)
+      it.map { row =>
+        val bucket =
+          if (i < firstSpan) (i / (q + 1) + 1).toInt
+          else (r + (i - firstSpan) / q + 1).toInt
+        i += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ bucket)
+      }
+    }
+    s.createDataFrame(tiled,
+      df.schema.add(out, org.apache.spark.sql.types.IntegerType, nullable = false))
   }
+
+  /** Exact global quartiles over the orders FACT (SF-scaling), via the
+    * distributed rangeNtile above — no single-partition window anywhere.
+    * The value-threshold twin (`ntileThreshold`, q_ntile_threshold) stays
+    * the alternative when boundary-tie grouping is acceptable. */
+  private def ntileBuckets(s: SparkSession, d: String): DataFrame =
+    rangeNtile(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+      4, Seq(col("o_totalprice"), col("o_orderkey")), "quartile")
+      .select(col("o_orderkey"), col("quartile"))
 
   /** The fact-table-scale quartile twin of ntileBuckets: no global window
     * over fact rows. Thresholds are computed from a value HISTOGRAM — the
@@ -1236,17 +1279,17 @@ object Relational {
     * -combined per-part aggregate; the (total, count) scalar broadcasts
     * back over the part-sized relation, never over the fact. */
   private def importantParts(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val value = Tables.lineitem(s, d)
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("value"))
-    // (total, count) as an unordered global window over the PART-sized
-    // relation — one fact scan, not the two a re-aggregate + cross join
-    // would cost (the scalar funnels the same dimension rows either way)
-    val wAll = Window.partitionBy()
-    value
-      .withColumn("total", sum(col("value")).over(wAll))
-      .withColumn("np", count(lit(1)).over(wAll))
+    // (total, np) as a broadcast scalar over the SAME aggregate subtree:
+    // the per-part relation scales with SF (20M parts at sf100), so an
+    // unordered global window over it is a single-partition bottleneck.
+    // The scalar re-aggregation shares the identical partial-agg exchange
+    // with `value`, which Spark plans as ReusedExchange — still one fact
+    // scan (plan-asserted in QueryPlanSpec).
+    val tot = value.agg(sum(col("value")).as("total"), count(lit(1)).as("np"))
+    value.crossJoin(broadcast(tot))
       .filter(col("value") * col("np") * 2 > col("total") * 3)
       .select(col("l_partkey").as("p_partkey"),
         round(col("value"), 2).cast("double").as("value"))
@@ -1261,18 +1304,23 @@ object Relational {
     * shipdate range prunes the scan; the fact collapses to one row per
     * supplier; the max is a broadcast scalar. */
   private def topSupplier(s: SparkSession, d: String): DataFrame = {
+    // the explicit (no-op) suppkey null filter makes BOTH consumers of
+    // `rev` canonicalize identically: without it the supplier equi-join
+    // pushes an inferred isnotnull only into the row branch's scan, which
+    // defeats AQE's shuffle-stage reuse and doubles the fact scan
     val rev = Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1997-01-01")
-        && col("l_shipdate") < lit("1997-04-01"))
+        && col("l_shipdate") < lit("1997-04-01")
+        && col("l_suppkey").isNotNull)
       .groupBy(col("l_suppkey"))
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
         .cast("decimal(18,4)")).as("total_revenue"))
-    // the max as an unordered global window over the supplier-sized
-    // relation: one fact scan (re-aggregating `rev` would lineage-replay
-    // the lineitem scan a second time)
-    rev.withColumn("mx",
-        max(col("total_revenue")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
+    // the max as a broadcast scalar: re-aggregating `rev` shares the same
+    // partial-agg exchange (ReusedExchange — one fact scan, plan-asserted),
+    // where an unordered global window over the per-supplier relation would
+    // single-partition an SF-scaling input (1M suppliers at sf100)
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.crossJoin(broadcast(mx))
       .filter(col("total_revenue") === col("mx"))
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
@@ -1362,12 +1410,12 @@ object Relational {
     * standard CRM partitioning. All three rank keys are exact (integer
     * epoch-days, counts, decimal sums) with custkey tie-break, so ntile
     * assignment is deterministic in any ANSI engine. Scale shape: the
-    * orders fact collapses to one row per customer FIRST; the three
-    * global ntile windows run over the customer dimension only — the
-    * q_ntile discipline (dimension-sized global sorts, documented and
-    * bounded), never over the fact. */
+    * orders fact collapses to one row per customer FIRST; per-customer
+    * cardinality still scales with SF (15M rows at sf10), so the three
+    * quartile assignments go through the distributed rangeNtile — range
+    * shuffles and offset maps, never a single-partition window. The
+    * reference day is a broadcast scalar, not a global unordered window. */
   private def rfm(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val per = Tables.orders(s, d)
       .select(col("o_custkey"),
         expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000").as("day"),
@@ -1375,17 +1423,20 @@ object Relational {
       .groupBy(col("o_custkey"))
       .agg(max(col("day")).as("last_day"), count(lit(1)).as("frequency"),
         sum(col("price")).as("monetary"))
-    // reference day as an unordered global window over the customer-sized
-    // relation — avoids lineage-replaying the orders scan for the scalar
-    val base = per
-      .withColumn("ref_day", max(col("last_day")).over(Window.partitionBy()))
+    val ref = per.agg(max(col("last_day")).as("ref_day"))
+    val base = per.crossJoin(broadcast(ref))
       .withColumn("recency_days", col("ref_day") - col("last_day"))
-    val rW = Window.orderBy(col("recency_days"), col("o_custkey"))
-    val fW = Window.orderBy(col("frequency").desc, col("o_custkey"))
-    val mW = Window.orderBy(col("monetary").desc, col("o_custkey"))
-    base.withColumn("r_q", ntile(4).over(rW).cast("bigint"))
-      .withColumn("f_q", ntile(4).over(fW).cast("bigint"))
-      .withColumn("m_q", ntile(4).over(mW).cast("bigint"))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"))
+    val scored = rangeNtile(
+      rangeNtile(
+        rangeNtile(base, 4,
+          Seq(col("recency_days"), col("o_custkey")), "r_qi"), 4,
+        Seq(col("frequency").desc, col("o_custkey")), "f_qi"), 4,
+      Seq(col("monetary").desc, col("o_custkey")), "m_qi")
+    scored.withColumn("r_q", col("r_qi").cast("bigint"))
+      .withColumn("f_q", col("f_qi").cast("bigint"))
+      .withColumn("m_q", col("m_qi").cast("bigint"))
       .select(col("o_custkey").as("c_custkey"), col("recency_days"),
         col("frequency"), round(col("monetary"), 2).cast("double").as("monetary"),
         col("r_q"), col("f_q"), col("m_q"),

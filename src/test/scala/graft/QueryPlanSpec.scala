@@ -340,6 +340,79 @@ class QueryPlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("important_parts / top_supplier: broadcast scalar reuses the agg exchange — one fact scan") {
+    // the (total, np) / max scalar re-aggregates the SAME per-key aggregate;
+    // AQE reuses the identical shuffle stage at runtime, so the FINAL
+    // adaptive plan must carry a ReusedExchange (one lineitem scan executed),
+    // not two independent scan+agg pipelines (the r11 rewrite of the
+    // unordered global window — initial plans show two scans by design)
+    GraftSession.prepare(spark)
+    Seq("q_important_parts", "q_top_supplier").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"), s"$q final plan has no ReusedExchange:\n$p")
+    }
+  }
+
+  test("rfm / ntile: no single-partition window anywhere in the plan") {
+    // rangeNtile's range shuffle + offset map run as eager RDD jobs; the
+    // returned DataFrame is an RDD scan. What must NOT appear is a Window
+    // (the old single-partition global ntile) in the visible plan.
+    Seq("q_ntile", "q_rfm").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q still windows:\n$p")
+    }
+  }
+
+  test("no unpartitioned Window over an SF-scaling input anywhere in the registry") {
+    // An empty-partitionSpec WindowExec plans as a SINGLE partition — a
+    // one-executor sort at 100 TB (the r10 q_ntile/q_rfm finding, fixed via
+    // Relational.rangeNtile). This audit walks every registered query's
+    // physical plan (descending into AQE roots and subqueries) and fails on
+    // any unpartitioned window, except keys on the explicit allowlist whose
+    // window input is a COLLAPSED bounded domain (a histogram / per-day /
+    // per-part aggregate), each justified at its definition site and
+    // covered by a ×100 stress receipt.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val allow = Set(
+      "q_ntile_threshold",   // window over the distinct-2dp-value histogram
+      "q_abc_analysis",      // cumulative share over per-part aggregate
+      "q_gini",              // Lorenz curve over per-part aggregate
+      "q_vocab_coverage",    // cumulative mass over the term vocabulary
+      "q_in_transit",        // running sum over per-day deltas
+      "q_running_distinct",  // running total over per-day firsts
+      "q_mom_trend",         // lag over the ~84-row month series
+      "q_skyline",           // suffix max over distinct order-count values
+      "q_dup_by_length",     // cumdist over the distinct-n_chars histogram
+      "q_budget_waterfill",  // rank/cumsum over the per-source relation
+      "q_ivf_recall_curve"   // ranks over 8 centroids / 3 nprobe settings
+    )
+    def unpartitioned(p: SparkPlan): Seq[String] = {
+      val here = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w.nodeName)
+        case _ => Nil
+      }
+      val kids = p.children ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
+        case _ => Nil
+      }) ++ p.subqueries
+      here ++ kids.flatMap(unpartitioned)
+    }
+    GraftSession.prepare(spark)
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("q_stream_")) // replay harness: batch plans not in the final DF
+      .filterNot(allow)
+      .flatMap { name =>
+        val hits = unpartitioned(
+          SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
+        if (hits.isEmpty) None else Some(s"$name: ${hits.mkString(",")}")
+      }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("every registered query executes and returns rows at sf0.001") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       try {

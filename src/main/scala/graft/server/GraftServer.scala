@@ -45,9 +45,9 @@ import graft.sql.{EmdriveSession, EmdriveSql}
   * explicit nulls), binary as base64, arrays/structs nested.
   */
 final class GraftServer(es: EmdriveSession, port: Int = 0,
-    maxRows: Int = 10000, workers: Int = 8) {
+    maxRows: Int = 10000, workers: Int = 8, host: String = "127.0.0.1") {
 
-  private val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val http = HttpServer.create(new InetSocketAddress(host, port), 0)
   private val pool = new ThreadPoolExecutor(workers, workers, 60, TimeUnit.SECONDS,
     new LinkedBlockingQueue[Runnable](100),
     new ThreadPoolExecutor.CallerRunsPolicy())
@@ -144,21 +144,29 @@ final class GraftServer(es: EmdriveSession, port: Int = 0,
   */
 object Server {
   def main(args: Array[String]): Unit = {
+    // precedence: CLI args > GRAFT_* environment > reference defaults
+    // (reference: src/config.rs from_env + src/main.rs boot order)
+    val cfg = GraftConfig.fromEnv()
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val port = args.lift(1).flatMap(_.toIntOption).getOrElse(8765)
+    val port = args.lift(1).flatMap(_.toIntOption).getOrElse(cfg.tcpListenPort)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.GraftSession.builder("graft-server")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val es = new EmdriveSession(spark)
+    // durable session over the configured data directory: every table
+    // persisted by a previous server process is served again after a
+    // restart, with no manual attach (boot-time durability)
+    val es = new EmdriveSession(spark, Some(cfg.dataDirectory))
     graft.sources.Tables.all.foreach { name =>
       es.register(name, graft.sources.Tables(spark, dir, name))
     }
-    val server = new GraftServer(es, port)
+    val server = new GraftServer(es, port, host = cfg.tcpListenHost)
     server.start()
-    println(s"graft server listening on http://127.0.0.1:${server.boundPort}/")
+    println(cfg)
+    println(s"graft server listening on " +
+      s"http://${cfg.tcpListenHost}:${server.boundPort}/")
     Thread.currentThread().join()
   }
 }

@@ -1244,11 +1244,42 @@ object EmdriveSql {
   * evaluated by the engine, per row), `register` attaches any existing
   * DataFrame (e.g. a parquet table) under a name. INSERT VALUES is the
   * reference's driver-local row path; bulk data goes through
-  * sources.Io/Tables as ever. */
-final class EmdriveSession(spark: SparkSession) {
+  * sources.Io/Tables as ever.
+  *
+  * Durability: constructed with a `dataDir`, the session is WRITE-THROUGH —
+  * every DDL/DML statement persists the mutated table to
+  * `dataDir/<table>/` (parquet; Spark's footer metadata round-trips the
+  * declared-type / PRIMARY KEY / METRIC KEY roles), and a NEW session over
+  * the same directory auto-restores every saved table at construction with
+  * no manual attach — the reference's boot-from-EMDRIVE_DATA_DIRECTORY
+  * contract (reference: src/config.rs:1-22 data_directory,
+  * src/storage/filesystem.rs write/read roundtrip, src/main.rs boot).
+  * Without a dataDir the catalog is in-memory only (tests, ad-hoc use). */
+final class EmdriveSession(spark: SparkSession,
+    dataDir: Option[String] = None) {
   import EmdriveSql._
 
   private val catalog = mutable.Map.empty[String, DataFrame]
+
+  // boot-time restore: every `dataDir/<name>/` with a _SUCCESS marker is a
+  // previously persisted table — register it eagerly so a restarted
+  // session/server serves the same rows (reference src/main.rs boot path)
+  dataDir.foreach { dir =>
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(root))
+      fs.listStatus(root).filter(_.isDirectory).foreach { st =>
+        if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+          catalog(st.getPath.getName) = spark.read.parquet(st.getPath.toString)
+      }
+  }
+
+  /** Write-through hook: after a successful catalog swap, persist the
+    * table under the session's data directory (no-op for in-memory
+    * sessions). Runs AFTER eager domain validation, so a failed statement
+    * never reaches disk. */
+  private def persistIfDurable(name: String): Unit =
+    dataDir.foreach(dir => save(name, s"$dir/$name"))
 
   def register(name: String, df: DataFrame): Unit = catalog(name) = df
 
@@ -1472,9 +1503,22 @@ final class EmdriveSession(spark: SparkSession) {
   /** Persist a catalog table as parquet (the durable storage the
     * reference's paged files provide — here it's just a columnar write),
     * and re-point the catalog at the written files so subsequent SELECTs
-    * scan parquet (pushdown/pruning) instead of the in-memory union plan. */
+    * scan parquet (pushdown/pruning) instead of the in-memory union plan.
+    * Write-to-temp-then-rename: the current catalog plan may itself READ
+    * from `path` (a restored table being mutated), where a direct
+    * Overwrite both fails Spark's self-overwrite check and, worse, could
+    * destroy the old files before the new ones are complete. The swap
+    * happens only after the full write succeeds — crash-safe like the
+    * reference's page flush. */
   def save(name: String, path: String): Unit = {
-    table(name).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + ".tmp-" + java.util.UUID.randomUUID().toString)
+    table(name).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true): Unit
+    require(fs.rename(tmp, target), s"save: rename $tmp -> $target failed")
     catalog(name) = spark.read.parquet(path)
   }
 
@@ -1529,6 +1573,7 @@ final class EmdriveSession(spark: SparkSession) {
         require(ifNotExists || !catalog.contains(name), s"table exists: $name")
         catalog(name) = spark.createDataFrame(
           java.util.Collections.emptyList[Row](), schema)
+        persistIfDurable(name)
       }
       catalog(name)
 
@@ -1552,6 +1597,7 @@ final class EmdriveSession(spark: SparkSession) {
       }
       val appended = batches.reduce(_ unionByName _)
       catalog(name) = target.unionByName(appended)
+      persistIfDurable(name)
       catalog(name)
 
     case InsertSelect(name, cols, chain) =>
@@ -1567,12 +1613,18 @@ final class EmdriveSession(spark: SparkSession) {
         s"INSERT…SELECT arity mismatch: ${named.size} target columns, " +
           s"${src.columns.length} select items")
       val renamed = src.toDF(named: _*)
+      // eager statement-time domain validation of the SELECT's rows —
+      // atomic failure, target untouched (same discipline as UPDATE)
+      requireDomain(renamed,
+        schema.fields.toSeq.filter(f => named.contains(f.name)).flatMap(f =>
+          domainViolation(col(f.name), f).map(f.name -> _)), "INSERT")
       val projected = schema.fields.map { f =>
         if (named.contains(f.name)) guardedCast(col(f.name), f).as(f.name)
         else defaultCol(f).as(f.name)
       }
       catalog(name) = target.unionByName(
         renamed.select(projected.toIndexedSeq: _*))
+      persistIfDurable(name)
       catalog(name)
 
     case CreateAs(name, ifNotExists, chain) =>
@@ -1580,6 +1632,7 @@ final class EmdriveSession(spark: SparkSession) {
       else {
         require(!catalog.contains(name), s"table exists: $name")
         catalog(name) = lowerChain(chain)
+        persistIfDurable(name)
         catalog(name)
       }
 
@@ -1589,6 +1642,7 @@ final class EmdriveSession(spark: SparkSession) {
       // (ANSI three-valued DELETE); no WHERE truncates
       catalog(name) = where.fold(t.limit(0))(pr =>
         t.filter(!coalesce(predCol(t, pr), lit(false))))
+      persistIfDurable(name)
       catalog(name)
 
     case Update(name, sets, where) =>
@@ -1600,6 +1654,14 @@ final class EmdriveSession(spark: SparkSession) {
       require(setMap.size == sets.size, "duplicate column in SET")
       val cond = coalesce(
         where.map(pr => predCol(t, pr)).getOrElse(lit(true)), lit(false))
+      // eager statement-time domain validation over exactly the rows the
+      // WHERE selects — an out-of-domain SET fails HERE, atomically, with
+      // the table left intact (never as a poisoned lazy plan)
+      requireDomain(t,
+        sets.flatMap { case (c, o) =>
+          val f = schema.fields.find(_.name == c).get
+          domainViolation(operandCol(t, o), f).map(v => c -> (cond && v))
+        }, "UPDATE")
       // ANSI UPDATE: every SET expression reads the OLD row — all new
       // values computed in ONE projection, cast back to declared types
       catalog(name) = t.select(schema.fields.map { f =>
@@ -1609,6 +1671,7 @@ final class EmdriveSession(spark: SparkSession) {
           case None => col(f.name)
         }
       }.toIndexedSeq: _*)
+      persistIfDurable(name)
       catalog(name)
 
     case Merge(tName, tAlias, sName, sAlias, ons, matchedSets, matchedDelete,
@@ -1663,6 +1726,12 @@ final class EmdriveSession(spark: SparkSession) {
             require(setMap.size == sets.size, "duplicate column in SET")
             setMap.keys.foreach(c => require(origNames.contains(c),
               s"unknown target column in SET: $c"))
+            // eager domain validation of matched-row SET values (atomic)
+            requireDomain(joined,
+              sets.flatMap { case (c, o) =>
+                val f = t.schema.fields.find(_.name == c).get
+                domainViolation(operandCol(joined, o), f).map(c -> _)
+              }, "MERGE")
             joined.select(t.schema.fields.map { f =>
               setMap.get(f.name) match {
                 case Some(o) =>
@@ -1680,6 +1749,12 @@ final class EmdriveSession(spark: SparkSession) {
           s"unknown target column in INSERT: ${cols.mkString(", ")}")
         val unmatched = sb.join(ta, cond, "left_anti")
         val valueFor = cols.zip(vals).toMap
+        // eager domain validation of the INSERT leg's values (atomic)
+        requireDomain(unmatched,
+          cols.zip(vals).flatMap { case (c, o) =>
+            val f = t.schema.fields.find(_.name == c).get
+            domainViolation(operandCol(unmatched, o), f).map(c -> _)
+          }, "MERGE")
         unmatched.select(t.schema.fields.map { f =>
           valueFor.get(f.name) match {
             case Some(o) =>
@@ -1691,7 +1766,8 @@ final class EmdriveSession(spark: SparkSession) {
       val result = inserted.foldLeft(untouched.unionByName(matchedOut))(
         _ unionByName _)
       catalog(tName) = result
-      result
+      persistIfDurable(tName)
+      catalog(tName)
 
     case sel: Select => lowerSelect(sel)
 
@@ -2753,6 +2829,20 @@ final class EmdriveSession(spark: SparkSession) {
           catch { case _: IllegalArgumentException =>
             throw new IllegalArgumentException(
               s"'$s' is not a UUID (column ${f.name})") }
+        // a string literal aimed at a numeric-declared column must pass the
+        // SAME range + integrality check as a numeric literal — otherwise
+        // INSERT … VALUES ('300') into a UINT8 column slips through the
+        // lit-then-cast path and stores a wrapped/overflowed value
+        uintMax(raw).foreach { max =>
+          val d =
+            try BigDecimal(new java.math.BigDecimal(s))
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"'$s' is not numeric (column ${f.name}, $raw)") }
+          if (d < 0 || d > max || d.remainder(1) != 0)
+            throw new IllegalArgumentException(
+              s"value $s out of domain for column ${f.name} ($raw)")
+        }
       case VBits(b) =>
         uintMax(raw).foreach { max =>
           if (BigDecimal(b) > max || b < 0)
@@ -2771,29 +2861,63 @@ final class EmdriveSession(spark: SparkSession) {
     * twin of the reference's per-value INSERT parse, at distributed-scan
     * cost, no driver round-trip. NULLs pass (nullability is enforced
     * separately by the NOT-NULL rule). */
-  private def guardedCast(c: Column, f: StructField): Column = {
+  /** The domain-violation predicate behind guardedCast, exposed separately
+    * so DML statements can run it EAGERLY (a bounded pre-check before the
+    * catalog swap — see requireDomain) as well as lazily (the raise_error
+    * branch inside the stored plan). UINT domains reject negatives, values
+    * above the type max, AND non-integral values — a fractional 1.5 into
+    * UINT8 must fail like the literal path's remainder check, not silently
+    * truncate through the cast. */
+  private def domainViolation(c: Column, f: StructField): Option[Column] = {
     import graft.sources.SchemaMapper.{stringCap, uintMax}
     val raw = rawTypeOf(f)
     uintMax(raw) match {
       case Some(max) =>
         val d = c.cast("decimal(38,6)")
-        when(d.isNotNull && (d < 0 || d > lit(max.bigDecimal)),
-          raise_error(concat(
-            lit(s"value out of domain for column ${f.name} ($raw): "),
-            c.cast("string"))).cast(f.dataType))
-          .otherwise(c.cast(f.dataType))
-      case None => stringCap(raw) match {
-        case Some(n) =>
-          val s = c.cast("string")
-          when(s.isNotNull && length(s) > n,
-            raise_error(concat(
-              lit(s"string exceeds ${f.name} ($raw), length "),
-              length(s).cast("string"))).cast(f.dataType))
-            .otherwise(c.cast(f.dataType))
-        case None => c.cast(f.dataType)
+        Some(d.isNotNull && (d < 0 || d > lit(max.bigDecimal) ||
+          d =!= floor(d).cast("decimal(38,6)")))
+      case None => stringCap(raw).map { n =>
+        val s = c.cast("string")
+        s.isNotNull && length(s) > n
       }
     }
   }
+
+  /** Eager statement-time domain validation: one bounded job (filter +
+    * limit(1)) over the rows a DML statement is about to write, BEFORE the
+    * catalog swap — so an out-of-domain UPDATE/MERGE/INSERT…SELECT fails
+    * atomically at the statement, with the table (and any durable files)
+    * left exactly as they were. Without this the guardedCast raise_error
+    * fires lazily on a LATER read, permanently poisoning the stored plan
+    * and attributing the failure to an unrelated SELECT (the reference
+    * rejects at statement time — src/sql/expects/statements/insert.rs).
+    * No-op (zero jobs) when no written column has a bounded domain. */
+  private def requireDomain(df: DataFrame, checks: Seq[(String, Column)],
+      stmt: String): Unit =
+    if (checks.nonEmpty) {
+      val bad = df.filter(checks.map(_._2).reduce(_ || _))
+        .select(checks.map { case (n, p) => p.as(n) }.toIndexedSeq: _*)
+        .limit(1).collect()
+      if (bad.nonEmpty) {
+        val row = bad.head
+        val cols = checks.indices.collect {
+          case i if !row.isNullAt(i) && row.getBoolean(i) => checks(i)._1
+        }
+        throw new IllegalArgumentException(
+          s"$stmt: value out of domain for column(s) ${cols.mkString(", ")}")
+      }
+    }
+
+  private def guardedCast(c: Column, f: StructField): Column =
+    domainViolation(c, f) match {
+      case Some(viol) =>
+        when(viol,
+          raise_error(concat(
+            lit(s"value out of domain for column ${f.name} (${rawTypeOf(f)}): "),
+            c.cast("string"))).cast(f.dataType))
+          .otherwise(c.cast(f.dataType))
+      case None => c.cast(f.dataType)
+    }
 
   private def valueCol(v: Value, field: StructField): Column = {
     val dt = field.dataType

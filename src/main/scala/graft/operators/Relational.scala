@@ -838,8 +838,8 @@ object Relational {
 
   /** Month-over-month revenue trend: monthly totals + percent change vs
     * the previous month. The window runs over the AGGREGATED month series
-    * (≤ a few hundred rows at any corpus size — dimension-scale, the
-    * q_ntile doctrine), never the fact rows; the fact scan is one
+    * (≤ a few hundred rows at any corpus size — a BOUNDED domain, on the
+    * plan-audit allowlist), never the fact rows; the fact scan is one
     * partial-combined groupBy. Float discipline: monthly revenue is the
     * exact-decimal moneySum double, and (cur − prev)·100/prev is the same
     * three-op IEEE sequence in both engines on bitwise-equal inputs, so
@@ -1451,8 +1451,9 @@ object Relational {
     * and the share thresholds are exact cross-multiplications
     * (cum·10 ≤ total·7) — no division, no float boundary. Scale shape:
     * the fact partial-combines to one row per part; the cumulative
-    * window is a part-dimension-sized global sort (the q_ntile
-    * discipline); output is 3 rows. */
+    * window is a part-dimension global sort (allowlisted in the plan
+    * audit, ×100-receipted; threshold rewrite stands by if the sweep
+    * ever prices it super-linear); output is 3 rows. */
   private def abcAnalysis(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rev = Tables.lineitem(s, d)

@@ -210,8 +210,9 @@ object Sampling {
     * avail_i·(K−i+1) + cum_{<i} ≤ B). Exact integer token counts and
     * window sums end-to-end; the only double is the final water level
     * division. Scale shape: the corpus collapses to one row per source
-    * first, so the global sort window ranks a dimension-sized relation
-    * (the ntile doctrine); everything else is broadcast scalars. */
+    * first, so the global sort window ranks the per-source relation (a
+    * bounded label domain, on the plan-audit allowlist); everything
+    * else is broadcast scalars. */
   private def budgetWaterfill(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val avail = Tables.documents(s, d)

@@ -727,8 +727,8 @@ object TextAnalysis {
     * mass the top-k word types cover, for k ∈ {10, 100, 1000} — the
     * tokenizer-budget planning number (how big a vocab before coverage
     * plateaus). The rank window runs over the VOCABULARY (type-level,
-    * post-collapse — the q_ntile dimension-sort discipline, never the
-    * corpus), ties break (count desc, word); counts and totals are exact
+    * post-collapse — a vocabulary-bounded domain on the plan-audit
+    * allowlist, never the corpus), ties break (count desc, word); counts and totals are exact
     * integers, coverage is one final IEEE division. Scale shape: corpus
     * collapses to (word, count) with map-side partial agg first; the ×3
     * k-expansion is a broadcast range join over the type relation. */

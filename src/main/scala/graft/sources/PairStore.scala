@@ -71,13 +71,28 @@ object PairStore {
     * ensureIndex) as well as the directory walk below. */
   def fileFingerprint(s: SparkSession, files: Seq[String]): String = {
     val conf = s.sparkContext.hadoopConfiguration
-    val entries = files.map { f =>
-      val p = new Path(f)
-      val fs = p.getFileSystem(conf)
-      try {
-        val st = fs.getFileStatus(p)
-        s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
-      } catch { case _: java.io.FileNotFoundException => s"$f:absent" }
+    // batched per parent directory: ONE listStatus RPC per directory
+    // instead of one getFileStatus per data file — on an object store a
+    // many-file table costs a handful of LIST calls per query, not
+    // thousands of HEADs (r10 ADVICE). Deliberately NOT memoized by the
+    // file-name list: an in-place rewrite keeps the names, and detecting
+    // exactly that is this fingerprint's whole job.
+    val entries = files.groupBy(f => new Path(f).getParent).toSeq.flatMap {
+      case (parent, group) =>
+        val wanted = group.map(f => new Path(f).getName).toSet
+        val listed: Map[String, org.apache.hadoop.fs.FileStatus] =
+          if (parent == null) Map.empty
+          else try parent.getFileSystem(conf).listStatus(parent).iterator
+            .filter(st => wanted.contains(st.getPath.getName))
+            .map(st => st.getPath.getName -> st).toMap
+          catch { case _: java.io.FileNotFoundException => Map.empty }
+        group.map { f =>
+          listed.get(new Path(f).getName) match {
+            case Some(st) =>
+              s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+            case None => s"$f:absent"
+          }
+        }
     }.sorted
     fnv64(if (entries.isEmpty) Seq("empty") else entries)
   }

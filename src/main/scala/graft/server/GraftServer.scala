@@ -92,10 +92,18 @@ final class GraftServer(es: EmdriveSession, port: Int = 0,
     val stmt =
       try EmdriveSql.parse(sqlText)
       catch { case e: IllegalArgumentException => return (400, errJson("parser", errMsg(e))) }
-    val isWrite = stmt.isInstanceOf[EmdriveSql.CreateTable] ||
-      stmt.isInstanceOf[EmdriveSql.Insert]
+    // EVERY catalog-mutating statement class is write-classified — the r10
+    // DML surface (UPDATE/DELETE/CTAS/INSERT…SELECT/MERGE) must be refused
+    // by the read-only GET exactly like CREATE/INSERT
+    val isWrite = stmt match {
+      case _: EmdriveSql.CreateTable | _: EmdriveSql.Insert |
+           _: EmdriveSql.InsertSelect | _: EmdriveSql.CreateAs |
+           _: EmdriveSql.Update | _: EmdriveSql.Delete |
+           _: EmdriveSql.Merge => true
+      case _ => false
+    }
     if (readOnly && isWrite)
-      return (400, errJson("server", "read-only endpoint: POST CREATE/INSERT to /"))
+      return (400, errJson("server", "read-only endpoint: POST writes to /"))
     // catalog reads/writes are serialized; the jobs below run unlocked
     val df =
       try es.synchronized(es.sql(sqlText))

@@ -120,9 +120,20 @@ class ServerSpec extends SparkTestBase {
       val ok = get(base, s"/?query=$q")
       assert(ok.statusCode() == 200)
       assert(ok.body().startsWith("[{\"n\":"), ok.body())
-      val wr = get(base, "/?query=" + java.net.URLEncoder.encode(
-        "CREATE TABLE z (id UINT64);", "UTF-8"))
-      assert(wr.statusCode() == 400)
+      // EVERY write-statement class is refused, not just CREATE/INSERT
+      // (the r10 DML surface slipped through until r11)
+      Seq(
+        "CREATE TABLE z (id UINT64);",
+        "INSERT INTO documents (doc_id) VALUES (1);",
+        "UPDATE documents SET source = 'x' WHERE doc_id = 1;",
+        "DELETE FROM documents WHERE doc_id = 1;",
+        "CREATE TABLE z2 AS SELECT * FROM documents;",
+        "INSERT INTO documents (doc_id) SELECT doc_id FROM documents;",
+        "MERGE INTO documents AS a USING documents AS b ON a.doc_id = b.doc_id " +
+          "WHEN MATCHED THEN DELETE;").foreach { w =>
+        val wr = get(base, "/?query=" + java.net.URLEncoder.encode(w, "UTF-8"))
+        assert(wr.statusCode() == 400, s"GET accepted write: $w -> ${wr.body()}")
+      }
       val missing = get(base, "/")
       assert(missing.statusCode() == 400)
     }

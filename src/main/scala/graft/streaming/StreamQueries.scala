@@ -176,7 +176,21 @@ object StreamQueries {
       s.conf.set(shufKey, prevShuffle)
       s.conf.set(ndKey, prevNd)
     }
-    s.table(sink)
+    // The memory sink holds its rows on the DRIVER heap, and the
+    // nanoTime-suffixed sink tables of past runs are otherwise never
+    // dropped — a sweep that replays many keys (or one key at a stress
+    // scale whose result is millions of rows) accumulates every result
+    // until the driver OOMs (this killed the ×100 stress context once).
+    // Offload the result to a parquet spill under the run's temp dir and
+    // drop the sink: the returned frame is disk-backed and re-scannable,
+    // and the JVM holds at most the one in-flight sink.
+    val spill = watch.resolve("result").toString
+    s.table(sink).write.mode("overwrite").parquet(spill)
+    s.catalog.dropTempView(sink)
+    // the manager's terminated-query bookkeeping pins the stopped query
+    // (and through it the sink's rows) until reset
+    s.streams.resetTerminated()
+    s.read.parquet(spill)
   }
 
   private def eventStream(s: SparkSession, dir: String, key: String,
@@ -220,8 +234,8 @@ object StreamQueries {
     // predecessor clock crosses micro-batch boundaries in the state store.
     "q_stream_event_gaps" -> ((s, d) =>
       eventStream(s, d, "q_stream_event_gaps", "append")(df =>
-        StreamOps.eventGaps(asEvents(df)).toDF())
-        .select(col("user_id"), col("event_type"), col("gap_ms"))),
+        StreamOps.eventGaps(asEvents(df)).toDF()
+          .select(col("user_id"), col("event_type"), col("gap_ms")))),
 
     // D22: first/last-touch attribution at each purchase moment — state
     // pins the opening touch across batches.
@@ -232,12 +246,18 @@ object StreamQueries {
     // D25: prefix z-score anomalies. Registered output is the anomalous
     // rows' exact-typed columns (the z itself is float-folded and would
     // differ from DuckDB's windowed variance in final ulps; membership in
-    // |z|>3 is ulp-stable for this corpus).
+    // |z|>3 is ulp-stable for this corpus). The anomaly filter runs
+    // INSIDE the stream (stateless post-filter on the operator's append
+    // output — identical to filtering the final table) so the sink holds
+    // the handful of anomalies, not every scored event: at stress scale
+    // the unfiltered sink was 10M driver-held rows, the proximate OOM of
+    // the first ×100 streaming sweep.
     "q_stream_prefix_z" -> ((s, d) =>
       eventStream(s, d, "q_stream_prefix_z", "append")(df =>
-        StreamOps.prefixZscore(asEvents(df)).toDF())
-        .filter(abs(col("z")) > 3.0)
-        .select(col("user_id"), col("event_type"), col("ts_ms"), col("value"))),
+        StreamOps.prefixZscore(asEvents(df)).toDF()
+          .filter(abs(col("z")) > 3.0)
+          .select(col("user_id"), col("event_type"), col("ts_ms"),
+            col("value")))),
 
     // D5: gap sessionization; two far-future sentinels advance the
     // watermark twice so event-time timeouts flush every user's terminal
@@ -245,10 +265,10 @@ object StreamQueries {
     "q_stream_sessionize" -> ((s, d) =>
       eventStream(s, d, "q_stream_sessionize", "append",
         extra = Seq(sentinel(s, "2030-01-01"), sentinel(s, "2030-01-02")))(
-        df => StreamOps.sessionize(asEvents(df), 1800000L).toDF())
-        .filter(col("user_id") >= 0)
-        .select(col("user_id"), col("start_ms"), col("n_events"),
-          col("duration_ms"))),
+        df => StreamOps.sessionize(asEvents(df), 1800000L).toDF()
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("start_ms"), col("n_events"),
+            col("duration_ms")))),
 
     // C16: streaming exact dedup on the md5 fingerprint — the first
     // arrival of each distinct text passes, duplicates across batches hit
@@ -278,20 +298,30 @@ object StreamQueries {
         StreamOps.followWithin(
           asEvents(df).filter(e => e.event_type == "view"),
           asEvents(df).filter(e => e.event_type == "purchase"),
-          withinMs = 3600000L))
-        .select(col("user_id"), unix_millis(col("lead_ts")).as("lead_ms"),
-          unix_millis(col("follow_ts")).as("follow_ms"),
-          col("follow_value"))),
+          withinMs = 3600000L)
+          .select(col("user_id"), unix_millis(col("lead_ts")).as("lead_ms"),
+            unix_millis(col("follow_ts")).as("follow_ms"),
+            col("follow_value")))),
 
     // D19: engine-native session windows (session_window aggregation) —
     // the declarative twin of the custom-state sessionizer; sentinels
     // advance the watermark so append mode finalizes terminal sessions.
+    // The sentinel filter stays OUTSIDE the streaming plan: user_id is a
+    // grouping key of the session_window aggregation, so an in-stream
+    // filter is pushed below the EventTimeWatermark node and drops the
+    // negative-user sentinel rows before they advance the clock — the
+    // terminal sessions then never flush (34 rows short at sf0.01). The
+    // custom-state keys can filter in-stream because their output columns
+    // come out of flatMapGroupsWithState, which blocks pushdown; this
+    // declarative one cannot. The spilled result is tiny (sessions, not
+    // events), so the post-hoc filter costs nothing.
     "q_stream_session_window" -> ((s, d) =>
       eventStream(s, d, "q_stream_session_window", "append",
         extra = Seq(sentinel(s, "2030-01-01"), sentinel(s, "2030-01-02")))(
         df => StreamOps.sessionWindowAgg(df, "30 minutes"))
         .filter(col("user_id") >= 0)
-        .select(col("user_id"), unix_millis(col("session_start")).as("start_ms"),
+        .select(col("user_id"),
+          unix_millis(col("session_start")).as("start_ms"),
           unix_millis(col("session_end")).as("end_ms"), col("n_events"))),
 
     // D27: last-write-wins upsert as a continuously-maintained view; the

@@ -465,6 +465,51 @@ object Relational {
       df.schema.add(out, org.apache.spark.sql.types.IntegerType, nullable = false))
   }
 
+  /** Distributed EXACT global prefix sum — the cumulative-share twin of
+    * rangeNtile, for Pareto/Lorenz-style "cumulative mass in this order"
+    * over an SF-scaling relation (the r11 ×100 receipt priced
+    * q_abc_analysis's unpartitioned cumulative window at 13.6×; this
+    * removes the single-partition sort entirely). Same two-job shape:
+    *   1. range-shuffle + local sort (globally ordered partitions);
+    *   2. one light job sums `value` per partition (shuffle reuse), whose
+    *      prefix sums are each partition's starting offset;
+    *   3. a map emits offset + running local sum per row.
+    * Sums accumulate in java.math.BigDecimal (exact at any scale; the
+    * input is a fixed-scale decimal), emitted as DECIMAL(38, s) — so the
+    * cumulative values are bitwise what a single-partition window would
+    * have produced, on any partitioning. `order` must be a total order
+    * (unique tie-break) for cross-engine determinism. */
+  private[graft] def rangeCumSum(df: DataFrame, order: Seq[Column],
+                                 value: String, out: String): DataFrame = {
+    val s = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val rdd = sorted.rdd
+    val vIdx = sorted.schema.fieldIndex(value)
+    val inScale = sorted.schema(vIdx).dataType
+      .asInstanceOf[org.apache.spark.sql.types.DecimalType].scale
+    def dec(r: org.apache.spark.sql.Row): java.math.BigDecimal = {
+      val v = r.getDecimal(vIdx)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    val partSums = rdd
+      .mapPartitionsWithIndex((i, it) => {
+        var acc = java.math.BigDecimal.ZERO
+        it.foreach(r => acc = acc.add(dec(r)))
+        Iterator((i, acc))
+      }, preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(java.math.BigDecimal.ZERO)(_ add _)
+    val outType = org.apache.spark.sql.types.DecimalType(38, inScale)
+    val summed = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var acc = offsets(pi)
+      it.map { row =>
+        acc = acc.add(dec(row))
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ acc)
+      }
+    }
+    s.createDataFrame(summed, sorted.schema.add(out, outType, nullable = false))
+  }
+
   /** Exact global quartiles over the orders FACT (SF-scaling), via the
     * distributed rangeNtile above — no single-partition window anywhere.
     * The value-threshold twin (`ntileThreshold`, q_ntile_threshold) stays
@@ -1455,16 +1500,16 @@ object Relational {
     * audit, ×100-receipted; threshold rewrite stands by if the sweep
     * ever prices it super-linear); output is 3 rows. */
   private def abcAnalysis(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rev = Tables.lineitem(s, d)
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("rev"))
-    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // total as an unordered frame over the same single-partition exchange
-    // the cumulative window already pays for — one fact scan total
-    rev.withColumn("cum", sum(col("rev")).over(w))
-      .withColumn("total", sum(col("rev")).over(Window.partitionBy()))
+    // per-part aggregates scale WITH the corpus (×100 receipt: 13.6× for
+    // the old unpartitioned cumulative window) — the prefix sum runs
+    // distributed via rangeCumSum, and the grand total is a broadcast
+    // one-row aggregate instead of a global window frame
+    val total = rev.agg(sum(col("rev")).as("total"))
+    rangeCumSum(rev, Seq(col("rev").desc, col("l_partkey")), "rev", "cum")
+      .crossJoin(broadcast(total))
       .withColumn("cls",
         when(col("cum") * 10 <= col("total") * 7, lit("A"))
           .when(col("cum") * 10 <= col("total") * 9, lit("B"))
@@ -1907,6 +1952,69 @@ object Relational {
           .as("revenue"))
   }
 
+  /** Small-file compaction end-to-end (D12 upgraded from test-only to an
+    * oracle-checked key): the documents table is first written as 32
+    * deliberately tiny files (the incremental-ingest pathology — per-file
+    * open/footer cost dominating scans), compacted through `Io.compact`'s
+    * size-targeted rewrite + rename swap, and the COMPACTED table is then
+    * aggregated per language with a distinct-content count; the oracle
+    * computes the same aggregate from the original parquet, so compaction
+    * must preserve every row and byte. File-count mechanics stay
+    * spec-asserted in StorageOpsSpec. */
+  private def compaction(s: SparkSession, d: String): DataFrame = {
+    val base = s"/tmp/graft_compact_${java.lang.Integer.toHexString(d.hashCode)}"
+    Tables.documents(s, d).repartition(32).write.mode("overwrite").parquet(base)
+    graft.sources.Io.compact(s, base)
+    s.read.parquet(base)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"))
+  }
+
+  /** Bucketed co-located join end-to-end (B25 upgraded from test-only to
+    * an oracle-checked key): orders and lineitem are written ONCE as
+    * same-bucket-count, key-sorted managed tables, and the revenue join
+    * then plans as a zipped per-bucket SortMergeJoin with NO shuffle
+    * exchange on either side (spec-asserted in ScaleSpec; this key proves
+    * the RESULT is identical to the plain-parquet join the oracle runs).
+    * At 100 TB this is the repeated fact-fact join doctrine: pay the
+    * key-shuffle once at write time, amortize it over every subsequent
+    * join/aggregation on that key — the Spark analog of the reference's
+    * key-ordered btree storage (reference: src/storage/index.rs). */
+  private def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val (ot, lt) = (s"b_orders_$tag", s"b_lineitem_$tag")
+    // write-once per (session, sf): the bucketed layout is the persisted
+    // artifact under test; rewriting it per query would price the build
+    // into every read (SessionMemo is evicted by the stress harness, so
+    // scale receipts still price the build)
+    graft.SessionMemo.of(s, d, "bucketed_join_tables") {
+      // a managed table's LOCATION can outlive the catalog entry (a fresh
+      // JVM starts with an empty in-memory catalog but the warehouse dir
+      // persists) — clear both, or saveAsTable fails LOCATION_ALREADY_EXISTS
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      Seq(ot, lt).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(wh, t)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      graft.sources.Bucketing.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        ot, "o_orderkey", 8)
+      graft.sources.Bucketing.writeBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount")),
+        lt, "l_orderkey", 8)
+      java.lang.Boolean.TRUE
+    }
+    s.table(ot).join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+  }
+
   /** Order-priority mix shift: each month's share of orders per priority
     * and the month-over-month share delta — COMPOSITION drift, the
     * leading indicator volume trends hide (total volume can hold steady
@@ -2274,6 +2382,8 @@ object Relational {
     "q_zorder_scan" -> zorderScan _,
     "q_priority_mix_shift" -> priorityMixShift _,
     "q_skew_join" -> skewJoin _,
+    "q_bucketed_join" -> bucketedJoin _,
+    "q_compaction" -> compaction _,
     "q_session_durations" -> sessionDurations _,
     "q_supplier_hhi" -> supplierHhi _,
     "q_trade_balance" -> tradeBalance _,
@@ -2536,6 +2646,21 @@ object Relational {
         | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
         |   AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+    // compaction must be semantically invisible: the oracle aggregates
+    // the ORIGINAL parquet
+    "q_compaction" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | count(DISTINCT md5(text)) AS n_distinct_texts
+        |FROM documents GROUP BY lang""".stripMargin,
+    // the bucketed layout must be semantically invisible: the oracle is
+    // the PLAIN parquet join
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1""".stripMargin,
     "q_session_durations" ->
       """WITH e AS (

@@ -162,8 +162,12 @@ object TextAnalysis {
     * doctrine: every 5th document gets an injected contact string, and
     * the oracle checks the scrubber removes exactly those spans at every
     * SF. */
-  private def piiScrub(s: SparkSession, d: String): DataFrame = {
-    val injected = Tables.documents(s, d).select(col("doc_id"),
+  /** The per-row scrub transform over (doc_id, text), shared by the batch
+    * key and the D16 streaming replay (`q_stream_pii`) — stream-transparent
+    * by construction: pure per-row codegen expressions, no state, no
+    * shuffle, so the same plan runs on a batch scan or a micro-batch. */
+  def piiScrubOf(docs: DataFrame): DataFrame = {
+    val injected = docs.select(col("doc_id"),
       when(col("doc_id") % 5 === 0,
         concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@example.com now")))
@@ -173,6 +177,9 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit(PiiEmailRe), lit(0))).as("n_pii"),
       regexp_replace(col("text"), PiiEmailRe, "<EMAIL>").as("clean_text"))
   }
+
+  private def piiScrub(s: SparkSession, d: String): DataFrame =
+    piiScrubOf(Tables.documents(s, d).select(col("doc_id"), col("text")))
 
   /** Luhn-gated credit-card PII detection: PAN-shaped digit runs (13-19,
     * ISO/IEC 7812) counted and then checksum-validated — the gate a real

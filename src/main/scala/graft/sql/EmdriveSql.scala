@@ -3746,6 +3746,121 @@ object SqlQueries {
                |FROM documents WHERE ABS(n_chars - 500) < 400
                |ORDER BY doc_id;""".stripMargin)
     }),
+    // [NOT] LIKE + SELECT DISTINCT end-to-end over the parquet corpus
+    // (r11: A12a promoted from suite-only — `%` wildcards both anchored
+    // and floating, NOT LIKE composing in the same conjunction, DISTINCT
+    // deduping the projected pair)
+    "q_sql_like" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT DISTINCT lang, source FROM documents
+               |WHERE text LIKE '%table window%' AND source NOT LIKE '%1%'
+               |ORDER BY lang, source;""".stripMargin)
+    }),
+    // boolean predicate tree end-to-end (r11: A12f promoted from
+    // suite-only): AND binds tighter than OR, parens group, NOT at
+    // factor level — the un-parenthesized tail leg must parse as
+    // (zh AND long), not ((… OR zh) AND long)
+    "q_sql_bool_logic" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, lang, n_chars FROM documents
+               |WHERE (lang = 'en' OR lang = 'de')
+               |  AND NOT (n_chars < 300 OR n_chars > 450)
+               |  OR lang = 'zh' AND n_chars > 500
+               |ORDER BY doc_id;""".stripMargin)
+    }),
+    // IN-list / NOT IN / BETWEEN / NOT BETWEEN (r11: A12g promoted from
+    // suite-only): the IN list lowers to a pushable Catalyst In, BETWEEN
+    // desugars to the inclusive range with its AND bound locally
+    "q_sql_in_between" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, lang, n_chars FROM documents
+               |WHERE lang IN ('en', 'fr', 'es') AND lang NOT IN ('es')
+               |  AND n_chars BETWEEN 200 AND 400
+               |  AND doc_id NOT BETWEEN 100 AND 120
+               |ORDER BY doc_id;""".stripMargin)
+    }),
+    // TRUE / FALSE / NULL literal values as expressions (r11: A12c
+    // promoted from suite-only): typed literal lowering through CASE —
+    // BOOL results and an explicit NULL branch whose column type must
+    // still come out STRING
+    "q_sql_literals" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id,
+               | CASE WHEN n_chars > 300 THEN TRUE ELSE FALSE END AS long_doc,
+               | CASE WHEN lang = 'en' THEN NULL ELSE lang END AS non_en
+               |FROM documents WHERE doc_id < 100
+               |ORDER BY doc_id;""".stripMargin)
+    }),
+    // CREATE TABLE + INSERT VALUES end-to-end through the gate (r11:
+    // A1/A1b/A2 promoted from suite-only): the full declared-type tier —
+    // UINT32→BIGINT, UINT16→INTEGER, UINT64→DECIMAL(20,0) (a value above
+    // int64 range proves the decimal physical type is real), NULLABLE
+    // STRING(n) with an explicit NULL, BOOL — read back typed; the oracle
+    // is the inserted rows as CAST constants, so any drift in the type
+    // mapping or the insert path fails schema- or hash-compare
+    "q_sql_create_insert" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.sql("""CREATE TABLE inv (
+               |  sku UINT32 PRIMARY KEY,
+               |  qty UINT16,
+               |  price UINT64,
+               |  note NULLABLE(STRING(40)),
+               |  active BOOL);""".stripMargin)
+      es.sql("""INSERT INTO inv VALUES
+               | (1, 5, 1999, 'first', TRUE),
+               | (2, 0, 10000000000000000000, NULL, FALSE),
+               | (3, 65535, 0, 'max u16', TRUE);""".stripMargin)
+      es.sql("SELECT sku, qty, price, note, active FROM inv ORDER BY sku;")
+    }),
+    // UUID type round-trip (r11: A10 promoted from suite-only): canonical
+    // UUID literals survive INSERT-time domain validation and read back
+    // as the declared string form
+    "q_sql_uuid" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.sql("CREATE TABLE ids (id UUID PRIMARY KEY, label STRING(20));")
+      es.sql("""INSERT INTO ids VALUES
+               | ('0198b5a2-3c4d-7e5f-8a9b-0c1d2e3f4a5b', 'alpha'),
+               | ('ffffffff-ffff-ffff-ffff-ffffffffffff', 'omega');""".stripMargin)
+      es.sql("SELECT id, label FROM ids ORDER BY label;")
+    }),
+    // NOW() engine-side fill (r11: A9 promoted from suite-only): the
+    // DEFAULT NOW() column is nondeterministic, so the key projects a
+    // sanity invariant of it (a correct engine clock makes YEAR(at) land
+    // in [2020, 2100] forever) rather than the raw timestamp
+    "q_sql_now" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.sql("""CREATE TABLE evt (
+               |  k UINT32 PRIMARY KEY,
+               |  at TIMESTAMP DEFAULT NOW());""".stripMargin)
+      es.sql("INSERT INTO evt (k) VALUES (1), (2);")
+      es.sql("""SELECT k,
+               | CASE WHEN YEAR(at) >= 2020 AND YEAR(at) <= 2100
+               |   THEN TRUE ELSE FALSE END AS clock_sane
+               |FROM evt ORDER BY k;""".stripMargin)
+    }),
+    // the reference README story end-to-end through the gate (r11: A11
+    // promoted from suite-only; reference README.md "Story"): CREATE a
+    // metric-keyed photos table with DEFAULT NOW(), INSERT binary-literal
+    // perceptual hashes, run the `@` threshold search — projected to the
+    // deterministic columns (ULID/NOW stay covered by the suite)
+    "q_sql_readme" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.sql("""CREATE TABLE IF NOT EXISTS photos_seen (
+               |  hash UINT64 METRIC KEY USING emtree(hamming),
+               |  url STRING(2048) PRIMARY KEY,
+               |  width UINT32,
+               |  height UINT32,
+               |  seen_at TIMESTAMP DEFAULT NOW());""".stripMargin)
+      es.sql("""INSERT INTO photos_seen (hash, url, width, height)
+               |VALUES (0b11001111, 'https://example.com/a.png', 1280, 820),
+               |       (0b01110000, 'https://example.com/b.png', 640, 480);""".stripMargin)
+      es.sql("""SELECT url, width, height, hash @ 0b00001011 AS distance
+               |FROM photos_seen WHERE distance < 4;""".stripMargin)
+    }),
     // FULL OUTER JOIN + IS NULL: the reconciliation report — which
     // nations have customers, early suppliers, or both
     "q_sql_full_join" -> ((s: SparkSession, d: String) => {
@@ -4202,6 +4317,57 @@ object SqlQueries {
         | COALESCE(NULLIF(lang, 'en'), 'base') AS alt_lang
         |FROM documents WHERE ABS(n_chars - 500) < 400
         |ORDER BY doc_id""".stripMargin,
+    // the four r11 promotions run the IDENTICAL text in DuckDB — any
+    // divergence in wildcard matching, precedence, range inclusivity, or
+    // literal typing fails the hash
+    "q_sql_like" ->
+      """SELECT DISTINCT lang, source FROM documents
+        |WHERE text LIKE '%table window%' AND source NOT LIKE '%1%'
+        |ORDER BY lang, source""".stripMargin,
+    "q_sql_bool_logic" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE (lang = 'en' OR lang = 'de')
+        |  AND NOT (n_chars < 300 OR n_chars > 450)
+        |  OR lang = 'zh' AND n_chars > 500
+        |ORDER BY doc_id""".stripMargin,
+    "q_sql_in_between" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang IN ('en', 'fr', 'es') AND lang NOT IN ('es')
+        |  AND n_chars BETWEEN 200 AND 400
+        |  AND doc_id NOT BETWEEN 100 AND 120
+        |ORDER BY doc_id""".stripMargin,
+    "q_sql_literals" ->
+      """SELECT doc_id,
+        | CASE WHEN n_chars > 300 THEN TRUE ELSE FALSE END AS long_doc,
+        | CASE WHEN lang = 'en' THEN NULL ELSE lang END AS non_en
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin,
+    // DDL/identity promotions: the oracle is the KNOWN inserted rows as
+    // typed constants (same doctrine as q_sql_system_columns)
+    "q_sql_create_insert" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), CAST(5 AS INTEGER),
+        |  CAST(1999 AS DECIMAL(20,0)), 'first', TRUE),
+        | (CAST(2 AS BIGINT), CAST(0 AS INTEGER),
+        |  CAST('10000000000000000000' AS DECIMAL(20,0)), NULL, FALSE),
+        | (CAST(3 AS BIGINT), CAST(65535 AS INTEGER),
+        |  CAST(0 AS DECIMAL(20,0)), 'max u16', TRUE)
+        |) AS t(sku, qty, price, note, active)""".stripMargin,
+    "q_sql_uuid" ->
+      """SELECT * FROM (VALUES
+        | ('0198b5a2-3c4d-7e5f-8a9b-0c1d2e3f4a5b', 'alpha'),
+        | ('ffffffff-ffff-ffff-ffff-ffffffffffff', 'omega')
+        |) AS t(id, label)""".stripMargin,
+    "q_sql_now" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), TRUE),
+        | (CAST(2 AS BIGINT), TRUE)
+        |) AS t(k, clock_sane)""".stripMargin,
+    "q_sql_readme" ->
+      """SELECT * FROM (VALUES
+        | ('https://example.com/a.png', CAST(1280 AS BIGINT),
+        |  CAST(820 AS BIGINT), CAST(3 AS INTEGER))
+        |) AS t(url, width, height, distance)""".stripMargin,
     "q_sql_median" ->
       """SELECT lang, count(*) AS n, median(n_chars) AS med_chars,
         | max(n_chars) - min(n_chars) AS spread

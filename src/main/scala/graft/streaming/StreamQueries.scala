@@ -324,6 +324,47 @@ object StreamQueries {
           unix_millis(col("session_start")).as("start_ms"),
           unix_millis(col("session_end")).as("end_ms"), col("n_events"))),
 
+    // D16: stream-transparent per-row ops — the batch PII scrub transform
+    // runs UNCHANGED on a document stream (pure per-row codegen
+    // expressions: no state, no shuffle, no watermark), and the replayed
+    // output must hash-match the batch key's oracle. This is the claim
+    // that per-row cleaning stages need no streaming rewrite at all.
+    "q_stream_pii" -> ((s, d) =>
+      runChunked(s, d, "q_stream_pii",
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "append")(
+        graft.operators.TextAnalysis.piiScrubOf)),
+
+    // D26: streaming count-min sketch — cms_agg's counter grid folds
+    // across micro-batches via the same partial-merge path batch
+    // aggregation uses (counter addition is commutative), so the final
+    // STREAMED grid must answer the batch accuracy contract exactly:
+    // probe it with the exact top-20 terms (batch side) and assert the
+    // CMS bounds the batch q_cms_vocab key asserts. State is the one d×w
+    // grid regardless of stream length — the O(d·w) answer to
+    // O(vocabulary) streaming term-count state.
+    "q_stream_cms" -> ((s, d) => {
+      val grid = runChunked(s, d, "q_stream_cms",
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "complete")(df =>
+        df.select(explode(split(col("text"), " ")).as("term"))
+          .groupBy()
+          .agg(call_function("cms_agg", col("term"), lit(4), lit(2048))
+            .as("sketch")))
+      val tok = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+      val exact = tok.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term")).limit(20)
+      val total = tok.agg(count(lit(1)).as("n_tok"))
+      exact.crossJoin(broadcast(grid)).crossJoin(broadcast(total))
+        .select(col("term"), col("n_exact"),
+          (call_function("cms_estimate", col("sketch"), col("term"),
+            lit(2048)) >= col("n_exact")).as("no_underestimate"),
+          (call_function("cms_estimate", col("sketch"), col("term"),
+            lit(2048)) <= col("n_exact") +
+            ceil(lit(0.005) * col("n_tok")).cast("long")).as("eps_bounded"))
+    }),
+
     // D27: last-write-wins upsert as a continuously-maintained view; the
     // sink's per-batch winner snapshots collapse to the final winner.
     "q_stream_upsert" -> ((s, d) =>
@@ -400,6 +441,30 @@ object StreamQueries {
         |FROM sess GROUP BY user_id, seq""".stripMargin,
     "q_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS text_md5 FROM documents",
+    // identical to the batch q_pii_scrub oracle — the stream must
+    // reproduce the batch scrub byte for byte
+    "q_stream_pii" ->
+      """WITH inj AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN text || ' contact user' || doc_id || '@example.com now'
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+        |    AS INTEGER) AS n_pii,
+        |  regexp_replace(text, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g')
+        |    AS clean_text
+        |FROM inj""".stripMargin,
+    // same contract as the batch q_cms_vocab oracle: the bound booleans
+    // must come out TRUE from the STREAMED grid
+    "q_stream_cms" ->
+      """WITH tok AS (
+        | SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |exact AS (
+        | SELECT term, count(*) AS n_exact FROM tok GROUP BY term
+        | ORDER BY n_exact DESC, term LIMIT 20)
+        |SELECT term, n_exact, true AS no_underestimate, true AS eps_bounded
+        |FROM exact""".stripMargin,
     "q_stream_enrich" ->
       """SELECT e.event_id, e.user_id, c.c_name
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,

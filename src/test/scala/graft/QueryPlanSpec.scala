@@ -379,8 +379,7 @@ class QueryPlanSpec extends SparkTestBase {
     import org.apache.spark.sql.execution.window.WindowExec
     val allow = Set(
       "q_ntile_threshold",   // window over the distinct-2dp-value histogram
-      "q_abc_analysis",      // cumulative share over per-part aggregate
-      "q_gini",              // Lorenz curve over per-part aggregate
+      "q_gini",              // Lorenz curve over per-part aggregate (×100: 1.4×)
       "q_vocab_coverage",    // cumulative mass over the term vocabulary
       "q_in_transit",        // running sum over per-day deltas
       "q_running_distinct",  // running total over per-day firsts

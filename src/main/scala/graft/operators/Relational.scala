@@ -1952,6 +1952,64 @@ object Relational {
           .as("revenue"))
   }
 
+  /** Schema-evolution read end-to-end (D11 upgraded from test-only to an
+    * oracle-checked key): generation 1 writes documents WITHOUT the lang
+    * column (doc_id < 250 — "yesterday's files predate today's added
+    * column"), generation 2 appends the full schema; the mergeSchema read
+    * unions the file generations, old rows surfacing lang as NULL, and
+    * the per-lang aggregate over the union is checked against the oracle
+    * recomputing the same generation split in SQL. Footer-merge cost is
+    * per file; no 100 TB backfill rewrite. */
+  private def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val base = s"/tmp/graft_evolve_${java.lang.Integer.toHexString(d.hashCode)}"
+    val docs = Tables.documents(s, d)
+    docs.filter(col("doc_id") < 250)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(base)
+    docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      .write.mode("append").parquet(base)
+    graft.sources.Io.readEvolved(s, base)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+
+  /** Schema-drift report end-to-end (D20 upgraded from test-only to an
+    * oracle-checked key): two deliberately drifted generations of the
+    * documents footprint — gen2 drops `source`, adds `quality`, and
+    * widens `n_chars` to DOUBLE — diffed footer-only through
+    * `Io.schemaDiff`; the oracle is the KNOWN drift as constants. No data
+    * scan at any table size (the report reads two footers). */
+  private def schemaDrift(s: SparkSession, d: String): DataFrame = {
+    val base = s"/tmp/graft_drift_${java.lang.Integer.toHexString(d.hashCode)}"
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$base/gen1")
+    docs.select(col("doc_id"), col("n_chars").cast("double").as("n_chars"),
+        (col("n_chars") > 300).as("quality"))
+      .write.mode("overwrite").parquet(s"$base/gen2")
+    graft.sources.Io.schemaDiff(s, s"$base/gen1", s"$base/gen2")
+  }
+
+  /** Raw text-lines ingestion end-to-end (D17 upgraded from test-only to
+    * an oracle-checked key): the corpus is written as one document per
+    * line and read back through `Io.readTextLines` (content-hash ids —
+    * line numbers are not stable under distributed splits); identical
+    * lines collapse to one id by construction, so the distinct-content
+    * count and total footprint must match the oracle's view of the
+    * original table. The md5 projection (not the xxhash64 id itself) is
+    * what DuckDB can recompute. */
+  private def textIngest(s: SparkSession, d: String): DataFrame = {
+    val base = s"/tmp/graft_lines_${java.lang.Integer.toHexString(d.hashCode)}"
+    Tables.documents(s, d).select(col("text"))
+      .write.mode("overwrite").text(base)
+    graft.sources.Io.readTextLines(s, base)
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("doc_id")).as("n_distinct_ids"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        sum(col("n_chars")).as("total_chars"))
+  }
+
   /** Small-file compaction end-to-end (D12 upgraded from test-only to an
     * oracle-checked key): the documents table is first written as 32
     * deliberately tiny files (the incremental-ingest pathology — per-file
@@ -2384,6 +2442,9 @@ object Relational {
     "q_skew_join" -> skewJoin _,
     "q_bucketed_join" -> bucketedJoin _,
     "q_compaction" -> compaction _,
+    "q_schema_evolution" -> schemaEvolution _,
+    "q_schema_drift" -> schemaDrift _,
+    "q_text_ingest" -> textIngest _,
     "q_session_durations" -> sessionDurations _,
     "q_supplier_hhi" -> supplierHhi _,
     "q_trade_balance" -> tradeBalance _,
@@ -2647,6 +2708,28 @@ object Relational {
         |   AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1""".stripMargin,
+    // generation 1 (doc_id < 250) lacks lang → NULL through the merged
+    // read; the oracle rebuilds the same generation split
+    "q_schema_evolution" ->
+      """SELECT CASE WHEN doc_id < 250 THEN NULL ELSE lang END AS lang,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+    // the KNOWN drift as constants (footer-only diff, no data scan)
+    "q_schema_drift" ->
+      """SELECT * FROM (VALUES
+        | ('quality', 'added', NULL, 'BOOLEAN'),
+        | ('source', 'removed', 'STRING', NULL),
+        | ('n_chars', 'type_changed', 'BIGINT', 'DOUBLE')
+        |) AS t(column_name, change, old_type, new_type)""".stripMargin,
+    // the line-format round trip must preserve every byte: distinct
+    // content-hash ids == distinct texts, total chars == source table
+    "q_text_ingest" ->
+      """SELECT count(*) AS n_lines,
+        | count(DISTINCT text) AS n_distinct_ids,
+        | count(DISTINCT md5(text)) AS n_distinct_texts,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents""".stripMargin,
     // compaction must be semantically invisible: the oracle aggregates
     // the ORIGINAL parquet
     "q_compaction" ->

@@ -3842,6 +3842,21 @@ object SqlQueries {
                |   THEN TRUE ELSE FALSE END AS clock_sane
                |FROM evt ORDER BY k;""".stripMargin)
     }),
+    // EXPLAIN through the gate (r11: A12e promoted from suite-only): the
+    // raw plan text is machine/plan-id-dependent, so the key projects the
+    // INVARIANTS the front-end promises — the filter reaches the parquet
+    // scan as a pushed filter and the unused text column is pruned from
+    // the read — as booleans against a constants oracle
+    "q_sql_explain" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("EXPLAIN SELECT doc_id FROM documents WHERE lang = 'en';")
+        .agg(
+          max(col("plan_line").contains("Scan parquet")).as("scans_parquet"),
+          max(col("plan_line").contains("PushedFilters") &&
+            col("plan_line").contains("lang")).as("filter_pushed"),
+          max(col("plan_line").contains("text")).as("reads_text_col"))
+    }),
     // the reference README story end-to-end through the gate (r11: A11
     // promoted from suite-only; reference README.md "Story"): CREATE a
     // metric-keyed photos table with DEFAULT NOW(), INSERT binary-literal
@@ -4368,6 +4383,11 @@ object SqlQueries {
         | ('https://example.com/a.png', CAST(1280 AS BIGINT),
         |  CAST(820 AS BIGINT), CAST(3 AS INTEGER))
         |) AS t(url, width, height, distance)""".stripMargin,
+    // the front-end's plan promises as constants: filter pushed to the
+    // parquet scan, unused text column pruned from the read
+    "q_sql_explain" ->
+      """SELECT TRUE AS scans_parquet, TRUE AS filter_pushed,
+        | FALSE AS reads_text_col""".stripMargin,
     "q_sql_median" ->
       """SELECT lang, count(*) AS n, median(n_chars) AS med_chars,
         | max(n_chars) - min(n_chars) AS spread

@@ -178,8 +178,11 @@ object StreamOps {
     sIdx.join(cIdx, Seq("band", "bucket"))
       .select(col("vec_id"), col("embedding"), col("corpus_id"))
       .join(cVec, "corpus_id")
+      // round-then-threshold is the batch near-dup discipline (a sim in
+      // the last ulp below τ must land on the same side in every engine)
       .select(col("vec_id"), col("corpus_id"),
-        call_function("cosine_sim", col("embedding"), col("cv")).as("sim"))
+        round(call_function("cosine_sim", col("embedding"), col("cv")), 6)
+          .as("sim"))
       .filter(col("sim") >= threshold)
   }
 

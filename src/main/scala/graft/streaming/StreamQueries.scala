@@ -324,6 +324,31 @@ object StreamQueries {
           unix_millis(col("session_start")).as("start_ms"),
           unix_millis(col("session_end")).as("end_ms"), col("n_events"))),
 
+    // D10: streaming embedding near-dup vs a static corpus — the eval
+    // slice (id-hash bucket ≥ 90) streams in and SRP-band-joins against
+    // the train corpus (bucket < 90), cosine-verified in-stream; the
+    // stateless stream-static join is the incremental-ingest twin of
+    // q_embed_decontaminate. Candidate pairs repeat per colliding band,
+    // so the spilled result dedups (vec_id, corpus_id) batch-side before
+    // the contamination count; the oracle brute-forces eval×train in
+    // DuckDB, so SRP recall at τ=0.4 is part of the contract.
+    "q_stream_decontaminate" -> ((s, d) => {
+      import org.apache.spark.sql.functions.broadcast
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val bucket = graft.operators.Sampling.bucketOf(col("vec_id"), 100)
+      val corpus = e.filter(bucket < 90)
+      val pairs = runChunked(s, d, "q_stream_decontaminate",
+        e.filter(bucket >= 90), "vec_id", "append")(df => {
+        import df.sparkSession.implicits._
+        StreamOps.embedNearDupAgainstCorpus(
+          df.withColumn("ts", timestamp_millis(lit(0L))).as[StreamVec],
+          broadcast(corpus))
+      })
+      pairs.select(col("vec_id"), col("corpus_id")).distinct()
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_contaminated"))
+    }),
+
     // D16: stream-transparent per-row ops — the batch PII scrub transform
     // runs UNCHANGED on a document stream (pure per-row codegen
     // expressions: no state, no shuffle, no watermark), and the replayed
@@ -441,6 +466,19 @@ object StreamQueries {
         |FROM sess GROUP BY user_id, seq""".stripMargin,
     "q_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS text_md5 FROM documents",
+    // brute-force eval×train replay in DuckDB (the q_embed_decontaminate
+    // oracle shape): SRP candidate recall at τ=0.4 is part of the
+    // contract, not just the verified-pair arithmetic
+    "q_stream_decontaminate" ->
+      """WITH ev AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  ((vec_id % 1000000007) * 2654435761) % 1000000007 % 100 AS b
+        | FROM embeddings),
+        |p AS (
+        | SELECT e.vec_id, round(list_cosine_similarity(e.v, c.v), 6) AS sim
+        | FROM ev e JOIN ev c ON e.b >= 90 AND c.b < 90)
+        |SELECT vec_id, count(*) AS n_contaminated
+        |FROM p WHERE sim >= 0.4 GROUP BY vec_id""".stripMargin,
     // identical to the batch q_pii_scrub oracle — the stream must
     // reproduce the batch scrub byte for byte
     "q_stream_pii" ->

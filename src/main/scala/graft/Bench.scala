@@ -27,16 +27,32 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // wall-clock start of the key, for post-hoc stall attribution: the
+      // r11 driver bench showed a contiguous alphabetical band ~10-60×
+      // slower than the settle runs with no plan change — without
+      // timestamps the stall could not be located in time, only in key
+      // order (r11 verdict item 3)
+      val at = System.currentTimeMillis()
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
       }
+      // the Stress harness's per-key GC discipline: let the ContextCleaner
+      // reclaim the finished key's shuffle files between keys, so 335 keys
+      // of shuffle/layout debris never stack up into the page-cache/disk
+      // pressure suspected in the r11 h→l stall. Outside the timed reps —
+      // per-query seconds stay pure plan cost.
+      System.gc()
       // -1 marks a query that failed every rep, instead of a fast-looking
       // time-to-throw polluting the totals
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      (name, if (times.nonEmpty) times.min else -1.0, at)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // per-key wall-clock starts (epoch ms) ride only in the file dump —
+    // the stdout line keeps the exact shape the driver parses
+    val starts = results.map { case (k, _, at) => s"\"" + k + "\":" + at }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
@@ -45,18 +61,46 @@ object Bench {
     // noise, which broke the driver's parse in round 1 — also persist the
     // line to a file the driver (or a human) can read unambiguously.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
+    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"started_ms":$starts,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     // The driver keeps only a ~2000-char stdout tail; with 140+ queries the
     // full line overflows it and arrives front-truncated (unparseable,
     // BENCH_r{3..6}.json "parsed": null). Emit a complete compact summary
     // LAST so a whole JSON line always sits inside the tail window: total,
     // failures, the 10 slowest queries, and a pointer to the full dump.
-    val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+    val failed = results.collect { case (k, v, _) if v < 0 => s"\"$k\"" }
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
-      .map { case (k, v) => f""""$k":${v}%.3f""" }.mkString("{", ",", "}")
+      .map { case (k, v, _) => f""""$k":${v}%.3f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":[${failed.mkString(",")}],"slowest":$slow,"queries_full":"$outPath"}""")
     spark.stop()
+    // end-of-run temp hygiene: drop THIS process's layout/index scratch
+    // (pathTag embeds the pid, so other concurrent runs' files are never
+    // touched) — the r11 driver bench left tens of thousands of temp files
+    // across /tmp, the prime suspect for the h→l stall's disk pressure
+    cleanOwnTempDirs()
+  }
+
+  /** Delete /tmp/graft_* directories stamped with this process's pid by
+    * [[SessionMemo.pathTag]]. Best-effort: a failure to clean must never
+    * fail the bench. */
+  private[graft] def cleanOwnTempDirs(): Unit = {
+    val pidTag = s"_p${ProcessHandle.current().pid()}"
+    val tmp = java.nio.file.Paths.get("/tmp")
+    val st = try java.nio.file.Files.list(tmp) catch { case _: Throwable => return }
+    try st.forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("graft_") && n.endsWith(pidTag))
+        try deleteRecursively(p) catch { case _: Throwable => () }
+    } finally st.close()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val st = java.nio.file.Files.list(p)
+      try st.forEach(deleteRecursively) finally st.close()
+    }
+    java.nio.file.Files.deleteIfExists(p): Unit
   }
 }

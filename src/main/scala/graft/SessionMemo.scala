@@ -45,6 +45,19 @@ object SessionMemo {
     }
   }
 
+  /** Per-(process, corpus-dir) tag for throwaway layout paths (/tmp and
+    * warehouse artifacts the storage/index keys write). The full dir
+    * string is digest-hashed — not its 32-bit hashCode, which can collide
+    * across dirs — and a per-process component is folded in so two
+    * concurrent JVMs over the same corpus never race overwrite-vs-read on
+    * a shared path (r11 ADVICE). Stable within a process, so write-once
+    * reuse through this registry still holds. */
+  def pathTag(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"${md}_p${ProcessHandle.current().pid()}"
+  }
+
   /** Drop every registered artifact. The scale-stress harness calls this
     * before each timed run so its measurements price the full BUILD — the
     * registry amortizes steady-state sessions, and letting it amortize a

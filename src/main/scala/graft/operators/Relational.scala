@@ -1952,6 +1952,12 @@ object Relational {
           .as("revenue"))
   }
 
+  /** Per-(process, corpus-dir) tag for the throwaway /tmp and warehouse
+    * layout paths the storage keys write (evolution/drift/lines/compaction/
+    * zorder/io/bucketed) — see [[graft.SessionMemo.pathTag]] (r11 ADVICE:
+    * no 32-bit-hash collisions, no cross-process path races). */
+  private def pathTag(d: String): String = graft.SessionMemo.pathTag(d)
+
   /** Schema-evolution read end-to-end (D11 upgraded from test-only to an
     * oracle-checked key): generation 1 writes documents WITHOUT the lang
     * column (doc_id < 250 — "yesterday's files predate today's added
@@ -1961,7 +1967,7 @@ object Relational {
     * recomputing the same generation split in SQL. Footer-merge cost is
     * per file; no 100 TB backfill rewrite. */
   private def schemaEvolution(s: SparkSession, d: String): DataFrame = {
-    val base = s"/tmp/graft_evolve_${java.lang.Integer.toHexString(d.hashCode)}"
+    val base = s"/tmp/graft_evolve_${pathTag(d)}"
     val docs = Tables.documents(s, d)
     docs.filter(col("doc_id") < 250)
       .select(col("doc_id"), col("source"), col("n_chars"))
@@ -1981,7 +1987,7 @@ object Relational {
     * `Io.schemaDiff`; the oracle is the KNOWN drift as constants. No data
     * scan at any table size (the report reads two footers). */
   private def schemaDrift(s: SparkSession, d: String): DataFrame = {
-    val base = s"/tmp/graft_drift_${java.lang.Integer.toHexString(d.hashCode)}"
+    val base = s"/tmp/graft_drift_${pathTag(d)}"
     val docs = Tables.documents(s, d)
     docs.select(col("doc_id"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$base/gen1")
@@ -2000,7 +2006,7 @@ object Relational {
     * original table. The md5 projection (not the xxhash64 id itself) is
     * what DuckDB can recompute. */
   private def textIngest(s: SparkSession, d: String): DataFrame = {
-    val base = s"/tmp/graft_lines_${java.lang.Integer.toHexString(d.hashCode)}"
+    val base = s"/tmp/graft_lines_${pathTag(d)}"
     Tables.documents(s, d).select(col("text"))
       .write.mode("overwrite").text(base)
     graft.sources.Io.readTextLines(s, base)
@@ -2020,7 +2026,7 @@ object Relational {
     * must preserve every row and byte. File-count mechanics stay
     * spec-asserted in StorageOpsSpec. */
   private def compaction(s: SparkSession, d: String): DataFrame = {
-    val base = s"/tmp/graft_compact_${java.lang.Integer.toHexString(d.hashCode)}"
+    val base = s"/tmp/graft_compact_${pathTag(d)}"
     Tables.documents(s, d).repartition(32).write.mode("overwrite").parquet(base)
     graft.sources.Io.compact(s, base)
     s.read.parquet(base)
@@ -2041,7 +2047,7 @@ object Relational {
     * join/aggregation on that key — the Spark analog of the reference's
     * key-ordered btree storage (reference: src/storage/index.rs). */
   private def bucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val tag = pathTag(d)
     val (ot, lt) = (s"b_orders_$tag", s"b_lineitem_$tag")
     // write-once per (session, sf): the bucketed layout is the persisted
     // artifact under test; rewriting it per query would price the build
@@ -2108,7 +2114,7 @@ object Relational {
     * ScaleSpec). At 100 TB this composes with date partitioning; the
     * write amortizes over every subsequent box query. */
   private def zorderScan(s: SparkSession, d: String): DataFrame = {
-    val path = s"/tmp/graft_zorder_${java.lang.Integer.toHexString(d.hashCode)}"
+    val path = s"/tmp/graft_zorder_${pathTag(d)}"
     // the Morton key is ONLY a layout key: range-reduce wide ids into
     // zorder2's 31-bit domain (mod keeps locality for in-range keys and
     // wraps larger ones — correctness is untouched, the box filter runs
@@ -2136,7 +2142,7 @@ object Relational {
     * not a data path. */
   private def ioRoundtrip(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val base = s"/tmp/graft_io_${java.lang.Integer.toHexString(d.hashCode)}"
+    val base = s"/tmp/graft_io_${pathTag(d)}"
     docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
     docs.write.mode("overwrite").json(s"$base/json")
     graft.sources.Io.writeOrc(docs, s"$base/orc")

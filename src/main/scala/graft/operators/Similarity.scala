@@ -1320,7 +1320,7 @@ object Similarity {
   private def metricIndexSearch(s: SparkSession, d: String): DataFrame = {
     val hashed = Tables.documents(s, d).select(col("doc_id"),
       call_function("simhash64", split(col("text"), " ")).as("h"))
-    val path = s"/tmp/graft_metric_index_${java.lang.Integer.toHexString(d.hashCode)}"
+    val path = s"/tmp/graft_metric_index_${graft.SessionMemo.pathTag(d)}"
     graft.sources.MetricIndex.writeIndexed(hashed, path, "h", bits = 6)
     val probeRow = hashed.filter(col("doc_id") === 0)
       .select(col("h")).collect()
@@ -1351,7 +1351,7 @@ object Similarity {
   private def metricTransparent(s: SparkSession, d: String): DataFrame = {
     val hashed = Tables.documents(s, d).select(col("doc_id"),
       call_function("simhash64", split(col("text"), " ")).as("h"))
-    val path = s"/tmp/graft_metric_index_t_${java.lang.Integer.toHexString(d.hashCode)}"
+    val path = s"/tmp/graft_metric_index_t_${graft.SessionMemo.pathTag(d)}"
     graft.sources.MetricIndex.writeIndexed(hashed, path, "h", bits = 6)
     val probeRow = hashed.filter(col("doc_id") === 0)
       .select(col("h")).collect()

@@ -733,18 +733,25 @@ object TextAnalysis {
   /** Vocabulary coverage curve: what fraction of the corpus's total token
     * mass the top-k word types cover, for k ∈ {10, 100, 1000} — the
     * tokenizer-budget planning number (how big a vocab before coverage
-    * plateaus). The rank window runs over the VOCABULARY (type-level,
-    * post-collapse — a vocabulary-bounded domain on the plan-audit
-    * allowlist, never the corpus), ties break (count desc, word); counts and totals are exact
-    * integers, coverage is one final IEEE division. Scale shape: corpus
-    * collapses to (word, count) with map-side partial agg first; the ×3
-    * k-expansion is a broadcast range join over the type relation. */
+    * plateaus). Only ranks ≤ max(k)=1000 ever contribute, so the plan is
+    * a distributed top-1000 (TakeOrdered: per-partition heaps, one
+    * 1000-row driver merge — no global sort shuffle, no vocabulary-wide
+    * window) and the rank window runs over that CONSTANT 1000-row
+    * relation no matter the corpus size (r12 rewrite: the previous
+    * vocabulary-wide rank window measured 4.14× at ×100 — the vocabulary
+    * scales under replication even though real vocab growth is
+    * Heaps-sublinear). Ties break (count desc, word); counts and totals
+    * are exact integers, coverage is one final IEEE division. Scale
+    * shape: corpus collapses to (word, count) with map-side partial agg
+    * first; the ×3 k-expansion is a broadcast range join over the
+    * 1000-row relation. */
   private def vocabCoverage(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wc = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
-    val ranked = wc.withColumn("rank",
+    val top = wc.orderBy(col("c").desc, col("word")).limit(1000)
+    val ranked = top.withColumn("rank",
       row_number().over(Window.orderBy(col("c").desc, col("word"))))
     val total = wc.agg(sum(col("c")).as("total_tokens"))
     val ks = s.range(1).select(explode(array(lit(10), lit(100), lit(1000))).as("k"))

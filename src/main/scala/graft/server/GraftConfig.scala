@@ -20,7 +20,10 @@ final case class GraftConfig(
 }
 
 object GraftConfig {
-  private def envify(key: String): String = "GRAFT_" + key.toUpperCase
+  // Locale.ROOT: under a Turkish default locale a bare toUpperCase maps
+  // i→İ ("GRAFT_DATA_DİRECTORY"), silently ignoring the operator's env
+  private def envify(key: String): String =
+    "GRAFT_" + key.toUpperCase(java.util.Locale.ROOT)
 
   /** Injectable env lookup so the precedence contract is testable without
     * mutating the process environment. */

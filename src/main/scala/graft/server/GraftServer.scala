@@ -167,8 +167,14 @@ object Server {
     // persisted by a previous server process is served again after a
     // restart, with no manual attach (boot-time durability)
     val es = new EmdriveSession(spark, Some(cfg.dataDirectory))
+    // corpus registration must not shadow a durably-restored table of the
+    // same name — otherwise DML against e.g. 'documents' persists, then
+    // silently vanishes behind the corpus at the next restart (r11 ADVICE)
     graft.sources.Tables.all.foreach { name =>
-      es.register(name, graft.sources.Tables(spark, dir, name))
+      if (es.has(name))
+        println(s"boot: '$name' restored from ${cfg.dataDirectory}; " +
+          "corpus table of the same name NOT registered")
+      else es.register(name, graft.sources.Tables(spark, dir, name))
     }
     val server = new GraftServer(es, port, host = cfg.tcpListenHost)
     server.start()

@@ -1261,17 +1261,48 @@ final class EmdriveSession(spark: SparkSession,
 
   private val catalog = mutable.Map.empty[String, DataFrame]
 
-  // boot-time restore: every `dataDir/<name>/` with a _SUCCESS marker is a
-  // previously persisted table — register it eagerly so a restarted
-  // session/server serves the same rows (reference src/main.rs boot path)
+  // boot-time restore: every `dataDir/<name>/` holding a live generation
+  // is a previously persisted table — register it eagerly so a restarted
+  // session/server serves the same rows (reference src/main.rs boot path).
+  // Generation resolution (see save()): the CURRENT pointer names the live
+  // `gen-*` dir; a missing/dangling pointer (crash between publish steps)
+  // falls back to the newest complete generation; a bare _SUCCESS dir is
+  // the pre-generation legacy layout. Leftover `.tmp-*` names from a
+  // crashed legacy save are junk, never tables (r11 ADVICE).
   dataDir.foreach { dir =>
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(root))
-      fs.listStatus(root).filter(_.isDirectory).foreach { st =>
-        if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-          catalog(st.getPath.getName) = spark.read.parquet(st.getPath.toString)
+      fs.listStatus(root).filter(_.isDirectory)
+        .filterNot(_.getPath.getName.contains(".tmp-"))
+        .foreach { st =>
+          liveGeneration(fs, st.getPath).foreach(p =>
+            catalog(st.getPath.getName) = spark.read.parquet(p.toString))
+        }
+  }
+
+  /** Resolve the readable generation of a persisted table dir, or None if
+    * the dir holds no complete table. Order: CURRENT-named gen (complete)
+    * → newest complete gen-* → legacy in-place layout (_SUCCESS at root). */
+  private def liveGeneration(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+    import org.apache.hadoop.fs.Path
+    def complete(p: Path): Boolean = fs.exists(new Path(p, "_SUCCESS"))
+    val ptr = new Path(tableDir, "CURRENT")
+    val named =
+      if (!fs.exists(ptr)) None
+      else {
+        val in = fs.open(ptr)
+        val name = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+        Some(new Path(tableDir, name)).filter(p => fs.exists(p) && complete(p))
       }
+    named
+      .orElse(fs.listStatus(tableDir).filter(_.isDirectory)
+        .map(_.getPath).filter(_.getName.startsWith("gen-"))
+        .filter(complete).sortBy(_.getName).lastOption)
+      .orElse(Some(tableDir).filter(complete))
   }
 
   /** Write-through hook: after a successful catalog swap, persist the
@@ -1282,6 +1313,11 @@ final class EmdriveSession(spark: SparkSession,
     dataDir.foreach(dir => save(name, s"$dir/$name"))
 
   def register(name: String, df: DataFrame): Unit = catalog(name) = df
+
+  /** Whether `name` is already registered (restored or registered earlier).
+    * The server boot uses this to avoid shadowing a durably-restored table
+    * with a same-named corpus registration (r11 ADVICE). */
+  def has(name: String): Boolean = catalog.contains(name)
 
   /** Persisted-index registry: (kind, table plan identity, column) →
     * on-disk layout path. Built lazily on the FIRST index-backed search
@@ -1504,27 +1540,67 @@ final class EmdriveSession(spark: SparkSession,
     * reference's paged files provide — here it's just a columnar write),
     * and re-point the catalog at the written files so subsequent SELECTs
     * scan parquet (pushdown/pruning) instead of the in-memory union plan.
-    * Write-to-temp-then-rename: the current catalog plan may itself READ
-    * from `path` (a restored table being mutated), where a direct
-    * Overwrite both fails Spark's self-overwrite check and, worse, could
-    * destroy the old files before the new ones are complete. The swap
-    * happens only after the full write succeeds — crash-safe like the
-    * reference's page flush. */
+    *
+    * Versioned generations (r11 ADVICE — the delete-then-rename swap lost
+    * the on-disk copy in a crash window and raced in-flight readers):
+    * each save writes a FRESH `path/gen-<ts>-<uuid>/` — never touching the
+    * files the current plan (or a concurrent server SELECT's running
+    * collect) reads — then publishes it by rewriting the CURRENT pointer.
+    * No step destroys the live generation: a crash mid-write leaves an
+    * incomplete gen dir (no _SUCCESS — boot skips it), a crash between
+    * pointer delete and rename leaves no CURRENT (boot falls back to the
+    * newest complete generation). Old generations are deleted DEFERRED —
+    * the immediately-previous one survives the publish, so a reader that
+    * planned against it finishes its scan; only generations two saves back
+    * (and the legacy in-place layout, once two gens exist) are dropped. */
   def save(name: String, path: String): Unit = {
-    val target = new org.apache.hadoop.fs.Path(path)
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(
-      path + ".tmp-" + java.util.UUID.randomUUID().toString)
+    val gen = new Path(target, f"gen-${System.currentTimeMillis()}%020d-" +
+      java.util.UUID.randomUUID().toString)
     table(name).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true): Unit
-    require(fs.rename(tmp, target), s"save: rename $tmp -> $target failed")
-    catalog(name) = spark.read.parquet(path)
+      .parquet(gen.toString)
+    // publish: pointer tmp-write + rename (a reader of CURRENT sees either
+    // the old or the new generation name, never a partial file)
+    val ptr = new Path(target, "CURRENT")
+    val ptrTmp = new Path(target, "CURRENT.tmp-" +
+      java.util.UUID.randomUUID().toString)
+    val out = fs.create(ptrTmp, true)
+    try out.write(gen.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(ptr)) fs.delete(ptr, false): Unit
+    require(fs.rename(ptrTmp, ptr), s"save: rename $ptrTmp -> $ptr failed")
+    catalog(name) = spark.read.parquet(gen.toString)
+    // deferred cleanup: keep the new generation and the most recent other
+    // complete one; everything older (plus any crashed tmp debris and the
+    // legacy root-level layout once a previous gen exists) is unreachable
+    // by readers that planned after the PREVIOUS publish
+    val gens = fs.listStatus(target).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("gen-")).sortBy(_.getName)
+    val keep = gens.takeRight(2).map(_.getName).toSet
+    gens.filterNot(g => keep(g.getName)).foreach(g => fs.delete(g, true): Unit)
+    fs.listStatus(target)
+      .filter(_.getPath.getName.startsWith("CURRENT.tmp-"))
+      .foreach(st => fs.delete(st.getPath, false): Unit)
+    if (gens.length >= 2)
+      // legacy pre-generation files at the table root are two+ saves old
+      fs.listStatus(target).filterNot(_.isDirectory)
+        .map(_.getPath).filter(p => p.getName.startsWith("part-") ||
+          p.getName == "_SUCCESS")
+        .foreach(p => fs.delete(p, false): Unit)
   }
 
-  /** Attach a previously saved table. */
-  def open(name: String, path: String): Unit =
-    catalog(name) = spark.read.parquet(path)
+  /** Attach a previously saved table, resolving the live generation the
+    * same way boot restore does (CURRENT pointer → newest complete gen →
+    * legacy in-place layout). */
+  def open(name: String, path: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val live = liveGeneration(fs, target).getOrElse(throw
+      new IllegalArgumentException(s"open: no complete table at $path"))
+    catalog(name) = spark.read.parquet(live.toString)
+  }
 
   /** `system.tables` analog (reference: src/storage/system.rs:5-16): one
     * row per registered table. The reference keys by storage UUID; here
@@ -2330,7 +2406,7 @@ final class EmdriveSession(spark: SparkSession,
           def aggExprCol(o: Operand): Column = o match {
             case OAgg(f, arg) => col("__agg_" + aggAlias(f, arg, None))
             case ORef(n) => qref(n)
-            case OVal(VNum(s)) => if (s.contains('.')) lit(s.toDouble) else lit(s.toLong)
+            case OVal(VNum(s)) => numLit(s)
             case s: OSub => operandCol(base, s) // scalar subquery: already a literal
             case OArith(l, op, r) =>
               val (lc, rc) = (aggExprCol(l), aggExprCol(r))
@@ -2642,6 +2718,15 @@ final class EmdriveSession(spark: SparkSession,
     it.elseV.fold(chained)(v => chained.otherwise(operandCol(base, v)))
   }
 
+  /** Numeric literal → Column. Integer literals beyond int64 (the dialect's
+    * UINT64 tier, reference components.rs u64/u128 values) lower to exact
+    * DECIMAL literals instead of overflowing Long.parseLong. */
+  private def numLit(s: String): Column =
+    if (s.contains('.')) lit(s.toDouble)
+    else try lit(s.toLong) catch {
+      case _: NumberFormatException => lit(new java.math.BigDecimal(s))
+    }
+
   private def operandCol(base: DataFrame, o: Operand,
       corr: Map[Select, Column] = Map.empty): Column = o match {
     case ORef(n) => qref(n)
@@ -2681,7 +2766,7 @@ final class EmdriveSession(spark: SparkSession,
         case _ => throw new IllegalArgumentException(
           s"scalar subquery returned more than one row")
       }
-    case OVal(VNum(s)) => if (s.contains('.')) lit(s.toDouble) else lit(s.toLong)
+    case OVal(VNum(s)) => numLit(s)
     case OVal(VStr(s)) => lit(s)
     case OVal(VBits(v)) => lit(v.longValue)
     case OVal(VBool(b)) => lit(b)
@@ -3799,9 +3884,12 @@ object SqlQueries {
     // A1/A1b/A2 promoted from suite-only): the full declared-type tier —
     // UINT32→BIGINT, UINT16→INTEGER, UINT64→DECIMAL(20,0) (a value above
     // int64 range proves the decimal physical type is real), NULLABLE
-    // STRING(n) with an explicit NULL, BOOL — read back typed; the oracle
-    // is the inserted rows as CAST constants, so any drift in the type
-    // mapping or the insert path fails schema- or hash-compare
+    // STRING(n) with an explicit NULL, BOOL — read back typed. §5 cast-back
+    // discipline (r12 fix, same as q_sql_cast): the DECIMAL(20,0) column is
+    // rendered through VARCHAR on BOTH sides because DuckDB's int128 decimal
+    // stringification and Spark's BigDecimal disagree at the hash layer; the
+    // decimal stays under test via the WHERE comparison (a >int64 literal
+    // compared against the stored decimal) and the typed read-back path.
     "q_sql_create_insert" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
       es.sql("""CREATE TABLE inv (
@@ -3814,7 +3902,10 @@ object SqlQueries {
                | (1, 5, 1999, 'first', TRUE),
                | (2, 0, 10000000000000000000, NULL, FALSE),
                | (3, 65535, 0, 'max u16', TRUE);""".stripMargin)
-      es.sql("SELECT sku, qty, price, note, active FROM inv ORDER BY sku;")
+      es.sql("""SELECT sku, qty, CAST(price AS VARCHAR) AS price_str,
+               | note, active
+               |FROM inv WHERE price <= 10000000000000000000
+               |ORDER BY sku;""".stripMargin)
     }),
     // UUID type round-trip (r11: A10 promoted from suite-only): canonical
     // UUID literals survive INSERT-time domain validation and read back
@@ -4361,13 +4452,11 @@ object SqlQueries {
     // typed constants (same doctrine as q_sql_system_columns)
     "q_sql_create_insert" ->
       """SELECT * FROM (VALUES
-        | (CAST(1 AS BIGINT), CAST(5 AS INTEGER),
-        |  CAST(1999 AS DECIMAL(20,0)), 'first', TRUE),
+        | (CAST(1 AS BIGINT), CAST(5 AS INTEGER), '1999', 'first', TRUE),
         | (CAST(2 AS BIGINT), CAST(0 AS INTEGER),
-        |  CAST('10000000000000000000' AS DECIMAL(20,0)), NULL, FALSE),
-        | (CAST(3 AS BIGINT), CAST(65535 AS INTEGER),
-        |  CAST(0 AS DECIMAL(20,0)), 'max u16', TRUE)
-        |) AS t(sku, qty, price, note, active)""".stripMargin,
+        |  '10000000000000000000', NULL, FALSE),
+        | (CAST(3 AS BIGINT), CAST(65535 AS INTEGER), '0', 'max u16', TRUE)
+        |) AS t(sku, qty, price_str, note, active)""".stripMargin,
     "q_sql_uuid" ->
       """SELECT * FROM (VALUES
         | ('0198b5a2-3c4d-7e5f-8a9b-0c1d2e3f4a5b', 'alpha'),

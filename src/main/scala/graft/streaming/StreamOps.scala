@@ -153,31 +153,49 @@ object StreamOps {
   }
 
   /** Streaming embedding near-dup against a static corpus (the incremental
-    * twin of the batch q_embed_decontaminate / q_dedup_incremental ops):
-    * each arriving vector is SRP-LSH banded with the same `srp_bands`
-    * kernel as the batch path and joined to the corpus's (band, bucket)
-    * index; cosine-verify keeps only true near-dups. Both joins are
-    * stream-static — stateless per micro-batch, no streaming state at all.
+    * twin of the batch q_embed_decontaminate / q_dedup_incremental ops).
+    * Scale-routed like the batch family (Similarity.embedNeardupAuto, one
+    * count() of the STATIC side at plan-build time): a corpus at or below
+    * `Similarity.NeardupRouteMax` broadcasts whole and every arriving
+    * vector exact-verifies against it — recall 1.0 at ANY τ, stateless,
+    * the same physical shape as the batch flat path. Above the cutoff the
+    * corpus is SRP-LSH banded with the same `srp_bands` kernel as the
+    * batch path and the stream joins the (band, bucket) index;
+    * cosine-verify keeps only true near-dups. Both routes are stream-static
+    * joins — stateless per micro-batch, no streaming state at all.
+    * (r12 fix: the SRP route at 192×12 bands has ≈0.54 recall at cos=0.4 —
+    * it is sized for the τ=0.5 contract of SURVEY C6 — so routing a
+    * below-cutoff corpus through it dropped true pairs; the exact
+    * broadcast route is both correct and cheaper there.)
     *
-    * Scale shape: the corpus index carries (corpus_id, band, bucket) rows,
-    * never the vectors; full vectors join back only for the candidate
-    * rows. A pair colliding in several bands is emitted once per band
-    * (same sim value) — distinct() is the downstream batch stage, exactly
-    * like the batch LSH operator's contract. */
+    * Scale shape (above-cutoff route): the corpus index carries
+    * (corpus_id, band, bucket) rows, never the vectors; full vectors join
+    * back only for the candidate rows. A pair colliding in several bands
+    * is emitted once per band (same sim value) — distinct() is the
+    * downstream batch stage, exactly like the batch LSH operator's
+    * contract. */
   def embedNearDupAgainstCorpus(vecs: Dataset[StreamVec], corpus: DataFrame,
-      threshold: Double = 0.4, bands: Int = 192, bits: Int = 12): DataFrame = {
-    val sIdx = vecs.toDF()
-      .select(col("vec_id"), col("embedding"),
-        posexplode(call_function("srp_bands", col("embedding"), lit(bands), lit(bits))))
-      .toDF("vec_id", "embedding", "band", "bucket")
-    val cIdx = corpus
-      .select(col("vec_id").as("corpus_id"),
-        posexplode(call_function("srp_bands", col("embedding"), lit(bands), lit(bits))))
-      .toDF("corpus_id", "band", "bucket")
+      threshold: Double = 0.4, bands: Int = 192, bits: Int = 12,
+      routeMax: Long = graft.operators.Similarity.NeardupRouteMax): DataFrame = {
     val cVec = corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
-    sIdx.join(cIdx, Seq("band", "bucket"))
-      .select(col("vec_id"), col("embedding"), col("corpus_id"))
-      .join(cVec, "corpus_id")
+    val verified =
+      if (corpus.count() <= routeMax)
+        vecs.toDF().select(col("vec_id"), col("embedding"))
+          .join(broadcast(cVec))
+      else {
+        val sIdx = vecs.toDF()
+          .select(col("vec_id"), col("embedding"),
+            posexplode(call_function("srp_bands", col("embedding"), lit(bands), lit(bits))))
+          .toDF("vec_id", "embedding", "band", "bucket")
+        val cIdx = corpus
+          .select(col("vec_id").as("corpus_id"),
+            posexplode(call_function("srp_bands", col("embedding"), lit(bands), lit(bits))))
+          .toDF("corpus_id", "band", "bucket")
+        sIdx.join(cIdx, Seq("band", "bucket"))
+          .select(col("vec_id"), col("embedding"), col("corpus_id"))
+          .join(cVec, "corpus_id")
+      }
+    verified
       // round-then-threshold is the batch near-dup discipline (a sim in
       // the last ulp below τ must land on the same side in every engine)
       .select(col("vec_id"), col("corpus_id"),

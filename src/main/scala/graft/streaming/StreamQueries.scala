@@ -325,13 +325,16 @@ object StreamQueries {
           unix_millis(col("session_end")).as("end_ms"), col("n_events"))),
 
     // D10: streaming embedding near-dup vs a static corpus — the eval
-    // slice (id-hash bucket ≥ 90) streams in and SRP-band-joins against
-    // the train corpus (bucket < 90), cosine-verified in-stream; the
-    // stateless stream-static join is the incremental-ingest twin of
-    // q_embed_decontaminate. Candidate pairs repeat per colliding band,
-    // so the spilled result dedups (vec_id, corpus_id) batch-side before
-    // the contamination count; the oracle brute-forces eval×train in
-    // DuckDB, so SRP recall at τ=0.4 is part of the contract.
+    // slice (id-hash bucket ≥ 90) streams in and joins against the train
+    // corpus (bucket < 90), cosine-verified in-stream; the stateless
+    // stream-static join is the incremental-ingest twin of
+    // q_embed_decontaminate and scale-routes like the batch family: the
+    // gate corpus sits below NeardupRouteMax so the EXACT broadcast route
+    // runs (recall 1.0 — the oracle brute-forces eval×train in DuckDB at
+    // τ=0.4 and every pair must survive); SRP banding is the above-cutoff
+    // route only. Candidate pairs can repeat (per colliding band on the
+    // SRP route), so the spilled result dedups (vec_id, corpus_id)
+    // batch-side before the contamination count.
     "q_stream_decontaminate" -> ((s, d) => {
       import org.apache.spark.sql.functions.broadcast
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))

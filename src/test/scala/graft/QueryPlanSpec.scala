@@ -380,7 +380,7 @@ class QueryPlanSpec extends SparkTestBase {
     val allow = Set(
       "q_ntile_threshold",   // window over the distinct-2dp-value histogram
       "q_gini",              // Lorenz curve over per-part aggregate (×100: 1.4×)
-      "q_vocab_coverage",    // cumulative mass over the term vocabulary
+      "q_vocab_coverage",    // rank over the LIMIT-1000 top-type relation (r12 rewrite)
       "q_in_transit",        // running sum over per-day deltas
       "q_running_distinct",  // running total over per-day firsts
       "q_mom_trend",         // lag over the ~84-row month series

@@ -122,6 +122,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming embed near-dup SRP route (above-cutoff path, τ=0.5 sizing)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    GraftSession.prepare(spark)
+    val a = Array(0.9f, 0.1f, -0.3f, 0.5f, 0.2f, -0.7f, 0.4f, 0.1f)
+    val corpus = Seq((100L, a), (101L, Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val input = MemoryStream[graft.streaming.StreamVec]
+    // routeMax=0 forces the SRP banding route on a tiny corpus; a
+    // near-identical vector (cos≈1) collides in some band with
+    // near-certainty at 192×12, the orthogonal one is cosine-rejected
+    // even if a band collides
+    val q = StreamOps.embedNearDupAgainstCorpus(input.toDS(), corpus,
+        threshold = 0.5, routeMax = 0L)
+      .writeStream.format("memory").queryName("embed_srp_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        graft.streaming.StreamVec(1, new Timestamp(0), a.map(_ * 1.01f)),
+        graft.streaming.StreamVec(2, new Timestamp(1),
+          Array(0.1f, -0.9f, 0f, 0f, 0f, 0f, 0f, 0f)))
+      q.processAllAvailable()
+      val pairs = spark.table("embed_srp_out")
+        .select("vec_id", "corpus_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 100L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join is stateless and broadcast (D8)") {
     val s = spark
     import s.implicits._

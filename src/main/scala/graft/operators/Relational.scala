@@ -465,49 +465,90 @@ object Relational {
       df.schema.add(out, org.apache.spark.sql.types.IntegerType, nullable = false))
   }
 
+  /** Multi-pass guard: persist `df` (memory, disk overflow) so algorithms
+    * that run several ACTIONS over one expensively-collapsed relation
+    * (rangeCumSum runs a quantile sketch, a per-bucket total, and the
+    * final plan over its input) compute the upstream aggregation once —
+    * the r12 abc ×100 re-receipt measured the unguarded recomputation at
+    * 27.9×, and a parquet-spill variant paid a 2M-row write (~13 s at
+    * ×100) the cache avoids. The cache is NOT unpersisted here — the
+    * returned plan still reads it at the caller's final action; it is
+    * collapsed-relation-sized (dimension cardinality, not fact), spills
+    * to disk under pressure, and is dropped with the session. */
+  private[graft] def materializeOnce(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Distributed EXACT global prefix sum — the cumulative-share twin of
     * rangeNtile, for Pareto/Lorenz-style "cumulative mass in this order"
     * over an SF-scaling relation (the r11 ×100 receipt priced
     * q_abc_analysis's unpartitioned cumulative window at 13.6×; this
-    * removes the single-partition sort entirely). Same two-job shape:
-    *   1. range-shuffle + local sort (globally ordered partitions);
-    *   2. one light job sums `value` per partition (shuffle reuse), whose
-    *      prefix sums are each partition's starting offset;
-    *   3. a map emits offset + running local sum per row.
-    * Sums accumulate in java.math.BigDecimal (exact at any scale; the
-    * input is a fixed-scale decimal), emitted as DECIMAL(38, s) — so the
-    * cumulative values are bitwise what a single-partition window would
-    * have produced, on any partitioning. `order` must be a total order
-    * (unique tie-break) for cross-engine determinism. */
-  private[graft] def rangeCumSum(df: DataFrame, order: Seq[Column],
-                                 value: String, out: String): DataFrame = {
-    val s = df.sparkSession
-    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
-    val rdd = sorted.rdd
-    val vIdx = sorted.schema.fieldIndex(value)
-    val inScale = sorted.schema(vIdx).dataType
+    * removes the single-partition sort entirely). The input should be
+    * cheap to rescan — [[materializeOnce]] it first when it is itself an
+    * aggregation (this operator runs three passes over it).
+    *
+    * r12 shape — fully declarative, whole-stage-codegen, one data shuffle
+    * (the r11 RDD two-job version priced at 14.6×/×100 with its Row
+    * boxing and BigDecimal maps; this one stays on Tungsten rows):
+    *   1. ~`buckets` range boundaries of `bucketCol` from one
+    *      approxQuantile sketch pass. Accuracy is irrelevant to
+    *      CORRECTNESS — any boundary set yields exact results, the
+    *      sketch only balances bucket sizes — because the bucket id is
+    *      monotone in the order (equal `bucketCol` values share a
+    *      bucket; `tieBreak` orders only within it);
+    *   2. a cumulative-sum window PARTITIONED by bucket (parallel,
+    *      never a single-partition sort);
+    *   3. per-bucket totals (≤ `buckets` rows) prefix-summed on the
+    *      driver in java.math.BigDecimal, broadcast-joined back as each
+    *      bucket's starting offset.
+    * All sums are Spark DECIMAL(38, s) / BigDecimal — exact at any
+    * scale, so the cumulative values are bitwise what a single-partition
+    * window would have produced. (`bucketCol` desc/asc + `tieBreak`)
+    * must total-order the rows for cross-engine determinism. */
+  private[graft] def rangeCumSum(df: DataFrame, bucketCol: String,
+      descending: Boolean, tieBreak: Seq[Column],
+      value: String, out: String, buckets: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inScale = df.schema(df.schema.fieldIndex(value)).dataType
       .asInstanceOf[org.apache.spark.sql.types.DecimalType].scale
-    def dec(r: org.apache.spark.sql.Row): java.math.BigDecimal = {
-      val v = r.getDecimal(vIdx)
-      if (v == null) java.math.BigDecimal.ZERO else v
-    }
-    val partSums = rdd
-      .mapPartitionsWithIndex((i, it) => {
-        var acc = java.math.BigDecimal.ZERO
-        it.foreach(r => acc = acc.add(dec(r)))
-        Iterator((i, acc))
-      }, preservesPartitioning = true)
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(java.math.BigDecimal.ZERO)(_ add _)
     val outType = org.apache.spark.sql.types.DecimalType(38, inScale)
-    val summed = rdd.mapPartitionsWithIndex { (pi, it) =>
-      var acc = offsets(pi)
-      it.map { row =>
-        acc = acc.add(dec(row))
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ acc)
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bs = df.select(col(bucketCol).cast("double").as("__q"))
+      .stat.approxQuantile("__q", probes, 0.01).distinct.sorted
+    // bucket id: #boundaries strictly below (asc) / above (desc) the
+    // row's value — codegen'd size(filter(...)) over the ≤127-element
+    // boundary literal, monotone in the global order by construction
+    val bCol =
+      if (bs.isEmpty) lit(0)
+      else {
+        val arr = typedLit(bs.toSeq)
+        if (descending)
+          size(filter(arr, b => b > col(bucketCol).cast("double")))
+        else
+          size(filter(arr, b => b < col(bucketCol).cast("double")))
       }
+    val ordered =
+      (if (descending) col(bucketCol).desc else col(bucketCol).asc) +:
+        tieBreak
+    val withB = df.withColumn("__b", bCol)
+    val w = Window.partitionBy(col("__b")).orderBy(ordered: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localCum = withB.withColumn("__cum_local",
+      sum(col(value)).over(w).cast(outType))
+    // per-bucket totals are bounded by `buckets`: exact driver prefix
+    val perB = withB.groupBy(col("__b"))
+      .agg(sum(col(value)).cast(outType).as("__bt"))
+      .collect().map(r => (r.getInt(0), r.getDecimal(1))).sortBy(_._1)
+    var acc = java.math.BigDecimal.ZERO
+    val offsets = perB.map { case (b, t) =>
+      val o = (b, acc); acc = acc.add(t); o
     }
-    s.createDataFrame(summed, sorted.schema.add(out, outType, nullable = false))
+    val s = df.sparkSession
+    import s.implicits._
+    val offDf = offsets.toSeq.toDF("__b", "__off")
+      .select(col("__b"), col("__off").cast(outType).as("__off"))
+    localCum.join(broadcast(offDf), "__b")
+      .withColumn(out, (col("__cum_local") + col("__off")).cast(outType))
+      .drop("__b", "__cum_local", "__off")
   }
 
   /** Exact global quartiles over the orders FACT (SF-scaling), via the
@@ -1296,13 +1337,15 @@ object Relational {
     * and the per-part argmin are exact selections with (cost, suppkey)
     * tie-break. Scale shape: the fact collapses to part×supplier partial
     * aggregates before any window; the rank window partitions by part
-    * (never global); part/supplier/nation dims broadcast. */
+    * (never global); supplier/nation dims broadcast, while the SF-scaling
+    * part dim defers to size-stats/AQE (a forced hint on a dim that is
+    * 1.5B rows at 100 TB would OOM where AQE correctly picks SMJ). */
   private def minCostSupplier(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = Tables.part(s, d).filter(col("p_size") === 15)
       .select(col("p_partkey"), col("p_name"))
     val unit = Tables.lineitem(s, d)
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("l_suppkey"),
         (col("l_extendedprice") / col("l_quantity")).cast("decimal(18,6)").as("u"))
       .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
@@ -1383,7 +1426,7 @@ object Relational {
     val parts = Tables.part(s, d).filter(col("p_size") <= 5)
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
     Tables.lineitem(s, d)
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
@@ -1394,14 +1437,15 @@ object Relational {
     * the moneyAvg identity (exact decimal sum, one cast, one division —
     * bitwise cross-engine) and 0.2·avg is a single IEEE product, so the
     * row predicate is deterministic. Scale shape: the per-part average
-    * is a part-dimension-sized broadcast back onto the fact; everything
+    * is a part-dimension-sized relation joined back onto the fact
+    * (size-stats/AQE pick broadcast while it fits); everything
     * else is one partial-combined global aggregate. */
   private def smallQtyRevenue(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val avgQ = li.groupBy(col("l_partkey"))
       .agg((sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
         / count(col("l_quantity"))).as("avg_qty"))
-    li.join(broadcast(avgQ), "l_partkey")
+    li.join(avgQ, "l_partkey")
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg(count(lit(1)).as("n_small_lines"),
         moneySum(col("l_extendedprice")).as("total_price"),
@@ -1421,7 +1465,7 @@ object Relational {
       .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"))
       .filter(col("sum_qty") > 250)
     oq.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_totalprice"), col("sum_qty").cast("double").as("sum_qty"))
   }
@@ -1495,20 +1539,25 @@ object Relational {
     * Cumulative sums are exact decimals ordered by (rev desc, partkey),
     * and the share thresholds are exact cross-multiplications
     * (cum·10 ≤ total·7) — no division, no float boundary. Scale shape:
-    * the fact partial-combines to one row per part; the cumulative
-    * window is a part-dimension global sort (allowlisted in the plan
-    * audit, ×100-receipted; threshold rewrite stands by if the sweep
-    * ever prices it super-linear); output is 3 rows. */
+    * the fact partial-combines to one row per part; the cumulative sum
+    * runs through the distributed rangeCumSum (bucket-partitioned
+    * codegen windows + exact broadcast offsets — never a global or
+    * single-partition sort); output is 3 rows. */
   private def abcAnalysis(s: SparkSession, d: String): DataFrame = {
-    val rev = Tables.lineitem(s, d)
+    // the 60M-row (at sf0.1×100) fact collapses to one row per part ONCE:
+    // everything downstream — the grand total, rangeCumSum's sketch and
+    // bucket passes, and the final classification — reads the 2M-row
+    // cached relation instead of re-running the fact aggregation per pass
+    val rev = materializeOnce(Tables.lineitem(s, d)
       .groupBy(col("l_partkey"))
-      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("rev"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("rev")))
     // per-part aggregates scale WITH the corpus (×100 receipt: 13.6× for
     // the old unpartitioned cumulative window) — the prefix sum runs
     // distributed via rangeCumSum, and the grand total is a broadcast
     // one-row aggregate instead of a global window frame
     val total = rev.agg(sum(col("rev")).as("total"))
-    rangeCumSum(rev, Seq(col("rev").desc, col("l_partkey")), "rev", "cum")
+    rangeCumSum(rev, "rev", descending = true, Seq(col("l_partkey")),
+        "rev", "cum")
       .crossJoin(broadcast(total))
       .withColumn("cls",
         when(col("cum") * 10 <= col("total") * 7, lit("A"))
@@ -1577,7 +1626,7 @@ object Relational {
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .filter(col("s_nationkey") =!= col("c_nationkey"))
       .join(broadcast(nat.select(col("n_nationkey").as("sk"),
         col("n_name").as("supp_nation"))), col("s_nationkey") === col("sk"))
@@ -1592,13 +1641,14 @@ object Relational {
   /** Promotion revenue share (TPC-H Q14 flavor): the fraction of one
     * month's revenue carried by PROMO-type parts. Both sums are exact
     * 4-dp decimals over the date-pruned scan; the share is one IEEE
-    * division of two exact values — bitwise cross-engine. Part dim
-    * broadcasts; single-row output. */
+    * division of two exact values — bitwise cross-engine. The part dim
+    * defers to size-stats/AQE (broadcast at proportional SFs, SMJ when
+    * it outgrows the threshold); single-row output. */
   private def promoShare(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1997-03-01")
         && col("l_shipdate") < lit("1997-04-01"))
-      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .agg(
         round(sum(when(col("p_type") === "PROMO",
@@ -1742,8 +1792,8 @@ object Relational {
     val branch3 = col("p_brand").isin("Brand#33", "Brand#34") &&
       col("p_size") <= 35 && col("l_quantity") >= 25
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)
-          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+      .join(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_size")),
         col("l_partkey") === col("p_partkey"))
       .filter(branch1 || branch2 || branch3)
       .agg(count(lit(1)).as("n_lines"),
@@ -1860,8 +1910,8 @@ object Relational {
     val imports = Tables.lineitem(s, d)
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_nationkey"))),
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey").as("nk_i"))
       .agg(moneySum(rev).as("import_rev"))
@@ -1913,10 +1963,11 @@ object Relational {
     * DECIMAL(18,4) sums, the squares and totals stay exact decimals, one
     * final double division — no per-share float round-trip. Scale shape:
     * fact collapses to (type, supplier) partial-combined, both outer
-    * aggs run over that collapsed relation, broadcast part dim. */
+    * aggs run over that collapsed relation; the part dim defers to
+    * size-stats/AQE. */
   private def supplierHhi(s: SparkSession, d: String): DataFrame = {
     val rev = Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_type"), col("l_suppkey"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("r"))
@@ -2194,7 +2245,7 @@ object Relational {
   private def weightedMedian(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rows = Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .select(col("p_brand"),
         (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
@@ -2247,7 +2298,7 @@ object Relational {
     val p = Tables.part(s, d).filter(col("p_name").like("%red%"))
       .select(col("p_partkey"), col("p_retailprice"))
     Tables.lineitem(s, d)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.supplier(s, d)),
         col("l_suppkey") === col("s_suppkey"))
@@ -2272,7 +2323,7 @@ object Relational {
     val flags = Tables.part(s, d).select(col("p_partkey"),
       col("p_name").like("red%").as("is_red"))
     val per = Tables.lineitem(s, d)
-      .join(broadcast(flags), col("l_partkey") === col("p_partkey"))
+      .join(flags, col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"))
       .agg(
         sum(when(col("is_red"), col("l_quantity")).otherwise(lit(0.0))

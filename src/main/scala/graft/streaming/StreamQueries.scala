@@ -154,11 +154,17 @@ object StreamQueries {
       // streaming state partitions: each micro-batch pays a fixed task +
       // state-store open/commit cost PER PARTITION, every batch — 32
       // partitions × several batches of a bounded replay is pure overhead
-      // for state that fits in a handful. The partition count is pinned
-      // into the checkpoint at first batch, so this scopes to the replay
-      // only (restored after), and a production deployment sizes it to
-      // key cardinality the same way. Parsed tolerantly: a non-numeric
-      // value (e.g. under some AQE setups) falls back to 8.
+      // for state that fits in a handful. 8 balances the two regimes:
+      // fewer partitions shrink the per-batch fixed cost (each
+      // HDFSBackedStateStore partition writes a fsync'd delta file per
+      // batch), but the sf0.1 replays carry REAL per-row state work that
+      // parallelizes across partitions — an r12 experiment at 2
+      // partitions tripled the interval join's cost while saving nothing
+      // measurable on the small keys. The partition count is pinned into
+      // the checkpoint at first batch, so this scopes to the replay only
+      // (restored after), and a production deployment sizes it to key
+      // cardinality the same way. Parsed tolerantly: a non-numeric value
+      // (e.g. under some AQE setups) falls back to 8.
       s.conf.set(shufKey,
         prevShuffle.toIntOption.fold(8)(math.min(8, _)).toString)
       // every data batch here advances the watermark (chunks are

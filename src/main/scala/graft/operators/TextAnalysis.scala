@@ -83,6 +83,44 @@ object TextAnalysis {
       col("doc_id"),
       call_function("content_fp", col("text")).as("fp"))
 
+  /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken 2003 —
+    * the MOSS local algorithm): positional 3-word grams are hashed with
+    * the portable content_fp polynomial and a w=4 sliding-window minimum
+    * selects the document's fingerprint SET. Winnowing guarantees any
+    * shared run of ≥ w+k−1 words between two documents shares a selected
+    * fingerprint, at expected density 2/(w+1) — the principled
+    * sub-sampling that makes all-pairs substring matching indexable.
+    * Tie-break position rules never affect the selected VALUE set (equal
+    * hashes collide to one value), so the set is engine-independent.
+    * Scale shape: pure per-row codegen array ops — no explode, no
+    * shuffle; the 100 TB cost is one map pass. Docs with fewer grams
+    * than the window select their single minimum; docs under k words
+    * select nothing. The oracle replays grams, hash, and sweep in DuckDB
+    * list comprehensions (the content_fp doctrine). */
+  private def winnow(s: SparkSession, d: String): DataFrame = {
+    val w = 4
+    val ws = split(col("text"), " ")
+    val grams = when(size(ws) >= 3,
+      transform(sequence(lit(0), size(ws) - 3),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
+          element_at(ws, i + 3))))
+      .otherwise(array().cast("array<string>"))
+    val hs = transform(grams, g => call_function("content_fp", g))
+    val n = size(hs)
+    val selected =
+      when(n >= w,
+        array_distinct(transform(sequence(lit(0), n - w),
+          i => array_min(slice(hs, i + lit(1), lit(w))))))
+        .when(n >= 1, array(array_min(hs)))
+        .otherwise(array().cast("array<bigint>"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      n.as("n_grams"),
+      size(selected).as("n_selected"),
+      aggregate(selected, lit(0L), (a, x) => a + x).as("fp_sum"),
+      array_min(selected).as("fp_min"))
+  }
+
   /** TF-IDF scoring: top term per document by tf·idf. Inverted document-
     * frequency join on hashed terms; the per-term df aggregation is
     * partial/map-side combined, so shuffle volume is O(distinct terms),
@@ -998,6 +1036,7 @@ object TextAnalysis {
     "q_quality" -> quality _,
     "q_token_count" -> tokenCount _,
     "q_fingerprint" -> fingerprint _,
+    "q_winnow" -> winnow _,
     "q_repetition" -> repetition _,
     "q_vocab" -> vocab _,
     "q_denylist" -> denylist _,
@@ -1513,6 +1552,38 @@ object TextAnalysis {
         |   list_prepend(CAST(0 AS BIGINT),
         |     list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |   (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // winnowing: replay grams → poly hash → w=4 window-min sweep with
+    // list comprehensions; list_sum([]) is NULL in DuckDB vs the
+    // 0-initialized fold in Spark, hence the COALESCE
+    "q_winnow" ->
+      """WITH g AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |   [list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(
+        |          string_split(
+        |            array_to_string(
+        |              list_slice(string_split(text, ' '), i, i + 2), ' '),
+        |            ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007)
+        |    for i in range(1, len(string_split(text, ' ')) - 1)]
+        |  ELSE [] END AS hs
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, len(hs) AS n,
+        |  CASE WHEN len(hs) >= 4 THEN
+        |    list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)])
+        |  WHEN len(hs) >= 1 THEN [list_min(hs)]
+        |  ELSE [] END AS sel
+        | FROM g)
+        |SELECT doc_id,
+        | CAST(n AS INTEGER) AS n_grams,
+        | CAST(len(sel) AS INTEGER) AS n_selected,
+        | CAST(COALESCE(list_sum(sel), 0) AS BIGINT) AS fp_sum,
+        | list_min(sel) AS fp_min
+        |FROM s""".stripMargin
   )
 }

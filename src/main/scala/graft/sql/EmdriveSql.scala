@@ -205,7 +205,12 @@ object EmdriveSql {
     * lowering attaches it as a hidden column, sorts, and drops it).
     * Window specs keep the name-only form. */
   final case class OrderKey(name: String, desc: Boolean,
-      expr: Option[Operand] = None)
+      expr: Option[Operand] = None,
+      // Some(true) = NULLS FIRST, Some(false) = NULLS LAST, None = the
+      // engine default (Spark: asc→nulls first, desc→nulls last; DuckDB
+      // defaults to NULLS LAST everywhere — so nullable keys need the
+      // explicit form for cross-engine agreement)
+      nullsFirst: Option[Boolean] = None)
 
   sealed trait Operand
   final case class ORef(name: String) extends Operand
@@ -463,13 +468,17 @@ object EmdriveSql {
     "QUALIFY")
 
   private val AggFuncs =
-    Set("COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN", "GROUPING")
+    Set("COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN", "GROUPING",
+      // r12 widening: boolean quantifier + dispersion aggregates
+      "BOOL_AND", "BOOL_OR", "STDDEV")
   private val StrFuncs = Set("UPPER", "LOWER", "LENGTH", "TRIM", "SUBSTR",
     "REPLACE", "COALESCE", "NULLIF", "ABS", "ROUND",
     "YEAR", "MONTH", "DAY",
     // r9 widening: the everyday string/calendar tier
     "CONCAT", "LPAD", "RPAD", "LEFT", "RIGHT", "STRPOS", "SPLIT_PART",
-    "CONTAINS", "DATE_TRUNC", "DOW", "FLOOR", "CEIL")
+    "CONTAINS", "DATE_TRUNC", "DOW", "FLOOR", "CEIL",
+    // r12 widening: n-ary comparison + calendar arithmetic
+    "GREATEST", "LEAST", "DATEDIFF")
   private val WinFuncs =
     Set("ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK", "CUME_DIST")
 
@@ -841,17 +850,24 @@ object EmdriveSql {
           // lowering. Otherwise a full scalar operand parses: a bare
           // reference keeps the output-name path, anything else (r9:
           // arithmetic, CAST, scalar functions) rides the expression key
+          // [ASC|DESC] [NULLS FIRST|LAST] — the ANSI null-placement tail
+          def nullsTail(): Option[Boolean] =
+            if (p.tryWord("NULLS")) {
+              if (p.tryWord("FIRST")) Some(true)
+              else { p.eatWord("LAST"); Some(false) }
+            } else None
           p.toks match {
             case TNum(n) :: rest if !n.contains('.') =>
               p.toks = rest
-              OrderKey("#" + n,
-                p.tryWord("DESC") || { p.tryWord("ASC"); false })
+              val desc = p.tryWord("DESC") || { p.tryWord("ASC"); false }
+              OrderKey("#" + n, desc, nullsFirst = nullsTail())
             case _ =>
               val o = parseOperand(p)
               val desc = p.tryWord("DESC") || { p.tryWord("ASC"); false }
+              val nf = nullsTail()
               o match {
-                case ORef(nm) => OrderKey(nm, desc)
-                case other => OrderKey("!expr", desc, Some(other))
+                case ORef(nm) => OrderKey(nm, desc, nullsFirst = nf)
+                case other => OrderKey("!expr", desc, Some(other), nf)
               }
           }
         }
@@ -2476,7 +2492,14 @@ final class EmdriveSession(spark: SparkSession,
               col(hn)
             case None => col(k.name)
           }
-          if (k.desc) c.desc else c.asc
+          (k.desc, k.nullsFirst) match {
+            case (false, None) => c.asc
+            case (true, None) => c.desc
+            case (false, Some(true)) => c.asc_nulls_first
+            case (false, Some(false)) => c.asc_nulls_last
+            case (true, Some(true)) => c.desc_nulls_first
+            case (true, Some(false)) => c.desc_nulls_last
+          }
         }
         out = out.orderBy(sortCols: _*)
         if (obExprs.nonEmpty) out = out.drop(obExprs.map(_._1): _*)
@@ -2523,6 +2546,13 @@ final class EmdriveSession(spark: SparkSession,
       // rollup NULL). Widened from Spark's tinyint to bigint so the
       // dialect's type is engine-independent.
       case ("GROUPING", Some(c)) => grouping(qref(c)).cast("bigint")
+      // boolean quantifiers (ANSI EVERY/ANY; the DuckDB spelling) — both
+      // engines skip NULLs and return NULL on all-NULL groups
+      case ("BOOL_AND", Some(c)) => bool_and(qref(c))
+      case ("BOOL_OR", Some(c)) => bool_or(qref(c))
+      // sample standard deviation (n−1 denominator in both engines).
+      // Float-accumulated — keys must round(…, 6) per the §5 discipline.
+      case ("STDDEV", Some(c)) => stddev_samp(qref(c))
       case other => throw new IllegalArgumentException(s"bad aggregate: $other")
     }
 
@@ -2840,6 +2870,19 @@ final class EmdriveSession(spark: SparkSession,
         case ("DOW", Seq(x)) => (dayofweek(x) - lit(1)).cast("int")
         case ("FLOOR", Seq(x)) => floor(x)
         case ("CEIL", Seq(x)) => ceil(x)
+        // r12: n-ary comparison scalars — both engines return the extreme
+        // of the NON-NULL arguments (Postgres GREATEST/LEAST semantics)
+        case ("GREATEST", xs) if xs.size >= 2 => greatest(xs: _*)
+        case ("LEAST", xs) if xs.size >= 2 => least(xs: _*)
+        // DATEDIFF('day', a, b) = whole-day boundary count b − a — the
+        // DuckDB date_diff spelling; both sides cast through DATE so the
+        // count is calendar days, widened to BIGINT (DuckDB's type)
+        case ("DATEDIFF", Seq(_, x, y)) =>
+          argStr(args(0), "DATEDIFF unit").toLowerCase(java.util.Locale.ROOT) match {
+            case "day" => datediff(y.cast("date"), x.cast("date")).cast("bigint")
+            case u => throw new IllegalArgumentException(
+              s"DATEDIFF supports unit 'day', got '$u'")
+          }
         case other => throw new IllegalArgumentException(
           s"wrong argument count for $f: got ${a.length}")
       }
@@ -3527,6 +3570,78 @@ object SqlQueries {
                | SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
                |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
                |FROM documents ORDER BY source, doc_id;""".stripMargin)
+    }),
+    // r12 scalar widening: GREATEST/LEAST n-ary comparison + DATEDIFF
+    // calendar arithmetic (order-to-ship latency in whole days), grouped
+    // to exact integer extremes/sums
+    "q_sql_datediff" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.register("lineitem", Tables.lineitem(s, d))
+      es.sql("""SELECT o_orderpriority,
+               | CAST(MIN(lat) AS BIGINT) AS min_days,
+               | CAST(MAX(lat) AS BIGINT) AS max_days,
+               | CAST(SUM(lat) AS BIGINT) AS total_days,
+               | COUNT(*) AS n
+               |FROM (SELECT o_orderpriority,
+               |   GREATEST(DATEDIFF('day', o_orderdate, l_shipdate), 0) AS lat
+               |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey) t
+               |GROUP BY o_orderpriority
+               |ORDER BY o_orderpriority;""".stripMargin)
+    }),
+    "q_sql_greatest" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id,
+               | GREATEST(n_chars, 300) AS floor300,
+               | LEAST(n_chars, 300) AS cap300,
+               | GREATEST(n_chars, doc_id, 100) AS g3
+               |FROM documents WHERE doc_id < 150
+               |ORDER BY doc_id;""".stripMargin)
+    }),
+    // ANSI NULLS FIRST/LAST (r12): null placement is ENGINE-DEFAULT
+    // dependent (Spark asc→nulls first, DuckDB→nulls last), so the
+    // explicit form is what makes nullable sort keys cross-engine
+    // deterministic; a LIMIT under each ordering makes the placement
+    // observable through the row SET (the gate sorts rows before
+    // hashing, so order alone would not register)
+    "q_sql_nulls_order" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT 'nulls_first' AS leg, doc_id, nl FROM (
+               |  SELECT doc_id,
+               |    CASE WHEN lang = 'en' THEN NULL ELSE lang END AS nl
+               |  FROM documents WHERE doc_id < 200
+               |  ORDER BY nl DESC NULLS FIRST, doc_id LIMIT 10) a
+               |UNION ALL
+               |SELECT 'nulls_last' AS leg, doc_id, nl FROM (
+               |  SELECT doc_id,
+               |    CASE WHEN lang = 'en' THEN NULL ELSE lang END AS nl
+               |  FROM documents WHERE doc_id < 200
+               |  ORDER BY nl DESC NULLS LAST, doc_id LIMIT 10) b;""".stripMargin)
+    }),
+    // boolean quantifier aggregates (r12): BOOL_AND/BOOL_OR over a
+    // derived boolean column — ANSI EVERY/ANY in the DuckDB spelling
+    "q_sql_bool_agg" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang,
+               | BOOL_AND(big) AS all_big,
+               | BOOL_OR(big) AS any_big,
+               | COUNT(*) AS n
+               |FROM (SELECT lang,
+               |   CASE WHEN n_chars > 300 THEN TRUE ELSE FALSE END AS big
+               |  FROM documents) t
+               |GROUP BY lang ORDER BY lang;""".stripMargin)
+    }),
+    // sample standard deviation (r12): float-accumulated, so the key
+    // rounds to 6 dp per the §5 float discipline (the zipf precedent)
+    "q_sql_stddev" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang, COUNT(*) AS n,
+               | ROUND(STDDEV(n_chars), 6) AS sd_chars
+               |FROM documents GROUP BY lang ORDER BY lang;""".stripMargin)
     }),
     // EXCEPT ALL / INTERSECT ALL (r9): bag-semantics set ops — lang
     // multiset of long docs minus short docs (multiplicities subtract),
@@ -4244,6 +4359,50 @@ object SqlQueries {
     "q_sql_group_expr" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n_orders
         |FROM orders GROUP BY year(o_orderdate)""".stripMargin,
+    "q_sql_datediff" ->
+      """SELECT o_orderpriority,
+        | CAST(MIN(lat) AS BIGINT) AS min_days,
+        | CAST(MAX(lat) AS BIGINT) AS max_days,
+        | CAST(SUM(lat) AS BIGINT) AS total_days,
+        | COUNT(*) AS n
+        |FROM (SELECT o_orderpriority,
+        |   GREATEST(date_diff('day', CAST(o_orderdate AS DATE),
+        |     CAST(l_shipdate AS DATE)), 0) AS lat
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey) t
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_greatest" ->
+      """SELECT doc_id,
+        | GREATEST(n_chars, 300) AS floor300,
+        | LEAST(n_chars, 300) AS cap300,
+        | GREATEST(n_chars, doc_id, 100) AS g3
+        |FROM documents WHERE doc_id < 150
+        |ORDER BY doc_id""".stripMargin,
+    "q_sql_nulls_order" ->
+      """SELECT 'nulls_first' AS leg, doc_id, nl FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN NULL ELSE lang END AS nl
+        |  FROM documents WHERE doc_id < 200
+        |  ORDER BY nl DESC NULLS FIRST, doc_id LIMIT 10) a
+        |UNION ALL
+        |SELECT 'nulls_last' AS leg, doc_id, nl FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN NULL ELSE lang END AS nl
+        |  FROM documents WHERE doc_id < 200
+        |  ORDER BY nl DESC NULLS LAST, doc_id LIMIT 10) b""".stripMargin,
+    "q_sql_bool_agg" ->
+      """SELECT lang,
+        | BOOL_AND(big) AS all_big,
+        | BOOL_OR(big) AS any_big,
+        | COUNT(*) AS n
+        |FROM (SELECT lang,
+        |   CASE WHEN n_chars > 300 THEN TRUE ELSE FALSE END AS big
+        |  FROM documents) t
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sql_stddev" ->
+      """SELECT lang, COUNT(*) AS n,
+        | ROUND(STDDEV(n_chars), 6) AS sd_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sql_set_all" ->
       """SELECT lang FROM documents WHERE n_chars >= 300
         |EXCEPT ALL SELECT lang FROM documents WHERE n_chars < 300""".stripMargin,

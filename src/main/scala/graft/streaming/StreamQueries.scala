@@ -236,6 +236,29 @@ object StreamQueries {
         .select(unix_millis(col("window_start")).as("window_start_ms"),
           col("event_type"), col("n"), col("total_value"))),
 
+    // D28: streaming exact per-window percentiles — per (hour, type) the
+    // values fold into a multiset and p50/p95 are exact nearest-rank
+    // selections (ceil(q·n), identical double arithmetic in the oracle —
+    // the 0.95 literal is CAST to DOUBLE there because DuckDB decimal
+    // multiplication would round differently). Exact percentiles are not
+    // mergeable-sketch-able, so per-window state is the window's value
+    // multiset — O(window rows), watermark-bounded in production; the
+    // UNBOUNDED-stream path is the sketch family (q_approx_percentile,
+    // q_stream_cms). Selection reads a sorted copy built at emission,
+    // never kept in state.
+    "q_stream_percentiles" -> ((s, d) =>
+      eventStream(s, d, "q_stream_percentiles", "complete")(df =>
+        df.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(collect_list(col("value")).as("raw"))
+          .select(col("w"), col("event_type"), sort_array(col("raw")).as("vs"))
+          .select(unix_millis(col("w.start")).as("start_ms"),
+            col("event_type"),
+            size(col("vs")).cast("bigint").as("n"),
+            element_at(col("vs"), greatest(lit(1),
+              ceil(size(col("vs")) * lit(0.5)).cast("int"))).as("p50"),
+            element_at(col("vs"), greatest(lit(1),
+              ceil(size(col("vs")) * lit(0.95)).cast("int"))).as("p95")))),
+
     // D23: per-(user,type) inter-event gaps emitted as events arrive; the
     // predecessor clock crosses micro-batch boundaries in the state store.
     "q_stream_event_gaps" -> ((s, d) =>
@@ -426,6 +449,16 @@ object StreamQueries {
         |   AS total_value
         |FROM events CROSS JOIN (SELECT unnest(range(4)) AS i)
         |GROUP BY 1, 2""".stripMargin,
+    "q_stream_percentiles" ->
+      """WITH l AS (
+        | SELECT event_type, date_trunc('hour', ts) AS h,
+        |  list_sort(list(value)) AS vs
+        | FROM events GROUP BY 1, 2)
+        |SELECT CAST(epoch_ms(h) AS BIGINT) AS start_ms, event_type,
+        | CAST(len(vs) AS BIGINT) AS n,
+        | vs[GREATEST(1, CAST(ceil(CAST(0.5 AS DOUBLE) * len(vs)) AS INTEGER))] AS p50,
+        | vs[GREATEST(1, CAST(ceil(CAST(0.95 AS DOUBLE) * len(vs)) AS INTEGER))] AS p95
+        |FROM l""".stripMargin,
     "q_stream_event_gaps" ->
       """SELECT user_id, event_type, gap_ms FROM (
         | SELECT user_id, event_type,

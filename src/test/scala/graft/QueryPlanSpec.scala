@@ -351,7 +351,14 @@ class QueryPlanSpec extends SparkTestBase {
       val df = SparkEntry.queries(q)(spark, sfDir)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("ReusedExchange"), s"$q final plan has no ReusedExchange:\n$p")
+      // r12: q_abc_analysis persists the SAME canonical per-part aggregate
+      // (materializeOnce), and the CacheManager substitutes it into any
+      // later query sharing the subtree — then the plan serves from
+      // InMemoryTableScan (zero fact scans) instead of ReusedExchange
+      // (one). Either shape satisfies the test's contract: never two
+      // independent scan+agg pipelines.
+      assert(p.contains("ReusedExchange") || p.contains("InMemoryTableScan"),
+        s"$q final plan has neither ReusedExchange nor InMemoryTableScan:\n$p")
     }
   }
 

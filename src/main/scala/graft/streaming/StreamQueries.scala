@@ -173,11 +173,16 @@ object StreamQueries {
       // batches after each watermark change are pure per-batch overhead in
       // this bounded replay — scoped off and restored with the shuffle conf
       s.conf.set(ndKey, "false")
+      // Trigger.AvailableNow: the query drains every staged file (still
+      // one per micro-batch under maxFilesPerTrigger) and STOPS ITSELF —
+      // no processAllAvailable poll loop and no extra empty-batch probe
+      // at the end of the replay
       val q = build(stream).writeStream.format("memory").queryName(sink)
         .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", watch.resolve("ckpt").toString)
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.awaitTermination() finally q.stop()
     } finally {
       s.conf.set(shufKey, prevShuffle)
       s.conf.set(ndKey, prevNd)

@@ -3,6 +3,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // reap other (dead) processes' orphan scratch before measuring — disk
+    // pressure from accumulated orphans is the r11 stall's diagnosed cause
+    TempHygiene.sweepOrphans()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -92,15 +95,7 @@ object Bench {
     try st.forEach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("graft_") && n.endsWith(pidTag))
-        try deleteRecursively(p) catch { case _: Throwable => () }
+        try TempHygiene.deleteRecursively(p) catch { case _: Throwable => () }
     } finally st.close()
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val st = java.nio.file.Files.list(p)
-      try st.forEach(deleteRecursively) finally st.close()
-    }
-    java.nio.file.Files.deleteIfExists(p): Unit
   }
 }

@@ -58,11 +58,41 @@ object SessionMemo {
     s"${md}_p${ProcessHandle.current().pid()}"
   }
 
+  /** Persisted relations owned by the registry: `.persist()`ed DataFrames
+    * pin executor memory/disk until explicitly unpersisted, so every
+    * persist the engine takes must have a release path — [[evictAll]] is
+    * it (r12 ADVICE: `materializeOnce` entries previously accumulated for
+    * the life of the session with no lifecycle at all). */
+  private val persisted = new java.util.concurrent.ConcurrentLinkedQueue[
+    org.apache.spark.sql.DataFrame]()
+
+  /** Memoized persist: build-and-`persist()` the relation once per
+    * (session, dir, key) and hand every later caller the SAME cached
+    * instance — a second invocation of the owning query re-reads the
+    * cache instead of stacking a duplicate `InMemoryRelation` (the
+    * CacheManager "already cached" warning), and the entry is registered
+    * for release by [[evictAll]]. */
+  def ofPersisted(s: SparkSession, dir: String, key: String)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    of(s, dir, key) {
+      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted.add(df)
+      df
+    }
+
   /** Drop every registered artifact. The scale-stress harness calls this
     * before each timed run so its measurements price the full BUILD — the
     * registry amortizes steady-state sessions, and letting it amortize a
     * scaling measurement would hide exactly the cost the harness exists to
     * expose. Dropping the RDD references also frees their shuffle files to
-    * the ContextCleaner. */
-  def evictAll(): Unit = memo.clear()
+    * the ContextCleaner, and registered persists are unpersisted so the
+    * executor-side cache is actually released (r12 ADVICE). */
+  def evictAll(): Unit = {
+    memo.clear()
+    var df = persisted.poll()
+    while (df != null) {
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      df = persisted.poll()
+    }
+  }
 }

@@ -113,6 +113,7 @@ object Stress {
     "q_rolling_7d", "q_js_div", "q_key_skew")
 
   def main(args: Array[String]): Unit = {
+    TempHygiene.sweepOrphans()
     // SPARK_GRAFT_STRESS_ALL=1 sweeps the ENTIRE query registry (one run
     // per scale instead of min-of-2 — this mode is a super-linearity
     // red-flag sweep across every key, not a precision benchmark; the
@@ -146,6 +147,23 @@ object Stress {
     replicate(spark, src, dst, n)
     val rows = Tables.all.map(t => t -> Tables(spark, dst, t).count()).toMap
 
+    // Decomposed receipt for keys whose OUTPUT scales with SF (r12
+    // verdict item: q_ntile emits one row per order, q_rfm one per
+    // customer — at ×100 the wall-clock ratio conflates plan cost with
+    // the unavoidable 100× row production). For each such key the sweep
+    // also times a PLAN-IDENTICAL variant whose result is reduced to one
+    // row inside the same job (group-all over a checksum of every output
+    // column — nothing prunes, every row and column is still computed,
+    // but no N-row result surfaces). Its ratio isolates the operator's
+    // shuffle/rank cost from result handling; the JSON also carries
+    // sec-per-million-output-rows at both scales so linear row work
+    // reads as the flat per-row cost it is.
+    val DecomposedKeys = Set("q_ntile", "q_rfm")
+    def reduceAll(df: DataFrame): DataFrame = {
+      val h = xxhash64(df.columns.map(c => col(c).cast("string")): _*)
+      df.agg(count(lit(1)).as("n"), sum(h).as("checksum"))
+    }
+
     def time(dir: String, name: String): (Double, Long) = {
       // price the full BUILD every run: session-registry artifacts
       // (component labels, ANN indexes) amortize steady-state sessions,
@@ -178,15 +196,30 @@ object Stress {
       try time(src, q)
       catch { case e: Throwable =>
         System.err.println(s"[stress] warm-up $q failed: ${e.getMessage}") })
+    // plan-cost timing: the same registered plan, reduced in-job to one
+    // row (see DecomposedKeys above) — min-of-`runs` like the full path
+    def planTime(dir: String, name: String): Double =
+      Seq.fill(runs) {
+        SessionMemo.evictAll()
+        val t0 = System.nanoTime()
+        reduceAll(SparkEntry.queries(name)(spark, dir)).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.gc()
+        dt
+      }.min
     // a single failing key must not kill a 260-key sweep: record the
     // error in its slot (the receipt reader treats a missing ratio as a
     // loud red) and keep sweeping
-    val timed: Seq[Either[(String, String), (String, Double, Double, Long, Long)]] =
+    val timed: Seq[Either[(String, String),
+        (String, Double, Double, Long, Long, Option[(Double, Double)])]] =
       queriesToRun.map { q =>
         try {
           val (base, baseRows) = Seq.fill(runs)(time(src, q)).minBy(_._1)
           val (big, bigRows) = Seq.fill(runs)(time(dst, q)).minBy(_._1)
-          Right((q, base, big, baseRows, bigRows))
+          val plan =
+            if (!DecomposedKeys(q)) None
+            else Some((planTime(src, q), planTime(dst, q)))
+          Right((q, base, big, baseRows, bigRows, plan))
         } catch {
           case e: Throwable =>
             System.err.println(s"[stress] $q failed: ${e.getMessage}")
@@ -197,10 +230,20 @@ object Stress {
     // result rows ride along: under constant-density replication the ×N
     // row count vs ×1 is a free recall/structure check (a near-dup query
     // that held recall returns ≈N× the pairs; one that silently lost it
-    // shows up right here, next to its wall-clock ratio)
+    // shows up right here, next to its wall-clock ratio). Output-scaling
+    // keys additionally carry sec-per-million-output-rows at both scales
+    // (flat-or-falling = linear row work, the scale-healthy shape) and,
+    // for DecomposedKeys, the reduced-sink plan-cost pair.
     val qs = timed.map {
-      case Right((q, b, g, br, gr)) =>
-        f"""\"$q\":{\"x1\":$b%.3f,\"x$n\":$g%.3f,\"ratio\":${g / b}%.2f,\"rows_x1\":$br,\"rows_x$n\":$gr}"""
+      case Right((q, b, g, br, gr, plan)) =>
+        val spm =
+          if (br > 0 && gr > 0 && gr >= 10 * br)
+            f""",\"s_per_mrow_x1\":${b * 1e6 / br}%.4f,\"s_per_mrow_x$n\":${g * 1e6 / gr}%.4f"""
+          else ""
+        val pl = plan.fold("") { case (p1, pn) =>
+          f""",\"plan_x1\":$p1%.3f,\"plan_x$n\":$pn%.3f,\"plan_ratio\":${pn / p1}%.2f"""
+        }
+        f"""\"$q\":{\"x1\":$b%.3f,\"x$n\":$g%.3f,\"ratio\":${g / b}%.2f,\"rows_x1\":$br,\"rows_x$n\":$gr$spm$pl}"""
       case Left((q, msg)) => s"""\"$q\":{\"error\":\"$msg\"}"""
     }.mkString("{", ",", "}")
     val line =

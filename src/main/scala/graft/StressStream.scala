@@ -48,6 +48,7 @@ object StressStream {
   }
 
   def main(args: Array[String]): Unit = {
+    TempHygiene.sweepOrphans()
     val n = sys.env.get("SPARK_GRAFT_STRESS_N").flatMap(_.toIntOption).getOrElse(10)
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",

@@ -41,6 +41,7 @@ object Trend {
     Seq("lineitem", "orders", "events", "documents", "embeddings")
 
   def main(args: Array[String]): Unit = {
+    TempHygiene.sweepOrphans()
     val dirs = sys.env.getOrElse("SPARK_GRAFT_TREND_DIRS",
       "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1")
       .split(",").toSeq

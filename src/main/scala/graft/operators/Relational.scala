@@ -472,11 +472,16 @@ object Relational {
     * the r12 abc ×100 re-receipt measured the unguarded recomputation at
     * 27.9×, and a parquet-spill variant paid a 2M-row write (~13 s at
     * ×100) the cache avoids. The cache is NOT unpersisted here — the
-    * returned plan still reads it at the caller's final action; it is
-    * collapsed-relation-sized (dimension cardinality, not fact), spills
-    * to disk under pressure, and is dropped with the session. */
-  private[graft] def materializeOnce(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * returned plan still reads it at the caller's final action. Its
+    * lifecycle is the session registry's (r12 ADVICE): the entry is
+    * memoized per (session, dir, key) so repeated invocations reuse ONE
+    * `InMemoryRelation` instead of stacking duplicates, and
+    * [[graft.SessionMemo.evictAll]] unpersists it. It is
+    * collapsed-relation-sized (dimension cardinality, not fact) and
+    * spills to disk under pressure. */
+  private[graft] def materializeOnce(s: SparkSession, dir: String,
+      key: String)(df: => DataFrame): DataFrame =
+    graft.SessionMemo.ofPersisted(s, dir, key)(df)
 
   /** Distributed EXACT global prefix sum — the cumulative-share twin of
     * rangeNtile, for Pareto/Lorenz-style "cumulative mass in this order"
@@ -516,13 +521,20 @@ object Relational {
       .stat.approxQuantile("__q", probes, 0.01).distinct.sorted
     // bucket id: #boundaries strictly below (asc) / above (desc) the
     // row's value — codegen'd size(filter(...)) over the ≤127-element
-    // boundary literal, monotone in the global order by construction
+    // boundary literal, monotone in the global order by construction.
+    // NULL bucketCol rows follow Spark's default null ordering (asc ⇒
+    // nulls FIRST, desc ⇒ nulls LAST): a null comparison drops out of
+    // filter(), which lands nulls in bucket 0 — correct for asc (the
+    // within-bucket orderBy puts them first), but under desc they must
+    // route to a TERMINAL bucket past every boundary or the cumulative
+    // positions silently corrupt (r12 ADVICE)
     val bCol =
       if (bs.isEmpty) lit(0)
       else {
         val arr = typedLit(bs.toSeq)
         if (descending)
-          size(filter(arr, b => b > col(bucketCol).cast("double")))
+          when(col(bucketCol).isNull, lit(bs.length + 1))
+            .otherwise(size(filter(arr, b => b > col(bucketCol).cast("double"))))
         else
           size(filter(arr, b => b < col(bucketCol).cast("double")))
       }
@@ -534,9 +546,12 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val localCum = withB.withColumn("__cum_local",
       sum(col(value)).over(w).cast(outType))
-    // per-bucket totals are bounded by `buckets`: exact driver prefix
+    // per-bucket totals are bounded by `buckets`: exact driver prefix.
+    // A bucket whose values are ALL NULL sums to NULL — coalesce to zero
+    // so the driver-side BigDecimal accumulation never NPEs (r12 ADVICE);
+    // sum() itself skips nulls, so this changes no non-degenerate total
     val perB = withB.groupBy(col("__b"))
-      .agg(sum(col(value)).cast(outType).as("__bt"))
+      .agg(coalesce(sum(col(value)), lit(0)).cast(outType).as("__bt"))
       .collect().map(r => (r.getInt(0), r.getDecimal(1))).sortBy(_._1)
     var acc = java.math.BigDecimal.ZERO
     val offsets = perB.map { case (b, t) =>
@@ -1548,7 +1563,7 @@ object Relational {
     // everything downstream — the grand total, rangeCumSum's sketch and
     // bucket passes, and the final classification — reads the 2M-row
     // cached relation instead of re-running the fact aggregation per pass
-    val rev = materializeOnce(Tables.lineitem(s, d)
+    val rev = materializeOnce(s, d, "abc_rev")(Tables.lineitem(s, d)
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("rev")))
     // per-part aggregates scale WITH the corpus (×100 receipt: 13.6× for

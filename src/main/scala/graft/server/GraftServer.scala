@@ -152,6 +152,7 @@ final class GraftServer(es: EmdriveSession, port: Int = 0,
   */
 object Server {
   def main(args: Array[String]): Unit = {
+    graft.TempHygiene.sweepOrphans()
     // precedence: CLI args > GRAFT_* environment > reference defaults
     // (reference: src/config.rs from_env + src/main.rs boot order)
     val cfg = GraftConfig.fromEnv()

@@ -260,9 +260,17 @@ object EmdriveSql {
     * IN: empty set → FALSE, match → TRUE, no match with a NULL probe or
     * NULLs in the set → NULL). */
   final case class PInSub(lhs: Operand, sub: Select, neg: Boolean) extends Pred
-  /** lhs [NOT] LIKE 'pattern' (%, _ wildcards) — lowered to Column.like;
-    * prefix patterns reach the parquet scan as StringStartsWith. */
-  final case class PLike(lhs: Operand, pattern: String, neg: Boolean) extends Pred
+  /** lhs [NOT] LIKE 'pattern' [ESCAPE 'c'] (%, _ wildcards) — lowered to
+    * Column.like (or the 3-arg `like` with an escape char, r13); prefix
+    * patterns reach the parquet scan as StringStartsWith. */
+  final case class PLike(lhs: Operand, pattern: String, neg: Boolean,
+      escape: Option[String] = None) extends Pred
+  /** (a, b, …) [NOT] IN ((v, v, …), …) — ANSI row-value membership
+    * (r13). Lowered to an OR of per-row equality conjunctions: the
+    * literal rows are bounded dialect input, and the expansion keeps
+    * every leaf a pushable equality instead of a struct comparison. */
+  final case class PInTuple(lhs: Seq[Operand], rows: Seq[Seq[Value]],
+      neg: Boolean) extends Pred
 
   /** `EXISTS (SELECT … FROM t WHERE …)` — the subquery's WHERE may mix
     * local predicates with equality conjuncts referencing OUTER columns
@@ -1134,6 +1142,24 @@ object EmdriveSql {
         } else t
       p.eatSym(")")
       OCast(inner, full)
+    // EXTRACT(part FROM expr) — the ANSI calendar accessor (r13); the
+    // part rides in the function name so the operand tree stays uniform
+    case TWord(f) :: TSym("(") :: _ if f.equalsIgnoreCase("EXTRACT") =>
+      p.toks = p.toks.tail.tail
+      val part = p.toks match {
+        case TWord(w) :: rest => p.toks = rest; w.toUpperCase
+        case _ => p.fail("calendar part after EXTRACT(")
+      }
+      p.eatWord("FROM")
+      val inner = parseOperand(p)
+      p.eatSym(")")
+      OFunc("EXTRACT_" + part, Seq(inner))
+    // INTERVAL n unit — the ANSI interval literal (r13), valid as an
+    // arithmetic operand against DATE/TIMESTAMP expressions
+    case TWord(w) :: TNum(n) :: TWord(u) :: rest
+        if w.equalsIgnoreCase("INTERVAL") && !n.contains('.') =>
+      p.toks = rest
+      OFunc("INTERVAL", Seq(OVal(VNum(n)), OVal(VStr(u.toUpperCase))))
     case TWord(f) :: TSym("(") :: _ if StrFuncs(f.toUpperCase) =>
       p.toks = p.toks.tail.tail
       val args = mutable.ListBuffer(parseOperand(p))
@@ -1196,7 +1222,40 @@ object EmdriveSql {
       case TSym("(") :: TWord(w) :: _ if w.equalsIgnoreCase("SELECT") =>
         parseCmp(p)
       case TSym("(") :: _ =>
-        p.eatSym("("); val e = parsePred(p); p.eatSym(")"); e
+        // ambiguous '(' — a predicate group OR a row-value tuple
+        // `(a, b) IN (…)` (r13). Probe with backtracking: parse one
+        // operand; a following ',' commits to the tuple form, anything
+        // else restores and parses the group.
+        val saved = p.toks
+        p.eatSym("(")
+        val tuple = try {
+          val first = parseOperand(p)
+          if (!p.trySym(",")) { p.toks = saved; None }
+          else {
+            val ops = mutable.ListBuffer(first, parseOperand(p))
+            while (p.trySym(",")) ops += parseOperand(p)
+            p.eatSym(")")
+            val neg = p.tryWord("NOT")
+            p.eatWord("IN")
+            p.eatSym("(")
+            def row(): Seq[Value] = {
+              p.eatSym("(")
+              val vs = mutable.ListBuffer(p.value())
+              while (p.trySym(",")) vs += p.value()
+              p.eatSym(")")
+              require(vs.size == ops.size,
+                s"IN row arity ${vs.size} != tuple arity ${ops.size}")
+              vs.toSeq
+            }
+            val rows = mutable.ListBuffer(row())
+            while (p.trySym(",")) rows += row()
+            p.eatSym(")")
+            Some(PInTuple(ops.toSeq, rows.toSeq, neg))
+          }
+        } catch { case _: Throwable => p.toks = saved; None }
+        tuple.getOrElse {
+          p.eatSym("("); val e = parsePred(p); p.eatSym(")"); e
+        }
       case _ => parseCmp(p)
     }
 
@@ -1219,7 +1278,16 @@ object EmdriveSql {
       PAnd(PCmp(Cmp(lhs, ">=", lo)), PCmp(Cmp(lhs, "<=", hi)))
     }
     def like(n: Boolean): Pred = p.value() match {
-      case VStr(pat) => PLike(lhs, pat, n)
+      case VStr(pat) =>
+        // ANSI ESCAPE suffix: a single-char literal that de-wildcards the
+        // following % or _ in the pattern
+        val esc =
+          if (!p.tryWord("ESCAPE")) None
+          else p.value() match {
+            case VStr(e) if e.length == 1 => Some(e)
+            case other => p.fail(s"single-char string after ESCAPE, got $other")
+          }
+        PLike(lhs, pat, n, esc)
       case other => p.fail(s"string pattern after LIKE, got $other")
     }
     if (neg && p.tryWord("BETWEEN")) {
@@ -2630,7 +2698,8 @@ final class EmdriveSession(spark: SparkSession,
       case POr(a, b) => POr(walk(a), walk(b))
       case PNot(x) => PNot(walk(x))
       case PIn(l, vs, n) => PIn(op(l), vs, n)
-      case PLike(l, pat, n) => PLike(op(l), pat, n)
+      case PInTuple(ls, rows, n) => PInTuple(ls.map(op), rows, n)
+      case PLike(l, pat, n, e) => PLike(op(l), pat, n, e)
       case PIsNull(l, n) => PIsNull(op(l), n)
       case other => other
     }
@@ -2661,8 +2730,9 @@ final class EmdriveSession(spark: SparkSession,
     case POr(a, b) => refNames(a) ++ refNames(b)
     case PNot(x) => refNames(x)
     case PIn(l, _, _) => refNamesO(l)
+    case PInTuple(ls, _, _) => ls.flatMap(refNamesO).toSet
     case PInSub(l, _, _) => refNamesO(l)
-    case PLike(l, _, _) => refNamesO(l)
+    case PLike(l, _, _, _) => refNamesO(l)
     case PIsNull(l, _) => refNamesO(l)
     case _: PExists => Set.empty
   }
@@ -2729,8 +2799,18 @@ final class EmdriveSession(spark: SparkSession,
       }
       val c = operandCol(base, lhs).isin(lits: _*)
       if (neg) !c else c
-    case PLike(lhs, pat, neg) =>
-      val c = operandCol(base, lhs).like(pat)
+    case PLike(lhs, pat, neg, esc) =>
+      // 3-arg `like` is the registry spelling of LIKE … ESCAPE (same
+      // Catalyst Like expression, custom escape char)
+      val l = operandCol(base, lhs)
+      val c = esc.fold(l.like(pat))(e =>
+        call_function("like", l, lit(pat), lit(e)))
+      if (neg) !c else c
+    case PInTuple(lhs, rows, neg) =>
+      val cols = lhs.map(operandCol(base, _))
+      val c = rows.map(r =>
+        cols.zip(r).map { case (cl, v) => cl === operandCol(base, OVal(v)) }
+          .reduce(_ && _)).reduce(_ || _)
       if (neg) !c else c
     case PIsNull(lhs, neg) =>
       if (neg) operandCol(base, lhs).isNotNull
@@ -2883,6 +2963,40 @@ final class EmdriveSession(spark: SparkSession,
             case u => throw new IllegalArgumentException(
               s"DATEDIFF supports unit 'day', got '$u'")
           }
+        // r13: EXTRACT(part FROM x) — the part travels in the name (see
+        // parseAtom). BIGINT to match DuckDB's EXTRACT return type, so
+        // the key SQL needs no cast on either side; DOW is Sunday-based
+        // 0-6 in both engines (dayofweek is 1-based).
+        case (ef, Seq(x)) if ef.startsWith("EXTRACT_") =>
+          (ef.stripPrefix("EXTRACT_") match {
+            case "YEAR" => year(x)
+            case "MONTH" => month(x)
+            case "DAY" => dayofmonth(x)
+            case "HOUR" => hour(x)
+            case "MINUTE" => minute(x)
+            case "SECOND" => second(x)
+            case "DOW" => dayofweek(x) - lit(1)
+            case "DOY" => dayofyear(x)
+            case "QUARTER" => quarter(x)
+            case "WEEK" => weekofyear(x)
+            case part => throw new IllegalArgumentException(
+              s"unsupported EXTRACT part: $part")
+          }).cast("bigint")
+        // r13: INTERVAL n unit literal — lowers to a Catalyst interval
+        // literal, so `date + INTERVAL 5 DAY` rides the generic OArith
+        // Column arithmetic (DATE stays DATE for day/month/year units in
+        // Spark; the keys CAST where DuckDB widens to TIMESTAMP).
+        // Year-month units clamp month-ends identically in both engines
+        // (2020-01-31 + 1 MONTH = 2020-02-29).
+        case ("INTERVAL", _) =>
+          val nv = argInt(args(0), "INTERVAL count")
+          val unit = argStr(args(1), "INTERVAL unit") match {
+            case u if u.endsWith("S") => u.dropRight(1)
+            case u => u
+          }
+          require(Set("DAY", "MONTH", "YEAR", "HOUR", "MINUTE", "SECOND")(
+            unit), s"unsupported INTERVAL unit: $unit")
+          expr(s"INTERVAL '$nv' $unit")
         case other => throw new IllegalArgumentException(
           s"wrong argument count for $f: got ${a.length}")
       }
@@ -2908,6 +3022,9 @@ final class EmdriveSession(spark: SparkSession,
     case "REAL" | "FLOAT" => "float"
     case "VARCHAR" | "TEXT" | "STRING" => "string"
     case "BOOLEAN" | "BOOL" => "boolean"
+    // r13: calendar casts (the INTERVAL-arithmetic companions)
+    case "DATE" => "date"
+    case "TIMESTAMP" => "timestamp"
     case d if d.startsWith("DECIMAL(") => d.toLowerCase
     case other =>
       throw new IllegalArgumentException(s"unsupported CAST type: $other")
@@ -3588,6 +3705,58 @@ object SqlQueries {
                |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey) t
                |GROUP BY o_orderpriority
                |ORDER BY o_orderpriority;""".stripMargin)
+    }),
+    // r13 dialect widening: the everyday-calendar / row-value tier the
+    // r12 verdict named next — EXTRACT, INTERVAL arithmetic, row-value
+    // (tuple) IN, LIKE … ESCAPE. Every key runs the same text in DuckDB.
+    "q_sql_extract" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+               | EXTRACT(QUARTER FROM o_orderdate) AS qtr,
+               | EXTRACT(MONTH FROM o_orderdate) AS mo,
+               | COUNT(*) AS n_orders
+               |FROM orders
+               |GROUP BY EXTRACT(YEAR FROM o_orderdate),
+               | EXTRACT(QUARTER FROM o_orderdate),
+               | EXTRACT(MONTH FROM o_orderdate)
+               |ORDER BY yr, qtr, mo;""".stripMargin)
+    }),
+    "q_sql_interval" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderkey,
+               | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due30,
+               | CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS due_q,
+               | CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS due_y,
+               | CAST(o_orderdate + INTERVAL 6 HOUR AS VARCHAR) AS plus6h
+               |FROM orders WHERE o_orderkey < 500
+               |ORDER BY o_orderkey;""".stripMargin)
+    }),
+    "q_sql_in_tuple" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderkey, o_orderstatus, o_orderpriority
+               |FROM orders
+               |WHERE (o_orderstatus, o_orderpriority)
+               |  IN (('F', '1-URGENT'), ('O', '5-LOW'), ('P', '3-MEDIUM'))
+               |  AND o_orderkey < 2000
+               |ORDER BY o_orderkey;""".stripMargin)
+    }),
+    "q_sql_like_escape" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      // tags carry literal % and _ so the escape char is load-bearing:
+      // 'pct!_5!%!_t' matches exactly the doc_id%10=5 tag, and the NOT
+      // LIKE arm (never true — every tag contains a literal %) proves
+      // the escape composes with negation
+      es.sql("""SELECT doc_id, tag FROM (
+               | SELECT doc_id,
+               |  CONCAT('pct_', CAST(doc_id % 10 AS VARCHAR), '%_t') AS tag
+               | FROM documents) t
+               |WHERE tag LIKE 'pct!_5!%!_t' ESCAPE '!'
+               |   OR tag NOT LIKE '%!%%' ESCAPE '!'
+               |ORDER BY doc_id;""".stripMargin)
     }),
     "q_sql_greatest" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
@@ -4377,6 +4546,37 @@ object SqlQueries {
         | LEAST(n_chars, 300) AS cap300,
         | GREATEST(n_chars, doc_id, 100) AS g3
         |FROM documents WHERE doc_id < 150
+        |ORDER BY doc_id""".stripMargin,
+    "q_sql_extract" ->
+      """SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+        | EXTRACT(QUARTER FROM o_orderdate) AS qtr,
+        | EXTRACT(MONTH FROM o_orderdate) AS mo,
+        | COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY 1, 2, 3
+        |ORDER BY yr, qtr, mo""".stripMargin,
+    "q_sql_interval" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due30,
+        | CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS due_q,
+        | CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS due_y,
+        | CAST(o_orderdate + INTERVAL 6 HOUR AS VARCHAR) AS plus6h
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_sql_in_tuple" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority
+        |FROM orders
+        |WHERE (o_orderstatus, o_orderpriority)
+        |  IN (('F', '1-URGENT'), ('O', '5-LOW'), ('P', '3-MEDIUM'))
+        |  AND o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_sql_like_escape" ->
+      """SELECT doc_id, tag FROM (
+        | SELECT doc_id,
+        |  CONCAT('pct_', CAST(doc_id % 10 AS VARCHAR), '%_t') AS tag
+        | FROM documents) t
+        |WHERE tag LIKE 'pct!_5!%!_t' ESCAPE '!'
+        |   OR tag NOT LIKE '%!%%' ESCAPE '!'
         |ORDER BY doc_id""".stripMargin,
     "q_sql_nulls_order" ->
       """SELECT 'nulls_first' AS leg, doc_id, nl FROM (

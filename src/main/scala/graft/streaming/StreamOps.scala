@@ -84,6 +84,34 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming EXACT per-window percentiles (D28) — the production shape:
+    * watermark + APPEND mode, so a (window, type) group's value multiset
+    * lives in the state store only until the watermark passes its window
+    * end, then the finalized window emits ONCE with exact nearest-rank
+    * p50/p95 (ceil(q·n) over the sorted values, computed at emission —
+    * never kept sorted in state) and its state is evicted; later-arriving
+    * rows for a closed window are dropped by the watermark. This is the
+    * honest cost model for exact streaming percentiles: they are not
+    * sketch-mergeable, so state is O(open-window rows), watermark-bounded
+    * — the unbounded-stream alternative is the sketch family
+    * (q_approx_percentile / q_stream_cms). The complete-mode replay twin
+    * (q_stream_percentiles) runs this same aggregation shape with the
+    * watermark inert; this entry point is the one a deployment runs. */
+  def windowedPercentiles(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(collect_list(col("value")).as("raw"))
+      .select(col("w"), col("event_type"), sort_array(col("raw")).as("vs"))
+      .select(unix_millis(col("w.start")).as("start_ms"),
+        col("event_type"),
+        size(col("vs")).cast("bigint").as("n"),
+        element_at(col("vs"), greatest(lit(1),
+          ceil(size(col("vs")) * lit(0.5)).cast("int"))).as("p50"),
+        element_at(col("vs"), greatest(lit(1),
+          ceil(size(col("vs")) * lit(0.95)).cast("int"))).as("p95"))
+
   /** Sliding 7-day active users (the streaming twin of batch q_wau, D21):
     * 7-day windows advancing daily, each carrying an HLL distinct-user
     * sketch. Exact sliding distinct is not incrementally expressible in a

@@ -359,6 +359,31 @@ class QueryPlanSpec extends SparkTestBase {
       // independent scan+agg pipelines.
       assert(p.contains("ReusedExchange") || p.contains("InMemoryTableScan"),
         s"$q final plan has neither ReusedExchange nor InMemoryTableScan:\n$p")
+      // …and assert the contract DIRECTLY (r12 ADVICE: node-name presence
+      // alone would pass a plan that ALSO carried a second independent
+      // scan+agg pipeline): at most ONE lineitem FileScan may EXECUTE in
+      // this plan. Counted by tree walk, not string match — the plan's
+      // toString renders the InMemoryRelation's stored child plan inline,
+      // whose scan text is a cache-population artifact, not an execution.
+      // Cache/reuse boundaries terminate the walk (their inputs executed
+      // once elsewhere); AQE query stages are descended via their plans.
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      def factScans(pl: SparkPlan): Int = pl match {
+        case f: FileSourceScanExec =>
+          if (f.relation.location.rootPaths.exists(_.toString.contains("lineitem")))
+            1 else 0
+        case _: InMemoryTableScanExec => 0
+        case _: ReusedExchangeExec => 0
+        case a: AdaptiveSparkPlanExec => factScans(a.executedPlan)
+        case st: QueryStageExec => factScans(st.plan)
+        case other =>
+          (other.children ++ other.subqueries).map(factScans).sum
+      }
+      val n = factScans(df.queryExecution.executedPlan)
+      assert(n <= 1, s"$q executed plan carries $n lineitem file scans:\n$p")
     }
   }
 

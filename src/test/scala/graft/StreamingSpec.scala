@@ -36,6 +36,53 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("exact per-window percentiles: append mode emits closed windows once, drops late rows (D28)") {
+    // the PRODUCTION shape of q_stream_percentiles (r12 verdict item 5):
+    // watermark + append — a window's multiset state lives only until the
+    // watermark passes its end, the finalized window emits exactly once
+    // with exact nearest-rank selections, and late data is dropped
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val q = StreamOps.windowedPercentiles(input.toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("pctl_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val h = 3600L * 1000
+      // hour 0: clicks 1..4 → n=4, p50 = v[ceil(.5*4)]=v[2]=2, p95=v[4]=4
+      input.addData(
+        StreamEvent(1, new Timestamp(0 * h + 10), "click", 2.0),
+        StreamEvent(2, new Timestamp(0 * h + 20), "click", 4.0),
+        StreamEvent(3, new Timestamp(0 * h + 30), "click", 1.0),
+        StreamEvent(4, new Timestamp(0 * h + 40), "click", 3.0))
+      q.processAllAvailable()
+      // append mode: nothing emits while the window can still grow
+      assert(spark.table("pctl_out").isEmpty,
+        "open window emitted before watermark passed")
+      // hour 2 event pushes the watermark past hour 0's end → hour 0
+      // finalizes and emits; its state is evicted
+      input.addData(StreamEvent(9, new Timestamp(2 * h), "click", 7.0))
+      q.processAllAvailable()
+      val closed = spark.table("pctl_out")
+        .select($"start_ms", $"n", $"p50", $"p95").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      assert(closed.toSet == Set((0L, 4L, 2.0, 4.0)), closed.mkString(","))
+      // a LATE hour-0 row (behind the watermark) must not resurrect the
+      // closed window or change any emitted result
+      input.addData(StreamEvent(5, new Timestamp(0 * h + 50), "click", 100.0))
+      q.processAllAvailable()
+      // close hour 2 as well: the late row contributed nothing anywhere
+      input.addData(StreamEvent(9, new Timestamp(5 * h), "click", 0.0))
+      q.processAllAvailable()
+      val all = spark.table("pctl_out")
+        .select($"start_ms", $"n", $"p50", $"p95").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      assert(all.toSet == Set((0L, 4L, 2.0, 4.0), (2 * h, 1L, 7.0, 7.0)),
+        all.mkString(","))
+    } finally q.stop()
+  }
+
   test("sliding 7-day active users: window membership and sketch accuracy (D21)") {
     val s = spark
     import s.implicits._

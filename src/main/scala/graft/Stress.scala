@@ -150,19 +150,17 @@ object Stress {
     // Decomposed receipt for keys whose OUTPUT scales with SF (r12
     // verdict item: q_ntile emits one row per order, q_rfm one per
     // customer — at ×100 the wall-clock ratio conflates plan cost with
-    // the unavoidable 100× row production). For each such key the sweep
-    // also times a PLAN-IDENTICAL variant whose result is reduced to one
-    // row inside the same job (group-all over a checksum of every output
-    // column — nothing prunes, every row and column is still computed,
-    // but no N-row result surfaces). Its ratio isolates the operator's
-    // shuffle/rank cost from result handling; the JSON also carries
-    // sec-per-million-output-rows at both scales so linear row work
-    // reads as the flat per-row cost it is.
+    // the unavoidable 100× row production). The registered timing path
+    // is a count() sink: nothing is collected or written, so x1/xN
+    // ALREADY measure plan + row production without materialization.
+    // For each decomposed key the sweep additionally times full
+    // materialization (parquet write of the N-row result), so the
+    // write's share is explicit; the JSON also carries sec-per-million-
+    // output-rows at both scales — a FALLING per-row cost reads the
+    // ratio as output scaling over amortized fixed cost, not a plan
+    // regression.
     val DecomposedKeys = Set("q_ntile", "q_rfm")
-    def reduceAll(df: DataFrame): DataFrame = {
-      val h = xxhash64(df.columns.map(c => col(c).cast("string")): _*)
-      df.agg(count(lit(1)).as("n"), sum(h).as("checksum"))
-    }
+    val matDir = s"/tmp/graft_stress_mat_${SessionMemo.pathTag(dst)}"
 
     def time(dir: String, name: String): (Double, Long) = {
       // price the full BUILD every run: session-registry artifacts
@@ -196,13 +194,14 @@ object Stress {
       try time(src, q)
       catch { case e: Throwable =>
         System.err.println(s"[stress] warm-up $q failed: ${e.getMessage}") })
-    // plan-cost timing: the same registered plan, reduced in-job to one
-    // row (see DecomposedKeys above) — min-of-`runs` like the full path
-    def planTime(dir: String, name: String): Double =
+    // materialization timing: the same registered plan, fully written
+    // out (see DecomposedKeys above) — min-of-`runs` like the count path
+    def matTime(dir: String, name: String): Double =
       Seq.fill(runs) {
         SessionMemo.evictAll()
         val t0 = System.nanoTime()
-        reduceAll(SparkEntry.queries(name)(spark, dir)).count()
+        SparkEntry.queries(name)(spark, dir)
+          .write.mode("overwrite").parquet(s"$matDir/$name")
         val dt = (System.nanoTime() - t0) / 1e9
         System.gc()
         dt
@@ -216,10 +215,10 @@ object Stress {
         try {
           val (base, baseRows) = Seq.fill(runs)(time(src, q)).minBy(_._1)
           val (big, bigRows) = Seq.fill(runs)(time(dst, q)).minBy(_._1)
-          val plan =
+          val mat =
             if (!DecomposedKeys(q)) None
-            else Some((planTime(src, q), planTime(dst, q)))
-          Right((q, base, big, baseRows, bigRows, plan))
+            else Some((matTime(src, q), matTime(dst, q)))
+          Right((q, base, big, baseRows, bigRows, mat))
         } catch {
           case e: Throwable =>
             System.err.println(s"[stress] $q failed: ${e.getMessage}")
@@ -241,7 +240,7 @@ object Stress {
             f""",\"s_per_mrow_x1\":${b * 1e6 / br}%.4f,\"s_per_mrow_x$n\":${g * 1e6 / gr}%.4f"""
           else ""
         val pl = plan.fold("") { case (p1, pn) =>
-          f""",\"plan_x1\":$p1%.3f,\"plan_x$n\":$pn%.3f,\"plan_ratio\":${pn / p1}%.2f"""
+          f""",\"mat_x1\":$p1%.3f,\"mat_x$n\":$pn%.3f,\"mat_ratio\":${pn / p1}%.2f"""
         }
         f"""\"$q\":{\"x1\":$b%.3f,\"x$n\":$g%.3f,\"ratio\":${g / b}%.2f,\"rows_x1\":$br,\"rows_x$n\":$gr$spm$pl}"""
       case Left((q, msg)) => s"""\"$q\":{\"error\":\"$msg\"}"""

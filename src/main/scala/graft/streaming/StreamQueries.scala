@@ -482,6 +482,59 @@ object StreamQueries {
             ceil(lit(0.005) * col("n_tok")).cast("long")).as("eps_bounded"))
     }),
 
+    // D13: streaming funnel — the per-user signup→view→purchase state
+    // machine (flatMapGroupsWithState, event-time timeout eviction) runs
+    // over the chunked replay, conversions emitted the moment the
+    // purchase arrives, state crossing micro-batch boundaries. The
+    // streaming operator's restart semantics (a dead funnel re-enters on
+    // a later signup) have no batch twin, so the REGISTERED output is
+    // the first-funnel-entry subset — conversions whose signup is the
+    // user's FIRST signup event — which the streaming machine processes
+    // identically to the batch q_funnel min-chain (greedy first view in
+    // window, first purchase after it): the DuckDB oracle replays that
+    // chain. Restart conversions stay suite-covered (StreamingSpec D13).
+    "q_stream_funnel" -> ((s, d) => {
+      val conv = eventStream(s, d, "q_stream_funnel", "append")(df =>
+        StreamOps.funnel(asEvents(df), stepMs = 86400000L).toDF())
+      val firstSignup = normalizedEvents(s, d)
+        .filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ms")).as("first_signup_ms"))
+      conv.join(firstSignup,
+          conv("user_id") === firstSignup("user_id") &&
+            conv("signup_ms") === firstSignup("first_signup_ms"))
+        .select(conv("user_id"), col("signup_ms"), col("convert_ms"))
+    }),
+
+    // D21: sliding 7-day active users — the 1-day-slide HLL distinct
+    // sketch folds across micro-batches through the same partial-merge
+    // path batch uses, so the STREAMED per-window estimates must answer
+    // the sketch's accuracy contract against the exact batch WAU (the
+    // q_stream_cms pattern: the oracle is the exact count plus the bound
+    // booleans as literals). rsd=0.02; the bound below is ~5σ + slack —
+    // deterministic per corpus, verified at all three SFs.
+    "q_stream_wau" -> ((s, d) => {
+      val wins = eventStream(s, d, "q_stream_wau", "complete")(df =>
+        StreamOps.slidingActiveUsers(df))
+        .select(unix_millis(col("window_end")).as("window_end_ms"),
+          col("active_users"))
+      val exact = {
+        val ud = normalizedEvents(s, d)
+          .select(col("user_id"), expr("ms div 86400000").as("day"))
+          .distinct()
+        ud.select(col("user_id"),
+            explode(sequence(col("day"), col("day") + lit(6))).as("wday"))
+          .distinct()
+          .groupBy(col("wday")).agg(count(lit(1)).as("wau"))
+      }
+      wins
+        .select((expr("window_end_ms div 86400000") - 1L).as("wday"),
+          col("active_users"))
+        .join(exact, "wday")
+        .select(col("wday"), col("wau"),
+          (abs(col("active_users") - col("wau")) <=
+            ceil(col("wau") * lit(0.05)) + lit(5)).as("sketch_ok"))
+    }),
+
     // D27: last-write-wins upsert as a continuously-maintained view; the
     // sink's per-batch winner snapshots collapse to the final winner.
     "q_stream_upsert" -> ((s, d) =>
@@ -568,6 +621,31 @@ object StreamQueries {
         |FROM sess GROUP BY user_id, seq""".stripMargin,
     "q_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS text_md5 FROM documents",
+    // the batch q_funnel min-chain, per user: first signup, greedy first
+    // view within a day, first purchase within a day of that view — the
+    // exact rows the streaming machine emits for first funnel entries
+    "q_stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |t1 AS (SELECT user_id, min(ms) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(ms) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'view'
+        |         AND ms > t1 AND ms <= t1 + 86400000 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(ms) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase'
+        |         AND ms > t2 AND ms <= t2 + 86400000 GROUP BY 1)
+        |SELECT user_id, t1 AS signup_ms, t3 AS convert_ms
+        |FROM t3 JOIN t1 USING (user_id)""".stripMargin,
+    // exact WAU per window-end day + the sketch-accuracy booleans as
+    // literals (the q_stream_cms contract shape)
+    "q_stream_wau" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |uw AS (
+        | SELECT DISTINCT user_id, day + g.i AS wday
+        | FROM ud CROSS JOIN (SELECT unnest(range(7)) AS i) g)
+        |SELECT wday, count(*) AS wau, true AS sketch_ok
+        |FROM uw GROUP BY wday""".stripMargin,
     // brute-force eval×train replay in DuckDB (the q_embed_decontaminate
     // oracle shape): SRP candidate recall at τ=0.4 is part of the
     // contract, not just the verified-pair arithmetic

@@ -535,6 +535,39 @@ object StreamQueries {
             ceil(col("wau") * lit(0.05)) + lit(5)).as("sketch_ok"))
     }),
 
+    // D7: streaming MinHash-LSH near-dup — arriving docs' 16 band hashes
+    // (the same minhash_bands kernel as batch) key a state store of
+    // bucket members; collisions emit candidates immediately, across
+    // micro-batch boundaries. The replay passes the BATCH hot-bucket cap
+    // (Dedup.LshMaxPerBucket) so candidate recall matches the batch
+    // operator at gate scale (the production 64-member cap — bounded
+    // state under boilerplate floods — stays suite-tested); candidates
+    // then exact-verify batch-side at τ=0.5 over the same word-3-shingle
+    // sets, reproducing q_minhash_lsh's output — so the oracle is the
+    // SAME exact pair graph, and a hash match proves the stream's
+    // candidate recall end-to-end (the q_stream_decontaminate pattern).
+    "q_stream_minhash" -> ((s, d) => {
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        call_function("word_shingles", col("text"), lit(3)).as("sh"))
+      val cands = runChunked(s, d, "q_stream_minhash",
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "append", stageKey = "docs_text")(df => {
+        import df.sparkSession.implicits._
+        StreamOps.nearDupCandidates(
+          df.withColumn("ts", timestamp_millis(lit(0L))).as[StreamDoc],
+          maxPerBucket = graft.operators.Dedup.LshMaxPerBucket).toDF()
+      })
+      cands.select(col("earlier_id").as("id_a"), col("later_id").as("id_b"))
+        .distinct()
+        .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("id_b") === col("sb.doc_id"))
+        .withColumn("raw_j",
+          size(array_intersect(col("sa.sh"), col("sb.sh"))) * lit(1.0) /
+            size(array_union(col("sa.sh"), col("sb.sh"))))
+        .filter(col("raw_j") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("raw_j").as("jaccard"))
+    }),
+
     // D27: last-write-wins upsert as a continuously-maintained view; the
     // sink's per-batch winner snapshots collapse to the final winner.
     "q_stream_upsert" -> ((s, d) =>
@@ -636,6 +669,16 @@ object StreamQueries {
         |         AND ms > t2 AND ms <= t2 + 86400000 GROUP BY 1)
         |SELECT user_id, t1 AS signup_ms, t3 AS convert_ms
         |FROM t3 JOIN t1 USING (user_id)""".stripMargin,
+    // the SAME exact pair graph as q_minhash_lsh: the df-cut word-shingle
+    // Jaccard ≥ 0.5 pairs (streamed candidates must recall all of them)
+    "q_stream_minhash" ->
+      s"""WITH ${graft.operators.Dedup.wordPairCtes}
+         |SELECT id_a, id_b,
+         | inter * 1.0 / (ca.n + cb.n - inter) AS jaccard
+         |FROM p
+         |JOIN cnt ca ON id_a = ca.doc_id
+         |JOIN cnt cb ON id_b = cb.doc_id
+         |WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5""".stripMargin,
     // exact WAU per window-end day + the sketch-accuracy booleans as
     // literals (the q_stream_cms contract shape)
     "q_stream_wau" ->

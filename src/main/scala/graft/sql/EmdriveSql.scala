@@ -190,9 +190,13 @@ object EmdriveSql {
       winName: String, alias: String) extends SelectItem
   final case class DistItem(column: String, probe: Value, alias: String) extends SelectItem
   /** COUNT/SUM/AVG/MIN/MAX over a column (or `*` for COUNT). Output name
-    * defaults to `count` / `<func>_<col>` when no alias is given. */
+    * defaults to `count` / `<func>_<col>` when no alias is given.
+    * `filter` carries an ANSI `FILTER (WHERE …)` clause (r13): the
+    * aggregate folds only the qualifying rows — lowered to the
+    * aggregate-over-`when(cond, x)` form Spark's NULL-skipping makes
+    * exactly equivalent; an explicit alias is mandatory with FILTER. */
   final case class AggItem(func: String, arg: Option[String],
-      alias: Option[String]) extends SelectItem
+      alias: Option[String], filter: Option[Pred] = None) extends SelectItem
   /** CASE WHEN pred THEN v [WHEN …] [ELSE v] END AS alias — searched CASE
     * over the dialect's predicate grammar; the alias is mandatory so the
     * output name (and any WHERE/GROUP BY reference to it) is explicit. */
@@ -486,7 +490,11 @@ object EmdriveSql {
     "CONCAT", "LPAD", "RPAD", "LEFT", "RIGHT", "STRPOS", "SPLIT_PART",
     "CONTAINS", "DATE_TRUNC", "DOW", "FLOOR", "CEIL",
     // r12 widening: n-ary comparison + calendar arithmetic
-    "GREATEST", "LEAST", "DATEDIFF")
+    "GREATEST", "LEAST", "DATEDIFF",
+    // r13 widening: math tier + string/regex tier 3
+    "POWER", "SQRT", "LN", "EXP", "SIGN",
+    "REVERSE", "REPEAT", "MD5", "ASCII", "CHR",
+    "REGEXP_REPLACE", "REGEXP_MATCHES")
   private val WinFuncs =
     Set("ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK", "CUME_DIST")
 
@@ -939,15 +947,20 @@ object EmdriveSql {
         if f.equalsIgnoreCase("NTILE") && !n.contains('.') =>
       p.toks = rest
       parseOverClause(p, "NTILE", Some(n))
-    // FIRST_VALUE/LAST_VALUE(col) — ANSI navigation over the window
-    // frame (LAST_VALUE under the default RANGE frame is the current
-    // row, exactly ANSI — pair it with a ROWS frame for the usual idiom)
+    // FIRST_VALUE/LAST_VALUE(col [IGNORE NULLS]) — ANSI navigation over
+    // the window frame (LAST_VALUE under the default RANGE frame is the
+    // current row, exactly ANSI — pair it with a ROWS frame for the
+    // usual idiom). IGNORE NULLS (r13) is THE gap-fill idiom
+    // (`LAST_VALUE(x IGNORE NULLS)` = last observation carried forward);
+    // it rides the arg slot as a "!ignore" suffix.
     case TWord(f) :: TSym("(") :: _
         if f.equalsIgnoreCase("FIRST_VALUE") || f.equalsIgnoreCase("LAST_VALUE") =>
       p.toks = p.toks.tail.tail
       val c = p.ident()
+      val ign =
+        if (p.tryWord("IGNORE")) { p.eatWord("NULLS"); "!ignore" } else ""
       p.eatSym(")")
-      parseOverClause(p, f.toUpperCase, Some(c))
+      parseOverClause(p, f.toUpperCase, Some(c + ign))
     // LAG/LEAD(col [, offset]) — column and offset ride the arg slot as
     // "col:offset" (offset defaults to 1, ANSI)
     case TWord(f) :: TSym("(") :: _
@@ -986,8 +999,19 @@ object EmdriveSql {
         p.eatWord("OVER")
         parseOverClause(p, f, arg, overEaten = true)
       case OAgg(f, arg) =>
+        // ANSI FILTER (WHERE …) — per-aggregate row qualification (r13)
+        val fil =
+          if (!p.tryWord("FILTER")) None
+          else {
+            p.eatSym("("); p.eatWord("WHERE")
+            val pr = parsePred(p)
+            p.eatSym(")")
+            Some(pr)
+          }
         val alias = if (p.tryWord("AS")) Some(p.ident()) else None
-        AggItem(f, arg, alias)
+        require(fil.isEmpty || alias.nonEmpty,
+          "an aggregate with FILTER must have an explicit alias")
+        AggItem(f, arg, alias, fil)
       case other =>
         p.eatWord("AS") // computed items must name their output
         if (aggAtoms(other).nonEmpty) AggExprItem(other, p.ident())
@@ -2097,7 +2121,7 @@ final class EmdriveSession(spark: SparkSession,
     * and are dropped before projection. */
   private def attachCorrScalar(df0: DataFrame, sub: Select, alias: String): DataFrame = {
     val (aggF, aggArg) = sub.items match {
-      case Seq(AggItem(f, arg, _)) => (f, arg)
+      case Seq(AggItem(f, arg, _, None)) => (f, arg)
       case _ => throw new IllegalArgumentException(
         "a correlated scalar subquery must select exactly one aggregate")
     }
@@ -2169,7 +2193,7 @@ final class EmdriveSession(spark: SparkSession,
       case w: WinItem => w.alias
       case DistItem(_, _, a) => a
       case c: CaseItem => c.alias
-      case AggItem(f, arg, a) => aggAlias(f, arg, a)
+      case AggItem(f, arg, a, _) => aggAlias(f, arg, a)
       case Star => throw new IllegalArgumentException(
         "an ordinal cannot reference *")
     }
@@ -2283,8 +2307,7 @@ final class EmdriveSession(spark: SparkSession,
                 s"got ${sub.groupBy.mkString(", ")}")
             val groupCols = (corr.map(_._1) ++ sub.groupBy).distinct
             val aggCols = sub.items.collect {
-              case AggItem(f, arg, alias) =>
-                aggColumn(f, arg).as(aggAlias(f, arg, alias))
+              case it: AggItem => aggItemCol(filtered, it)
             }
             val aggAll =
               if (aggCols.nonEmpty) aggCols
@@ -2397,8 +2420,15 @@ final class EmdriveSession(spark: SparkSession,
             case "LAG" | "LEAD" =>
               val Array(c, off) = arg.get.split(":")
               if (f == "LAG") lag(col(c), off.toInt) else lead(col(c), off.toInt)
-            case "FIRST_VALUE" => first(qref(arg.get))
-            case "LAST_VALUE" => last(qref(arg.get))
+            case "FIRST_VALUE" | "LAST_VALUE" =>
+              // "!ignore" suffix = ANSI IGNORE NULLS (Spark's ignoreNulls
+              // flag; DuckDB-identical: the nearest non-null in frame)
+              val (c, ign) = arg.get.split("!") match {
+                case Array(c0, "ignore") => (c0, true)
+                case _ => (arg.get, false)
+              }
+              if (f == "FIRST_VALUE") first(qref(c), ignoreNulls = ign)
+              else last(qref(c), ignoreNulls = ign)
             // ordered aggregate: ANSI default frame (RANGE unbounded
             // preceding → current row), same default in DuckDB
             case agg => aggColumn(agg, arg)
@@ -2459,8 +2489,8 @@ final class EmdriveSession(spark: SparkSession,
             case w: WinItem => throw new IllegalArgumentException(
               s"window item ${w.alias} cannot be combined with aggregates/GROUP BY")
           }
-          val plain = items.collect { case AggItem(f, arg, alias) =>
-            aggColumn(f, arg).as(aggAlias(f, arg, alias)) }
+          val plain = items.collect { case it: AggItem =>
+            aggItemCol(df, it) }
           // each distinct aggregate atom inside expressions computes ONCE
           // under a RESERVED internal name (never a user-visible alias:
           // deduplicating against plain items let `SELECT SUM(x) AS
@@ -2514,7 +2544,7 @@ final class EmdriveSession(spark: SparkSession,
               qref(n).as(alias.getOrElse(c))
             case it: CaseItem => col(it.alias)
             case it: ExprItem => col(it.alias)
-            case AggItem(f, arg, alias) => col(aggAlias(f, arg, alias))
+            case AggItem(f, arg, alias, _) => col(aggAlias(f, arg, alias))
             case AggExprItem(o, alias) => aggExprCol(o).as(alias)
             case other => throw new IllegalStateException(other.toString)
           }: _*)
@@ -2624,6 +2654,37 @@ final class EmdriveSession(spark: SparkSession,
       case other => throw new IllegalArgumentException(s"bad aggregate: $other")
     }
 
+  /** FILTER (WHERE …) lowering: the aggregate's input becomes
+    * `when(cond, x)` — every aggregate here skips NULLs, so folding the
+    * NULLed-out rows is exactly the ANSI FILTER semantics (COUNT(*)
+    * counts a non-null literal under the condition). GROUPING cannot
+    * take a FILTER (it reads the grouping-set mask, not rows). */
+  private def aggColumnFiltered(func: String, arg: Option[String],
+      cond: Column): Column = {
+    def g(c: String): Column = when(cond, qref(c))
+    (func, arg) match {
+      case ("COUNT", None) => count(when(cond, lit(1)))
+      case ("COUNT", Some(c)) => count(g(c))
+      case ("COUNT_DISTINCT", Some(c)) => countDistinct(g(c))
+      case ("SUM", Some(c)) => sum(g(c))
+      case ("AVG", Some(c)) => avg(g(c))
+      case ("MIN", Some(c)) => min(g(c))
+      case ("MAX", Some(c)) => max(g(c))
+      case ("MEDIAN", Some(c)) => percentile(g(c), lit(0.5))
+      case ("BOOL_AND", Some(c)) => bool_and(g(c))
+      case ("BOOL_OR", Some(c)) => bool_or(g(c))
+      case ("STDDEV", Some(c)) => stddev_samp(g(c))
+      case other => throw new IllegalArgumentException(
+        s"FILTER is not supported for aggregate: $other")
+    }
+  }
+
+  private def aggItemCol(base: DataFrame, it: AggItem): Column =
+    (it.filter match {
+      case None => aggColumn(it.func, it.arg)
+      case Some(p) => aggColumnFiltered(it.func, it.arg, predCol(base, p))
+    }).as(aggAlias(it.func, it.arg, it.alias))
+
   private def aggAlias(func: String, arg: Option[String], alias: Option[String]): String =
     alias.getOrElse(arg match {
       case None => "count"
@@ -2682,7 +2743,7 @@ final class EmdriveSession(spark: SparkSession,
     def op(o: Operand): Operand = o match {
       case OAgg(f, arg) =>
         items.collectFirst {
-          case AggItem(f2, arg2, alias) if f2 == f && arg2 == arg =>
+          case AggItem(f2, arg2, alias, None) if f2 == f && arg2 == arg =>
             ORef(aggAlias(f2, arg2, alias))
         }.getOrElse(throw new IllegalArgumentException(
           s"HAVING aggregate $f(${arg.getOrElse("*")}) must also appear " +
@@ -2963,6 +3024,28 @@ final class EmdriveSession(spark: SparkSession,
             case u => throw new IllegalArgumentException(
               s"DATEDIFF supports unit 'day', got '$u'")
           }
+        // r13: math tier — each lowers 1:1 onto a codegen Catalyst
+        // expression; libm last-ulp differences sit ~10 digits below the
+        // %.6g compare. SIGN returns DOUBLE (DuckDB TINYINT) — keys CAST.
+        case ("POWER", Seq(x, y)) => pow(x, y)
+        case ("SQRT", Seq(x)) => sqrt(x)
+        case ("LN", Seq(x)) => log(x)
+        case ("EXP", Seq(x)) => exp(x)
+        case ("SIGN", Seq(x)) => signum(x)
+        // r13: string/regex tier 3 (DuckDB spellings; REGEXP_REPLACE is
+        // replace-ALL — the DuckDB twin needs the 'g' flag; CHR ≡ Spark
+        // chr; REGEXP_MATCHES ≡ RLIKE, boolean-valued)
+        case ("REVERSE", Seq(x)) => reverse(x)
+        case ("REPEAT", Seq(x, _)) =>
+          repeat(x, argInt(args(1), "REPEAT count"))
+        case ("MD5", Seq(x)) => md5(x)
+        case ("ASCII", Seq(x)) => ascii(x)
+        case ("CHR", Seq(x)) => call_function("chr", x)
+        case ("REGEXP_REPLACE", Seq(x, _, _)) =>
+          regexp_replace(x, argStr(args(1), "REGEXP_REPLACE pattern"),
+            argStr(args(2), "REGEXP_REPLACE replacement"))
+        case ("REGEXP_MATCHES", Seq(x, _)) =>
+          x.rlike(argStr(args(1), "REGEXP_MATCHES pattern"))
         // r13: EXTRACT(part FROM x) — the part travels in the name (see
         // parseAtom). BIGINT to match DuckDB's EXTRACT return type, so
         // the key SQL needs no cast on either side; DOW is Sunday-based
@@ -2977,6 +3060,8 @@ final class EmdriveSession(spark: SparkSession,
             case "SECOND" => second(x)
             case "DOW" => dayofweek(x) - lit(1)
             case "DOY" => dayofyear(x)
+            // DuckDB EXTRACT(epoch) is DOUBLE seconds — both sides CAST
+            case "EPOCH" => unix_seconds(x.cast("timestamp"))
             case "QUARTER" => quarter(x)
             case "WEEK" => weekofyear(x)
             case part => throw new IllegalArgumentException(
@@ -3757,6 +3842,68 @@ object SqlQueries {
                |WHERE tag LIKE 'pct!_5!%!_t' ESCAPE '!'
                |   OR tag NOT LIKE '%!%%' ESCAPE '!'
                |ORDER BY doc_id;""".stripMargin)
+    }),
+    // r13 second tier: math scalars, regex/string tier 3, aggregate
+    // FILTER clause, IGNORE NULLS navigation, EXTRACT(EPOCH)
+    "q_sql_math" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderkey,
+               | ROUND(SQRT(o_totalprice), 6) AS sq,
+               | ROUND(LN(o_totalprice), 6) AS lg,
+               | ROUND(ABS(EXP(LN(o_totalprice)) - o_totalprice), 3) AS rt,
+               | ROUND(ABS(POWER(o_totalprice, 0.5) - SQRT(o_totalprice)), 6) AS zz,
+               | CAST(SIGN(o_totalprice - 100000) AS INTEGER) AS s
+               |FROM orders WHERE o_orderkey < 300
+               |ORDER BY o_orderkey;""".stripMargin)
+    }),
+    "q_sql_regex" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id,
+               | REGEXP_REPLACE(source, '[0-9]+', '#') AS src_n,
+               | REGEXP_MATCHES(source, '1[0-9]') AS is_teens,
+               | REVERSE(source) AS rsrc,
+               | REPEAT(source, 2) AS s2,
+               | MD5(source) AS h,
+               | ASCII(source) AS a,
+               | CHR(CAST(65 + doc_id % 26 AS INTEGER)) AS letter
+               |FROM documents WHERE doc_id < 200
+               |ORDER BY doc_id;""".stripMargin)
+    }),
+    "q_sql_filter_agg" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("lineitem", Tables.lineitem(s, d))
+      es.sql("""SELECT l_returnflag,
+               | COUNT(*) AS n_all,
+               | COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+               | SUM(l_quantity) FILTER (WHERE l_discount >= 0.05) AS qty_disc,
+               | MAX(l_extendedprice) FILTER (WHERE l_tax > 0.03) AS max_taxed,
+               | COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity = 1) AS n_supp_q1
+               |FROM lineitem GROUP BY l_returnflag
+               |ORDER BY l_returnflag;""".stripMargin)
+    }),
+    "q_sql_ignore_nulls" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      // LOCF gap-fill: every third doc carries a reading, the rest
+      // inherit the latest non-null one in their source partition
+      es.sql("""SELECT doc_id, v,
+               | LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY source
+               |   ORDER BY doc_id
+               |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+               |FROM (SELECT doc_id, source,
+               |   CASE WHEN n_chars % 3 = 0 THEN n_chars ELSE NULL END AS v
+               |  FROM documents) t
+               |ORDER BY doc_id;""".stripMargin)
+    }),
+    "q_sql_epoch" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderkey,
+               | CAST(EXTRACT(EPOCH FROM o_orderdate) AS BIGINT) AS secs
+               |FROM orders WHERE o_orderkey < 300
+               |ORDER BY o_orderkey;""".stripMargin)
     }),
     "q_sql_greatest" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
@@ -4547,6 +4694,49 @@ object SqlQueries {
         | GREATEST(n_chars, doc_id, 100) AS g3
         |FROM documents WHERE doc_id < 150
         |ORDER BY doc_id""".stripMargin,
+    "q_sql_math" ->
+      """SELECT o_orderkey,
+        | ROUND(SQRT(o_totalprice), 6) AS sq,
+        | ROUND(LN(o_totalprice), 6) AS lg,
+        | ROUND(ABS(EXP(LN(o_totalprice)) - o_totalprice), 3) AS rt,
+        | ROUND(ABS(POWER(o_totalprice, 0.5) - SQRT(o_totalprice)), 6) AS zz,
+        | CAST(SIGN(o_totalprice - 100000) AS INTEGER) AS s
+        |FROM orders WHERE o_orderkey < 300
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_sql_regex" ->
+      """SELECT doc_id,
+        | REGEXP_REPLACE(source, '[0-9]+', '#', 'g') AS src_n,
+        | REGEXP_MATCHES(source, '1[0-9]') AS is_teens,
+        | REVERSE(source) AS rsrc,
+        | REPEAT(source, 2) AS s2,
+        | MD5(source) AS h,
+        | ASCII(source) AS a,
+        | CHR(CAST(65 + doc_id % 26 AS INTEGER)) AS letter
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY doc_id""".stripMargin,
+    "q_sql_filter_agg" ->
+      """SELECT l_returnflag,
+        | COUNT(*) AS n_all,
+        | COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        | SUM(l_quantity) FILTER (WHERE l_discount >= 0.05) AS qty_disc,
+        | MAX(l_extendedprice) FILTER (WHERE l_tax > 0.03) AS max_taxed,
+        | COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity = 1) AS n_supp_q1
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_sql_ignore_nulls" ->
+      """SELECT doc_id, v,
+        | LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY source
+        |   ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+        |FROM (SELECT doc_id, source,
+        |   CASE WHEN n_chars % 3 = 0 THEN n_chars ELSE NULL END AS v
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "q_sql_epoch" ->
+      """SELECT o_orderkey,
+        | CAST(EXTRACT(EPOCH FROM o_orderdate) AS BIGINT) AS secs
+        |FROM orders WHERE o_orderkey < 300
+        |ORDER BY o_orderkey""".stripMargin,
     "q_sql_extract" ->
       """SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
         | EXTRACT(QUARTER FROM o_orderdate) AS qtr,

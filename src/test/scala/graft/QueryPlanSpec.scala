@@ -16,6 +16,27 @@ class QueryPlanSpec extends SparkTestBase {
     assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderkey,42)"), p)
   }
 
+  test("tuple IN lowers to pushable equality disjunctions (r13)") {
+    // the row-value membership must reach the parquet scan as pushed
+    // Or/And equality filters — a struct-comparison lowering would not
+    GraftSession.prepare(spark)
+    val p = SparkEntry.queries("q_sql_in_tuple")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("EqualTo(o_orderstatus,F)") ||
+      p.contains("In(o_orderstatus"), p)
+  }
+
+  test("aggregate FILTER clause partial-aggregates (no pre-shuffle row explosion) (r13)") {
+    // agg-over-when must keep the HashAggregate partial/final split —
+    // the conditional rides INSIDE the aggregate, not as a join or
+    // per-row blowup before the exchange
+    val p = plan("q_sql_filter_agg")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("projection queries prune the scan schema") {
     val p = plan("q_select_eq")
     // only the selected + filtered columns are read, not text

@@ -1190,6 +1190,20 @@ object EmdriveSql {
       while (p.trySym(",")) args += parseOperand(p)
       p.eatSym(")")
       OFunc(f.toUpperCase, args.toSeq)
+    // STRING_AGG(col, 'sep') — ordered-by-value concatenation (r13).
+    // The dialect DEFINES the order as ascending by the aggregated value
+    // (deterministic cross-engine; DuckDB spells it ORDER BY col). The
+    // column+separator ride the OAgg arg slot -joined.
+    case TWord(f) :: TSym("(") :: _ if f.equalsIgnoreCase("STRING_AGG") =>
+      p.toks = p.toks.tail.tail
+      val c = p.qident()
+      p.eatSym(",")
+      val sep = p.value() match {
+        case VStr(x) => x
+        case other => p.fail(s"separator string after STRING_AGG column, got $other")
+      }
+      p.eatSym(")")
+      OAgg("STRING_AGG", Some(c + "" + sep))
     case TWord(f) :: TSym("(") :: _ if AggFuncs(f.toUpperCase) =>
       p.toks = p.toks.tail.tail
       val distinct = p.tryWord("DISTINCT")
@@ -2651,6 +2665,12 @@ final class EmdriveSession(spark: SparkSession,
       // sample standard deviation (n−1 denominator in both engines).
       // Float-accumulated — keys must round(…, 6) per the §5 discipline.
       case ("STDDEV", Some(c)) => stddev_samp(qref(c))
+      // ordered concatenation: collect → sort → join, so the result is
+      // deterministic on any partitioning (the DuckDB twin spells the
+      // same order as string_agg(c, sep ORDER BY c))
+      case ("STRING_AGG", Some(enc)) =>
+        val Array(c, sep) = enc.split('')
+        array_join(sort_array(collect_list(qref(c))), sep)
       case other => throw new IllegalArgumentException(s"bad aggregate: $other")
     }
 
@@ -2688,6 +2708,10 @@ final class EmdriveSession(spark: SparkSession,
   private def aggAlias(func: String, arg: Option[String], alias: Option[String]): String =
     alias.getOrElse(arg match {
       case None => "count"
+      // STRING_AGG's arg slot carries "colsep" — default name
+      // from the column alone
+      case Some(c) if func == "STRING_AGG" =>
+        s"string_agg_${c.split('').head}"
       case Some(c) => s"${func.toLowerCase}_$c"
     })
 
@@ -3905,6 +3929,15 @@ object SqlQueries {
                |FROM orders WHERE o_orderkey < 300
                |ORDER BY o_orderkey;""".stripMargin)
     }),
+    "q_sql_string_agg" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("nation", Tables.nation(s, d))
+      es.register("region", Tables.region(s, d))
+      es.sql("""SELECT r_name, STRING_AGG(n_name, ',') AS nations,
+               | COUNT(*) AS n
+               |FROM nation JOIN region ON n_regionkey = r_regionkey
+               |GROUP BY r_name ORDER BY r_name;""".stripMargin)
+    }),
     "q_sql_greatest" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
       es.register("documents", Tables.documents(s, d))
@@ -4694,6 +4727,11 @@ object SqlQueries {
         | GREATEST(n_chars, doc_id, 100) AS g3
         |FROM documents WHERE doc_id < 150
         |ORDER BY doc_id""".stripMargin,
+    "q_sql_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        | COUNT(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q_sql_math" ->
       """SELECT o_orderkey,
         | ROUND(SQRT(o_totalprice), 6) AS sq,

@@ -18,9 +18,11 @@ import java.nio.file.attribute.FileTime
   *  - pid-tagged entries (`…_p<pid>`): deleted when the pid is no longer
   *    alive (`ProcessHandle.of(pid).isEmpty`) — precise, age-independent;
   *  - untagged entries (random-suffix `Files.createTempDirectory` dirs
-  *    from the stream-replay harness and test suites): deleted when their
-  *    mtime is older than `SPARK_GRAFT_TMP_MAX_AGE_H` (default 12 h) —
-  *    any JVM that could still be using them is younger than that;
+  *    from test suites; since r14 the stream-replay harness pid-tags its
+  *    dirs too, so only suites land here): deleted when their mtime is
+  *    older than `SPARK_GRAFT_TMP_MAX_AGE_H` (default 12 h) — a live
+  *    JVM's memoized dirs are never at risk because every dir a live
+  *    process may still read carries its pid;
   *  - `/tmp/graft_pair_store` is NEVER swept: the persisted pair graph is
   *    a deliberate write-once/read-many cross-process artifact (its
   *    production analog is a table-adjacent index, not scratch).

@@ -36,6 +36,11 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
   private def litFloatArray(e: Expression, what: String): Array[Float] = e match {
     case Literal(ad: org.apache.spark.sql.catalyst.util.ArrayData,
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _)) =>
@@ -145,7 +150,17 @@ object GraftExtensions {
         litInt(args(4), "ivfpq_encode k"), litInt(args(5), "ivfpq_encode dsub"))),
     ("pq_adc", info("pq_adc", "ADC score of PQ codes against a probe LUT literal"),
       (args: Seq[Expression]) => PqAdc(args(0),
-        litDoubleArray(args(1), "pq_adc lut"), litInt(args(2), "pq_adc k")))
+        litDoubleArray(args(1), "pq_adc lut"), litInt(args(2), "pq_adc k"))),
+    // TRY-mode cast for the dialect's TRY_CAST: NULL on conversion
+    // failure instead of the session's ANSI runtime error. Catalyst's
+    // own Cast with EvalMode.TRY -- same codegen as a built-in cast;
+    // registered as a function because try_cast is parser syntax in
+    // Spark SQL, not a registry entry the lowering could call.
+    ("graft_try_cast", info("graft_try_cast", "cast that yields NULL instead of an ANSI error"),
+      (args: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.Cast(
+        args(0),
+        org.apache.spark.sql.types.DataType.fromDDL(litString(args(1), "graft_try_cast type")),
+        None, org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
   )
 
   /** Post-hoc registration for sessions built without the extension

@@ -237,7 +237,12 @@ object EmdriveSql {
   /** CAST(expr AS type) — ANSI explicit cast; the type vocabulary is the
     * dialect's (INT/BIGINT/DOUBLE/VARCHAR/BOOLEAN/DECIMAL(p,s)), lowered
     * 1:1 onto Catalyst Cast (codegen'd, DuckDB-identical semantics). */
-  final case class OCast(op: Operand, tpe: String) extends Operand
+  /** CAST / TRY_CAST. `tryMode` pins the dialect's error posture: plain
+    * CAST follows the session's ANSI mode (a malformed value is a loud
+    * runtime error); TRY_CAST yields NULL instead (Catalyst EvalMode.TRY
+    * via the graft_try_cast registry function). */
+  final case class OCast(op: Operand, tpe: String,
+      tryMode: Boolean = false) extends Operand
   /** Scalar function call (string functions — the UPPER/SUBSTR tier). */
   final case class OFunc(name: String, args: Seq[Operand]) extends Operand
   /** An aggregate call as an arithmetic atom (`SUM(a) / COUNT(*)`): only
@@ -494,7 +499,10 @@ object EmdriveSql {
     // r13 widening: math tier + string/regex tier 3
     "POWER", "SQRT", "LN", "EXP", "SIGN",
     "REVERSE", "REPEAT", "MD5", "ASCII", "CHR",
-    "REGEXP_REPLACE", "REGEXP_MATCHES")
+    "REGEXP_REPLACE", "REGEXP_MATCHES",
+    // r14 widening: JSON tier + array/UNNEST tier (DuckDB spellings)
+    "JSON_EXTRACT_STRING", "JSON_EXTRACT",
+    "STRING_SPLIT", "LEN", "UNNEST")
   private val WinFuncs =
     Set("ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK", "CUME_DIST")
 
@@ -1109,7 +1117,7 @@ object EmdriveSql {
     case a: OAgg => Seq(a)
     case OArith(l, _, r) => aggAtoms(l) ++ aggAtoms(r)
     case OFunc(_, args) => args.flatMap(aggAtoms)
-    case OCast(x, _) => aggAtoms(x)
+    case OCast(x, _, _) => aggAtoms(x)
     case _ => Seq.empty
   }
 
@@ -1147,7 +1155,8 @@ object EmdriveSql {
       val sub = parseSelect(p)
       p.eatSym(")")
       OSub(sub)
-    case TWord(f) :: TSym("(") :: _ if f.equalsIgnoreCase("CAST") =>
+    case TWord(f) :: TSym("(") :: _
+        if f.equalsIgnoreCase("CAST") || f.equalsIgnoreCase("TRY_CAST") =>
       p.toks = p.toks.tail.tail
       val inner = parseOperand(p)
       p.eatWord("AS")
@@ -1165,7 +1174,7 @@ object EmdriveSql {
           s"DECIMAL($prec,$sc)"
         } else t
       p.eatSym(")")
-      OCast(inner, full)
+      OCast(inner, full, tryMode = f.equalsIgnoreCase("TRY_CAST"))
     // EXTRACT(part FROM expr) — the ANSI calendar accessor (r13); the
     // part rides in the function name so the operand tree stays uniform
     case TWord(f) :: TSym("(") :: _ if f.equalsIgnoreCase("EXTRACT") =>
@@ -1261,15 +1270,20 @@ object EmdriveSql {
         parseCmp(p)
       case TSym("(") :: _ =>
         // ambiguous '(' — a predicate group OR a row-value tuple
-        // `(a, b) IN (…)` (r13). Probe with backtracking: parse one
-        // operand; a following ',' commits to the tuple form, anything
-        // else restores and parses the group.
+        // `(a, b) IN (…)` (r13). The backtracking probe covers ONLY the
+        // first operand + the comma peek; a comma COMMITS to the tuple
+        // branch, after which errors propagate (a row-arity mismatch
+        // must surface as itself, not resurface as a misleading
+        // group-parse failure). The probe catches the parser's own
+        // failure type only — never fatal VM errors (r13 ADVICE).
         val saved = p.toks
         p.eatSym("(")
-        val tuple = try {
+        val firstOp = try {
           val first = parseOperand(p)
-          if (!p.trySym(",")) { p.toks = saved; None }
-          else {
+          if (p.trySym(",")) Some(first) else { p.toks = saved; None }
+        } catch { case _: IllegalArgumentException => p.toks = saved; None }
+        firstOp match {
+          case Some(first) =>
             val ops = mutable.ListBuffer(first, parseOperand(p))
             while (p.trySym(",")) ops += parseOperand(p)
             p.eatSym(")")
@@ -1288,11 +1302,9 @@ object EmdriveSql {
             val rows = mutable.ListBuffer(row())
             while (p.trySym(",")) rows += row()
             p.eatSym(")")
-            Some(PInTuple(ops.toSeq, rows.toSeq, neg))
-          }
-        } catch { case _: Throwable => p.toks = saved; None }
-        tuple.getOrElse {
-          p.eatSym("("); val e = parsePred(p); p.eatSym(")"); e
+            PInTuple(ops.toSeq, rows.toSeq, neg)
+          case None =>
+            p.eatSym("("); val e = parsePred(p); p.eatSym(")"); e
         }
       case _ => parseCmp(p)
     }
@@ -2546,7 +2558,10 @@ final class EmdriveSession(spark: SparkSession,
                 case "%" => lc % rc
               }
             case OFunc(f, fargs) => funcApply(f, fargs.map(aggExprCol), fargs)
-            case OCast(x, t) => aggExprCol(x).cast(sqlTypeName(t))
+            case OCast(x, t, tm) =>
+              val c = aggExprCol(x)
+              if (tm) call_function("graft_try_cast", c, lit(sqlTypeName(t)))
+              else c.cast(sqlTypeName(t))
             case other => throw new IllegalArgumentException(
               s"unsupported term in aggregate expression: $other")
           }
@@ -2638,6 +2653,13 @@ final class EmdriveSession(spark: SparkSession,
   private def aliasCols(df: DataFrame, alias: Option[String]): DataFrame =
     alias.fold(df)(a => df.toDF(df.columns.map(c => s"$a.$c").toIndexedSeq: _*))
 
+  /** STRING_AGG per-group size cap (values per group). Env-tunable via
+    * SPARK_GRAFT_STRING_AGG_MAX for corpora with legitimately huge
+    * groups; the default is generous for any analytic concat. */
+  private val StringAggMaxGroup: Long =
+    sys.env.get("SPARK_GRAFT_STRING_AGG_MAX").flatMap(_.toLongOption)
+      .getOrElse(1000000L)
+
   private def aggColumn(func: String, arg: Option[String]): Column =
     (func, arg) match {
       case ("COUNT", None) => count(lit(1))
@@ -2669,8 +2691,21 @@ final class EmdriveSession(spark: SparkSession,
       // deterministic on any partitioning (the DuckDB twin spells the
       // same order as string_agg(c, sep ORDER BY c))
       case ("STRING_AGG", Some(enc)) =>
-        val Array(c, sep) = enc.split('')
-        array_join(sort_array(collect_list(qref(c))), sep)
+        // limit-2 split: an empty separator (or one containing the
+        // U+0001 delimiter itself) round-trips -- Java's limitless char
+        // split drops trailing empty tokens and would MatchError here
+        // for STRING_AGG(col, '') (r13 ADVICE)
+        val Array(c, sep) = enc.split("", 2)
+        // per-group memory is the group's full value list (STRING_AGG's
+        // inherent semantics) -- at 100 TB one degenerate hot key would
+        // concentrate its whole list on a single task, so a loud error
+        // above the cap beats a silent executor OOM (r13 verdict note).
+        val lst = sort_array(collect_list(qref(c)))
+        when(size(lst) > StringAggMaxGroup,
+            raise_error(concat(lit("STRING_AGG group for '"), lit(c),
+              lit(s"' exceeds $StringAggMaxGroup values; aggregate or "),
+              lit("bucket the group key first"))))
+          .otherwise(array_join(lst, sep))
       case other => throw new IllegalArgumentException(s"bad aggregate: $other")
     }
 
@@ -2711,7 +2746,7 @@ final class EmdriveSession(spark: SparkSession,
       // STRING_AGG's arg slot carries "colsep" — default name
       // from the column alone
       case Some(c) if func == "STRING_AGG" =>
-        s"string_agg_${c.split('').head}"
+        s"string_agg_${c.split("", 2).head}"
       case Some(c) => s"${func.toLowerCase}_$c"
     })
 
@@ -2774,7 +2809,7 @@ final class EmdriveSession(spark: SparkSession,
             "in the select list"))
       case OArith(l, oper, r) => OArith(op(l), oper, op(r))
       case OFunc(f, as) => OFunc(f, as.map(op))
-      case OCast(x, t) => OCast(op(x), t)
+      case OCast(x, t, tm) => OCast(op(x), t, tm)
       case other => other
     }
     def walk(pr: Pred): Pred = pr match {
@@ -2805,7 +2840,7 @@ final class EmdriveSession(spark: SparkSession,
     case ODist(c, _) => Set(c)
     case OArith(l, _, r) => refNamesO(l) ++ refNamesO(r)
     case OFunc(_, args) => args.flatMap(refNamesO).toSet
-    case OCast(o, _) => refNamesO(o)
+    case OCast(o, _, _) => refNamesO(o)
     case _ => Set.empty
   }
 
@@ -2833,7 +2868,7 @@ final class EmdriveSession(spark: SparkSession,
       case OArith(l, _, r) =>
         corrSubsInOperand(l, outer) ++ corrSubsInOperand(r, outer)
       case OFunc(_, args) => args.flatMap(corrSubsInOperand(_, outer))
-      case OCast(x, _) => corrSubsInOperand(x, outer)
+      case OCast(x, _, _) => corrSubsInOperand(x, outer)
       case _ => Seq.empty
     }
 
@@ -2979,7 +3014,10 @@ final class EmdriveSession(spark: SparkSession,
       }
     case OFunc(f, args) =>
       funcApply(f, args.map(operandCol(base, _, corr)), args)
-    case OCast(o, t) => operandCol(base, o, corr).cast(sqlTypeName(t))
+    case OCast(o, t, tm) =>
+      val c = operandCol(base, o, corr)
+      if (tm) call_function("graft_try_cast", c, lit(sqlTypeName(t)))
+      else c.cast(sqlTypeName(t))
     case a: OAgg => throw new IllegalArgumentException(
       s"aggregate ${a.func} is only valid in an aggregating SELECT's items")
   }
@@ -3070,6 +3108,31 @@ final class EmdriveSession(spark: SparkSession,
             argStr(args(2), "REGEXP_REPLACE replacement"))
         case ("REGEXP_MATCHES", Seq(x, _)) =>
           x.rlike(argStr(args(1), "REGEXP_MATCHES pattern"))
+        // r14: JSON tier (DuckDB spellings). Both lower onto Spark's
+        // codegen get_json_object, which returns the extracted value as
+        // TEXT: identical to DuckDB json_extract_string for strings and
+        // scalars; the dialect's JSON_EXTRACT is therefore text-valued
+        // too (compose with CAST for numerics) -- DuckDB's JSON-typed
+        // json_extract differs only in keeping quotes on string values,
+        // so cross-engine keys use JSON_EXTRACT_STRING for strings and
+        // CAST(JSON_EXTRACT(...) AS <numeric>) for numbers, where the
+        // two engines agree byte-for-byte. The path must be a literal
+        // ('$.key' JSONPath), which both engines constant-fold.
+        case ("JSON_EXTRACT_STRING", Seq(x, _)) =>
+          get_json_object(x, argStr(args(1), "JSON_EXTRACT_STRING path"))
+        case ("JSON_EXTRACT", Seq(x, _)) =>
+          get_json_object(x, argStr(args(1), "JSON_EXTRACT path"))
+        // r14: array tier. STRING_SPLIT takes a LITERAL separator
+        // (DuckDB semantics: plain text, not a regex -- quoted before it
+        // reaches Spark's regex-based split); LEN is the ARRAY length
+        // (strings keep LENGTH), BIGINT to match DuckDB; UNNEST lowers
+        // to explode -- one generator per SELECT, zero rows for empty
+        // or NULL arrays in both engines.
+        case ("STRING_SPLIT", Seq(x, _)) =>
+          split(x, java.util.regex.Pattern.quote(
+            argStr(args(1), "STRING_SPLIT separator")))
+        case ("LEN", Seq(x)) => size(x).cast("bigint")
+        case ("UNNEST", Seq(x)) => explode(x)
         // r13: EXTRACT(part FROM x) — the part travels in the name (see
         // parseAtom). BIGINT to match DuckDB's EXTRACT return type, so
         // the key SQL needs no cast on either side; DOW is Sunday-based
@@ -3938,6 +4001,62 @@ object SqlQueries {
                |FROM nation JOIN region ON n_regionkey = r_regionkey
                |GROUP BY r_name ORDER BY r_name;""".stripMargin)
     }),
+    // r14: JSON tier at the SQL front door (verdict item 2). The engine
+    // could extract JSON since B16; this makes the dialect reach it:
+    // JSON_EXTRACT_STRING for text values, CAST(JSON_EXTRACT(..)) for
+    // numerics (the cross-engine-identical compositions -- see the
+    // lowering note), a missing path as NULL, and a constructed-JSON
+    // round-trip proving the extraction runs per row, not per literal.
+    "q_sql_json" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("events", Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("props")))
+      es.sql("""SELECT event_id, event_type,
+               | CAST(JSON_EXTRACT(props, '$.k') AS INTEGER) AS k_num,
+               | JSON_EXTRACT_STRING(props, '$.k') AS k_text,
+               | JSON_EXTRACT_STRING(props, '$.missing') AS miss,
+               | JSON_EXTRACT_STRING(CONCAT('{"t":"', event_type, '"}'),
+               |   '$.t') AS t_rt
+               |FROM events
+               |WHERE CAST(JSON_EXTRACT(props, '$.k') AS INTEGER) % 10 = 0
+               |ORDER BY event_id;""".stripMargin)
+    }),
+    // r14: array/UNNEST tier (verdict item 3). STRING_SPLIT -> array,
+    // UNNEST as the SELECT fan-out (lowered to explode; composes with a
+    // second projected column and with GROUP BY through a CTE), LEN as
+    // the array length -- the dialect route into the engine's whole
+    // explode-built text family.
+    "q_sql_unnest" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""WITH tok AS (
+               | SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+               | FROM documents),
+               |cnt AS (
+               | SELECT doc_id, COUNT(*) AS n_terms FROM tok GROUP BY doc_id)
+               |SELECT c.doc_id, c.n_terms,
+               | LEN(STRING_SPLIT(d.text, ' ')) AS n_len
+               |FROM cnt c JOIN documents d ON c.doc_id = d.doc_id
+               |ORDER BY 1;""".stripMargin)
+    }),
+    // r14: the dialect's error-vs-NULL posture, pinned (verdict item 5).
+    // The session runs Spark's ANSI mode: plain CAST of a malformed
+    // value and a division whose divisor IS zero are loud runtime
+    // errors, never silent NULLs. The sanctioned NULL escape hatches are
+    // TRY_CAST (EvalMode.TRY cast: NULL on conversion failure) and
+    // NULLIF-guarded division -- both spelled identically in DuckDB,
+    // which is what makes the posture oracle-checkable.
+    "q_sql_try_cast" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id,
+               | TRY_CAST(source AS INTEGER) AS src_num,
+               | TRY_CAST(lang AS DOUBLE) AS lang_num,
+               | TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER) AS rt,
+               | CAST(n_chars AS DOUBLE) / NULLIF(doc_id % 3, 0) AS gdiv
+               |FROM documents WHERE doc_id < 300
+               |ORDER BY doc_id;""".stripMargin)
+    }),
     "q_sql_greatest" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
       es.register("documents", Tables.documents(s, d))
@@ -4720,6 +4839,34 @@ object SqlQueries {
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey) t
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_json" ->
+      """SELECT event_id, event_type,
+        | CAST(json_extract(props, '$.k') AS INTEGER) AS k_num,
+        | json_extract_string(props, '$.k') AS k_text,
+        | json_extract_string(props, '$.missing') AS miss,
+        | json_extract_string(CONCAT('{"t":"', event_type, '"}'),
+        |   '$.t') AS t_rt
+        |FROM events
+        |WHERE CAST(json_extract(props, '$.k') AS INTEGER) % 10 = 0
+        |ORDER BY event_id""".stripMargin,
+    "q_sql_unnest" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        | FROM documents),
+        |cnt AS (
+        | SELECT doc_id, COUNT(*) AS n_terms FROM tok GROUP BY doc_id)
+        |SELECT c.doc_id, c.n_terms,
+        | len(string_split(d.text, ' ')) AS n_len
+        |FROM cnt c JOIN documents d ON c.doc_id = d.doc_id
+        |ORDER BY 1""".stripMargin,
+    "q_sql_try_cast" ->
+      """SELECT doc_id,
+        | TRY_CAST(source AS INTEGER) AS src_num,
+        | TRY_CAST(lang AS DOUBLE) AS lang_num,
+        | TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER) AS rt,
+        | CAST(n_chars AS DOUBLE) / NULLIF(doc_id % 3, 0) AS gdiv
+        |FROM documents WHERE doc_id < 300
+        |ORDER BY doc_id""".stripMargin,
     "q_sql_greatest" ->
       """SELECT doc_id,
         | GREATEST(n_chars, 300) AS floor300,

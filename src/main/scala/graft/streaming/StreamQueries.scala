@@ -76,9 +76,17 @@ object StreamQueries {
     pick
   }
 
-  private def tempDir(prefix: String): Path = {
+  /** Pid-tagged scratch dir (name ends `_p<pid>`): [[graft.TempHygiene]]
+    * reaps these liveness-based — deleted exactly when the owning process
+    * is dead — instead of by the >12 h mtime heuristic, which could reap
+    * a long-lived JVM's memoized staged chunks out from under its live
+    * SessionMemo (r13 ADVICE, medium). */
+  private def tempDir(prefix: String, base: Path = scratchBase): Path = {
     cleanupHook
-    val p = Files.createTempDirectory(scratchBase, prefix)
+    val name = s"$prefix${java.util.UUID.randomUUID().toString.take(8)}" +
+      s"_p${ProcessHandle.current().pid()}"
+    val p = base.resolve(name)
+    Files.createDirectories(p)
     tempDirs.add(p)
     p
   }
@@ -182,11 +190,9 @@ object StreamQueries {
       .flatMap(_.toIntOption).getOrElse(4)
     val shufKey = "spark.sql.shuffle.partitions"
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val maintKey = "spark.sql.streaming.stateStore.maintenanceInterval"
     val retainKey = "spark.sql.streaming.minBatchesToRetain"
     val prevShuffle = s.conf.get(shufKey)
     val prevNd = s.conf.get(ndKey)
-    val prevMaint = s.conf.getOption(maintKey)
     val prevRetain = s.conf.getOption(retainKey)
     // conf mutations live INSIDE the try whose finally restores them — a
     // failure between the two sets must not leak replay-scoped conf into
@@ -244,7 +250,6 @@ object StreamQueries {
     } finally {
       s.conf.set(shufKey, prevShuffle)
       s.conf.set(ndKey, prevNd)
-      prevMaint.fold(s.conf.unset(maintKey))(s.conf.set(maintKey, _))
       prevRetain.fold(s.conf.unset(retainKey))(s.conf.set(retainKey, _))
     }
     // The memory sink holds its rows on the DRIVER heap, and the
@@ -252,19 +257,36 @@ object StreamQueries {
     // dropped — a sweep that replays many keys (or one key at a stress
     // scale whose result is millions of rows) accumulates every result
     // until the driver OOMs (this killed the ×100 stress context once).
-    // Hand the rows back as a LocalRelation and drop the sink: the rows
-    // are ALREADY driver-resident (that is what a memory sink is), so
-    // this is a reference copy — no parquet write+read round-trip (the
-    // r12 spill variant paid 0.3–0.8 s/key for one) — and the JVM holds
-    // each key's result only while its caller holds the returned frame.
-    val rows = s.table(sink).collect()
-    val outSchema = s.table(sink).schema
+    // Small results hand back as a LocalRelation: the rows are ALREADY
+    // driver-resident (that is what a memory sink is), so this is a
+    // reference copy — no parquet write+read round-trip (the r12 spill
+    // variant paid 0.3–0.8 s/key for one). ABOVE the threshold the
+    // parquet spill returns (r13 ADVICE): a LocalRelation embeds the
+    // full result into every downstream plan and the collect() copy
+    // briefly doubles the driver-held bytes — exactly the ×100-scale
+    // OOM pressure the spill originally fixed. The spill goes to real
+    // disk (java.io.tmpdir), never the tmpfs scratch, so a large result
+    // doesn't cost RAM twice.
+    val localMax = sys.env.get("SPARK_GRAFT_STREAM_LOCAL_MAX")
+      .flatMap(_.toLongOption).getOrElse(2000000L)
+    val nRows = s.table(sink).count()
+    val result = if (nRows <= localMax) {
+      val rows = s.table(sink).collect()
+      val outSchema = s.table(sink).schema
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } else {
+      val spill = tempDir(s"graft_spill_$key",
+        Paths.get(System.getProperty("java.io.tmpdir")))
+      val out = spill.resolve("result").toString
+      s.table(sink).write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+    }
     lap("collect")
     s.catalog.dropTempView(sink)
     // the manager's terminated-query bookkeeping pins the stopped query
     // (and through it the sink's rows) until reset
     s.streams.resetTerminated()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    result
   }
 
   private def eventStream(s: SparkSession, dir: String, key: String,
@@ -568,6 +590,22 @@ object StreamQueries {
         .select(col("id_a"), col("id_b"), col("raw_j").as("jaccard"))
     }),
 
+    // D18: streaming debounce (r14 promotion, the D22/D23 sentinel-free
+    // shape) — an event is emitted only when it arrives more than 1 h
+    // after the last EMITTED event of its (user, type): the stronger
+    // previous-KEPT rule, a greedy chain the batch lag-window cannot
+    // express. Kept events emit the moment they arrive (the event-time
+    // timeout only evicts state), so no watermark sentinels are needed.
+    // The oracle replays the same greedy chain per key as a recursive
+    // CTE: first event kept, then per iteration the earliest event
+    // > last-kept + window (ms is collision-free per (user, type) at
+    // every SF, so the chain is unique).
+    "q_stream_debounce" -> ((s, d) =>
+      eventStream(s, d, "q_stream_debounce", "append")(df =>
+        StreamOps.debounce(asEvents(df), 3600000L).toDF()
+          .select(col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms")))),
+
     // D27: last-write-wins upsert as a continuously-maintained view; the
     // sink's per-batch winner snapshots collapse to the final winner.
     "q_stream_upsert" -> ((s, d) =>
@@ -754,6 +792,22 @@ object StreamQueries {
         |SELECT user_id, min(ms) AS start_ms,
         | max(ms) + 1800000 AS end_ms, count(*) AS n_events
         |FROM sess GROUP BY user_id, seq""".stripMargin,
+    // the greedy previous-KEPT chain per (user, type): base = first
+    // event per key; step = earliest event strictly more than the
+    // window after the last kept one (aggregation in the recursive term
+    // is DuckDB-supported; each iteration advances every live chain by
+    // exactly one kept event)
+    "q_stream_debounce" ->
+      """WITH RECURSIVE e AS (
+        | SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |kept AS (
+        | SELECT user_id, event_type, min(ms) AS ms FROM e GROUP BY 1, 2
+        | UNION ALL
+        | SELECT e.user_id, e.event_type, min(e.ms) AS ms
+        | FROM e JOIN kept k ON e.user_id = k.user_id
+        |  AND e.event_type = k.event_type AND e.ms > k.ms + 3600000
+        | GROUP BY 1, 2)
+        |SELECT user_id, event_type, ms FROM kept""".stripMargin,
     "q_stream_upsert" ->
       """SELECT key, version, payload FROM (
         | SELECT user_id AS key, epoch_ms(ts) AS version,

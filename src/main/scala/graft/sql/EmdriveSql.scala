@@ -1372,4003 +1372,3 @@ object EmdriveSql {
   }
 }
 
-/** A mutable emdrive catalog bound to one SparkSession: `sql(text)` runs a
-  * statement against it. Tables live as DataFrames — CREATE registers an
-  * empty typed frame, INSERT unions literal row plans (ULID()/NOW()
-  * evaluated by the engine, per row), `register` attaches any existing
-  * DataFrame (e.g. a parquet table) under a name. INSERT VALUES is the
-  * reference's driver-local row path; bulk data goes through
-  * sources.Io/Tables as ever.
-  *
-  * Durability: constructed with a `dataDir`, the session is WRITE-THROUGH —
-  * every DDL/DML statement persists the mutated table to
-  * `dataDir/<table>/` (parquet; Spark's footer metadata round-trips the
-  * declared-type / PRIMARY KEY / METRIC KEY roles), and a NEW session over
-  * the same directory auto-restores every saved table at construction with
-  * no manual attach — the reference's boot-from-EMDRIVE_DATA_DIRECTORY
-  * contract (reference: src/config.rs:1-22 data_directory,
-  * src/storage/filesystem.rs write/read roundtrip, src/main.rs boot).
-  * Without a dataDir the catalog is in-memory only (tests, ad-hoc use). */
-final class EmdriveSession(spark: SparkSession,
-    dataDir: Option[String] = None) {
-  import EmdriveSql._
-
-  private val catalog = mutable.Map.empty[String, DataFrame]
-
-  // boot-time restore: every `dataDir/<name>/` holding a live generation
-  // is a previously persisted table — register it eagerly so a restarted
-  // session/server serves the same rows (reference src/main.rs boot path).
-  // Generation resolution (see save()): the CURRENT pointer names the live
-  // `gen-*` dir; a missing/dangling pointer (crash between publish steps)
-  // falls back to the newest complete generation; a bare _SUCCESS dir is
-  // the pre-generation legacy layout. Leftover `.tmp-*` names from a
-  // crashed legacy save are junk, never tables (r11 ADVICE).
-  dataDir.foreach { dir =>
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(root))
-      fs.listStatus(root).filter(_.isDirectory)
-        .filterNot(_.getPath.getName.contains(".tmp-"))
-        .foreach { st =>
-          liveGeneration(fs, st.getPath).foreach(p =>
-            catalog(st.getPath.getName) = spark.read.parquet(p.toString))
-        }
-  }
-
-  /** Resolve the readable generation of a persisted table dir, or None if
-    * the dir holds no complete table. Order: CURRENT-named gen (complete)
-    * → newest complete gen-* → legacy in-place layout (_SUCCESS at root). */
-  private def liveGeneration(fs: org.apache.hadoop.fs.FileSystem,
-      tableDir: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
-    import org.apache.hadoop.fs.Path
-    def complete(p: Path): Boolean = fs.exists(new Path(p, "_SUCCESS"))
-    val ptr = new Path(tableDir, "CURRENT")
-    val named =
-      if (!fs.exists(ptr)) None
-      else {
-        val in = fs.open(ptr)
-        val name = try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-        Some(new Path(tableDir, name)).filter(p => fs.exists(p) && complete(p))
-      }
-    named
-      .orElse(fs.listStatus(tableDir).filter(_.isDirectory)
-        .map(_.getPath).filter(_.getName.startsWith("gen-"))
-        .filter(complete).sortBy(_.getName).lastOption)
-      .orElse(Some(tableDir).filter(complete))
-  }
-
-  /** Write-through hook: after a successful catalog swap, persist the
-    * table under the session's data directory (no-op for in-memory
-    * sessions). Runs AFTER eager domain validation, so a failed statement
-    * never reaches disk. */
-  private def persistIfDurable(name: String): Unit =
-    dataDir.foreach(dir => save(name, s"$dir/$name"))
-
-  def register(name: String, df: DataFrame): Unit = catalog(name) = df
-
-  /** Whether `name` is already registered (restored or registered earlier).
-    * The server boot uses this to avoid shadowing a durably-restored table
-    * with a same-named corpus registration (r11 ADVICE). */
-  def has(name: String): Boolean = catalog.contains(name)
-
-  /** Persisted-index registry: (kind, table plan identity, column) →
-    * on-disk layout path. Built lazily on the FIRST index-backed search
-    * and reused by every later query — the reference's index-lives-with-
-    * the-table economics (src/storage/index.rs) at the SQL layer. Keyed
-    * by the registered relation's SEMANTIC PLAN HASH (not the catalog
-    * name), so two sessions of one SparkSession querying the same corpus
-    * share one layout, while a session registering different data under
-    * the same name can never hit a stale index — the plan identity is
-    * the table-snapshot key, the same role PairStore's file fingerprint
-    * plays for parquet corpora. */
-  private def ensureIndex(kind: String, tbl: String, column: String)
-      (build: String => Unit): String = {
-    val rel = table(tbl)
-    // plan identity alone is NOT a snapshot key for file-backed relations:
-    // a parquet path rewritten in place hashes identically (same path,
-    // same schema), so the key also folds a file-status fingerprint of the
-    // plan's input files (name, length, mtime — the manifest identity
-    // PairStore uses). In-memory relations have no input files; their
-    // LocalRelation semanticHash covers the data.
-    val snap = graft.sources.PairStore.fileFingerprint(
-      spark, rel.inputFiles.toSeq)
-    val key = (System.identityHashCode(spark), kind,
-      rel.queryExecution.analyzed.semanticHash(), snap, column)
-    val cur = EmdriveSession.indexPaths.get(key)
-    if (cur != null) cur
-    else {
-      val p = java.nio.file.Files.createTempDirectory(s"graft_${kind}_idx").toString
-      build(p)
-      val prev = EmdriveSession.indexPaths.putIfAbsent(key, p)
-      if (prev != null) prev else p
-    }
-  }
-
-  private val TvfName = "^([A-Za-z_][A-Za-z_0-9]*)\\((.*)\\)$".r
-
-  def table(name: String): DataFrame = name match {
-    case TvfName(fn, argStr) =>
-      tableFunction(fn.toLowerCase,
-        if (argStr.isEmpty) Seq.empty else argStr.split(",").map(_.trim).toSeq)
-    case _ => catalog.get(name).orElse(name match {
-      // the system catalog is itself queryable — SELECT/JOIN/GROUP BY
-      // compose over it like any relation (reference: src/storage/
-      // system.rs registers `system.tables`/`system.columns` as tables);
-      // SHOW TABLES / DESCRIBE remain as sugar over the same rows. A
-      // user-registered table wins the name (checked first), so this
-      // cannot shadow data.
-      case "system.tables" => Some(systemTables())
-      case "system.columns" => Some(systemColumns())
-      case _ => None
-    }).getOrElse(
-      throw new IllegalArgumentException(s"unknown table: $name"))
-  }
-
-  /** Table functions — the pipeline operators surfaced to the SQL (and
-    * therefore HTTP) front door, so a GraftServer client can run dedup /
-    * near-dup / k-NN / quality gating with SQL-in-rows-out (the
-    * reference's whole serving story, extended past its grammar). Each
-    * lowers to the SAME physical shape as its Scala-API twin; the result
-    * is an ordinary relation, so WHERE/GROUP BY/ORDER BY compose on top. */
-  private def tableFunction(fn: String, args: Seq[String]): DataFrame = {
-    def arity(n: Int): Unit = require(args.length == n,
-      s"$fn expects $n arguments, got ${args.length} in (${args.mkString(", ")})")
-    fn match {
-      // dedup_exact(tbl, idCol, textCol): the rows that SURVIVE exact
-      // dedup (keeper = min id per identical content) with the source
-      // schema intact — grouped min on the content, then a semi join
-      // that AQE broadcasts when the keeper set is small
-      case "dedup_exact" =>
-        arity(3)
-        val t = table(args(0))
-        val (id, text) = (args(1), args(2))
-        val keep = t.groupBy(col(text)).agg(min(col(id)).as(id)).select(col(id))
-        t.join(keep, Seq(id), "left_semi")
-      // neardup_jaccard(tbl, idCol, textCol, threshold): word-3-shingle
-      // Jaccard pairs through the shared df-cut postings core
-      case "neardup_jaccard" =>
-        arity(4)
-        val t = table(args(0))
-        val shingled = t.select(col(args(1)).as("doc_id"),
-          call_function("word_shingles", col(args(2)), lit(3)).as("sh"))
-        graft.operators.Dedup.jaccardPairs(shingled, args(3).toDouble)
-          .select(col("id_a"), col("id_b"), col("raw_j").as("jaccard"))
-      // knn_cosine(tbl, idCol, vecCol, probeId, k): brute-force cosine
-      // top-k vs the probe row — broadcast probe + TakeOrdered, no sort
-      case "knn_cosine" =>
-        arity(5)
-        val t = table(args(0))
-        val (id, vec) = (args(1), args(2))
-        val probe = t.filter(col(id) === args(3).toLong)
-          .select(col(vec).as("__probe_v"))
-        t.crossJoin(broadcast(probe))
-          .select(col(id),
-            round(call_function("cosine_sim", col(vec), col("__probe_v")), 6)
-              .as("sim"))
-          .orderBy(col("sim").desc, col(id))
-          .limit(args(4).toInt)
-      // quality_gate(tbl, idCol, textCol): Gopher-style rule flags +
-      // conjunctive keep (the C33 kernel over any relation)
-      case "quality_gate" =>
-        arity(3)
-        graft.operators.TextAnalysis.gopherFlagsOver(
-          table(args(0)), col(args(1)), col(args(2)))
-      // language_id(tbl, idCol, textCol): the C9 heuristic (stopword-hit
-      // ratio through the shared codegen kernel) over any relation
-      case "language_id" =>
-        arity(3)
-        val ratio = graft.operators.TextAnalysis.enRatioOf(col(args(2)))
-        table(args(0)).select(col(args(1)),
-          when(ratio >= 0.05, "en").otherwise("other").as("pred_lang"),
-          ratio.as("en_ratio"))
-      // sample_split(tbl, idCol): the reproducible 90/10 hash split (C19)
-      // — same row, same side, every engine, any relation
-      case "sample_split" =>
-        arity(2)
-        table(args(0)).select(col(args(1)),
-          when(graft.operators.Sampling.bucketOf(col(args(1)), 100) < 90,
-            "train").otherwise("eval").as("split"))
-      // metric_search(tbl, idCol, hashCol, probeId, maxDist): the
-      // reference's core story (`hash @ probe <= r`) served from the
-      // PERSISTED prefix-partitioned metric layout — first call writes
-      // the index (hive-partitioned by hash prefix), every later call
-      // answers via the IN-list PARTITION prune + codegen Hamming verify
-      // (exact: the prefix distance lower-bounds the full distance).
-      // Output: the table's columns + `dist`.
-      case "metric_search" =>
-        arity(5)
-        val (tbl, id, h) = (args(0), args(1), args(2))
-        val bits = 6
-        // 1-row driver probe lookup FIRST (the bounded-collect pattern
-        // the PQ sidecars use) — a missing probe (incl. the empty-corpus
-        // case) yields the empty relation with the query's schema, and
-        // no index is written for a corpus with nothing to find
-        val probeRows = table(tbl).filter(col(id) === args(3).toLong)
-          .select(col(h).cast("long")).limit(1).collect()
-        if (probeRows.isEmpty) {
-          table(tbl).limit(0).withColumn("dist", lit(0).cast("int"))
-        } else {
-          val probe = probeRows(0).getLong(0)
-          val path = ensureIndex("metric", tbl, h)(p =>
-            graft.sources.MetricIndex.writeIndexed(table(tbl), p, h, bits))
-          graft.sources.MetricIndex
-            .thresholdQuery(spark, path, h, probe, args(4).toInt, bits)
-            .withColumn("dist",
-              call_function("hamming64", col(h).cast("long"), lit(probe))
-                .cast("int"))
-        }
-      // metric_knn(tbl, idCol, hashCol, probeId, k): index-backed k-NN in
-      // Hamming space — the radius-doubling interrogation of the SAME
-      // persisted layout metric_search writes (O(log r) pruned probes,
-      // exact parity with a full scan — what the reference's emtree
-      // exists for). Ranking ties break on the hash value, so boundary
-      // ties are byte-identical rows and the top-k SET is deterministic.
-      case "metric_knn" =>
-        arity(5)
-        val (tbl, id, h) = (args(0), args(1), args(2))
-        val bits = 6
-        val probeRows = table(tbl).filter(col(id) === args(3).toLong)
-          .select(col(h).cast("long")).limit(1).collect()
-        if (probeRows.isEmpty) {
-          table(tbl).limit(0).withColumn("dist", lit(0).cast("int"))
-        } else {
-          val probe = probeRows(0).getLong(0)
-          val path = ensureIndex("metric", tbl, h)(p =>
-            graft.sources.MetricIndex.writeIndexed(table(tbl), p, h, bits))
-          graft.sources.MetricIndex
-            .knnQuery(spark, path, h, probe, args(4).toInt, bits)
-        }
-      // ann_search(tbl, idCol, vecCol, probeId, k): index-backed cosine
-      // top-k from a PERSISTED IVF layout. Cells are the 8 lowest-id
-      // vectors (the q_ann_ivf deterministic-centroid scheme, so the
-      // whole path — assignment, probe cell, in-cell ranking — replays
-      // exactly in an independent engine); assignment is a broadcast
-      // argmax; the layout is parquet partitioned by cluster_id, so the
-      // probe's single-cell scan is DIRECTORY pruning, not row filtering.
-      case "ann_search" =>
-        arity(5)
-        val (tbl, id, vec) = (args(0), args(1), args(2))
-        val nCells = 8
-        // probe presence check first: a missing probe (incl. the empty
-        // corpus, whose layout would not even be readable) is the empty
-        // relation, not an error or a doomed index build
-        if (table(tbl).filter(col(id) === args(3).toLong).limit(1)
-            .collect().isEmpty)
-          return table(tbl).limit(0)
-            .select(col(id), lit(0.0).as("sim"))
-        val path = ensureIndex("ivf", tbl, vec) { p =>
-          val e = table(tbl).select(col(id).as("__vid"), col(vec).as("__v"))
-          val cents = e.orderBy(col("__vid")).limit(nCells)
-            .select(col("__vid").as("cid"), col("__v").as("cvec"))
-          val assigned = e.crossJoin(broadcast(cents))
-            .select(col("__vid"), col("__v"), col("cid"),
-              call_function("cosine_sim", col("__v"), col("cvec")).as("csim"))
-            .groupBy(col("__vid"))
-            .agg(max_by(struct(col("__v"), col("cid")),
-              struct(col("csim"), -col("cid"))).as("b"))
-            .select(col("__vid").as("vec_id"), col("b.__v").as("embedding"),
-              col("b.cid").cast("int").as("cluster_id"))
-          graft.operators.IvfIndex.writeIndex(assigned, p)
-        }
-        val idx = spark.read.parquet(path)
-        val pr = idx.filter(col("vec_id") === args(3).toLong)
-          .select(col("cluster_id").cast("int"), col("embedding"))
-          .limit(1).collect()
-        require(pr.nonEmpty,
-          s"ann_search: probe row ${args(3)} not found in $tbl")
-        val (pc, pv) = (pr(0).getInt(0), pr(0).getSeq[Float](1).toArray)
-        idx.filter(col("cluster_id") === pc) // partition-directory prune
-          .select(col("vec_id").as(id),
-            round(call_function("cosine_sim", col("embedding"),
-              typedLit(pv)), 6).as("sim"))
-          .orderBy(col("sim").desc, col(id))
-          .limit(args(4).toInt)
-      case other => throw new IllegalArgumentException(
-        s"unknown table function: $other")
-    }
-  }
-
-  /** Persist a catalog table as parquet (the durable storage the
-    * reference's paged files provide — here it's just a columnar write),
-    * and re-point the catalog at the written files so subsequent SELECTs
-    * scan parquet (pushdown/pruning) instead of the in-memory union plan.
-    *
-    * Versioned generations (r11 ADVICE — the delete-then-rename swap lost
-    * the on-disk copy in a crash window and raced in-flight readers):
-    * each save writes a FRESH `path/gen-<ts>-<uuid>/` — never touching the
-    * files the current plan (or a concurrent server SELECT's running
-    * collect) reads — then publishes it by rewriting the CURRENT pointer.
-    * No step destroys the live generation: a crash mid-write leaves an
-    * incomplete gen dir (no _SUCCESS — boot skips it), a crash between
-    * pointer delete and rename leaves no CURRENT (boot falls back to the
-    * newest complete generation). Old generations are deleted DEFERRED —
-    * the immediately-previous one survives the publish, so a reader that
-    * planned against it finishes its scan; only generations two saves back
-    * (and the legacy in-place layout, once two gens exist) are dropped. */
-  def save(name: String, path: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val target = new Path(path)
-    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    val gen = new Path(target, f"gen-${System.currentTimeMillis()}%020d-" +
-      java.util.UUID.randomUUID().toString)
-    table(name).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(gen.toString)
-    // publish: pointer tmp-write + rename (a reader of CURRENT sees either
-    // the old or the new generation name, never a partial file)
-    val ptr = new Path(target, "CURRENT")
-    val ptrTmp = new Path(target, "CURRENT.tmp-" +
-      java.util.UUID.randomUUID().toString)
-    val out = fs.create(ptrTmp, true)
-    try out.write(gen.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (fs.exists(ptr)) fs.delete(ptr, false): Unit
-    require(fs.rename(ptrTmp, ptr), s"save: rename $ptrTmp -> $ptr failed")
-    catalog(name) = spark.read.parquet(gen.toString)
-    // deferred cleanup: keep the new generation and the most recent other
-    // complete one; everything older (plus any crashed tmp debris and the
-    // legacy root-level layout once a previous gen exists) is unreachable
-    // by readers that planned after the PREVIOUS publish
-    val gens = fs.listStatus(target).filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.startsWith("gen-")).sortBy(_.getName)
-    val keep = gens.takeRight(2).map(_.getName).toSet
-    gens.filterNot(g => keep(g.getName)).foreach(g => fs.delete(g, true): Unit)
-    fs.listStatus(target)
-      .filter(_.getPath.getName.startsWith("CURRENT.tmp-"))
-      .foreach(st => fs.delete(st.getPath, false): Unit)
-    if (gens.length >= 2)
-      // legacy pre-generation files at the table root are two+ saves old
-      fs.listStatus(target).filterNot(_.isDirectory)
-        .map(_.getPath).filter(p => p.getName.startsWith("part-") ||
-          p.getName == "_SUCCESS")
-        .foreach(p => fs.delete(p, false): Unit)
-  }
-
-  /** Attach a previously saved table, resolving the live generation the
-    * same way boot restore does (CURRENT pointer → newest complete gen →
-    * legacy in-place layout). */
-  def open(name: String, path: String): Unit = {
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    val live = liveGeneration(fs, target).getOrElse(throw
-      new IllegalArgumentException(s"open: no complete table at $path"))
-    catalog(name) = spark.read.parquet(live.toString)
-  }
-
-  /** `system.tables` analog (reference: src/storage/system.rs:5-16): one
-    * row per registered table. The reference keys by storage UUID; here
-    * the name IS the identity, so the id column is dropped. */
-  def systemTables(): DataFrame = {
-    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
-    catalog.keys.toSeq.sorted.foreach { n =>
-      rows.add(Row(n, catalog(n).schema.fields.length))
-    }
-    spark.createDataFrame(rows, StructType(Seq(
-      StructField("table_name", StringType, nullable = false),
-      StructField("n_columns", IntegerType, nullable = false))))
-  }
-
-  /** `system.columns` analog (reference: src/storage/system.rs Columns):
-    * one row per column of every registered table, with the Spark SQL type,
-    * nullability, and the emdrive key roles from the schema metadata. */
-  def systemColumns(): DataFrame = {
-    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
-    catalog.keys.toSeq.sorted.foreach { n =>
-      catalog(n).schema.fields.zipWithIndex.foreach { case (f, i) =>
-        rows.add(Row(n, f.name, i, f.dataType.sql, f.nullable,
-          f.metadata.contains(SchemaMapper.PrimaryKeyMetadata),
-          f.metadata.contains("graft.metricKey")))
-      }
-    }
-    spark.createDataFrame(rows, StructType(Seq(
-      StructField("table_name", StringType, nullable = false),
-      StructField("column_name", StringType, nullable = false),
-      StructField("ordinal", IntegerType, nullable = false),
-      StructField("data_type", StringType, nullable = false),
-      StructField("is_nullable", BooleanType, nullable = false),
-      StructField("primary_key", BooleanType, nullable = false),
-      StructField("metric_key", BooleanType, nullable = false))))
-  }
-
-  def sql(text: String): DataFrame = EmdriveSql.parse(text) match {
-    case ShowTables => systemTables()
-
-    case Describe(name) =>
-      table(name) // unknown-table error, same as SELECT
-      systemColumns().filter(col("table_name") === name).drop("table_name")
-
-    case CreateTable(name, ifNotExists, schema) =>
-      if (!catalog.contains(name) || !ifNotExists) {
-        require(ifNotExists || !catalog.contains(name), s"table exists: $name")
-        catalog(name) = spark.createDataFrame(
-          java.util.Collections.emptyList[Row](), schema)
-        persistIfDurable(name)
-      }
-      catalog(name)
-
-    case Insert(name, cols, rows) =>
-      val target = table(name)
-      val schema = target.schema
-      val named =
-        if (cols.nonEmpty) cols
-        else schema.fields.map(_.name).toSeq
-      val batches = rows.map { vs =>
-        require(vs.size == named.size,
-          s"INSERT arity mismatch: ${named.size} columns, ${vs.size} values")
-        val provided = named.zip(vs).toMap
-        val projected = schema.fields.map { f =>
-          provided.get(f.name) match {
-            case Some(v) => valueCol(v, f).as(f.name)
-            case None => defaultCol(f).as(f.name)
-          }
-        }
-        spark.range(1).select(projected.toIndexedSeq: _*)
-      }
-      val appended = batches.reduce(_ unionByName _)
-      catalog(name) = target.unionByName(appended)
-      persistIfDurable(name)
-      catalog(name)
-
-    case InsertSelect(name, cols, chain) =>
-      val target = table(name)
-      val schema = target.schema
-      val named =
-        if (cols.nonEmpty) cols
-        else schema.fields.map(_.name).toSeq
-      named.foreach(c => require(schema.fieldNames.contains(c),
-        s"unknown target column in INSERT: $c"))
-      val src = lowerChain(chain)
-      require(src.columns.length == named.size,
-        s"INSERT…SELECT arity mismatch: ${named.size} target columns, " +
-          s"${src.columns.length} select items")
-      val renamed = src.toDF(named: _*)
-      // eager statement-time domain validation of the SELECT's rows —
-      // atomic failure, target untouched (same discipline as UPDATE)
-      requireDomain(renamed,
-        schema.fields.toSeq.filter(f => named.contains(f.name)).flatMap(f =>
-          domainViolation(col(f.name), f).map(f.name -> _)), "INSERT")
-      val projected = schema.fields.map { f =>
-        if (named.contains(f.name)) guardedCast(col(f.name), f).as(f.name)
-        else defaultCol(f).as(f.name)
-      }
-      catalog(name) = target.unionByName(
-        renamed.select(projected.toIndexedSeq: _*))
-      persistIfDurable(name)
-      catalog(name)
-
-    case CreateAs(name, ifNotExists, chain) =>
-      if (catalog.contains(name) && ifNotExists) catalog(name)
-      else {
-        require(!catalog.contains(name), s"table exists: $name")
-        catalog(name) = lowerChain(chain)
-        persistIfDurable(name)
-        catalog(name)
-      }
-
-    case Delete(name, where) =>
-      val t = table(name)
-      // keep = NOT coalesce(pred, false): a NULL predicate KEEPS the row
-      // (ANSI three-valued DELETE); no WHERE truncates
-      catalog(name) = where.fold(t.limit(0))(pr =>
-        t.filter(!coalesce(predCol(t, pr), lit(false))))
-      persistIfDurable(name)
-      catalog(name)
-
-    case Update(name, sets, where) =>
-      val t = table(name)
-      val schema = t.schema
-      sets.foreach { case (c, _) =>
-        require(schema.fieldNames.contains(c), s"unknown column in SET: $c") }
-      val setMap = sets.toMap
-      require(setMap.size == sets.size, "duplicate column in SET")
-      val cond = coalesce(
-        where.map(pr => predCol(t, pr)).getOrElse(lit(true)), lit(false))
-      // eager statement-time domain validation over exactly the rows the
-      // WHERE selects — an out-of-domain SET fails HERE, atomically, with
-      // the table left intact (never as a poisoned lazy plan)
-      requireDomain(t,
-        sets.flatMap { case (c, o) =>
-          val f = schema.fields.find(_.name == c).get
-          domainViolation(operandCol(t, o), f).map(v => c -> (cond && v))
-        }, "UPDATE")
-      // ANSI UPDATE: every SET expression reads the OLD row — all new
-      // values computed in ONE projection, cast back to declared types
-      catalog(name) = t.select(schema.fields.map { f =>
-        setMap.get(f.name) match {
-          case Some(o) => when(cond, guardedCast(operandCol(t, o), f))
-            .otherwise(col(f.name)).as(f.name)
-          case None => col(f.name)
-        }
-      }.toIndexedSeq: _*)
-      persistIfDurable(name)
-      catalog(name)
-
-    case Merge(tName, tAlias, sName, sAlias, ons, matchedSets, matchedDelete,
-        notMatched) =>
-      val t = table(tName)
-      val s0 = table(sName)
-      val ta = aliasCols(t, Some(tAlias))
-      val sb = aliasCols(s0, Some(sAlias))
-      // resolve each ON equality's sides to their owning relation
-      val pairs = ons.map { case (l, r) =>
-        val lt = ta.columns.contains(if (l.contains('.')) l else s"$tAlias.$l")
-        val rt = ta.columns.contains(if (r.contains('.')) r else s"$tAlias.$r")
-        def sq(n: String, tgt: Boolean): String = {
-          val dn =
-            if (n.contains('.')) n
-            else if (tgt) s"$tAlias.$n" else s"$sAlias.$n"
-          dn
-        }
-        if (lt && !rt) (sq(l, tgt = true), sq(r, tgt = false))
-        else if (rt && !lt) (sq(r, tgt = true), sq(l, tgt = false))
-        else throw new IllegalArgumentException(
-          s"MERGE ON key $l = $r must pair one target and one source column")
-      }
-      val cond = pairs.map { case (tc, sc) => qref(tc) === qref(sc) }
-        .reduce(_ && _)
-      // ANSI at-most-one-source-match: the standard raises only when a
-      // TARGET row matches more than one source row, so the duplicate
-      // check runs over the semi-join of source to target — duplicate
-      // source keys that match nothing are legal and each INSERTs
-      // (MERGE evaluates against the original target, so two unmatched
-      // rows with the same key both insert; PK dedup is the separate
-      // compaction story). One bounded aggregate pre-check, the
-      // documented DML driver action.
-      val dupSrc = sb.join(ta, cond, "left_semi")
-        .groupBy(pairs.map(pr => qref(pr._2)): _*)
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
-      require(dupSrc == 0,
-        "MERGE: a target row matches more than one source row " +
-          "(ANSI cardinality violation)")
-      val joined = ta.join(sb, cond, "inner")
-      val origNames = t.schema.fields.map(_.name)
-      def backToTarget(df: DataFrame): DataFrame =
-        df.select(t.schema.fields.map(f =>
-          qref(s"$tAlias.${f.name}").as(f.name)).toIndexedSeq: _*)
-      // matched rows: UPDATE projects SET overrides over the joined row
-      // (both sides readable), DELETE drops them, no clause keeps as-is
-      val matchedOut: DataFrame =
-        if (matchedDelete) backToTarget(joined.limit(0))
-        else matchedSets match {
-          case Some(sets) =>
-            val setMap = sets.toMap
-            require(setMap.size == sets.size, "duplicate column in SET")
-            setMap.keys.foreach(c => require(origNames.contains(c),
-              s"unknown target column in SET: $c"))
-            // eager domain validation of matched-row SET values (atomic)
-            requireDomain(joined,
-              sets.flatMap { case (c, o) =>
-                val f = t.schema.fields.find(_.name == c).get
-                domainViolation(operandCol(joined, o), f).map(c -> _)
-              }, "MERGE")
-            joined.select(t.schema.fields.map { f =>
-              setMap.get(f.name) match {
-                case Some(o) =>
-                  guardedCast(operandCol(joined, o), f).as(f.name)
-                case None => qref(s"$tAlias.${f.name}").as(f.name)
-              }
-            }.toIndexedSeq: _*)
-          case None => backToTarget(joined)
-        }
-      // target rows with no source match survive unchanged
-      val untouched = backToTarget(ta.join(sb, cond, "left_anti"))
-      // source rows with no target match INSERT through declared types
-      val inserted: Option[DataFrame] = notMatched.map { case (cols, vals) =>
-        require(cols.forall(origNames.contains),
-          s"unknown target column in INSERT: ${cols.mkString(", ")}")
-        val unmatched = sb.join(ta, cond, "left_anti")
-        val valueFor = cols.zip(vals).toMap
-        // eager domain validation of the INSERT leg's values (atomic)
-        requireDomain(unmatched,
-          cols.zip(vals).flatMap { case (c, o) =>
-            val f = t.schema.fields.find(_.name == c).get
-            domainViolation(operandCol(unmatched, o), f).map(c -> _)
-          }, "MERGE")
-        unmatched.select(t.schema.fields.map { f =>
-          valueFor.get(f.name) match {
-            case Some(o) =>
-              guardedCast(operandCol(unmatched, o), f).as(f.name)
-            case None => lit(null).cast(f.dataType).as(f.name)
-          }
-        }.toIndexedSeq: _*)
-      }
-      val result = inserted.foldLeft(untouched.unionByName(matchedOut))(
-        _ unionByName _)
-      catalog(tName) = result
-      persistIfDurable(tName)
-      catalog(tName)
-
-    case sel: Select => lowerSelect(sel)
-
-    case u: UnionStmt => lowerChain(u)
-
-    case WithStmt(ctes, body, recursive) =>
-      // statement-scoped catalog overlay: each CTE's plan registers under
-      // its name (shadowing any same-named table), the body lowers against
-      // the overlay, and the pre-statement catalog is restored whatever
-      // happens — the session is never mutated by a query. Plans are lazy,
-      // so "registering" a CTE is wiring a subplan, not materializing it —
-      // except a RECURSIVE self-referencing CTE, which iterates eagerly
-      // to its set fixpoint before the body sees it.
-      val saved = ctes.map { case (n, _) => n -> catalog.get(n) }
-      try {
-        ctes.foreach { case (n, chain) =>
-          catalog(n) =
-            if (recursive && chainReferences(chain, n))
-              lowerRecursiveCte(n, chain)
-            else lowerChain(chain)
-        }
-        lowerChain(body)
-      } finally saved.reverse.foreach {
-        case (n, Some(prev)) => catalog(n) = prev
-        case (n, None) => catalog.remove(n)
-      }
-
-    case ExplainStmt(sel) =>
-      val text = lowerSelect(sel).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-      spark.createDataFrame(
-        text.split("\n").toSeq.map(Row(_)).asJava,
-        StructType(Seq(StructField("plan_line", StringType))))
-  }
-
-  /** Left-assoc set-op fold (ANSI bag semantics): positional column
-    * matching; UNION dedupes the accumulated bag (the same
-    * partial-combined aggregate as any DISTINCT), UNION ALL keeps it,
-    * EXCEPT/INTERSECT lower to Dataset.except/intersect — Spark plans
-    * both as null-safe left-anti/left-semi joins over distinct inputs,
-    * exactly the ANSI DISTINCT set semantics, and AQE picks
-    * broadcast vs shuffle. A tail-less chain is just its head SELECT. */
-  /** Does this select (transitively through joins/derived tables)
-    * reference relation `n` in a FROM position? The recursion detector
-    * for WITH RECURSIVE — subquery positions are deliberately excluded
-    * (ANSI forbids the recursive reference there). */
-  private def selectReferences(sel: Select, n: String): Boolean =
-    sel.table == n || sel.joins.exists(_.table == n) ||
-      sel.derived.exists(u => chainReferences(u, n))
-
-  private def chainReferences(u: UnionStmt, n: String): Boolean =
-    selectReferences(u.first, n) ||
-      u.rest.exists { case (_, s) => selectReferences(s, n) }
-
-  /** WITH RECURSIVE fixpoint (r9): naive set-semantics iteration. The
-    * first UNION arm (plus any other non-self-referencing arms) is the
-    * base; every self-referencing arm is a step. Each round re-evaluates
-    * the steps against the CURRENT accumulated relation and unions
-    * distinct; convergence = no growth (monotone under set union, so the
-    * count check is exact). Rounds localCheckpoint, so lineage stays one
-    * round deep and each iteration's shuffle work is bounded by the
-    * delta-free naive cost — the documented trade at this surface
-    * (semi-naive evaluation and the RDD fixpoint live in
-    * operators.Dedup.components for the 100 TB graph path; the SQL
-    * surface favors ANSI fidelity with a loud iteration cap). */
-  private def lowerRecursiveCte(name: String, chain: UnionStmt): DataFrame = {
-    require(!selectReferences(chain.first, name),
-      s"recursive CTE $name: the first UNION arm must be the non-recursive base")
-    val (stepArms, baseArms) = chain.rest.partition {
-      case (_, s) => selectReferences(s, name)
-    }
-    stepArms.foreach { case (op, _) =>
-      require(op == "union",
-        s"recursive CTE $name: the recursive arm must attach with UNION " +
-          "(distinct set semantics — UNION ALL over a cycle never terminates)")
-    }
-    var acc = lowerChain(UnionStmt(chain.first, baseArms))
-      .dropDuplicates().localCheckpoint()
-    var n = acc.count()
-    var iter = 0
-    var grown = true
-    val saved = catalog.get(name)
-    try {
-      while (grown && iter < 100) {
-        catalog(name) = acc
-        val stepped = stepArms.map { case (_, s) => lowerSelect(s) }
-          .map(d => d.toDF(acc.columns.toIndexedSeq: _*))
-          .reduce(_ union _)
-        val next = acc.union(stepped).dropDuplicates().localCheckpoint()
-        val n2 = next.count()
-        grown = n2 > n
-        acc = next
-        n = n2
-        iter += 1
-      }
-    } finally {
-      saved match {
-        case Some(prev) => catalog(name) = prev
-        case None => catalog.remove(name)
-      }
-    }
-    require(!grown,
-      s"recursive CTE $name did not converge within 100 iterations " +
-        "(unbounded recursion? add a depth guard to the step's WHERE)")
-    acc
-  }
-
-  private def lowerChain(u: UnionStmt): DataFrame = {
-    // ANSI precedence (r10, closes the r9 uniform-precedence
-    // simplification): INTERSECT [ALL] binds tighter than UNION/EXCEPT,
-    // so the flat parsed chain lowers in two levels — maximal
-    // INTERSECT-connected runs fold first (left-assoc), then the runs
-    // fold under UNION/EXCEPT (left-assoc). `A UNION B EXCEPT C
-    // INTERSECT D` is (A ∪ B) − (C ∩ D), exactly the standard's grouping.
-    val segs = mutable.ListBuffer[DataFrame](lowerSelect(u.first))
-    val segOps = mutable.ListBuffer.empty[String]
-    u.rest.foreach { case (op, sel) =>
-      val rhs = lowerSelect(sel)
-      op match {
-        case "intersect" => segs(segs.length - 1) = segs.last.intersect(rhs)
-        case "intersect_all" =>
-          segs(segs.length - 1) = segs.last.intersectAll(rhs)
-        case other => segOps += other; segs += rhs
-      }
-    }
-    segOps.zip(segs.tail).foldLeft(segs.head) { case (acc, (op, rhs)) =>
-      op match {
-        case "union_all" => acc.union(rhs)
-        case "union" => acc.union(rhs).dropDuplicates()
-        case "except" => acc.except(rhs)
-        // ALL variants (r9): ANSI bag semantics — multiplicities
-        // subtract/min instead of collapsing (Catalyst's dedicated
-        // ExceptAll/IntersectAll plans, identical in DuckDB)
-        case "except_all" => acc.exceptAll(rhs)
-      }
-    }
-  }
-
-  /** True when `sub` is a correlated scalar subquery against `outer`:
-    * single table, no grouping, and at least one WHERE equality conjunct
-    * straddling the inner table and the outer relation. Uncorrelated
-    * subqueries keep the execute-and-inline literal path. */
-  private def isCorrScalar(sub: Select, outer: DataFrame): Boolean =
-    sub.derived.isEmpty && sub.joins.isEmpty && sub.groupBy.isEmpty &&
-      sub.having.isEmpty && {
-      val innerCols = table(sub.table).columns.toSet
-      val outerCols = outer.columns.toSet
-      sub.where.flatMap(splitConjuncts).exists {
-        case PCmp(Cmp(ORef(a), "=", ORef(b))) =>
-          (innerCols(a) && !innerCols(b) && outerCols(b)) ||
-            (innerCols(b) && !innerCols(a) && outerCols(a))
-        case _ => false
-      }
-    }
-
-  /** Correlated scalar subquery in the SELECT list:
-    * `(SELECT agg(x) FROM t WHERE t.k = outer.k [AND local]) AS a` —
-    * the Kim/Dayal rewrite: the inner relation keeps its local
-    * predicates, aggregates GROUPED BY the correlation keys (one row per
-    * key, so the scalar cardinality guarantee holds by construction
-    * instead of by runtime check), and left-outer joins back on the
-    * outer columns — declarative, so AQE broadcasts small key sides.
-    * ANSI empty-set semantics: a scalar subquery over no rows is NULL,
-    * except COUNT which is 0 — the grouped rewrite drops empty groups,
-    * so COUNT gets an explicit zero-fill and every other aggregate keeps
-    * the join's NULL. Helper columns live under reserved `__cs_` names
-    * and are dropped before projection. */
-  private def attachCorrScalar(df0: DataFrame, sub: Select, alias: String): DataFrame = {
-    val (aggF, aggArg) = sub.items match {
-      case Seq(AggItem(f, arg, _, None)) => (f, arg)
-      case _ => throw new IllegalArgumentException(
-        "a correlated scalar subquery must select exactly one aggregate")
-    }
-    val inner = table(sub.table)
-    val innerCols = inner.columns.toSet
-    val outerCols = df0.columns.toSet
-    val (corr, local) = sub.where.flatMap(splitConjuncts).partitionMap {
-      case PCmp(Cmp(ORef(a), "=", ORef(b)))
-          if innerCols(a) && !innerCols(b) && outerCols(b) => Left((a, b))
-      case PCmp(Cmp(ORef(a), "=", ORef(b)))
-          if innerCols(b) && !innerCols(a) && outerCols(a) => Left((b, a))
-      case other => Right(other)
-    }
-    val filtered = local.foldLeft(inner)((d0, pr) => d0.filter(predCol(inner, pr)))
-    val pairs = corr.distinct
-    val keyCols = pairs.map(_._1).distinct
-    val keyName = keyCols.zipWithIndex
-      .map { case (k, j) => k -> s"__cs_key_${alias}_$j" }.toMap
-    val aggN = s"__cs_agg_$alias"
-    val grouped = filtered.groupBy(keyCols.map(col): _*)
-      .agg(aggColumn(aggF, aggArg).as(aggN))
-      .select(keyCols.map(k => col(k).as(keyName(k))) :+ col(aggN): _*)
-    val cond = pairs.map { case (ic, oc) =>
-      df0(oc) === grouped(keyName(ic)) }.reduce(_ && _)
-    val value =
-      if (aggF == "COUNT" || aggF == "COUNT_DISTINCT") coalesce(col(aggN), lit(0L))
-      else col(aggN)
-    df0.join(grouped, cond, "left_outer")
-      .withColumn(alias, value)
-      .drop(keyName.values.toSeq :+ aggN: _*)
-  }
-
-  /** FROM + JOIN chain → a DataFrame: base relation (table, derived
-    * table, or chained statement) aliased, then each JOIN folded on as a
-    * declarative equi-join — Catalyst/AQE pick broadcast vs shuffle by
-    * size, so the SQL surface inherits the engine's join machinery.
-    * Unqualified ON keys resolve by which side owns the name (either
-    * order); `t AS a` renames columns to `a.col` so qualified references
-    * and self-joins resolve by plain (dotted) name. Shared by the
-    * top-level SELECT path and the EXISTS subquery pre-pass (which needs
-    * the inner RELATION but ignores the select list). */
-  private def lowerFrom(sel: Select): DataFrame =
-    sel.joins.foldLeft(
-      aliasCols(sel.derived.map(lowerChain).getOrElse(table(sel.table)),
-        sel.baseAlias)) { (rel, j) =>
-      val right = aliasCols(table(j.table), j.alias)
-      val (lk, rk) =
-        if (rel.columns.contains(j.leftKey) && right.columns.contains(j.rightKey))
-          (j.leftKey, j.rightKey)
-        else if (rel.columns.contains(j.rightKey) && right.columns.contains(j.leftKey))
-          (j.rightKey, j.leftKey)
-        else throw new IllegalArgumentException(
-          s"join keys ${j.leftKey} = ${j.rightKey} do not match " +
-            s"left(${rel.columns.mkString(",")}) vs ${j.table}")
-      rel.join(right, qcol(rel, lk) === qcol(right, rk), j.kind)
-    }
-
-  private def lowerSelect(sel: Select): DataFrame = {
-    val Select(items, name, where, rawGroupBy, having, rawOrderBy, limitN,
-      joins, distinct, offsetN, derived, baseAlias, groupMode, groupExprs,
-      qualify, groupSets) = sel
-    // "#n" ordinal markers (GROUP BY 1 / ORDER BY 2) resolve to the n-th
-    // select item's OUTPUT name — ANSI ordinal semantics; grouping by an
-    // aggregate/window position is refused like any non-key grouping
-    def itemName(it: SelectItem): String = it match {
-      case ColItem(n, a) => a.getOrElse(n)
-      case ExprItem(_, a) => a
-      case AggExprItem(_, a) => a
-      case w: WinItem => w.alias
-      case DistItem(_, _, a) => a
-      case c: CaseItem => c.alias
-      case AggItem(f, arg, a, _) => aggAlias(f, arg, a)
-      case Star => throw new IllegalArgumentException(
-        "an ordinal cannot reference *")
-    }
-    def resolveOrd(k: String, grouping: Boolean): String =
-      if (k.startsWith("#")) {
-        val i = k.drop(1).toInt
-        require(i >= 1 && i <= items.length,
-          s"ordinal $i is out of range for ${items.length} select items")
-        val it = items(i - 1)
-        require(!grouping || !(it.isInstanceOf[AggItem]
-          || it.isInstanceOf[AggExprItem] || it.isInstanceOf[WinItem]),
-          s"GROUP BY ordinal $i references an aggregate/window item")
-        itemName(it)
-      } else k
-    val groupBy = rawGroupBy.map(resolveOrd(_, grouping = true))
-    val orderBy = rawOrderBy.map(k => k.copy(name = resolveOrd(k.name, grouping = false)))
-    locally {
-      // JOIN lowering (graft extension): unqualified ON keys resolved by
-      // which side owns the name (either order). The equi-join lowers to a
-      // declarative DataFrame join, so Catalyst/AQE pick broadcast vs
-      // shuffle by size — the SQL surface inherits the engine's join
-      // machinery rather than reimplementing any of it.
-      // `t AS a` renames the relation's columns to `a.col` — qualified
-      // references and self-joins then resolve by plain (dotted) name,
-      // with backtick quoting at the Column boundary (aliasCols/qref)
-      val base = lowerFrom(sel)
-      // 1. attach aliased distance/computed columns, so WHERE can reference
-      //    them (README story: WHERE distance < 4 filters the SELECT
-      //    alias); window items attach AFTER the pre-window WHERE below
-      var df = base
-      items.foreach {
-        case DistItem(c, probe, alias) => df = df.withColumn(alias, distCol(base, c, probe))
-        case ColItem(c, Some(alias)) => df = df.withColumn(alias, qref(c))
-        case it: CaseItem => df = df.withColumn(it.alias, caseCol(base, it))
-        // correlated scalar subquery in the SELECT list — decorrelated
-        // into a grouped-aggregate left join (attachCorrScalar); must
-        // intercept BEFORE the generic operand path, which would execute
-        // the subquery standalone and fail on the outer reference
-        case ExprItem(OSub(sub), alias) if isCorrScalar(sub, df) =>
-          df = attachCorrScalar(df, sub, alias)
-        case ExprItem(o, alias) => df = df.withColumn(alias, operandCol(base, o))
-        case _ => ()
-      }
-      // 2a. IN (SELECT …) pre-pass: each subquery becomes a left-outer
-      //     join of the probe value against the DISTINCT single-column
-      //     subquery result plus a broadcast 1-row (count, null-count)
-      //     frame — declarative joins, so AQE picks broadcast vs shuffle
-      //     on the distinct side. The predicate then reads the match
-      //     marker with ANSI three-valued semantics, which makes it
-      //     composable anywhere in the WHERE tree (AND/OR/NOT).
-      var subPreds = Map.empty[Pred, Column]
-      where.flatMap(collectInSubs).distinct.zipWithIndex.foreach {
-        case (node, i) =>
-          val sub = lowerSelect(node.sub)
-          require(sub.columns.length == 1,
-            s"IN subquery must project exactly one column, got " +
-              s"(${sub.columns.mkString(", ")})")
-          val (keyN, markN, cntN, nullN, probeN) =
-            (s"__in_key_$i", s"__in_match_$i", s"__in_n_$i",
-              s"__in_nulls_$i", s"__in_probe_$i")
-          val keys = sub.toDF(keyN).distinct().withColumn(markN, lit(true))
-          val stats = broadcast(sub.toDF("v").agg(
-            count(lit(1)).as(cntN), count(when(col("v").isNull, 1)).as(nullN)))
-          df = df.withColumn(probeN, operandCol(base, node.lhs))
-            .join(keys, col(probeN) === col(keyN), "left_outer")
-            .crossJoin(stats)
-          val c = when(col(cntN) === 0, false)
-            .when(col(markN).isNotNull, true)
-            .when(col(probeN).isNull || col(nullN) > 0, lit(null).cast(BooleanType))
-            .otherwise(false)
-          subPreds += node -> (if (node.neg) !c else c)
-      }
-      // 2b. [NOT]-composable EXISTS pre-pass: equality conjuncts that
-      //     straddle the subquery and the outer relation DECORRELATE into
-      //     a marker join — the inner relation keeps its local
-      //     predicates, projects the DISTINCT correlation keys, and
-      //     left-outer joins on the outer columns (AQE broadcasts the
-      //     key side when small); EXISTS then reads the match marker.
-      //     Two-valued, so it composes under AND/OR/NOT anywhere in the
-      //     tree. An uncorrelated EXISTS folds to a broadcast
-      //     existence bit off a LIMIT-1 probe.
-      where.flatMap(collectExists).distinct.zipWithIndex.foreach { case (node, i) =>
-        val sub = node.sub
-        // the inner chain lowers through the same relation machinery as a
-        // top-level SELECT (r9: the single-filtered-table restriction is
-        // lifted — joined subqueries fold through lowerFrom, grouped ones
-        // through the grouped-existence rewrite below); only the select
-        // list is ignored, since EXISTS is about row existence (ANSI)
-        val inner = lowerFrom(sub)
-        val innerCols = inner.columns.toSet
-        val outerCols = df.columns.toSet
-        val (corr, local) = sub.where.flatMap(splitConjuncts).partitionMap {
-          case PCmp(Cmp(ORef(a), "=", ORef(b)))
-              if innerCols(a) && !innerCols(b) && outerCols(b) => Left((a, b))
-          case PCmp(Cmp(ORef(a), "=", ORef(b)))
-              if innerCols(b) && !innerCols(a) && outerCols(a) => Left((b, a))
-          case other => Right(other)
-        }
-        val filtered = local.foldLeft(inner)((d0, pr) => d0.filter(predCol(inner, pr)))
-        // grouped EXISTS (`… GROUP BY g HAVING h`): groups form per
-        // (correlation key × GROUP BY key) — exactly the groups the
-        // correlated subquery would form per outer row — HAVING filters
-        // them, and existence means ANY surviving group. Without HAVING
-        // a grouped EXISTS degenerates to plain row existence, and the
-        // rewrite below reduces to it.
-        val existsRel: DataFrame =
-          if (sub.groupBy.isEmpty && sub.having.isEmpty) filtered
-          else {
-            require(sub.groupBy.forall(innerCols),
-              s"EXISTS GROUP BY keys must be inner columns, " +
-                s"got ${sub.groupBy.mkString(", ")}")
-            val groupCols = (corr.map(_._1) ++ sub.groupBy).distinct
-            val aggCols = sub.items.collect {
-              case it: AggItem => aggItemCol(filtered, it)
-            }
-            val aggAll =
-              if (aggCols.nonEmpty) aggCols
-              else Seq(count(lit(1)).as(s"__ex_cnt_$i"))
-            val g = filtered.groupBy(groupCols.map(qref): _*)
-              .agg(aggAll.head, aggAll.tail: _*)
-            sub.having.foldLeft(g)((d0, pr) =>
-              d0.filter(predCol(d0, resolveHavingAggs(pr, sub.items))))
-          }
-        val c =
-          if (corr.isEmpty) {
-            val cntN = s"__ex_n_$i"
-            df = df.crossJoin(broadcast(
-              existsRel.limit(1).agg(count(lit(1)).as(cntN))))
-            col(cntN) > 0
-          } else {
-            val markN = s"__ex_match_$i"
-            val pairs = corr.distinct
-            val keyCols = pairs.map(_._1).distinct
-            val keyName = keyCols.zipWithIndex
-              .map { case (k, j) => k -> s"__ex_key_${i}_$j" }.toMap
-            val keys = existsRel
-              .select(keyCols.map(qref): _*).distinct()
-              .toDF(keyCols.map(keyName): _*)
-              .withColumn(markN, lit(true))
-            val cond = pairs.map { case (ic, oc) =>
-              qcol(df, oc) === keys(keyName(ic)) }.reduce(_ && _)
-            df = df.join(keys, cond, "left_outer")
-            col(markN).isNotNull
-          }
-        subPreds += (node: Pred) -> c
-      }
-      // 2c. correlated scalar subqueries in WHERE comparisons
-      //     (`WHERE x > (SELECT AVG(y) FROM t WHERE t.k = outer.k)`): the
-      //     subquery attaches through the same Kim/Dayal grouped-aggregate
-      //     decorrelation as the SELECT-list path (attachCorrScalar),
-      //     under a reserved __cw_ name; the WHOLE comparison rewrites to
-      //     a Column reading the attached value — ANSI NULL semantics fall
-      //     out (empty non-COUNT group → NULL → comparison NULL → row
-      //     dropped), and the node composes under AND/OR/NOT.
-      //     Every distinct correlated atom in the node's operand trees is
-      //     attached once (identical subqueries share one join), and the
-      //     comparison lowers through operandCol with the atom→column map
-      //     — so the subquery composes inside arithmetic, CAST, and
-      //     scalar functions exactly like any other operand.
-      locally {
-        val nodes = where.flatMap(p => collectCorrCmps(p, df)).distinct
-        val atoms = nodes.flatMap { case PCmp(Cmp(l, _, r)) =>
-          corrSubsInOperand(l, df) ++ corrSubsInOperand(r, df)
-        }.distinct
-        val corr: Map[Select, Column] = atoms.zipWithIndex.map {
-          case (subSel, i) =>
-            val alias = s"__cw_$i"
-            df = attachCorrScalar(df, subSel, alias)
-            subSel -> col(alias)
-        }.toMap
-        nodes.foreach { case node @ PCmp(Cmp(l, op, r)) =>
-          subPreds += (node: Pred) -> applyCmpOp(
-            operandCol(base, l, corr), op, operandCol(base, r, corr))
-        }
-      }
-      // 2. WHERE — ANSI split: conjuncts that do not read a window alias
-      //    filter the window INPUT (plain column equality still lands in
-      //    the scan's PushedFilters); conjuncts that do read one are the
-      //    QUALIFY idiom and apply after window attachment (round-7
-      //    ADVICE: the old all-post-window order silently diverged from
-      //    ANSI when a plain filter met a window whose partition did not
-      //    include the filtered column).
-      val winAliases = items.collect { case w: WinItem => w.alias }.toSet
-      val (postWin, preWin) = where.flatMap(splitConjuncts)
-        .partition(c => refNames(c).exists(winAliases))
-      preWin.foreach(c => df = df.filter(predCol(base, c, subPreds)))
-      items.foreach {
-        case WinItem(f, arg, parts, keys, alias, frame) =>
-          import org.apache.spark.sql.expressions.Window
-          // a global window (no PARTITION BY) single-tasks the whole
-          // relation — fine over a dimension/grid, a scale-killer over a
-          // fact. The dialect can't see cardinality, so it WARNS (the
-          // engine's own WindowExec warning fires too); unordered ranks
-          // stay refused outright, as nondeterminism is a correctness
-          // matter, not a performance one.
-          if (parts.isEmpty)
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"window $f over $alias has no PARTITION BY: the whole " +
-                "relation sorts in one task — acceptable for " +
-                "dimension-sized inputs only")
-          val ordered = Window.partitionBy(parts.map(qref): _*)
-            .orderBy(keys.map(k => if (k.desc) qref(k.name).desc else qref(k.name).asc): _*)
-          val spec = frame match {
-            case None => ordered // ANSI default RANGE frame
-            case Some(("range", lo, hi)) => ordered.rangeBetween(
-              lo.fold(Window.unboundedPreceding)(n => -n),
-              hi.fold(Window.unboundedFollowing)(n => n))
-            case Some((_, lo, hi)) => ordered.rowsBetween(
-              lo.fold(Window.unboundedPreceding)(n => -n),
-              hi.fold(Window.unboundedFollowing)(n => n))
-          }
-          val fn = f match {
-            case "ROW_NUMBER" => row_number()
-            case "RANK" => rank()
-            case "DENSE_RANK" => dense_rank()
-            // (rank−1)/(rows−1): a ratio of exact integers, identically
-            // defined in DuckDB — bitwise cross-engine
-            case "PERCENT_RANK" => percent_rank()
-            // rows-with-peers-or-before / rows: same exact-int ratio
-            // class (ANSI CUME_DIST, identical in DuckDB)
-            case "CUME_DIST" => cume_dist()
-            case "NTILE" => ntile(arg.get.toInt)
-            // out-of-partition rows yield NULL, identically in DuckDB
-            case "LAG" | "LEAD" =>
-              val Array(c, off) = arg.get.split(":")
-              if (f == "LAG") lag(col(c), off.toInt) else lead(col(c), off.toInt)
-            case "FIRST_VALUE" | "LAST_VALUE" =>
-              // "!ignore" suffix = ANSI IGNORE NULLS (Spark's ignoreNulls
-              // flag; DuckDB-identical: the nearest non-null in frame)
-              val (c, ign) = arg.get.split("!") match {
-                case Array(c0, "ignore") => (c0, true)
-                case _ => (arg.get, false)
-              }
-              if (f == "FIRST_VALUE") first(qref(c), ignoreNulls = ign)
-              else last(qref(c), ignoreNulls = ign)
-            // ordered aggregate: ANSI default frame (RANGE unbounded
-            // preceding → current row), same default in DuckDB
-            case agg => aggColumn(agg, arg)
-          }
-          df = df.withColumn(alias, fn.over(spec))
-        case _ => ()
-      }
-      postWin.foreach(c => df = df.filter(predCol(base, c, subPreds)))
-      // QUALIFY (r9): explicit window filter — same lowering as the
-      // post-window WHERE conjuncts, just spelled the ANSI-extension way
-      qualify.foreach(c => df = df.filter(predCol(base, c, subPreds)))
-      val hasAgg = items.exists(i =>
-        i.isInstanceOf[AggItem] || i.isInstanceOf[AggExprItem])
-      // ORDER BY expression keys (r9): hidden __ob_i columns. On the
-      // plain-projection path they attach BEFORE the projection, so the
-      // expression may read underlying columns not in the select list
-      // (ANSI); on the aggregated path they attach to the aggregated
-      // output below (output names only — ANSI's restriction anyway).
-      val obExprs = orderBy.zipWithIndex.collect {
-        case (k, i) if k.expr.isDefined => (s"__ob_$i", k.expr.get)
-      }
-      if (obExprs.nonEmpty) {
-        require(!distinct, "ORDER BY expressions cannot combine with " +
-          "SELECT DISTINCT — order by a select-list alias instead")
-        if (!hasAgg && groupBy.isEmpty)
-          obExprs.foreach { case (hn, o) =>
-            df = df.withColumn(hn, operandCol(base, o))
-          }
-      }
-      // hidden GROUP BY expression columns (r9) attach pre-aggregation;
-      // their names ride groupBy like any key and the item projection
-      // below drops them
-      groupExprs.foreach { case (hn, o) =>
-        df = df.withColumn(hn, operandCol(base, o))
-      }
-      // 3. aggregation (graft extension) or plain SELECT-list projection
-      var out: DataFrame =
-        if (hasAgg || groupBy.nonEmpty) {
-          items.foreach {
-            // either spelling may be the group key: the raw (possibly
-            // qualified) column or its output alias (ordinals resolve to
-            // the alias, which step 1 attached as a real column)
-            case ColItem(c, a) =>
-              require(groupBy.contains(c) || a.exists(groupBy.contains),
-                s"column $c must appear in GROUP BY")
-            // a CASE or computed alias may be a group key (the bucketing
-            // idiom: GROUP BY the computed bucket) — it was attached pre-agg
-            case it: CaseItem => require(groupBy.contains(it.alias),
-              s"CASE alias ${it.alias} must appear in GROUP BY")
-            case it: ExprItem => require(groupBy.contains(it.alias),
-              s"expression alias ${it.alias} must appear in GROUP BY")
-            case Star => throw new IllegalArgumentException(
-              "SELECT * cannot be combined with aggregates/GROUP BY")
-            case d: DistItem => throw new IllegalArgumentException(
-              s"distance item ${d.alias} cannot be combined with aggregates/GROUP BY")
-            case _: AggItem => ()
-            case _: AggExprItem => ()
-            case w: WinItem => throw new IllegalArgumentException(
-              s"window item ${w.alias} cannot be combined with aggregates/GROUP BY")
-          }
-          val plain = items.collect { case it: AggItem =>
-            aggItemCol(df, it) }
-          // each distinct aggregate atom inside expressions computes ONCE
-          // under a RESERVED internal name (never a user-visible alias:
-          // deduplicating against plain items let `SELECT SUM(x) AS
-          // sum_v, SUM(v) / 2 ...` silently read the SUM(x) column —
-          // round-7 ADVICE). Catalyst collapses identical aggregate
-          // expressions, so the occasional double registration is free.
-          val exprAggs = items
-            .collect { case AggExprItem(o, _) => aggAtoms(o) }.flatten.distinct
-            .map { case OAgg(f, arg) =>
-              aggColumn(f, arg).as("__agg_" + aggAlias(f, arg, None)) }
-          val aggs = plain ++ exprAggs
-          require(aggs.nonEmpty, "GROUP BY requires at least one aggregate")
-          // ROLLUP/CUBE lower to Dataset.rollup/cube — ONE Expand pass
-          // produces every grouping set (no re-aggregation per level)
-          val agged =
-            (groupMode match {
-              case "rollup" => df.rollup(groupBy.map(qref): _*)
-              case "cube" => df.cube(groupBy.map(qref): _*)
-              // explicit GROUPING SETS: the same single-Expand plan as
-              // rollup/cube, with exactly the listed sets
-              case "sets" =>
-                df.groupingSets(groupSets.map(_.map(qref)), groupBy.map(qref): _*)
-              case _ => df.groupBy(groupBy.map(qref): _*)
-            }).agg(aggs.head, aggs.tail: _*)
-          // post-aggregation expression evaluation: aggregate atoms read
-          // their computed columns, ORefs read group keys, literals stay
-          def aggExprCol(o: Operand): Column = o match {
-            case OAgg(f, arg) => col("__agg_" + aggAlias(f, arg, None))
-            case ORef(n) => qref(n)
-            case OVal(VNum(s)) => numLit(s)
-            case s: OSub => operandCol(base, s) // scalar subquery: already a literal
-            case OArith(l, op, r) =>
-              val (lc, rc) = (aggExprCol(l), aggExprCol(r))
-              op match {
-                case "+" => lc + rc
-                case "-" => lc - rc
-                case "*" => lc * rc
-                case "/" => lc / rc
-                case "%" => lc % rc
-              }
-            case OFunc(f, fargs) => funcApply(f, fargs.map(aggExprCol), fargs)
-            case OCast(x, t, tm) =>
-              val c = aggExprCol(x)
-              if (tm) call_function("graft_try_cast", c, lit(sqlTypeName(t)))
-              else c.cast(sqlTypeName(t))
-            case other => throw new IllegalArgumentException(
-              s"unsupported term in aggregate expression: $other")
-          }
-          agged.select(items.map {
-            case ColItem(c, alias) =>
-              // the aggregated frame carries whichever spelling was the
-              // group key — the raw column or the attached alias
-              val n = if (groupBy.contains(c)) c else alias.getOrElse(c)
-              qref(n).as(alias.getOrElse(c))
-            case it: CaseItem => col(it.alias)
-            case it: ExprItem => col(it.alias)
-            case AggItem(f, arg, alias, _) => col(aggAlias(f, arg, alias))
-            case AggExprItem(o, alias) => aggExprCol(o).as(alias)
-            case other => throw new IllegalStateException(other.toString)
-          }: _*)
-        } else {
-          df.select(items.flatMap {
-            case Star => base.columns.toSeq.map(col)
-            case ColItem(c, alias) => Seq(col(alias.getOrElse(c)))
-            case DistItem(_, _, alias) => Seq(col(alias))
-            case CaseItem(_, _, alias) => Seq(col(alias))
-            case ExprItem(_, alias) => Seq(col(alias))
-            case WinItem(_, _, _, _, alias, _) => Seq(col(alias))
-            case other => throw new IllegalStateException(other.toString)
-          } ++ obExprs.map { case (hn, _) => col(hn) }: _*)
-        }
-      // 4. HAVING filters the aggregated output — by output names, and
-      //    (r9) by aggregate EXPRESSIONS: `HAVING COUNT(*) >= 20` resolves
-      //    each aggregate atom to its select-item twin's output column
-      //    (ANSI spelling without requiring the alias). Catalyst evaluates
-      //    post-aggregation, exactly ANSI HAVING semantics.
-      if (having.nonEmpty) {
-        require(hasAgg || groupBy.nonEmpty, "HAVING requires GROUP BY/aggregates")
-        having.foreach(pred =>
-          out = out.filter(predCol(out, resolveHavingAggs(pred, items))))
-      }
-      // 4b. SELECT DISTINCT dedupes the projected output (ANSI position:
-      //     after HAVING, before ORDER BY/LIMIT) — lowered to the same
-      //     partial-combined aggregate as any distinct, no driver state
-      if (distinct) out = out.dropDuplicates()
-      // 5. ORDER BY / LIMIT over output names. Catalyst turns
-      //    orderBy+limit into TakeOrderedAndProject (top-k, no global sort)
-      if (orderBy.nonEmpty) {
-        // expression keys read their hidden __ob_i columns (attached
-        // pre-projection on the plain path; computed from output names
-        // here on the aggregated path), sort, then drop — the projection
-        // folds into TakeOrderedAndProject under a LIMIT, so the hidden
-        // column never materializes globally
-        val sortCols = orderBy.zipWithIndex.map { case (k, i) =>
-          val c = k.expr match {
-            case Some(o) =>
-              val hn = s"__ob_$i"
-              if (!out.columns.contains(hn))
-                out = out.withColumn(hn, operandCol(out, o))
-              col(hn)
-            case None => col(k.name)
-          }
-          (k.desc, k.nullsFirst) match {
-            case (false, None) => c.asc
-            case (true, None) => c.desc
-            case (false, Some(true)) => c.asc_nulls_first
-            case (false, Some(false)) => c.asc_nulls_last
-            case (true, Some(true)) => c.desc_nulls_first
-            case (true, Some(false)) => c.desc_nulls_last
-          }
-        }
-        out = out.orderBy(sortCols: _*)
-        if (obExprs.nonEmpty) out = out.drop(obExprs.map(_._1): _*)
-      }
-      // ANSI pagination: OFFSET skips before LIMIT counts (Dataset.offset
-      // composes with the sort into a single GlobalLimit — no full
-      // materialization of the skipped prefix)
-      offsetN.foreach(m => out = out.offset(m.toInt))
-      limitN.foreach(nRows => out = out.limit(nRows.toInt))
-      out
-    }
-  }
-
-  /** Column ref with backtick quoting for the dotted names that aliased
-    * relations carry (`a.col` is ONE column, not a struct access). */
-  private def qref(n: String): Column =
-    if (n.contains('.')) col(s"`$n`") else col(n)
-
-  private def qcol(df: DataFrame, n: String): Column =
-    if (n.contains('.')) df.col(s"`$n`") else df.col(n)
-
-  /** Rename every column of `df` to `alias.col` (the aliased-relation
-    * naming contract; a lazy projection, free under codegen). */
-  private def aliasCols(df: DataFrame, alias: Option[String]): DataFrame =
-    alias.fold(df)(a => df.toDF(df.columns.map(c => s"$a.$c").toIndexedSeq: _*))
-
-  /** STRING_AGG per-group size cap (values per group). Env-tunable via
-    * SPARK_GRAFT_STRING_AGG_MAX for corpora with legitimately huge
-    * groups; the default is generous for any analytic concat. */
-  private val StringAggMaxGroup: Long =
-    sys.env.get("SPARK_GRAFT_STRING_AGG_MAX").flatMap(_.toLongOption)
-      .getOrElse(1000000L)
-
-  private def aggColumn(func: String, arg: Option[String]): Column =
-    (func, arg) match {
-      case ("COUNT", None) => count(lit(1))
-      case ("COUNT", Some(c)) => count(qref(c))
-      // exact distinct (the partial-combined two-phase Expand plan); the
-      // 100 TB approximate alternative is approx_count_distinct
-      case ("COUNT_DISTINCT", Some(c)) => countDistinct(qref(c))
-      case ("SUM", Some(c)) => sum(qref(c))
-      case ("AVG", Some(c)) => avg(qref(c))
-      case ("MIN", Some(c)) => min(qref(c))
-      case ("MAX", Some(c)) => max(qref(c))
-      // exact interpolated median — the same cross-engine-stable
-      // percentile the q_percentile operator uses (DuckDB: median =
-      // quantile_cont(.5), identical interpolation)
-      case ("MEDIAN", Some(c)) => percentile(qref(c), lit(0.5))
-      // GROUPING(col) — 1 on the subtotal rows where col is rolled up,
-      // 0 on detail rows (ANSI; disambiguates a real NULL key from a
-      // rollup NULL). Widened from Spark's tinyint to bigint so the
-      // dialect's type is engine-independent.
-      case ("GROUPING", Some(c)) => grouping(qref(c)).cast("bigint")
-      // boolean quantifiers (ANSI EVERY/ANY; the DuckDB spelling) — both
-      // engines skip NULLs and return NULL on all-NULL groups
-      case ("BOOL_AND", Some(c)) => bool_and(qref(c))
-      case ("BOOL_OR", Some(c)) => bool_or(qref(c))
-      // sample standard deviation (n−1 denominator in both engines).
-      // Float-accumulated — keys must round(…, 6) per the §5 discipline.
-      case ("STDDEV", Some(c)) => stddev_samp(qref(c))
-      // ordered concatenation: collect → sort → join, so the result is
-      // deterministic on any partitioning (the DuckDB twin spells the
-      // same order as string_agg(c, sep ORDER BY c))
-      case ("STRING_AGG", Some(enc)) =>
-        // limit-2 split: an empty separator (or one containing the
-        // U+0001 delimiter itself) round-trips -- Java's limitless char
-        // split drops trailing empty tokens and would MatchError here
-        // for STRING_AGG(col, '') (r13 ADVICE)
-        val Array(c, sep) = enc.split("", 2)
-        // per-group memory is the group's full value list (STRING_AGG's
-        // inherent semantics) -- at 100 TB one degenerate hot key would
-        // concentrate its whole list on a single task, so a loud error
-        // above the cap beats a silent executor OOM (r13 verdict note).
-        val lst = sort_array(collect_list(qref(c)))
-        when(size(lst) > StringAggMaxGroup,
-            raise_error(concat(lit("STRING_AGG group for '"), lit(c),
-              lit(s"' exceeds $StringAggMaxGroup values; aggregate or "),
-              lit("bucket the group key first"))))
-          .otherwise(array_join(lst, sep))
-      case other => throw new IllegalArgumentException(s"bad aggregate: $other")
-    }
-
-  /** FILTER (WHERE …) lowering: the aggregate's input becomes
-    * `when(cond, x)` — every aggregate here skips NULLs, so folding the
-    * NULLed-out rows is exactly the ANSI FILTER semantics (COUNT(*)
-    * counts a non-null literal under the condition). GROUPING cannot
-    * take a FILTER (it reads the grouping-set mask, not rows). */
-  private def aggColumnFiltered(func: String, arg: Option[String],
-      cond: Column): Column = {
-    def g(c: String): Column = when(cond, qref(c))
-    (func, arg) match {
-      case ("COUNT", None) => count(when(cond, lit(1)))
-      case ("COUNT", Some(c)) => count(g(c))
-      case ("COUNT_DISTINCT", Some(c)) => countDistinct(g(c))
-      case ("SUM", Some(c)) => sum(g(c))
-      case ("AVG", Some(c)) => avg(g(c))
-      case ("MIN", Some(c)) => min(g(c))
-      case ("MAX", Some(c)) => max(g(c))
-      case ("MEDIAN", Some(c)) => percentile(g(c), lit(0.5))
-      case ("BOOL_AND", Some(c)) => bool_and(g(c))
-      case ("BOOL_OR", Some(c)) => bool_or(g(c))
-      case ("STDDEV", Some(c)) => stddev_samp(g(c))
-      case other => throw new IllegalArgumentException(
-        s"FILTER is not supported for aggregate: $other")
-    }
-  }
-
-  private def aggItemCol(base: DataFrame, it: AggItem): Column =
-    (it.filter match {
-      case None => aggColumn(it.func, it.arg)
-      case Some(p) => aggColumnFiltered(it.func, it.arg, predCol(base, p))
-    }).as(aggAlias(it.func, it.arg, it.alias))
-
-  private def aggAlias(func: String, arg: Option[String], alias: Option[String]): String =
-    alias.getOrElse(arg match {
-      case None => "count"
-      // STRING_AGG's arg slot carries "colsep" — default name
-      // from the column alone
-      case Some(c) if func == "STRING_AGG" =>
-        s"string_agg_${c.split("", 2).head}"
-      case Some(c) => s"${func.toLowerCase}_$c"
-    })
-
-  /** `@` adapts to the metric-key carrier type: binary(16) UINT128 → the
-    * hamming128 byte kernel; integer/UINT64(decimal) hashes → 64-bit
-    * xor+bit_count. Both are codegen expressions. */
-  private def distCol(base: DataFrame, column: String, probe: Value): Column = {
-    val dt = base.schema(column).dataType
-    dt match {
-      case BinaryType =>
-        val bytes = probe match {
-          case VBits(v) => bits128(v)
-          case VStr(s) => s.getBytes("UTF-8")
-          case other => throw new IllegalArgumentException(s"cannot probe binary with $other")
-        }
-        call_function("hamming128", col(column), lit(bytes))
-      case _: NumericType =>
-        val v = probe match {
-          case VBits(b) => b.longValue
-          case VNum(s) => s.toLong
-          case other => throw new IllegalArgumentException(s"cannot probe numeric with $other")
-        }
-        call_function("hamming64", col(column).cast(LongType), lit(v))
-      case other =>
-        throw new IllegalArgumentException(s"@ requires a metric-key column, got $other")
-    }
-  }
-
-  /** Pred nodes in a WHERE tree (the only place IN (SELECT …) is legal). */
-  private def collectInSubs(p: Pred): Seq[PInSub] = p match {
-    case s: PInSub => Seq(s)
-    case PAnd(a, b) => collectInSubs(a) ++ collectInSubs(b)
-    case POr(a, b) => collectInSubs(a) ++ collectInSubs(b)
-    case PNot(x) => collectInSubs(x)
-    case _ => Seq.empty
-  }
-
-  private def collectExists(p: Pred): Seq[PExists] = p match {
-    case s: PExists => Seq(s)
-    case PAnd(a, b) => collectExists(a) ++ collectExists(b)
-    case POr(a, b) => collectExists(a) ++ collectExists(b)
-    case PNot(x) => collectExists(x)
-    case _ => Seq.empty
-  }
-
-  /** HAVING aggregate atoms → their select-item twin's output column
-    * (r9): `HAVING COUNT(*) >= 20` works without an alias reference when
-    * some item computes the same aggregate; an aggregate with no twin is
-    * refused (this dialect aggregates only what the select list names —
-    * the documented extension shape). Structural rewrite over the whole
-    * predicate tree, so aggregates compose inside arithmetic/CAST. */
-  private def resolveHavingAggs(p: Pred, items: Seq[SelectItem]): Pred = {
-    def op(o: Operand): Operand = o match {
-      case OAgg(f, arg) =>
-        items.collectFirst {
-          case AggItem(f2, arg2, alias, None) if f2 == f && arg2 == arg =>
-            ORef(aggAlias(f2, arg2, alias))
-        }.getOrElse(throw new IllegalArgumentException(
-          s"HAVING aggregate $f(${arg.getOrElse("*")}) must also appear " +
-            "in the select list"))
-      case OArith(l, oper, r) => OArith(op(l), oper, op(r))
-      case OFunc(f, as) => OFunc(f, as.map(op))
-      case OCast(x, t, tm) => OCast(op(x), t, tm)
-      case other => other
-    }
-    def walk(pr: Pred): Pred = pr match {
-      case PCmp(Cmp(l, c, r)) => PCmp(Cmp(op(l), c, op(r)))
-      case PAnd(a, b) => PAnd(walk(a), walk(b))
-      case POr(a, b) => POr(walk(a), walk(b))
-      case PNot(x) => PNot(walk(x))
-      case PIn(l, vs, n) => PIn(op(l), vs, n)
-      case PInTuple(ls, rows, n) => PInTuple(ls.map(op), rows, n)
-      case PLike(l, pat, n, e) => PLike(op(l), pat, n, e)
-      case PIsNull(l, n) => PIsNull(op(l), n)
-      case other => other
-    }
-    walk(p)
-  }
-
-  /** Top-level AND conjuncts (the unit of the pre/post-window WHERE split
-    * and of EXISTS decorrelation). */
-  private def splitConjuncts(p: Pred): Seq[Pred] = p match {
-    case PAnd(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
-    case other => Seq(other)
-  }
-
-  /** Column names a predicate reads (scalar subqueries inline to literals
-    * and EXISTS reads its marker, so neither contributes). */
-  private def refNamesO(o: Operand): Set[String] = o match {
-    case ORef(n) => Set(n)
-    case ODist(c, _) => Set(c)
-    case OArith(l, _, r) => refNamesO(l) ++ refNamesO(r)
-    case OFunc(_, args) => args.flatMap(refNamesO).toSet
-    case OCast(o, _, _) => refNamesO(o)
-    case _ => Set.empty
-  }
-
-  private def refNames(p: Pred): Set[String] = p match {
-    case PCmp(Cmp(l, _, r)) => refNamesO(l) ++ refNamesO(r)
-    case PAnd(a, b) => refNames(a) ++ refNames(b)
-    case POr(a, b) => refNames(a) ++ refNames(b)
-    case PNot(x) => refNames(x)
-    case PIn(l, _, _) => refNamesO(l)
-    case PInTuple(ls, _, _) => ls.flatMap(refNamesO).toSet
-    case PInSub(l, _, _) => refNamesO(l)
-    case PLike(l, _, _, _) => refNamesO(l)
-    case PIsNull(l, _) => refNamesO(l)
-    case _: PExists => Set.empty
-  }
-
-  /** Correlated scalar subquery atoms ANYWHERE in an operand tree — not
-    * just as a direct comparison side: `(SELECT MIN(x) …) * 10 > col`
-    * nests its subquery inside arithmetic, and r8 ADVICE flagged that the
-    * direct-side-only match let such atoms fall through to the
-    * uncorrelated inline-literal path, which dies unresolved. */
-  private def corrSubsInOperand(o: Operand, outer: DataFrame): Seq[Select] =
-    o match {
-      case OSub(sub) if isCorrScalar(sub, outer) => Seq(sub)
-      case OArith(l, _, r) =>
-        corrSubsInOperand(l, outer) ++ corrSubsInOperand(r, outer)
-      case OFunc(_, args) => args.flatMap(corrSubsInOperand(_, outer))
-      case OCast(x, _, _) => corrSubsInOperand(x, outer)
-      case _ => Seq.empty
-    }
-
-  /** PCmp nodes with a correlated scalar subquery anywhere in either
-    * operand tree — these decorrelate in lowerSelect's 2c pre-pass and
-    * the whole comparison rewrites to a Column (composable under
-    * AND/OR/NOT like IN/EXISTS). */
-  private def collectCorrCmps(p: Pred, outer: DataFrame): Seq[PCmp] = p match {
-    case s @ PCmp(Cmp(l, _, r))
-      if (corrSubsInOperand(l, outer) ++ corrSubsInOperand(r, outer)).nonEmpty =>
-      Seq(s)
-    case PAnd(a, b) => collectCorrCmps(a, outer) ++ collectCorrCmps(b, outer)
-    case POr(a, b) => collectCorrCmps(a, outer) ++ collectCorrCmps(b, outer)
-    case PNot(x) => collectCorrCmps(x, outer)
-    case _ => Seq.empty
-  }
-
-  private def applyCmpOp(l: Column, op: String, r: Column): Column = op match {
-    case "=" => l === r
-    case "!=" => l =!= r
-    case "<" => l < r
-    case "<=" => l <= r
-    case ">" => l > r
-    case ">=" => l >= r
-  }
-
-  private def predCol(base: DataFrame, p: Pred,
-      subs: Map[Pred, Column] = Map.empty): Column = p match {
-    case s: PCmp if subs.contains(s) => subs(s)
-    case PCmp(c) => cmpCol(base, c)
-    case PAnd(a, b) => predCol(base, a, subs) && predCol(base, b, subs)
-    case POr(a, b) => predCol(base, a, subs) || predCol(base, b, subs)
-    case PNot(x) => !predCol(base, x, subs)
-    case s: PInSub => subs.getOrElse(s, throw new IllegalArgumentException(
-      "IN (SELECT …) is only supported in WHERE"))
-    case s: PExists => subs.getOrElse(s, throw new IllegalArgumentException(
-      "EXISTS (SELECT …) is only supported in WHERE"))
-    case PIn(lhs, vals, neg) =>
-      // raw literal values (not Columns) build a true Catalyst In — the
-      // shape the parquet datasource translates to a pushed IN filter
-      val lits: Seq[Any] = vals.map {
-        case VNum(s) => if (s.contains('.')) s.toDouble else s.toLong
-        case VStr(s) => s
-        case VBool(b) => b
-        case VBits(v) => v.longValue
-        case other =>
-          throw new IllegalArgumentException(s"IN list expects literals, got $other")
-      }
-      val c = operandCol(base, lhs).isin(lits: _*)
-      if (neg) !c else c
-    case PLike(lhs, pat, neg, esc) =>
-      // 3-arg `like` is the registry spelling of LIKE … ESCAPE (same
-      // Catalyst Like expression, custom escape char)
-      val l = operandCol(base, lhs)
-      val c = esc.fold(l.like(pat))(e =>
-        call_function("like", l, lit(pat), lit(e)))
-      if (neg) !c else c
-    case PInTuple(lhs, rows, neg) =>
-      val cols = lhs.map(operandCol(base, _))
-      val c = rows.map(r =>
-        cols.zip(r).map { case (cl, v) => cl === operandCol(base, OVal(v)) }
-          .reduce(_ && _)).reduce(_ || _)
-      if (neg) !c else c
-    case PIsNull(lhs, neg) =>
-      if (neg) operandCol(base, lhs).isNotNull
-      else operandCol(base, lhs).isNull
-  }
-
-  /** Searched CASE → when().when()….otherwise() Column chain; branches
-    * evaluate in order, exactly ANSI semantics (Catalyst CaseWhen). */
-  private def caseCol(base: DataFrame, it: EmdriveSql.CaseItem): Column = {
-    val first = when(predCol(base, it.branches.head._1),
-      operandCol(base, it.branches.head._2))
-    val chained = it.branches.tail.foldLeft(first) { case (acc, (pr, v)) =>
-      acc.when(predCol(base, pr), operandCol(base, v))
-    }
-    it.elseV.fold(chained)(v => chained.otherwise(operandCol(base, v)))
-  }
-
-  /** Numeric literal → Column. Integer literals beyond int64 (the dialect's
-    * UINT64 tier, reference components.rs u64/u128 values) lower to exact
-    * DECIMAL literals instead of overflowing Long.parseLong. */
-  private def numLit(s: String): Column =
-    if (s.contains('.')) lit(s.toDouble)
-    else try lit(s.toLong) catch {
-      case _: NumberFormatException => lit(new java.math.BigDecimal(s))
-    }
-
-  private def operandCol(base: DataFrame, o: Operand,
-      corr: Map[Select, Column] = Map.empty): Column = o match {
-    case ORef(n) => qref(n)
-    case ODist(c, probe) => distCol(base, c, probe)
-    // correlated scalar subquery already decorrelated by the 2c pre-pass:
-    // read the attached column instead of executing standalone
-    case OSub(sub) if corr.contains(sub) => corr(sub)
-    case OSub(sub) =>
-      // uncorrelated scalar subquery: executed first, value inlined as a
-      // literal (Spark's own ScalarSubquery shape — keeps the outer
-      // predicate pushable). The 2-row collect is a documented bounded
-      // driver pre-pass enforcing the at-most-one-row rule. A correlated
-      // subquery that the decorrelator does not recognize (e.g. joined or
-      // grouped inner relation with an outer reference) would otherwise
-      // die here with an opaque unresolved-column error — turn it into
-      // the dialect's targeted message (r8 ADVICE).
-      val df =
-        try lowerSelect(sub)
-        catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getMessage.contains("UNRESOLVED_COLUMN") ||
-                e.getMessage.contains("cannot be resolved") =>
-            throw new IllegalArgumentException(
-              "scalar subquery references an outer column but is not a " +
-                "supported correlated shape (single inner table, equality " +
-                "correlation); decorrelate it manually or simplify the " +
-                "inner relation", e)
-        }
-      require(df.columns.length == 1,
-        s"scalar subquery must project exactly one column, got " +
-          s"(${df.columns.mkString(", ")})")
-      df.limit(2).collect() match {
-        case Array() => lit(null).cast(df.schema.head.dataType)
-        case Array(row) =>
-          if (row.isNullAt(0)) lit(null).cast(df.schema.head.dataType)
-          else lit(row.get(0))
-        case _ => throw new IllegalArgumentException(
-          s"scalar subquery returned more than one row")
-      }
-    case OVal(VNum(s)) => numLit(s)
-    case OVal(VStr(s)) => lit(s)
-    case OVal(VBits(v)) => lit(v.longValue)
-    case OVal(VBool(b)) => lit(b)
-    // ANSI comparison-with-NULL: yields NULL, so WHERE drops the row
-    case OVal(VNull) => lit(null)
-    case OVal(f: VFunc) => funcCol(f)
-    case OArith(lhs, op, rhs) =>
-      val (l, r) = (operandCol(base, lhs, corr), operandCol(base, rhs, corr))
-      op match {
-        case "+" => l + r
-        case "-" => l - r
-        case "*" => l * r
-        case "/" => l / r
-        case "%" => l % r
-      }
-    case OFunc(f, args) =>
-      funcApply(f, args.map(operandCol(base, _, corr)), args)
-    case OCast(o, t, tm) =>
-      val c = operandCol(base, o, corr)
-      if (tm) call_function("graft_try_cast", c, lit(sqlTypeName(t)))
-      else c.cast(sqlTypeName(t))
-    case a: OAgg => throw new IllegalArgumentException(
-      s"aggregate ${a.func} is only valid in an aggregating SELECT's items")
-  }
-
-  /** Scalar-function dispatch over already-lowered argument Columns
-    * (shared by the row path and the post-aggregation expression path —
-    * `ROUND(SUM(x) / 7, 1)` lowers its atoms differently but applies the
-    * same functions). `args` rides along for literal-only parameters. */
-  private def funcApply(f: String, a: Seq[Column], args: Seq[Operand]): Column =
-      (f, a) match {
-        case ("UPPER", Seq(x)) => upper(x)
-        case ("LOWER", Seq(x)) => lower(x)
-        case ("LENGTH", Seq(x)) => length(x)
-        case ("TRIM", Seq(x)) => trim(x)
-        // 1-based, length-bounded — identical semantics in DuckDB substr
-        case ("SUBSTR", Seq(x, fr, ln)) => x.substr(fr, ln)
-        case ("REPLACE", Seq(x, s1, s2)) => replace(x, s1, s2)
-        // null-handling / numeric scalar tier. COALESCE is the LEFT JOIN
-        // companion (fill unmatched-right NULLs); all lower 1:1 onto
-        // codegen'd Catalyst expressions with DuckDB-identical semantics.
-        case ("COALESCE", xs) if xs.size >= 2 => coalesce(xs: _*)
-        case ("NULLIF", Seq(x, y)) => nullif(x, y)
-        case ("ABS", Seq(x)) => abs(x)
-        // calendar extraction (UTC-pinned sessions, so NTZ and LTZ
-        // timestamps read identically — the EventTime doctrine); ints
-        // in both engines modulo width, CAST composes for exact schema
-        case ("YEAR", Seq(x)) => year(x)
-        case ("MONTH", Seq(x)) => month(x)
-        case ("DAY", Seq(x)) => dayofmonth(x)
-        case ("ROUND", Seq(x)) => round(x, 0)
-        case ("ROUND", Seq(x, _)) => args(1) match {
-          case OVal(VNum(n)) if !n.contains('.') => round(x, n.toInt)
-          case _ => throw new IllegalArgumentException(
-            "ROUND's second argument must be an integer literal")
-        }
-        // r9 widening — each lowers 1:1 onto a codegen Catalyst
-        // expression with DuckDB-identical semantics (names follow the
-        // DuckDB spelling where the engines differ: STRPOS ≡ Spark
-        // instr, both 1-based/0-when-absent; DOW ≡ Spark dayofweek − 1,
-        // both Sunday-based 0-6)
-        case ("CONCAT", xs) if xs.size >= 2 => concat(xs: _*)
-        case ("LPAD", Seq(x, _, _)) =>
-          lpad(x, argInt(args(1), "LPAD length"), argStr(args(2), "LPAD pad"))
-        case ("RPAD", Seq(x, _, _)) =>
-          rpad(x, argInt(args(1), "RPAD length"), argStr(args(2), "RPAD pad"))
-        case ("LEFT", Seq(x, y)) => call_function("left", x, y)
-        case ("RIGHT", Seq(x, y)) => call_function("right", x, y)
-        case ("STRPOS", Seq(x, y)) => call_function("instr", x, y)
-        case ("SPLIT_PART", Seq(x, y, z)) => call_function("split_part", x, y, z)
-        case ("CONTAINS", Seq(x, y)) => call_function("contains", x, y)
-        case ("DATE_TRUNC", Seq(_, x)) =>
-          date_trunc(argStr(args(0), "DATE_TRUNC unit"), x)
-        case ("DOW", Seq(x)) => (dayofweek(x) - lit(1)).cast("int")
-        case ("FLOOR", Seq(x)) => floor(x)
-        case ("CEIL", Seq(x)) => ceil(x)
-        // r12: n-ary comparison scalars — both engines return the extreme
-        // of the NON-NULL arguments (Postgres GREATEST/LEAST semantics)
-        case ("GREATEST", xs) if xs.size >= 2 => greatest(xs: _*)
-        case ("LEAST", xs) if xs.size >= 2 => least(xs: _*)
-        // DATEDIFF('day', a, b) = whole-day boundary count b − a — the
-        // DuckDB date_diff spelling; both sides cast through DATE so the
-        // count is calendar days, widened to BIGINT (DuckDB's type)
-        case ("DATEDIFF", Seq(_, x, y)) =>
-          argStr(args(0), "DATEDIFF unit").toLowerCase(java.util.Locale.ROOT) match {
-            case "day" => datediff(y.cast("date"), x.cast("date")).cast("bigint")
-            case u => throw new IllegalArgumentException(
-              s"DATEDIFF supports unit 'day', got '$u'")
-          }
-        // r13: math tier — each lowers 1:1 onto a codegen Catalyst
-        // expression; libm last-ulp differences sit ~10 digits below the
-        // %.6g compare. SIGN returns DOUBLE (DuckDB TINYINT) — keys CAST.
-        case ("POWER", Seq(x, y)) => pow(x, y)
-        case ("SQRT", Seq(x)) => sqrt(x)
-        case ("LN", Seq(x)) => log(x)
-        case ("EXP", Seq(x)) => exp(x)
-        case ("SIGN", Seq(x)) => signum(x)
-        // r13: string/regex tier 3 (DuckDB spellings; REGEXP_REPLACE is
-        // replace-ALL — the DuckDB twin needs the 'g' flag; CHR ≡ Spark
-        // chr; REGEXP_MATCHES ≡ RLIKE, boolean-valued)
-        case ("REVERSE", Seq(x)) => reverse(x)
-        case ("REPEAT", Seq(x, _)) =>
-          repeat(x, argInt(args(1), "REPEAT count"))
-        case ("MD5", Seq(x)) => md5(x)
-        case ("ASCII", Seq(x)) => ascii(x)
-        case ("CHR", Seq(x)) => call_function("chr", x)
-        case ("REGEXP_REPLACE", Seq(x, _, _)) =>
-          regexp_replace(x, argStr(args(1), "REGEXP_REPLACE pattern"),
-            argStr(args(2), "REGEXP_REPLACE replacement"))
-        case ("REGEXP_MATCHES", Seq(x, _)) =>
-          x.rlike(argStr(args(1), "REGEXP_MATCHES pattern"))
-        // r14: JSON tier (DuckDB spellings). Both lower onto Spark's
-        // codegen get_json_object, which returns the extracted value as
-        // TEXT: identical to DuckDB json_extract_string for strings and
-        // scalars; the dialect's JSON_EXTRACT is therefore text-valued
-        // too (compose with CAST for numerics) -- DuckDB's JSON-typed
-        // json_extract differs only in keeping quotes on string values,
-        // so cross-engine keys use JSON_EXTRACT_STRING for strings and
-        // CAST(JSON_EXTRACT(...) AS <numeric>) for numbers, where the
-        // two engines agree byte-for-byte. The path must be a literal
-        // ('$.key' JSONPath), which both engines constant-fold.
-        case ("JSON_EXTRACT_STRING", Seq(x, _)) =>
-          get_json_object(x, argStr(args(1), "JSON_EXTRACT_STRING path"))
-        case ("JSON_EXTRACT", Seq(x, _)) =>
-          get_json_object(x, argStr(args(1), "JSON_EXTRACT path"))
-        // r14: array tier. STRING_SPLIT takes a LITERAL separator
-        // (DuckDB semantics: plain text, not a regex -- quoted before it
-        // reaches Spark's regex-based split); LEN is the ARRAY length
-        // (strings keep LENGTH), BIGINT to match DuckDB; UNNEST lowers
-        // to explode -- one generator per SELECT, zero rows for empty
-        // or NULL arrays in both engines.
-        case ("STRING_SPLIT", Seq(x, _)) =>
-          split(x, java.util.regex.Pattern.quote(
-            argStr(args(1), "STRING_SPLIT separator")))
-        case ("LEN", Seq(x)) => size(x).cast("bigint")
-        case ("UNNEST", Seq(x)) => explode(x)
-        // r13: EXTRACT(part FROM x) — the part travels in the name (see
-        // parseAtom). BIGINT to match DuckDB's EXTRACT return type, so
-        // the key SQL needs no cast on either side; DOW is Sunday-based
-        // 0-6 in both engines (dayofweek is 1-based).
-        case (ef, Seq(x)) if ef.startsWith("EXTRACT_") =>
-          (ef.stripPrefix("EXTRACT_") match {
-            case "YEAR" => year(x)
-            case "MONTH" => month(x)
-            case "DAY" => dayofmonth(x)
-            case "HOUR" => hour(x)
-            case "MINUTE" => minute(x)
-            case "SECOND" => second(x)
-            case "DOW" => dayofweek(x) - lit(1)
-            case "DOY" => dayofyear(x)
-            // DuckDB EXTRACT(epoch) is DOUBLE seconds — both sides CAST
-            case "EPOCH" => unix_seconds(x.cast("timestamp"))
-            case "QUARTER" => quarter(x)
-            case "WEEK" => weekofyear(x)
-            case part => throw new IllegalArgumentException(
-              s"unsupported EXTRACT part: $part")
-          }).cast("bigint")
-        // r13: INTERVAL n unit literal — lowers to a Catalyst interval
-        // literal, so `date + INTERVAL 5 DAY` rides the generic OArith
-        // Column arithmetic (DATE stays DATE for day/month/year units in
-        // Spark; the keys CAST where DuckDB widens to TIMESTAMP).
-        // Year-month units clamp month-ends identically in both engines
-        // (2020-01-31 + 1 MONTH = 2020-02-29).
-        case ("INTERVAL", _) =>
-          val nv = argInt(args(0), "INTERVAL count")
-          val unit = argStr(args(1), "INTERVAL unit") match {
-            case u if u.endsWith("S") => u.dropRight(1)
-            case u => u
-          }
-          require(Set("DAY", "MONTH", "YEAR", "HOUR", "MINUTE", "SECOND")(
-            unit), s"unsupported INTERVAL unit: $unit")
-          expr(s"INTERVAL '$nv' $unit")
-        case other => throw new IllegalArgumentException(
-          s"wrong argument count for $f: got ${a.length}")
-      }
-
-  /** Literal-only function parameters (pad strings, trunc units, pad
-    * widths) — extracted from the raw operand so misuse fails loudly. */
-  private def argStr(o: Operand, what: String): String = o match {
-    case OVal(VStr(v)) => v
-    case _ => throw new IllegalArgumentException(s"$what must be a string literal")
-  }
-
-  private def argInt(o: Operand, what: String): Int = o match {
-    case OVal(VNum(n)) if !n.contains('.') => n.toInt
-    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
-  }
-
-  /** Dialect type vocabulary → Spark SQL type string (Catalyst Cast). */
-  private def sqlTypeName(t: String): String = t match {
-    case "INT" | "INTEGER" => "int"
-    case "SMALLINT" => "smallint"
-    case "BIGINT" => "bigint"
-    case "DOUBLE" => "double"
-    case "REAL" | "FLOAT" => "float"
-    case "VARCHAR" | "TEXT" | "STRING" => "string"
-    case "BOOLEAN" | "BOOL" => "boolean"
-    // r13: calendar casts (the INTERVAL-arithmetic companions)
-    case "DATE" => "date"
-    case "TIMESTAMP" => "timestamp"
-    case d if d.startsWith("DECIMAL(") => d.toLowerCase
-    case other =>
-      throw new IllegalArgumentException(s"unsupported CAST type: $other")
-  }
-
-  private def cmpCol(base: DataFrame, cmp: Cmp): Column =
-    applyCmpOp(operandCol(base, cmp.lhs), cmp.op, operandCol(base, cmp.rhs))
-
-  private def funcCol(f: EmdriveSql.VFunc): Column = f.name match {
-    case "ULID" => call_function("ulid")
-    case "NOW" => now()
-  }
-
-  /** Declared emdrive type of a column ("" for frames that never went
-    * through the DDL path — parquet registrations carry no domain). */
-  private def rawTypeOf(f: StructField): String =
-    if (f.metadata.contains(graft.sources.SchemaMapper.RawTypeMetadata))
-      f.metadata.getString(graft.sources.SchemaMapper.RawTypeMetadata)
-    else ""
-
-  /** INSERT-time value-domain validation, literal leg (reference:
-    * src/constructs/components.rs — 300 cannot parse into
-    * DataInstanceRaw::UInt8, a 60-char string cannot be a STRING(32), and
-    * a non-UUID string cannot be a Uuid). Spark's widened physical types
-    * (UINT8→short holds 300 happily) would otherwise silently accept what
-    * the declaration rejects — the divergence a dialect user hits on
-    * their first bad row. Literals fail HERE, at statement time, like the
-    * reference; expression-valued writes get the runtime guard below. */
-  private def checkLiteralDomain(v: Value, f: StructField): Unit = {
-    import graft.sources.SchemaMapper.{stringCap, uintMax}
-    val raw = rawTypeOf(f)
-    v match {
-      case VNum(s) =>
-        uintMax(raw).foreach { max =>
-          val d = BigDecimal(new java.math.BigDecimal(s))
-          if (d < 0 || d > max || d.remainder(1) != 0)
-            throw new IllegalArgumentException(
-              s"value $s out of domain for column ${f.name} ($raw)")
-        }
-      case VStr(s) =>
-        stringCap(raw).foreach { n =>
-          if (s.length > n) throw new IllegalArgumentException(
-            s"string of length ${s.length} exceeds ${f.name} ($raw)")
-        }
-        if (raw == "UUID")
-          try { java.util.UUID.fromString(s); () }
-          catch { case _: IllegalArgumentException =>
-            throw new IllegalArgumentException(
-              s"'$s' is not a UUID (column ${f.name})") }
-        // a string literal aimed at a numeric-declared column must pass the
-        // SAME range + integrality check as a numeric literal — otherwise
-        // INSERT … VALUES ('300') into a UINT8 column slips through the
-        // lit-then-cast path and stores a wrapped/overflowed value
-        uintMax(raw).foreach { max =>
-          val d =
-            try BigDecimal(new java.math.BigDecimal(s))
-            catch { case _: NumberFormatException =>
-              throw new IllegalArgumentException(
-                s"'$s' is not numeric (column ${f.name}, $raw)") }
-          if (d < 0 || d > max || d.remainder(1) != 0)
-            throw new IllegalArgumentException(
-              s"value $s out of domain for column ${f.name} ($raw)")
-        }
-      case VBits(b) =>
-        uintMax(raw).foreach { max =>
-          if (BigDecimal(b) > max || b < 0)
-            throw new IllegalArgumentException(
-              s"value $b out of domain for column ${f.name} ($raw)")
-        }
-      case _ => ()
-    }
-  }
-
-  /** Domain-guarded cast for expression-valued writes (INSERT…SELECT,
-    * UPDATE SET, MERGE): bounds-check BEFORE the cast — short/int casts
-    * wrap out-of-range values, so a post-cast check would bless exactly
-    * the corruption it exists to reject. The guard is a codegen
-    * `raise_error` branch evaluated per row on executors: the validating
-    * twin of the reference's per-value INSERT parse, at distributed-scan
-    * cost, no driver round-trip. NULLs pass (nullability is enforced
-    * separately by the NOT-NULL rule). */
-  /** The domain-violation predicate behind guardedCast, exposed separately
-    * so DML statements can run it EAGERLY (a bounded pre-check before the
-    * catalog swap — see requireDomain) as well as lazily (the raise_error
-    * branch inside the stored plan). UINT domains reject negatives, values
-    * above the type max, AND non-integral values — a fractional 1.5 into
-    * UINT8 must fail like the literal path's remainder check, not silently
-    * truncate through the cast. */
-  private def domainViolation(c: Column, f: StructField): Option[Column] = {
-    import graft.sources.SchemaMapper.{stringCap, uintMax}
-    val raw = rawTypeOf(f)
-    uintMax(raw) match {
-      case Some(max) =>
-        val d = c.cast("decimal(38,6)")
-        Some(d.isNotNull && (d < 0 || d > lit(max.bigDecimal) ||
-          d =!= floor(d).cast("decimal(38,6)")))
-      case None => stringCap(raw).map { n =>
-        val s = c.cast("string")
-        s.isNotNull && length(s) > n
-      }
-    }
-  }
-
-  /** Eager statement-time domain validation: one bounded job (filter +
-    * limit(1)) over the rows a DML statement is about to write, BEFORE the
-    * catalog swap — so an out-of-domain UPDATE/MERGE/INSERT…SELECT fails
-    * atomically at the statement, with the table (and any durable files)
-    * left exactly as they were. Without this the guardedCast raise_error
-    * fires lazily on a LATER read, permanently poisoning the stored plan
-    * and attributing the failure to an unrelated SELECT (the reference
-    * rejects at statement time — src/sql/expects/statements/insert.rs).
-    * No-op (zero jobs) when no written column has a bounded domain. */
-  private def requireDomain(df: DataFrame, checks: Seq[(String, Column)],
-      stmt: String): Unit =
-    if (checks.nonEmpty) {
-      val bad = df.filter(checks.map(_._2).reduce(_ || _))
-        .select(checks.map { case (n, p) => p.as(n) }.toIndexedSeq: _*)
-        .limit(1).collect()
-      if (bad.nonEmpty) {
-        val row = bad.head
-        val cols = checks.indices.collect {
-          case i if !row.isNullAt(i) && row.getBoolean(i) => checks(i)._1
-        }
-        throw new IllegalArgumentException(
-          s"$stmt: value out of domain for column(s) ${cols.mkString(", ")}")
-      }
-    }
-
-  private def guardedCast(c: Column, f: StructField): Column =
-    domainViolation(c, f) match {
-      case Some(viol) =>
-        when(viol,
-          raise_error(concat(
-            lit(s"value out of domain for column ${f.name} (${rawTypeOf(f)}): "),
-            c.cast("string"))).cast(f.dataType))
-          .otherwise(c.cast(f.dataType))
-      case None => c.cast(f.dataType)
-    }
-
-  private def valueCol(v: Value, field: StructField): Column = {
-    val dt = field.dataType
-    checkLiteralDomain(v, field)
-    v match {
-      case f: VFunc => guardedCast(funcCol(f), field)
-      case VNum(s) => lit(new java.math.BigDecimal(s)).cast(dt)
-      case VStr(s) => lit(s).cast(dt)
-      case VBool(b) => lit(b).cast(dt)
-      case VNull =>
-        // explicit NULL honors the reference's NOT-NULL-by-default rule:
-        // only NULLABLE(T) columns accept it
-        if (!field.nullable) throw new IllegalArgumentException(
-          s"cannot insert NULL into NOT NULL column ${field.name}")
-        lit(null).cast(dt)
-      case VBits(b) => dt match {
-        case BinaryType => lit(bits128(b))
-        case _ => lit(b.longValue).cast(dt)
-      }
-    }
-  }
-
-  /** Column DEFAULT (reference: ColumnDefinition.default) — parsed from the
-    * schema metadata at INSERT time; absent default → NULL for nullable
-    * columns, error otherwise (the reference's NOT-NULL-by-default rule). */
-  private def defaultCol(f: StructField): Column =
-    if (f.metadata.contains(SchemaMapper.DefaultMetadata)) {
-      val raw = f.metadata.getString(SchemaMapper.DefaultMetadata)
-      val v = EmdriveSql.parse(s"INSERT INTO d (c) VALUES ($raw)") match {
-        case EmdriveSql.Insert(_, _, Seq(Seq(value))) => value
-        case other => throw new IllegalArgumentException(s"bad DEFAULT $raw: $other")
-      }
-      valueCol(v, f)
-    } else if (f.nullable) lit(null).cast(f.dataType)
-    else throw new IllegalArgumentException(
-      s"column ${f.name} is NOT NULL with no DEFAULT and no value given")
-
-  /** 128-bit literal → 16-byte big-endian binary (UINT128 carrier form). */
-  private def bits128(v: BigInt): Array[Byte] = {
-    val raw = v.toByteArray.dropWhile(_ == 0) // strip sign byte
-    require(raw.length <= 16, s"literal wider than 128 bits: $v")
-    val out = new Array[Byte](16)
-    raw.copyToArray(out, 16 - raw.length)
-    out
-  }
-}
-
-object EmdriveSession {
-  /** Cross-session index-layout registry (see ensureIndex): keyed by
-    * (SparkSession identity, kind, relation semantic hash, column) so the
-    * write-once/query-many amortization spans sessions while plan
-    * identity rules out stale hits. Layouts live in /tmp for the
-    * sandbox; a production catalog would home them next to the table. */
-  private[sql] val indexPaths =
-    new java.util.concurrent.ConcurrentHashMap[
-      (Int, String, Int, String, String), String]()
-}
-
-/** Driver-gate query keys exercising the SQL front-end end-to-end: the
-  * same results a DataFrame user gets, but entered as SQL strings. */
-object SqlQueries {
-  import graft.sources.Tables
-  import graft.operators.Similarity
-
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // the system catalog as a queryable relation (reference: src/storage/
-    // system.rs — `system.columns` is a table, not a statement): the full
-    // introspection dump for a session with two parquet registrations and
-    // one DDL-declared table; the oracle is the KNOWN schema as constants,
-    // so a drift in type mapping, nullability, ordinal order, or key-role
-    // metadata fails the hash
-    "q_sql_system_columns" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.register("region", Tables.region(s, d))
-      es.sql("""CREATE TABLE photos (
-               |  id UUID PRIMARY KEY,
-               |  added TIMESTAMP,
-               |  caption NULLABLE(STRING(80)),
-               |  phash UINT64 METRIC KEY);""".stripMargin)
-      es.sql("""SELECT table_name, column_name, ordinal, data_type,
-               | is_nullable, primary_key, metric_key
-               |FROM system.columns;""".stripMargin)
-    }),
-    // ...and it composes with the full SELECT machinery: join the two
-    // system relations, filter, aggregate
-    "q_sql_system_agg" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.register("region", Tables.region(s, d))
-      es.sql("""SELECT t.table_name, t.n_columns, COUNT(*) AS n_strings
-               |FROM system.tables t JOIN system.columns c
-               |  ON t.table_name = c.table_name
-               |WHERE c.data_type = 'STRING'
-               |GROUP BY t.table_name, t.n_columns
-               |ORDER BY table_name;""".stripMargin)
-    }),
-    "q_sql_select" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en';")
-    }),
-    // ANSI set-op precedence: INTERSECT binds tighter than UNION/EXCEPT —
-    // this unparenthesized text must group as (en ∪ de) − (big ∩ src0);
-    // the oracle is the IDENTICAL text, so a uniform-precedence lowering
-    // (the r9 simplification) hash-fails
-    "q_sql_set_precedence" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT doc_id FROM documents WHERE lang = 'en'
-               |UNION SELECT doc_id FROM documents WHERE lang = 'de'
-               |EXCEPT SELECT doc_id FROM documents WHERE n_chars > 150
-               |INTERSECT SELECT doc_id FROM documents WHERE source = 'src0';""".stripMargin)
-    }),
-    "q_sql_distance" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("fps", Tables.documents(s, d)
-        .select(col("doc_id"), call_function("content_fp", col("text")).as("fp")))
-      es.sql("SELECT doc_id, fp @ 123456789 AS dist FROM fps WHERE dist < 10;")
-    }),
-    // the aggregate/ORDER BY/LIMIT extension end-to-end: sum/avg stay
-    // cross-engine exact because n_chars is integral (exact in double)
-    "q_sql_agg" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT source, COUNT(*) AS n, SUM(n_chars) AS total_chars,
-               | AVG(n_chars) AS avg_chars
-               |FROM documents WHERE lang = 'en'
-               |GROUP BY source ORDER BY total_chars DESC, source LIMIT 5;""".stripMargin)
-    }),
-    "q_sql_having" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT lang, COUNT(*) AS n, MIN(n_chars) AS min_chars
-               |FROM documents GROUP BY lang HAVING n >= 20 ORDER BY lang;""".stripMargin)
-    }),
-    // GROUP BY ROLLUP end-to-end: hierarchical subtotals in one Expand
-    // pass, NULL-marked rollup rows (ANSI), composed with HAVING-free agg
-    "q_sql_rollup" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT lang, source, COUNT(*) AS n, SUM(n_chars) AS total_chars
-               |FROM documents GROUP BY ROLLUP(lang, source);""".stripMargin)
-    }),
-    // explicit GROUPING SETS with mixed arities + GROUPING() markers:
-    // the rollup/cube generalization in one Expand pass; GROUPING()
-    // disambiguates subtotal NULLs from real NULL keys (ANSI)
-    "q_sql_grouping_sets" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT lang, source, COUNT(*) AS n,
-               | SUM(n_chars) AS total_chars,
-               | GROUPING(lang) AS g_lang, GROUPING(source) AS g_source
-               |FROM documents
-               |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ());""".stripMargin)
-    }),
-    // DML end-to-end through the gate (r10): each key MUTATES a
-    // registered table through the dialect statement, then SELECTs the
-    // result — the oracle recomputes the post-mutation state in pure SQL,
-    // so the statement semantics themselves are hash-checked, not just
-    // suite-asserted. UPDATE: every SET expression reads the OLD row.
-    "q_sql_update" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("docs", Tables.documents(s, d))
-      es.sql("UPDATE docs SET n_chars = n_chars * 2 + 1 WHERE lang = 'en';")
-      es.sql("""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
-               |FROM docs GROUP BY lang;""".stripMargin)
-    }),
-    // DELETE with ANSI three-valued semantics (NULL predicate KEEPS)
-    "q_sql_delete" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("docs", Tables.documents(s, d))
-      es.sql("DELETE FROM docs WHERE n_chars < 100 AND lang <> 'en';")
-      es.sql("""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
-               |FROM docs GROUP BY lang;""".stripMargin)
-    }),
-    // CREATE TABLE AS SELECT: the derived table is a first-class relation
-    "q_sql_ctas" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("docs", Tables.documents(s, d))
-      es.sql("""CREATE TABLE en_docs AS SELECT doc_id, source, n_chars
-               |FROM docs WHERE lang = 'en';""".stripMargin)
-      es.sql("""SELECT source, COUNT(*) AS n, SUM(n_chars) AS total_chars
-               |FROM en_docs GROUP BY source;""".stripMargin)
-    }),
-    // INSERT INTO … SELECT: the bulk-load statement through declared cols
-    "q_sql_insert_select" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("docs", Tables.documents(s, d))
-      es.sql("""CREATE TABLE big AS SELECT doc_id, n_chars FROM docs
-               |WHERE n_chars >= 300;""".stripMargin)
-      es.sql("""INSERT INTO big (doc_id, n_chars)
-               |SELECT doc_id + 1000000 AS shifted_id, n_chars FROM docs
-               |WHERE lang = 'zh';""".stripMargin)
-      es.sql("SELECT COUNT(*) AS n, SUM(n_chars) AS total_chars FROM big;")
-    }),
-    // MERGE upsert: matched rows update from the source, unmatched
-    // insert; the oracle rebuilds the merged state with joins + CASE
-    "q_sql_merge" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("docs", Tables.documents(s, d))
-      es.sql("""CREATE TABLE tgt AS SELECT doc_id, n_chars FROM docs
-               |WHERE doc_id % 3 = 0;""".stripMargin)
-      es.sql("""CREATE TABLE src AS SELECT doc_id, n_chars FROM docs
-               |WHERE doc_id % 2 = 0;""".stripMargin)
-      es.sql("""MERGE INTO tgt AS a USING src AS b ON a.doc_id = b.doc_id
-               |WHEN MATCHED THEN UPDATE SET n_chars = b.n_chars + 1
-               |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars)
-               |  VALUES (b.doc_id, b.n_chars);""".stripMargin)
-      es.sql("SELECT COUNT(*) AS n, SUM(n_chars) AS total_chars FROM tgt;")
-    }),
-    // the reference's literal INSERT path: CREATE → INSERT VALUES →
-    // SELECT, constants oracle
-    "q_sql_insert_values" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.sql("""CREATE TABLE kv (
-               |  k UINT32 PRIMARY KEY,
-               |  v NULLABLE(UINT16),
-               |  tag NULLABLE(STRING(16)));""".stripMargin)
-      es.sql("""INSERT INTO kv (k, v, tag) VALUES
-               |(1, 10, 'alpha'), (2, 20, 'beta'), (3, NULL, 'gamma');""".stripMargin)
-      es.sql("INSERT INTO kv (k, v) VALUES (4, 65535);")
-      es.sql("""SELECT k, v, tag FROM kv;""")
-    }),
-    // named WINDOW clause: one spec, three consumers — rank + two
-    // aggregates share the identical partition/order (ANSI WINDOW)
-    "q_sql_window_named" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT doc_id, source, n_chars,
-               | ROW_NUMBER() OVER w AS rn,
-               | SUM(n_chars) OVER w AS run_chars,
-               | MIN(n_chars) OVER w AS min_so_far
-               |FROM documents
-               |WINDOW w AS (PARTITION BY source ORDER BY doc_id)
-               |ORDER BY source, doc_id;""".stripMargin)
-    }),
-    // scalar subquery inside HAVING arithmetic: groups kept only when
-    // their count beats a corpus-derived threshold — the uncorrelated
-    // subquery executes once and inlines as a literal atom
-    "q_sql_having_sub" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT source, COUNT(*) AS n FROM documents
-               |GROUP BY source
-               |HAVING n * 25 > (SELECT COUNT(*) FROM documents)
-               |ORDER BY source;""".stripMargin)
-    }),
-    // GROUP BY CUBE end-to-end: all 2^k grouping sets from one Expand
-    "q_sql_cube" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT lang, source, COUNT(*) AS n
-               |FROM documents WHERE n_chars >= 100
-               |GROUP BY CUBE(lang, source);""".stripMargin)
-    }),
-    // simple CASE (subject form) desugared at parse to the searched form
-    "q_sql_case_simple" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT CASE lang WHEN 'en' THEN 'latin' WHEN 'fr' THEN 'latin'
-               |  WHEN 'zh' THEN 'cjk' ELSE 'other' END AS script,
-               | COUNT(*) AS n, SUM(n_chars) AS total_chars
-               |FROM documents GROUP BY script;""".stripMargin)
-    }),
-    // searched CASE as a computed GROUP BY bucket (the classic bucketing
-    // idiom), lowered to Catalyst CaseWhen + the usual partial agg
-    "q_sql_case" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT CASE WHEN n_chars < 200 THEN 'short'
-               |            WHEN n_chars < 400 THEN 'medium'
-               |            ELSE 'long' END AS bucket,
-               | COUNT(*) AS n, SUM(n_chars) AS total_chars
-               |FROM documents GROUP BY bucket ORDER BY bucket;""".stripMargin)
-    }),
-    // UNION vs UNION ALL bag semantics over two source slices
-    "q_sql_union" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT lang FROM documents WHERE source = 'src1'
-               |UNION SELECT lang FROM documents WHERE source = 'src2'
-               |UNION ALL SELECT lang FROM documents WHERE doc_id < 0;""".stripMargin)
-    }),
-    // the JOIN extension end-to-end: two equi-joins + aggregate, lowered
-    // to AQE-decided DataFrame joins
-    "q_sql_join" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("customer", Tables.customer(s, d))
-      es.register("orders", Tables.orders(s, d))
-      es.register("nation", Tables.nation(s, d))
-      es.sql("""SELECT n_name, COUNT(*) AS n_orders
-               |FROM orders
-               |JOIN customer ON o_custkey = c_custkey
-               |JOIN nation ON c_nationkey = n_nationkey
-               |WHERE o_orderstatus = 'F'
-               |GROUP BY n_name ORDER BY n_orders DESC, n_name LIMIT 10;""".stripMargin)
-    }),
-    // [NOT] IN (SELECT …) end-to-end: a semi-filter and an anti-filter in
-    // one WHERE tree, lowered to null-aware marker joins whose distinct
-    // subquery sides AQE is free to broadcast
-    "q_sql_in_subquery" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("customer", Tables.customer(s, d))
-      es.register("orders", Tables.orders(s, d))
-      es.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-               |WHERE o_custkey IN
-               |   (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-               | AND o_custkey NOT IN
-               |   (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
-               | AND o_totalprice > 250000
-               |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50;""".stripMargin)
-    }),
-    // pagination end-to-end: the serving layer's natural access pattern
-    // (page 3 of an ordered listing); deterministic because the sort key
-    // ends in the unique doc_id
-    "q_sql_page" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT doc_id, source, n_chars FROM documents
-               |ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 40;""".stripMargin)
-    }),
-    // ranking window end-to-end: top-3 longest docs per source via the
-    // WHERE-as-QUALIFY idiom; the (n_chars DESC, doc_id) key is a total
-    // order so ranks replay exactly cross-engine
-    "q_sql_window" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT source, doc_id, n_chars,
-               | ROW_NUMBER() OVER (PARTITION BY source
-               |   ORDER BY n_chars DESC, doc_id) AS rn
-               |FROM documents
-               |WHERE rn <= 3
-               |ORDER BY source, rn;""".stripMargin)
-    }),
-    // MEDIAN end-to-end: exact interpolated percentile over an integral
-    // column (the q_percentile cross-engine discipline), mixed with the
-    // other aggregates and an aggregate-arithmetic spread
-    "q_sql_median" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT lang, COUNT(*) AS n, MEDIAN(n_chars) AS med_chars,
-               | MAX(n_chars) - MIN(n_chars) AS spread
-               |FROM documents GROUP BY lang ORDER BY lang;""".stripMargin)
-    }),
-    // window aggregate end-to-end: per-source running totals (the ANSI
-    // default RANGE frame, identical in both engines); doc_id is unique
-    // per source so the frame boundary is a total order and integer sums
-    // replay exactly
-    "q_sql_running" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT source, doc_id, n_chars,
-               | SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS run_chars,
-               | COUNT(*) OVER (PARTITION BY source ORDER BY doc_id) AS run_n
-               |FROM documents ORDER BY source, doc_id;""".stripMargin)
-    }),
-    // aggregate arithmetic end-to-end: per-group ratio (mean via
-    // SUM/COUNT) and a share-of-corpus percentage via a scalar subquery,
-    // with the ratio alias reused in HAVING. Exact-integer sums make the
-    // divisions bitwise cross-engine.
-    "q_sql_agg_expr" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT source, COUNT(*) AS n, SUM(n_chars) AS total_chars,
-               | SUM(n_chars) / COUNT(*) AS mean_chars,
-               | SUM(n_chars) * 100 / (SELECT SUM(n_chars) FROM documents) AS pct
-               |FROM documents GROUP BY source
-               |HAVING mean_chars > 290 ORDER BY source;""".stripMargin)
-    }),
-    // arithmetic end-to-end: the TPC-H revenue formula as a computed
-    // select item, referenced again in WHERE and ORDER BY. Per-row
-    // double arithmetic is the same two IEEE ops in both engines, so
-    // membership and values replay bit-identically unrounded.
-    "q_sql_arith" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("lineitem", Tables.lineitem(s, d))
-      es.sql("""SELECT l_orderkey, l_linenumber,
-               | l_extendedprice * (1 - l_discount) AS net,
-               | l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross
-               |FROM lineitem
-               |WHERE net > 90000 AND l_discount > 0
-               |ORDER BY net DESC, l_orderkey, l_linenumber LIMIT 100;""".stripMargin)
-    }),
-    // CTE end-to-end: a two-step WITH where the second cte reads the
-    // first (forward scoping) and the body joins a cte against a base
-    // table — per-source char totals bucketed by the corpus-wide median's
-    // integer floor. Every step is exact-integer, so it replays anywhere.
-    "q_sql_cte" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""WITH per_source AS (
-               |  SELECT source AS src, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
-               |  FROM documents GROUP BY source),
-               |big AS (
-               |  SELECT src, n_docs, total_chars FROM per_source
-               |  WHERE total_chars > (SELECT AVG(total_chars) FROM per_source))
-               |SELECT src, n_docs, total_chars, AVG(n_chars) AS avg_chars
-               |FROM documents
-               |JOIN big ON source = src
-               |GROUP BY src, n_docs, total_chars
-               |ORDER BY total_chars DESC, src;""".stripMargin)
-    }),
-    // uncorrelated scalar subquery end-to-end: AVG over an integral column
-    // is an exact long-sum/count division, so the threshold replays
-    // bit-identically cross-engine and row membership is stable
-    "q_sql_scalar_sub" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT source, COUNT(*) AS n_above, MAX(n_chars) AS max_chars
-               |FROM documents
-               |WHERE n_chars > (SELECT AVG(n_chars) FROM documents)
-               |GROUP BY source ORDER BY source;""".stripMargin)
-    }),
-    // the serving layer e2e: the reference's front door is an HTTP server
-    // (src/server/mod.rs:99-131 POST / → parse → execute → JSON). Round-trip
-    // an aggregate through a live GraftServer on an ephemeral port and parse
-    // the JSON response back — the oracle then checks the WHOLE path:
-    // HTTP framing, SQL lowering, distributed to_json rendering, and the
-    // response contract, not just the in-process plan.
-    "q_http_query" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      val server = new graft.server.GraftServer(es)
-      server.start()
-      try {
-        val client = java.net.http.HttpClient.newHttpClient()
-        val req = java.net.http.HttpRequest.newBuilder()
-          .uri(java.net.URI.create(s"http://127.0.0.1:${server.boundPort}/"))
-          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
-            """SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
-              |FROM documents GROUP BY source ORDER BY source;""".stripMargin))
-          .build()
-        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-        require(resp.statusCode() == 200,
-          s"server returned ${resp.statusCode()}: ${resp.body().take(200)}")
-        import s.implicits._
-        // explicit schema: inference has nothing to infer on a zero-row corpus
-        s.read.schema("source STRING, n_docs BIGINT, total_chars BIGINT")
-          .json(s.createDataset(Seq(resp.body())))
-      } finally server.stop()
-    }),
-    // correlated [NOT] EXISTS end-to-end: big-spender customers with no
-    // failed order — both subqueries decorrelate into marker joins whose
-    // distinct key sides AQE broadcasts
-    "q_sql_exists" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("customer", Tables.customer(s, d))
-      es.register("orders", Tables.orders(s, d))
-      es.sql("""SELECT c_custkey, c_name, c_acctbal FROM customer
-               |WHERE EXISTS (SELECT 1 FROM orders
-               |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
-               | AND NOT EXISTS (SELECT 1 FROM orders
-               |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
-               |ORDER BY c_custkey;""".stripMargin)
-    }),
-    // joined EXISTS subquery (r8 verdict #4: the single-filtered-table
-    // restriction lifted) — customers with a finished order carrying a
-    // max-quantity line; the inner orders⋈lineitem chain lowers through
-    // the same relation machinery as a top-level SELECT, then
-    // decorrelates into one distinct-key marker join
-    "q_sql_exists_join" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("customer", Tables.customer(s, d))
-      es.register("orders", Tables.orders(s, d))
-      es.register("lineitem", Tables.lineitem(s, d))
-      es.sql("""SELECT c_custkey, c_name FROM customer
-               |WHERE EXISTS (SELECT 1 FROM orders
-               |              JOIN lineitem ON o_orderkey = l_orderkey
-               |              WHERE o_custkey = c_custkey
-               |                AND l_quantity >= 49 AND o_orderstatus = 'F')
-               |ORDER BY c_custkey;""".stripMargin)
-    }),
-    // grouped EXISTS with HAVING — customers having SOME order-priority
-    // class with ≥ 3 orders; groups form per (correlation key × GROUP BY
-    // key), HAVING prunes them, existence = any surviving group
-    "q_sql_exists_group" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("customer", Tables.customer(s, d))
-      es.register("orders", Tables.orders(s, d))
-      es.sql("""SELECT c_custkey, c_acctbal FROM customer
-               |WHERE EXISTS (SELECT COUNT(*) AS n FROM orders
-               |              WHERE o_custkey = c_custkey
-               |              GROUP BY o_orderpriority HAVING n >= 3)
-               |ORDER BY c_custkey;""".stripMargin)
-    }),
-    // correlated scalar subqueries NESTED INSIDE arithmetic (r8 ADVICE:
-    // previously only direct comparison sides decorrelated) — integer
-    // arithmetic only, and the first/third atoms are identical so the
-    // decorrelation attaches them ONCE (shared Kim/Dayal join)
-    "q_sql_corr_arith" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("customer", Tables.customer(s, d))
-      es.register("orders", Tables.orders(s, d))
-      es.sql("""SELECT c_custkey, c_name FROM customer
-               |WHERE (SELECT COUNT(*) FROM orders
-               |       WHERE o_custkey = c_custkey) * 10 >= 120
-               |  AND (SELECT COUNT(*) FROM orders
-               |       WHERE o_custkey = c_custkey AND o_orderstatus = 'O') + 5
-               |      <= (SELECT COUNT(*) FROM orders
-               |          WHERE o_custkey = c_custkey)
-               |ORDER BY c_custkey;""".stripMargin)
-    }),
-    // COUNT(DISTINCT …) end-to-end, mixed with plain aggregates and an
-    // aggregate-arithmetic ratio over the distinct count
-    "q_sql_count_distinct" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT source, COUNT(DISTINCT lang) AS n_langs, COUNT(*) AS n,
-               | COUNT(*) / COUNT(DISTINCT lang) AS docs_per_lang
-               |FROM documents GROUP BY source ORDER BY source;""".stripMargin)
-    }),
-    // explicit ROWS frames end-to-end: a 3-row moving average and a
-    // running sum per source (the moving-window idiom the ANSI default
-    // RANGE frame cannot express)
-    "q_sql_window_frame" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT source, doc_id, n_chars,
-               | AVG(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-               |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
-               | SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-               |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
-               |FROM documents ORDER BY source, doc_id;""".stripMargin)
-    }),
-    // r12 scalar widening: GREATEST/LEAST n-ary comparison + DATEDIFF
-    // calendar arithmetic (order-to-ship latency in whole days), grouped
-    // to exact integer extremes/sums
-    "q_sql_datediff" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("orders", Tables.orders(s, d))
-      es.register("lineitem", Tables.lineitem(s, d))
-      es.sql("""SELECT o_orderpriority,
-               | CAST(MIN(lat) AS BIGINT) AS min_days,
-               | CAST(MAX(lat) AS BIGINT) AS max_days,
-               | CAST(SUM(lat) AS BIGINT) AS total_days,
-               | COUNT(*) AS n
-               |FROM (SELECT o_orderpriority,
-               |   GREATEST(DATEDIFF('day', o_orderdate, l_shipdate), 0) AS lat
-               |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey) t
-               |GROUP BY o_orderpriority
-               |ORDER BY o_orderpriority;""".stripMargin)
-    }),
-    // r13 dialect widening: the everyday-calendar / row-value tier the
-    // r12 verdict named next — EXTRACT, INTERVAL arithmetic, row-value
-    // (tuple) IN, LIKE … ESCAPE. Every key runs the same text in DuckDB.
-    "q_sql_extract" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("orders", Tables.orders(s, d))
-      es.sql("""SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
-               | EXTRACT(QUARTER FROM o_orderdate) AS qtr,
-               | EXTRACT(MONTH FROM o_orderdate) AS mo,
-               | COUNT(*) AS n_orders
-               |FROM orders
-               |GROUP BY EXTRACT(YEAR FROM o_orderdate),
-               | EXTRACT(QUARTER FROM o_orderdate),
-               | EXTRACT(MONTH FROM o_orderdate)
-               |ORDER BY yr, qtr, mo;""".stripMargin)
-    }),
-    "q_sql_interval" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("orders", Tables.orders(s, d))
-      es.sql("""SELECT o_orderkey,
-               | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due30,
-               | CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS due_q,
-               | CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS due_y,
-               | CAST(o_orderdate + INTERVAL 6 HOUR AS VARCHAR) AS plus6h
-               |FROM orders WHERE o_orderkey < 500
-               |ORDER BY o_orderkey;""".stripMargin)
-    }),
-    "q_sql_in_tuple" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("orders", Tables.orders(s, d))
-      es.sql("""SELECT o_orderkey, o_orderstatus, o_orderpriority
-               |FROM orders
-               |WHERE (o_orderstatus, o_orderpriority)
-               |  IN (('F', '1-URGENT'), ('O', '5-LOW'), ('P', '3-MEDIUM'))
-               |  AND o_orderkey < 2000
-               |ORDER BY o_orderkey;""".stripMargin)
-    }),
-    "q_sql_like_escape" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      // tags carry literal % and _ so the escape char is load-bearing:
-      // 'pct!_5!%!_t' matches exactly the doc_id%10=5 tag, and the NOT
-      // LIKE arm (never true — every tag contains a literal %) proves
-      // the escape composes with negation
-      es.sql("""SELECT doc_id, tag FROM (
-               | SELECT doc_id,
-               |  CONCAT('pct_', CAST(doc_id % 10 AS VARCHAR), '%_t') AS tag
-               | FROM documents) t
-               |WHERE tag LIKE 'pct!_5!%!_t' ESCAPE '!'
-               |   OR tag NOT LIKE '%!%%' ESCAPE '!'
-               |ORDER BY doc_id;""".stripMargin)
-    }),
-    // r13 second tier: math scalars, regex/string tier 3, aggregate
-    // FILTER clause, IGNORE NULLS navigation, EXTRACT(EPOCH)
-    "q_sql_math" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("orders", Tables.orders(s, d))
-      es.sql("""SELECT o_orderkey,
-               | ROUND(SQRT(o_totalprice), 6) AS sq,
-               | ROUND(LN(o_totalprice), 6) AS lg,
-               | ROUND(ABS(EXP(LN(o_totalprice)) - o_totalprice), 3) AS rt,
-               | ROUND(ABS(POWER(o_totalprice, 0.5) - SQRT(o_totalprice)), 6) AS zz,
-               | CAST(SIGN(o_totalprice - 100000) AS INTEGER) AS s
-               |FROM orders WHERE o_orderkey < 300
-               |ORDER BY o_orderkey;""".stripMargin)
-    }),
-    "q_sql_regex" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT doc_id,
-               | REGEXP_REPLACE(source, '[0-9]+', '#') AS src_n,
-               | REGEXP_MATCHES(source, '1[0-9]') AS is_teens,
-               | REVERSE(source) AS rsrc,
-               | REPEAT(source, 2) AS s2,
-               | MD5(source) AS h,
-               | ASCII(source) AS a,
-               | CHR(CAST(65 + doc_id % 26 AS INTEGER)) AS letter
-               |FROM documents WHERE doc_id < 200
-               |ORDER BY doc_id;""".stripMargin)
-    }),
-    "q_sql_filter_agg" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("lineitem", Tables.lineitem(s, d))
-      es.sql("""SELECT l_returnflag,
-               | COUNT(*) AS n_all,
-               | COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
-               | SUM(l_quantity) FILTER (WHERE l_discount >= 0.05) AS qty_disc,
-               | MAX(l_extendedprice) FILTER (WHERE l_tax > 0.03) AS max_taxed,
-               | COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity = 1) AS n_supp_q1
-               |FROM lineitem GROUP BY l_returnflag
-               |ORDER BY l_returnflag;""".stripMargin)
-    }),
-    "q_sql_ignore_nulls" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      // LOCF gap-fill: every third doc carries a reading, the rest
-      // inherit the latest non-null one in their source partition
-      es.sql("""SELECT doc_id, v,
-               | LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY source
-               |   ORDER BY doc_id
-               |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
-               |FROM (SELECT doc_id, source,
-               |   CASE WHEN n_chars % 3 = 0 THEN n_chars ELSE NULL END AS v
-               |  FROM documents) t
-               |ORDER BY doc_id;""".stripMargin)
-    }),
-    "q_sql_epoch" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("orders", Tables.orders(s, d))
-      es.sql("""SELECT o_orderkey,
-               | CAST(EXTRACT(EPOCH FROM o_orderdate) AS BIGINT) AS secs
-               |FROM orders WHERE o_orderkey < 300
-               |ORDER BY o_orderkey;""".stripMargin)
-    }),
-    "q_sql_string_agg" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("nation", Tables.nation(s, d))
-      es.register("region", Tables.region(s, d))
-      es.sql("""SELECT r_name, STRING_AGG(n_name, ',') AS nations,
-               | COUNT(*) AS n
-               |FROM nation JOIN region ON n_regionkey = r_regionkey
-               |GROUP BY r_name ORDER BY r_name;""".stripMargin)
-    }),
-    // r14: JSON tier at the SQL front door (verdict item 2). The engine
-    // could extract JSON since B16; this makes the dialect reach it:
-    // JSON_EXTRACT_STRING for text values, CAST(JSON_EXTRACT(..)) for
-    // numerics (the cross-engine-identical compositions -- see the
-    // lowering note), a missing path as NULL, and a constructed-JSON
-    // round-trip proving the extraction runs per row, not per literal.
-    "q_sql_json" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("events", Tables.events(s, d)
-        .select(col("event_id"), col("event_type"), col("props")))
-      es.sql("""SELECT event_id, event_type,
-               | CAST(JSON_EXTRACT(props, '$.k') AS INTEGER) AS k_num,
-               | JSON_EXTRACT_STRING(props, '$.k') AS k_text,
-               | JSON_EXTRACT_STRING(props, '$.missing') AS miss,
-               | JSON_EXTRACT_STRING(CONCAT('{"t":"', event_type, '"}'),
-               |   '$.t') AS t_rt
-               |FROM events
-               |WHERE CAST(JSON_EXTRACT(props, '$.k') AS INTEGER) % 10 = 0
-               |ORDER BY event_id;""".stripMargin)
-    }),
-    // r14: array/UNNEST tier (verdict item 3). STRING_SPLIT -> array,
-    // UNNEST as the SELECT fan-out (lowered to explode; composes with a
-    // second projected column and with GROUP BY through a CTE), LEN as
-    // the array length -- the dialect route into the engine's whole
-    // explode-built text family.
-    "q_sql_unnest" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""WITH tok AS (
-               | SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
-               | FROM documents),
-               |cnt AS (
-               | SELECT doc_id, COUNT(*) AS n_terms FROM tok GROUP BY doc_id)
-               |SELECT c.doc_id, c.n_terms,
-               | LEN(STRING_SPLIT(d.text, ' ')) AS n_len
-               |FROM cnt c JOIN documents d ON c.doc_id = d.doc_id
-               |ORDER BY 1;""".stripMargin)
-    }),
-    // r14: the dialect's error-vs-NULL posture, pinned (verdict item 5).
-    // The session runs Spark's ANSI mode: plain CAST of a malformed
-    // value and a division whose divisor IS zero are loud runtime
-    // errors, never silent NULLs. The sanctioned NULL escape hatches are
-    // TRY_CAST (EvalMode.TRY cast: NULL on conversion failure) and
-    // NULLIF-guarded division -- both spelled identically in DuckDB,
-    // which is what makes the posture oracle-checkable.
-    "q_sql_try_cast" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT doc_id,
-               | TRY_CAST(source AS INTEGER) AS src_num,
-               | TRY_CAST(lang AS DOUBLE) AS lang_num,
-               | TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER) AS rt,
-               | CAST(n_chars AS DOUBLE) / NULLIF(doc_id % 3, 0) AS gdiv
-               |FROM documents WHERE doc_id < 300
-               |ORDER BY doc_id;""".stripMargin)
-    }),
-    "q_sql_greatest" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT doc_id,
-               | GREATEST(n_chars, 300) AS floor300,
-               | LEAST(n_chars, 300) AS cap300,
-               | GREATEST(n_chars, doc_id, 100) AS g3
-               |FROM documents WHERE doc_id < 150
-               |ORDER BY doc_id;""".stripMargin)
-    }),
-    // ANSI NULLS FIRST/LAST (r12): null placement is ENGINE-DEFAULT
-    // dependent (Spark asc→nulls first, DuckDB→nulls last), so the
-    // explicit form is what makes nullable sort keys cross-engine
-    // deterministic; a LIMIT under each ordering makes the placement
-    // observable through the row SET (the gate sorts rows before
-    // hashing, so order alone would not register)
-    "q_sql_nulls_order" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT 'nulls_first' AS leg, doc_id, nl FROM (
-               |  SELECT doc_id,
-               |    CASE WHEN lang = 'en' THEN NULL ELSE lang END AS nl
-               |  FROM documents WHERE doc_id < 200
-               |  ORDER BY nl DESC NULLS FIRST, doc_id LIMIT 10) a
-               |UNION ALL
-               |SELECT 'nulls_last' AS leg, doc_id, nl FROM (
-               |  SELECT doc_id,
-               |    CASE WHEN lang = 'en' THEN NULL ELSE lang END AS nl
-               |  FROM documents WHERE doc_id < 200
-               |  ORDER BY nl DESC NULLS LAST, doc_id LIMIT 10) b;""".stripMargin)
-    }),
-    // boolean quantifier aggregates (r12): BOOL_AND/BOOL_OR over a
-    // derived boolean column — ANSI EVERY/ANY in the DuckDB spelling
-    "q_sql_bool_agg" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT lang,
-               | BOOL_AND(big) AS all_big,
-               | BOOL_OR(big) AS any_big,
-               | COUNT(*) AS n
-               |FROM (SELECT lang,
-               |   CASE WHEN n_chars > 300 THEN TRUE ELSE FALSE END AS big
-               |  FROM documents) t
-               |GROUP BY lang ORDER BY lang;""".stripMargin)
-    }),
-    // sample standard deviation (r12): float-accumulated, so the key
-    // rounds to 6 dp per the §5 float discipline (the zipf precedent)
-    "q_sql_stddev" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT lang, COUNT(*) AS n,
-               | ROUND(STDDEV(n_chars), 6) AS sd_chars
-               |FROM documents GROUP BY lang ORDER BY lang;""".stripMargin)
-    }),
-    // EXCEPT ALL / INTERSECT ALL (r9): bag-semantics set ops — lang
-    // multiset of long docs minus short docs (multiplicities subtract),
-    // intersected multiset across two sources
-    "q_sql_set_all" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT lang FROM documents WHERE n_chars >= 300
-               |EXCEPT ALL SELECT lang FROM documents WHERE n_chars < 300;""".stripMargin)
-    }),
-    // QUALIFY (r9): top-k per group in one clause — the window filter
-    // spelled the way humans write it (DuckDB runs the same text)
-    "q_sql_qualify" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT source, doc_id, n_chars,
-               | ROW_NUMBER() OVER (PARTITION BY source
-               |   ORDER BY n_chars DESC, doc_id) AS rn
-               |FROM documents
-               |QUALIFY rn <= 3
-               |ORDER BY source, rn;""".stripMargin)
-    }),
-    // r9 scalar-tier widening: the everyday string functions in one
-    // pass — CONCAT/LPAD/LEFT/RIGHT/STRPOS/SPLIT_PART with CONTAINS as
-    // the WHERE predicate
-    "q_sql_string_funcs2" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT doc_id,
-               | CONCAT(source, '/', lang) AS src_lang,
-               | LPAD(CAST(doc_id AS VARCHAR), 6, '0') AS id6,
-               | LEFT(text, 10) AS head10, RIGHT(text, 5) AS tail5,
-               | STRPOS(text, 'table') AS pos_table,
-               | SPLIT_PART(text, ' ', 3) AS tok3
-               |FROM documents WHERE CONTAINS(text, 'spark') = TRUE
-               |ORDER BY doc_id LIMIT 100;""".stripMargin)
-    }),
-    // DATE_TRUNC + DOW (r9): the calendar report tier — month bucket ×
-    // day-of-week counts, grouped BY THE EXPRESSIONS (the A12az twins)
-    "q_sql_date_trunc" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("orders", Tables.orders(s, d))
-      es.sql("""SELECT CAST(DATE_TRUNC('month', o_orderdate) AS VARCHAR) AS mo,
-               | DOW(o_orderdate) AS dw, COUNT(*) AS n
-               |FROM orders
-               |GROUP BY CAST(DATE_TRUNC('month', o_orderdate) AS VARCHAR),
-               |         DOW(o_orderdate)
-               |ORDER BY mo, dw;""".stripMargin)
-    }),
-    // RANGE value frames (r9): rolling window BY VALUE — every peer at
-    // the same ORDER key lands in the same frame, so the count is
-    // tie-order independent by construction (the property ROWS frames
-    // lack); integer order key, exact counts
-    "q_sql_range_frame" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("orders", Tables.orders(s, d))
-      es.sql("""SELECT o_custkey, o_orderkey,
-               | CAST(ROUND(o_totalprice) AS BIGINT) AS price_i,
-               | COUNT(*) OVER (PARTITION BY o_custkey ORDER BY price_i
-               |   RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_near
-               |FROM orders ORDER BY o_custkey, o_orderkey;""".stripMargin)
-    }),
-    // CUME_DIST (r9): the remaining ANSI distribution window — exact-int
-    // ratio (peers-or-before / partition rows), bitwise cross-engine
-    "q_sql_cume_dist" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT source, doc_id, n_chars,
-               | CUME_DIST() OVER (PARTITION BY source
-               |   ORDER BY n_chars, doc_id) AS cd
-               |FROM documents ORDER BY source, doc_id;""".stripMargin)
-    }),
-    // WITH RECURSIVE (r9): a 4-hop walk along each source's doc chain
-    // (LEAD successor edges), counted by depth — set-fixpoint iteration
-    // with per-round convergence; DuckDB runs the same ANSI text natively
-    "q_sql_recursive" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""WITH RECURSIVE heads AS (
-               |  SELECT source, MIN(doc_id) AS doc_id FROM documents
-               |  GROUP BY source),
-               |nxt AS (
-               |  SELECT source, doc_id,
-               |   LEAD(doc_id, 1) OVER (PARTITION BY source
-               |     ORDER BY doc_id) AS nd
-               |  FROM documents),
-               |walk AS (
-               |  SELECT doc_id, 1 AS depth FROM heads
-               |  UNION
-               |  SELECT n.nd AS doc_id, w.depth + 1 AS depth
-               |  FROM walk AS w JOIN nxt AS n ON w.doc_id = n.doc_id
-               |  WHERE w.depth < 4 AND n.nd IS NOT NULL)
-               |SELECT depth, COUNT(*) AS n_docs FROM walk
-               |GROUP BY depth ORDER BY depth;""".stripMargin)
-    }),
-    // HAVING with aggregate expressions (r9): the ANSI spelling
-    // `HAVING COUNT(*) >= 20` — the atom resolves to its select-item
-    // twin's output column, composing inside arithmetic
-    "q_sql_having_agg" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
-               |FROM documents GROUP BY lang
-               |HAVING COUNT(*) >= 20 AND SUM(n_chars) / COUNT(*) > 250
-               |ORDER BY lang;""".stripMargin)
-    }),
-    // GROUP BY expressions (r9): `GROUP BY YEAR(d)` with the select-item
-    // twin resolving to its alias — the everyday ANSI report shape that
-    // previously required grouping by the alias name
-    "q_sql_group_expr" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("orders", Tables.orders(s, d))
-      es.sql("""SELECT YEAR(o_orderdate) AS yr, COUNT(*) AS n_orders
-               |FROM orders GROUP BY YEAR(o_orderdate) ORDER BY yr;""".stripMargin)
-    }),
-    // ORDER BY expressions (r9): the everyday ANSI shape — sort by a
-    // computed scalar that is not a select item; hidden-column lowering
-    // folds into TakeOrderedAndProject under the LIMIT
-    "q_sql_order_expr" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT doc_id, n_chars FROM documents
-               |ORDER BY ABS(n_chars - 300), doc_id LIMIT 50;""".stripMargin)
-    }),
-    // string scalar functions in SELECT and WHERE
-    "q_sql_string_funcs" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT doc_id, UPPER(lang) AS lang_uc, LENGTH(text) AS n_len,
-               | SUBSTR(text, 1, 20) AS head20
-               |FROM documents WHERE LENGTH(text) > 300
-               |ORDER BY doc_id LIMIT 100;""".stripMargin)
-    }),
-    // table functions: the pipeline surface through the SQL front door
-    // (each also reachable over HTTP via GraftServer)
-    "q_sql_dedup" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT doc_id, source, n_chars
-               |FROM dedup_exact(documents, doc_id, text);""".stripMargin)
-    }),
-    "q_sql_neardup" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("SELECT id_a, id_b, jaccard FROM neardup_jaccard(documents, doc_id, text, 0.5);")
-    }),
-    // index-backed metric search at the SQL layer (r8 verdict #5): the
-    // reference's emtree story — `hash @ probe <= r` answered from the
-    // PERSISTED prefix-partitioned layout, written on first use by the
-    // session's index registry; WHERE/ORDER BY compose on top like any
-    // relation. The oracle brute-forces the same radius over the
-    // portable-simhash replay — proving the pruned scan lossless.
-    "q_sql_metric_search" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("doc_hashes", Tables.documents(s, d).select(col("doc_id"),
-        call_function("simhash64", split(col("text"), " ")).as("h")))
-      es.sql("""SELECT doc_id, dist
-               |FROM metric_search(doc_hashes, doc_id, h, 0, 2)
-               |ORDER BY doc_id;""".stripMargin)
-    }),
-    // index-backed Hamming k-NN at the SQL layer: radius-doubling over
-    // the same persisted layout as q_sql_metric_search. Output is
-    // (h, dist) — ties at the k boundary share identical (h, dist)
-    // bytes, so the selected multiset is engine-independent even when
-    // doc ids at the boundary are not
-    "q_sql_metric_knn" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("doc_hashes", Tables.documents(s, d).select(col("doc_id"),
-        call_function("simhash64", split(col("text"), " ")).as("h")))
-      es.sql("""SELECT h, dist
-               |FROM metric_knn(doc_hashes, doc_id, h, 0, 10)
-               |ORDER BY dist, h;""".stripMargin)
-    }),
-    // index-backed ANN search at the SQL layer: cosine top-10 for probe
-    // vec_id=0 from the PERSISTED IVF layout (deterministic lowest-8-id
-    // centroids — the q_ann_ivf scheme, so DuckDB replays assignment,
-    // probe cell, and the in-cell ranking exactly)
-    "q_sql_ann_search" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("embeddings", Tables.embeddings(s, d))
-      es.sql("""SELECT vec_id, sim
-               |FROM ann_search(embeddings, vec_id, embedding, 0, 10)
-               |ORDER BY sim DESC, vec_id;""".stripMargin)
-    }),
-    "q_sql_knn" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("embeddings", Tables.embeddings(s, d))
-      es.sql("SELECT vec_id, sim FROM knn_cosine(embeddings, vec_id, embedding, 0, 10);")
-    }),
-    "q_sql_quality_gate" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT doc_id, ok_words, ok_mean_len, ok_repetition,
-               | ok_stopwords, keep
-               |FROM quality_gate(documents, doc_id, text);""".stripMargin)
-    }),
-    // LEFT OUTER JOIN + COALESCE end-to-end: every customer with their
-    // order stats, zero-filled where no orders exist — the canonical
-    // enrichment shape an inner join silently drops rows from. The CTE
-    // pre-aggregates so the preserved side stays one-row-per-customer.
-    "q_sql_left_join" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("customer", Tables.customer(s, d))
-      es.register("orders", Tables.orders(s, d))
-      es.sql("""WITH oc AS (
-               |  SELECT o_custkey, COUNT(*) AS n_orders
-               |  FROM orders GROUP BY o_custkey)
-               |SELECT c_custkey, c_name,
-               | COALESCE(n_orders, 0) AS n_ord,
-               | CASE WHEN COALESCE(n_orders, 0) = 0 THEN 'never'
-               |      ELSE 'buyer' END AS segment
-               |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
-               |ORDER BY c_custkey;""".stripMargin)
-    }),
-    // GROUP BY / ORDER BY ordinals — the analyst spelling
-    "q_sql_ordinal" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT source, lang, COUNT(*) AS n
-               |FROM documents GROUP BY 1, 2 ORDER BY 1, 2;""".stripMargin)
-    }),
-    // LAG/LEAD with an explicit offset
-    "q_sql_lag" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT source, doc_id, n_chars,
-               | LAG(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS prev_chars,
-               | LEAD(n_chars, 2) OVER (PARTITION BY source ORDER BY doc_id) AS next2_chars
-               |FROM documents ORDER BY source, doc_id;""".stripMargin)
-    }),
-    // derived table end-to-end: filter + order over an aggregating
-    // inline view (the CTE-free spelling)
-    "q_sql_derived" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT source, n_docs, total_chars
-               |FROM (SELECT source, COUNT(*) AS n_docs,
-               |      SUM(n_chars) AS total_chars
-               |      FROM documents GROUP BY source) t
-               |WHERE n_docs > 10 ORDER BY source;""".stripMargin)
-    }),
-    "q_sql_langid" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("SELECT doc_id, pred_lang, en_ratio FROM language_id(documents, doc_id, text);")
-    }),
-    "q_sql_split" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("SELECT doc_id, split FROM sample_split(documents, doc_id);")
-    }),
-    // NTILE + PERCENT_RANK: distribution-position windows (quartile
-    // bucketing and the exact (rank−1)/(rows−1) percentile position)
-    "q_sql_ntile" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT source, doc_id, n_chars,
-               | NTILE(4) OVER (PARTITION BY source
-               |   ORDER BY n_chars, doc_id) AS quart,
-               | PERCENT_RANK() OVER (PARTITION BY source
-               |   ORDER BY n_chars, doc_id) AS pr
-               |FROM documents ORDER BY source, doc_id;""".stripMargin)
-    }),
-    // correlated scalar subqueries in the SELECT list — the per-row
-    // lookup shape (counts with zero-fill, NULL for empty MAX groups,
-    // a local predicate mixing with the correlation)
-    // correlated scalar subqueries in WHERE — both sides of the AND carry
-    // one (a count floor and a per-customer MIN comparison against outer
-    // arithmetic), exercising the 2c decorrelation + composability
-    "q_sql_corr_where" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("customer", Tables.customer(s, d))
-      es.register("orders", Tables.orders(s, d))
-      es.sql("""SELECT c_custkey, c_name, c_acctbal FROM customer
-               |WHERE (SELECT COUNT(*) FROM orders
-               |       WHERE o_custkey = c_custkey) >= 12
-               |  AND c_acctbal * 10 > (SELECT MIN(o_totalprice) FROM orders
-               |       WHERE o_custkey = c_custkey)
-               |ORDER BY c_custkey;""".stripMargin)
-    }),
-    "q_sql_corr_scalar" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("customer", Tables.customer(s, d))
-      es.register("orders", Tables.orders(s, d))
-      es.sql("""SELECT c_custkey, c_name,
-               | (SELECT COUNT(*) FROM orders
-               |  WHERE o_custkey = c_custkey) AS n_orders,
-               | (SELECT MAX(o_totalprice) FROM orders
-               |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O') AS max_open
-               |FROM customer ORDER BY c_custkey;""".stripMargin)
-    }),
-    // numeric/null scalar tier: ROUND/ABS/NULLIF/COALESCE composing with
-    // arithmetic in SELECT and WHERE (n/3.0 can never sit exactly on a
-    // .5 rounding boundary for integral n, so the 0-dp round is
-    // cross-engine stable)
-    "q_sql_scalar_funcs" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT doc_id, ROUND(n_chars / 3.0) AS thirds,
-               | ABS(n_chars - 500) AS dev500,
-               | COALESCE(NULLIF(lang, 'en'), 'base') AS alt_lang
-               |FROM documents WHERE ABS(n_chars - 500) < 400
-               |ORDER BY doc_id;""".stripMargin)
-    }),
-    // [NOT] LIKE + SELECT DISTINCT end-to-end over the parquet corpus
-    // (r11: A12a promoted from suite-only — `%` wildcards both anchored
-    // and floating, NOT LIKE composing in the same conjunction, DISTINCT
-    // deduping the projected pair)
-    "q_sql_like" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT DISTINCT lang, source FROM documents
-               |WHERE text LIKE '%table window%' AND source NOT LIKE '%1%'
-               |ORDER BY lang, source;""".stripMargin)
-    }),
-    // boolean predicate tree end-to-end (r11: A12f promoted from
-    // suite-only): AND binds tighter than OR, parens group, NOT at
-    // factor level — the un-parenthesized tail leg must parse as
-    // (zh AND long), not ((… OR zh) AND long)
-    "q_sql_bool_logic" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT doc_id, lang, n_chars FROM documents
-               |WHERE (lang = 'en' OR lang = 'de')
-               |  AND NOT (n_chars < 300 OR n_chars > 450)
-               |  OR lang = 'zh' AND n_chars > 500
-               |ORDER BY doc_id;""".stripMargin)
-    }),
-    // IN-list / NOT IN / BETWEEN / NOT BETWEEN (r11: A12g promoted from
-    // suite-only): the IN list lowers to a pushable Catalyst In, BETWEEN
-    // desugars to the inclusive range with its AND bound locally
-    "q_sql_in_between" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT doc_id, lang, n_chars FROM documents
-               |WHERE lang IN ('en', 'fr', 'es') AND lang NOT IN ('es')
-               |  AND n_chars BETWEEN 200 AND 400
-               |  AND doc_id NOT BETWEEN 100 AND 120
-               |ORDER BY doc_id;""".stripMargin)
-    }),
-    // TRUE / FALSE / NULL literal values as expressions (r11: A12c
-    // promoted from suite-only): typed literal lowering through CASE —
-    // BOOL results and an explicit NULL branch whose column type must
-    // still come out STRING
-    "q_sql_literals" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT doc_id,
-               | CASE WHEN n_chars > 300 THEN TRUE ELSE FALSE END AS long_doc,
-               | CASE WHEN lang = 'en' THEN NULL ELSE lang END AS non_en
-               |FROM documents WHERE doc_id < 100
-               |ORDER BY doc_id;""".stripMargin)
-    }),
-    // CREATE TABLE + INSERT VALUES end-to-end through the gate (r11:
-    // A1/A1b/A2 promoted from suite-only): the full declared-type tier —
-    // UINT32→BIGINT, UINT16→INTEGER, UINT64→DECIMAL(20,0) (a value above
-    // int64 range proves the decimal physical type is real), NULLABLE
-    // STRING(n) with an explicit NULL, BOOL — read back typed. §5 cast-back
-    // discipline (r12 fix, same as q_sql_cast): the DECIMAL(20,0) column is
-    // rendered through VARCHAR on BOTH sides because DuckDB's int128 decimal
-    // stringification and Spark's BigDecimal disagree at the hash layer; the
-    // decimal stays under test via the WHERE comparison (a >int64 literal
-    // compared against the stored decimal) and the typed read-back path.
-    "q_sql_create_insert" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.sql("""CREATE TABLE inv (
-               |  sku UINT32 PRIMARY KEY,
-               |  qty UINT16,
-               |  price UINT64,
-               |  note NULLABLE(STRING(40)),
-               |  active BOOL);""".stripMargin)
-      es.sql("""INSERT INTO inv VALUES
-               | (1, 5, 1999, 'first', TRUE),
-               | (2, 0, 10000000000000000000, NULL, FALSE),
-               | (3, 65535, 0, 'max u16', TRUE);""".stripMargin)
-      es.sql("""SELECT sku, qty, CAST(price AS VARCHAR) AS price_str,
-               | note, active
-               |FROM inv WHERE price <= 10000000000000000000
-               |ORDER BY sku;""".stripMargin)
-    }),
-    // UUID type round-trip (r11: A10 promoted from suite-only): canonical
-    // UUID literals survive INSERT-time domain validation and read back
-    // as the declared string form
-    "q_sql_uuid" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.sql("CREATE TABLE ids (id UUID PRIMARY KEY, label STRING(20));")
-      es.sql("""INSERT INTO ids VALUES
-               | ('0198b5a2-3c4d-7e5f-8a9b-0c1d2e3f4a5b', 'alpha'),
-               | ('ffffffff-ffff-ffff-ffff-ffffffffffff', 'omega');""".stripMargin)
-      es.sql("SELECT id, label FROM ids ORDER BY label;")
-    }),
-    // NOW() engine-side fill (r11: A9 promoted from suite-only): the
-    // DEFAULT NOW() column is nondeterministic, so the key projects a
-    // sanity invariant of it (a correct engine clock makes YEAR(at) land
-    // in [2020, 2100] forever) rather than the raw timestamp
-    "q_sql_now" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.sql("""CREATE TABLE evt (
-               |  k UINT32 PRIMARY KEY,
-               |  at TIMESTAMP DEFAULT NOW());""".stripMargin)
-      es.sql("INSERT INTO evt (k) VALUES (1), (2);")
-      es.sql("""SELECT k,
-               | CASE WHEN YEAR(at) >= 2020 AND YEAR(at) <= 2100
-               |   THEN TRUE ELSE FALSE END AS clock_sane
-               |FROM evt ORDER BY k;""".stripMargin)
-    }),
-    // EXPLAIN through the gate (r11: A12e promoted from suite-only): the
-    // raw plan text is machine/plan-id-dependent, so the key projects the
-    // INVARIANTS the front-end promises — the filter reaches the parquet
-    // scan as a pushed filter and the unused text column is pruned from
-    // the read — as booleans against a constants oracle
-    "q_sql_explain" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("EXPLAIN SELECT doc_id FROM documents WHERE lang = 'en';")
-        .agg(
-          max(col("plan_line").contains("Scan parquet")).as("scans_parquet"),
-          max(col("plan_line").contains("PushedFilters") &&
-            col("plan_line").contains("lang")).as("filter_pushed"),
-          max(col("plan_line").contains("text")).as("reads_text_col"))
-    }),
-    // the reference README story end-to-end through the gate (r11: A11
-    // promoted from suite-only; reference README.md "Story"): CREATE a
-    // metric-keyed photos table with DEFAULT NOW(), INSERT binary-literal
-    // perceptual hashes, run the `@` threshold search — projected to the
-    // deterministic columns (ULID/NOW stay covered by the suite)
-    "q_sql_readme" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.sql("""CREATE TABLE IF NOT EXISTS photos_seen (
-               |  hash UINT64 METRIC KEY USING emtree(hamming),
-               |  url STRING(2048) PRIMARY KEY,
-               |  width UINT32,
-               |  height UINT32,
-               |  seen_at TIMESTAMP DEFAULT NOW());""".stripMargin)
-      es.sql("""INSERT INTO photos_seen (hash, url, width, height)
-               |VALUES (0b11001111, 'https://example.com/a.png', 1280, 820),
-               |       (0b01110000, 'https://example.com/b.png', 640, 480);""".stripMargin)
-      es.sql("""SELECT url, width, height, hash @ 0b00001011 AS distance
-               |FROM photos_seen WHERE distance < 4;""".stripMargin)
-    }),
-    // FULL OUTER JOIN + IS NULL: the reconciliation report — which
-    // nations have customers, early suppliers, or both
-    "q_sql_full_join" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("customer", Tables.customer(s, d))
-      es.register("supplier", Tables.supplier(s, d))
-      es.sql("""WITH c AS (
-               |  SELECT c_nationkey AS nk, COUNT(*) AS n_cust
-               |  FROM customer GROUP BY c_nationkey),
-               |sp AS (
-               |  SELECT s_nationkey AS snk, COUNT(*) AS n_supp
-               |  FROM supplier WHERE s_suppkey < 30 GROUP BY s_nationkey)
-               |SELECT COALESCE(nk, snk) AS nationkey,
-               | COALESCE(n_cust, 0) AS n_cust,
-               | COALESCE(n_supp, 0) AS n_supp,
-               | CASE WHEN nk IS NULL THEN 'supplier_only'
-               |      WHEN snk IS NULL THEN 'customer_only'
-               |      ELSE 'both' END AS presence
-               |FROM c FULL OUTER JOIN sp ON nk = snk
-               |ORDER BY nationkey;""".stripMargin)
-    }),
-    // RIGHT OUTER JOIN: all customers kept, urgent orders counted
-    // (COUNT(col) skips the NULLs of unmatched rows — ANSI)
-    "q_sql_right_join" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("customer", Tables.customer(s, d))
-      es.register("orders", Tables.orders(s, d))
-      es.sql("""WITH o AS (
-               |  SELECT o_custkey, o_orderkey FROM orders
-               |  WHERE o_orderpriority = '1-URGENT')
-               |SELECT c_custkey, COUNT(o_orderkey) AS n_urgent
-               |FROM o RIGHT JOIN customer ON o_custkey = c_custkey
-               |GROUP BY c_custkey ORDER BY c_custkey;""".stripMargin)
-    }),
-    // EXCEPT — ANSI distinct set difference
-    "q_sql_except" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT doc_id FROM documents WHERE lang = 'en'
-               |EXCEPT SELECT doc_id FROM documents WHERE n_chars < 500;""".stripMargin)
-    }),
-    // INTERSECT — ANSI distinct set intersection
-    "q_sql_intersect" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT source FROM documents WHERE lang = 'en'
-               |INTERSECT SELECT source FROM documents WHERE n_chars < 400;""".stripMargin)
-    }),
-    // CAST tier: numeric/string/decimal targets, composing with
-    // arithmetic and WHERE
-    "q_sql_cast" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      // The DECIMAL(12,2) cast stays under test, but is rendered through
-      // VARCHAR: it is the only key that would otherwise emit a raw decimal
-      // output column, which the driver's hash canonicalization stringifies
-      // differently from DuckDB (r8 verdict: engine verified right by judge
-      // replay; fix the rendering, not the engine).
-      es.sql("""SELECT doc_id,
-               | CAST(n_chars AS DOUBLE) / 7 AS sevenths,
-               | CAST(n_chars AS VARCHAR) AS n_str,
-               | CAST(CAST(n_chars AS DECIMAL(12,2)) AS VARCHAR) AS n_dec
-               |FROM documents WHERE CAST(n_chars AS BIGINT) >= 200
-               |ORDER BY doc_id;""".stripMargin)
-    }),
-    // calendar functions + CAST composing under GROUP BY ordinals —
-    // the monthly-revenue report straight from SQL
-    "q_sql_dates" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("orders", Tables.orders(s, d))
-      es.sql("""SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
-               | CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
-               | COUNT(*) AS n_orders,
-               | CAST(ROUND(MAX(o_totalprice) / 1000, 1) AS DOUBLE) AS top_k
-               |FROM orders WHERE YEAR(o_orderdate) BETWEEN 1996 AND 1997
-               |GROUP BY 1, 2 ORDER BY 1, 2;""".stripMargin)
-    }),
-    // centered ROWS frame: the symmetric moving average (PRECEDING and
-    // FOLLOWING bounds)
-    "q_sql_centered" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT source, doc_id, n_chars,
-               | AVG(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-               |   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS ma5
-               |FROM documents ORDER BY source, doc_id;""".stripMargin)
-    }),
-    // FIRST_VALUE / LAST_VALUE navigation: each doc vs its source's
-    // shortest doc (default frame) and the full-frame longest
-    "q_sql_first_value" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("documents", Tables.documents(s, d))
-      es.sql("""SELECT source, doc_id, n_chars,
-               | FIRST_VALUE(n_chars) OVER (PARTITION BY source
-               |   ORDER BY n_chars, doc_id) AS min_chars,
-               | LAST_VALUE(n_chars) OVER (PARTITION BY source
-               |   ORDER BY n_chars, doc_id
-               |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               |   AS running_max
-               |FROM documents ORDER BY source, doc_id;""".stripMargin)
-    }),
-    // table aliases + qualified references: the self-join shape —
-    // same-nation (customer, founder) pairs. The b-side literal cap is
-    // load-bearing at scale: Catalyst pushes it BELOW the join, so the
-    // pair relation grows linearly in |a| (an uncapped same-key self
-    // join is quadratic BY SEMANTICS — measured 575x wall at x100 before
-    // this bound; with it the b side is =100 rows at any corpus size)
-    "q_sql_self_join" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("customer", Tables.customer(s, d))
-      es.sql("""SELECT a.c_nationkey AS nationkey, COUNT(*) AS n_pairs
-               |FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
-               |WHERE b.c_custkey <= 100 AND a.c_custkey < b.c_custkey
-               |GROUP BY 1 ORDER BY 1;""".stripMargin)
-    }),
-    // IS NULL as the anti-join spelling over LEFT JOIN's unmatched rows
-    "q_sql_is_null" -> ((s: SparkSession, d: String) => {
-      val es = new EmdriveSession(s)
-      es.register("customer", Tables.customer(s, d))
-      es.register("orders", Tables.orders(s, d))
-      es.sql("""WITH o AS (
-               |  SELECT o_custkey, COUNT(*) AS n FROM orders
-               |  WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
-               |SELECT c_custkey, c_name
-               |FROM customer LEFT JOIN o ON c_custkey = o_custkey
-               |WHERE n IS NULL ORDER BY c_custkey;""".stripMargin)
-    })
-  )
-
-  val oracles: Map[String, String] = Map(
-    // the catalog dump is checked against the KNOWN schemas as constants —
-    // the session registers exactly these three tables, so the expected
-    // rows are fully determined (type mapping per sources/SchemaMapper)
-    "q_sql_system_columns" ->
-      """SELECT * FROM (VALUES
-        | ('documents','doc_id',0,'BIGINT',TRUE,FALSE,FALSE),
-        | ('documents','text',1,'STRING',TRUE,FALSE,FALSE),
-        | ('documents','lang',2,'STRING',TRUE,FALSE,FALSE),
-        | ('documents','source',3,'STRING',TRUE,FALSE,FALSE),
-        | ('documents','n_chars',4,'BIGINT',TRUE,FALSE,FALSE),
-        | ('photos','id',0,'STRING',FALSE,TRUE,FALSE),
-        | ('photos','added',1,'TIMESTAMP',FALSE,FALSE,FALSE),
-        | ('photos','caption',2,'STRING',TRUE,FALSE,FALSE),
-        | ('photos','phash',3,'DECIMAL(20,0)',FALSE,FALSE,TRUE),
-        | ('region','r_regionkey',0,'INT',TRUE,FALSE,FALSE),
-        | ('region','r_name',1,'STRING',TRUE,FALSE,FALSE)
-        |) AS t(table_name, column_name, ordinal, data_type,
-        |       is_nullable, primary_key, metric_key)""".stripMargin,
-    "q_sql_system_agg" ->
-      """SELECT * FROM (VALUES
-        | ('documents', 5, CAST(3 AS BIGINT)),
-        | ('region', 2, CAST(1 AS BIGINT))
-        |) AS t(table_name, n_columns, n_strings)""".stripMargin,
-    "q_sql_select" ->
-      "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'",
-    "q_sql_grouping_sets" ->
-      """SELECT lang, source, count(*) AS n,
-        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        | CAST(GROUPING(lang) AS BIGINT) AS g_lang,
-        | CAST(GROUPING(source) AS BIGINT) AS g_source
-        |FROM documents
-        |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())""".stripMargin,
-    // DML oracles recompute the post-mutation state in pure SQL
-    "q_sql_update" ->
-      """SELECT lang, count(*) AS n,
-        | CAST(sum(CASE WHEN lang = 'en' THEN n_chars * 2 + 1
-        |   ELSE n_chars END) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY lang""".stripMargin,
-    "q_sql_delete" ->
-      """SELECT lang, count(*) AS n,
-        | CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents WHERE NOT (n_chars < 100 AND lang <> 'en')
-        |GROUP BY lang""".stripMargin,
-    "q_sql_ctas" ->
-      """SELECT source, count(*) AS n,
-        | CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
-    "q_sql_insert_select" ->
-      """WITH big AS (
-        | SELECT n_chars FROM documents WHERE n_chars >= 300
-        | UNION ALL
-        | SELECT n_chars FROM documents WHERE lang = 'zh')
-        |SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM big""".stripMargin,
-    "q_sql_merge" ->
-      """WITH tgt AS (
-        | SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0),
-        |src AS (
-        | SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0),
-        |merged AS (
-        | SELECT CASE WHEN s.doc_id IS NOT NULL THEN s.n_chars + 1
-        |   ELSE t.n_chars END AS n_chars
-        | FROM tgt t LEFT JOIN src s ON t.doc_id = s.doc_id
-        | UNION ALL
-        | SELECT s.n_chars FROM src s LEFT JOIN tgt t ON s.doc_id = t.doc_id
-        | WHERE t.doc_id IS NULL)
-        |SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM merged""".stripMargin,
-    "q_sql_insert_values" ->
-      """SELECT * FROM (VALUES
-        | (CAST(1 AS BIGINT), 10, 'alpha'),
-        | (CAST(2 AS BIGINT), 20, 'beta'),
-        | (CAST(3 AS BIGINT), NULL, 'gamma'),
-        | (CAST(4 AS BIGINT), 65535, NULL)
-        |) AS t(k, v, tag)""".stripMargin,
-    "q_sql_set_precedence" ->
-      """SELECT doc_id FROM documents WHERE lang = 'en'
-        |UNION SELECT doc_id FROM documents WHERE lang = 'de'
-        |EXCEPT SELECT doc_id FROM documents WHERE n_chars > 150
-        |INTERSECT SELECT doc_id FROM documents WHERE source = 'src0'""".stripMargin,
-    "q_sql_rollup" ->
-      """SELECT lang, source, count(*) AS n,
-        | CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
-    "q_sql_window_named" ->
-      """SELECT doc_id, source, n_chars,
-        | CAST(row_number() OVER w AS INTEGER) AS rn,
-        | CAST(sum(n_chars) OVER w AS BIGINT) AS run_chars,
-        | min(n_chars) OVER w AS min_so_far
-        |FROM documents
-        |WINDOW w AS (PARTITION BY source ORDER BY doc_id)
-        |ORDER BY source, doc_id""".stripMargin,
-    "q_sql_having_sub" ->
-      """SELECT source, count(*) AS n FROM documents
-        |GROUP BY source
-        |HAVING count(*) * 25 > (SELECT count(*) FROM documents)
-        |ORDER BY source""".stripMargin,
-    "q_sql_cube" ->
-      """SELECT lang, source, count(*) AS n
-        |FROM documents WHERE n_chars >= 100
-        |GROUP BY CUBE(lang, source)""".stripMargin,
-    "q_sql_case_simple" ->
-      """SELECT CASE lang WHEN 'en' THEN 'latin' WHEN 'fr' THEN 'latin'
-        |  WHEN 'zh' THEN 'cjk' ELSE 'other' END AS script,
-        | count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY script""".stripMargin,
-    // DuckDB runs the correlated EXISTS natively — the oracle is the
-    // same ANSI text the dialect parses
-    "q_sql_exists" ->
-      """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders
-        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
-        | AND NOT EXISTS (SELECT 1 FROM orders
-        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
-    "q_sql_exists_join" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders
-        |              JOIN lineitem ON o_orderkey = l_orderkey
-        |              WHERE o_custkey = c_custkey
-        |                AND l_quantity >= 49 AND o_orderstatus = 'F')
-        |ORDER BY c_custkey""".stripMargin,
-    // ANSI spelling (aggregate in HAVING) — same groups, same pruning
-    "q_sql_exists_group" ->
-      """SELECT c_custkey, c_acctbal FROM customer
-        |WHERE EXISTS (SELECT count(*) FROM orders
-        |              WHERE o_custkey = c_custkey
-        |              GROUP BY o_orderpriority HAVING count(*) >= 3)
-        |ORDER BY c_custkey""".stripMargin,
-    "q_sql_corr_arith" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE (SELECT count(*) FROM orders
-        |       WHERE o_custkey = c_custkey) * 10 >= 120
-        |  AND (SELECT count(*) FROM orders
-        |       WHERE o_custkey = c_custkey AND o_orderstatus = 'O') + 5
-        |      <= (SELECT count(*) FROM orders
-        |          WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
-    "q_sql_window_frame" ->
-      """SELECT source, doc_id, n_chars,
-        | avg(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
-        | CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_sum
-        |FROM documents ORDER BY source, doc_id""".stripMargin,
-    "q_sql_group_expr" ->
-      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n_orders
-        |FROM orders GROUP BY year(o_orderdate)""".stripMargin,
-    "q_sql_datediff" ->
-      """SELECT o_orderpriority,
-        | CAST(MIN(lat) AS BIGINT) AS min_days,
-        | CAST(MAX(lat) AS BIGINT) AS max_days,
-        | CAST(SUM(lat) AS BIGINT) AS total_days,
-        | COUNT(*) AS n
-        |FROM (SELECT o_orderpriority,
-        |   GREATEST(date_diff('day', CAST(o_orderdate AS DATE),
-        |     CAST(l_shipdate AS DATE)), 0) AS lat
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey) t
-        |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
-    "q_sql_json" ->
-      """SELECT event_id, event_type,
-        | CAST(json_extract(props, '$.k') AS INTEGER) AS k_num,
-        | json_extract_string(props, '$.k') AS k_text,
-        | json_extract_string(props, '$.missing') AS miss,
-        | json_extract_string(CONCAT('{"t":"', event_type, '"}'),
-        |   '$.t') AS t_rt
-        |FROM events
-        |WHERE CAST(json_extract(props, '$.k') AS INTEGER) % 10 = 0
-        |ORDER BY event_id""".stripMargin,
-    "q_sql_unnest" ->
-      """WITH tok AS (
-        | SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        | FROM documents),
-        |cnt AS (
-        | SELECT doc_id, COUNT(*) AS n_terms FROM tok GROUP BY doc_id)
-        |SELECT c.doc_id, c.n_terms,
-        | len(string_split(d.text, ' ')) AS n_len
-        |FROM cnt c JOIN documents d ON c.doc_id = d.doc_id
-        |ORDER BY 1""".stripMargin,
-    "q_sql_try_cast" ->
-      """SELECT doc_id,
-        | TRY_CAST(source AS INTEGER) AS src_num,
-        | TRY_CAST(lang AS DOUBLE) AS lang_num,
-        | TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER) AS rt,
-        | CAST(n_chars AS DOUBLE) / NULLIF(doc_id % 3, 0) AS gdiv
-        |FROM documents WHERE doc_id < 300
-        |ORDER BY doc_id""".stripMargin,
-    "q_sql_greatest" ->
-      """SELECT doc_id,
-        | GREATEST(n_chars, 300) AS floor300,
-        | LEAST(n_chars, 300) AS cap300,
-        | GREATEST(n_chars, doc_id, 100) AS g3
-        |FROM documents WHERE doc_id < 150
-        |ORDER BY doc_id""".stripMargin,
-    "q_sql_string_agg" ->
-      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
-        | COUNT(*) AS n
-        |FROM nation JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin,
-    "q_sql_math" ->
-      """SELECT o_orderkey,
-        | ROUND(SQRT(o_totalprice), 6) AS sq,
-        | ROUND(LN(o_totalprice), 6) AS lg,
-        | ROUND(ABS(EXP(LN(o_totalprice)) - o_totalprice), 3) AS rt,
-        | ROUND(ABS(POWER(o_totalprice, 0.5) - SQRT(o_totalprice)), 6) AS zz,
-        | CAST(SIGN(o_totalprice - 100000) AS INTEGER) AS s
-        |FROM orders WHERE o_orderkey < 300
-        |ORDER BY o_orderkey""".stripMargin,
-    "q_sql_regex" ->
-      """SELECT doc_id,
-        | REGEXP_REPLACE(source, '[0-9]+', '#', 'g') AS src_n,
-        | REGEXP_MATCHES(source, '1[0-9]') AS is_teens,
-        | REVERSE(source) AS rsrc,
-        | REPEAT(source, 2) AS s2,
-        | MD5(source) AS h,
-        | ASCII(source) AS a,
-        | CHR(CAST(65 + doc_id % 26 AS INTEGER)) AS letter
-        |FROM documents WHERE doc_id < 200
-        |ORDER BY doc_id""".stripMargin,
-    "q_sql_filter_agg" ->
-      """SELECT l_returnflag,
-        | COUNT(*) AS n_all,
-        | COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
-        | SUM(l_quantity) FILTER (WHERE l_discount >= 0.05) AS qty_disc,
-        | MAX(l_extendedprice) FILTER (WHERE l_tax > 0.03) AS max_taxed,
-        | COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity = 1) AS n_supp_q1
-        |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
-    "q_sql_ignore_nulls" ->
-      """SELECT doc_id, v,
-        | LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY source
-        |   ORDER BY doc_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
-        |FROM (SELECT doc_id, source,
-        |   CASE WHEN n_chars % 3 = 0 THEN n_chars ELSE NULL END AS v
-        |  FROM documents) t
-        |ORDER BY doc_id""".stripMargin,
-    "q_sql_epoch" ->
-      """SELECT o_orderkey,
-        | CAST(EXTRACT(EPOCH FROM o_orderdate) AS BIGINT) AS secs
-        |FROM orders WHERE o_orderkey < 300
-        |ORDER BY o_orderkey""".stripMargin,
-    "q_sql_extract" ->
-      """SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
-        | EXTRACT(QUARTER FROM o_orderdate) AS qtr,
-        | EXTRACT(MONTH FROM o_orderdate) AS mo,
-        | COUNT(*) AS n_orders
-        |FROM orders
-        |GROUP BY 1, 2, 3
-        |ORDER BY yr, qtr, mo""".stripMargin,
-    "q_sql_interval" ->
-      """SELECT o_orderkey,
-        | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due30,
-        | CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS due_q,
-        | CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS due_y,
-        | CAST(o_orderdate + INTERVAL 6 HOUR AS VARCHAR) AS plus6h
-        |FROM orders WHERE o_orderkey < 500
-        |ORDER BY o_orderkey""".stripMargin,
-    "q_sql_in_tuple" ->
-      """SELECT o_orderkey, o_orderstatus, o_orderpriority
-        |FROM orders
-        |WHERE (o_orderstatus, o_orderpriority)
-        |  IN (('F', '1-URGENT'), ('O', '5-LOW'), ('P', '3-MEDIUM'))
-        |  AND o_orderkey < 2000
-        |ORDER BY o_orderkey""".stripMargin,
-    "q_sql_like_escape" ->
-      """SELECT doc_id, tag FROM (
-        | SELECT doc_id,
-        |  CONCAT('pct_', CAST(doc_id % 10 AS VARCHAR), '%_t') AS tag
-        | FROM documents) t
-        |WHERE tag LIKE 'pct!_5!%!_t' ESCAPE '!'
-        |   OR tag NOT LIKE '%!%%' ESCAPE '!'
-        |ORDER BY doc_id""".stripMargin,
-    "q_sql_nulls_order" ->
-      """SELECT 'nulls_first' AS leg, doc_id, nl FROM (
-        |  SELECT doc_id,
-        |    CASE WHEN lang = 'en' THEN NULL ELSE lang END AS nl
-        |  FROM documents WHERE doc_id < 200
-        |  ORDER BY nl DESC NULLS FIRST, doc_id LIMIT 10) a
-        |UNION ALL
-        |SELECT 'nulls_last' AS leg, doc_id, nl FROM (
-        |  SELECT doc_id,
-        |    CASE WHEN lang = 'en' THEN NULL ELSE lang END AS nl
-        |  FROM documents WHERE doc_id < 200
-        |  ORDER BY nl DESC NULLS LAST, doc_id LIMIT 10) b""".stripMargin,
-    "q_sql_bool_agg" ->
-      """SELECT lang,
-        | BOOL_AND(big) AS all_big,
-        | BOOL_OR(big) AS any_big,
-        | COUNT(*) AS n
-        |FROM (SELECT lang,
-        |   CASE WHEN n_chars > 300 THEN TRUE ELSE FALSE END AS big
-        |  FROM documents) t
-        |GROUP BY lang ORDER BY lang""".stripMargin,
-    "q_sql_stddev" ->
-      """SELECT lang, COUNT(*) AS n,
-        | ROUND(STDDEV(n_chars), 6) AS sd_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-    "q_sql_set_all" ->
-      """SELECT lang FROM documents WHERE n_chars >= 300
-        |EXCEPT ALL SELECT lang FROM documents WHERE n_chars < 300""".stripMargin,
-    "q_sql_qualify" ->
-      """SELECT source, doc_id, n_chars,
-        | CAST(row_number() OVER (PARTITION BY source
-        |   ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rn
-        |FROM documents
-        |QUALIFY rn <= 3""".stripMargin,
-    "q_sql_string_funcs2" ->
-      """SELECT doc_id,
-        | concat(source, '/', lang) AS src_lang,
-        | lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id6,
-        | left(text, 10) AS head10, right(text, 5) AS tail5,
-        | CAST(strpos(text, 'table') AS INTEGER) AS pos_table,
-        | split_part(text, ' ', 3) AS tok3
-        |FROM documents WHERE contains(text, 'spark') = TRUE
-        |ORDER BY doc_id LIMIT 100""".stripMargin,
-    "q_sql_date_trunc" ->
-      """SELECT CAST(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS VARCHAR) AS mo,
-        | CAST(date_part('dow', o_orderdate) AS INTEGER) AS dw, count(*) AS n
-        |FROM orders GROUP BY mo, dw
-        |ORDER BY mo, dw""".stripMargin,
-    "q_sql_range_frame" ->
-      """SELECT o_custkey, o_orderkey,
-        | CAST(round(o_totalprice) AS BIGINT) AS price_i,
-        | COUNT(*) OVER (PARTITION BY o_custkey ORDER BY price_i
-        |   RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_near
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
-    "q_sql_cume_dist" ->
-      """SELECT source, doc_id, n_chars,
-        | cume_dist() OVER (PARTITION BY source
-        |   ORDER BY n_chars, doc_id) AS cd
-        |FROM documents ORDER BY source, doc_id""".stripMargin,
-    "q_sql_recursive" ->
-      """WITH RECURSIVE heads AS (
-        |  SELECT source, min(doc_id) AS doc_id FROM documents
-        |  GROUP BY source),
-        |nxt AS (
-        |  SELECT source, doc_id,
-        |   lead(doc_id, 1) OVER (PARTITION BY source ORDER BY doc_id) AS nd
-        |  FROM documents),
-        |walk AS (
-        |  SELECT doc_id, CAST(1 AS BIGINT) AS depth FROM heads
-        |  UNION
-        |  SELECT n.nd AS doc_id, w.depth + 1 AS depth
-        |  FROM walk w JOIN nxt n ON w.doc_id = n.doc_id
-        |  WHERE w.depth < 4 AND n.nd IS NOT NULL)
-        |SELECT depth, count(*) AS n_docs FROM walk
-        |GROUP BY depth ORDER BY depth""".stripMargin,
-    "q_sql_having_agg" ->
-      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
-        |FROM documents GROUP BY lang
-        |HAVING count(*) >= 20 AND sum(n_chars) / count(*) > 250""".stripMargin,
-    "q_sql_order_expr" ->
-      """SELECT doc_id, n_chars FROM documents
-        |ORDER BY abs(n_chars - 300), doc_id LIMIT 50""".stripMargin,
-    "q_sql_string_funcs" ->
-      """SELECT doc_id, upper(lang) AS lang_uc,
-        | CAST(length(text) AS INTEGER) AS n_len,
-        | substr(text, 1, 20) AS head20
-        |FROM documents WHERE length(text) > 300
-        |ORDER BY doc_id LIMIT 100""".stripMargin,
-    "q_sql_count_distinct" ->
-      """SELECT source, count(DISTINCT lang) AS n_langs, count(*) AS n,
-        | count(*) / count(DISTINCT lang) AS docs_per_lang
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-    "q_sql_dedup" ->
-      """SELECT doc_id, source, n_chars FROM documents
-        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
-    "q_sql_neardup" ->
-      s"""WITH ${graft.operators.Dedup.wordPairCtes}
-         |SELECT id_a, id_b,
-         | inter * 1.0 / (ca.n + cb.n - inter) AS jaccard
-         |FROM p
-         |JOIN cnt ca ON id_a = ca.doc_id
-         |JOIN cnt cb ON id_b = cb.doc_id
-         |WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5""".stripMargin,
-    "q_sql_knn" ->
-      """SELECT vec_id,
-        | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
-        |FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
-    // brute-force replay of the same radius over the portable simhash —
-    // the pruned partition scan must lose nothing (the q_metric_index
-    // proof, now for the SQL/HTTP surface)
-    "q_sql_metric_search" ->
-      s"""WITH ${graft.operators.Dedup.simhashCtes},
-         |d AS (SELECT doc_id,
-         |   CAST(bit_count(xor(simhash,
-         |     (SELECT simhash FROM sh64 WHERE doc_id = 0))) AS INTEGER) AS dist
-         |  FROM sh64)
-         |SELECT doc_id, dist FROM d WHERE dist <= 2""".stripMargin,
-    // brute-force k-NN replay: same ranking (dist, then hash), same k —
-    // the pruned radius-doubling scan must select the same multiset
-    "q_sql_metric_knn" ->
-      s"""WITH ${graft.operators.Dedup.simhashCtes},
-         |d AS (SELECT doc_id, simhash AS h,
-         |   CAST(bit_count(xor(simhash,
-         |     (SELECT simhash FROM sh64 WHERE doc_id = 0))) AS INTEGER) AS dist
-         |  FROM sh64)
-         |SELECT h, dist FROM d ORDER BY dist, h LIMIT 10""".stripMargin,
-    // complete replay of the deterministic IVF path: lowest-8-id
-    // centroids, argmax assignment with the cid tie-break, probe cell,
-    // in-cell top-10 (the q_ann_ivf oracle parameterized by the
-    // LIMIT-8 centroid set)
-    "q_sql_ann_search" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM e
-        |      WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
-        |scored AS (
-        | SELECT e.vec_id, e.v, c.cid,
-        |  list_cosine_similarity(e.v, c.cv) AS csim
-        | FROM e CROSS JOIN c),
-        |a AS (
-        | SELECT vec_id, v, cid FROM (
-        |  SELECT *, row_number() OVER (
-        |   PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
-        |  FROM scored) WHERE rn = 1),
-        |p AS (SELECT cid AS pcid, v AS pv FROM a WHERE vec_id = 0)
-        |SELECT a.vec_id,
-        | round(list_cosine_similarity(a.v, p.pv), 6) AS sim
-        |FROM a, p WHERE a.cid = p.pcid
-        |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
-    "q_sql_quality_gate" -> graft.operators.TextAnalysis.oracles("q_gopher_flags"),
-    "q_sql_left_join" ->
-      """WITH oc AS (
-        |  SELECT o_custkey, count(*) AS n_orders
-        |  FROM orders GROUP BY o_custkey)
-        |SELECT c_custkey, c_name,
-        | COALESCE(n_orders, 0) AS n_ord,
-        | CASE WHEN COALESCE(n_orders, 0) = 0 THEN 'never'
-        |      ELSE 'buyer' END AS segment
-        |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
-        |ORDER BY c_custkey""".stripMargin,
-    "q_sql_ordinal" ->
-      """SELECT source, lang, count(*) AS n
-        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q_sql_lag" ->
-      """SELECT source, doc_id, n_chars,
-        | lag(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS prev_chars,
-        | lead(n_chars, 2) OVER (PARTITION BY source ORDER BY doc_id) AS next2_chars
-        |FROM documents ORDER BY source, doc_id""".stripMargin,
-    "q_sql_derived" ->
-      """SELECT source, n_docs, total_chars
-        |FROM (SELECT source, count(*) AS n_docs,
-        |      CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |      FROM documents GROUP BY source) t
-        |WHERE n_docs > 10 ORDER BY source""".stripMargin,
-    "q_sql_langid" -> graft.operators.TextAnalysis.oracles("q_langid"),
-    "q_sql_split" -> graft.operators.Sampling.oracles("q_sample_split"),
-    "q_sql_ntile" ->
-      """SELECT source, doc_id, n_chars,
-        | CAST(ntile(4) OVER (PARTITION BY source
-        |   ORDER BY n_chars, doc_id) AS INTEGER) AS quart,
-        | percent_rank() OVER (PARTITION BY source
-        |   ORDER BY n_chars, doc_id) AS pr
-        |FROM documents ORDER BY source, doc_id""".stripMargin,
-    // DuckDB runs the correlated scalars natively — same ANSI text
-    "q_sql_corr_where" ->
-      """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE (SELECT count(*) FROM orders
-        |       WHERE o_custkey = c_custkey) >= 12
-        |  AND c_acctbal * 10 > (SELECT min(o_totalprice) FROM orders
-        |       WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
-    "q_sql_corr_scalar" ->
-      """SELECT c_custkey, c_name,
-        | (SELECT COUNT(*) FROM orders
-        |  WHERE o_custkey = c_custkey) AS n_orders,
-        | (SELECT MAX(o_totalprice) FROM orders
-        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O') AS max_open
-        |FROM customer ORDER BY c_custkey""".stripMargin,
-    "q_sql_scalar_funcs" ->
-      """SELECT doc_id, round(n_chars / 3.0) AS thirds,
-        | ABS(n_chars - 500) AS dev500,
-        | COALESCE(NULLIF(lang, 'en'), 'base') AS alt_lang
-        |FROM documents WHERE ABS(n_chars - 500) < 400
-        |ORDER BY doc_id""".stripMargin,
-    // the four r11 promotions run the IDENTICAL text in DuckDB — any
-    // divergence in wildcard matching, precedence, range inclusivity, or
-    // literal typing fails the hash
-    "q_sql_like" ->
-      """SELECT DISTINCT lang, source FROM documents
-        |WHERE text LIKE '%table window%' AND source NOT LIKE '%1%'
-        |ORDER BY lang, source""".stripMargin,
-    "q_sql_bool_logic" ->
-      """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE (lang = 'en' OR lang = 'de')
-        |  AND NOT (n_chars < 300 OR n_chars > 450)
-        |  OR lang = 'zh' AND n_chars > 500
-        |ORDER BY doc_id""".stripMargin,
-    "q_sql_in_between" ->
-      """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE lang IN ('en', 'fr', 'es') AND lang NOT IN ('es')
-        |  AND n_chars BETWEEN 200 AND 400
-        |  AND doc_id NOT BETWEEN 100 AND 120
-        |ORDER BY doc_id""".stripMargin,
-    "q_sql_literals" ->
-      """SELECT doc_id,
-        | CASE WHEN n_chars > 300 THEN TRUE ELSE FALSE END AS long_doc,
-        | CASE WHEN lang = 'en' THEN NULL ELSE lang END AS non_en
-        |FROM documents WHERE doc_id < 100
-        |ORDER BY doc_id""".stripMargin,
-    // DDL/identity promotions: the oracle is the KNOWN inserted rows as
-    // typed constants (same doctrine as q_sql_system_columns)
-    "q_sql_create_insert" ->
-      """SELECT * FROM (VALUES
-        | (CAST(1 AS BIGINT), CAST(5 AS INTEGER), '1999', 'first', TRUE),
-        | (CAST(2 AS BIGINT), CAST(0 AS INTEGER),
-        |  '10000000000000000000', NULL, FALSE),
-        | (CAST(3 AS BIGINT), CAST(65535 AS INTEGER), '0', 'max u16', TRUE)
-        |) AS t(sku, qty, price_str, note, active)""".stripMargin,
-    "q_sql_uuid" ->
-      """SELECT * FROM (VALUES
-        | ('0198b5a2-3c4d-7e5f-8a9b-0c1d2e3f4a5b', 'alpha'),
-        | ('ffffffff-ffff-ffff-ffff-ffffffffffff', 'omega')
-        |) AS t(id, label)""".stripMargin,
-    "q_sql_now" ->
-      """SELECT * FROM (VALUES
-        | (CAST(1 AS BIGINT), TRUE),
-        | (CAST(2 AS BIGINT), TRUE)
-        |) AS t(k, clock_sane)""".stripMargin,
-    "q_sql_readme" ->
-      """SELECT * FROM (VALUES
-        | ('https://example.com/a.png', CAST(1280 AS BIGINT),
-        |  CAST(820 AS BIGINT), CAST(3 AS INTEGER))
-        |) AS t(url, width, height, distance)""".stripMargin,
-    // the front-end's plan promises as constants: filter pushed to the
-    // parquet scan, unused text column pruned from the read
-    "q_sql_explain" ->
-      """SELECT TRUE AS scans_parquet, TRUE AS filter_pushed,
-        | FALSE AS reads_text_col""".stripMargin,
-    "q_sql_median" ->
-      """SELECT lang, count(*) AS n, median(n_chars) AS med_chars,
-        | max(n_chars) - min(n_chars) AS spread
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-    "q_sql_running" ->
-      """SELECT source, doc_id, n_chars,
-        | CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
-        |   AS BIGINT) AS run_chars,
-        | count(*) OVER (PARTITION BY source ORDER BY doc_id) AS run_n
-        |FROM documents ORDER BY source, doc_id""".stripMargin,
-    "q_sql_window" ->
-      """WITH r AS (
-        | SELECT source, doc_id, n_chars,
-        |  CAST(row_number() OVER (PARTITION BY source
-        |    ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rn
-        | FROM documents)
-        |SELECT source, doc_id, n_chars, rn FROM r
-        |WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
-    "q_sql_agg_expr" ->
-      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        | sum(n_chars) / count(*) AS mean_chars,
-        | sum(n_chars) * 100 / (SELECT sum(n_chars) FROM documents) AS pct
-        |FROM documents GROUP BY source
-        |HAVING sum(n_chars) / count(*) > 290 ORDER BY source""".stripMargin,
-    "q_sql_arith" ->
-      """SELECT l_orderkey, l_linenumber,
-        | l_extendedprice * (1 - l_discount) AS net,
-        | l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross
-        |FROM lineitem
-        |WHERE l_extendedprice * (1 - l_discount) > 90000 AND l_discount > 0
-        |ORDER BY net DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
-    "q_sql_cte" ->
-      """WITH per_source AS (
-        |  SELECT source AS src, count(*) AS n_docs,
-        |   CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |  FROM documents GROUP BY source),
-        |big AS (
-        |  SELECT src, n_docs, total_chars FROM per_source
-        |  WHERE total_chars > (SELECT avg(total_chars) FROM per_source))
-        |SELECT src, n_docs, total_chars, avg(n_chars) AS avg_chars
-        |FROM documents JOIN big ON source = src
-        |GROUP BY 1, 2, 3
-        |ORDER BY total_chars DESC, src""".stripMargin,
-    "q_sql_distance" ->
-      s"""WITH fp AS (${Similarity.fpSql})
-         |SELECT doc_id, CAST(bit_count(xor(fp, 123456789)) AS INTEGER) AS dist
-         |FROM fp WHERE bit_count(xor(fp, 123456789)) < 10""".stripMargin,
-    "q_sql_agg" ->
-      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        | avg(n_chars) AS avg_chars
-        |FROM documents WHERE lang = 'en'
-        |GROUP BY source ORDER BY total_chars DESC, source LIMIT 5""".stripMargin,
-    "q_sql_having" ->
-      """SELECT lang, count(*) AS n, min(n_chars) AS min_chars
-        |FROM documents GROUP BY lang HAVING count(*) >= 20 ORDER BY lang""".stripMargin,
-    "q_sql_case" ->
-      """SELECT CASE WHEN n_chars < 200 THEN 'short'
-        |            WHEN n_chars < 400 THEN 'medium'
-        |            ELSE 'long' END AS bucket,
-        | count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
-    "q_sql_union" ->
-      """SELECT lang FROM documents WHERE source = 'src1'
-        |UNION SELECT lang FROM documents WHERE source = 'src2'
-        |UNION ALL SELECT lang FROM documents WHERE doc_id < 0""".stripMargin,
-    "q_sql_join" ->
-      """SELECT n_name, count(*) AS n_orders
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |WHERE o_orderstatus = 'F'
-        |GROUP BY n_name ORDER BY n_orders DESC, n_name LIMIT 10""".stripMargin,
-    "q_sql_page" ->
-      """SELECT doc_id, source, n_chars FROM documents
-        |ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 40""".stripMargin,
-    "q_sql_scalar_sub" ->
-      """SELECT source, count(*) AS n_above, MAX(n_chars) AS max_chars
-        |FROM documents
-        |WHERE n_chars > (SELECT AVG(n_chars) FROM documents)
-        |GROUP BY source ORDER BY source""".stripMargin,
-    "q_sql_in_subquery" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE o_custkey IN
-        |   (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-        | AND o_custkey NOT IN
-        |   (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
-        | AND o_totalprice > 250000
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
-    "q_http_query" ->
-      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-    "q_sql_full_join" ->
-      """WITH c AS (
-        |  SELECT c_nationkey AS nk, count(*) AS n_cust
-        |  FROM customer GROUP BY c_nationkey),
-        |sp AS (
-        |  SELECT s_nationkey AS snk, count(*) AS n_supp
-        |  FROM supplier WHERE s_suppkey < 30 GROUP BY s_nationkey)
-        |SELECT COALESCE(nk, snk) AS nationkey,
-        | COALESCE(n_cust, 0) AS n_cust,
-        | COALESCE(n_supp, 0) AS n_supp,
-        | CASE WHEN nk IS NULL THEN 'supplier_only'
-        |      WHEN snk IS NULL THEN 'customer_only'
-        |      ELSE 'both' END AS presence
-        |FROM c FULL OUTER JOIN sp ON nk = snk
-        |ORDER BY nationkey""".stripMargin,
-    "q_sql_right_join" ->
-      """WITH o AS (
-        |  SELECT o_custkey, o_orderkey FROM orders
-        |  WHERE o_orderpriority = '1-URGENT')
-        |SELECT c_custkey, count(o_orderkey) AS n_urgent
-        |FROM o RIGHT JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
-    "q_sql_except" ->
-      """SELECT doc_id FROM documents WHERE lang = 'en'
-        |EXCEPT SELECT doc_id FROM documents WHERE n_chars < 500""".stripMargin,
-    "q_sql_intersect" ->
-      """SELECT source FROM documents WHERE lang = 'en'
-        |INTERSECT SELECT source FROM documents WHERE n_chars < 400""".stripMargin,
-    "q_sql_cast" ->
-      """SELECT doc_id,
-        | CAST(n_chars AS DOUBLE) / 7 AS sevenths,
-        | CAST(n_chars AS VARCHAR) AS n_str,
-        | CAST(CAST(n_chars AS DECIMAL(12,2)) AS VARCHAR) AS n_dec
-        |FROM documents WHERE CAST(n_chars AS BIGINT) >= 200
-        |ORDER BY doc_id""".stripMargin,
-    "q_sql_is_null" ->
-      """WITH o AS (
-        |  SELECT o_custkey, count(*) AS n FROM orders
-        |  WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
-        |SELECT c_custkey, c_name
-        |FROM customer LEFT JOIN o ON c_custkey = o_custkey
-        |WHERE n IS NULL ORDER BY c_custkey""".stripMargin,
-    "q_sql_centered" ->
-      """SELECT source, doc_id, n_chars,
-        | avg(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-        |   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS ma5
-        |FROM documents ORDER BY source, doc_id""".stripMargin,
-    "q_sql_first_value" ->
-      """SELECT source, doc_id, n_chars,
-        | first_value(n_chars) OVER (PARTITION BY source
-        |   ORDER BY n_chars, doc_id) AS min_chars,
-        | last_value(n_chars) OVER (PARTITION BY source
-        |   ORDER BY n_chars, doc_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |   AS running_max
-        |FROM documents ORDER BY source, doc_id""".stripMargin,
-    "q_sql_self_join" ->
-      """SELECT a.c_nationkey AS nationkey, count(*) AS n_pairs
-        |FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
-        |WHERE b.c_custkey <= 100 AND a.c_custkey < b.c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q_sql_dates" ->
-      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
-        | CAST(month(o_orderdate) AS BIGINT) AS mo,
-        | count(*) AS n_orders,
-        | CAST(round(max(o_totalprice) / 1000, 1) AS DOUBLE) AS top_k
-        |FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1997
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  )
-}

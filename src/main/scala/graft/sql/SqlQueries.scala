@@ -1,0 +1,1990 @@
+package graft.sql
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.SchemaMapper
+
+/** Driver-gate query keys exercising the SQL front-end end-to-end: the
+  * same results a DataFrame user gets, but entered as SQL strings. */
+object SqlQueries {
+  import graft.sources.Tables
+  import graft.operators.Similarity
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the system catalog as a queryable relation (reference: src/storage/
+    // system.rs — `system.columns` is a table, not a statement): the full
+    // introspection dump for a session with two parquet registrations and
+    // one DDL-declared table; the oracle is the KNOWN schema as constants,
+    // so a drift in type mapping, nullability, ordinal order, or key-role
+    // metadata fails the hash
+    "q_sql_system_columns" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.register("region", Tables.region(s, d))
+      es.sql("""CREATE TABLE photos (
+               |  id UUID PRIMARY KEY,
+               |  added TIMESTAMP,
+               |  caption NULLABLE(STRING(80)),
+               |  phash UINT64 METRIC KEY);""".stripMargin)
+      es.sql("""SELECT table_name, column_name, ordinal, data_type,
+               | is_nullable, primary_key, metric_key
+               |FROM system.columns;""".stripMargin)
+    }),
+    // ...and it composes with the full SELECT machinery: join the two
+    // system relations, filter, aggregate
+    "q_sql_system_agg" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.register("region", Tables.region(s, d))
+      es.sql("""SELECT t.table_name, t.n_columns, COUNT(*) AS n_strings
+               |FROM system.tables t JOIN system.columns c
+               |  ON t.table_name = c.table_name
+               |WHERE c.data_type = 'STRING'
+               |GROUP BY t.table_name, t.n_columns
+               |ORDER BY table_name;""".stripMargin)
+    }),
+    "q_sql_select" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en';")
+    }),
+    // ANSI set-op precedence: INTERSECT binds tighter than UNION/EXCEPT —
+    // this unparenthesized text must group as (en ∪ de) − (big ∩ src0);
+    // the oracle is the IDENTICAL text, so a uniform-precedence lowering
+    // (the r9 simplification) hash-fails
+    "q_sql_set_precedence" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id FROM documents WHERE lang = 'en'
+               |UNION SELECT doc_id FROM documents WHERE lang = 'de'
+               |EXCEPT SELECT doc_id FROM documents WHERE n_chars > 150
+               |INTERSECT SELECT doc_id FROM documents WHERE source = 'src0';""".stripMargin)
+    }),
+    "q_sql_distance" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("fps", Tables.documents(s, d)
+        .select(col("doc_id"), call_function("content_fp", col("text")).as("fp")))
+      es.sql("SELECT doc_id, fp @ 123456789 AS dist FROM fps WHERE dist < 10;")
+    }),
+    // the aggregate/ORDER BY/LIMIT extension end-to-end: sum/avg stay
+    // cross-engine exact because n_chars is integral (exact in double)
+    "q_sql_agg" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, COUNT(*) AS n, SUM(n_chars) AS total_chars,
+               | AVG(n_chars) AS avg_chars
+               |FROM documents WHERE lang = 'en'
+               |GROUP BY source ORDER BY total_chars DESC, source LIMIT 5;""".stripMargin)
+    }),
+    "q_sql_having" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang, COUNT(*) AS n, MIN(n_chars) AS min_chars
+               |FROM documents GROUP BY lang HAVING n >= 20 ORDER BY lang;""".stripMargin)
+    }),
+    // GROUP BY ROLLUP end-to-end: hierarchical subtotals in one Expand
+    // pass, NULL-marked rollup rows (ANSI), composed with HAVING-free agg
+    "q_sql_rollup" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang, source, COUNT(*) AS n, SUM(n_chars) AS total_chars
+               |FROM documents GROUP BY ROLLUP(lang, source);""".stripMargin)
+    }),
+    // explicit GROUPING SETS with mixed arities + GROUPING() markers:
+    // the rollup/cube generalization in one Expand pass; GROUPING()
+    // disambiguates subtotal NULLs from real NULL keys (ANSI)
+    "q_sql_grouping_sets" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang, source, COUNT(*) AS n,
+               | SUM(n_chars) AS total_chars,
+               | GROUPING(lang) AS g_lang, GROUPING(source) AS g_source
+               |FROM documents
+               |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ());""".stripMargin)
+    }),
+    // DML end-to-end through the gate (r10): each key MUTATES a
+    // registered table through the dialect statement, then SELECTs the
+    // result — the oracle recomputes the post-mutation state in pure SQL,
+    // so the statement semantics themselves are hash-checked, not just
+    // suite-asserted. UPDATE: every SET expression reads the OLD row.
+    "q_sql_update" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("docs", Tables.documents(s, d))
+      es.sql("UPDATE docs SET n_chars = n_chars * 2 + 1 WHERE lang = 'en';")
+      es.sql("""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
+               |FROM docs GROUP BY lang;""".stripMargin)
+    }),
+    // DELETE with ANSI three-valued semantics (NULL predicate KEEPS)
+    "q_sql_delete" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("docs", Tables.documents(s, d))
+      es.sql("DELETE FROM docs WHERE n_chars < 100 AND lang <> 'en';")
+      es.sql("""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
+               |FROM docs GROUP BY lang;""".stripMargin)
+    }),
+    // CREATE TABLE AS SELECT: the derived table is a first-class relation
+    "q_sql_ctas" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("docs", Tables.documents(s, d))
+      es.sql("""CREATE TABLE en_docs AS SELECT doc_id, source, n_chars
+               |FROM docs WHERE lang = 'en';""".stripMargin)
+      es.sql("""SELECT source, COUNT(*) AS n, SUM(n_chars) AS total_chars
+               |FROM en_docs GROUP BY source;""".stripMargin)
+    }),
+    // INSERT INTO … SELECT: the bulk-load statement through declared cols
+    "q_sql_insert_select" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("docs", Tables.documents(s, d))
+      es.sql("""CREATE TABLE big AS SELECT doc_id, n_chars FROM docs
+               |WHERE n_chars >= 300;""".stripMargin)
+      es.sql("""INSERT INTO big (doc_id, n_chars)
+               |SELECT doc_id + 1000000 AS shifted_id, n_chars FROM docs
+               |WHERE lang = 'zh';""".stripMargin)
+      es.sql("SELECT COUNT(*) AS n, SUM(n_chars) AS total_chars FROM big;")
+    }),
+    // MERGE upsert: matched rows update from the source, unmatched
+    // insert; the oracle rebuilds the merged state with joins + CASE
+    "q_sql_merge" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("docs", Tables.documents(s, d))
+      es.sql("""CREATE TABLE tgt AS SELECT doc_id, n_chars FROM docs
+               |WHERE doc_id % 3 = 0;""".stripMargin)
+      es.sql("""CREATE TABLE src AS SELECT doc_id, n_chars FROM docs
+               |WHERE doc_id % 2 = 0;""".stripMargin)
+      es.sql("""MERGE INTO tgt AS a USING src AS b ON a.doc_id = b.doc_id
+               |WHEN MATCHED THEN UPDATE SET n_chars = b.n_chars + 1
+               |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars)
+               |  VALUES (b.doc_id, b.n_chars);""".stripMargin)
+      es.sql("SELECT COUNT(*) AS n, SUM(n_chars) AS total_chars FROM tgt;")
+    }),
+    // the reference's literal INSERT path: CREATE → INSERT VALUES →
+    // SELECT, constants oracle
+    "q_sql_insert_values" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.sql("""CREATE TABLE kv (
+               |  k UINT32 PRIMARY KEY,
+               |  v NULLABLE(UINT16),
+               |  tag NULLABLE(STRING(16)));""".stripMargin)
+      es.sql("""INSERT INTO kv (k, v, tag) VALUES
+               |(1, 10, 'alpha'), (2, 20, 'beta'), (3, NULL, 'gamma');""".stripMargin)
+      es.sql("INSERT INTO kv (k, v) VALUES (4, 65535);")
+      es.sql("""SELECT k, v, tag FROM kv;""")
+    }),
+    // named WINDOW clause: one spec, three consumers — rank + two
+    // aggregates share the identical partition/order (ANSI WINDOW)
+    "q_sql_window_named" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, source, n_chars,
+               | ROW_NUMBER() OVER w AS rn,
+               | SUM(n_chars) OVER w AS run_chars,
+               | MIN(n_chars) OVER w AS min_so_far
+               |FROM documents
+               |WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+               |ORDER BY source, doc_id;""".stripMargin)
+    }),
+    // scalar subquery inside HAVING arithmetic: groups kept only when
+    // their count beats a corpus-derived threshold — the uncorrelated
+    // subquery executes once and inlines as a literal atom
+    "q_sql_having_sub" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, COUNT(*) AS n FROM documents
+               |GROUP BY source
+               |HAVING n * 25 > (SELECT COUNT(*) FROM documents)
+               |ORDER BY source;""".stripMargin)
+    }),
+    // GROUP BY CUBE end-to-end: all 2^k grouping sets from one Expand
+    "q_sql_cube" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang, source, COUNT(*) AS n
+               |FROM documents WHERE n_chars >= 100
+               |GROUP BY CUBE(lang, source);""".stripMargin)
+    }),
+    // simple CASE (subject form) desugared at parse to the searched form
+    "q_sql_case_simple" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT CASE lang WHEN 'en' THEN 'latin' WHEN 'fr' THEN 'latin'
+               |  WHEN 'zh' THEN 'cjk' ELSE 'other' END AS script,
+               | COUNT(*) AS n, SUM(n_chars) AS total_chars
+               |FROM documents GROUP BY script;""".stripMargin)
+    }),
+    // searched CASE as a computed GROUP BY bucket (the classic bucketing
+    // idiom), lowered to Catalyst CaseWhen + the usual partial agg
+    "q_sql_case" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT CASE WHEN n_chars < 200 THEN 'short'
+               |            WHEN n_chars < 400 THEN 'medium'
+               |            ELSE 'long' END AS bucket,
+               | COUNT(*) AS n, SUM(n_chars) AS total_chars
+               |FROM documents GROUP BY bucket ORDER BY bucket;""".stripMargin)
+    }),
+    // UNION vs UNION ALL bag semantics over two source slices
+    "q_sql_union" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang FROM documents WHERE source = 'src1'
+               |UNION SELECT lang FROM documents WHERE source = 'src2'
+               |UNION ALL SELECT lang FROM documents WHERE doc_id < 0;""".stripMargin)
+    }),
+    // the JOIN extension end-to-end: two equi-joins + aggregate, lowered
+    // to AQE-decided DataFrame joins
+    "q_sql_join" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.register("nation", Tables.nation(s, d))
+      es.sql("""SELECT n_name, COUNT(*) AS n_orders
+               |FROM orders
+               |JOIN customer ON o_custkey = c_custkey
+               |JOIN nation ON c_nationkey = n_nationkey
+               |WHERE o_orderstatus = 'F'
+               |GROUP BY n_name ORDER BY n_orders DESC, n_name LIMIT 10;""".stripMargin)
+    }),
+    // [NOT] IN (SELECT …) end-to-end: a semi-filter and an anti-filter in
+    // one WHERE tree, lowered to null-aware marker joins whose distinct
+    // subquery sides AQE is free to broadcast
+    "q_sql_in_subquery" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+               |WHERE o_custkey IN
+               |   (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+               | AND o_custkey NOT IN
+               |   (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+               | AND o_totalprice > 250000
+               |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50;""".stripMargin)
+    }),
+    // pagination end-to-end: the serving layer's natural access pattern
+    // (page 3 of an ordered listing); deterministic because the sort key
+    // ends in the unique doc_id
+    "q_sql_page" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, source, n_chars FROM documents
+               |ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 40;""".stripMargin)
+    }),
+    // ranking window end-to-end: top-3 longest docs per source via the
+    // WHERE-as-QUALIFY idiom; the (n_chars DESC, doc_id) key is a total
+    // order so ranks replay exactly cross-engine
+    "q_sql_window" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, doc_id, n_chars,
+               | ROW_NUMBER() OVER (PARTITION BY source
+               |   ORDER BY n_chars DESC, doc_id) AS rn
+               |FROM documents
+               |WHERE rn <= 3
+               |ORDER BY source, rn;""".stripMargin)
+    }),
+    // MEDIAN end-to-end: exact interpolated percentile over an integral
+    // column (the q_percentile cross-engine discipline), mixed with the
+    // other aggregates and an aggregate-arithmetic spread
+    "q_sql_median" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang, COUNT(*) AS n, MEDIAN(n_chars) AS med_chars,
+               | MAX(n_chars) - MIN(n_chars) AS spread
+               |FROM documents GROUP BY lang ORDER BY lang;""".stripMargin)
+    }),
+    // window aggregate end-to-end: per-source running totals (the ANSI
+    // default RANGE frame, identical in both engines); doc_id is unique
+    // per source so the frame boundary is a total order and integer sums
+    // replay exactly
+    "q_sql_running" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, doc_id, n_chars,
+               | SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS run_chars,
+               | COUNT(*) OVER (PARTITION BY source ORDER BY doc_id) AS run_n
+               |FROM documents ORDER BY source, doc_id;""".stripMargin)
+    }),
+    // aggregate arithmetic end-to-end: per-group ratio (mean via
+    // SUM/COUNT) and a share-of-corpus percentage via a scalar subquery,
+    // with the ratio alias reused in HAVING. Exact-integer sums make the
+    // divisions bitwise cross-engine.
+    "q_sql_agg_expr" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, COUNT(*) AS n, SUM(n_chars) AS total_chars,
+               | SUM(n_chars) / COUNT(*) AS mean_chars,
+               | SUM(n_chars) * 100 / (SELECT SUM(n_chars) FROM documents) AS pct
+               |FROM documents GROUP BY source
+               |HAVING mean_chars > 290 ORDER BY source;""".stripMargin)
+    }),
+    // arithmetic end-to-end: the TPC-H revenue formula as a computed
+    // select item, referenced again in WHERE and ORDER BY. Per-row
+    // double arithmetic is the same two IEEE ops in both engines, so
+    // membership and values replay bit-identically unrounded.
+    "q_sql_arith" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("lineitem", Tables.lineitem(s, d))
+      es.sql("""SELECT l_orderkey, l_linenumber,
+               | l_extendedprice * (1 - l_discount) AS net,
+               | l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross
+               |FROM lineitem
+               |WHERE net > 90000 AND l_discount > 0
+               |ORDER BY net DESC, l_orderkey, l_linenumber LIMIT 100;""".stripMargin)
+    }),
+    // CTE end-to-end: a two-step WITH where the second cte reads the
+    // first (forward scoping) and the body joins a cte against a base
+    // table — per-source char totals bucketed by the corpus-wide median's
+    // integer floor. Every step is exact-integer, so it replays anywhere.
+    "q_sql_cte" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""WITH per_source AS (
+               |  SELECT source AS src, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+               |  FROM documents GROUP BY source),
+               |big AS (
+               |  SELECT src, n_docs, total_chars FROM per_source
+               |  WHERE total_chars > (SELECT AVG(total_chars) FROM per_source))
+               |SELECT src, n_docs, total_chars, AVG(n_chars) AS avg_chars
+               |FROM documents
+               |JOIN big ON source = src
+               |GROUP BY src, n_docs, total_chars
+               |ORDER BY total_chars DESC, src;""".stripMargin)
+    }),
+    // uncorrelated scalar subquery end-to-end: AVG over an integral column
+    // is an exact long-sum/count division, so the threshold replays
+    // bit-identically cross-engine and row membership is stable
+    "q_sql_scalar_sub" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, COUNT(*) AS n_above, MAX(n_chars) AS max_chars
+               |FROM documents
+               |WHERE n_chars > (SELECT AVG(n_chars) FROM documents)
+               |GROUP BY source ORDER BY source;""".stripMargin)
+    }),
+    // the serving layer e2e: the reference's front door is an HTTP server
+    // (src/server/mod.rs:99-131 POST / → parse → execute → JSON). Round-trip
+    // an aggregate through a live GraftServer on an ephemeral port and parse
+    // the JSON response back — the oracle then checks the WHOLE path:
+    // HTTP framing, SQL lowering, distributed to_json rendering, and the
+    // response contract, not just the in-process plan.
+    "q_http_query" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      val server = new graft.server.GraftServer(es)
+      server.start()
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        val req = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"http://127.0.0.1:${server.boundPort}/"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            """SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+              |FROM documents GROUP BY source ORDER BY source;""".stripMargin))
+          .build()
+        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"server returned ${resp.statusCode()}: ${resp.body().take(200)}")
+        import s.implicits._
+        // explicit schema: inference has nothing to infer on a zero-row corpus
+        s.read.schema("source STRING, n_docs BIGINT, total_chars BIGINT")
+          .json(s.createDataset(Seq(resp.body())))
+      } finally server.stop()
+    }),
+    // correlated [NOT] EXISTS end-to-end: big-spender customers with no
+    // failed order — both subqueries decorrelate into marker joins whose
+    // distinct key sides AQE broadcasts
+    "q_sql_exists" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT c_custkey, c_name, c_acctbal FROM customer
+               |WHERE EXISTS (SELECT 1 FROM orders
+               |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+               | AND NOT EXISTS (SELECT 1 FROM orders
+               |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+               |ORDER BY c_custkey;""".stripMargin)
+    }),
+    // joined EXISTS subquery (r8 verdict #4: the single-filtered-table
+    // restriction lifted) — customers with a finished order carrying a
+    // max-quantity line; the inner orders⋈lineitem chain lowers through
+    // the same relation machinery as a top-level SELECT, then
+    // decorrelates into one distinct-key marker join
+    "q_sql_exists_join" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.register("lineitem", Tables.lineitem(s, d))
+      es.sql("""SELECT c_custkey, c_name FROM customer
+               |WHERE EXISTS (SELECT 1 FROM orders
+               |              JOIN lineitem ON o_orderkey = l_orderkey
+               |              WHERE o_custkey = c_custkey
+               |                AND l_quantity >= 49 AND o_orderstatus = 'F')
+               |ORDER BY c_custkey;""".stripMargin)
+    }),
+    // grouped EXISTS with HAVING — customers having SOME order-priority
+    // class with ≥ 3 orders; groups form per (correlation key × GROUP BY
+    // key), HAVING prunes them, existence = any surviving group
+    "q_sql_exists_group" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT c_custkey, c_acctbal FROM customer
+               |WHERE EXISTS (SELECT COUNT(*) AS n FROM orders
+               |              WHERE o_custkey = c_custkey
+               |              GROUP BY o_orderpriority HAVING n >= 3)
+               |ORDER BY c_custkey;""".stripMargin)
+    }),
+    // correlated scalar subqueries NESTED INSIDE arithmetic (r8 ADVICE:
+    // previously only direct comparison sides decorrelated) — integer
+    // arithmetic only, and the first/third atoms are identical so the
+    // decorrelation attaches them ONCE (shared Kim/Dayal join)
+    "q_sql_corr_arith" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT c_custkey, c_name FROM customer
+               |WHERE (SELECT COUNT(*) FROM orders
+               |       WHERE o_custkey = c_custkey) * 10 >= 120
+               |  AND (SELECT COUNT(*) FROM orders
+               |       WHERE o_custkey = c_custkey AND o_orderstatus = 'O') + 5
+               |      <= (SELECT COUNT(*) FROM orders
+               |          WHERE o_custkey = c_custkey)
+               |ORDER BY c_custkey;""".stripMargin)
+    }),
+    // COUNT(DISTINCT …) end-to-end, mixed with plain aggregates and an
+    // aggregate-arithmetic ratio over the distinct count
+    "q_sql_count_distinct" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, COUNT(DISTINCT lang) AS n_langs, COUNT(*) AS n,
+               | COUNT(*) / COUNT(DISTINCT lang) AS docs_per_lang
+               |FROM documents GROUP BY source ORDER BY source;""".stripMargin)
+    }),
+    // explicit ROWS frames end-to-end: a 3-row moving average and a
+    // running sum per source (the moving-window idiom the ANSI default
+    // RANGE frame cannot express)
+    "q_sql_window_frame" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, doc_id, n_chars,
+               | AVG(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
+               | SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+               |FROM documents ORDER BY source, doc_id;""".stripMargin)
+    }),
+    // r12 scalar widening: GREATEST/LEAST n-ary comparison + DATEDIFF
+    // calendar arithmetic (order-to-ship latency in whole days), grouped
+    // to exact integer extremes/sums
+    "q_sql_datediff" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.register("lineitem", Tables.lineitem(s, d))
+      es.sql("""SELECT o_orderpriority,
+               | CAST(MIN(lat) AS BIGINT) AS min_days,
+               | CAST(MAX(lat) AS BIGINT) AS max_days,
+               | CAST(SUM(lat) AS BIGINT) AS total_days,
+               | COUNT(*) AS n
+               |FROM (SELECT o_orderpriority,
+               |   GREATEST(DATEDIFF('day', o_orderdate, l_shipdate), 0) AS lat
+               |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey) t
+               |GROUP BY o_orderpriority
+               |ORDER BY o_orderpriority;""".stripMargin)
+    }),
+    // r13 dialect widening: the everyday-calendar / row-value tier the
+    // r12 verdict named next — EXTRACT, INTERVAL arithmetic, row-value
+    // (tuple) IN, LIKE … ESCAPE. Every key runs the same text in DuckDB.
+    "q_sql_extract" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+               | EXTRACT(QUARTER FROM o_orderdate) AS qtr,
+               | EXTRACT(MONTH FROM o_orderdate) AS mo,
+               | COUNT(*) AS n_orders
+               |FROM orders
+               |GROUP BY EXTRACT(YEAR FROM o_orderdate),
+               | EXTRACT(QUARTER FROM o_orderdate),
+               | EXTRACT(MONTH FROM o_orderdate)
+               |ORDER BY yr, qtr, mo;""".stripMargin)
+    }),
+    "q_sql_interval" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderkey,
+               | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due30,
+               | CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS due_q,
+               | CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS due_y,
+               | CAST(o_orderdate + INTERVAL 6 HOUR AS VARCHAR) AS plus6h
+               |FROM orders WHERE o_orderkey < 500
+               |ORDER BY o_orderkey;""".stripMargin)
+    }),
+    "q_sql_in_tuple" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderkey, o_orderstatus, o_orderpriority
+               |FROM orders
+               |WHERE (o_orderstatus, o_orderpriority)
+               |  IN (('F', '1-URGENT'), ('O', '5-LOW'), ('P', '3-MEDIUM'))
+               |  AND o_orderkey < 2000
+               |ORDER BY o_orderkey;""".stripMargin)
+    }),
+    "q_sql_like_escape" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      // tags carry literal % and _ so the escape char is load-bearing:
+      // 'pct!_5!%!_t' matches exactly the doc_id%10=5 tag, and the NOT
+      // LIKE arm (never true — every tag contains a literal %) proves
+      // the escape composes with negation
+      es.sql("""SELECT doc_id, tag FROM (
+               | SELECT doc_id,
+               |  CONCAT('pct_', CAST(doc_id % 10 AS VARCHAR), '%_t') AS tag
+               | FROM documents) t
+               |WHERE tag LIKE 'pct!_5!%!_t' ESCAPE '!'
+               |   OR tag NOT LIKE '%!%%' ESCAPE '!'
+               |ORDER BY doc_id;""".stripMargin)
+    }),
+    // r13 second tier: math scalars, regex/string tier 3, aggregate
+    // FILTER clause, IGNORE NULLS navigation, EXTRACT(EPOCH)
+    "q_sql_math" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderkey,
+               | ROUND(SQRT(o_totalprice), 6) AS sq,
+               | ROUND(LN(o_totalprice), 6) AS lg,
+               | ROUND(ABS(EXP(LN(o_totalprice)) - o_totalprice), 3) AS rt,
+               | ROUND(ABS(POWER(o_totalprice, 0.5) - SQRT(o_totalprice)), 6) AS zz,
+               | CAST(SIGN(o_totalprice - 100000) AS INTEGER) AS s
+               |FROM orders WHERE o_orderkey < 300
+               |ORDER BY o_orderkey;""".stripMargin)
+    }),
+    "q_sql_regex" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id,
+               | REGEXP_REPLACE(source, '[0-9]+', '#') AS src_n,
+               | REGEXP_MATCHES(source, '1[0-9]') AS is_teens,
+               | REVERSE(source) AS rsrc,
+               | REPEAT(source, 2) AS s2,
+               | MD5(source) AS h,
+               | ASCII(source) AS a,
+               | CHR(CAST(65 + doc_id % 26 AS INTEGER)) AS letter
+               |FROM documents WHERE doc_id < 200
+               |ORDER BY doc_id;""".stripMargin)
+    }),
+    "q_sql_filter_agg" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("lineitem", Tables.lineitem(s, d))
+      es.sql("""SELECT l_returnflag,
+               | COUNT(*) AS n_all,
+               | COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+               | SUM(l_quantity) FILTER (WHERE l_discount >= 0.05) AS qty_disc,
+               | MAX(l_extendedprice) FILTER (WHERE l_tax > 0.03) AS max_taxed,
+               | COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity = 1) AS n_supp_q1
+               |FROM lineitem GROUP BY l_returnflag
+               |ORDER BY l_returnflag;""".stripMargin)
+    }),
+    "q_sql_ignore_nulls" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      // LOCF gap-fill: every third doc carries a reading, the rest
+      // inherit the latest non-null one in their source partition
+      es.sql("""SELECT doc_id, v,
+               | LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY source
+               |   ORDER BY doc_id
+               |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+               |FROM (SELECT doc_id, source,
+               |   CASE WHEN n_chars % 3 = 0 THEN n_chars ELSE NULL END AS v
+               |  FROM documents) t
+               |ORDER BY doc_id;""".stripMargin)
+    }),
+    "q_sql_epoch" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderkey,
+               | CAST(EXTRACT(EPOCH FROM o_orderdate) AS BIGINT) AS secs
+               |FROM orders WHERE o_orderkey < 300
+               |ORDER BY o_orderkey;""".stripMargin)
+    }),
+    "q_sql_string_agg" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("nation", Tables.nation(s, d))
+      es.register("region", Tables.region(s, d))
+      es.sql("""SELECT r_name, STRING_AGG(n_name, ',') AS nations,
+               | COUNT(*) AS n
+               |FROM nation JOIN region ON n_regionkey = r_regionkey
+               |GROUP BY r_name ORDER BY r_name;""".stripMargin)
+    }),
+    // r14: JSON tier at the SQL front door (verdict item 2). The engine
+    // could extract JSON since B16; this makes the dialect reach it:
+    // JSON_EXTRACT_STRING for text values, CAST(JSON_EXTRACT(..)) for
+    // numerics (the cross-engine-identical compositions -- see the
+    // lowering note), a missing path as NULL, and a constructed-JSON
+    // round-trip proving the extraction runs per row, not per literal.
+    "q_sql_json" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("events", Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("props")))
+      es.sql("""SELECT event_id, event_type,
+               | CAST(JSON_EXTRACT(props, '$.k') AS INTEGER) AS k_num,
+               | JSON_EXTRACT_STRING(props, '$.k') AS k_text,
+               | JSON_EXTRACT_STRING(props, '$.missing') AS miss,
+               | JSON_EXTRACT_STRING(CONCAT('{"t":"', event_type, '"}'),
+               |   '$.t') AS t_rt
+               |FROM events
+               |WHERE CAST(JSON_EXTRACT(props, '$.k') AS INTEGER) % 10 = 0
+               |ORDER BY event_id;""".stripMargin)
+    }),
+    // r14: array/UNNEST tier (verdict item 3). STRING_SPLIT -> array,
+    // UNNEST as the SELECT fan-out (lowered to explode; composes with a
+    // second projected column and with GROUP BY through a CTE), LEN as
+    // the array length -- the dialect route into the engine's whole
+    // explode-built text family.
+    "q_sql_unnest" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""WITH tok AS (
+               | SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+               | FROM documents),
+               |cnt AS (
+               | SELECT doc_id, COUNT(*) AS n_terms FROM tok GROUP BY doc_id)
+               |SELECT c.doc_id, c.n_terms,
+               | LEN(STRING_SPLIT(d.text, ' ')) AS n_len
+               |FROM cnt c JOIN documents d ON c.doc_id = d.doc_id
+               |ORDER BY 1;""".stripMargin)
+    }),
+    // r14: the dialect's error-vs-NULL posture, pinned (verdict item 5).
+    // The session runs Spark's ANSI mode: plain CAST of a malformed
+    // value and a division whose divisor IS zero are loud runtime
+    // errors, never silent NULLs. The sanctioned NULL escape hatches are
+    // TRY_CAST (EvalMode.TRY cast: NULL on conversion failure) and
+    // NULLIF-guarded division -- both spelled identically in DuckDB,
+    // which is what makes the posture oracle-checkable.
+    "q_sql_try_cast" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id,
+               | TRY_CAST(source AS INTEGER) AS src_num,
+               | TRY_CAST(lang AS DOUBLE) AS lang_num,
+               | TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER) AS rt,
+               | CAST(n_chars AS DOUBLE) / NULLIF(doc_id % 3, 0) AS gdiv
+               |FROM documents WHERE doc_id < 300
+               |ORDER BY doc_id;""".stripMargin)
+    }),
+    "q_sql_greatest" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id,
+               | GREATEST(n_chars, 300) AS floor300,
+               | LEAST(n_chars, 300) AS cap300,
+               | GREATEST(n_chars, doc_id, 100) AS g3
+               |FROM documents WHERE doc_id < 150
+               |ORDER BY doc_id;""".stripMargin)
+    }),
+    // ANSI NULLS FIRST/LAST (r12): null placement is ENGINE-DEFAULT
+    // dependent (Spark asc→nulls first, DuckDB→nulls last), so the
+    // explicit form is what makes nullable sort keys cross-engine
+    // deterministic; a LIMIT under each ordering makes the placement
+    // observable through the row SET (the gate sorts rows before
+    // hashing, so order alone would not register)
+    "q_sql_nulls_order" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT 'nulls_first' AS leg, doc_id, nl FROM (
+               |  SELECT doc_id,
+               |    CASE WHEN lang = 'en' THEN NULL ELSE lang END AS nl
+               |  FROM documents WHERE doc_id < 200
+               |  ORDER BY nl DESC NULLS FIRST, doc_id LIMIT 10) a
+               |UNION ALL
+               |SELECT 'nulls_last' AS leg, doc_id, nl FROM (
+               |  SELECT doc_id,
+               |    CASE WHEN lang = 'en' THEN NULL ELSE lang END AS nl
+               |  FROM documents WHERE doc_id < 200
+               |  ORDER BY nl DESC NULLS LAST, doc_id LIMIT 10) b;""".stripMargin)
+    }),
+    // boolean quantifier aggregates (r12): BOOL_AND/BOOL_OR over a
+    // derived boolean column — ANSI EVERY/ANY in the DuckDB spelling
+    "q_sql_bool_agg" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang,
+               | BOOL_AND(big) AS all_big,
+               | BOOL_OR(big) AS any_big,
+               | COUNT(*) AS n
+               |FROM (SELECT lang,
+               |   CASE WHEN n_chars > 300 THEN TRUE ELSE FALSE END AS big
+               |  FROM documents) t
+               |GROUP BY lang ORDER BY lang;""".stripMargin)
+    }),
+    // sample standard deviation (r12): float-accumulated, so the key
+    // rounds to 6 dp per the §5 float discipline (the zipf precedent)
+    "q_sql_stddev" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang, COUNT(*) AS n,
+               | ROUND(STDDEV(n_chars), 6) AS sd_chars
+               |FROM documents GROUP BY lang ORDER BY lang;""".stripMargin)
+    }),
+    // EXCEPT ALL / INTERSECT ALL (r9): bag-semantics set ops — lang
+    // multiset of long docs minus short docs (multiplicities subtract),
+    // intersected multiset across two sources
+    "q_sql_set_all" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang FROM documents WHERE n_chars >= 300
+               |EXCEPT ALL SELECT lang FROM documents WHERE n_chars < 300;""".stripMargin)
+    }),
+    // QUALIFY (r9): top-k per group in one clause — the window filter
+    // spelled the way humans write it (DuckDB runs the same text)
+    "q_sql_qualify" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, doc_id, n_chars,
+               | ROW_NUMBER() OVER (PARTITION BY source
+               |   ORDER BY n_chars DESC, doc_id) AS rn
+               |FROM documents
+               |QUALIFY rn <= 3
+               |ORDER BY source, rn;""".stripMargin)
+    }),
+    // r9 scalar-tier widening: the everyday string functions in one
+    // pass — CONCAT/LPAD/LEFT/RIGHT/STRPOS/SPLIT_PART with CONTAINS as
+    // the WHERE predicate
+    "q_sql_string_funcs2" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id,
+               | CONCAT(source, '/', lang) AS src_lang,
+               | LPAD(CAST(doc_id AS VARCHAR), 6, '0') AS id6,
+               | LEFT(text, 10) AS head10, RIGHT(text, 5) AS tail5,
+               | STRPOS(text, 'table') AS pos_table,
+               | SPLIT_PART(text, ' ', 3) AS tok3
+               |FROM documents WHERE CONTAINS(text, 'spark') = TRUE
+               |ORDER BY doc_id LIMIT 100;""".stripMargin)
+    }),
+    // DATE_TRUNC + DOW (r9): the calendar report tier — month bucket ×
+    // day-of-week counts, grouped BY THE EXPRESSIONS (the A12az twins)
+    "q_sql_date_trunc" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT CAST(DATE_TRUNC('month', o_orderdate) AS VARCHAR) AS mo,
+               | DOW(o_orderdate) AS dw, COUNT(*) AS n
+               |FROM orders
+               |GROUP BY CAST(DATE_TRUNC('month', o_orderdate) AS VARCHAR),
+               |         DOW(o_orderdate)
+               |ORDER BY mo, dw;""".stripMargin)
+    }),
+    // RANGE value frames (r9): rolling window BY VALUE — every peer at
+    // the same ORDER key lands in the same frame, so the count is
+    // tie-order independent by construction (the property ROWS frames
+    // lack); integer order key, exact counts
+    "q_sql_range_frame" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_custkey, o_orderkey,
+               | CAST(ROUND(o_totalprice) AS BIGINT) AS price_i,
+               | COUNT(*) OVER (PARTITION BY o_custkey ORDER BY price_i
+               |   RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_near
+               |FROM orders ORDER BY o_custkey, o_orderkey;""".stripMargin)
+    }),
+    // CUME_DIST (r9): the remaining ANSI distribution window — exact-int
+    // ratio (peers-or-before / partition rows), bitwise cross-engine
+    "q_sql_cume_dist" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, doc_id, n_chars,
+               | CUME_DIST() OVER (PARTITION BY source
+               |   ORDER BY n_chars, doc_id) AS cd
+               |FROM documents ORDER BY source, doc_id;""".stripMargin)
+    }),
+    // WITH RECURSIVE (r9): a 4-hop walk along each source's doc chain
+    // (LEAD successor edges), counted by depth — set-fixpoint iteration
+    // with per-round convergence; DuckDB runs the same ANSI text natively
+    "q_sql_recursive" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""WITH RECURSIVE heads AS (
+               |  SELECT source, MIN(doc_id) AS doc_id FROM documents
+               |  GROUP BY source),
+               |nxt AS (
+               |  SELECT source, doc_id,
+               |   LEAD(doc_id, 1) OVER (PARTITION BY source
+               |     ORDER BY doc_id) AS nd
+               |  FROM documents),
+               |walk AS (
+               |  SELECT doc_id, 1 AS depth FROM heads
+               |  UNION
+               |  SELECT n.nd AS doc_id, w.depth + 1 AS depth
+               |  FROM walk AS w JOIN nxt AS n ON w.doc_id = n.doc_id
+               |  WHERE w.depth < 4 AND n.nd IS NOT NULL)
+               |SELECT depth, COUNT(*) AS n_docs FROM walk
+               |GROUP BY depth ORDER BY depth;""".stripMargin)
+    }),
+    // HAVING with aggregate expressions (r9): the ANSI spelling
+    // `HAVING COUNT(*) >= 20` — the atom resolves to its select-item
+    // twin's output column, composing inside arithmetic
+    "q_sql_having_agg" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+               |FROM documents GROUP BY lang
+               |HAVING COUNT(*) >= 20 AND SUM(n_chars) / COUNT(*) > 250
+               |ORDER BY lang;""".stripMargin)
+    }),
+    // GROUP BY expressions (r9): `GROUP BY YEAR(d)` with the select-item
+    // twin resolving to its alias — the everyday ANSI report shape that
+    // previously required grouping by the alias name
+    "q_sql_group_expr" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT YEAR(o_orderdate) AS yr, COUNT(*) AS n_orders
+               |FROM orders GROUP BY YEAR(o_orderdate) ORDER BY yr;""".stripMargin)
+    }),
+    // ORDER BY expressions (r9): the everyday ANSI shape — sort by a
+    // computed scalar that is not a select item; hidden-column lowering
+    // folds into TakeOrderedAndProject under the LIMIT
+    "q_sql_order_expr" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, n_chars FROM documents
+               |ORDER BY ABS(n_chars - 300), doc_id LIMIT 50;""".stripMargin)
+    }),
+    // string scalar functions in SELECT and WHERE
+    "q_sql_string_funcs" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, UPPER(lang) AS lang_uc, LENGTH(text) AS n_len,
+               | SUBSTR(text, 1, 20) AS head20
+               |FROM documents WHERE LENGTH(text) > 300
+               |ORDER BY doc_id LIMIT 100;""".stripMargin)
+    }),
+    // table functions: the pipeline surface through the SQL front door
+    // (each also reachable over HTTP via GraftServer)
+    "q_sql_dedup" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, source, n_chars
+               |FROM dedup_exact(documents, doc_id, text);""".stripMargin)
+    }),
+    "q_sql_neardup" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("SELECT id_a, id_b, jaccard FROM neardup_jaccard(documents, doc_id, text, 0.5);")
+    }),
+    // index-backed metric search at the SQL layer (r8 verdict #5): the
+    // reference's emtree story — `hash @ probe <= r` answered from the
+    // PERSISTED prefix-partitioned layout, written on first use by the
+    // session's index registry; WHERE/ORDER BY compose on top like any
+    // relation. The oracle brute-forces the same radius over the
+    // portable-simhash replay — proving the pruned scan lossless.
+    "q_sql_metric_search" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("doc_hashes", Tables.documents(s, d).select(col("doc_id"),
+        call_function("simhash64", split(col("text"), " ")).as("h")))
+      es.sql("""SELECT doc_id, dist
+               |FROM metric_search(doc_hashes, doc_id, h, 0, 2)
+               |ORDER BY doc_id;""".stripMargin)
+    }),
+    // index-backed Hamming k-NN at the SQL layer: radius-doubling over
+    // the same persisted layout as q_sql_metric_search. Output is
+    // (h, dist) — ties at the k boundary share identical (h, dist)
+    // bytes, so the selected multiset is engine-independent even when
+    // doc ids at the boundary are not
+    "q_sql_metric_knn" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("doc_hashes", Tables.documents(s, d).select(col("doc_id"),
+        call_function("simhash64", split(col("text"), " ")).as("h")))
+      es.sql("""SELECT h, dist
+               |FROM metric_knn(doc_hashes, doc_id, h, 0, 10)
+               |ORDER BY dist, h;""".stripMargin)
+    }),
+    // index-backed ANN search at the SQL layer: cosine top-10 for probe
+    // vec_id=0 from the PERSISTED IVF layout (deterministic lowest-8-id
+    // centroids — the q_ann_ivf scheme, so DuckDB replays assignment,
+    // probe cell, and the in-cell ranking exactly)
+    "q_sql_ann_search" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("embeddings", Tables.embeddings(s, d))
+      es.sql("""SELECT vec_id, sim
+               |FROM ann_search(embeddings, vec_id, embedding, 0, 10)
+               |ORDER BY sim DESC, vec_id;""".stripMargin)
+    }),
+    "q_sql_knn" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("embeddings", Tables.embeddings(s, d))
+      es.sql("SELECT vec_id, sim FROM knn_cosine(embeddings, vec_id, embedding, 0, 10);")
+    }),
+    "q_sql_quality_gate" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, ok_words, ok_mean_len, ok_repetition,
+               | ok_stopwords, keep
+               |FROM quality_gate(documents, doc_id, text);""".stripMargin)
+    }),
+    // LEFT OUTER JOIN + COALESCE end-to-end: every customer with their
+    // order stats, zero-filled where no orders exist — the canonical
+    // enrichment shape an inner join silently drops rows from. The CTE
+    // pre-aggregates so the preserved side stays one-row-per-customer.
+    "q_sql_left_join" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""WITH oc AS (
+               |  SELECT o_custkey, COUNT(*) AS n_orders
+               |  FROM orders GROUP BY o_custkey)
+               |SELECT c_custkey, c_name,
+               | COALESCE(n_orders, 0) AS n_ord,
+               | CASE WHEN COALESCE(n_orders, 0) = 0 THEN 'never'
+               |      ELSE 'buyer' END AS segment
+               |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+               |ORDER BY c_custkey;""".stripMargin)
+    }),
+    // GROUP BY / ORDER BY ordinals — the analyst spelling
+    "q_sql_ordinal" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, lang, COUNT(*) AS n
+               |FROM documents GROUP BY 1, 2 ORDER BY 1, 2;""".stripMargin)
+    }),
+    // LAG/LEAD with an explicit offset
+    "q_sql_lag" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, doc_id, n_chars,
+               | LAG(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS prev_chars,
+               | LEAD(n_chars, 2) OVER (PARTITION BY source ORDER BY doc_id) AS next2_chars
+               |FROM documents ORDER BY source, doc_id;""".stripMargin)
+    }),
+    // derived table end-to-end: filter + order over an aggregating
+    // inline view (the CTE-free spelling)
+    "q_sql_derived" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, n_docs, total_chars
+               |FROM (SELECT source, COUNT(*) AS n_docs,
+               |      SUM(n_chars) AS total_chars
+               |      FROM documents GROUP BY source) t
+               |WHERE n_docs > 10 ORDER BY source;""".stripMargin)
+    }),
+    "q_sql_langid" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("SELECT doc_id, pred_lang, en_ratio FROM language_id(documents, doc_id, text);")
+    }),
+    "q_sql_split" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("SELECT doc_id, split FROM sample_split(documents, doc_id);")
+    }),
+    // NTILE + PERCENT_RANK: distribution-position windows (quartile
+    // bucketing and the exact (rank−1)/(rows−1) percentile position)
+    "q_sql_ntile" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, doc_id, n_chars,
+               | NTILE(4) OVER (PARTITION BY source
+               |   ORDER BY n_chars, doc_id) AS quart,
+               | PERCENT_RANK() OVER (PARTITION BY source
+               |   ORDER BY n_chars, doc_id) AS pr
+               |FROM documents ORDER BY source, doc_id;""".stripMargin)
+    }),
+    // correlated scalar subqueries in the SELECT list — the per-row
+    // lookup shape (counts with zero-fill, NULL for empty MAX groups,
+    // a local predicate mixing with the correlation)
+    // correlated scalar subqueries in WHERE — both sides of the AND carry
+    // one (a count floor and a per-customer MIN comparison against outer
+    // arithmetic), exercising the 2c decorrelation + composability
+    "q_sql_corr_where" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT c_custkey, c_name, c_acctbal FROM customer
+               |WHERE (SELECT COUNT(*) FROM orders
+               |       WHERE o_custkey = c_custkey) >= 12
+               |  AND c_acctbal * 10 > (SELECT MIN(o_totalprice) FROM orders
+               |       WHERE o_custkey = c_custkey)
+               |ORDER BY c_custkey;""".stripMargin)
+    }),
+    "q_sql_corr_scalar" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT c_custkey, c_name,
+               | (SELECT COUNT(*) FROM orders
+               |  WHERE o_custkey = c_custkey) AS n_orders,
+               | (SELECT MAX(o_totalprice) FROM orders
+               |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O') AS max_open
+               |FROM customer ORDER BY c_custkey;""".stripMargin)
+    }),
+    // numeric/null scalar tier: ROUND/ABS/NULLIF/COALESCE composing with
+    // arithmetic in SELECT and WHERE (n/3.0 can never sit exactly on a
+    // .5 rounding boundary for integral n, so the 0-dp round is
+    // cross-engine stable)
+    "q_sql_scalar_funcs" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, ROUND(n_chars / 3.0) AS thirds,
+               | ABS(n_chars - 500) AS dev500,
+               | COALESCE(NULLIF(lang, 'en'), 'base') AS alt_lang
+               |FROM documents WHERE ABS(n_chars - 500) < 400
+               |ORDER BY doc_id;""".stripMargin)
+    }),
+    // [NOT] LIKE + SELECT DISTINCT end-to-end over the parquet corpus
+    // (r11: A12a promoted from suite-only — `%` wildcards both anchored
+    // and floating, NOT LIKE composing in the same conjunction, DISTINCT
+    // deduping the projected pair)
+    "q_sql_like" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT DISTINCT lang, source FROM documents
+               |WHERE text LIKE '%table window%' AND source NOT LIKE '%1%'
+               |ORDER BY lang, source;""".stripMargin)
+    }),
+    // boolean predicate tree end-to-end (r11: A12f promoted from
+    // suite-only): AND binds tighter than OR, parens group, NOT at
+    // factor level — the un-parenthesized tail leg must parse as
+    // (zh AND long), not ((… OR zh) AND long)
+    "q_sql_bool_logic" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, lang, n_chars FROM documents
+               |WHERE (lang = 'en' OR lang = 'de')
+               |  AND NOT (n_chars < 300 OR n_chars > 450)
+               |  OR lang = 'zh' AND n_chars > 500
+               |ORDER BY doc_id;""".stripMargin)
+    }),
+    // IN-list / NOT IN / BETWEEN / NOT BETWEEN (r11: A12g promoted from
+    // suite-only): the IN list lowers to a pushable Catalyst In, BETWEEN
+    // desugars to the inclusive range with its AND bound locally
+    "q_sql_in_between" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, lang, n_chars FROM documents
+               |WHERE lang IN ('en', 'fr', 'es') AND lang NOT IN ('es')
+               |  AND n_chars BETWEEN 200 AND 400
+               |  AND doc_id NOT BETWEEN 100 AND 120
+               |ORDER BY doc_id;""".stripMargin)
+    }),
+    // TRUE / FALSE / NULL literal values as expressions (r11: A12c
+    // promoted from suite-only): typed literal lowering through CASE —
+    // BOOL results and an explicit NULL branch whose column type must
+    // still come out STRING
+    "q_sql_literals" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id,
+               | CASE WHEN n_chars > 300 THEN TRUE ELSE FALSE END AS long_doc,
+               | CASE WHEN lang = 'en' THEN NULL ELSE lang END AS non_en
+               |FROM documents WHERE doc_id < 100
+               |ORDER BY doc_id;""".stripMargin)
+    }),
+    // CREATE TABLE + INSERT VALUES end-to-end through the gate (r11:
+    // A1/A1b/A2 promoted from suite-only): the full declared-type tier —
+    // UINT32→BIGINT, UINT16→INTEGER, UINT64→DECIMAL(20,0) (a value above
+    // int64 range proves the decimal physical type is real), NULLABLE
+    // STRING(n) with an explicit NULL, BOOL — read back typed. §5 cast-back
+    // discipline (r12 fix, same as q_sql_cast): the DECIMAL(20,0) column is
+    // rendered through VARCHAR on BOTH sides because DuckDB's int128 decimal
+    // stringification and Spark's BigDecimal disagree at the hash layer; the
+    // decimal stays under test via the WHERE comparison (a >int64 literal
+    // compared against the stored decimal) and the typed read-back path.
+    "q_sql_create_insert" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.sql("""CREATE TABLE inv (
+               |  sku UINT32 PRIMARY KEY,
+               |  qty UINT16,
+               |  price UINT64,
+               |  note NULLABLE(STRING(40)),
+               |  active BOOL);""".stripMargin)
+      es.sql("""INSERT INTO inv VALUES
+               | (1, 5, 1999, 'first', TRUE),
+               | (2, 0, 10000000000000000000, NULL, FALSE),
+               | (3, 65535, 0, 'max u16', TRUE);""".stripMargin)
+      es.sql("""SELECT sku, qty, CAST(price AS VARCHAR) AS price_str,
+               | note, active
+               |FROM inv WHERE price <= 10000000000000000000
+               |ORDER BY sku;""".stripMargin)
+    }),
+    // UUID type round-trip (r11: A10 promoted from suite-only): canonical
+    // UUID literals survive INSERT-time domain validation and read back
+    // as the declared string form
+    "q_sql_uuid" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.sql("CREATE TABLE ids (id UUID PRIMARY KEY, label STRING(20));")
+      es.sql("""INSERT INTO ids VALUES
+               | ('0198b5a2-3c4d-7e5f-8a9b-0c1d2e3f4a5b', 'alpha'),
+               | ('ffffffff-ffff-ffff-ffff-ffffffffffff', 'omega');""".stripMargin)
+      es.sql("SELECT id, label FROM ids ORDER BY label;")
+    }),
+    // NOW() engine-side fill (r11: A9 promoted from suite-only): the
+    // DEFAULT NOW() column is nondeterministic, so the key projects a
+    // sanity invariant of it (a correct engine clock makes YEAR(at) land
+    // in [2020, 2100] forever) rather than the raw timestamp
+    "q_sql_now" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.sql("""CREATE TABLE evt (
+               |  k UINT32 PRIMARY KEY,
+               |  at TIMESTAMP DEFAULT NOW());""".stripMargin)
+      es.sql("INSERT INTO evt (k) VALUES (1), (2);")
+      es.sql("""SELECT k,
+               | CASE WHEN YEAR(at) >= 2020 AND YEAR(at) <= 2100
+               |   THEN TRUE ELSE FALSE END AS clock_sane
+               |FROM evt ORDER BY k;""".stripMargin)
+    }),
+    // EXPLAIN through the gate (r11: A12e promoted from suite-only): the
+    // raw plan text is machine/plan-id-dependent, so the key projects the
+    // INVARIANTS the front-end promises — the filter reaches the parquet
+    // scan as a pushed filter and the unused text column is pruned from
+    // the read — as booleans against a constants oracle
+    "q_sql_explain" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("EXPLAIN SELECT doc_id FROM documents WHERE lang = 'en';")
+        .agg(
+          max(col("plan_line").contains("Scan parquet")).as("scans_parquet"),
+          max(col("plan_line").contains("PushedFilters") &&
+            col("plan_line").contains("lang")).as("filter_pushed"),
+          max(col("plan_line").contains("text")).as("reads_text_col"))
+    }),
+    // the reference README story end-to-end through the gate (r11: A11
+    // promoted from suite-only; reference README.md "Story"): CREATE a
+    // metric-keyed photos table with DEFAULT NOW(), INSERT binary-literal
+    // perceptual hashes, run the `@` threshold search — projected to the
+    // deterministic columns (ULID/NOW stay covered by the suite)
+    "q_sql_readme" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.sql("""CREATE TABLE IF NOT EXISTS photos_seen (
+               |  hash UINT64 METRIC KEY USING emtree(hamming),
+               |  url STRING(2048) PRIMARY KEY,
+               |  width UINT32,
+               |  height UINT32,
+               |  seen_at TIMESTAMP DEFAULT NOW());""".stripMargin)
+      es.sql("""INSERT INTO photos_seen (hash, url, width, height)
+               |VALUES (0b11001111, 'https://example.com/a.png', 1280, 820),
+               |       (0b01110000, 'https://example.com/b.png', 640, 480);""".stripMargin)
+      es.sql("""SELECT url, width, height, hash @ 0b00001011 AS distance
+               |FROM photos_seen WHERE distance < 4;""".stripMargin)
+    }),
+    // FULL OUTER JOIN + IS NULL: the reconciliation report — which
+    // nations have customers, early suppliers, or both
+    "q_sql_full_join" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("supplier", Tables.supplier(s, d))
+      es.sql("""WITH c AS (
+               |  SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+               |  FROM customer GROUP BY c_nationkey),
+               |sp AS (
+               |  SELECT s_nationkey AS snk, COUNT(*) AS n_supp
+               |  FROM supplier WHERE s_suppkey < 30 GROUP BY s_nationkey)
+               |SELECT COALESCE(nk, snk) AS nationkey,
+               | COALESCE(n_cust, 0) AS n_cust,
+               | COALESCE(n_supp, 0) AS n_supp,
+               | CASE WHEN nk IS NULL THEN 'supplier_only'
+               |      WHEN snk IS NULL THEN 'customer_only'
+               |      ELSE 'both' END AS presence
+               |FROM c FULL OUTER JOIN sp ON nk = snk
+               |ORDER BY nationkey;""".stripMargin)
+    }),
+    // RIGHT OUTER JOIN: all customers kept, urgent orders counted
+    // (COUNT(col) skips the NULLs of unmatched rows — ANSI)
+    "q_sql_right_join" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""WITH o AS (
+               |  SELECT o_custkey, o_orderkey FROM orders
+               |  WHERE o_orderpriority = '1-URGENT')
+               |SELECT c_custkey, COUNT(o_orderkey) AS n_urgent
+               |FROM o RIGHT JOIN customer ON o_custkey = c_custkey
+               |GROUP BY c_custkey ORDER BY c_custkey;""".stripMargin)
+    }),
+    // EXCEPT — ANSI distinct set difference
+    "q_sql_except" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id FROM documents WHERE lang = 'en'
+               |EXCEPT SELECT doc_id FROM documents WHERE n_chars < 500;""".stripMargin)
+    }),
+    // INTERSECT — ANSI distinct set intersection
+    "q_sql_intersect" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source FROM documents WHERE lang = 'en'
+               |INTERSECT SELECT source FROM documents WHERE n_chars < 400;""".stripMargin)
+    }),
+    // CAST tier: numeric/string/decimal targets, composing with
+    // arithmetic and WHERE
+    "q_sql_cast" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      // The DECIMAL(12,2) cast stays under test, but is rendered through
+      // VARCHAR: it is the only key that would otherwise emit a raw decimal
+      // output column, which the driver's hash canonicalization stringifies
+      // differently from DuckDB (r8 verdict: engine verified right by judge
+      // replay; fix the rendering, not the engine).
+      es.sql("""SELECT doc_id,
+               | CAST(n_chars AS DOUBLE) / 7 AS sevenths,
+               | CAST(n_chars AS VARCHAR) AS n_str,
+               | CAST(CAST(n_chars AS DECIMAL(12,2)) AS VARCHAR) AS n_dec
+               |FROM documents WHERE CAST(n_chars AS BIGINT) >= 200
+               |ORDER BY doc_id;""".stripMargin)
+    }),
+    // calendar functions + CAST composing under GROUP BY ordinals —
+    // the monthly-revenue report straight from SQL
+    "q_sql_dates" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+               | CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
+               | COUNT(*) AS n_orders,
+               | CAST(ROUND(MAX(o_totalprice) / 1000, 1) AS DOUBLE) AS top_k
+               |FROM orders WHERE YEAR(o_orderdate) BETWEEN 1996 AND 1997
+               |GROUP BY 1, 2 ORDER BY 1, 2;""".stripMargin)
+    }),
+    // centered ROWS frame: the symmetric moving average (PRECEDING and
+    // FOLLOWING bounds)
+    "q_sql_centered" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, doc_id, n_chars,
+               | AVG(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               |   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS ma5
+               |FROM documents ORDER BY source, doc_id;""".stripMargin)
+    }),
+    // FIRST_VALUE / LAST_VALUE navigation: each doc vs its source's
+    // shortest doc (default frame) and the full-frame longest
+    "q_sql_first_value" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, doc_id, n_chars,
+               | FIRST_VALUE(n_chars) OVER (PARTITION BY source
+               |   ORDER BY n_chars, doc_id) AS min_chars,
+               | LAST_VALUE(n_chars) OVER (PARTITION BY source
+               |   ORDER BY n_chars, doc_id
+               |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               |   AS running_max
+               |FROM documents ORDER BY source, doc_id;""".stripMargin)
+    }),
+    // table aliases + qualified references: the self-join shape —
+    // same-nation (customer, founder) pairs. The b-side literal cap is
+    // load-bearing at scale: Catalyst pushes it BELOW the join, so the
+    // pair relation grows linearly in |a| (an uncapped same-key self
+    // join is quadratic BY SEMANTICS — measured 575x wall at x100 before
+    // this bound; with it the b side is =100 rows at any corpus size)
+    "q_sql_self_join" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.sql("""SELECT a.c_nationkey AS nationkey, COUNT(*) AS n_pairs
+               |FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
+               |WHERE b.c_custkey <= 100 AND a.c_custkey < b.c_custkey
+               |GROUP BY 1 ORDER BY 1;""".stripMargin)
+    }),
+    // IS NULL as the anti-join spelling over LEFT JOIN's unmatched rows
+    "q_sql_is_null" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""WITH o AS (
+               |  SELECT o_custkey, COUNT(*) AS n FROM orders
+               |  WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
+               |SELECT c_custkey, c_name
+               |FROM customer LEFT JOIN o ON c_custkey = o_custkey
+               |WHERE n IS NULL ORDER BY c_custkey;""".stripMargin)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the catalog dump is checked against the KNOWN schemas as constants —
+    // the session registers exactly these three tables, so the expected
+    // rows are fully determined (type mapping per sources/SchemaMapper)
+    "q_sql_system_columns" ->
+      """SELECT * FROM (VALUES
+        | ('documents','doc_id',0,'BIGINT',TRUE,FALSE,FALSE),
+        | ('documents','text',1,'STRING',TRUE,FALSE,FALSE),
+        | ('documents','lang',2,'STRING',TRUE,FALSE,FALSE),
+        | ('documents','source',3,'STRING',TRUE,FALSE,FALSE),
+        | ('documents','n_chars',4,'BIGINT',TRUE,FALSE,FALSE),
+        | ('photos','id',0,'STRING',FALSE,TRUE,FALSE),
+        | ('photos','added',1,'TIMESTAMP',FALSE,FALSE,FALSE),
+        | ('photos','caption',2,'STRING',TRUE,FALSE,FALSE),
+        | ('photos','phash',3,'DECIMAL(20,0)',FALSE,FALSE,TRUE),
+        | ('region','r_regionkey',0,'INT',TRUE,FALSE,FALSE),
+        | ('region','r_name',1,'STRING',TRUE,FALSE,FALSE)
+        |) AS t(table_name, column_name, ordinal, data_type,
+        |       is_nullable, primary_key, metric_key)""".stripMargin,
+    "q_sql_system_agg" ->
+      """SELECT * FROM (VALUES
+        | ('documents', 5, CAST(3 AS BIGINT)),
+        | ('region', 2, CAST(1 AS BIGINT))
+        |) AS t(table_name, n_columns, n_strings)""".stripMargin,
+    "q_sql_select" ->
+      "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'",
+    "q_sql_grouping_sets" ->
+      """SELECT lang, source, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+        | CAST(GROUPING(source) AS BIGINT) AS g_source
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())""".stripMargin,
+    // DML oracles recompute the post-mutation state in pure SQL
+    "q_sql_update" ->
+      """SELECT lang, count(*) AS n,
+        | CAST(sum(CASE WHEN lang = 'en' THEN n_chars * 2 + 1
+        |   ELSE n_chars END) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_sql_delete" ->
+      """SELECT lang, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE NOT (n_chars < 100 AND lang <> 'en')
+        |GROUP BY lang""".stripMargin,
+    "q_sql_ctas" ->
+      """SELECT source, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
+    "q_sql_insert_select" ->
+      """WITH big AS (
+        | SELECT n_chars FROM documents WHERE n_chars >= 300
+        | UNION ALL
+        | SELECT n_chars FROM documents WHERE lang = 'zh')
+        |SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM big""".stripMargin,
+    "q_sql_merge" ->
+      """WITH tgt AS (
+        | SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0),
+        |src AS (
+        | SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0),
+        |merged AS (
+        | SELECT CASE WHEN s.doc_id IS NOT NULL THEN s.n_chars + 1
+        |   ELSE t.n_chars END AS n_chars
+        | FROM tgt t LEFT JOIN src s ON t.doc_id = s.doc_id
+        | UNION ALL
+        | SELECT s.n_chars FROM src s LEFT JOIN tgt t ON s.doc_id = t.doc_id
+        | WHERE t.doc_id IS NULL)
+        |SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM merged""".stripMargin,
+    "q_sql_insert_values" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), 10, 'alpha'),
+        | (CAST(2 AS BIGINT), 20, 'beta'),
+        | (CAST(3 AS BIGINT), NULL, 'gamma'),
+        | (CAST(4 AS BIGINT), 65535, NULL)
+        |) AS t(k, v, tag)""".stripMargin,
+    "q_sql_set_precedence" ->
+      """SELECT doc_id FROM documents WHERE lang = 'en'
+        |UNION SELECT doc_id FROM documents WHERE lang = 'de'
+        |EXCEPT SELECT doc_id FROM documents WHERE n_chars > 150
+        |INTERSECT SELECT doc_id FROM documents WHERE source = 'src0'""".stripMargin,
+    "q_sql_rollup" ->
+      """SELECT lang, source, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+    "q_sql_window_named" ->
+      """SELECT doc_id, source, n_chars,
+        | CAST(row_number() OVER w AS INTEGER) AS rn,
+        | CAST(sum(n_chars) OVER w AS BIGINT) AS run_chars,
+        | min(n_chars) OVER w AS min_so_far
+        |FROM documents
+        |WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+        |ORDER BY source, doc_id""".stripMargin,
+    "q_sql_having_sub" ->
+      """SELECT source, count(*) AS n FROM documents
+        |GROUP BY source
+        |HAVING count(*) * 25 > (SELECT count(*) FROM documents)
+        |ORDER BY source""".stripMargin,
+    "q_sql_cube" ->
+      """SELECT lang, source, count(*) AS n
+        |FROM documents WHERE n_chars >= 100
+        |GROUP BY CUBE(lang, source)""".stripMargin,
+    "q_sql_case_simple" ->
+      """SELECT CASE lang WHEN 'en' THEN 'latin' WHEN 'fr' THEN 'latin'
+        |  WHEN 'zh' THEN 'cjk' ELSE 'other' END AS script,
+        | count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY script""".stripMargin,
+    // DuckDB runs the correlated EXISTS natively — the oracle is the
+    // same ANSI text the dialect parses
+    "q_sql_exists" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        | AND NOT EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "q_sql_exists_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              JOIN lineitem ON o_orderkey = l_orderkey
+        |              WHERE o_custkey = c_custkey
+        |                AND l_quantity >= 49 AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    // ANSI spelling (aggregate in HAVING) — same groups, same pruning
+    "q_sql_exists_group" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT count(*) FROM orders
+        |              WHERE o_custkey = c_custkey
+        |              GROUP BY o_orderpriority HAVING count(*) >= 3)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_sql_corr_arith" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE (SELECT count(*) FROM orders
+        |       WHERE o_custkey = c_custkey) * 10 >= 120
+        |  AND (SELECT count(*) FROM orders
+        |       WHERE o_custkey = c_custkey AND o_orderstatus = 'O') + 5
+        |      <= (SELECT count(*) FROM orders
+        |          WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_sql_window_frame" ->
+      """SELECT source, doc_id, n_chars,
+        | avg(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
+        | CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_sum
+        |FROM documents ORDER BY source, doc_id""".stripMargin,
+    "q_sql_group_expr" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n_orders
+        |FROM orders GROUP BY year(o_orderdate)""".stripMargin,
+    "q_sql_datediff" ->
+      """SELECT o_orderpriority,
+        | CAST(MIN(lat) AS BIGINT) AS min_days,
+        | CAST(MAX(lat) AS BIGINT) AS max_days,
+        | CAST(SUM(lat) AS BIGINT) AS total_days,
+        | COUNT(*) AS n
+        |FROM (SELECT o_orderpriority,
+        |   GREATEST(date_diff('day', CAST(o_orderdate AS DATE),
+        |     CAST(l_shipdate AS DATE)), 0) AS lat
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey) t
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_json" ->
+      """SELECT event_id, event_type,
+        | CAST(json_extract(props, '$.k') AS INTEGER) AS k_num,
+        | json_extract_string(props, '$.k') AS k_text,
+        | json_extract_string(props, '$.missing') AS miss,
+        | json_extract_string(CONCAT('{"t":"', event_type, '"}'),
+        |   '$.t') AS t_rt
+        |FROM events
+        |WHERE CAST(json_extract(props, '$.k') AS INTEGER) % 10 = 0
+        |ORDER BY event_id""".stripMargin,
+    "q_sql_unnest" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        | FROM documents),
+        |cnt AS (
+        | SELECT doc_id, COUNT(*) AS n_terms FROM tok GROUP BY doc_id)
+        |SELECT c.doc_id, c.n_terms,
+        | len(string_split(d.text, ' ')) AS n_len
+        |FROM cnt c JOIN documents d ON c.doc_id = d.doc_id
+        |ORDER BY 1""".stripMargin,
+    "q_sql_try_cast" ->
+      """SELECT doc_id,
+        | TRY_CAST(source AS INTEGER) AS src_num,
+        | TRY_CAST(lang AS DOUBLE) AS lang_num,
+        | TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER) AS rt,
+        | CAST(n_chars AS DOUBLE) / NULLIF(doc_id % 3, 0) AS gdiv
+        |FROM documents WHERE doc_id < 300
+        |ORDER BY doc_id""".stripMargin,
+    "q_sql_greatest" ->
+      """SELECT doc_id,
+        | GREATEST(n_chars, 300) AS floor300,
+        | LEAST(n_chars, 300) AS cap300,
+        | GREATEST(n_chars, doc_id, 100) AS g3
+        |FROM documents WHERE doc_id < 150
+        |ORDER BY doc_id""".stripMargin,
+    "q_sql_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        | COUNT(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_sql_math" ->
+      """SELECT o_orderkey,
+        | ROUND(SQRT(o_totalprice), 6) AS sq,
+        | ROUND(LN(o_totalprice), 6) AS lg,
+        | ROUND(ABS(EXP(LN(o_totalprice)) - o_totalprice), 3) AS rt,
+        | ROUND(ABS(POWER(o_totalprice, 0.5) - SQRT(o_totalprice)), 6) AS zz,
+        | CAST(SIGN(o_totalprice - 100000) AS INTEGER) AS s
+        |FROM orders WHERE o_orderkey < 300
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_sql_regex" ->
+      """SELECT doc_id,
+        | REGEXP_REPLACE(source, '[0-9]+', '#', 'g') AS src_n,
+        | REGEXP_MATCHES(source, '1[0-9]') AS is_teens,
+        | REVERSE(source) AS rsrc,
+        | REPEAT(source, 2) AS s2,
+        | MD5(source) AS h,
+        | ASCII(source) AS a,
+        | CHR(CAST(65 + doc_id % 26 AS INTEGER)) AS letter
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY doc_id""".stripMargin,
+    "q_sql_filter_agg" ->
+      """SELECT l_returnflag,
+        | COUNT(*) AS n_all,
+        | COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        | SUM(l_quantity) FILTER (WHERE l_discount >= 0.05) AS qty_disc,
+        | MAX(l_extendedprice) FILTER (WHERE l_tax > 0.03) AS max_taxed,
+        | COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity = 1) AS n_supp_q1
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_sql_ignore_nulls" ->
+      """SELECT doc_id, v,
+        | LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY source
+        |   ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+        |FROM (SELECT doc_id, source,
+        |   CASE WHEN n_chars % 3 = 0 THEN n_chars ELSE NULL END AS v
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "q_sql_epoch" ->
+      """SELECT o_orderkey,
+        | CAST(EXTRACT(EPOCH FROM o_orderdate) AS BIGINT) AS secs
+        |FROM orders WHERE o_orderkey < 300
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_sql_extract" ->
+      """SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+        | EXTRACT(QUARTER FROM o_orderdate) AS qtr,
+        | EXTRACT(MONTH FROM o_orderdate) AS mo,
+        | COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY 1, 2, 3
+        |ORDER BY yr, qtr, mo""".stripMargin,
+    "q_sql_interval" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due30,
+        | CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS due_q,
+        | CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS due_y,
+        | CAST(o_orderdate + INTERVAL 6 HOUR AS VARCHAR) AS plus6h
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_sql_in_tuple" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority
+        |FROM orders
+        |WHERE (o_orderstatus, o_orderpriority)
+        |  IN (('F', '1-URGENT'), ('O', '5-LOW'), ('P', '3-MEDIUM'))
+        |  AND o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_sql_like_escape" ->
+      """SELECT doc_id, tag FROM (
+        | SELECT doc_id,
+        |  CONCAT('pct_', CAST(doc_id % 10 AS VARCHAR), '%_t') AS tag
+        | FROM documents) t
+        |WHERE tag LIKE 'pct!_5!%!_t' ESCAPE '!'
+        |   OR tag NOT LIKE '%!%%' ESCAPE '!'
+        |ORDER BY doc_id""".stripMargin,
+    "q_sql_nulls_order" ->
+      """SELECT 'nulls_first' AS leg, doc_id, nl FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN NULL ELSE lang END AS nl
+        |  FROM documents WHERE doc_id < 200
+        |  ORDER BY nl DESC NULLS FIRST, doc_id LIMIT 10) a
+        |UNION ALL
+        |SELECT 'nulls_last' AS leg, doc_id, nl FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN NULL ELSE lang END AS nl
+        |  FROM documents WHERE doc_id < 200
+        |  ORDER BY nl DESC NULLS LAST, doc_id LIMIT 10) b""".stripMargin,
+    "q_sql_bool_agg" ->
+      """SELECT lang,
+        | BOOL_AND(big) AS all_big,
+        | BOOL_OR(big) AS any_big,
+        | COUNT(*) AS n
+        |FROM (SELECT lang,
+        |   CASE WHEN n_chars > 300 THEN TRUE ELSE FALSE END AS big
+        |  FROM documents) t
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sql_stddev" ->
+      """SELECT lang, COUNT(*) AS n,
+        | ROUND(STDDEV(n_chars), 6) AS sd_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sql_set_all" ->
+      """SELECT lang FROM documents WHERE n_chars >= 300
+        |EXCEPT ALL SELECT lang FROM documents WHERE n_chars < 300""".stripMargin,
+    "q_sql_qualify" ->
+      """SELECT source, doc_id, n_chars,
+        | CAST(row_number() OVER (PARTITION BY source
+        |   ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rn
+        |FROM documents
+        |QUALIFY rn <= 3""".stripMargin,
+    "q_sql_string_funcs2" ->
+      """SELECT doc_id,
+        | concat(source, '/', lang) AS src_lang,
+        | lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id6,
+        | left(text, 10) AS head10, right(text, 5) AS tail5,
+        | CAST(strpos(text, 'table') AS INTEGER) AS pos_table,
+        | split_part(text, ' ', 3) AS tok3
+        |FROM documents WHERE contains(text, 'spark') = TRUE
+        |ORDER BY doc_id LIMIT 100""".stripMargin,
+    "q_sql_date_trunc" ->
+      """SELECT CAST(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS VARCHAR) AS mo,
+        | CAST(date_part('dow', o_orderdate) AS INTEGER) AS dw, count(*) AS n
+        |FROM orders GROUP BY mo, dw
+        |ORDER BY mo, dw""".stripMargin,
+    "q_sql_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(round(o_totalprice) AS BIGINT) AS price_i,
+        | COUNT(*) OVER (PARTITION BY o_custkey ORDER BY price_i
+        |   RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_near
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_sql_cume_dist" ->
+      """SELECT source, doc_id, n_chars,
+        | cume_dist() OVER (PARTITION BY source
+        |   ORDER BY n_chars, doc_id) AS cd
+        |FROM documents ORDER BY source, doc_id""".stripMargin,
+    "q_sql_recursive" ->
+      """WITH RECURSIVE heads AS (
+        |  SELECT source, min(doc_id) AS doc_id FROM documents
+        |  GROUP BY source),
+        |nxt AS (
+        |  SELECT source, doc_id,
+        |   lead(doc_id, 1) OVER (PARTITION BY source ORDER BY doc_id) AS nd
+        |  FROM documents),
+        |walk AS (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS depth FROM heads
+        |  UNION
+        |  SELECT n.nd AS doc_id, w.depth + 1 AS depth
+        |  FROM walk w JOIN nxt n ON w.doc_id = n.doc_id
+        |  WHERE w.depth < 4 AND n.nd IS NOT NULL)
+        |SELECT depth, count(*) AS n_docs FROM walk
+        |GROUP BY depth ORDER BY depth""".stripMargin,
+    "q_sql_having_agg" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang
+        |HAVING count(*) >= 20 AND sum(n_chars) / count(*) > 250""".stripMargin,
+    "q_sql_order_expr" ->
+      """SELECT doc_id, n_chars FROM documents
+        |ORDER BY abs(n_chars - 300), doc_id LIMIT 50""".stripMargin,
+    "q_sql_string_funcs" ->
+      """SELECT doc_id, upper(lang) AS lang_uc,
+        | CAST(length(text) AS INTEGER) AS n_len,
+        | substr(text, 1, 20) AS head20
+        |FROM documents WHERE length(text) > 300
+        |ORDER BY doc_id LIMIT 100""".stripMargin,
+    "q_sql_count_distinct" ->
+      """SELECT source, count(DISTINCT lang) AS n_langs, count(*) AS n,
+        | count(*) / count(DISTINCT lang) AS docs_per_lang
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_sql_dedup" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
+    "q_sql_neardup" ->
+      s"""WITH ${graft.operators.Dedup.wordPairCtes}
+         |SELECT id_a, id_b,
+         | inter * 1.0 / (ca.n + cb.n - inter) AS jaccard
+         |FROM p
+         |JOIN cnt ca ON id_a = ca.doc_id
+         |JOIN cnt cb ON id_b = cb.doc_id
+         |WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5""".stripMargin,
+    "q_sql_knn" ->
+      """SELECT vec_id,
+        | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+        |FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    // brute-force replay of the same radius over the portable simhash —
+    // the pruned partition scan must lose nothing (the q_metric_index
+    // proof, now for the SQL/HTTP surface)
+    "q_sql_metric_search" ->
+      s"""WITH ${graft.operators.Dedup.simhashCtes},
+         |d AS (SELECT doc_id,
+         |   CAST(bit_count(xor(simhash,
+         |     (SELECT simhash FROM sh64 WHERE doc_id = 0))) AS INTEGER) AS dist
+         |  FROM sh64)
+         |SELECT doc_id, dist FROM d WHERE dist <= 2""".stripMargin,
+    // brute-force k-NN replay: same ranking (dist, then hash), same k —
+    // the pruned radius-doubling scan must select the same multiset
+    "q_sql_metric_knn" ->
+      s"""WITH ${graft.operators.Dedup.simhashCtes},
+         |d AS (SELECT doc_id, simhash AS h,
+         |   CAST(bit_count(xor(simhash,
+         |     (SELECT simhash FROM sh64 WHERE doc_id = 0))) AS INTEGER) AS dist
+         |  FROM sh64)
+         |SELECT h, dist FROM d ORDER BY dist, h LIMIT 10""".stripMargin,
+    // complete replay of the deterministic IVF path: lowest-8-id
+    // centroids, argmax assignment with the cid tie-break, probe cell,
+    // in-cell top-10 (the q_ann_ivf oracle parameterized by the
+    // LIMIT-8 centroid set)
+    "q_sql_ann_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e
+        |      WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
+        |scored AS (
+        | SELECT e.vec_id, e.v, c.cid,
+        |  list_cosine_similarity(e.v, c.cv) AS csim
+        | FROM e CROSS JOIN c),
+        |a AS (
+        | SELECT vec_id, v, cid FROM (
+        |  SELECT *, row_number() OVER (
+        |   PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |p AS (SELECT cid AS pcid, v AS pv FROM a WHERE vec_id = 0)
+        |SELECT a.vec_id,
+        | round(list_cosine_similarity(a.v, p.pv), 6) AS sim
+        |FROM a, p WHERE a.cid = p.pcid
+        |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+    "q_sql_quality_gate" -> graft.operators.TextAnalysis.oracles("q_gopher_flags"),
+    "q_sql_left_join" ->
+      """WITH oc AS (
+        |  SELECT o_custkey, count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey, c_name,
+        | COALESCE(n_orders, 0) AS n_ord,
+        | CASE WHEN COALESCE(n_orders, 0) = 0 THEN 'never'
+        |      ELSE 'buyer' END AS segment
+        |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_sql_ordinal" ->
+      """SELECT source, lang, count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sql_lag" ->
+      """SELECT source, doc_id, n_chars,
+        | lag(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS prev_chars,
+        | lead(n_chars, 2) OVER (PARTITION BY source ORDER BY doc_id) AS next2_chars
+        |FROM documents ORDER BY source, doc_id""".stripMargin,
+    "q_sql_derived" ->
+      """SELECT source, n_docs, total_chars
+        |FROM (SELECT source, count(*) AS n_docs,
+        |      CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |      FROM documents GROUP BY source) t
+        |WHERE n_docs > 10 ORDER BY source""".stripMargin,
+    "q_sql_langid" -> graft.operators.TextAnalysis.oracles("q_langid"),
+    "q_sql_split" -> graft.operators.Sampling.oracles("q_sample_split"),
+    "q_sql_ntile" ->
+      """SELECT source, doc_id, n_chars,
+        | CAST(ntile(4) OVER (PARTITION BY source
+        |   ORDER BY n_chars, doc_id) AS INTEGER) AS quart,
+        | percent_rank() OVER (PARTITION BY source
+        |   ORDER BY n_chars, doc_id) AS pr
+        |FROM documents ORDER BY source, doc_id""".stripMargin,
+    // DuckDB runs the correlated scalars natively — same ANSI text
+    "q_sql_corr_where" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE (SELECT count(*) FROM orders
+        |       WHERE o_custkey = c_custkey) >= 12
+        |  AND c_acctbal * 10 > (SELECT min(o_totalprice) FROM orders
+        |       WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_sql_corr_scalar" ->
+      """SELECT c_custkey, c_name,
+        | (SELECT COUNT(*) FROM orders
+        |  WHERE o_custkey = c_custkey) AS n_orders,
+        | (SELECT MAX(o_totalprice) FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O') AS max_open
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_sql_scalar_funcs" ->
+      """SELECT doc_id, round(n_chars / 3.0) AS thirds,
+        | ABS(n_chars - 500) AS dev500,
+        | COALESCE(NULLIF(lang, 'en'), 'base') AS alt_lang
+        |FROM documents WHERE ABS(n_chars - 500) < 400
+        |ORDER BY doc_id""".stripMargin,
+    // the four r11 promotions run the IDENTICAL text in DuckDB — any
+    // divergence in wildcard matching, precedence, range inclusivity, or
+    // literal typing fails the hash
+    "q_sql_like" ->
+      """SELECT DISTINCT lang, source FROM documents
+        |WHERE text LIKE '%table window%' AND source NOT LIKE '%1%'
+        |ORDER BY lang, source""".stripMargin,
+    "q_sql_bool_logic" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE (lang = 'en' OR lang = 'de')
+        |  AND NOT (n_chars < 300 OR n_chars > 450)
+        |  OR lang = 'zh' AND n_chars > 500
+        |ORDER BY doc_id""".stripMargin,
+    "q_sql_in_between" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang IN ('en', 'fr', 'es') AND lang NOT IN ('es')
+        |  AND n_chars BETWEEN 200 AND 400
+        |  AND doc_id NOT BETWEEN 100 AND 120
+        |ORDER BY doc_id""".stripMargin,
+    "q_sql_literals" ->
+      """SELECT doc_id,
+        | CASE WHEN n_chars > 300 THEN TRUE ELSE FALSE END AS long_doc,
+        | CASE WHEN lang = 'en' THEN NULL ELSE lang END AS non_en
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin,
+    // DDL/identity promotions: the oracle is the KNOWN inserted rows as
+    // typed constants (same doctrine as q_sql_system_columns)
+    "q_sql_create_insert" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), CAST(5 AS INTEGER), '1999', 'first', TRUE),
+        | (CAST(2 AS BIGINT), CAST(0 AS INTEGER),
+        |  '10000000000000000000', NULL, FALSE),
+        | (CAST(3 AS BIGINT), CAST(65535 AS INTEGER), '0', 'max u16', TRUE)
+        |) AS t(sku, qty, price_str, note, active)""".stripMargin,
+    "q_sql_uuid" ->
+      """SELECT * FROM (VALUES
+        | ('0198b5a2-3c4d-7e5f-8a9b-0c1d2e3f4a5b', 'alpha'),
+        | ('ffffffff-ffff-ffff-ffff-ffffffffffff', 'omega')
+        |) AS t(id, label)""".stripMargin,
+    "q_sql_now" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), TRUE),
+        | (CAST(2 AS BIGINT), TRUE)
+        |) AS t(k, clock_sane)""".stripMargin,
+    "q_sql_readme" ->
+      """SELECT * FROM (VALUES
+        | ('https://example.com/a.png', CAST(1280 AS BIGINT),
+        |  CAST(820 AS BIGINT), CAST(3 AS INTEGER))
+        |) AS t(url, width, height, distance)""".stripMargin,
+    // the front-end's plan promises as constants: filter pushed to the
+    // parquet scan, unused text column pruned from the read
+    "q_sql_explain" ->
+      """SELECT TRUE AS scans_parquet, TRUE AS filter_pushed,
+        | FALSE AS reads_text_col""".stripMargin,
+    "q_sql_median" ->
+      """SELECT lang, count(*) AS n, median(n_chars) AS med_chars,
+        | max(n_chars) - min(n_chars) AS spread
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sql_running" ->
+      """SELECT source, doc_id, n_chars,
+        | CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+        |   AS BIGINT) AS run_chars,
+        | count(*) OVER (PARTITION BY source ORDER BY doc_id) AS run_n
+        |FROM documents ORDER BY source, doc_id""".stripMargin,
+    "q_sql_window" ->
+      """WITH r AS (
+        | SELECT source, doc_id, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rn
+        | FROM documents)
+        |SELECT source, doc_id, n_chars, rn FROM r
+        |WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
+    "q_sql_agg_expr" ->
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | sum(n_chars) / count(*) AS mean_chars,
+        | sum(n_chars) * 100 / (SELECT sum(n_chars) FROM documents) AS pct
+        |FROM documents GROUP BY source
+        |HAVING sum(n_chars) / count(*) > 290 ORDER BY source""".stripMargin,
+    "q_sql_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_extendedprice * (1 - l_discount) AS net,
+        | l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross
+        |FROM lineitem
+        |WHERE l_extendedprice * (1 - l_discount) > 90000 AND l_discount > 0
+        |ORDER BY net DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q_sql_cte" ->
+      """WITH per_source AS (
+        |  SELECT source AS src, count(*) AS n_docs,
+        |   CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY source),
+        |big AS (
+        |  SELECT src, n_docs, total_chars FROM per_source
+        |  WHERE total_chars > (SELECT avg(total_chars) FROM per_source))
+        |SELECT src, n_docs, total_chars, avg(n_chars) AS avg_chars
+        |FROM documents JOIN big ON source = src
+        |GROUP BY 1, 2, 3
+        |ORDER BY total_chars DESC, src""".stripMargin,
+    "q_sql_distance" ->
+      s"""WITH fp AS (${Similarity.fpSql})
+         |SELECT doc_id, CAST(bit_count(xor(fp, 123456789)) AS INTEGER) AS dist
+         |FROM fp WHERE bit_count(xor(fp, 123456789)) < 10""".stripMargin,
+    "q_sql_agg" ->
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | avg(n_chars) AS avg_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY total_chars DESC, source LIMIT 5""".stripMargin,
+    "q_sql_having" ->
+      """SELECT lang, count(*) AS n, min(n_chars) AS min_chars
+        |FROM documents GROUP BY lang HAVING count(*) >= 20 ORDER BY lang""".stripMargin,
+    "q_sql_case" ->
+      """SELECT CASE WHEN n_chars < 200 THEN 'short'
+        |            WHEN n_chars < 400 THEN 'medium'
+        |            ELSE 'long' END AS bucket,
+        | count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_sql_union" ->
+      """SELECT lang FROM documents WHERE source = 'src1'
+        |UNION SELECT lang FROM documents WHERE source = 'src2'
+        |UNION ALL SELECT lang FROM documents WHERE doc_id < 0""".stripMargin,
+    "q_sql_join" ->
+      """SELECT n_name, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY n_name ORDER BY n_orders DESC, n_name LIMIT 10""".stripMargin,
+    "q_sql_page" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 40""".stripMargin,
+    "q_sql_scalar_sub" ->
+      """SELECT source, count(*) AS n_above, MAX(n_chars) AS max_chars
+        |FROM documents
+        |WHERE n_chars > (SELECT AVG(n_chars) FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q_sql_in_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN
+        |   (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        | AND o_custkey NOT IN
+        |   (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        | AND o_totalprice > 250000
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+    "q_http_query" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_sql_full_join" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nk, count(*) AS n_cust
+        |  FROM customer GROUP BY c_nationkey),
+        |sp AS (
+        |  SELECT s_nationkey AS snk, count(*) AS n_supp
+        |  FROM supplier WHERE s_suppkey < 30 GROUP BY s_nationkey)
+        |SELECT COALESCE(nk, snk) AS nationkey,
+        | COALESCE(n_cust, 0) AS n_cust,
+        | COALESCE(n_supp, 0) AS n_supp,
+        | CASE WHEN nk IS NULL THEN 'supplier_only'
+        |      WHEN snk IS NULL THEN 'customer_only'
+        |      ELSE 'both' END AS presence
+        |FROM c FULL OUTER JOIN sp ON nk = snk
+        |ORDER BY nationkey""".stripMargin,
+    "q_sql_right_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |SELECT c_custkey, count(o_orderkey) AS n_urgent
+        |FROM o RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_sql_except" ->
+      """SELECT doc_id FROM documents WHERE lang = 'en'
+        |EXCEPT SELECT doc_id FROM documents WHERE n_chars < 500""".stripMargin,
+    "q_sql_intersect" ->
+      """SELECT source FROM documents WHERE lang = 'en'
+        |INTERSECT SELECT source FROM documents WHERE n_chars < 400""".stripMargin,
+    "q_sql_cast" ->
+      """SELECT doc_id,
+        | CAST(n_chars AS DOUBLE) / 7 AS sevenths,
+        | CAST(n_chars AS VARCHAR) AS n_str,
+        | CAST(CAST(n_chars AS DECIMAL(12,2)) AS VARCHAR) AS n_dec
+        |FROM documents WHERE CAST(n_chars AS BIGINT) >= 200
+        |ORDER BY doc_id""".stripMargin,
+    "q_sql_is_null" ->
+      """WITH o AS (
+        |  SELECT o_custkey, count(*) AS n FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
+        |SELECT c_custkey, c_name
+        |FROM customer LEFT JOIN o ON c_custkey = o_custkey
+        |WHERE n IS NULL ORDER BY c_custkey""".stripMargin,
+    "q_sql_centered" ->
+      """SELECT source, doc_id, n_chars,
+        | avg(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS ma5
+        |FROM documents ORDER BY source, doc_id""".stripMargin,
+    "q_sql_first_value" ->
+      """SELECT source, doc_id, n_chars,
+        | first_value(n_chars) OVER (PARTITION BY source
+        |   ORDER BY n_chars, doc_id) AS min_chars,
+        | last_value(n_chars) OVER (PARTITION BY source
+        |   ORDER BY n_chars, doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS running_max
+        |FROM documents ORDER BY source, doc_id""".stripMargin,
+    "q_sql_self_join" ->
+      """SELECT a.c_nationkey AS nationkey, count(*) AS n_pairs
+        |FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
+        |WHERE b.c_custkey <= 100 AND a.c_custkey < b.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sql_dates" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(month(o_orderdate) AS BIGINT) AS mo,
+        | count(*) AS n_orders,
+        | CAST(round(max(o_totalprice) / 1000, 1) AS DOUBLE) AS top_k
+        |FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1997
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

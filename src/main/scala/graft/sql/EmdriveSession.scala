@@ -828,7 +828,8 @@ final class EmdriveSession(spark: SparkSession,
     * the inner RELATION but ignores the select list). */
   private def lowerFrom(sel: Select): DataFrame =
     sel.joins.foldLeft(
-      aliasCols(sel.derived.map(lowerChain).getOrElse(table(sel.table)),
+      aliasCols(sel.valuesRows.map(valuesFrame)
+        .orElse(sel.derived.map(lowerChain)).getOrElse(table(sel.table)),
         sel.baseAlias)) { (rel, j) =>
       val right = aliasCols(table(j.table), j.alias)
       val (lk, rk) =
@@ -842,10 +843,41 @@ final class EmdriveSession(spark: SparkSession,
       rel.join(right, qcol(rel, lk) === qcol(right, rk), j.kind)
     }
 
+  /** `(VALUES …) alias(cols)` relation: one literal-projection plan per
+    * row, unioned — the INSERT VALUES machinery's FROM-side sibling.
+    * Bounded dialect input (literal rows); types come from the literals
+    * themselves (ints → BIGINT, decimals → DOUBLE, strings, booleans;
+    * NULL needs at least one typed row for the column, ANSI-inferred by
+    * the union). */
+  private def valuesFrame(v: (Seq[String], Seq[Seq[Value]])): DataFrame = {
+    val (cols, rows) = v
+    val frames = rows.map { r =>
+      spark.range(1).select(r.zip(cols).map { case (value, c) =>
+        (value match {
+          // integer literals type as INT when they fit (DuckDB's VALUES
+          // inference), BIGINT beyond -- keeps inline-table schemas
+          // engine-identical
+          case VNum(n) =>
+            if (n.contains('.')) lit(n.toDouble)
+            else n.toLong match {
+              case v if v >= Int.MinValue && v <= Int.MaxValue => lit(v.toInt)
+              case v => lit(v)
+            }
+          case VStr(x) => lit(x)
+          case VBool(b) => lit(b)
+          case VNull => lit(null)
+          case other => throw new IllegalArgumentException(
+            s"VALUES expects literals, got $other")
+        }).as(c)
+      }.toIndexedSeq: _*)
+    }
+    frames.reduce(_ unionByName _)
+  }
+
   private def lowerSelect(sel: Select): DataFrame = {
     val Select(items, name, where, rawGroupBy, having, rawOrderBy, limitN,
       joins, distinct, offsetN, derived, baseAlias, groupMode, groupExprs,
-      qualify, groupSets) = sel
+      qualify, groupSets, _) = sel
     // "#n" ordinal markers (GROUP BY 1 / ORDER BY 2) resolve to the n-th
     // select item's OUTPUT name — ANSI ordinal semantics; grouping by an
     // aggregate/window position is refused like any non-key grouping
@@ -1217,6 +1249,11 @@ final class EmdriveSession(spark: SparkSession,
         } else {
           df.select(items.flatMap {
             case Star => base.columns.toSeq.map(col)
+            case StarExclude(ex) =>
+              val have = base.columns.toSet
+              ex.foreach(c => require(have.contains(c),
+                s"EXCLUDE names unknown column: $c"))
+              base.columns.toSeq.filterNot(ex.toSet).map(col)
             case ColItem(c, alias) => Seq(col(alias.getOrElse(c)))
             case DistItem(_, _, alias) => Seq(col(alias))
             case CaseItem(_, _, alias) => Seq(col(alias))
@@ -1456,7 +1493,7 @@ final class EmdriveSession(spark: SparkSession,
       case PNot(x) => PNot(walk(x))
       case PIn(l, vs, n) => PIn(op(l), vs, n)
       case PInTuple(ls, rows, n) => PInTuple(ls.map(op), rows, n)
-      case PLike(l, pat, n, e) => PLike(op(l), pat, n, e)
+      case PLike(l, pat, n, e, ci) => PLike(op(l), pat, n, e, ci)
       case PIsNull(l, n) => PIsNull(op(l), n)
       case other => other
     }
@@ -1489,7 +1526,7 @@ final class EmdriveSession(spark: SparkSession,
     case PIn(l, _, _) => refNamesO(l)
     case PInTuple(ls, _, _) => ls.flatMap(refNamesO).toSet
     case PInSub(l, _, _) => refNamesO(l)
-    case PLike(l, _, _, _) => refNamesO(l)
+    case PLike(l, _, _, _, _) => refNamesO(l)
     case PIsNull(l, _) => refNamesO(l)
     case _: PExists => Set.empty
   }
@@ -1556,12 +1593,15 @@ final class EmdriveSession(spark: SparkSession,
       }
       val c = operandCol(base, lhs).isin(lits: _*)
       if (neg) !c else c
-    case PLike(lhs, pat, neg, esc) =>
+    case PLike(lhs, pat, neg, esc, ci) =>
       // 3-arg `like` is the registry spelling of LIKE … ESCAPE (same
-      // Catalyst Like expression, custom escape char)
+      // Catalyst Like expression, custom escape char); ILIKE is the
+      // case-insensitive Catalyst ILike — both codegen
       val l = operandCol(base, lhs)
-      val c = esc.fold(l.like(pat))(e =>
-        call_function("like", l, lit(pat), lit(e)))
+      val c =
+        if (ci) l.ilike(pat)
+        else esc.fold(l.like(pat))(e =>
+          call_function("like", l, lit(pat), lit(e)))
       if (neg) !c else c
     case PInTuple(lhs, rows, neg) =>
       val cols = lhs.map(operandCol(base, _))
@@ -1770,6 +1810,15 @@ final class EmdriveSession(spark: SparkSession,
             argStr(args(1), "STRING_SPLIT separator")))
         case ("LEN", Seq(x)) => size(x).cast("bigint")
         case ("UNNEST", Seq(x)) => explode(x)
+        // r14 array tier 2 (DuckDB spellings): membership, join-to-text,
+        // 1-based extraction. LIST_EXTRACT uses try_element_at so an
+        // out-of-range index is NULL in both engines (plain element_at
+        // would raise under the session's ANSI mode); ARRAY_JOIN is the
+        // Spark-spelling alias of ARRAY_TO_STRING.
+        case ("LIST_CONTAINS", Seq(x, y)) => array_contains(x, y)
+        case ("ARRAY_TO_STRING" | "ARRAY_JOIN", Seq(x, _)) =>
+          array_join(x, argStr(args(1), "ARRAY_TO_STRING separator"))
+        case ("LIST_EXTRACT", Seq(x, y)) => try_element_at(x, y.cast("int"))
         // r13: EXTRACT(part FROM x) — the part travels in the name (see
         // parseAtom). BIGINT to match DuckDB's EXTRACT return type, so
         // the key SQL needs no cast on either side; DOW is Sunday-based

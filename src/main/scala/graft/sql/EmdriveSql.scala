@@ -155,6 +155,10 @@ object EmdriveSql {
 
   sealed trait SelectItem
   case object Star extends SelectItem
+  /** `* EXCLUDE (col, …)` (r14, the DuckDB wide-table idiom): the full
+    * projection minus the named columns — unknown names are a loud
+    * error, not a silent no-op. */
+  final case class StarExclude(cols: Seq[String]) extends SelectItem
   final case class ColItem(name: String, alias: Option[String]) extends SelectItem
   /** An arithmetic/computed select item (`price * (1 - disc) AS net`) —
     * mandatory alias (the output name must be explicit), attached pre-WHERE
@@ -273,7 +277,10 @@ object EmdriveSql {
     * Column.like (or the 3-arg `like` with an escape char, r13); prefix
     * patterns reach the parquet scan as StringStartsWith. */
   final case class PLike(lhs: Operand, pattern: String, neg: Boolean,
-      escape: Option[String] = None) extends Pred
+      escape: Option[String] = None,
+      /** ILIKE (r14): case-insensitive match — Column.ilike. ESCAPE is
+        * LIKE-only (Spark's ilike has no escape form; refused loudly). */
+      ci: Boolean = false) extends Pred
   /** (a, b, …) [NOT] IN ((v, v, …), …) — ANSI row-value membership
     * (r13). Lowered to an OR of per-row equality conjunctions: the
     * literal rows are bounded dialect input, and the expansion keeps
@@ -384,7 +391,12 @@ object EmdriveSql {
         * `groupBy` carries the distinct key union in first-appearance
         * order, this carries each set. Only read when groupMode ==
         * "sets". */
-      groupSets: Seq[Seq[String]] = Seq.empty)
+      groupSets: Seq[Seq[String]] = Seq.empty,
+      /** `FROM (VALUES (…), …) alias(col, …)` (r14): a literal inline
+        * table — (column names, rows). When set, `table` is the alias
+        * and the relation is built from the literal rows (the INSERT
+        * VALUES machinery's FROM-side sibling). */
+      valuesRows: Option[(Seq[String], Seq[Seq[Value]])] = None)
     extends Statement
 
   /** select (UNION [ALL] | EXCEPT | INTERSECT) select … — parsed flat;
@@ -502,7 +514,9 @@ object EmdriveSql {
     "REGEXP_REPLACE", "REGEXP_MATCHES",
     // r14 widening: JSON tier + array/UNNEST tier (DuckDB spellings)
     "JSON_EXTRACT_STRING", "JSON_EXTRACT",
-    "STRING_SPLIT", "LEN", "UNNEST")
+    "STRING_SPLIT", "LEN", "UNNEST",
+    "LIST_CONTAINS", "ARRAY_TO_STRING", "LIST_EXTRACT",
+    "ARRAY_JOIN")
   private val WinFuncs =
     Set("ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK", "CUME_DIST")
 
@@ -711,19 +725,43 @@ object EmdriveSql {
     // `FROM (SELECT …) [AS a]` — a derived table (ANSI inline view): the
     // chain lowers as the base relation; the optional alias is display
     // only (columns are unqualified in this dialect)
-    val (table, derived) =
+    val (table, derived, valuesRows) =
       if (p.peekSym("(")) {
         p.eatSym("(")
-        val chain = parseChain(p)
-        p.eatSym(")")
-        val alias =
-          if (p.tryWord("AS")) p.ident()
-          else p.toks match {
-            case TWord(w) :: rest if !Keywords.contains(w.toUpperCase) =>
-              p.toks = rest; w
-            case _ => "__derived"
+        if (p.tryWord("VALUES")) {
+          // (VALUES (v, …), …) alias(col, …) — ANSI inline literal table;
+          // the alias AND column list are mandatory (deterministic names)
+          def row(): Seq[Value] = {
+            p.eatSym("(")
+            val vs = mutable.ListBuffer(p.value())
+            while (p.trySym(",")) vs += p.value()
+            p.eatSym(")")
+            vs.toSeq
           }
-        (alias, Some(chain))
+          val rows = mutable.ListBuffer(row())
+          while (p.trySym(",")) rows += row()
+          p.eatSym(")")
+          if (p.tryWord("AS")) ()
+          val alias = p.ident()
+          p.eatSym("(")
+          val cols = mutable.ListBuffer(p.ident())
+          while (p.trySym(",")) cols += p.ident()
+          p.eatSym(")")
+          rows.foreach(r => require(r.size == cols.size,
+            s"VALUES row arity ${r.size} != column list arity ${cols.size}"))
+          (alias, None, Some((cols.toSeq, rows.toSeq)))
+        } else {
+          val chain = parseChain(p)
+          p.eatSym(")")
+          val alias =
+            if (p.tryWord("AS")) p.ident()
+            else p.toks match {
+              case TWord(w) :: rest if !Keywords.contains(w.toUpperCase) =>
+                p.toks = rest; w
+              case _ => "__derived"
+            }
+          (alias, Some(chain), None)
+        }
       } else {
         // tident: table names may be schema-qualified — `system.tables` /
         // `system.columns` are real relations (reference: src/storage/
@@ -742,8 +780,8 @@ object EmdriveSql {
             while (p.trySym(",")) args += arg()
           }
           p.eatSym(")")
-          (s"$name(${args.mkString(",")})", None)
-        } else (name, None)
+          (s"$name(${args.mkString(",")})", None, None)
+        } else (name, None, None)
       }
     // `FROM t [AS] a` — an alias word here must not swallow the join
     // keywords (LEFT/RIGHT/FULL are positional, not reserved)
@@ -922,7 +960,7 @@ object EmdriveSql {
       } else None
     Select(resolvedItems, table, where.toSeq, groupBy, having.toSeq, orderBy,
       limit, joins.toSeq, distinct, offset, derived, baseAlias, groupMode,
-      groupExprs.toSeq, qualify.toSeq, groupSets)
+      groupExprs.toSeq, qualify.toSeq, groupSets, valuesRows)
   }
 
   private def parseItem(p: P): SelectItem = p.toks match {
@@ -982,7 +1020,15 @@ object EmdriveSql {
         } else "1"
       p.eatSym(")")
       parseOverClause(p, f.toUpperCase, Some(s"$c:$off"))
-    case _ if p.trySym("*") => Star
+    case _ if p.trySym("*") =>
+      if (!p.tryWord("EXCLUDE")) Star
+      else {
+        p.eatSym("(")
+        val cols = mutable.ListBuffer(p.qident())
+        while (p.trySym(",")) cols += p.qident()
+        p.eatSym(")")
+        StarExclude(cols.toSeq)
+      }
     case _ => parseOperand(p) match {
       // a bare `col @ probe` keeps its dedicated item (mandatory alias,
       // the README story's shape); inside arithmetic it is a plain atom
@@ -1327,7 +1373,7 @@ object EmdriveSql {
       val hi = parseOperand(p)
       PAnd(PCmp(Cmp(lhs, ">=", lo)), PCmp(Cmp(lhs, "<=", hi)))
     }
-    def like(n: Boolean): Pred = p.value() match {
+    def like(n: Boolean, ci: Boolean = false): Pred = p.value() match {
       case VStr(pat) =>
         // ANSI ESCAPE suffix: a single-char literal that de-wildcards the
         // following % or _ in the pattern
@@ -1337,13 +1383,16 @@ object EmdriveSql {
             case VStr(e) if e.length == 1 => Some(e)
             case other => p.fail(s"single-char string after ESCAPE, got $other")
           }
-        PLike(lhs, pat, n, esc)
+        require(!(ci && esc.nonEmpty), "ILIKE does not take ESCAPE")
+        PLike(lhs, pat, n, esc, ci)
       case other => p.fail(s"string pattern after LIKE, got $other")
     }
     if (neg && p.tryWord("BETWEEN")) {
       PNot(between())
     } else if (neg && p.tryWord("LIKE")) {
       like(true)
+    } else if (neg && p.tryWord("ILIKE")) {
+      like(true, ci = true)
     } else if (neg || p.tryWord("IN")) {
       if (neg) p.eatWord("IN")
       p.eatSym("(")
@@ -1361,6 +1410,8 @@ object EmdriveSql {
       between()
     } else if (p.tryWord("LIKE")) {
       like(false)
+    } else if (p.tryWord("ILIKE")) {
+      like(false, ci = true)
     } else {
       val op = p.toks match {
         case TSym(s) :: rest if Set("=", "!=", "<", "<=", ">", ">=")(s) =>

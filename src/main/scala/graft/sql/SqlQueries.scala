@@ -673,6 +673,46 @@ object SqlQueries {
                |FROM documents WHERE doc_id < 300
                |ORDER BY doc_id;""".stripMargin)
     }),
+    // r14 tier 2: ILIKE (case-insensitive LIKE, Catalyst ILike)
+    "q_sql_ilike" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, source FROM documents
+               |WHERE source ILIKE 'SRC1%' AND doc_id < 400
+               | AND source NOT ILIKE '%9'
+               |ORDER BY doc_id;""".stripMargin)
+    }),
+    // r14 tier 2: SELECT * EXCLUDE (cols) — the wide-table projection
+    // idiom; unknown names fail loudly
+    "q_sql_exclude" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT * EXCLUDE (text) FROM documents
+               |WHERE doc_id < 250 ORDER BY doc_id;""".stripMargin)
+    }),
+    // r14 tier 2: array functions — membership, 1-based extraction with
+    // NULL out-of-range (try_element_at; plain element_at would raise
+    // under ANSI), join-to-text
+    "q_sql_array2" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id,
+               | LIST_CONTAINS(STRING_SPLIT(text, ' '), 'the') AS has_the,
+               | LIST_EXTRACT(STRING_SPLIT(text, ' '), 3) AS w3,
+               | LIST_EXTRACT(STRING_SPLIT(text, ' '), 100000) AS w_oob,
+               | ARRAY_TO_STRING(STRING_SPLIT(text, ' '), '|') AS joined
+               |FROM documents WHERE doc_id < 200 ORDER BY doc_id;""".stripMargin)
+    }),
+    // r14 tier 2: (VALUES …) inline literal table as a FROM item,
+    // composing with JOIN and GROUP BY — the ad-hoc dimension idiom
+    "q_sql_values" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT s, w, COUNT(*) AS n
+               |FROM (VALUES ('en', 1), ('de', 2), ('fr', 3)) v(s, w)
+               |JOIN documents ON s = lang
+               |GROUP BY s, w ORDER BY s;""".stripMargin)
+    }),
     "q_sql_greatest" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
       es.register("documents", Tables.documents(s, d))
@@ -1483,6 +1523,26 @@ object SqlQueries {
         | CAST(n_chars AS DOUBLE) / NULLIF(doc_id % 3, 0) AS gdiv
         |FROM documents WHERE doc_id < 300
         |ORDER BY doc_id""".stripMargin,
+    "q_sql_ilike" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE source ILIKE 'SRC1%' AND doc_id < 400
+        | AND source NOT ILIKE '%9'
+        |ORDER BY doc_id""".stripMargin,
+    "q_sql_exclude" ->
+      """SELECT * EXCLUDE (text) FROM documents
+        |WHERE doc_id < 250 ORDER BY doc_id""".stripMargin,
+    "q_sql_array2" ->
+      """SELECT doc_id,
+        | list_contains(string_split(text, ' '), 'the') AS has_the,
+        | list_extract(string_split(text, ' '), 3) AS w3,
+        | list_extract(string_split(text, ' '), 100000) AS w_oob,
+        | array_to_string(string_split(text, ' '), '|') AS joined
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "q_sql_values" ->
+      """SELECT s, w, COUNT(*) AS n
+        |FROM (VALUES ('en', 1), ('de', 2), ('fr', 3)) v(s, w)
+        |JOIN documents ON s = lang
+        |GROUP BY s, w ORDER BY s""".stripMargin,
     "q_sql_greatest" ->
       """SELECT doc_id,
         | GREATEST(n_chars, 300) AS floor300,

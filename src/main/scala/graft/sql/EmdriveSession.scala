@@ -877,7 +877,7 @@ final class EmdriveSession(spark: SparkSession,
   private def lowerSelect(sel: Select): DataFrame = {
     val Select(items, name, where, rawGroupBy, having, rawOrderBy, limitN,
       joins, distinct, offsetN, derived, baseAlias, groupMode, groupExprs,
-      qualify, groupSets, _) = sel
+      qualify, groupSets, _, distinctOn) = sel
     // "#n" ordinal markers (GROUP BY 1 / ORDER BY 2) resolve to the n-th
     // select item's OUTPUT name — ANSI ordinal semantics; grouping by an
     // aggregate/window position is refused like any non-key grouping
@@ -1275,7 +1275,26 @@ final class EmdriveSession(spark: SparkSession,
       // 4b. SELECT DISTINCT dedupes the projected output (ANSI position:
       //     after HAVING, before ORDER BY/LIMIT) — lowered to the same
       //     partial-combined aggregate as any distinct, no driver state
-      if (distinct) out = out.dropDuplicates()
+      if (distinctOn.nonEmpty) {
+        // DISTINCT ON (cols): first row per ON-group under the ORDER BY
+        // tail. Determinism contract: ORDER BY must lead with the ON
+        // columns and carry at least one further tiebreak key; the pick
+        // runs as a partitioned row_number (no global sort), the final
+        // ORDER BY below still applies to the kept rows.
+        require(rawOrderBy.size > distinctOn.size &&
+          distinctOn.zip(rawOrderBy).forall { case (c, k) =>
+            k.name == c && k.expr.isEmpty },
+          "DISTINCT ON requires ORDER BY to lead with the ON columns " +
+            "followed by at least one tiebreak key")
+        val ties = orderBy.drop(distinctOn.size).map { k =>
+          require(k.expr.isEmpty, "DISTINCT ON tiebreak keys must be column names")
+          if (k.desc) qref(k.name).desc else qref(k.name).asc
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(distinctOn.map(qref): _*).orderBy(ties: _*)
+        out = out.withColumn("__don", row_number().over(w))
+          .filter(col("__don") === 1).drop("__don")
+      } else if (distinct) out = out.dropDuplicates()
       // 5. ORDER BY / LIMIT over output names. Catalyst turns
       //    orderBy+limit into TakeOrderedAndProject (top-k, no global sort)
       if (orderBy.nonEmpty) {
@@ -1364,6 +1383,15 @@ final class EmdriveSession(spark: SparkSession,
       // ordered concatenation: collect → sort → join, so the result is
       // deterministic on any partitioning (the DuckDB twin spells the
       // same order as string_agg(c, sep ORDER BY c))
+      case ("ARG_MAX", Some(enc)) =>
+        val Array(a, b) = enc.split("", 2)
+        max_by(qref(a), qref(b))
+      case ("ARG_MIN", Some(enc)) =>
+        val Array(a, b) = enc.split("", 2)
+        min_by(qref(a), qref(b))
+      // deterministic ONLY over per-group-constant input (the gate key's
+      // use); Spark and DuckDB agree trivially there
+      case ("ANY_VALUE", Some(c)) => any_value(qref(c))
       case ("STRING_AGG", Some(enc)) =>
         // limit-2 split: an empty separator (or one containing the
         // U+0001 delimiter itself) round-trips -- Java's limitless char
@@ -1419,8 +1447,8 @@ final class EmdriveSession(spark: SparkSession,
       case None => "count"
       // STRING_AGG's arg slot carries "colsep" — default name
       // from the column alone
-      case Some(c) if func == "STRING_AGG" =>
-        s"string_agg_${c.split("", 2).head}"
+      case Some(c) if c.contains('') =>
+        s"${func.toLowerCase}_${c.split("", 2).head}"
       case Some(c) => s"${func.toLowerCase}_$c"
     })
 

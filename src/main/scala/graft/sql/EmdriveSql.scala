@@ -396,7 +396,12 @@ object EmdriveSql {
         * table — (column names, rows). When set, `table` is the alias
         * and the relation is built from the literal rows (the INSERT
         * VALUES machinery's FROM-side sibling). */
-      valuesRows: Option[(Seq[String], Seq[Seq[Value]])] = None)
+      valuesRows: Option[(Seq[String], Seq[Seq[Value]])] = None,
+      /** SELECT DISTINCT ON (cols) (r14, the keep-one-per-key idiom):
+        * first row per ON-group under the ORDER BY keys that FOLLOW the
+        * ON prefix — determinism is enforced by requiring ORDER BY to
+        * lead with the ON columns plus at least one tiebreak key. */
+      distinctOn: Seq[String] = Seq.empty)
     extends Statement
 
   /** select (UNION [ALL] | EXCEPT | INTERSECT) select … — parsed flat;
@@ -499,7 +504,10 @@ object EmdriveSql {
   private val AggFuncs =
     Set("COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN", "GROUPING",
       // r12 widening: boolean quantifier + dispersion aggregates
-      "BOOL_AND", "BOOL_OR", "STDDEV")
+      "BOOL_AND", "BOOL_OR", "STDDEV",
+      // r14: ANY_VALUE — deterministic only over per-group-constant
+      // input, which is how the gate key uses it
+      "ANY_VALUE")
   private val StrFuncs = Set("UPPER", "LOWER", "LENGTH", "TRIM", "SUBSTR",
     "REPLACE", "COALESCE", "NULLIF", "ABS", "ROUND",
     "YEAR", "MONTH", "DAY",
@@ -716,6 +724,13 @@ object EmdriveSql {
 
   private def parseSelect(p: P): Select = {
     val distinct = p.tryWord("DISTINCT")
+    val distinctOn = mutable.ListBuffer.empty[String]
+    if (distinct && p.tryWord("ON")) {
+      p.eatSym("(")
+      distinctOn += p.qident()
+      while (p.trySym(",")) distinctOn += p.qident()
+      p.eatSym(")")
+    }
     val items = mutable.ListBuffer[SelectItem](parseItem(p))
     while (p.trySym(",")) items += parseItem(p)
     p.eatWord("FROM")
@@ -825,6 +840,20 @@ object EmdriveSql {
     val (groupBy, groupMode, groupSets) =
       if (p.tryWord("GROUP")) {
         p.eatWord("BY")
+        // GROUP BY ALL (r14, the DuckDB ergonomic): keys = every
+        // non-aggregate select item (plain columns and aliased
+        // expressions; anything else is refused loudly)
+        if (p.tryWord("ALL")) {
+          val keys = items.toSeq.flatMap {
+            case ColItem(c, _) => Seq(c)
+            case ExprItem(_, a) => Seq(a)
+            case _: AggItem | _: AggExprItem => Seq.empty
+            case other => throw new IllegalArgumentException(
+              s"GROUP BY ALL cannot infer a key from select item $other")
+          }
+          require(keys.nonEmpty, "GROUP BY ALL with no groupable select items")
+          (keys.distinct, "plain", Seq.empty[Seq[String]])
+        } else {
         // GROUP BY 1, 2 — ordinals into the select list ("#n" markers,
         // resolved at lowering; aggregates at that position are refused).
         // Otherwise a full scalar operand parses (r9): a bare reference
@@ -878,6 +907,7 @@ object EmdriveSql {
           if (mode != "plain") p.eatSym(")")
           (gs.toSeq, mode, Seq.empty[Seq[String]])
         }
+        }
       } else (Seq.empty[String], "plain", Seq.empty[Seq[String]])
     val having = mutable.ListBuffer.empty[Pred]
     if (p.tryWord("HAVING")) having += parsePred(p)
@@ -906,6 +936,11 @@ object EmdriveSql {
     val orderBy =
       if (p.tryWord("ORDER")) {
         p.eatWord("BY")
+        // ORDER BY ALL (r14): ascending over every select item, left to
+        // right — lowered as the ordinal markers so output names resolve
+        if (p.tryWord("ALL")) {
+          (1 to items.size).map(i => OrderKey("#" + i, desc = false, None, None)).toSeq
+        } else {
         def key(): OrderKey = {
           // ORDER BY 1 — ANSI ordinal into the select list; carried as a
           // "#n" marker and resolved against item output names at
@@ -936,6 +971,7 @@ object EmdriveSql {
         val ks = mutable.ListBuffer(key())
         while (p.trySym(",")) ks += key()
         ks.toSeq
+        }
       } else Seq.empty
     def boundedInt(kw: String): Long = p.toks match {
       case TNum(s) :: rest if !s.contains('.') =>
@@ -960,7 +996,8 @@ object EmdriveSql {
       } else None
     Select(resolvedItems, table, where.toSeq, groupBy, having.toSeq, orderBy,
       limit, joins.toSeq, distinct, offset, derived, baseAlias, groupMode,
-      groupExprs.toSeq, qualify.toSeq, groupSets, valuesRows)
+      groupExprs.toSeq, qualify.toSeq, groupSets, valuesRows,
+      distinctOn.toSeq)
   }
 
   private def parseItem(p: P): SelectItem = p.toks match {
@@ -1259,6 +1296,18 @@ object EmdriveSql {
       }
       p.eatSym(")")
       OAgg("STRING_AGG", Some(c + "" + sep))
+    // ARG_MAX/ARG_MIN(ret, by) (r14) — the value of `ret` on the row
+    // where `by` is extreme (max_by/min_by; ties need a unique `by` per
+    // group for determinism — the keys use unique ids). Both columns
+    // ride the OAgg arg slot U+0001-joined like STRING_AGG.
+    case TWord(f) :: TSym("(") :: _
+        if f.equalsIgnoreCase("ARG_MAX") || f.equalsIgnoreCase("ARG_MIN") =>
+      p.toks = p.toks.tail.tail
+      val a = p.qident()
+      p.eatSym(",")
+      val b = p.qident()
+      p.eatSym(")")
+      OAgg(f.toUpperCase, Some(a + "" + b))
     case TWord(f) :: TSym("(") :: _ if AggFuncs(f.toUpperCase) =>
       p.toks = p.toks.tail.tail
       val distinct = p.tryWord("DISTINCT")

@@ -713,6 +713,35 @@ object SqlQueries {
                |JOIN documents ON s = lang
                |GROUP BY s, w ORDER BY s;""".stripMargin)
     }),
+    // r14 tier 3: GROUP BY ALL + ORDER BY ALL (keys inferred from the
+    // select list; ordered over every output column left-to-right)
+    "q_sql_group_all" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang, source, COUNT(*) AS n,
+               | CAST(SUM(n_chars) AS BIGINT) AS chars
+               |FROM documents WHERE doc_id < 2000
+               |GROUP BY ALL ORDER BY ALL;""".stripMargin)
+    }),
+    // r14 tier 3: DISTINCT ON — keep-one-per-key; determinism enforced
+    // by the ORDER BY leading with the ON columns + a tiebreak
+    "q_sql_distinct_on" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT DISTINCT ON (lang) lang, doc_id, n_chars
+               |FROM documents ORDER BY lang, doc_id;""".stripMargin)
+    }),
+    // r14 tier 3: ARG_MAX / ARG_MIN / ANY_VALUE — the value of one
+    // column at another's extreme (unique `by` = deterministic);
+    // ANY_VALUE over per-group-constant input
+    "q_sql_arg_max" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang, ARG_MAX(source, doc_id) AS last_src,
+               | ARG_MIN(source, doc_id) AS first_src,
+               | ANY_VALUE(lang) AS l2, COUNT(*) AS n
+               |FROM documents GROUP BY lang ORDER BY lang;""".stripMargin)
+    }),
     "q_sql_greatest" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
       es.register("documents", Tables.documents(s, d))
@@ -1543,6 +1572,19 @@ object SqlQueries {
         |FROM (VALUES ('en', 1), ('de', 2), ('fr', 3)) v(s, w)
         |JOIN documents ON s = lang
         |GROUP BY s, w ORDER BY s""".stripMargin,
+    "q_sql_group_all" ->
+      """SELECT lang, source, COUNT(*) AS n,
+        | CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE doc_id < 2000
+        |GROUP BY ALL ORDER BY ALL""".stripMargin,
+    "q_sql_distinct_on" ->
+      """SELECT DISTINCT ON (lang) lang, doc_id, n_chars
+        |FROM documents ORDER BY lang, doc_id""".stripMargin,
+    "q_sql_arg_max" ->
+      """SELECT lang, arg_max(source, doc_id) AS last_src,
+        | arg_min(source, doc_id) AS first_src,
+        | any_value(lang) AS l2, COUNT(*) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sql_greatest" ->
       """SELECT doc_id,
         | GREATEST(n_chars, 300) AS floor300,

@@ -290,7 +290,21 @@ object Multimodal {
   private def imageDecode(s: SparkSession, d: String): DataFrame =
     decodePng(pngCorpus(Tables.documents(s, d))).toDF()
 
+  /** Resize card (C13a promotion, r14): the byte-decimation transcode's
+    * OUTPUT SIZE law, per doc — step = ceil(n/target), n_out =
+    * ceil(n/step), pass-through below target — over the REAL resize
+    * operator (the arithmetic-contract shape C13b/C13c use: the
+    * decimation arithmetic is integer and length-derived, so the oracle
+    * recomputes it from strlen; the byte CONTENT stays suite-checked —
+    * MultimodalSpec asserts every k-th byte — because DuckDB cannot
+    * byte-index multi-byte text). */
+  private def resizeCard(s: SparkSession, d: String): DataFrame =
+    resize(mediaRows(s, d), targetBytes = 128).toDF()
+      .select(col("doc_id"), col("kind"),
+        length(col("media")).cast("bigint").as("n_out"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_resize" -> resizeCard _,
     "q_multimodal" -> multimodal _,
     "q_frames" -> frames _,
     "q_audio_chunks" -> audio _,
@@ -299,6 +313,15 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // the decimation size law from byte length: step = ceil(n/128),
+    // n_out = ceil(n/step), identity below the target (integer floor
+    // division throughout -- exact in both engines)
+    "q_resize" ->
+      """SELECT doc_id, 'video' AS kind,
+        | CAST(CASE WHEN strlen(text) <= 128 THEN strlen(text)
+        |  ELSE (strlen(text) + ((strlen(text) + 127) // 128) - 1)
+        |    // ((strlen(text) + 127) // 128) END AS BIGINT) AS n_out
+        |FROM documents""".stripMargin,
     "q_image_decode" ->
       """WITH d AS (
         | SELECT doc_id, CAST(1 + doc_id % 8 AS INTEGER) AS w,

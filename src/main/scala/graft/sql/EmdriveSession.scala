@@ -889,7 +889,7 @@ final class EmdriveSession(spark: SparkSession,
       case DistItem(_, _, a) => a
       case c: CaseItem => c.alias
       case AggItem(f, arg, a, _) => aggAlias(f, arg, a)
-      case Star => throw new IllegalArgumentException(
+      case Star | _: StarExclude => throw new IllegalArgumentException(
         "an ordinal cannot reference *")
     }
     def resolveOrd(k: String, grouping: Boolean): String =
@@ -1112,6 +1112,9 @@ final class EmdriveSession(spark: SparkSession,
             case "CUME_DIST" => cume_dist()
             case "NTILE" => ntile(arg.get.toInt)
             // out-of-partition rows yield NULL, identically in DuckDB
+            case "NTH_VALUE" =>
+              val Array(c, n) = arg.get.split(":")
+              nth_value(qref(c), n.toInt)
             case "LAG" | "LEAD" =>
               val Array(c, off) = arg.get.split(":")
               if (f == "LAG") lag(col(c), off.toInt) else lead(col(c), off.toInt)
@@ -1175,7 +1178,7 @@ final class EmdriveSession(spark: SparkSession,
               s"CASE alias ${it.alias} must appear in GROUP BY")
             case it: ExprItem => require(groupBy.contains(it.alias),
               s"expression alias ${it.alias} must appear in GROUP BY")
-            case Star => throw new IllegalArgumentException(
+            case Star | _: StarExclude => throw new IllegalArgumentException(
               "SELECT * cannot be combined with aggregates/GROUP BY")
             case d: DistItem => throw new IllegalArgumentException(
               s"distance item ${d.alias} cannot be combined with aggregates/GROUP BY")
@@ -1249,11 +1252,15 @@ final class EmdriveSession(spark: SparkSession,
         } else {
           df.select(items.flatMap {
             case Star => base.columns.toSeq.map(col)
-            case StarExclude(ex) =>
+            case StarExclude(ex, repl) =>
               val have = base.columns.toSet
               ex.foreach(c => require(have.contains(c),
                 s"EXCLUDE names unknown column: $c"))
-              base.columns.toSeq.filterNot(ex.toSet).map(col)
+              repl.foreach { case (c, _) => require(have.contains(c),
+                s"REPLACE names unknown column: $c") }
+              val rm = repl.toMap
+              base.columns.toSeq.filterNot(ex.toSet).map { c =>
+                rm.get(c).fold(col(c))(o => operandCol(base, o).as(c)) }
             case ColItem(c, alias) => Seq(col(alias.getOrElse(c)))
             case DistItem(_, _, alias) => Seq(col(alias))
             case CaseItem(_, _, alias) => Seq(col(alias))

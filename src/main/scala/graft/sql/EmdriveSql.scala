@@ -155,10 +155,13 @@ object EmdriveSql {
 
   sealed trait SelectItem
   case object Star extends SelectItem
-  /** `* EXCLUDE (col, …)` (r14, the DuckDB wide-table idiom): the full
-    * projection minus the named columns — unknown names are a loud
-    * error, not a silent no-op. */
-  final case class StarExclude(cols: Seq[String]) extends SelectItem
+  /** `* [EXCLUDE (col, …)] [REPLACE (expr AS col, …)]` (r14, the DuckDB
+    * wide-table idioms): the full projection minus the EXCLUDE names,
+    * with each REPLACE column recomputed in place (same name, same
+    * position). Unknown names in either list are a loud error, not a
+    * silent no-op. */
+  final case class StarExclude(cols: Seq[String],
+      replaces: Seq[(String, Operand)] = Seq.empty) extends SelectItem
   final case class ColItem(name: String, alias: Option[String]) extends SelectItem
   /** An arithmetic/computed select item (`price * (1 - disc) AS net`) —
     * mandatory alias (the output name must be explicit), attached pre-WHERE
@@ -1044,6 +1047,20 @@ object EmdriveSql {
         if (p.tryWord("IGNORE")) { p.eatWord("NULLS"); "!ignore" } else ""
       p.eatSym(")")
       parseOverClause(p, f.toUpperCase, Some(c + ign))
+    // NTH_VALUE(col, n) (r14) — the n-th value of the window frame
+    // (1-based; NULL while the frame holds fewer than n rows — ANSI,
+    // DuckDB-identical); rides the arg slot as "col:n" like LAG
+    case TWord(f) :: TSym("(") :: _ if f.equalsIgnoreCase("NTH_VALUE") =>
+      p.toks = p.toks.tail.tail
+      val c = p.ident()
+      p.eatSym(",")
+      val nth = p.toks match {
+        case TNum(n) :: rest if !n.contains('.') && n.toInt >= 1 =>
+          p.toks = rest; n
+        case _ => p.fail("positive integer NTH_VALUE position")
+      }
+      p.eatSym(")")
+      parseOverClause(p, "NTH_VALUE", Some(s"$c:$nth"))
     // LAG/LEAD(col [, offset]) — column and offset ride the arg slot as
     // "col:offset" (offset defaults to 1, ANSI)
     case TWord(f) :: TSym("(") :: _
@@ -1058,14 +1075,27 @@ object EmdriveSql {
       p.eatSym(")")
       parseOverClause(p, f.toUpperCase, Some(s"$c:$off"))
     case _ if p.trySym("*") =>
-      if (!p.tryWord("EXCLUDE")) Star
-      else {
+      val ex = mutable.ListBuffer.empty[String]
+      if (p.tryWord("EXCLUDE")) {
         p.eatSym("(")
-        val cols = mutable.ListBuffer(p.qident())
-        while (p.trySym(",")) cols += p.qident()
+        ex += p.qident()
+        while (p.trySym(",")) ex += p.qident()
         p.eatSym(")")
-        StarExclude(cols.toSeq)
       }
+      val repl = mutable.ListBuffer.empty[(String, Operand)]
+      if (p.tryWord("REPLACE")) {
+        p.eatSym("(")
+        def one(): Unit = {
+          val o = parseOperand(p)
+          p.eatWord("AS")
+          repl += ((p.ident(), o))
+        }
+        one()
+        while (p.trySym(",")) one()
+        p.eatSym(")")
+      }
+      if (ex.isEmpty && repl.isEmpty) Star
+      else StarExclude(ex.toSeq, repl.toSeq)
     case _ => parseOperand(p) match {
       // a bare `col @ probe` keeps its dedicated item (mandatory alias,
       // the README story's shape); inside arithmetic it is a plain atom

@@ -742,6 +742,26 @@ object SqlQueries {
                | ANY_VALUE(lang) AS l2, COUNT(*) AS n
                |FROM documents GROUP BY lang ORDER BY lang;""".stripMargin)
     }),
+    // r14 tier 4: * EXCLUDE + REPLACE composed — recompute a column in
+    // place (same name/position) while dropping another
+    "q_sql_replace_star" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT * EXCLUDE (text) REPLACE (n_chars * 2 AS n_chars)
+               |FROM documents WHERE doc_id < 150 ORDER BY doc_id;""".stripMargin)
+    }),
+    // r14 tier 4: NTH_VALUE navigation — NULL while the running frame
+    // holds fewer than n rows (ANSI, both engines)
+    "q_sql_nth_value" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, lang,
+               | NTH_VALUE(n_chars, 3) OVER (PARTITION BY lang
+               |   ORDER BY doc_id
+               |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               |   AS third_chars
+               |FROM documents WHERE doc_id < 300 ORDER BY doc_id;""".stripMargin)
+    }),
     "q_sql_greatest" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
       es.register("documents", Tables.documents(s, d))
@@ -1585,6 +1605,16 @@ object SqlQueries {
         | arg_min(source, doc_id) AS first_src,
         | any_value(lang) AS l2, COUNT(*) AS n
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sql_replace_star" ->
+      """SELECT * EXCLUDE (text) REPLACE (n_chars * 2 AS n_chars)
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+    "q_sql_nth_value" ->
+      """SELECT doc_id, lang,
+        | NTH_VALUE(n_chars, 3) OVER (PARTITION BY lang
+        |   ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS third_chars
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
     "q_sql_greatest" ->
       """SELECT doc_id,
         | GREATEST(n_chars, 300) AS floor300,

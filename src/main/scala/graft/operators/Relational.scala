@@ -288,8 +288,14 @@ object Relational {
     * `stack` over the 1-row aggregate — no per-column re-scans. At 100 TB
     * the exact distincts swap for `approx_count_distinct` (the same
     * one-pass shape, constant-size sketches — the C36 data-cards swap). */
-  private def profile(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d)
+  private def profile(s: SparkSession, d: String): DataFrame =
+    profileOf(Tables.orders(s, d))
+
+  /** Column profile of ANY frame (B30's engine, shared with the SQL
+    * `profile(tbl)` table function — the SUMMARIZE analog): one
+    * aggregation pass computes per-column null + distinct counts and the
+    * row count, then a stack pivots to one row per column. */
+  def profileOf(o: DataFrame): DataFrame = {
     val cols = o.columns.toSeq
     val aggs = cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"null_$c"),

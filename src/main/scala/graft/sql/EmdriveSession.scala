@@ -302,6 +302,13 @@ final class EmdriveSession(spark: SparkSession,
               typedLit(pv)), 6).as("sim"))
           .orderBy(col("sim").desc, col(id))
           .limit(args(4).toInt)
+      // profile(tbl): the data-profiling card (B30's engine) at the SQL
+      // front door -- one row per column (null count, distinct count,
+      // table row count); the SUMMARIZE a reference user reaches for
+      // before writing any cleaning SQL
+      case "profile" =>
+        arity(1)
+        graft.operators.Relational.profileOf(table(args(0)))
       case other => throw new IllegalArgumentException(
         s"unknown table function: $other")
     }

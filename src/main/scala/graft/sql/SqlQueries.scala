@@ -762,6 +762,13 @@ object SqlQueries {
                |   AS third_chars
                |FROM documents WHERE doc_id < 300 ORDER BY doc_id;""".stripMargin)
     }),
+    // r14: profile(tbl) table function — the SUMMARIZE analog at the
+    // SQL front door (B30's engine over any registered table)
+    "q_sql_profile" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("SELECT * FROM profile(documents) ORDER BY column_name;")
+    }),
     "q_sql_greatest" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
       es.register("documents", Tables.documents(s, d))
@@ -1615,6 +1622,29 @@ object SqlQueries {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |   AS third_chars
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+    "q_sql_profile" ->
+      """WITH t AS (SELECT count(*) AS n_rows FROM documents)
+        |SELECT * FROM (
+        | SELECT 'doc_id' AS column_name, n_rows,
+        |  (SELECT count(*) FROM documents WHERE doc_id IS NULL) AS n_null,
+        |  (SELECT count(DISTINCT doc_id) FROM documents) AS n_distinct FROM t
+        | UNION ALL
+        | SELECT 'text', n_rows,
+        |  (SELECT count(*) FROM documents WHERE text IS NULL),
+        |  (SELECT count(DISTINCT text) FROM documents) FROM t
+        | UNION ALL
+        | SELECT 'lang', n_rows,
+        |  (SELECT count(*) FROM documents WHERE lang IS NULL),
+        |  (SELECT count(DISTINCT lang) FROM documents) FROM t
+        | UNION ALL
+        | SELECT 'source', n_rows,
+        |  (SELECT count(*) FROM documents WHERE source IS NULL),
+        |  (SELECT count(DISTINCT source) FROM documents) FROM t
+        | UNION ALL
+        | SELECT 'n_chars', n_rows,
+        |  (SELECT count(*) FROM documents WHERE n_chars IS NULL),
+        |  (SELECT count(DISTINCT n_chars) FROM documents) FROM t)
+        |ORDER BY column_name""".stripMargin,
     "q_sql_greatest" ->
       """SELECT doc_id,
         | GREATEST(n_chars, 300) AS floor300,

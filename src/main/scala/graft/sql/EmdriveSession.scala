@@ -1861,6 +1861,39 @@ final class EmdriveSession(spark: SparkSession,
         case ("ARRAY_TO_STRING" | "ARRAY_JOIN", Seq(x, _)) =>
           array_join(x, argStr(args(1), "ARRAY_TO_STRING separator"))
         case ("LIST_EXTRACT", Seq(x, y)) => try_element_at(x, y.cast("int"))
+        // r14: STRFTIME(ts, fmt) — the C-style format string (the DuckDB
+        // spelling) translated to Spark's java.time pattern at parse
+        // time; only the portable directives are accepted, anything else
+        // fails loudly rather than silently formatting differently.
+        case ("STRFTIME", Seq(x, _)) =>
+          val fmt = argStr(args(1), "STRFTIME format")
+          val out = new StringBuilder
+          var i = 0
+          while (i < fmt.length) {
+            if (fmt.charAt(i) == '%') {
+              require(i + 1 < fmt.length, "dangling % in STRFTIME format")
+              out.append(fmt.charAt(i + 1) match {
+                case 'Y' => "yyyy"
+                case 'm' => "MM"
+                case 'd' => "dd"
+                case 'H' => "HH"
+                case 'M' => "mm"
+                case 'S' => "ss"
+                case 'j' => "DDD"
+                case '%' => "%"
+                case c => throw new IllegalArgumentException(
+                  s"unsupported STRFTIME directive %$c")
+              })
+              i += 2
+            } else {
+              val c = fmt.charAt(i)
+              require(!c.isLetter,
+                s"literal letter '$c' in STRFTIME format needs a %-directive")
+              out.append(c)
+              i += 1
+            }
+          }
+          date_format(x, out.toString)
         // r13: EXTRACT(part FROM x) — the part travels in the name (see
         // parseAtom). BIGINT to match DuckDB's EXTRACT return type, so
         // the key SQL needs no cast on either side; DOW is Sunday-based

@@ -527,7 +527,7 @@ object EmdriveSql {
     "JSON_EXTRACT_STRING", "JSON_EXTRACT",
     "STRING_SPLIT", "LEN", "UNNEST",
     "LIST_CONTAINS", "ARRAY_TO_STRING", "LIST_EXTRACT",
-    "ARRAY_JOIN")
+    "ARRAY_JOIN", "STRFTIME")
   private val WinFuncs =
     Set("ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK", "CUME_DIST")
 

@@ -769,6 +769,18 @@ object SqlQueries {
       es.register("documents", Tables.documents(s, d))
       es.sql("SELECT * FROM profile(documents) ORDER BY column_name;")
     }),
+    // r14: STRFTIME — C-style directives translated to Spark patterns
+    // at parse time (portable subset only; %j is the 3-digit DOY both
+    // engines zero-pad)
+    "q_sql_strftime" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderkey, STRFTIME(o_orderdate, '%Y-%m') AS ym,
+               | STRFTIME(o_orderdate, '%Y/%m/%d') AS ymd,
+               | STRFTIME(o_orderdate, '%j') AS doy
+               |FROM orders WHERE o_orderkey < 400
+               |ORDER BY o_orderkey;""".stripMargin)
+    }),
     "q_sql_greatest" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
       es.register("documents", Tables.documents(s, d))
@@ -1645,6 +1657,12 @@ object SqlQueries {
         |  (SELECT count(*) FROM documents WHERE n_chars IS NULL),
         |  (SELECT count(DISTINCT n_chars) FROM documents) FROM t)
         |ORDER BY column_name""".stripMargin,
+    "q_sql_strftime" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS ym,
+        | strftime(o_orderdate, '%Y/%m/%d') AS ymd,
+        | strftime(o_orderdate, '%j') AS doy
+        |FROM orders WHERE o_orderkey < 400
+        |ORDER BY o_orderkey""".stripMargin,
     "q_sql_greatest" ->
       """SELECT doc_id,
         | GREATEST(n_chars, 300) AS floor300,

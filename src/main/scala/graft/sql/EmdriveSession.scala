@@ -309,6 +309,19 @@ final class EmdriveSession(spark: SparkSession,
       case "profile" =>
         arity(1)
         graft.operators.Relational.profileOf(table(args(0)))
+      // generate_series(start, stop[, step]): the integer spine relation
+      // (DuckDB semantics: stop INCLUSIVE, BIGINT column named after the
+      // function). Lowers to Range — a leaf Spark generates without any
+      // scan, splittable across executors — so the gap-filling LEFT JOIN
+      // idiom (spine ⟕ sparse aggregate) works at the SQL front door.
+      case "generate_series" =>
+        require(args.length == 2 || args.length == 3,
+          s"generate_series expects 2 or 3 arguments, got ${args.length}")
+        val (a, b) = (args(0).toLong, args(1).toLong)
+        val step = if (args.length == 3) args(2).toLong else 1L
+        require(step != 0, "generate_series step must be nonzero")
+        spark.range(a, b + (if (step > 0) 1L else -1L), step)
+          .select(col("id").as("generate_series"))
       case other => throw new IllegalArgumentException(
         s"unknown table function: $other")
     }
@@ -421,6 +434,30 @@ final class EmdriveSession(spark: SparkSession,
     case Describe(name) =>
       table(name) // unknown-table error, same as SELECT
       systemColumns().filter(col("table_name") === name).drop("table_name")
+
+    // PIVOT (r14): one grouped aggregation with a FILTERed leg per IN
+    // value — Spark's pivot lowers to exactly that (one shuffle, partial
+    // aggregation map-side), never a per-value scan. Output columns are
+    // named by the IN values (the DuckDB naming for a single USING agg).
+    case PivotStmt(t, on, vals, func, arg, gb) =>
+      val base = table(t)
+      require(base.columns.contains(on), s"unknown PIVOT column: $on")
+      gb.foreach(g => require(base.columns.contains(g),
+        s"unknown GROUP BY column: $g"))
+      base.groupBy(gb.map(qcol(base, _)): _*)
+        .pivot(on, vals)
+        .agg(aggColumn(func, arg))
+
+    // UNPIVOT (r14): wide → long via Spark's unpivot (a generate, not a
+    // self-union — ONE scan fans each row out to |ON| rows); NULL values
+    // are excluded, DuckDB's documented statement default.
+    case UnpivotStmt(t, on, n, v) =>
+      val base = table(t)
+      on.foreach(c => require(base.columns.contains(c),
+        s"unknown UNPIVOT column: $c"))
+      val ids = base.columns.filterNot(on.contains).map(qcol(base, _))
+      base.unpivot(ids, on.map(qcol(base, _)).toArray, n, v)
+        .filter(col(v).isNotNull)
 
     case CreateTable(name, ifNotExists, schema) =>
       if (!catalog.contains(name) || !ifNotExists) {
@@ -839,16 +876,78 @@ final class EmdriveSession(spark: SparkSession,
         .orElse(sel.derived.map(lowerChain)).getOrElse(table(sel.table)),
         sel.baseAlias)) { (rel, j) =>
       val right = aliasCols(table(j.table), j.alias)
-      val (lk, rk) =
-        if (rel.columns.contains(j.leftKey) && right.columns.contains(j.rightKey))
-          (j.leftKey, j.rightKey)
-        else if (rel.columns.contains(j.rightKey) && right.columns.contains(j.leftKey))
-          (j.rightKey, j.leftKey)
-        else throw new IllegalArgumentException(
-          s"join keys ${j.leftKey} = ${j.rightKey} do not match " +
-            s"left(${rel.columns.mkString(",")}) vs ${j.table}")
-      rel.join(right, qcol(rel, lk) === qcol(right, rk), j.kind)
+      if (j.kind == "cross") rel.crossJoin(right)
+      else {
+        val (lk, rk) =
+          if (rel.columns.contains(j.leftKey) && right.columns.contains(j.rightKey))
+            (j.leftKey, j.rightKey)
+          else if (rel.columns.contains(j.rightKey) && right.columns.contains(j.leftKey))
+            (j.rightKey, j.leftKey)
+          else throw new IllegalArgumentException(
+            s"join keys ${j.leftKey} = ${j.rightKey} do not match " +
+              s"left(${rel.columns.mkString(",")}) vs ${j.table}")
+        j.asof match {
+          case Some((x, op, y)) => lowerAsofJoin(rel, right, lk, rk, x, op, y, j.kind)
+          case None => rel.join(right, qcol(rel, lk) === qcol(right, rk), j.kind)
+        }
+      }
     }
+
+  /** ASOF JOIN lowering (r14): for each left row, the single right row
+    * sharing the equi key whose time is nearest at-or-before (backward,
+    * `l.t >= r.t`) or at-or-after (forward, `l.t <= r.t`) the left time.
+    *
+    * Spark-first shape — the B21 operator's union-window trick
+    * (operators/AsOf.scala), not a per-row range join: tag both sides,
+    * shuffle ONCE on the key, and take `last(right-struct, ignoreNulls)`
+    * over a running window ordered by time (descending for forward asof)
+    * with right rows sorting before left rows at equal times, so inclusive
+    * ties match. One shuffle + one sort, linear output — survives 100 TB
+    * where the O(n·m) range-join candidate blowup dies; skewed keys split
+    * by AQE. All right columns travel as ONE struct so a matched row can
+    * never be stitched from two right rows (the torn-row guarantee). */
+  private def lowerAsofJoin(rel: DataFrame, right: DataFrame,
+      lk: String, rk: String, x: String, op: String, y: String,
+      kind: String): DataFrame = {
+    require(kind == "inner" || kind == "left_outer",
+      s"ASOF JOIN supports inner and LEFT forms, not $kind")
+    // resolve the time conjunct by column ownership, like the equi keys;
+    // normalize to (leftTime, rightTime, forward?)
+    val (lt, rt, forward) =
+      if (rel.columns.contains(x) && right.columns.contains(y))
+        (x, y, op == "<=") // l.t <= r.t → nearest at-or-after
+      else if (rel.columns.contains(y) && right.columns.contains(x))
+        (y, x, op == ">=") // r.t >= l.t ≡ l.t <= r.t
+      else throw new IllegalArgumentException(
+        s"ASOF time columns $x $op $y do not match " +
+          s"left(${rel.columns.mkString(",")}) vs right(${right.columns.mkString(",")})")
+    val rCols = right.columns.toSeq
+    val lCols = rel.columns.toSeq
+    val carryType = StructType(rCols.map(c => right.schema(c).copy(name = c)))
+    val lSide = rel.select(
+      qcol(rel, lt).as("__t") +: lit(1).as("__side") +:
+        qcol(rel, lk).as("__k") +:
+        (lCols.filterNot(_ == lk).map(c => qcol(rel, c).as(c)) :+
+          lit(null).cast(carryType).as("__r")): _*)
+    val rSide = right.select(
+      qcol(right, rt).as("__t") +: lit(0).as("__side") +:
+        qcol(right, rk).as("__k") +:
+        (lCols.filterNot(_ == lk).map(c =>
+          lit(null).cast(rel.schema(c).dataType).as(c)) :+
+          struct(rCols.map(c => qcol(right, c).as(c)): _*).as("__r")): _*)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+      .orderBy(if (forward) col("__t").desc else col("__t").asc, col("__side"))
+      .rowsBetween(Long.MinValue, 0)
+    val joined = lSide.unionByName(rSide)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val matched = if (kind == "inner") joined.filter(col("__asof").isNotNull)
+      else joined
+    matched.select(
+      col("__k").as(lk) +:
+        (lCols.filterNot(_ == lk).map(c => qref(c)) ++
+          rCols.map(c => col("__asof").getField(c).as(c))): _*)
+  }
 
   /** `(VALUES …) alias(cols)` relation: one literal-projection plan per
     * row, unioned — the INSERT VALUES machinery's FROM-side sibling.
@@ -967,6 +1066,50 @@ final class EmdriveSession(spark: SparkSession,
             .when(col(probeN).isNull || col(nullN) > 0, lit(null).cast(BooleanType))
             .otherwise(false)
           subPreds += node -> (if (node.neg) !c else c)
+      }
+      // 2a'. quantified comparisons (r14): `x op ANY|ALL (SELECT …)`.
+      //      The subquery reduces to ONE broadcast stats row — min/max
+      //      over non-null values, row count, null count — because every
+      //      ordering quantifier is decidable from the extremes: a
+      //      falsifier for ALL (or a satisfier for ANY) exists iff the
+      //      comparison fails (holds) against the relevant extreme.
+      //      Three-valued: empty set → ALL TRUE / ANY FALSE; a NULL probe
+      //      or NULLs in the set yield NULL unless an extreme already
+      //      decides the answer (ANSI). `= ANY` / `!= ALL` never reach
+      //      here (parse-time desugar to the null-aware IN machinery).
+      where.flatMap(collectQuants).distinct.zipWithIndex.foreach {
+        case (node, i) =>
+          val sub = lowerSelect(node.sub)
+          require(sub.columns.length == 1,
+            s"ANY/ALL subquery must project exactly one column, got " +
+              s"(${sub.columns.mkString(", ")})")
+          val (minN, maxN, cntN, nullN, probeN) =
+            (s"__q_min_$i", s"__q_max_$i", s"__q_n_$i",
+              s"__q_nulls_$i", s"__q_probe_$i")
+          val stats = broadcast(sub.toDF("v").agg(
+            min(col("v")).as(minN), max(col("v")).as(maxN),
+            count(lit(1)).as(cntN),
+            count(when(col("v").isNull, 1)).as(nullN)))
+          df = df.withColumn(probeN, operandCol(base, node.lhs))
+            .crossJoin(stats)
+          val p = col(probeN)
+          // the extreme that decides: ALL looks for a falsifier, ANY for
+          // a satisfier (NULL-probe comparisons are NULL → fall through)
+          val decided = node.op match {
+            case ">" => if (node.all) p <= col(maxN) else p > col(minN)
+            case ">=" => if (node.all) p < col(maxN) else p >= col(minN)
+            case "<" => if (node.all) p >= col(minN) else p < col(maxN)
+            case "<=" => if (node.all) p > col(minN) else p <= col(maxN)
+            case "=" | "!=" => (p =!= col(minN)) || (p =!= col(maxN))
+            case other => throw new IllegalArgumentException(
+              s"quantified comparison with $other")
+          }
+          val c =
+            when(col(cntN) === 0, node.all)
+              .when(decided, !node.all)
+              .when(p.isNull || col(nullN) > 0, lit(null).cast(BooleanType))
+              .otherwise(node.all)
+          subPreds += (node: Pred) -> c
       }
       // 2b. [NOT]-composable EXISTS pre-pass: equality conjuncts that
       //     straddle the subquery and the outer relation DECORRELATE into
@@ -1422,6 +1565,19 @@ final class EmdriveSession(spark: SparkSession,
               lit(s"' exceeds $StringAggMaxGroup values; aggregate or "),
               lit("bucket the group key first"))))
           .otherwise(array_join(lst, sep))
+      case ("ARRAY_AGG", Some(enc)) =>
+        // col + direction ride the arg slot U+0001-joined (parse
+        // guarantees ORDER BY the aggregated column itself, so
+        // sort_array IS the ordered aggregation — deterministic on any
+        // partitioning). Same per-group memory model as STRING_AGG:
+        // the group's full value list, capped loudly.
+        val Array(c, dir) = enc.split("", 2)
+        val lst = sort_array(collect_list(qref(c)), asc = dir == "a")
+        when(size(lst) > StringAggMaxGroup,
+            raise_error(concat(lit("ARRAY_AGG group for '"), lit(c),
+              lit(s"' exceeds $StringAggMaxGroup values; aggregate or "),
+              lit("bucket the group key first"))))
+          .otherwise(lst)
       case other => throw new IllegalArgumentException(s"bad aggregate: $other")
     }
 
@@ -1508,6 +1664,14 @@ final class EmdriveSession(spark: SparkSession,
     case _ => Seq.empty
   }
 
+  private def collectQuants(p: Pred): Seq[PQuant] = p match {
+    case s: PQuant => Seq(s)
+    case PAnd(a, b) => collectQuants(a) ++ collectQuants(b)
+    case POr(a, b) => collectQuants(a) ++ collectQuants(b)
+    case PNot(x) => collectQuants(x)
+    case _ => Seq.empty
+  }
+
   /** HAVING aggregate atoms → their select-item twin's output column
     * (r9): `HAVING COUNT(*) >= 20` works without an alias reference when
     * some item computes the same aggregate; an aggregate with no twin is
@@ -1570,6 +1734,7 @@ final class EmdriveSession(spark: SparkSession,
     case PInSub(l, _, _) => refNamesO(l)
     case PLike(l, _, _, _, _) => refNamesO(l)
     case PIsNull(l, _) => refNamesO(l)
+    case PQuant(l, _, _, _) => refNamesO(l)
     case _: PExists => Set.empty
   }
 
@@ -1622,6 +1787,8 @@ final class EmdriveSession(spark: SparkSession,
       "IN (SELECT …) is only supported in WHERE"))
     case s: PExists => subs.getOrElse(s, throw new IllegalArgumentException(
       "EXISTS (SELECT …) is only supported in WHERE"))
+    case s: PQuant => subs.getOrElse(s, throw new IllegalArgumentException(
+      "ANY/ALL (SELECT …) is only supported in WHERE"))
     case PIn(lhs, vals, neg) =>
       // raw literal values (not Columns) build a true Catalyst In — the
       // shape the parquet datasource translates to a pushed IN filter

@@ -40,6 +40,7 @@ import graft.sources.SchemaMapper
   *                    | NOT pred | '(' pred ')' (AND binds tighter than
   *                    OR), and cmp := operand (= | != | < | <= | > | >=)
   *                    operand | operand [NOT] IN (lit, … | SELECT …)
+  *                    | operand (=|!=|<|<=|>|>=) (ANY|SOME|ALL) (SELECT …)
   *                    | operand [NOT] BETWEEN lo AND hi
   *                    | operand [NOT] LIKE 'pattern'
   *                    and operand := mul (('+'|'-') mul)*,
@@ -67,6 +68,14 @@ import graft.sources.SchemaMapper
   *     left-assoc; non-ALL steps dedupe — ANSI bag semantics)
   *   WITH n AS (select-chain) [, n2 AS (…)] select-chain   (CTEs:
   *     forward-scoped, shadowing, statement-local — no recursion)
+  *   … FROM l [a] ASOF [LEFT] JOIN r [b] ON a.k = b.k AND a.t >= b.t
+  *     (temporal join; inclusive >=/<= only; forward asof via <=)
+  *   … FROM l [a] CROSS JOIN r [b]   (explicit Cartesian product)
+  *   … FROM generate_series(start, stop[, step]) [alias]   (integer
+  *     spine TVF, stop inclusive — the gap-filling join's left side)
+  *   PIVOT tbl ON col IN ('v', …) USING agg(x|*) GROUP BY g [, …]
+  *   UNPIVOT tbl ON c1 [, …] INTO NAME n VALUE v   (NULL cells excluded)
+  *   ARRAY_AGG(col ORDER BY col [ASC|DESC])   (ordered list aggregation)
   *
   * WHERE operands may name SELECT-list aliases (the README story filters
   * on the aliased distance), and `@` adapts to the column's carrier type:
@@ -296,6 +305,14 @@ object EmdriveSql {
     * (correlation); negation composes via [[PNot]] (EXISTS is two-valued,
     * so `NOT` is safe anywhere in the tree). */
   final case class PExists(sub: Select) extends Pred
+  /** operand op ANY|ALL (SELECT …) — ANSI quantified comparison (r14).
+    * `= ANY` / `!= ALL` desugar to [NOT] IN at parse time; the inequality
+    * forms lower to a broadcast (min, max, count, nulls) stats frame of
+    * the subquery with full three-valued semantics (empty set: ALL→TRUE,
+    * ANY→FALSE; NULLs in the set or a NULL probe yield NULL unless some
+    * non-null value already decides the answer). */
+  final case class PQuant(lhs: Operand, op: String, all: Boolean,
+      sub: Select) extends Pred
   /** `x IS [NOT] NULL` — the ANSI null test (two-valued, unlike `= NULL`
     * which yields NULL and drops the row); the LEFT/FULL OUTER JOIN
     * companion predicate. */
@@ -329,6 +346,17 @@ object EmdriveSql {
     * complement relation (three-valued: NULL predicates KEEP the row,
     * exactly ANSI DELETE semantics). No WHERE = truncate. */
   final case class Delete(table: String, where: Option[Pred]) extends Statement
+  /** PIVOT tbl ON col IN ('v', …) USING agg(arg|*) GROUP BY g[, …] (r14,
+    * the DuckDB statement): one output column per IN value, named by the
+    * value — the explicit IN list keeps the output schema static (and
+    * engine-identical), never data-dependent. */
+  final case class PivotStmt(table: String, on: String, values: Seq[String],
+      func: String, arg: Option[String], groupBy: Seq[String]) extends Statement
+  /** UNPIVOT tbl ON c1[, …] INTO NAME n VALUE v (r14, the DuckDB
+    * statement): wide → long; rows whose value is NULL are excluded
+    * (DuckDB's documented default). */
+  final case class UnpivotStmt(table: String, on: Seq[String],
+      nameCol: String, valueCol: String) extends Statement
   /** MERGE INTO t [AS] a USING s [AS] b ON a.k = b.k [AND …]
     * WHEN MATCHED THEN (UPDATE SET c = expr [, …] | DELETE)
     * WHEN NOT MATCHED THEN INSERT (c, …) VALUES (expr, …) — the upsert
@@ -361,7 +389,14 @@ object EmdriveSql {
       /** `JOIN t [AS] a` — when set, the joined relation's columns are
         * renamed `a.col`, so qualified references (and self-joins)
         * resolve unambiguously. */
-      alias: Option[String] = None)
+      alias: Option[String] = None,
+      /** `ASOF [LEFT] JOIN t ON a = b AND x >= y` (r14) — the temporal
+        * inequality conjunct as written: (lhs, op, rhs) with op one of
+        * >= / <= (inclusive only; DuckDB's strict variants are refused
+        * loudly because a tie would silently not match). Which operand is
+        * the left relation's time column is resolved at lowering by
+        * column ownership, like the equi keys. */
+      asof: Option[(String, String, String)] = None)
 
   final case class Select(items: Seq[SelectItem], table: String,
       where: Seq[Pred], groupBy: Seq[String] = Seq.empty,
@@ -653,12 +688,48 @@ object EmdriveSql {
           "MERGE requires at least one WHEN clause")
         Merge(t, ta, s, sa, ons.toSeq, matchedSets, matchedDelete, notMatched)
       }
+      else if (p.tryWord("PIVOT")) {
+        val t = p.tident()
+        p.eatWord("ON")
+        val on = p.qident()
+        p.eatWord("IN"); p.eatSym("(")
+        def sval(): String = p.value() match {
+          case VStr(s) => s
+          case other => p.fail(s"string pivot value, got $other")
+        }
+        val vals = mutable.ListBuffer(sval())
+        while (p.trySym(",")) vals += sval()
+        p.eatSym(")")
+        p.eatWord("USING")
+        val func = p.ident().toUpperCase
+        p.eatSym("(")
+        val arg = if (p.trySym("*")) None else Some(p.qident())
+        p.eatSym(")")
+        require(arg.nonEmpty || func == "COUNT",
+          s"$func(*) is not valid; only COUNT(*)")
+        p.eatWord("GROUP"); p.eatWord("BY")
+        val gb = mutable.ListBuffer(p.qident())
+        while (p.trySym(",")) gb += p.qident()
+        PivotStmt(t, on, vals.toSeq, func, arg, gb.toSeq)
+      }
+      else if (p.tryWord("UNPIVOT")) {
+        val t = p.tident()
+        p.eatWord("ON")
+        val on = mutable.ListBuffer(p.qident())
+        while (p.trySym(",")) on += p.qident()
+        p.eatWord("INTO"); p.eatWord("NAME")
+        val n = p.ident()
+        p.eatWord("VALUE")
+        val v = p.ident()
+        UnpivotStmt(t, on.toSeq, n, v)
+      }
       else if (p.tryWord("SHOW")) { p.eatWord("TABLES"); ShowTables }
       else if (p.tryWord("DESCRIBE")) Describe(p.ident())
       else if (p.tryWord("EXPLAIN")) {
         p.eatWord("SELECT"); ExplainStmt(parseSelect(p))
       }
-      else p.fail("CREATE, INSERT, SELECT, WITH, EXPLAIN, SHOW TABLES or DESCRIBE")
+      else p.fail("CREATE, INSERT, SELECT, WITH, EXPLAIN, PIVOT, UNPIVOT, " +
+        "SHOW TABLES or DESCRIBE")
     p.trySym(";")
     if (!p.done) p.fail("end of statement")
     stmt
@@ -792,6 +863,8 @@ object EmdriveSql {
               case TWord(w) :: rest => p.toks = rest; w
               case TNum(s) :: rest => p.toks = rest; s
               case TStr(s) :: rest => p.toks = rest; s
+              // negative numeric arguments (generate_series step)
+              case TSym("-") :: TNum(s) :: rest => p.toks = rest; "-" + s
               case _ => p.fail("table-function argument")
             }
             args += arg()
@@ -803,7 +876,7 @@ object EmdriveSql {
       }
     // `FROM t [AS] a` — an alias word here must not swallow the join
     // keywords (LEFT/RIGHT/FULL are positional, not reserved)
-    val JoinStarters = Set("LEFT", "RIGHT", "FULL", "JOIN")
+    val JoinStarters = Set("LEFT", "RIGHT", "FULL", "JOIN", "ASOF", "CROSS")
     def tryAlias(): Option[String] =
       if (p.tryWord("AS")) Some(p.ident())
       else p.toks match {
@@ -812,16 +885,36 @@ object EmdriveSql {
           p.toks = rest; Some(w)
         case _ => None
       }
-    val baseAlias = if (derived.isEmpty && !table.contains("(")) tryAlias() else None
+    // table functions take aliases too (r14): `FROM generate_series(1,12) g`
+    // — the alias renames the TVF's output columns like any relation's
+    val baseAlias = if (derived.isEmpty) tryAlias() else None
     val joins = mutable.ListBuffer.empty[Join]
     var joining = true
     while (joining) {
+      // CROSS JOIN (r14): no ON clause — the Cartesian product (sized by
+      // the caller: spines, small dims)
+      if (p.tryWord("CROSS")) {
+        p.eatWord("JOIN")
+        val t = p.tident()
+        val jAlias =
+          if (p.tryWord("AS")) Some(p.ident())
+          else p.toks match {
+            case TWord(w) :: rest if !Keywords.contains(w.toUpperCase)
+                && !JoinStarters.contains(w.toUpperCase) =>
+              p.toks = rest; Some(w)
+            case _ => None
+          }
+        joins += Join(t, "", "", kind = "cross", alias = jAlias)
+      } else {
+      // ASOF [LEFT] JOIN (r14, the DuckDB temporal-join spelling): the
+      // ON clause carries the equi key AND one inclusive time inequality
+      val isAsof = p.tryWord("ASOF")
       val kind =
         if (p.tryWord("LEFT")) { p.tryWord("OUTER"); "left_outer" }
-        else if (p.tryWord("RIGHT")) { p.tryWord("OUTER"); "right_outer" }
-        else if (p.tryWord("FULL")) { p.tryWord("OUTER"); "full_outer" }
+        else if (!isAsof && p.tryWord("RIGHT")) { p.tryWord("OUTER"); "right_outer" }
+        else if (!isAsof && p.tryWord("FULL")) { p.tryWord("OUTER"); "full_outer" }
         else "inner"
-      if (kind != "inner" || p.peekWord("JOIN")) {
+      if (isAsof || kind != "inner" || p.peekWord("JOIN")) {
         p.eatWord("JOIN")
         val t = p.tident()
         val jAlias =
@@ -834,8 +927,25 @@ object EmdriveSql {
         p.eatWord("ON")
         val a = p.qident()
         p.eatSym("=")
-        joins += Join(t, a, p.qident(), kind = kind, alias = jAlias)
+        val b = p.qident()
+        val asofCond =
+          if (!isAsof) None
+          else {
+            p.eatWord("AND")
+            val x = p.qident()
+            val op = p.toks match {
+              case TSym(s) :: rest if s == ">=" || s == "<=" =>
+                p.toks = rest; s
+              case TSym(s) :: _ if s == ">" || s == "<" => p.fail(
+                "ASOF JOIN takes an inclusive time bound (>= or <=); " +
+                  "strict bounds are not supported")
+              case _ => p.fail("ASOF JOIN time comparison (>= or <=)")
+            }
+            Some((x, op, p.qident()))
+          }
+        joins += Join(t, a, b, kind = kind, alias = jAlias, asof = asofCond)
       } else joining = false
+      }
     }
     val where = mutable.ListBuffer.empty[Pred]
     if (p.tryWord("WHERE")) where += parsePred(p)
@@ -1326,6 +1436,21 @@ object EmdriveSql {
       }
       p.eatSym(")")
       OAgg("STRING_AGG", Some(c + "" + sep))
+    // ARRAY_AGG(col ORDER BY col [ASC|DESC]) (r14) — list aggregation.
+    // The inner ORDER BY is MANDATORY and must name the aggregated column
+    // itself (sort_array's contract): an unordered ARRAY_AGG is
+    // partitioning-dependent and would never replay across engines.
+    case TWord(f) :: TSym("(") :: _ if f.equalsIgnoreCase("ARRAY_AGG") =>
+      p.toks = p.toks.tail.tail
+      val c = p.qident()
+      p.eatWord("ORDER"); p.eatWord("BY")
+      val oc = p.qident()
+      require(oc == c,
+        s"ARRAY_AGG supports ORDER BY its own column only (got $oc for $c)")
+      val desc = p.tryWord("DESC")
+      if (!desc) p.tryWord("ASC")
+      p.eatSym(")")
+      OAgg("ARRAY_AGG", Some(c + "" + (if (desc) "d" else "a")))
     // ARG_MAX/ARG_MIN(ret, by) (r14) — the value of `ret` on the row
     // where `by` is extreme (max_by/min_by; ties need a unique `by` per
     // group for determinism — the keys use unique ids). Both columns
@@ -1497,7 +1622,30 @@ object EmdriveSql {
           p.toks = rest; s
         case _ => p.fail("comparison operator, IN, or BETWEEN")
       }
-      PCmp(Cmp(lhs, op, parseOperand(p)))
+      // quantified comparison (r14): op ANY|SOME|ALL (SELECT …).
+      // `= ANY` ≡ IN and `!= ALL` ≡ NOT IN — desugared here so they ride
+      // the existing null-aware IN-subquery machinery verbatim.
+      val quant = p.toks match {
+        case TWord(q) :: TSym("(") :: TWord(s) :: _
+            if Set("ANY", "SOME", "ALL")(q.toUpperCase)
+              && s.equalsIgnoreCase("SELECT") =>
+          p.toks = p.toks.tail; Some(q.toUpperCase == "ALL")
+        case _ => None
+      }
+      quant match {
+        case Some(all) =>
+          p.eatSym("("); p.eatWord("SELECT")
+          val sub = parseSelect(p)
+          p.eatSym(")")
+          (op, all) match {
+            case ("=", false) => PInSub(lhs, sub, neg = false)
+            case ("!=", true) => PInSub(lhs, sub, neg = true)
+            case ("=", true) | ("!=", false) => PQuant(lhs, op, all, sub)
+            case (o, a) if Set("<", "<=", ">", ">=")(o) => PQuant(lhs, o, a, sub)
+            case (o, _) => p.fail(s"quantified comparison with $o")
+          }
+        case None => PCmp(Cmp(lhs, op, parseOperand(p)))
+      }
     }
   }
 }

@@ -781,6 +781,102 @@ object SqlQueries {
                |FROM orders WHERE o_orderkey < 400
                |ORDER BY o_orderkey;""".stripMargin)
     }),
+    // r14: ASOF JOIN at the SQL front door — the B21 temporal operator
+    // (one shuffle, union-window, no range-join blowup) reachable from
+    // the dialect/HTTP surface with the DuckDB spelling. Purchases are
+    // pre-deduped to one row per (user, ms) so at-tie matches are a
+    // deterministic single row in every engine.
+    "q_sql_asof" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      val ev = graft.operators.EventTime.withMs(Tables.events(s, d))
+      es.register("clicks", ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ms").as("click_ms")))
+      es.register("purchases", ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ms").as("purchase_ms"))
+        .agg(max(col("value")).as("purchase_value")))
+      es.sql("""SELECT c.user_id AS user_id, c.click_id AS click_id,
+               | c.click_ms AS click_ms, p.purchase_ms AS purchase_ms,
+               | p.purchase_value AS purchase_value
+               |FROM clicks c ASOF LEFT JOIN purchases p
+               |  ON c.user_id = p.user_id AND c.click_ms >= p.purchase_ms
+               |ORDER BY click_id;""".stripMargin)
+    }),
+    // r14: generate_series spine + gap-filling LEFT JOIN — the
+    // calendar-completion idiom (months with zero orders still appear)
+    "q_sql_series" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""WITH monthly AS (
+               | SELECT MONTH(o_orderdate) AS mth, COUNT(*) AS n_orders
+               | FROM orders WHERE YEAR(o_orderdate) = 1995
+               |   AND o_orderpriority = '1-URGENT'
+               |   AND o_totalprice > 350000
+               | GROUP BY 1)
+               |SELECT g.generate_series AS month,
+               | COALESCE(m.n_orders, 0) AS n_orders
+               |FROM generate_series(1, 12) g
+               |LEFT JOIN monthly m ON g.generate_series = m.mth
+               |ORDER BY 1;""".stripMargin)
+    }),
+    // r14: PIVOT statement — static IN list, one grouped aggregation
+    // with a filtered leg per value (sum of integer-valued quantities:
+    // exact in doubles, no accumulation-order drift)
+    "q_sql_pivot" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("lineitem", Tables.lineitem(s, d))
+      es.sql("""PIVOT lineitem ON l_returnflag IN ('R', 'A', 'N')
+               |USING SUM(l_quantity) GROUP BY l_linestatus;""".stripMargin)
+    }),
+    // r14: UNPIVOT statement — wide per-priority counts back to long
+    // form; the CTAS feeds it entirely through the SQL surface
+    "q_sql_unpivot" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""CREATE TABLE pstats AS
+               |SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+               | COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+               | COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high
+               |FROM orders GROUP BY 1;""".stripMargin)
+      es.sql("UNPIVOT pstats ON urgent, high INTO NAME priority VALUE n;")
+    }),
+    // r14: ARRAY_AGG with its mandatory inner ORDER BY — deterministic
+    // list aggregation on any partitioning
+    "q_sql_array_agg" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderstatus,
+               | ARRAY_AGG(o_orderkey ORDER BY o_orderkey) AS ks
+               |FROM orders WHERE o_orderkey < 100
+               |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin)
+    }),
+    // r14: CROSS JOIN — the explicit Cartesian product (spines, small
+    // dims); composes with WHERE like any relation
+    "q_sql_cross" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("region", Tables.region(s, d))
+      es.register("nation", Tables.nation(s, d))
+      es.sql("""SELECT r.r_name AS rn, n.n_name AS nn
+               |FROM region r CROSS JOIN nation n
+               |WHERE n.n_nationkey < 5
+               |ORDER BY rn, nn;""".stripMargin)
+    }),
+    // r14: quantified subquery comparisons — ALL lowers to one broadcast
+    // (min,max,count,nulls) stats row, ANY to the same frame's other
+    // extreme; = ANY / != ALL desugar to the null-aware IN machinery
+    "q_sql_any_all" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderkey, o_totalprice
+               |FROM orders
+               |WHERE o_totalprice >= ALL
+               |   (SELECT o_totalprice FROM orders
+               |    WHERE YEAR(o_orderdate) = 1995)
+               |  OR o_totalprice < ANY
+               |   (SELECT o_totalprice FROM orders
+               |    WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 5000)
+               |ORDER BY o_orderkey;""".stripMargin)
+    }),
     "q_sql_greatest" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
       es.register("documents", Tables.documents(s, d))
@@ -1662,6 +1758,61 @@ object SqlQueries {
         | strftime(o_orderdate, '%Y/%m/%d') AS ymd,
         | strftime(o_orderdate, '%j') AS doy
         |FROM orders WHERE o_orderkey < 400
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_sql_asof" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type, value
+        | FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ms AS click_ms FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ms AS purchase_ms, max(value) AS purchase_value
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.click_id, c.click_ms,
+        |       p.purchase_ms, p.purchase_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.click_ms >= p.purchase_ms
+        |ORDER BY click_id""".stripMargin,
+    "q_sql_series" ->
+      """WITH monthly AS (
+        | SELECT MONTH(o_orderdate) AS mth, COUNT(*) AS n_orders
+        | FROM orders WHERE YEAR(o_orderdate) = 1995
+        |   AND o_orderpriority = '1-URGENT'
+        |   AND o_totalprice > 350000
+        | GROUP BY 1)
+        |SELECT g.generate_series AS month,
+        | COALESCE(m.n_orders, 0) AS n_orders
+        |FROM generate_series(1, 12) g
+        |LEFT JOIN monthly m ON g.generate_series = m.mth
+        |ORDER BY 1""".stripMargin,
+    "q_sql_pivot" ->
+      """PIVOT lineitem ON l_returnflag IN ('R', 'A', 'N')
+        |USING SUM(l_quantity) GROUP BY l_linestatus""".stripMargin,
+    "q_sql_unpivot" ->
+      """WITH pstats AS (
+        | SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high
+        | FROM orders GROUP BY 1)
+        |UNPIVOT pstats ON urgent, high INTO NAME priority VALUE n""".stripMargin,
+    "q_sql_array_agg" ->
+      """SELECT o_orderstatus,
+        | array_agg(o_orderkey ORDER BY o_orderkey) AS ks
+        |FROM orders WHERE o_orderkey < 100
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_sql_cross" ->
+      """SELECT r.r_name AS rn, n.n_name AS nn
+        |FROM region r CROSS JOIN nation n
+        |WHERE n.n_nationkey < 5
+        |ORDER BY rn, nn""".stripMargin,
+    "q_sql_any_all" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice >= ALL
+        |   (SELECT o_totalprice FROM orders
+        |    WHERE YEAR(o_orderdate) = 1995)
+        |  OR o_totalprice < ANY
+        |   (SELECT o_totalprice FROM orders
+        |    WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 5000)
         |ORDER BY o_orderkey""".stripMargin,
     "q_sql_greatest" ->
       """SELECT doc_id,

@@ -995,8 +995,8 @@ final class EmdriveSession(spark: SparkSession,
       case DistItem(_, _, a) => a
       case c: CaseItem => c.alias
       case AggItem(f, arg, a, _) => aggAlias(f, arg, a)
-      case Star | _: StarExclude => throw new IllegalArgumentException(
-        "an ordinal cannot reference *")
+      case Star | _: StarExclude | _: StarPattern =>
+        throw new IllegalArgumentException("an ordinal cannot reference *")
     }
     def resolveOrd(k: String, grouping: Boolean): String =
       if (k.startsWith("#")) {
@@ -1246,6 +1246,40 @@ final class EmdriveSession(spark: SparkSession,
             case Some(("range", lo, hi)) => ordered.rangeBetween(
               lo.fold(Window.unboundedPreceding)(n => -n),
               hi.fold(Window.unboundedFollowing)(n => n))
+            // INTERVAL n DAY bounds (r14): re-key the RANGE frame onto
+            // exact day numbers — datediff from the epoch is order- and
+            // tie-equivalent to the DATE key itself, so `INTERVAL 7 DAY
+            // PRECEDING` is precisely a 7-day value frame (DuckDB
+            // semantics at day granularity). DATE keys only; a timestamp
+            // would silently bucket to days, so it is refused.
+            case Some(("range_days", lo, hi)) =>
+              require(keys.length == 1 && !keys.head.desc,
+                "an INTERVAL frame takes exactly one ascending ORDER BY key")
+              val k = keys.head.name
+              val kc = qref(k)
+              val dayNum = datediff(to_date(kc), to_date(lit("1970-01-01")))
+              val keyExpr = df.schema.find(_.name == k).map(_.dataType) match {
+                case Some(DateType) => dayNum
+                // timestamp keys are accepted ONLY when every value is
+                // midnight-aligned (a date stored as a timestamp, the
+                // common parquet shape) — checked per row at scan speed;
+                // an intra-day time would make day-keyed RANGE silently
+                // diverge from exact interval arithmetic, so it raises
+                case Some(TimestampType) | Some(TimestampNTZType) =>
+                  when(kc =!= to_date(kc).cast(
+                      df.schema.find(_.name == k).get.dataType),
+                    raise_error(concat(lit(s"INTERVAL frame key $k has a "),
+                      lit("non-midnight timestamp; day-granularity RANGE "),
+                      lit("requires date-valued keys"))))
+                    .otherwise(dayNum)
+                case other => throw new IllegalArgumentException(
+                  s"INTERVAL frame ORDER BY key $k must be DATE-valued, got $other")
+              }
+              Window.partitionBy(parts.map(qref): _*)
+                .orderBy(keyExpr)
+                .rangeBetween(
+                  lo.fold(Window.unboundedPreceding)(n => -n),
+                  hi.fold(Window.unboundedFollowing)(n => n))
             case Some((_, lo, hi)) => ordered.rowsBetween(
               lo.fold(Window.unboundedPreceding)(n => -n),
               hi.fold(Window.unboundedFollowing)(n => n))
@@ -1328,8 +1362,9 @@ final class EmdriveSession(spark: SparkSession,
               s"CASE alias ${it.alias} must appear in GROUP BY")
             case it: ExprItem => require(groupBy.contains(it.alias),
               s"expression alias ${it.alias} must appear in GROUP BY")
-            case Star | _: StarExclude => throw new IllegalArgumentException(
-              "SELECT * cannot be combined with aggregates/GROUP BY")
+            case Star | _: StarExclude | _: StarPattern =>
+              throw new IllegalArgumentException(
+                "SELECT * cannot be combined with aggregates/GROUP BY")
             case d: DistItem => throw new IllegalArgumentException(
               s"distance item ${d.alias} cannot be combined with aggregates/GROUP BY")
             case _: AggItem => ()
@@ -1402,6 +1437,12 @@ final class EmdriveSession(spark: SparkSession,
         } else {
           df.select(items.flatMap {
             case Star => base.columns.toSeq.map(col)
+            case StarPattern(re) =>
+              val pat = java.util.regex.Pattern.compile(re)
+              val hit = base.columns.toSeq.filter(c => pat.matcher(c).find())
+              require(hit.nonEmpty, s"COLUMNS('$re') matches no column of " +
+                s"(${base.columns.mkString(", ")})")
+              hit.map(qref)
             case StarExclude(ex, repl) =>
               val have = base.columns.toSet
               ex.foreach(c => require(have.contains(c),

@@ -71,6 +71,11 @@ import graft.sources.SchemaMapper
   *   … FROM l [a] ASOF [LEFT] JOIN r [b] ON a.k = b.k AND a.t >= b.t
   *     (temporal join; inclusive >=/<= only; forward asof via <=)
   *   … FROM l [a] CROSS JOIN r [b]   (explicit Cartesian product)
+  *   … FROM l [a] SEMI|ANTI JOIN r [b] ON a.k = b.k   (existence
+  *     filtering: left columns only, each left row at most once)
+  *   … RANGE BETWEEN INTERVAL n DAY[S] PRECEDING AND CURRENT ROW
+  *     (trailing calendar frame; DATE-valued keys, day granularity)
+  *   COLUMNS('regex')   (projection selector: matching base columns)
   *   … FROM generate_series(start, stop[, step]) [alias]   (integer
   *     spine TVF, stop inclusive — the gap-filling join's left side)
   *   PIVOT tbl ON col IN ('v', …) USING agg(x|*) GROUP BY g [, …]
@@ -171,6 +176,11 @@ object EmdriveSql {
     * silent no-op. */
   final case class StarExclude(cols: Seq[String],
       replaces: Seq[(String, Operand)] = Seq.empty) extends SelectItem
+  /** COLUMNS('regex') (r14, the DuckDB wide-table selector): expands to
+    * every base column whose NAME the regex matches (unanchored search,
+    * schema order); zero matches is a loud error, not an empty
+    * projection. */
+  final case class StarPattern(re: String) extends SelectItem
   final case class ColItem(name: String, alias: Option[String]) extends SelectItem
   /** An arithmetic/computed select item (`price * (1 - disc) AS net`) —
     * mandatory alias (the output name must be explicit), attached pre-WHERE
@@ -876,7 +886,7 @@ object EmdriveSql {
       }
     // `FROM t [AS] a` — an alias word here must not swallow the join
     // keywords (LEFT/RIGHT/FULL are positional, not reserved)
-    val JoinStarters = Set("LEFT", "RIGHT", "FULL", "JOIN", "ASOF", "CROSS")
+    val JoinStarters = Set("LEFT", "RIGHT", "FULL", "JOIN", "ASOF", "CROSS", "SEMI", "ANTI")
     def tryAlias(): Option[String] =
       if (p.tryWord("AS")) Some(p.ident())
       else p.toks match {
@@ -913,6 +923,11 @@ object EmdriveSql {
         if (p.tryWord("LEFT")) { p.tryWord("OUTER"); "left_outer" }
         else if (!isAsof && p.tryWord("RIGHT")) { p.tryWord("OUTER"); "right_outer" }
         else if (!isAsof && p.tryWord("FULL")) { p.tryWord("OUTER"); "full_outer" }
+        // SEMI/ANTI (r14, the DuckDB spelling): existence filtering as a
+        // join kind — output is the LEFT columns only, each left row at
+        // most once (never duplicated by multiple matches)
+        else if (!isAsof && p.tryWord("SEMI")) "left_semi"
+        else if (!isAsof && p.tryWord("ANTI")) "left_anti"
         else "inner"
       if (isAsof || kind != "inner" || p.peekWord("JOIN")) {
         p.eatWord("JOIN")
@@ -1184,6 +1199,14 @@ object EmdriveSql {
         } else "1"
       p.eatSym(")")
       parseOverClause(p, f.toUpperCase, Some(s"$c:$off"))
+    case TWord(w) :: TSym("(") :: _ if w.equalsIgnoreCase("COLUMNS") =>
+      p.toks = p.toks.tail.tail
+      val re = p.value() match {
+        case VStr(s) => s
+        case other => p.fail(s"regex string inside COLUMNS(…), got $other")
+      }
+      p.eatSym(")")
+      StarPattern(re)
     case _ if p.trySym("*") =>
       val ex = mutable.ListBuffer.empty[String]
       if (p.tryWord("EXCLUDE")) {
@@ -1310,11 +1333,33 @@ object EmdriveSql {
     // the ANSI default RANGE frame stays when absent
     val frame: Option[(String, Option[Long], Option[Long])] =
       if (p.peekWord("ROWS") || p.peekWord("RANGE")) {
-        val kind = if (p.tryWord("ROWS")) "rows" else { p.eatWord("RANGE"); "range" }
+        var kind = if (p.tryWord("ROWS")) "rows" else { p.eatWord("RANGE"); "range" }
         p.eatWord("BETWEEN")
+        // `INTERVAL n DAY[S]` bound (r14): the trailing-calendar-window
+        // idiom (RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT
+        // ROW). Day granularity only — the lowering re-keys the RANGE
+        // frame onto exact day numbers, which requires a DATE order key.
+        def intervalDays(): Long = {
+          val n = p.toks match {
+            case TNum(s) :: rest if !s.contains('.') => p.toks = rest; s.toLong
+            case _ => p.fail("integer after INTERVAL")
+          }
+          p.toks match {
+            case TWord(u) :: rest
+                if u.equalsIgnoreCase("DAY") || u.equalsIgnoreCase("DAYS") =>
+              p.toks = rest
+            case other => p.fail(s"DAY[S] interval unit in a frame bound, got $other")
+          }
+          require(kind == "range", "INTERVAL frame bounds require RANGE")
+          kind = "range_days"
+          n
+        }
         val lo: Option[Long] =
           if (p.tryWord("UNBOUNDED")) { p.eatWord("PRECEDING"); None }
           else if (p.tryWord("CURRENT")) { p.eatWord("ROW"); Some(0L) }
+          else if (p.tryWord("INTERVAL")) {
+            val n = intervalDays(); p.eatWord("PRECEDING"); Some(n)
+          }
           else p.toks match {
             case TNum(n) :: rest if !n.contains('.') =>
               p.toks = rest; p.eatWord("PRECEDING"); Some(n.toLong)
@@ -1324,6 +1369,9 @@ object EmdriveSql {
         val hi: Option[Long] =
           if (p.tryWord("CURRENT")) { p.eatWord("ROW"); Some(0L) }
           else if (p.tryWord("UNBOUNDED")) { p.eatWord("FOLLOWING"); None }
+          else if (p.tryWord("INTERVAL")) {
+            val n = intervalDays(); p.eatWord("FOLLOWING"); Some(n)
+          }
           else p.toks match {
             case TNum(n) :: rest if !n.contains('.') =>
               p.toks = rest; p.eatWord("FOLLOWING"); Some(n.toLong)

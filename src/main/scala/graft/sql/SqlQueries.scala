@@ -861,6 +861,21 @@ object SqlQueries {
                |WHERE n.n_nationkey < 5
                |ORDER BY rn, nn;""".stripMargin)
     }),
+    // r14: fuzzy/regex/JSON scalar tier 4 — LEVENSHTEIN (fuzzy match at
+    // the SQL front door), regex group extraction, TRANSLATE, JSON array
+    // length (BIGINT-widened to the DuckDB result width)
+    "q_sql_fuzzy" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id,
+               | LEVENSHTEIN(lang, source) AS lv,
+               | REGEXP_EXTRACT(text, '^(\w+) (\w+)', 2) AS w2,
+               | TRANSLATE(lang, 'en', 'EN') AS lang_t,
+               | JSON_ARRAY_LENGTH(CONCAT('["', REPLACE(lang, 'e', '","'),
+               |   '"]')) AS jl
+               |FROM documents WHERE doc_id < 150
+               |ORDER BY doc_id;""".stripMargin)
+    }),
     // r14: SEMI/ANTI join kinds — existence filtering without row
     // duplication; left columns only (Spark left_semi/left_anti)
     "q_sql_semi_anti" -> ((s: SparkSession, d: String) => {
@@ -1816,6 +1831,15 @@ object SqlQueries {
         |FROM generate_series(1, 12) g
         |LEFT JOIN monthly m ON g.generate_series = m.mth
         |ORDER BY 1""".stripMargin,
+    "q_sql_fuzzy" ->
+      """SELECT doc_id,
+        | CAST(levenshtein(lang, source) AS BIGINT) AS lv,
+        | regexp_extract(text, '^(\w+) (\w+)', 2) AS w2,
+        | translate(lang, 'en', 'EN') AS lang_t,
+        | CAST(json_array_length(CONCAT('["', REPLACE(lang, 'e', '","'),
+        |   '"]')) AS BIGINT) AS jl
+        |FROM documents WHERE doc_id < 150
+        |ORDER BY doc_id""".stripMargin,
     "q_sql_semi_anti" ->
       """SELECT c.c_custkey AS k, 'has_orders' AS grp
         |FROM customer c SEMI JOIN orders o ON c.c_custkey = o.o_custkey

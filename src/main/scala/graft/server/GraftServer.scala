@@ -99,7 +99,11 @@ final class GraftServer(es: EmdriveSession, port: Int = 0,
       case _: EmdriveSql.CreateTable | _: EmdriveSql.Insert |
            _: EmdriveSql.InsertSelect | _: EmdriveSql.CreateAs |
            _: EmdriveSql.Update | _: EmdriveSql.Delete |
-           _: EmdriveSql.Merge => true
+           _: EmdriveSql.Merge |
+           // r14: view DDL and DROP mutate the catalog (DROP TABLE also
+           // deletes durable generations) — write-classified like every
+           // other catalog mutation; PIVOT/UNPIVOT stay read-classified
+           _: EmdriveSql.CreateView | _: EmdriveSql.DropStmt => true
       case _ => false
     }
     if (readOnly && isWrite)

@@ -31,6 +31,12 @@ final class EmdriveSession(spark: SparkSession,
   import EmdriveSql._
 
   private val catalog = mutable.Map.empty[String, DataFrame]
+  /** Views (r14): stored as their parsed chain and RE-LOWERED at every
+    * reference, so a view always reads the CURRENT base tables (a stored
+    * DataFrame would snapshot the plan at CREATE time and silently miss
+    * later INSERTs). Session-scoped, not durable — the reference's
+    * durability unit is the table. */
+  private val views = mutable.Map.empty[String, EmdriveSql.UnionStmt]
 
   // boot-time restore: every `dataDir/<name>/` holding a live generation
   // is a previously persisted table — register it eagerly so a restarted
@@ -129,7 +135,7 @@ final class EmdriveSession(spark: SparkSession,
     case TvfName(fn, argStr) =>
       tableFunction(fn.toLowerCase,
         if (argStr.isEmpty) Seq.empty else argStr.split(",").map(_.trim).toSeq)
-    case _ => catalog.get(name).orElse(name match {
+    case _ => catalog.get(name).orElse(views.get(name).map(lowerChain)).orElse(name match {
       // the system catalog is itself queryable — SELECT/JOIN/GROUP BY
       // compose over it like any relation (reference: src/storage/
       // system.rs registers `system.tables`/`system.columns` as tables);
@@ -435,6 +441,37 @@ final class EmdriveSession(spark: SparkSession,
       table(name) // unknown-table error, same as SELECT
       systemColumns().filter(col("table_name") === name).drop("table_name")
 
+    // CREATE VIEW (r14): validate the chain EAGERLY (unknown tables or
+    // columns fail at CREATE, as in DuckDB) but store the PARSED chain —
+    // re-lowered per reference for true view semantics.
+    case CreateView(name, chain, orReplace) =>
+      require(!catalog.contains(name),
+        s"a table named $name exists; views cannot shadow tables")
+      require(orReplace || !views.contains(name), s"view exists: $name")
+      val validated = lowerChain(chain)
+      views(name) = chain
+      validated
+
+    // DROP (r14): kind-checked removal; a durable table's on-disk
+    // generations go with it (boot must not resurrect a dropped table).
+    case DropStmt(name, ifExists, isView) =>
+      if (isView) {
+        if (views.remove(name).isEmpty)
+          require(ifExists, s"unknown view: $name")
+      } else {
+        require(!views.contains(name),
+          s"$name is a view; use DROP VIEW")
+        if (catalog.remove(name).isEmpty)
+          require(ifExists, s"unknown table: $name")
+        else dataDir.foreach { dir =>
+          import org.apache.hadoop.fs.Path
+          val p = new Path(s"$dir/$name")
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+      }
+      systemTables()
+
     // PIVOT (r14): one grouped aggregation with a FILTERed leg per IN
     // value — Spark's pivot lowers to exactly that (one shuffle, partial
     // aggregation map-side), never a per-value scan. Output columns are
@@ -460,6 +497,7 @@ final class EmdriveSession(spark: SparkSession,
         .filter(col(v).isNotNull)
 
     case CreateTable(name, ifNotExists, schema) =>
+      require(!views.contains(name), s"a view named $name exists")
       if (!catalog.contains(name) || !ifNotExists) {
         require(ifNotExists || !catalog.contains(name), s"table exists: $name")
         catalog(name) = spark.createDataFrame(
@@ -1241,7 +1279,16 @@ final class EmdriveSession(spark: SparkSession,
                 "dimension-sized inputs only")
           val ordered = Window.partitionBy(parts.map(qref): _*)
             .orderBy(keys.map(k => if (k.desc) qref(k.name).desc else qref(k.name).asc): _*)
-          val spec = frame match {
+          // EXCLUDE CURRENT ROW (r14) rides the frame kind as a suffix:
+          // strip it here, build the FULL-frame spec, and rewrite the
+          // aggregate arithmetically below (full frame minus the row's
+          // own contribution) — Spark has no native frame exclusion.
+          val (frameBase, xcur) = frame match {
+            case Some((k, lo, hi)) if k.endsWith("_xcur") =>
+              (Some((k.dropRight(5), lo, hi)), true)
+            case other => (other, false)
+          }
+          val spec = frameBase match {
             case None => ordered // ANSI default RANGE frame
             case Some(("range", lo, hi)) => ordered.rangeBetween(
               lo.fold(Window.unboundedPreceding)(n => -n),
@@ -1315,7 +1362,37 @@ final class EmdriveSession(spark: SparkSession,
             // preceding → current row), same default in DuckDB
             case agg => aggColumn(agg, arg)
           }
-          df = df.withColumn(alias, fn.over(spec))
+          val result =
+            if (!xcur) fn.over(spec)
+            else f match {
+              // leave-one-out rewrites. NULL edges follow the engines'
+              // shared semantics: SUM/AVG over a reduced frame with no
+              // non-null values is NULL (not 0); COUNT is 0.
+              case "SUM" =>
+                val x = qref(arg.get)
+                val nX = count(x).over(spec) -
+                  when(x.isNotNull, lit(1L)).otherwise(lit(0L))
+                when(nX === 0, lit(null))
+                  .otherwise(sum(x).over(spec) - coalesce(x, lit(0)))
+              case "COUNT" if arg.isEmpty =>
+                count(lit(1)).over(spec) - lit(1L)
+              case "COUNT" =>
+                val x = qref(arg.get)
+                count(x).over(spec) -
+                  when(x.isNotNull, lit(1L)).otherwise(lit(0L))
+              case "AVG" =>
+                val x = qref(arg.get)
+                val nX = count(x).over(spec) -
+                  when(x.isNotNull, lit(1L)).otherwise(lit(0L))
+                val sX = sum(x).over(spec) - coalesce(x, lit(0))
+                // exact-integer dividend/divisor → ONE IEEE division,
+                // bitwise cross-engine for integral columns
+                when(nX === 0, lit(null))
+                  .otherwise(sX.cast("double") / nX)
+              case other => throw new IllegalArgumentException(
+                s"EXCLUDE CURRENT ROW supports SUM/COUNT/AVG, not $other")
+            }
+          df = df.withColumn(alias, result)
         case _ => ()
       }
       postWin.foreach(c => df = df.filter(predCol(base, c, subPreds)))

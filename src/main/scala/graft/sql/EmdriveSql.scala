@@ -78,6 +78,9 @@ import graft.sources.SchemaMapper
   *   COLUMNS('regex')   (projection selector: matching base columns)
   *   … FROM generate_series(start, stop[, step]) [alias]   (integer
   *     spine TVF, stop inclusive — the gap-filling join's left side)
+  *   CREATE [OR REPLACE] VIEW v AS select-chain   (lazy, re-lowered)
+  *   DROP TABLE|VIEW [IF EXISTS] name   (kind-checked)
+  *   … frame … EXCLUDE CURRENT ROW   (leave-one-out SUM/COUNT/AVG)
   *   PIVOT tbl ON col IN ('v', …) USING agg(x|*) GROUP BY g [, …]
   *   UNPIVOT tbl ON c1 [, …] INTO NAME n VALUE v   (NULL cells excluded)
   *   ARRAY_AGG(col ORDER BY col [ASC|DESC])   (ordered list aggregation)
@@ -356,6 +359,16 @@ object EmdriveSql {
     * complement relation (three-valued: NULL predicates KEEP the row,
     * exactly ANSI DELETE semantics). No WHERE = truncate. */
   final case class Delete(table: String, where: Option[Pred]) extends Statement
+  /** CREATE [OR REPLACE] VIEW v AS select-chain (r14): the chain is
+    * stored and RE-LOWERED at every reference — a view over a table that
+    * later takes INSERTs reads the new rows (true view semantics). */
+  final case class CreateView(name: String, chain: UnionStmt,
+      orReplace: Boolean) extends Statement
+  /** DROP TABLE|VIEW [IF EXISTS] name (r14) — kind-checked (dropping a
+    * view as a table is an error, as in DuckDB); dropping a durable
+    * table also removes its on-disk generations. */
+  final case class DropStmt(name: String, ifExists: Boolean,
+      view: Boolean) extends Statement
   /** PIVOT tbl ON col IN ('v', …) USING agg(arg|*) GROUP BY g[, …] (r14,
     * the DuckDB statement): one output column per IN value, named by the
     * value — the explicit IN list keeps the output schema static (and
@@ -700,6 +713,11 @@ object EmdriveSql {
           "MERGE requires at least one WHEN clause")
         Merge(t, ta, s, sa, ons.toSeq, matchedSets, matchedDelete, notMatched)
       }
+      else if (p.tryWord("DROP")) {
+        val isView = p.tryWord("VIEW") || { p.eatWord("TABLE"); false }
+        val ifExists = p.tryWord("IF") && { p.eatWord("EXISTS"); true }
+        DropStmt(p.tident(), ifExists, isView)
+      }
       else if (p.tryWord("PIVOT")) {
         val t = p.tident()
         p.eatWord("ON")
@@ -748,6 +766,16 @@ object EmdriveSql {
   }
 
   private def parseCreate(p: P): Statement = {
+    // CREATE [OR REPLACE] VIEW v AS select-chain (r14): a named, LAZY
+    // query — re-lowered at every reference, so it always reflects the
+    // current base tables (true view semantics, not a snapshot)
+    if (p.peekWord("VIEW") || p.peekWord("OR")) {
+      val orReplace = p.tryWord("OR") && { p.eatWord("REPLACE"); true }
+      p.eatWord("VIEW")
+      val name = p.ident()
+      p.eatWord("AS")
+      return CreateView(name, parseChain(p), orReplace)
+    }
     p.eatWord("TABLE")
     val ifNotExists = p.peekWord("IF") && {
       p.eatWord("IF"); p.eatWord("NOT"); p.eatWord("EXISTS"); true
@@ -1379,6 +1407,15 @@ object EmdriveSql {
               p.toks = rest; p.eatWord("FOLLOWING"); Some(n.toLong)
             case _ => p.fail("CURRENT ROW/UNBOUNDED/integer FOLLOWING")
           }
+        // EXCLUDE CURRENT ROW (r14): the leave-one-out frame (peer
+        // statistics — compare each row to its OWN group sans itself).
+        // Rides the frame kind as a suffix; lowering rewrites SUM/COUNT/
+        // AVG arithmetically (full-frame aggregate minus the row's own
+        // contribution), other functions are refused loudly.
+        if (p.tryWord("EXCLUDE")) {
+          p.eatWord("CURRENT"); p.eatWord("ROW")
+          kind += "_xcur"
+        }
         Some((kind, lo, hi))
       } else None
     p.eatSym(")")

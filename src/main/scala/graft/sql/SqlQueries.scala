@@ -861,6 +861,38 @@ object SqlQueries {
                |WHERE n.n_nationkey < 5
                |ORDER BY rn, nn;""".stripMargin)
     }),
+    // r14: CREATE VIEW — stored as the parsed chain, re-lowered per
+    // reference (true view semantics); the oracle is the CTE twin
+    "q_sql_view" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""CREATE VIEW big_orders AS
+               |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+               |WHERE o_totalprice > 400000;""".stripMargin)
+      es.sql("""SELECT o_custkey, COUNT(*) AS n_big,
+               | MAX(o_totalprice) AS top
+               |FROM big_orders GROUP BY o_custkey
+               |HAVING COUNT(*) >= 2 ORDER BY o_custkey;""".stripMargin)
+    }),
+    // r14: EXCLUDE CURRENT ROW — leave-one-out peer statistics (each
+    // doc vs its source's OTHER docs); exact-integer sums, one IEEE
+    // division for the mean
+    "q_sql_exclude_row" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT source, doc_id, n_chars,
+               | SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               |   EXCLUDE CURRENT ROW) AS peer_chars,
+               | COUNT(*) OVER (PARTITION BY source ORDER BY doc_id
+               |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               |   EXCLUDE CURRENT ROW) AS peer_n,
+               | AVG(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               |   EXCLUDE CURRENT ROW) AS peer_avg
+               |FROM documents WHERE doc_id < 400
+               |ORDER BY doc_id;""".stripMargin)
+    }),
     // r14: fuzzy/regex/JSON scalar tier 4 — LEVENSHTEIN (fuzzy match at
     // the SQL front door), regex group extraction, TRANSLATE, JSON array
     // length (BIGINT-widened to the DuckDB result width)
@@ -1831,6 +1863,27 @@ object SqlQueries {
         |FROM generate_series(1, 12) g
         |LEFT JOIN monthly m ON g.generate_series = m.mth
         |ORDER BY 1""".stripMargin,
+    "q_sql_view" ->
+      """WITH big_orders AS (
+        | SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        | WHERE o_totalprice > 400000)
+        |SELECT o_custkey, COUNT(*) AS n_big,
+        | MAX(o_totalprice) AS top
+        |FROM big_orders GROUP BY o_custkey
+        |HAVING COUNT(*) >= 2 ORDER BY o_custkey""".stripMargin,
+    "q_sql_exclude_row" ->
+      """SELECT source, doc_id, n_chars,
+        | CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |   EXCLUDE CURRENT ROW) AS BIGINT) AS peer_chars,
+        | COUNT(*) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |   EXCLUDE CURRENT ROW) AS peer_n,
+        | AVG(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |   EXCLUDE CURRENT ROW) AS peer_avg
+        |FROM documents WHERE doc_id < 400
+        |ORDER BY doc_id""".stripMargin,
     "q_sql_fuzzy" ->
       """SELECT doc_id,
         | CAST(levenshtein(lang, source) AS BIGINT) AS lv,

@@ -11,6 +11,42 @@ class QueryPlanSpec extends SparkTestBase {
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
   }
 
+  test("SQL ASOF JOIN plans exactly one hash exchange (the B21 shape) (r14)") {
+    // union-window lowering: tag both sides, shuffle ONCE on the asof
+    // key (__k) — a range-join lowering would show a join node + extra
+    // exchanges. (The key's own purchase pre-dedup contributes its own
+    // groupBy exchange; only the __k shuffle is the asof machinery.)
+    val p = plan("q_sql_asof")
+    val asofExchanges = "hashpartitioning\\(__k".r.findAllIn(p).length
+    assert(asofExchanges == 1, s"expected 1 asof exchange, got $asofExchanges:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("generate_series is a Range leaf — generated, never scanned (r14)") {
+    val p = plan("q_sql_series")
+    assert(p.contains("Range (1"), p)
+  }
+
+  test("SQL SEMI JOIN plans as a left-semi with a broadcast probe side (r14)") {
+    val p = plan("q_sql_semi_anti")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+  }
+
+  test("quantified ALL reduces to one broadcast stats row, no per-row join (r14)") {
+    // the subquery folds to a 1-row (min,max,count,nulls) aggregate that
+    // broadcast-nest-loops against the probe side — never a key shuffle
+    val p = plan("q_sql_any_all")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("diversity selection shuffles one row per vector, heaps per cell (r14)") {
+    // assignment is a partial-combined max_by (objecthashaggregate), so
+    // the exchange carries one row per vec_id; per-cell ranking is the
+    // bounded-heap top_k aggregate, not a window sort over the corpus
+    val p = plan("q_diversity_select")
+    assert(p.contains("top_k") && !p.toLowerCase.contains("window"), p)
+  }
+
   test("point lookup pushes the equality filter into the parquet scan") {
     val p = plan("q_point_lookup")
     assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderkey,42)"), p)

@@ -130,7 +130,11 @@ class ServerSpec extends SparkTestBase {
         "CREATE TABLE z2 AS SELECT * FROM documents;",
         "INSERT INTO documents (doc_id) SELECT doc_id FROM documents;",
         "MERGE INTO documents AS a USING documents AS b ON a.doc_id = b.doc_id " +
-          "WHEN MATCHED THEN DELETE;").foreach { w =>
+          "WHEN MATCHED THEN DELETE;",
+        // r14 catalog mutations: view DDL + DROP are writes too
+        "CREATE VIEW zv AS SELECT doc_id FROM documents;",
+        "DROP TABLE documents;",
+        "DROP VIEW IF EXISTS zv;").foreach { w =>
         val wr = get(base, "/?query=" + java.net.URLEncoder.encode(w, "UTF-8"))
         assert(wr.statusCode() == 400, s"GET accepted write: $w -> ${wr.body()}")
       }

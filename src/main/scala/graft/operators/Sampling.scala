@@ -287,7 +287,29 @@ object Sampling {
         max(col("total")).as("total_chars"))
   }
 
+  /** Deterministic seeded corpus shuffle (C117): the reproducible
+    * training-order primitive — every LLM data pipeline shuffles its
+    * corpus with a seed, and the order must replay bit-for-bit across
+    * reruns, engines, and partitionings. The shuffle key is the portable
+    * content_fp polynomial over `id:seed` (no engine-private hash), so
+    * the SAME permutation falls out of any implementation; ties (the
+    * polynomial is mod 1e9+7) break on the id. Scale shape: a total
+    * order by (key, id) is `repartitionByRange` + in-partition sort —
+    * no global single-task sort; the gate key reads the first 200
+    * positions, which plans as TakeOrdered (bounded at any corpus
+    * size), and the bounded post-limit row_number assigns positions. */
+  private def shuffleOrder(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(s, d).select(col("doc_id"),
+      call_function("content_fp",
+        concat(col("doc_id").cast("string"), lit(":s42"))).as("shuffle_key"))
+    keyed.orderBy(col("shuffle_key"), col("doc_id")).limit(200)
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shuffle_order" -> shuffleOrder _,
     "q_nucleus_select" -> nucleusSelect _,
     "q_es_sample" -> esSample _,
     "q_budget_waterfill" -> budgetWaterfill _,
@@ -303,6 +325,17 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_shuffle_order" ->
+      """WITH keyed AS (
+        | SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(
+        |     string_split(CONCAT(CAST(doc_id AS VARCHAR), ':s42'), ''),
+        |     c -> CAST(ascii(c) AS BIGINT))),
+        |   (acc, c) -> (acc * 31 + c) % 1000000007) AS shuffle_key
+        | FROM documents)
+        |SELECT doc_id, shuffle_key,
+        | CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+        |FROM keyed ORDER BY shuffle_key, doc_id LIMIT 200""".stripMargin,
     "q_nucleus_select" ->
       """WITH r AS (
         | SELECT source, doc_id, n_chars,

@@ -47,6 +47,11 @@ class QueryPlanSpec extends SparkTestBase {
     assert(p.contains("top_k") && !p.toLowerCase.contains("window"), p)
   }
 
+  test("seeded shuffle's first-k read plans as TakeOrdered, no global sort (r14)") {
+    val p = plan("q_shuffle_order")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("point lookup pushes the equality filter into the parquet scan") {
     val p = plan("q_point_lookup")
     assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderkey,42)"), p)

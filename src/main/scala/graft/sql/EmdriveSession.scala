@@ -908,7 +908,14 @@ final class EmdriveSession(spark: SparkSession,
     * and self-joins resolve by plain (dotted) name. Shared by the
     * top-level SELECT path and the EXISTS subquery pre-pass (which needs
     * the inner RELATION but ignores the select list). */
-  private def lowerFrom(sel: Select): DataFrame =
+  private def lowerFrom(sel: Select): DataFrame = {
+    val joined = lowerFromJoins(sel)
+    sel.lateral.fold(joined) { case (sub, alias) =>
+      lowerLateral(joined, sub, alias)
+    }
+  }
+
+  private def lowerFromJoins(sel: Select): DataFrame =
     sel.joins.foldLeft(
       aliasCols(sel.valuesRows.map(valuesFrame)
         .orElse(sel.derived.map(lowerChain)).getOrElse(table(sel.table)),
@@ -930,6 +937,59 @@ final class EmdriveSession(spark: SparkSession,
         }
       }
     }
+
+  /** LATERAL lowering (r14): `outer, LATERAL (SELECT items FROM t WHERE
+    * inner = outer AND local… [ORDER BY …] [LIMIT n]) l` — the ANSI
+    * spelling of per-key top-n and per-row subquery expansion.
+    *
+    * Decorrelated, never per-row: the inner relation keeps its LOCAL
+    * predicates, a LIMIT becomes a rank window PARTITIONED BY the
+    * correlation key (`row_number ≤ n` — the classic top-n-per-key
+    * rewrite: one shuffle on the key, sort bounded per key), and the
+    * result equi-joins back to the outer relation, where AQE picks
+    * broadcast vs shuffle. The window computes over every inner key
+    * before the join — at 100 TB pre-filter the inner relation or put
+    * the selective predicate inside the LATERAL body (Catalyst cannot
+    * push outer predicates through the rank window). */
+  private def lowerLateral(outer: DataFrame, sub: Select,
+      alias: String): DataFrame = {
+    require(sub.joins.isEmpty && sub.derived.isEmpty && sub.groupBy.isEmpty,
+      "LATERAL supports a single-table projection body")
+    val inner = aliasCols(table(sub.table), sub.baseAlias)
+    val innerCols = inner.columns.toSet
+    val outerCols = outer.columns.toSet
+    val (corr, local) = sub.where.flatMap(splitConjuncts).partitionMap {
+      case PCmp(Cmp(ORef(a), "=", ORef(b)))
+          if innerCols(a) && !innerCols(b) && outerCols(b) => Left((a, b))
+      case PCmp(Cmp(ORef(a), "=", ORef(b)))
+          if innerCols(b) && !innerCols(a) && outerCols(a) => Left((b, a))
+      case other => Right(other)
+    }
+    require(corr.size == 1,
+      s"LATERAL requires exactly one equality correlation, found ${corr.size}")
+    val (ik, ok) = corr.head
+    val filtered = local.foldLeft(inner)((d, pr) => d.filter(predCol(inner, pr)))
+    val ranked = sub.limit.fold(filtered) { n =>
+      require(sub.orderBy.nonEmpty,
+        "LATERAL LIMIT requires ORDER BY (unordered top-n is nondeterministic)")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(qcol(filtered, ik))
+        .orderBy(sub.orderBy.map(k =>
+          if (k.desc) qref(k.name).desc else qref(k.name).asc): _*)
+      filtered.withColumn("__lrn", row_number().over(w))
+        .filter(col("__lrn") <= n)
+    }
+    val itemCols: Seq[(Column, String)] = sub.items.map {
+      case ColItem(c, a) => (qref(c), s"$alias.${a.getOrElse(c)}")
+      case ExprItem(o, a) => (operandCol(ranked, o), s"$alias.$a")
+      case other => throw new IllegalArgumentException(
+        s"LATERAL body supports plain/computed columns, got $other")
+    }
+    val proj = ranked.select(
+      (qref(ik).as("__lk") +:
+        itemCols.map { case (c, n) => c.as(n) }): _*)
+    outer.join(proj, qcol(outer, ok) === col("__lk"), "inner").drop("__lk")
+  }
 
   /** ASOF JOIN lowering (r14): for each left row, the single right row
     * sharing the equi key whose time is nearest at-or-before (backward,
@@ -1021,7 +1081,7 @@ final class EmdriveSession(spark: SparkSession,
   private def lowerSelect(sel: Select): DataFrame = {
     val Select(items, name, where, rawGroupBy, having, rawOrderBy, limitN,
       joins, distinct, offsetN, derived, baseAlias, groupMode, groupExprs,
-      qualify, groupSets, _, distinctOn) = sel
+      qualify, groupSets, _, distinctOn, _) = sel
     // "#n" ordinal markers (GROUP BY 1 / ORDER BY 2) resolve to the n-th
     // select item's OUTPUT name — ANSI ordinal semantics; grouping by an
     // aggregate/window position is refused like any non-key grouping

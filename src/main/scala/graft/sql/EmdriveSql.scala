@@ -78,6 +78,8 @@ import graft.sources.SchemaMapper
   *   COLUMNS('regex')   (projection selector: matching base columns)
   *   … FROM generate_series(start, stop[, step]) [alias]   (integer
   *     spine TVF, stop inclusive — the gap-filling join's left side)
+  *   … FROM t [a], LATERAL (SELECT … WHERE in = out [ORDER BY …]
+  *     [LIMIT n]) [AS] l   (correlated subquery, decorrelated top-n)
   *   CREATE [OR REPLACE] VIEW v AS select-chain   (lazy, re-lowered)
   *   DROP TABLE|VIEW [IF EXISTS] name   (kind-checked)
   *   … frame … EXCLUDE CURRENT ROW   (leave-one-out SUM/COUNT/AVG)
@@ -462,7 +464,13 @@ object EmdriveSql {
         * first row per ON-group under the ORDER BY keys that FOLLOW the
         * ON prefix — determinism is enforced by requiring ORDER BY to
         * lead with the ON columns plus at least one tiebreak key. */
-      distinctOn: Seq[String] = Seq.empty)
+      distinctOn: Seq[String] = Seq.empty,
+      /** `FROM t [a], LATERAL (SELECT … WHERE inner = outer [ORDER BY …]
+        * [LIMIT n]) [AS] l` (r14): a correlated inline subquery evaluated
+        * per outer row — (inner select, alias). Decorrelated at lowering:
+        * LIMIT becomes a per-correlation-key rank window (the classic
+        * top-n-per-key rewrite), then one equi-join. */
+      lateral: Option[(Select, String)] = None)
     extends Statement
 
   /** select (UNION [ALL] | EXCEPT | INTERSECT) select … — parsed flat;
@@ -992,6 +1000,17 @@ object EmdriveSql {
       } else joining = false
       }
     }
+    // `, LATERAL (SELECT …) [AS] l` (r14) — the comma is LATERAL-only
+    // (no implicit comma joins in this dialect)
+    val lateral: Option[(Select, String)] =
+      if (p.trySym(",")) {
+        p.eatWord("LATERAL")
+        p.eatSym("("); p.eatWord("SELECT")
+        val sub = parseSelect(p)
+        p.eatSym(")")
+        p.tryWord("AS")
+        Some((sub, p.ident()))
+      } else None
     val where = mutable.ListBuffer.empty[Pred]
     if (p.tryWord("WHERE")) where += parsePred(p)
     val groupExprs = mutable.ListBuffer.empty[(String, Operand)]
@@ -1155,7 +1174,7 @@ object EmdriveSql {
     Select(resolvedItems, table, where.toSeq, groupBy, having.toSeq, orderBy,
       limit, joins.toSeq, distinct, offset, derived, baseAlias, groupMode,
       groupExprs.toSeq, qualify.toSeq, groupSets, valuesRows,
-      distinctOn.toSeq)
+      distinctOn.toSeq, lateral)
   }
 
   private def parseItem(p: P): SelectItem = p.toks match {

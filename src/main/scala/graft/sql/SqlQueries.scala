@@ -861,6 +861,20 @@ object SqlQueries {
                |WHERE n.n_nationkey < 5
                |ORDER BY rn, nn;""".stripMargin)
     }),
+    // r14: LATERAL — the ANSI per-key top-n spelling; decorrelated to a
+    // rank window + one equi-join, never a per-row subquery
+    "q_sql_lateral" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("customer", Tables.customer(s, d))
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT c.c_custkey AS ck, l.price AS price
+               |FROM customer c, LATERAL (
+               |  SELECT o_totalprice AS price FROM orders
+               |  WHERE o_custkey = c.c_custkey
+               |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+               |WHERE c.c_custkey < 100
+               |ORDER BY ck, price DESC;""".stripMargin)
+    }),
     // r14: CREATE VIEW — stored as the parsed chain, re-lowered per
     // reference (true view semantics); the oracle is the CTE twin
     "q_sql_view" -> ((s: SparkSession, d: String) => {
@@ -1863,6 +1877,14 @@ object SqlQueries {
         |FROM generate_series(1, 12) g
         |LEFT JOIN monthly m ON g.generate_series = m.mth
         |ORDER BY 1""".stripMargin,
+    "q_sql_lateral" ->
+      """SELECT c.c_custkey AS ck, l.price AS price
+        |FROM customer c, LATERAL (
+        |  SELECT o_totalprice AS price FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        |WHERE c.c_custkey < 100
+        |ORDER BY ck, price DESC""".stripMargin,
     "q_sql_view" ->
       """WITH big_orders AS (
         | SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -315,6 +315,43 @@ final class EmdriveSession(spark: SparkSession,
       case "profile" =>
         arity(1)
         graft.operators.Relational.profileOf(table(args(0)))
+      // shuffle_order(tbl, idCol, seed): the C117 deterministic corpus
+      // shuffle at the SQL front door — every row keyed by the portable
+      // content_fp polynomial over `id:seed`; ORDER BY shuffle_key gives
+      // the reproducible training order in any engine
+      case "shuffle_order" =>
+        arity(3)
+        val t = table(args(0))
+        t.select(col(args(1)),
+          call_function("content_fp",
+            concat(col(args(1)).cast("string"), lit(":" + args(2))))
+            .as("shuffle_key"))
+      // diversity_select(tbl, idCol, vecCol, q): the C116 cluster-quota
+      // prototype selection — q most prototypical vectors per
+      // deterministic lowest-8-id cell (broadcast-argmax + bounded-heap
+      // top_k, the same physical shape as the operator key)
+      case "diversity_select" =>
+        arity(4)
+        val (id, vec, q) = (args(1), args(2), args(3).toInt)
+        val e = table(args(0))
+        val cents = e.filter(col(id) < 8)
+          .select(col(id).as("cid"), col(vec).as("cvec"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .select(col(id), col("cid"),
+            call_function("cosine_sim", col(vec), col("cvec")).as("csim"))
+          .groupBy(col(id))
+          .agg(max_by(struct(col("cid"), col("csim")),
+            struct(col("csim"), -col("cid"))).as("best"))
+          .select(col(id), col("best.cid").as("cid"),
+            round(col("best.csim"), 6).as("proto"))
+        assigned.groupBy(col("cid"))
+          .agg(call_function("top_k",
+            struct(col("proto"), (-col(id)).as("neg_id")), lit(q)).as("top"))
+          .select(col("cid"), posexplode(col("top")))
+          .select(col("cid").cast("long").as("cid"),
+            (col("pos") + 1).cast("long").as("rank"),
+            (-col("col.neg_id")).as(id),
+            col("col.proto").as("proto"))
       // generate_series(start, stop[, step]): the integer spine relation
       // (DuckDB semantics: stop INCLUSIVE, BIGINT column named after the
       // function). Lowers to Range — a leaf Spark generates without any

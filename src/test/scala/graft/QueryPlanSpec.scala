@@ -481,7 +481,8 @@ class QueryPlanSpec extends SparkTestBase {
       "q_skyline",           // suffix max over distinct order-count values
       "q_dup_by_length",     // cumdist over the distinct-n_chars histogram
       "q_budget_waterfill",  // rank/cumsum over the per-source relation
-      "q_ivf_recall_curve"   // ranks over 8 centroids / 3 nprobe settings
+      "q_ivf_recall_curve",  // ranks over 8 centroids / 3 nprobe settings
+      "q_shuffle_order"      // pos over the post-TakeOrdered 200-row head
     )
     def unpartitioned(p: SparkPlan): Seq[String] = {
       val here = p match {

@@ -89,6 +89,12 @@ final class EmdriveSession(spark: SparkSession,
   private def persistIfDurable(name: String): Unit =
     dataDir.foreach(dir => save(name, s"$dir/$name"))
 
+
+  /** DML targets must be TABLES: writing "into" a view would silently
+    * materialize a same-named catalog table shadowing it (r14 guard). */
+  private def requireTable(name: String, stmt: String): Unit =
+    require(!views.contains(name), s"$name is a view; $stmt needs a table")
+
   def register(name: String, df: DataFrame): Unit = catalog(name) = df
 
   /** Whether `name` is already registered (restored or registered earlier).
@@ -544,6 +550,7 @@ final class EmdriveSession(spark: SparkSession,
       catalog(name)
 
     case Insert(name, cols, rows) =>
+      requireTable(name, "INSERT")
       val target = table(name)
       val schema = target.schema
       val named =
@@ -567,6 +574,7 @@ final class EmdriveSession(spark: SparkSession,
       catalog(name)
 
     case InsertSelect(name, cols, chain) =>
+      requireTable(name, "INSERT")
       val target = table(name)
       val schema = target.schema
       val named =
@@ -594,6 +602,7 @@ final class EmdriveSession(spark: SparkSession,
       catalog(name)
 
     case CreateAs(name, ifNotExists, chain) =>
+      requireTable(name, "CREATE TABLE AS")
       if (catalog.contains(name) && ifNotExists) catalog(name)
       else {
         require(!catalog.contains(name), s"table exists: $name")
@@ -603,6 +612,7 @@ final class EmdriveSession(spark: SparkSession,
       }
 
     case Delete(name, where) =>
+      requireTable(name, "DELETE")
       val t = table(name)
       // keep = NOT coalesce(pred, false): a NULL predicate KEEPS the row
       // (ANSI three-valued DELETE); no WHERE truncates
@@ -612,6 +622,7 @@ final class EmdriveSession(spark: SparkSession,
       catalog(name)
 
     case Update(name, sets, where) =>
+      requireTable(name, "UPDATE")
       val t = table(name)
       val schema = t.schema
       sets.foreach { case (c, _) =>
@@ -642,6 +653,7 @@ final class EmdriveSession(spark: SparkSession,
 
     case Merge(tName, tAlias, sName, sAlias, ons, matchedSets, matchedDelete,
         notMatched) =>
+      requireTable(tName, "MERGE INTO")
       val t = table(tName)
       val s0 = table(sName)
       val ta = aliasCols(t, Some(tAlias))

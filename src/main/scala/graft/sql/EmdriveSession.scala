@@ -481,8 +481,25 @@ final class EmdriveSession(spark: SparkSession,
     case ShowTables => systemTables()
 
     case Describe(name) =>
-      table(name) // unknown-table error, same as SELECT
-      systemColumns().filter(col("table_name") === name).drop("table_name")
+      // views describe their OUTPUT schema (r14): they have no catalog
+      // row, so build the same column shape from the re-lowered plan
+      // (no key roles — a view cannot carry PRIMARY/METRIC KEY)
+      if (views.contains(name)) {
+        val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+        table(name).schema.fields.zipWithIndex.foreach { case (f, i) =>
+          rows.add(Row(f.name, i, f.dataType.sql, f.nullable, false, false))
+        }
+        spark.createDataFrame(rows, StructType(Seq(
+          StructField("column_name", StringType, nullable = false),
+          StructField("ordinal", IntegerType, nullable = false),
+          StructField("data_type", StringType, nullable = false),
+          StructField("is_nullable", BooleanType, nullable = false),
+          StructField("primary_key", BooleanType, nullable = false),
+          StructField("metric_key", BooleanType, nullable = false))))
+      } else {
+        table(name) // unknown-table error, same as SELECT
+        systemColumns().filter(col("table_name") === name).drop("table_name")
+      }
 
     // CREATE VIEW (r14): validate the chain EAGERLY (unknown tables or
     // columns fail at CREATE, as in DuckDB) but store the PARSED chain —

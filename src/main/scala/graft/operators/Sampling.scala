@@ -308,7 +308,37 @@ object Sampling {
         Window.orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))
   }
 
+  /** Stratified exact-k Efraimidis–Spirakis sampling (C118): the C86
+    * quality-weighted without-replacement draw, but per LANGUAGE stratum
+    * — k docs from EVERY language, each drawn with probability
+    * proportional to quality WITHIN its stratum (the per-language corpus
+    * refresh that a global draw starves minority languages of). Same
+    * deterministic key (u from the doc_id hash, es_key = −ln(u)/quality,
+    * smallest-k win), so the draw replays in any engine. Scale shape:
+    * per-stratum top-k via the bounded-heap `top_k` aggregate — partial
+    * heaps map-side, the shuffle carries k rows per (stratum ×
+    * partition), never a per-stratum sort. */
+  private def esStratified(s: SparkSession, d: String): DataFrame = {
+    val k = 10
+    val keyed = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        TextAnalysis.qualityOf(col("text")).as("quality"),
+        ((bucketOf(col("doc_id"), 1048576) + lit(0.5)) / lit(1048576.0)).as("u"))
+      .select(col("lang"), col("doc_id"), col("quality"),
+        round(log(col("u")) * lit(-1.0) / col("quality"), 9).as("es_key"))
+    keyed.groupBy(col("lang"))
+      .agg(call_function("top_k",
+        struct((-col("es_key")).as("neg_key"), (-col("doc_id")).as("neg_id")),
+        lit(k)).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        (-col("col.neg_id")).as("doc_id"),
+        round(-col("col.neg_key"), 9).as("es_key"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_es_stratified" -> esStratified _,
     "q_shuffle_order" -> shuffleOrder _,
     "q_nucleus_select" -> nucleusSelect _,
     "q_es_sample" -> esSample _,
@@ -325,6 +355,26 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_es_stratified" ->
+      """WITH t AS (
+        | SELECT lang, doc_id,
+        |  0.4 * least(1.0, len(string_split(text, ' ')) * 1.0 / 100.0)
+        |   + 0.4 * (len(list_distinct(string_split(text, ' '))) * 1.0
+        |            / len(string_split(text, ' ')))
+        |   + 0.2 * (CASE WHEN (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+        |       / len(string_split(text, ' ')) BETWEEN 3.0 AND 8.0
+        |       THEN 1.0 ELSE 0.0 END) AS quality,
+        |  (((doc_id % 1000000007) * 2654435761) % 1000000007 % 1048576 + 0.5)
+        |    / 1048576.0 AS u
+        | FROM documents),
+        |keyed AS (
+        | SELECT lang, doc_id, round(ln(u) * -1.0 / quality, 9) AS es_key
+        | FROM t)
+        |SELECT lang, rank, doc_id, es_key FROM (
+        | SELECT lang, doc_id, es_key, CAST(row_number() OVER (
+        |   PARTITION BY lang ORDER BY es_key, doc_id) AS BIGINT) AS rank
+        | FROM keyed) WHERE rank <= 10
+        |ORDER BY lang, rank""".stripMargin,
     "q_shuffle_order" ->
       """WITH keyed AS (
         | SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),

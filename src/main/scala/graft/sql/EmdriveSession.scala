@@ -988,6 +988,14 @@ final class EmdriveSession(spark: SparkSession,
         sel.baseAlias)) { (rel, j) =>
       val right = aliasCols(table(j.table), j.alias)
       if (j.kind == "cross") rel.crossJoin(right)
+      else if (j.usingCol) {
+        // USING (k): Spark's native Seq-key join — one output k column
+        require(rel.columns.contains(j.leftKey) &&
+          right.columns.contains(j.leftKey),
+          s"USING (${j.leftKey}) needs the bare column on BOTH sides " +
+            s"(left: ${rel.columns.mkString(",")}; right: ${right.columns.mkString(",")})")
+        rel.join(right, Seq(j.leftKey), j.kind)
+      }
       else {
         val (lk, rk) =
           if (rel.columns.contains(j.leftKey) && right.columns.contains(j.rightKey))
@@ -2265,6 +2273,8 @@ final class EmdriveSession(spark: SparkSession,
         case ("TRANSLATE", Seq(x, _, _)) =>
           translate(x, argStr(args(1), "TRANSLATE from"),
             argStr(args(2), "TRANSLATE to"))
+        case ("LTRIM", Seq(x)) => ltrim(x)
+        case ("RTRIM", Seq(x)) => rtrim(x)
         // r14: array tier. STRING_SPLIT takes a LITERAL separator
         // (DuckDB semantics: plain text, not a regex -- quoted before it
         // reaches Spark's regex-based split); LEN is the ARRAY length

@@ -73,6 +73,7 @@ import graft.sources.SchemaMapper
   *   … FROM l [a] CROSS JOIN r [b]   (explicit Cartesian product)
   *   … FROM l [a] SEMI|ANTI JOIN r [b] ON a.k = b.k   (existence
   *     filtering: left columns only, each left row at most once)
+  *   … JOIN r USING (k)   (shared-name equi-join, one output key)
   *   … RANGE BETWEEN INTERVAL n DAY[S] PRECEDING AND CURRENT ROW
   *     (trailing calendar frame; DATE-valued keys, day granularity)
   *   COLUMNS('regex')   (projection selector: matching base columns)
@@ -415,6 +416,10 @@ object EmdriveSql {
         * renamed `a.col`, so qualified references (and self-joins)
         * resolve unambiguously. */
       alias: Option[String] = None,
+      /** `JOIN t USING (k)` (r14) — the shared-name equi-join; the
+        * output carries ONE k column (ANSI coalesced-key semantics on
+        * inner/left joins via Spark's native USING lowering). */
+      usingCol: Boolean = false,
       /** `ASOF [LEFT] JOIN t ON a = b AND x >= y` (r14) — the temporal
         * inequality conjunct as written: (lhs, op, rhs) with op one of
         * >= / <= (inclusive only; DuckDB's strict variants are refused
@@ -595,7 +600,8 @@ object EmdriveSql {
     "LIST_CONTAINS", "ARRAY_TO_STRING", "LIST_EXTRACT",
     "ARRAY_JOIN", "STRFTIME",
     // r14 widening: fuzzy/regex/JSON tier 4
-    "LEVENSHTEIN", "REGEXP_EXTRACT", "JSON_ARRAY_LENGTH", "TRANSLATE")
+    "LEVENSHTEIN", "REGEXP_EXTRACT", "JSON_ARRAY_LENGTH", "TRANSLATE",
+    "LTRIM", "RTRIM")
   private val WinFuncs =
     Set("ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK", "CUME_DIST")
 
@@ -977,6 +983,13 @@ object EmdriveSql {
               p.toks = rest; Some(w)
             case _ => None
           }
+        // USING (k): shared-name equi-join, one output key column
+        if (!isAsof && p.tryWord("USING")) {
+          p.eatSym("(")
+          val k = p.ident()
+          p.eatSym(")")
+          joins += Join(t, k, k, kind = kind, alias = jAlias, usingCol = true)
+        } else {
         p.eatWord("ON")
         val a = p.qident()
         p.eatSym("=")
@@ -997,6 +1010,7 @@ object EmdriveSql {
             Some((x, op, p.qident()))
           }
         joins += Join(t, a, b, kind = kind, alias = jAlias, asof = asofCond)
+        }
       } else joining = false
       }
     }

@@ -861,6 +861,17 @@ object SqlQueries {
                |WHERE n.n_nationkey < 5
                |ORDER BY rn, nn;""".stripMargin)
     }),
+    // r14: USING-clause join (one output key column) + LTRIM/RTRIM
+    "q_sql_using" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.register("embeds", Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("label")))
+      es.sql("""SELECT doc_id, LTRIM(CONCAT('  ', lang)) AS lang,
+               | RTRIM(CONCAT(source, ' ')) AS source, label
+               |FROM documents JOIN embeds USING (doc_id)
+               |WHERE doc_id < 200 ORDER BY doc_id;""".stripMargin)
+    }),
     // r14: LATERAL — the ANSI per-key top-n spelling; decorrelated to a
     // rank window + one equi-join, never a per-row subquery
     "q_sql_lateral" -> ((s: SparkSession, d: String) => {
@@ -1877,6 +1888,12 @@ object SqlQueries {
         |FROM generate_series(1, 12) g
         |LEFT JOIN monthly m ON g.generate_series = m.mth
         |ORDER BY 1""".stripMargin,
+    "q_sql_using" ->
+      """WITH embeds AS (SELECT vec_id AS doc_id, label FROM embeddings)
+        |SELECT doc_id, LTRIM(CONCAT('  ', lang)) AS lang,
+        | RTRIM(CONCAT(source, ' ')) AS source, label
+        |FROM documents JOIN embeds USING (doc_id)
+        |WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "q_sql_lateral" ->
       """SELECT c.c_custkey AS ck, l.price AS price
         |FROM customer c, LATERAL (

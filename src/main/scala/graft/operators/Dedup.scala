@@ -199,9 +199,15 @@ object Dedup {
     * bucket-join candidates → exact-Jaccard verify at 0.5. Signature + band
     * hashing fuse into one `minhash_bands` scan (see functions.MinHashBands)
     * — no interpreted HOF lambdas in the per-document hot path. */
-  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  private def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashPairs(
+      Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh")))
+
+  /** The MinHash+LSH pair kernel over any (doc_id, sh) relation — shared
+    * by the q_minhash_lsh operator key and the `minhash_neardup` SQL
+    * table function (r15). */
+  private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d).select(col("doc_id"), shingleCol.as("sh"))
     val banded = docs.select(
       col("doc_id"),
       posexplode(call_function("minhash_bands", col("sh"), lit(64), lit(16))))

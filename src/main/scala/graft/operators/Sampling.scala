@@ -318,9 +318,14 @@ object Sampling {
     * per-stratum top-k via the bounded-heap `top_k` aggregate — partial
     * heaps map-side, the shuffle carries k rows per (stratum ×
     * partition), never a per-stratum sort. */
-  private def esStratified(s: SparkSession, d: String): DataFrame = {
-    val k = 10
-    val keyed = Tables.documents(s, d)
+  private def esStratified(s: SparkSession, d: String): DataFrame =
+    esStratifiedOver(Tables.documents(s, d), 10)
+
+  /** The per-stratum Efraimidis–Spirakis exact-k kernel over any
+    * (lang, doc_id, text) relation — shared by the q_es_stratified
+    * operator key and the `es_stratified` SQL table function (r15). */
+  private[graft] def esStratifiedOver(docs: DataFrame, k: Int): DataFrame = {
+    val keyed = docs
       .select(col("lang"), col("doc_id"),
         TextAnalysis.qualityOf(col("text")).as("quality"),
         ((bucketOf(col("doc_id"), 1048576) + lit(0.5)) / lit(1048576.0)).as("u"))

@@ -97,7 +97,13 @@ object TextAnalysis {
     * than the window select their single minimum; docs under k words
     * select nothing. The oracle replays grams, hash, and sweep in DuckDB
     * list comprehensions (the content_fp doctrine). */
-  private def winnow(s: SparkSession, d: String): DataFrame = {
+  private def winnow(s: SparkSession, d: String): DataFrame =
+    winnowOver(Tables.documents(s, d))
+
+  /** The winnowing kernel over any (doc_id, text) relation — shared by
+    * the q_winnow operator key and the `winnow` SQL table function
+    * (r15). Pure per-row codegen array ops: no explode, no shuffle. */
+  private[graft] def winnowOver(docs: DataFrame): DataFrame = {
     val w = 4
     val ws = split(col("text"), " ")
     val grams = when(size(ws) >= 3,
@@ -113,7 +119,7 @@ object TextAnalysis {
           i => array_min(slice(hs, i + lit(1), lit(w))))))
         .when(n >= 1, array(array_min(hs)))
         .otherwise(array().cast("array<bigint>"))
-    Tables.documents(s, d).select(
+    docs.select(
       col("doc_id"),
       n.as("n_grams"),
       size(selected).as("n_selected"),

@@ -137,11 +137,26 @@ final class EmdriveSession(spark: SparkSession,
 
   private val TvfName = "^([A-Za-z_][A-Za-z_0-9]*)\\((.*)\\)$".r
 
+  /** Views currently being re-lowered — a view chain that re-enters its
+    * own resolution (self-referential OR REPLACE, a two-view cycle) is a
+    * circular reference and raises a clear error instead of recursing to
+    * StackOverflowError (r14 ADVICE). Statement execution is
+    * single-threaded per session, so a plain set suffices. */
+  private val viewResolving = mutable.Set.empty[String]
+
+  private def resolveView(name: String, ch: EmdriveSql.UnionStmt): DataFrame = {
+    require(!viewResolving.contains(name),
+      s"circular view reference: $name")
+    viewResolving += name
+    try lowerChain(ch) finally viewResolving -= name
+  }
+
   def table(name: String): DataFrame = name match {
     case TvfName(fn, argStr) =>
       tableFunction(fn.toLowerCase,
         if (argStr.isEmpty) Seq.empty else argStr.split(",").map(_.trim).toSeq)
-    case _ => catalog.get(name).orElse(views.get(name).map(lowerChain)).orElse(name match {
+    case _ => catalog.get(name).orElse(views.get(name).map(ch =>
+      resolveView(name, ch))).orElse(name match {
       // the system catalog is itself queryable — SELECT/JOIN/GROUP BY
       // compose over it like any relation (reference: src/storage/
       // system.rs registers `system.tables`/`system.columns` as tables);
@@ -371,6 +386,40 @@ final class EmdriveSession(spark: SparkSession,
         require(step != 0, "generate_series step must be nonzero")
         spark.range(a, b + (if (step > 0) 1L else -1L), step)
           .select(col("id").as("generate_series"))
+      // winnow(tbl, idCol, textCol) (r15): the C115 winnowing fingerprint
+      // selection at the SQL front door — per-row codegen array ops, no
+      // shuffle; output (doc_id, n_grams, n_selected, fp_sum, fp_min)
+      case "winnow" =>
+        arity(3)
+        graft.operators.TextAnalysis.winnowOver(
+          table(args(0)).select(col(args(1)).as("doc_id"),
+            col(args(2)).as("text")))
+      // minhash_neardup(tbl, idCol, textCol) (r15): the C3 MinHash+LSH
+      // near-dup pair kernel — banded bucket-join candidates (df-cut,
+      // per-bucket caps), exact-Jaccard verify at 0.5, never all-pairs
+      case "minhash_neardup" =>
+        arity(3)
+        graft.operators.Dedup.minhashPairs(
+          table(args(0)).select(col(args(1)).as("doc_id"),
+            call_function("word_shingles", col(args(2)), lit(3)).as("sh")))
+      // es_stratified(tbl, idCol, stratCol, textCol, k) (r15): the C118
+      // per-stratum Efraimidis–Spirakis exact-k quality draw — bounded
+      // top-k heaps per stratum, the shuffle carries k·strata rows
+      case "es_stratified" =>
+        arity(5)
+        graft.operators.Sampling.esStratifiedOver(
+          table(args(0)).select(col(args(2)).as("lang"),
+            col(args(1)).as("doc_id"), col(args(3)).as("text")),
+          args(4).toInt)
+      // semdedup(tbl, idCol, vecCol, eps) (r15): the C72 cluster-local
+      // semantic dedup — KMeans cells, per-cell dominance pruning at
+      // cosine ≥ eps; output (vec_id, cluster_id, centroid_sim, kept)
+      case "semdedup" =>
+        arity(4)
+        graft.operators.Similarity.semDedupCore(
+          table(args(0)).select(col(args(1)).as("vec_id"),
+            col(args(2)).as("embedding")),
+          args(3).toDouble)
       case other => throw new IllegalArgumentException(
         s"unknown table function: $other")
     }
@@ -508,14 +557,33 @@ final class EmdriveSession(spark: SparkSession,
       require(!catalog.contains(name),
         s"a table named $name exists; views cannot shadow tables")
       require(orReplace || !views.contains(name), s"view exists: $name")
-      val validated = lowerChain(chain)
+      // validate with the NEW definition already installed (r14 ADVICE:
+      // validating against the old chain let a self-referential OR
+      // REPLACE through, to StackOverflow on the next reference) — a
+      // cycle now raises HERE via the resolveView guard, and the
+      // previous definition is restored on ANY validation failure
+      val prev = views.get(name)
       views(name) = chain
-      validated
+      try resolveView(name, chain)
+      catch {
+        case e: Throwable =>
+          prev match {
+            case Some(p) => views(name) = p
+            case None => views.remove(name): Unit
+          }
+          throw e
+      }
 
     // DROP (r14): kind-checked removal; a durable table's on-disk
     // generations go with it (boot must not resurrect a dropped table).
     case DropStmt(name, ifExists, isView) =>
       if (isView) {
+        // kind-check is symmetric with the DROP TABLE branch (r14
+        // ADVICE): DROP VIEW on a TABLE errors even under IF EXISTS —
+        // the name exists with the wrong kind, which DuckDB reports,
+        // rather than "not there", which IF EXISTS would swallow
+        require(!catalog.contains(name),
+          s"$name is a table; use DROP TABLE")
         if (views.remove(name).isEmpty)
           require(ifExists, s"unknown view: $name")
       } else {
@@ -628,7 +696,7 @@ final class EmdriveSession(spark: SparkSession,
         catalog(name)
       }
 
-    case Delete(name, where) =>
+    case Delete(name, where, None) =>
       requireTable(name, "DELETE")
       val t = table(name)
       // keep = NOT coalesce(pred, false): a NULL predicate KEEPS the row
@@ -638,7 +706,82 @@ final class EmdriveSession(spark: SparkSession,
       persistIfDurable(name)
       catalog(name)
 
-    case Update(name, sets, where) =>
+    // DELETE … USING (r15): delete the target rows with AT LEAST ONE
+    // source match — ONE anti join (keep = no match; a NULL predicate is
+    // not-TRUE, so the row is kept — exactly ANSI three-valued). Both
+    // relations are referenced qualified (target by its table name,
+    // source by its alias), the MERGE naming contract. The anti join
+    // shuffles on whatever equi keys Catalyst extracts from the
+    // predicate — the scalable joined-maintenance shape (never a
+    // per-row subquery).
+    case Delete(name, Some(pr), Some((sName, sAlias))) =>
+      requireTable(name, "DELETE")
+      val t = table(name)
+      require(sAlias != name,
+        s"DELETE … USING $sName needs an alias distinct from $name")
+      val ta = aliasCols(t, Some(name))
+      val sb = aliasCols(table(sName), Some(sAlias))
+      // the predicate lowers to unbound qualified refs, resolvable by
+      // the join itself (disjoint aliased name spaces on the two sides)
+      val cond = predCol(ta.crossJoin(sb), pr)
+      catalog(name) = ta.join(sb, cond, "left_anti")
+        .select(t.schema.fields.map(f =>
+          qref(s"$name.${f.name}").as(f.name)).toIndexedSeq: _*)
+      persistIfDurable(name)
+      catalog(name)
+
+    case Delete(_, None, Some(_)) => throw new IllegalArgumentException(
+      "DELETE … USING requires a WHERE join predicate")
+
+    // UPDATE … FROM (r15): each target row with EXACTLY one source match
+    // takes its SET expressions evaluated over the joined row; >1 match
+    // raises (the MERGE ANSI-cardinality doctrine — an arbitrary pick
+    // would be nondeterministic); no match passes through unchanged.
+    // Lowered as ONE left-outer join: unmatched rows carry NULL source
+    // fields and a NULL match marker, so old-vs-new selection is a
+    // per-row conditional — no second scan, no row ids; the duplicate
+    // check is |join| = |target| (two bounded eager counts, the DML
+    // driver-action discipline).
+    case Update(name, sets, where, Some((sName, sAlias))) =>
+      requireTable(name, "UPDATE")
+      val t = table(name)
+      val schema = t.schema
+      sets.foreach { case (c, _) =>
+        require(schema.fieldNames.contains(c), s"unknown column in SET: $c") }
+      val setMap = sets.toMap
+      require(setMap.size == sets.size, "duplicate column in SET")
+      require(sAlias != name,
+        s"UPDATE … FROM $sName needs an alias distinct from $name")
+      val pr = where.getOrElse(throw new IllegalArgumentException(
+        "UPDATE … FROM requires a WHERE join predicate"))
+      val ta = aliasCols(t, Some(name))
+      val sb = aliasCols(table(sName), Some(sAlias))
+        .withColumn("__m", lit(1))
+      val cond = predCol(ta.crossJoin(sb), pr)
+      val joined = ta.join(sb, cond, "left_outer")
+      val (nT, nJ) = (ta.count(), joined.count())
+      require(nJ == nT,
+        "UPDATE … FROM: a target row matches more than one source row " +
+          "(ANSI cardinality violation)")
+      val matched = col("__m").isNotNull
+      // eager statement-time domain validation over exactly the matched
+      // rows (atomic failure, table untouched — the UPDATE discipline)
+      requireDomain(joined,
+        sets.flatMap { case (c, o) =>
+          val f = schema.fields.find(_.name == c).get
+          domainViolation(operandCol(joined, o), f).map(v => c -> (matched && v))
+        }, "UPDATE")
+      catalog(name) = joined.select(schema.fields.map { f =>
+        setMap.get(f.name) match {
+          case Some(o) => when(matched, guardedCast(operandCol(joined, o), f))
+            .otherwise(qref(s"$name.${f.name}")).as(f.name)
+          case None => qref(s"$name.${f.name}").as(f.name)
+        }
+      }.toIndexedSeq: _*)
+      persistIfDurable(name)
+      catalog(name)
+
+    case Update(name, sets, where, None) =>
       requireTable(name, "UPDATE")
       val t = table(name)
       val schema = t.schema
@@ -1107,11 +1250,37 @@ final class EmdriveSession(spark: SparkSession,
         (lCols.filterNot(_ == lk).map(c =>
           lit(null).cast(rel.schema(c).dataType).as(c)) :+
           struct(rCols.map(c => qcol(right, c).as(c)): _*).as("__r")): _*)
+    // NULL-time semantics (r14 ADVICE): an ASOF comparison against a NULL
+    // time is unknown → no match, DuckDB-identical. Right rows with a
+    // NULL time leave the union entirely (under the ascending window
+    // order they sort first and last(ignoreNulls) would carry one as a
+    // spurious "match" for every left row preceding all real right
+    // times); left rows with a NULL time force __asof to NULL, so inner
+    // drops them and LEFT emits NULL right fields.
+    // Determinism (r14 ADVICE): when several right rows share a
+    // (key, time) the window tiebreaks on the whole carried right struct
+    // — a total order over orderable types, so last() picks the SAME
+    // duplicate on any partitioning (the repo's determinism contract).
+    // A right side with a non-orderable column (map) falls back to
+    // (time, side) ordering — engine-dependent among exact duplicates
+    // of (key, time) only.
+    def orderable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case ArrayType(et, _) => orderable(et)
+      case st: StructType => st.fields.forall(f => orderable(f.dataType))
+      case _ => true
+    }
+    val tKey = if (forward) col("__t").desc else col("__t").asc
+    val ordKeys =
+      if (orderable(carryType)) Seq(tKey, col("__side"), col("__r").asc)
+      else Seq(tKey, col("__side"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
-      .orderBy(if (forward) col("__t").desc else col("__t").asc, col("__side"))
+      .orderBy(ordKeys: _*)
       .rowsBetween(Long.MinValue, 0)
-    val joined = lSide.unionByName(rSide)
-      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+    val joined = lSide.unionByName(rSide.filter(col("__t").isNotNull))
+      .withColumn("__asof",
+        when(col("__t").isNull, lit(null).cast(carryType))
+          .otherwise(last(col("__r"), ignoreNulls = true).over(w)))
       .filter(col("__side") === 1)
     val matched = if (kind == "inner") joined.filter(col("__asof").isNotNull)
       else joined
@@ -1411,8 +1580,16 @@ final class EmdriveSession(spark: SparkSession,
               s"window $f over $alias has no PARTITION BY: the whole " +
                 "relation sorts in one task — acceptable for " +
                 "dimension-sized inputs only")
-          val ordered = Window.partitionBy(parts.map(qref): _*)
-            .orderBy(keys.map(k => if (k.desc) qref(k.name).desc else qref(k.name).asc): _*)
+          // frame-free aggregate window (r15): no ORDER BY → no sort at
+          // all, and Spark's default frame is the WHOLE partition — the
+          // share-of-total idiom (n / SUM(n) OVER ()). Deterministic by
+          // construction; the parser restricts it to SUM/COUNT/AVG/MIN/
+          // MAX. With an order the ANSI default RANGE frame applies.
+          val partitioned = Window.partitionBy(parts.map(qref): _*)
+          val ordered =
+            if (keys.isEmpty) partitioned
+            else partitioned.orderBy(keys.map(k =>
+              if (k.desc) qref(k.name).desc else qref(k.name).asc): _*)
           // EXCLUDE CURRENT ROW (r14) rides the frame kind as a suffix:
           // strip it here, build the FULL-frame spec, and rewrite the
           // aggregate arithmetically below (full frame minus the row's
@@ -1824,7 +2001,22 @@ final class EmdriveSession(spark: SparkSession,
         // partitioning). Same per-group memory model as STRING_AGG:
         // the group's full value list, capped loudly.
         val Array(c, dir) = enc.split("", 2)
-        val lst = sort_array(collect_list(qref(c)), asc = dir == "a")
+        // DuckDB parity (r14 ADVICE): ARRAY_AGG KEEPS NULL elements --
+        // Spark's collect_list silently drops them -- and orders NULLS
+        // LAST in both directions (DuckDB default_null_order, probed).
+        // Elements ride a (null-rank, value) struct so collect_list
+        // cannot drop them (a struct value is never NULL) and
+        // sort_array's field-wise struct ordering lands NULLs last:
+        // ascending sorts (isNull, v) -- false before true; descending
+        // sorts (isNotNull, v) -- true first. The same projection
+        // unwraps (codegen'd transform), so the product is a plain list.
+        val asc = dir == "a"
+        val x = qref(c)
+        val lst = transform(
+          sort_array(collect_list(struct(
+            (if (asc) x.isNull else x.isNotNull).as("n"), x.as("v"))),
+            asc = asc),
+          e => e.getField("v"))
         when(size(lst) > StringAggMaxGroup,
             raise_error(concat(lit("ARRAY_AGG group for '"), lit(c),
               lit(s"' exceeds $StringAggMaxGroup values; aggregate or "),

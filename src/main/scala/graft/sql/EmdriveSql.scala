@@ -358,10 +358,14 @@ object EmdriveSql {
     * result RELATION becomes the table; schema is the query's. */
   final case class CreateAs(name: String, ifNotExists: Boolean,
       chain: UnionStmt) extends Statement
-  /** DELETE FROM t WHERE pred — catalog rewrite: the table becomes the
-    * complement relation (three-valued: NULL predicates KEEP the row,
-    * exactly ANSI DELETE semantics). No WHERE = truncate. */
-  final case class Delete(table: String, where: Option[Pred]) extends Statement
+  /** DELETE FROM t [USING s [alias]] WHERE pred — catalog rewrite: the
+    * table becomes the complement relation (three-valued: NULL predicates
+    * KEEP the row, exactly ANSI DELETE semantics). No WHERE = truncate.
+    * With USING (r15) the predicate joins both relations (qualified
+    * references) and a target row is deleted iff ANY source row matches —
+    * the correlated-maintenance statement (lowered as one anti join). */
+  final case class Delete(table: String, where: Option[Pred],
+      using: Option[(String, String)] = None) extends Statement
   /** CREATE [OR REPLACE] VIEW v AS select-chain (r14): the chain is
     * stored and RE-LOWERED at every reference — a view over a table that
     * later takes INSERTs reads the new rows (true view semantics). */
@@ -396,12 +400,17 @@ object EmdriveSql {
       matchedSets: Option[Seq[(String, Operand)]], matchedDelete: Boolean,
       notMatched: Option[(Seq[String], Seq[Operand])]) extends Statement
 
-  /** UPDATE t SET c = expr [, …] [WHERE pred] — catalog rewrite:
-    * matched rows take the new expressions, others pass through; the
-    * engine-side cast back to each column's declared type preserves the
-    * table schema. */
+  /** UPDATE t SET c = expr [, …] [FROM s [alias]] [WHERE pred] — catalog
+    * rewrite: matched rows take the new expressions, others pass through;
+    * the engine-side cast back to each column's declared type preserves
+    * the table schema. With FROM (r15) the WHERE joins both relations
+    * (qualified references), SET expressions read the joined row, and a
+    * target row matching MORE than one source row raises (the MERGE
+    * cardinality doctrine — Postgres' pick-an-arbitrary-match is
+    * nondeterministic, against the repo's determinism contract). */
   final case class Update(table: String, sets: Seq[(String, Operand)],
-      where: Option[Pred]) extends Statement
+      where: Option[Pred],
+      from: Option[(String, String)] = None) extends Statement
   /** One `[LEFT|RIGHT|FULL [OUTER]] JOIN t ON a = b` clause (graft
     * extension; the reference grammar is single-table). Keys are
     * unqualified: the lowering resolves which side owns which name
@@ -657,8 +666,20 @@ object EmdriveSql {
       else if (p.tryWord("DELETE")) {
         p.eatWord("FROM")
         val t = p.ident()
+        // USING s [AS] [alias] (r15): joined DELETE — the WHERE becomes
+        // the join predicate (mandatory; an unconditional joined delete
+        // is a truncate spelled confusingly, refused)
+        val using =
+          if (p.tryWord("USING")) {
+            val s = p.ident()
+            p.tryWord("AS"): Unit
+            val a = if (!p.peekWord("WHERE")) p.ident() else s
+            Some((s, a))
+          } else None
         val w = if (p.tryWord("WHERE")) Some(parsePred(p)) else None
-        Delete(t, w)
+        require(using.isEmpty || w.nonEmpty,
+          "DELETE … USING requires a WHERE join predicate")
+        Delete(t, w, using)
       }
       else if (p.tryWord("UPDATE")) {
         val t = p.ident()
@@ -668,8 +689,19 @@ object EmdriveSql {
         }
         val sets = mutable.ListBuffer(setPair())
         while (p.trySym(",")) sets += setPair()
+        // FROM s [AS] [alias] (r15): joined UPDATE — SET expressions and
+        // the (mandatory) WHERE read the joined qualified row
+        val from =
+          if (p.tryWord("FROM")) {
+            val s = p.ident()
+            p.tryWord("AS"): Unit
+            val a = if (!p.peekWord("WHERE")) p.ident() else s
+            Some((s, a))
+          } else None
         val w = if (p.tryWord("WHERE")) Some(parsePred(p)) else None
-        Update(t, sets.toSeq, w)
+        require(from.isEmpty || w.nonEmpty,
+          "UPDATE … FROM requires a WHERE join predicate")
+        Update(t, sets.toSeq, w, from)
       }
       else if (p.tryWord("MERGE")) {
         p.eatWord("INTO")
@@ -942,6 +974,35 @@ object EmdriveSql {
     // table functions take aliases too (r14): `FROM generate_series(1,12) g`
     // — the alias renames the TVF's output columns like any relation's
     val baseAlias = if (derived.isEmpty) tryAlias() else None
+    // USING SAMPLE n% ON col (r15): the dialect's sampling clause is
+    // DETERMINISTIC by definition — membership is the C19 multiplicative
+    // hash of the named key column (same row, same verdict, every run,
+    // engine, partitioning; Sampling.bucketOf's exact arithmetic), NOT an
+    // RNG draw. It desugars HERE to a plain WHERE conjunct
+    // ((col % 1000000007) * 2654435761) % 1000000007 % 100 < n — so it
+    // reaches the scan's pushed filters like any predicate, costs zero
+    // new lowering, and the DuckDB oracle replays it textually.
+    val sampleConj: Option[Pred] =
+      if (p.tryWord("USING")) {
+        p.eatWord("SAMPLE")
+        val n = p.toks match {
+          case TNum(s) :: rest if !s.contains('.') => p.toks = rest; s.toLong
+          case _ => p.fail("integer percentage after USING SAMPLE")
+        }
+        require(n >= 0 && n <= 100,
+          s"USING SAMPLE percentage out of range: $n")
+        if (!p.trySym("%")) p.eatWord("PERCENT")
+        // the key column is explicit: a table-level sample needs a stable
+        // row identity to be deterministic, and the dialect cannot guess
+        // one — `ON <col>` names it (graft extension to the DuckDB shape)
+        p.eatWord("ON")
+        val c = p.qident()
+        def num(s: String) = OVal(VNum(s))
+        val h = OArith(OArith(OArith(OArith(ORef(c),
+          "%", num("1000000007")), "*", num("2654435761")),
+          "%", num("1000000007")), "%", num("100"))
+        Some(PCmp(Cmp(h, "<", num(n.toString))))
+      } else None
     val joins = mutable.ListBuffer.empty[Join]
     var joining = true
     while (joining) {
@@ -1026,6 +1087,7 @@ object EmdriveSql {
         Some((sub, p.ident()))
       } else None
     val where = mutable.ListBuffer.empty[Pred]
+    sampleConj.foreach(where += _)
     if (p.tryWord("WHERE")) where += parsePred(p)
     val groupExprs = mutable.ListBuffer.empty[(String, Operand)]
     val (groupBy, groupMode, groupSets) =
@@ -1119,6 +1181,7 @@ object EmdriveSql {
         val (parts, keys, frame) = winSpecs.getOrElse(w,
           p.fail(s"OVER $w references no WINDOW clause spec"))
         checkFrame(f, frame, p)
+        checkUnordered(f, keys, p)
         WinItem(f, a, parts, keys, alias, frame)
       case other => other
     }
@@ -1353,6 +1416,7 @@ object EmdriveSql {
     }
     val (parts, keys, frame) = parseWindowSpec(p)
     checkFrame(func, frame, p)
+    checkUnordered(func, keys, p)
     p.eatWord("AS")
     WinItem(func, arg, parts, keys, p.ident(), frame)
   }
@@ -1377,16 +1441,23 @@ object EmdriveSql {
       while (p.trySym(",")) cs += p.qident()
       cs.toSeq
     } else Seq.empty
-    // mandatory: an unordered rank/frame is nondeterministic, same
-    // doctrine as OFFSET without ORDER BY
-    p.eatWord("ORDER"); p.eatWord("BY")
-    def wkey(): OrderKey = {
-      val name = p.qident()
-      val desc = p.tryWord("DESC") || { p.tryWord("ASC"); false }
-      OrderKey(name, desc)
+    // ORDER BY is mandatory for rank/navigation functions and frames (an
+    // unordered rank is nondeterministic, same doctrine as OFFSET without
+    // ORDER BY) but OPTIONAL for plain aggregate windows (r15): SUM(x)
+    // OVER () / OVER (PARTITION BY k) — the share-of-total idiom — is
+    // deterministic by construction (whole-partition frame, no order to
+    // depend on). parseOverClause enforces per-function.
+    val keys = mutable.ListBuffer.empty[OrderKey]
+    if (p.tryWord("ORDER")) {
+      p.eatWord("BY")
+      def wkey(): OrderKey = {
+        val name = p.qident()
+        val desc = p.tryWord("DESC") || { p.tryWord("ASC"); false }
+        OrderKey(name, desc)
+      }
+      keys += wkey()
+      while (p.trySym(",")) keys += wkey()
     }
-    val keys = mutable.ListBuffer(wkey())
-    while (p.trySym(",")) keys += wkey()
     // (partition/order keys accept qualified names — aliased-relation
     // windows; lowering quotes dotted names at the Column boundary)
     // optional explicit ROWS frame (the moving-average idiom, centered
@@ -1452,8 +1523,24 @@ object EmdriveSql {
         Some((kind, lo, hi))
       } else None
     p.eatSym(")")
+    // a frame clause positions rows relative to an order — meaningless
+    // (and nondeterministic) without one
+    require(keys.nonEmpty || frame.isEmpty,
+      "a window frame clause requires ORDER BY")
     (parts, keys.toSeq, frame)
   }
+
+  /** Aggregates that accept a frame-free (no ORDER BY) window — the
+    * share-of-total / percent-of-group idiom. Deterministic by
+    * construction: the implicit frame is the whole partition, so no row
+    * order can change the value. Rank/navigation functions stay
+    * order-mandatory (checked in [[checkUnordered]]). */
+  private val UnorderedWinAggs = Set("SUM", "COUNT", "AVG", "MIN", "MAX")
+
+  private def checkUnordered(func: String, keys: Seq[OrderKey], p: P): Unit =
+    require(keys.nonEmpty || UnorderedWinAggs(func),
+      s"$func requires ORDER BY in its OVER clause " +
+        "(only SUM/COUNT/AVG/MIN/MAX may omit it)")
 
   /** All aggregate atoms inside an operand tree. */
   private[sql] def aggAtoms(o: Operand): Seq[OAgg] = o match {

@@ -841,14 +841,20 @@ object SqlQueries {
       es.sql("UNPIVOT pstats ON urgent, high INTO NAME priority VALUE n;")
     }),
     // r14: ARRAY_AGG with its mandatory inner ORDER BY — deterministic
-    // list aggregation on any partitioning
+    // list aggregation on any partitioning. The gate projection
+    // stringifies the list through ARRAY_TO_STRING (r14 verdict #1: the
+    // driver's pandas compare cannot sort/hash a raw array column —
+    // no gate key returns an array/struct at the projection boundary);
+    // ARRAY_AGG itself stays load-bearing inside the derived table.
     "q_sql_array_agg" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
       es.register("orders", Tables.orders(s, d))
-      es.sql("""SELECT o_orderstatus,
-               | ARRAY_AGG(o_orderkey ORDER BY o_orderkey) AS ks
-               |FROM orders WHERE o_orderkey < 100
-               |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin)
+      es.sql("""SELECT o_orderstatus, ARRAY_TO_STRING(ks, ',') AS ks
+               |FROM (SELECT o_orderstatus,
+               |  ARRAY_AGG(o_orderkey ORDER BY o_orderkey) AS ks
+               | FROM orders WHERE o_orderkey < 100
+               | GROUP BY o_orderstatus) t
+               |ORDER BY o_orderstatus;""".stripMargin)
     }),
     // r14: CROSS JOIN — the explicit Cartesian product (spines, small
     // dims); composes with WHERE like any relation
@@ -871,6 +877,117 @@ object SqlQueries {
                | RTRIM(CONCAT(source, ' ')) AS source, label
                |FROM documents JOIN embeds USING (doc_id)
                |WHERE doc_id < 200 ORDER BY doc_id;""".stripMargin)
+    }),
+    // r15: frame-free aggregate windows — SUM(n) OVER () / OVER
+    // (PARTITION BY k) with no ORDER BY, the share-of-total idiom
+    // (deterministic by construction: whole-partition frame, no sort at
+    // all in the plan). Counts are exact ints, so each share is ONE IEEE
+    // division + round-6 — bitwise cross-engine.
+    "q_sql_share" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT st, pr, n,
+               | ROUND(n * 1.0 / st_tot, 6) AS share_in_status,
+               | ROUND(n * 1.0 / tot, 6) AS share_total
+               |FROM (SELECT st, pr, n,
+               |  SUM(n) OVER (PARTITION BY st) AS st_tot,
+               |  SUM(n) OVER () AS tot
+               | FROM (SELECT o_orderstatus AS st, o_orderpriority AS pr,
+               |   COUNT(*) AS n
+               |  FROM orders GROUP BY o_orderstatus, o_orderpriority) g) t
+               |ORDER BY st, pr;""".stripMargin)
+    }),
+    // r15: UPDATE … FROM — the joined correlated-maintenance UPDATE; SET
+    // reads the joined qualified row, >1 source match per target raises
+    // (MERGE cardinality doctrine), unmatched rows pass through
+    "q_sql_update_from" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("nat", Tables.nation(s, d))
+      es.register("region", Tables.region(s, d))
+      es.sql("""UPDATE nat SET n_name = CONCAT(r.r_name, ':', nat.n_name)
+               |FROM region r
+               |WHERE nat.n_regionkey = r.r_regionkey AND r.r_regionkey < 3;"""
+        .stripMargin)
+      es.sql("SELECT n_nationkey, n_name, n_regionkey FROM nat ORDER BY n_nationkey;")
+    }),
+    // r15: DELETE … USING — joined DELETE (≥1 match deletes), one anti
+    // join, never a per-row subquery
+    "q_sql_delete_using" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("ords", Tables.orders(s, d))
+      es.register("cust", Tables.customer(s, d))
+      es.sql("""DELETE FROM ords USING cust c
+               |WHERE ords.o_custkey = c.c_custkey
+               |  AND c.c_mktsegment = 'BUILDING';""".stripMargin)
+      es.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+               | SUM(o_orderkey) AS key_sum
+               |FROM ords GROUP BY o_orderstatus ORDER BY o_orderstatus;"""
+        .stripMargin)
+    }),
+    // r15: USING SAMPLE — the dialect's DETERMINISTIC sampling clause
+    // (C19 multiplicative-hash membership on the named key), desugared
+    // in the parser to a WHERE conjunct so it reaches the scan's pushed
+    // filters; the oracle replays the hash textually
+    "q_sql_sample" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+               |FROM orders USING SAMPLE 10% ON o_orderkey
+               |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin)
+    }),
+    // r15: winnow TVF — C115's fingerprint selection at the SQL front door
+    "q_sql_winnow" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT doc_id, n_grams, n_selected, fp_sum, fp_min
+               |FROM winnow(documents, doc_id, text) ORDER BY doc_id;"""
+        .stripMargin)
+    }),
+    // r15: minhash_neardup TVF — C3's MinHash+LSH pair kernel at the SQL
+    // front door (bucketed candidates, exact-Jaccard verify ≥ 0.5)
+    "q_sql_minhash" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT id_a, id_b, jaccard
+               |FROM minhash_neardup(documents, doc_id, text)
+               |ORDER BY id_a, id_b;""".stripMargin)
+    }),
+    // r15: es_stratified TVF — C118's per-stratum exact-k quality draw
+    "q_sql_es_stratified" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("documents", Tables.documents(s, d))
+      es.sql("""SELECT lang, rank, doc_id, es_key
+               |FROM es_stratified(documents, doc_id, lang, text, 10)
+               |ORDER BY lang, rank;""".stripMargin)
+    }),
+    // r15: semdedup TVF — C72's cluster-local semantic dedup at the SQL
+    // front door, gate-checked via the PLANTED-DUPLICATE CONTRACT (the
+    // q_semdedup pattern: the kept-set depends on the KMeans partition,
+    // but the algebraic guarantees below hold for ANY clustering and the
+    // oracle replays them from the parquet). The augmented corpus —
+    // every 37th vector cloned under a shifted id — registers as a table;
+    // the CONTRACT aggregation runs in SQL over the TVF's per-vector
+    // (vec_id, cluster_id, centroid_sim, kept) relation.
+    "q_sql_semdedup" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      es.register("corpus", e)
+      es.register("embeds", e.unionByName(
+        e.filter(col("vec_id") % 37 === 0)
+          .select((col("vec_id") + 1000000007L).as("vec_id"),
+            col("embedding"))))
+      es.sql("""WITH r AS (SELECT vec_id, cluster_id, kept
+               |  FROM semdedup(embeds, vec_id, embedding, 0.4)),
+               | o AS (SELECT vec_id AS ovec, cluster_id AS o_cl FROM r
+               |  WHERE vec_id < 1000000007 AND vec_id % 37 = 0),
+               | c AS (SELECT vec_id - 1000000007 AS cvec,
+               |   cluster_id AS c_cl, kept AS c_kept FROM r
+               |  WHERE vec_id >= 1000000007),
+               | tot AS (SELECT COUNT(*) AS nc FROM corpus)
+               |SELECT MAX(nc) AS n_corpus, COUNT(*) AS n_planted,
+               | COUNT(*) FILTER (WHERE o_cl = c_cl) AS same_cluster,
+               | COUNT(*) FILTER (WHERE c_kept = FALSE) AS pruned
+               |FROM o JOIN c ON ovec = cvec CROSS JOIN tot;""".stripMargin)
     }),
     // r14: LATERAL — the ANSI per-key top-n spelling; decorrelated to a
     // rank window + one equi-join, never a per-row subquery
@@ -1647,6 +1764,51 @@ object SqlQueries {
         | CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE NOT (n_chars < 100 AND lang <> 'en')
         |GROUP BY lang""".stripMargin,
+    "q_sql_update_from" ->
+      """SELECT n_nationkey,
+        | CASE WHEN r_regionkey IS NOT NULL
+        |  THEN CONCAT(r_name, ':', n_name) ELSE n_name END AS n_name,
+        | n_regionkey
+        |FROM nation LEFT JOIN region
+        | ON n_regionkey = r_regionkey AND r_regionkey < 3
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_sql_delete_using" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_custkey NOT IN
+        | (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_sql_sample" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE ((o_orderkey % 1000000007) * 2654435761)
+        |  % 1000000007 % 100 < 10
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_sql_winnow" -> graft.operators.TextAnalysis.oracles("q_winnow"),
+    "q_sql_minhash" -> graft.operators.Dedup.oracles("q_minhash_lsh"),
+    "q_sql_es_stratified" ->
+      graft.operators.Sampling.oracles("q_es_stratified"),
+    // the planted-contract replay (the q_semdedup oracle pattern): every
+    // count derives from the raw embeddings parquet — the clone lands in
+    // its original's cell and is always pruned, for ANY clustering
+    "q_sql_semdedup" ->
+      """SELECT count(*) AS n_corpus,
+        | count(*) FILTER (WHERE vec_id % 37 = 0) AS n_planted,
+        | count(*) FILTER (WHERE vec_id % 37 = 0) AS same_cluster,
+        | count(*) FILTER (WHERE vec_id % 37 = 0) AS pruned
+        |FROM embeddings""".stripMargin,
+    "q_sql_share" ->
+      """SELECT st, pr, n,
+        | ROUND(n * 1.0 / st_tot, 6) AS share_in_status,
+        | ROUND(n * 1.0 / tot, 6) AS share_total
+        |FROM (SELECT st, pr, n,
+        |  SUM(n) OVER (PARTITION BY st) AS st_tot,
+        |  SUM(n) OVER () AS tot
+        | FROM (SELECT o_orderstatus AS st, o_orderpriority AS pr,
+        |   COUNT(*) AS n
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority) g) t
+        |ORDER BY st, pr""".stripMargin,
     "q_sql_ctas" ->
       """SELECT source, count(*) AS n,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -1960,10 +2122,12 @@ object SqlQueries {
         | FROM orders GROUP BY 1)
         |UNPIVOT pstats ON urgent, high INTO NAME priority VALUE n""".stripMargin,
     "q_sql_array_agg" ->
-      """SELECT o_orderstatus,
-        | array_agg(o_orderkey ORDER BY o_orderkey) AS ks
-        |FROM orders WHERE o_orderkey < 100
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      """SELECT o_orderstatus, array_to_string(ks, ',') AS ks
+        |FROM (SELECT o_orderstatus,
+        |  array_agg(o_orderkey ORDER BY o_orderkey) AS ks
+        | FROM orders WHERE o_orderkey < 100
+        | GROUP BY o_orderstatus) t
+        |ORDER BY o_orderstatus""".stripMargin,
     "q_sql_cross" ->
       """SELECT r.r_name AS rn, n.n_name AS nn
         |FROM region r CROSS JOIN nation n

@@ -482,7 +482,9 @@ class QueryPlanSpec extends SparkTestBase {
       "q_dup_by_length",     // cumdist over the distinct-n_chars histogram
       "q_budget_waterfill",  // rank/cumsum over the per-source relation
       "q_ivf_recall_curve",  // ranks over 8 centroids / 3 nprobe settings
-      "q_shuffle_order"      // pos over the post-TakeOrdered 200-row head
+      "q_shuffle_order",     // pos over the post-TakeOrdered 200-row head
+      "q_sql_share"          // SUM(n) OVER () over the collapsed
+                             // status×priority grid (≤15 rows at any SF)
     )
     def unpartitioned(p: SparkPlan): Seq[String] = {
       val here = p match {

@@ -87,6 +87,28 @@ class ServerSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("pipeline TVFs serve over HTTP (r15): es_stratified round-trip") {
+    GraftSession.prepare(spark)
+    val es = new EmdriveSession(spark)
+    es.register("documents", graft.sources.Tables.documents(spark, sfDir))
+    val server = new GraftServer(es, maxRows = 10000)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      // the per-language exact-k quality draw, SQL-in-rows-out — the
+      // curation story a non-Scala client runs through the front door
+      val r = post(base,
+        "SELECT lang, rank, doc_id FROM es_stratified(documents, doc_id, lang, text, 3) ORDER BY lang, rank;")
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().contains("\"rank\":1") && r.body().contains("\"lang\":"),
+        r.body())
+      // deterministic: the same draw replays byte-identically
+      val r2 = post(base,
+        "SELECT lang, rank, doc_id FROM es_stratified(documents, doc_id, lang, text, 3) ORDER BY lang, rank;")
+      assert(r2.statusCode() == 200 && r2.body() == r.body())
+    } finally server.stop()
+  }
+
   test("null columns are kept in the JSON (serde explicit-null contract)") {
     withServer() { (_, base) =>
       assert(post(base, "CREATE TABLE t (id UINT64 PRIMARY KEY, v NULLABLE(STRING));")

@@ -933,12 +933,41 @@ final class EmdriveSession(spark: SparkSession,
         case (n, None) => catalog.remove(n)
       }
 
-    case ExplainStmt(sel) =>
+    case ExplainStmt(sel, false) =>
       val text = lowerSelect(sel).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       spark.createDataFrame(
         text.split("\n").toSeq.map(Row(_)).asJava,
         StructType(Seq(StructField("plan_line", StringType))))
+
+    // EXPLAIN ANALYZE (r15): EXECUTE the statement and report runtime row
+    // metrics — the pushdown/filter contract observable at RUN time (r14
+    // verdict "what's missing" #5). Output: ('where', rows surviving the
+    // WHERE — the MIN over FilterExec numOutputRows, i.e. rows past every
+    // conjunct) and ('result', result rows). Both are SEMANTIC counts
+    // (engine-independent for a deterministic query), so the DuckDB
+    // oracle replays them as plain COUNTs — a runtime metric that
+    // diverges from the semantic count is a real filtering bug. The
+    // result count runs as an added global aggregate (count()), so
+    // nothing row-shaped materializes on the driver; metrics read from
+    // the executed plan's accumulators, descending through AQE stages.
+    case ExplainStmt(sel, true) =>
+      import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val cdf = lowerSelect(sel).groupBy().count()
+      val n = cdf.collect()(0).getLong(0)
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: nodes(a.executedPlan)
+        case q: QueryStageExec => p +: nodes(q.plan)
+        case _ => p +: p.children.flatMap(nodes)
+      }
+      val filterRows = nodes(cdf.queryExecution.executedPlan)
+        .collect { case f: FilterExec => f.metrics("numOutputRows").value }
+      val rows: Seq[Row] = Row("result", n) +:
+        (if (filterRows.nonEmpty) Seq(Row("where", filterRows.min)) else Nil)
+      spark.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("node", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false))))
   }
 
   /** Left-assoc set-op fold (ANSI bag semantics): positional column
@@ -1770,8 +1799,19 @@ final class EmdriveSession(spark: SparkSession,
           // expressions, so the occasional double registration is free.
           val exprAggs = items
             .collect { case AggExprItem(o, _) => aggAtoms(o) }.flatten.distinct
-            .map { case OAgg(f, arg) =>
-              aggColumn(f, arg).as("__agg_" + aggAlias(f, arg, None)) }
+            .map {
+              case OAgg(f, arg) =>
+                aggColumn(f, arg).as("__agg_" + aggAlias(f, arg, None))
+              // expression aggregates (r15): the argument lowers over the
+              // PRE-aggregation rows (CASE/arithmetic per row, then the
+              // partial-combined aggregate — one scan, map-side combine);
+              // the internal name is the atom's structural hash, so the
+              // same spelled atom computes once and reads consistently
+              case a @ OAggX(f, o) =>
+                aggColumnX(f, operandCol(df, o)).as(aggxName(a))
+              case other => throw new IllegalArgumentException(
+                s"unexpected aggregate atom: $other")
+            }
           val aggs = plain ++ exprAggs
           require(aggs.nonEmpty, "GROUP BY requires at least one aggregate")
           // ROLLUP/CUBE lower to Dataset.rollup/cube — ONE Expand pass
@@ -1790,6 +1830,7 @@ final class EmdriveSession(spark: SparkSession,
           // their computed columns, ORefs read group keys, literals stay
           def aggExprCol(o: Operand): Column = o match {
             case OAgg(f, arg) => col("__agg_" + aggAlias(f, arg, None))
+            case a: OAggX => col(aggxName(a))
             case ORef(n) => qref(n)
             case OVal(VNum(s)) => numLit(s)
             case s: OSub => operandCol(base, s) // scalar subquery: already a literal
@@ -1938,6 +1979,26 @@ final class EmdriveSession(spark: SparkSession,
   private val StringAggMaxGroup: Long =
     sys.env.get("SPARK_GRAFT_STRING_AGG_MAX").flatMap(_.toLongOption)
       .getOrElse(1000000L)
+
+  /** Expression-aggregate lowering (r15, [[EmdriveSql.OAggX]]): the
+    * argument Column was already lowered over PRE-aggregation rows. */
+  private def aggColumnX(func: String, x: Column): Column = func match {
+    case "COUNT" => count(x)
+    case "SUM" => sum(x)
+    case "AVG" => avg(x)
+    case "MIN" => min(x)
+    case "MAX" => max(x)
+    case other => throw new IllegalArgumentException(
+      s"$other does not take an expression argument")
+  }
+
+  /** Internal column name for an expression-aggregate atom: the case
+    * class's structural hash (murmur3 over the operand tree — stable
+    * within and across JVMs), so one spelled atom computes once and every
+    * reader resolves the same column; never a user-visible alias (the
+    * round-7 shadowing lesson). */
+  private def aggxName(a: EmdriveSql.OAggX): String =
+    "__aggx_" + java.lang.Integer.toHexString(a.hashCode)
 
   private def aggColumn(func: String, arg: Option[String]): Column =
     (func, arg) match {
@@ -2131,6 +2192,14 @@ final class EmdriveSession(spark: SparkSession,
         }.getOrElse(throw new IllegalArgumentException(
           s"HAVING aggregate $f(${arg.getOrElse("*")}) must also appear " +
             "in the select list"))
+      // expression aggregates (r15): HAVING SUM(CASE … END) … resolves to
+      // the structurally-identical select-item atom's output alias
+      case a: OAggX =>
+        items.collectFirst {
+          case AggExprItem(o2, alias) if o2 == (a: Operand) => ORef(alias)
+        }.getOrElse(throw new IllegalArgumentException(
+          s"HAVING aggregate ${a.func}(<expr>) must also appear " +
+            "in the select list (same spelling)"))
       case OArith(l, oper, r) => OArith(op(l), oper, op(r))
       case OFunc(f, as) => OFunc(f, as.map(op))
       case OCast(x, t, tm) => OCast(op(x), t, tm)
@@ -2348,7 +2417,19 @@ final class EmdriveSession(spark: SparkSession,
       val c = operandCol(base, o, corr)
       if (tm) call_function("graft_try_cast", c, lit(sqlTypeName(t)))
       else c.cast(sqlTypeName(t))
+    // operand-level CASE (r15): the when-chain, exactly the CaseItem
+    // lowering — a NULL-subject/no-match row yields the ELSE (or NULL)
+    case OCase(branches, elseV) =>
+      // branch conditions are plain predicates (subquery forms stay a
+      // WHERE-only shape, refused by predCol's default substitution map)
+      val chain = branches.foldLeft(Option.empty[Column]) { case (acc, (pr, v)) =>
+        val (c, x) = (predCol(base, pr), operandCol(base, v, corr))
+        Some(acc.fold(when(c, x))(_.when(c, x)))
+      }.get
+      elseV.fold(chain)(e => chain.otherwise(operandCol(base, e, corr)))
     case a: OAgg => throw new IllegalArgumentException(
+      s"aggregate ${a.func} is only valid in an aggregating SELECT's items")
+    case a: OAggX => throw new IllegalArgumentException(
       s"aggregate ${a.func} is only valid in an aggregating SELECT's items")
   }
 

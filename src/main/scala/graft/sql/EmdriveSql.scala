@@ -282,6 +282,16 @@ object EmdriveSql {
     * each distinct (func, arg) once and the expression reads the result;
     * anywhere else (WHERE, CASE, subquery) it is rejected at lowering. */
   final case class OAgg(func: String, arg: Option[String]) extends Operand
+  /** Aggregate over an EXPRESSION (r15): `SUM(a * b)`, `SUM(CASE WHEN p
+    * THEN x ELSE y END)` — the conditional-aggregation / inline-formula
+    * idiom (TPC-H revenue without a derived table). SUM/AVG/MIN/MAX/COUNT
+    * only; parses whenever the argument is not a single column name. */
+  final case class OAggX(func: String, arg: Operand) extends Operand
+  /** Operand-level CASE (r15): usable inside expressions, aggregate
+    * arguments, and WHERE — the item-level [[CaseItem]]'s anonymous twin
+    * (same parse body, same when-chain lowering). */
+  final case class OCase(branches: Seq[(Pred, Operand)],
+      elseV: Option[Operand]) extends Operand
   final case class Cmp(lhs: Operand, op: String, rhs: Operand)
 
   /** Boolean predicate tree (graft extension — the reference grammar is an
@@ -342,7 +352,12 @@ object EmdriveSql {
   /** EXPLAIN <select> — returns the formatted physical plan as rows
     * (graft extension; the engine's plan is the real answer to "how will
     * this run", which a declarative front-end should expose). */
-  final case class ExplainStmt(select: Select) extends Statement
+  /** EXPLAIN returns the formatted physical plan; EXPLAIN ANALYZE (r15)
+    * EXECUTES the statement and reports runtime row metrics — ('where',
+    * rows surviving the WHERE filters) + ('result', result rows) — the
+    * pushdown contract observable at RUN time, not just plan time. */
+  final case class ExplainStmt(select: Select,
+      analyze: Boolean = false) extends Statement
   final case class CreateTable(name: String, ifNotExists: Boolean,
       schema: StructType) extends Statement
   final case class Insert(table: String, columns: Seq[String],
@@ -584,6 +599,10 @@ object EmdriveSql {
     "DELETE", "UPDATE", "SET", "MERGE", "USING", "MATCHED", "RECURSIVE",
     "QUALIFY")
 
+  /** Aggregates that accept an EXPRESSION argument (r15, → [[OAggX]]);
+    * the rest stay column-only (their lowerings read the arg slot). */
+  private val ExprAggFuncs = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
+
   private val AggFuncs =
     Set("COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN", "GROUPING",
       // r12 widening: boolean quantifier + dispersion aggregates
@@ -802,7 +821,9 @@ object EmdriveSql {
       else if (p.tryWord("SHOW")) { p.eatWord("TABLES"); ShowTables }
       else if (p.tryWord("DESCRIBE")) Describe(p.ident())
       else if (p.tryWord("EXPLAIN")) {
-        p.eatWord("SELECT"); ExplainStmt(parseSelect(p))
+        // EXPLAIN ANALYZE (r15): execute and report runtime row metrics
+        val analyze = p.tryWord("ANALYZE")
+        p.eatWord("SELECT"); ExplainStmt(parseSelect(p), analyze)
       }
       else p.fail("CREATE, INSERT, SELECT, WITH, EXPLAIN, PIVOT, UNPIVOT, " +
         "SHOW TABLES or DESCRIBE")
@@ -1257,25 +1278,9 @@ object EmdriveSql {
   private def parseItem(p: P): SelectItem = p.toks match {
     case TWord(w) :: _ if w.equalsIgnoreCase("CASE") =>
       p.toks = p.toks.tail
-      // simple CASE (`CASE x WHEN v THEN r …`) desugars at parse time to
-      // the searched form (`WHEN x = v THEN r`) — ANSI-equivalent for
-      // non-NULL subjects, one lowering path
-      val subject: Option[Operand] =
-        if (p.peekWord("WHEN")) None else Some(parseOperand(p))
-      val branches = mutable.ListBuffer.empty[(Pred, Operand)]
-      while (p.tryWord("WHEN")) {
-        val pred = subject match {
-          case None => parsePred(p)
-          case Some(subj) => PCmp(Cmp(subj, "=", parseOperand(p)))
-        }
-        p.eatWord("THEN")
-        branches += ((pred, parseOperand(p)))
-      }
-      if (branches.isEmpty) p.fail("WHEN after CASE")
-      val elseV = if (p.tryWord("ELSE")) Some(parseOperand(p)) else None
-      p.eatWord("END")
+      val (branches, elseV) = parseCaseBody(p)
       p.eatWord("AS") // mandatory: the output name must be explicit
-      CaseItem(branches.toSeq, elseV, p.ident())
+      CaseItem(branches, elseV, p.ident())
     case TWord(f) :: TSym("(") :: TSym(")") :: _ if WinFuncs(f.toUpperCase) =>
       p.toks = p.toks.tail.tail.tail
       parseOverClause(p, f.toUpperCase, None)
@@ -1397,6 +1402,29 @@ object EmdriveSql {
         if (aggAtoms(other).nonEmpty) AggExprItem(other, p.ident())
         else ExprItem(other, p.ident())
     }
+  }
+
+  /** CASE body (after the CASE keyword, through END) — shared by the
+    * item-level CaseItem and the operand-level OCase (r15). Simple CASE
+    * (`CASE x WHEN v THEN r …`) desugars at parse time to the searched
+    * form (`WHEN x = v THEN r`) — ANSI-equivalent for non-NULL subjects,
+    * one lowering path. */
+  private def parseCaseBody(p: P): (Seq[(Pred, Operand)], Option[Operand]) = {
+    val subject: Option[Operand] =
+      if (p.peekWord("WHEN")) None else Some(parseOperand(p))
+    val branches = mutable.ListBuffer.empty[(Pred, Operand)]
+    while (p.tryWord("WHEN")) {
+      val pred = subject match {
+        case None => parsePred(p)
+        case Some(subj) => PCmp(Cmp(subj, "=", parseOperand(p)))
+      }
+      p.eatWord("THEN")
+      branches += ((pred, parseOperand(p)))
+    }
+    if (branches.isEmpty) p.fail("WHEN after CASE")
+    val elseV = if (p.tryWord("ELSE")) Some(parseOperand(p)) else None
+    p.eatWord("END")
+    (branches.toSeq, elseV)
   }
 
   /** Shared OVER-clause parse for ranking and aggregate window items. */
@@ -1543,8 +1571,9 @@ object EmdriveSql {
         "(only SUM/COUNT/AVG/MIN/MAX may omit it)")
 
   /** All aggregate atoms inside an operand tree. */
-  private[sql] def aggAtoms(o: Operand): Seq[OAgg] = o match {
+  private[sql] def aggAtoms(o: Operand): Seq[Operand] = o match {
     case a: OAgg => Seq(a)
+    case a: OAggX => Seq(a) // expression aggregates are atoms too (r15)
     case OArith(l, _, r) => aggAtoms(l) ++ aggAtoms(r)
     case OFunc(_, args) => args.flatMap(aggAtoms)
     case OCast(x, _, _) => aggAtoms(x)
@@ -1673,18 +1702,47 @@ object EmdriveSql {
     case TWord(f) :: TSym("(") :: _ if AggFuncs(f.toUpperCase) =>
       p.toks = p.toks.tail.tail
       val distinct = p.tryWord("DISTINCT")
-      val arg = if (p.trySym("*")) None else Some(p.qident())
-      p.eatSym(")")
-      require(arg.nonEmpty || f.equalsIgnoreCase("count"),
-        s"$f(*) is not valid; only COUNT(*)")
-      require(!distinct || (arg.nonEmpty && f.equalsIgnoreCase("count")),
-        "DISTINCT is supported for COUNT(column) only")
-      OAgg(if (distinct) "COUNT_DISTINCT" else f.toUpperCase, arg)
+      // plain-column argument (the classic path) — or, for SUM/AVG/MIN/
+      // MAX/COUNT, any EXPRESSION (r15): `SUM(a * b)`, `SUM(CASE … END)`.
+      // Disambiguated by lookahead: a single qident followed by `)` is a
+      // column; anything else re-parses as an operand → OAggX.
+      val saved = p.toks
+      val plainArg: Option[Option[String]] =
+        if (p.trySym("*")) Some(None)
+        else scala.util.Try(p.qident()).toOption match {
+          case Some(c) if p.peekSym(")") => Some(Some(c))
+          case _ => p.toks = saved; None
+        }
+      plainArg match {
+        case Some(arg) =>
+          p.eatSym(")")
+          require(arg.nonEmpty || f.equalsIgnoreCase("count"),
+            s"$f(*) is not valid; only COUNT(*)")
+          require(!distinct || (arg.nonEmpty && f.equalsIgnoreCase("count")),
+            "DISTINCT is supported for COUNT(column) only")
+          OAgg(if (distinct) "COUNT_DISTINCT" else f.toUpperCase, arg)
+        case None =>
+          require(!distinct, "DISTINCT is supported for COUNT(column) only")
+          require(ExprAggFuncs(f.toUpperCase),
+            s"$f takes a plain column argument, not an expression")
+          val o = parseOperand(p)
+          p.eatSym(")")
+          require(!p.peekWord("OVER"),
+            "window aggregates take a plain column argument — compute " +
+              "the expression in a derived table first")
+          OAggX(f.toUpperCase, o)
+      }
     case TSym("(") :: _ =>
       p.eatSym("(")
       val inner = parseOperand(p)
       p.eatSym(")")
       inner
+    // operand-level CASE (r15): CASE … END inside expressions and
+    // aggregate arguments — same body as the item form, no alias here
+    case TWord(w) :: _ if w.equalsIgnoreCase("CASE") =>
+      p.toks = p.toks.tail
+      val (branches, elseV) = parseCaseBody(p)
+      OCase(branches, elseV)
     case TWord(w) :: _ if !Keywords.contains(w.toUpperCase) =>
       val name = p.qident()
       if (p.trySym("@")) ODist(name, p.value()) else ORef(name)

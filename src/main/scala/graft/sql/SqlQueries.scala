@@ -924,6 +924,33 @@ object SqlQueries {
                |FROM ords GROUP BY o_orderstatus ORDER BY o_orderstatus;"""
         .stripMargin)
     }),
+    // r15: EXPLAIN ANALYZE — runtime row metrics (rows surviving WHERE,
+    // result rows) read from the EXECUTED plan's accumulators; both are
+    // semantic counts, so the oracle replays them as plain COUNTs — the
+    // pushdown/filter contract observable at run time
+    "q_sql_explain_analyze" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""EXPLAIN ANALYZE SELECT o_orderstatus, COUNT(*) AS n
+               |FROM orders WHERE o_orderkey < 1000
+               |GROUP BY o_orderstatus;""".stripMargin)
+    }),
+    // r15: aggregates over EXPRESSIONS — SUM(CASE …)/SUM(arith), the
+    // conditional-aggregation idiom, plus HAVING over the same atom; the
+    // per-row expression evaluates pre-aggregation (one scan, map-side
+    // combine), shared atoms compute once
+    "q_sql_agg_case" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderstatus,
+               | SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+               | SUM(o_orderkey % 10) AS key_digit_sum,
+               | MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN o_orderkey ELSE 0 END) AS max_high_key,
+               | SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) * 100 / COUNT(*) AS urgent_pct
+               |FROM orders GROUP BY o_orderstatus
+               |HAVING SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) > 0
+               |ORDER BY o_orderstatus;""".stripMargin)
+    }),
     // r15: USING SAMPLE — the dialect's DETERMINISTIC sampling clause
     // (C19 multiplicative-hash membership on the named key), desugared
     // in the parser to a WHERE conjunct so it reaches the scan's pushed
@@ -1778,6 +1805,24 @@ object SqlQueries {
         |FROM orders WHERE o_custkey NOT IN
         | (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // runtime metrics ARE semantic counts for a deterministic query —
+    // the oracle recomputes both as plain COUNTs from the parquet
+    "q_sql_explain_analyze" ->
+      """SELECT 'result' AS node,
+        |  count(DISTINCT o_orderstatus) AS n_rows
+        |FROM orders WHERE o_orderkey < 1000
+        |UNION ALL
+        |SELECT 'where' AS node, count(*) AS n_rows
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin,
+    "q_sql_agg_case" ->
+      """SELECT o_orderstatus,
+        | CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        | CAST(SUM(o_orderkey % 10) AS BIGINT) AS key_digit_sum,
+        | MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN o_orderkey ELSE 0 END) AS max_high_key,
+        | SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) * 100 / COUNT(*) AS urgent_pct
+        |FROM orders GROUP BY o_orderstatus
+        |HAVING SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) > 0
+        |ORDER BY o_orderstatus""".stripMargin,
     "q_sql_sample" ->
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(o_orderkey) AS BIGINT) AS key_sum

@@ -103,7 +103,10 @@ final class GraftServer(es: EmdriveSession, port: Int = 0,
            // r14: view DDL and DROP mutate the catalog (DROP TABLE also
            // deletes durable generations) — write-classified like every
            // other catalog mutation; PIVOT/UNPIVOT stay read-classified
-           _: EmdriveSql.CreateView | _: EmdriveSql.DropStmt => true
+           _: EmdriveSql.CreateView | _: EmdriveSql.DropStmt |
+           // r15: schema evolution + truncate mutate the catalog too
+           _: EmdriveSql.AlterAdd | _: EmdriveSql.AlterDrop |
+           _: EmdriveSql.AlterRename | _: EmdriveSql.TruncateStmt => true
       case _ => false
     }
     if (readOnly && isWrite)

@@ -120,6 +120,21 @@ object SchemaMapper {
     })
   }
 
+  /** One column def → one StructField (r15, ALTER TABLE ADD COLUMN) —
+    * the CREATE grammar minus the table-level exactly-one-PRIMARY-KEY
+    * rule (an added column must NOT be a key: the table already has its
+    * one PRIMARY KEY, and a metric index cannot appear under a column
+    * with no values). */
+  def toField(columnDef: String): StructField = {
+    val c = parseColumn(columnDef)
+    require(!c.primaryKey && !c.metricKey,
+      s"ALTER TABLE ADD COLUMN ${c.name} cannot declare a key role")
+    val mb = new MetadataBuilder()
+    c.default.foreach(mb.putString(DefaultMetadata, _))
+    mb.putString(RawTypeMetadata, c.rawType)
+    StructField(c.name, c.dataType, c.nullable, mb.build())
+  }
+
   /** Parse a full `CREATE TABLE [IF NOT EXISTS] name (cols...)` statement
     * (reference: src/sql/expects/statements/create_table.rs shape). */
   def parseCreateTable(sql: String): (String, StructType) = {

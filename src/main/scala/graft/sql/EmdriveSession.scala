@@ -647,8 +647,8 @@ final class EmdriveSession(spark: SparkSession,
         val provided = named.zip(vs).toMap
         val projected = schema.fields.map { f =>
           provided.get(f.name) match {
-            case Some(v) => valueCol(v, f).as(f.name)
-            case None => defaultCol(f).as(f.name)
+            case Some(v) => valueCol(v, f).as(f.name, f.metadata)
+            case None => defaultCol(f).as(f.name, f.metadata)
           }
         }
         spark.range(1).select(projected.toIndexedSeq: _*)
@@ -678,8 +678,8 @@ final class EmdriveSession(spark: SparkSession,
         schema.fields.toSeq.filter(f => named.contains(f.name)).flatMap(f =>
           domainViolation(col(f.name), f).map(f.name -> _)), "INSERT")
       val projected = schema.fields.map { f =>
-        if (named.contains(f.name)) guardedCast(col(f.name), f).as(f.name)
-        else defaultCol(f).as(f.name)
+        if (named.contains(f.name)) guardedCast(col(f.name), f).as(f.name, f.metadata)
+        else defaultCol(f).as(f.name, f.metadata)
       }
       catalog(name) = target.unionByName(
         renamed.select(projected.toIndexedSeq: _*))
@@ -695,6 +695,58 @@ final class EmdriveSession(spark: SparkSession,
         persistIfDurable(name)
         catalog(name)
       }
+
+    // ALTER TABLE (r15): schema evolution as catalog rewrites. ADD
+    // COLUMN appends NULL for every existing row, so the declared type
+    // must be NULLABLE (DuckDB's posture without a DEFAULT); the field's
+    // declared-type/role metadata rides the projection, so later
+    // INSERT/UPDATE domain validation sees the new column like any
+    // CREATE-time one.
+    case AlterAdd(name, field) =>
+      requireTable(name, "ALTER TABLE")
+      val t = table(name)
+      require(!t.columns.contains(field.name),
+        s"column exists: ${field.name}")
+      require(field.nullable,
+        s"ADD COLUMN ${field.name}: existing rows have no value — " +
+          "declare it NULLABLE(…)")
+      catalog(name) = t.select(t.columns.map(qcol(t, _)) :+
+        lit(null).cast(field.dataType).as(field.name, field.metadata): _*)
+      persistIfDurable(name)
+      catalog(name)
+
+    case AlterDrop(name, c) =>
+      requireTable(name, "ALTER TABLE")
+      val t = table(name)
+      val f = t.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"unknown column: $c"))
+      // key columns anchor point lookups / the metric index — dropping
+      // one out from under them is refused, as DROP TABLE is the honest
+      // spelling of that intent
+      require(!f.metadata.contains(SchemaMapper.PrimaryKeyMetadata) &&
+        !f.metadata.contains("graft.metricKey"),
+        s"cannot drop key column $c (PRIMARY/METRIC KEY)")
+      require(t.columns.length > 1, "cannot drop the last column")
+      catalog(name) = t.drop(c)
+      persistIfDurable(name)
+      catalog(name)
+
+    case AlterRename(name, from, to) =>
+      requireTable(name, "ALTER TABLE")
+      val t = table(name)
+      require(t.columns.contains(from), s"unknown column: $from")
+      require(!t.columns.contains(to), s"column exists: $to")
+      catalog(name) = t.withColumnRenamed(from, to)
+      persistIfDurable(name)
+      catalog(name)
+
+    // TRUNCATE (r15): DELETE-without-WHERE spelled the ANSI way — the
+    // schema (and its declared-type metadata) survives, the rows go
+    case TruncateStmt(name) =>
+      requireTable(name, "TRUNCATE")
+      catalog(name) = table(name).limit(0)
+      persistIfDurable(name)
+      catalog(name)
 
     case Delete(name, where, None) =>
       requireTable(name, "DELETE")
@@ -726,7 +778,7 @@ final class EmdriveSession(spark: SparkSession,
       val cond = predCol(ta.crossJoin(sb), pr)
       catalog(name) = ta.join(sb, cond, "left_anti")
         .select(t.schema.fields.map(f =>
-          qref(s"$name.${f.name}").as(f.name)).toIndexedSeq: _*)
+          qref(s"$name.${f.name}").as(f.name, f.metadata)).toIndexedSeq: _*)
       persistIfDurable(name)
       catalog(name)
 
@@ -774,8 +826,8 @@ final class EmdriveSession(spark: SparkSession,
       catalog(name) = joined.select(schema.fields.map { f =>
         setMap.get(f.name) match {
           case Some(o) => when(matched, guardedCast(operandCol(joined, o), f))
-            .otherwise(qref(s"$name.${f.name}")).as(f.name)
-          case None => qref(s"$name.${f.name}").as(f.name)
+            .otherwise(qref(s"$name.${f.name}")).as(f.name, f.metadata)
+          case None => qref(s"$name.${f.name}").as(f.name, f.metadata)
         }
       }.toIndexedSeq: _*)
       persistIfDurable(name)
@@ -804,7 +856,7 @@ final class EmdriveSession(spark: SparkSession,
       catalog(name) = t.select(schema.fields.map { f =>
         setMap.get(f.name) match {
           case Some(o) => when(cond, guardedCast(operandCol(t, o), f))
-            .otherwise(col(f.name)).as(f.name)
+            .otherwise(col(f.name)).as(f.name, f.metadata)
           case None => col(f.name)
         }
       }.toIndexedSeq: _*)
@@ -853,7 +905,7 @@ final class EmdriveSession(spark: SparkSession,
       val origNames = t.schema.fields.map(_.name)
       def backToTarget(df: DataFrame): DataFrame =
         df.select(t.schema.fields.map(f =>
-          qref(s"$tAlias.${f.name}").as(f.name)).toIndexedSeq: _*)
+          qref(s"$tAlias.${f.name}").as(f.name, f.metadata)).toIndexedSeq: _*)
       // matched rows: UPDATE projects SET overrides over the joined row
       // (both sides readable), DELETE drops them, no clause keeps as-is
       val matchedOut: DataFrame =
@@ -873,8 +925,8 @@ final class EmdriveSession(spark: SparkSession,
             joined.select(t.schema.fields.map { f =>
               setMap.get(f.name) match {
                 case Some(o) =>
-                  guardedCast(operandCol(joined, o), f).as(f.name)
-                case None => qref(s"$tAlias.${f.name}").as(f.name)
+                  guardedCast(operandCol(joined, o), f).as(f.name, f.metadata)
+                case None => qref(s"$tAlias.${f.name}").as(f.name, f.metadata)
               }
             }.toIndexedSeq: _*)
           case None => backToTarget(joined)
@@ -896,8 +948,8 @@ final class EmdriveSession(spark: SparkSession,
         unmatched.select(t.schema.fields.map { f =>
           valueFor.get(f.name) match {
             case Some(o) =>
-              guardedCast(operandCol(unmatched, o), f).as(f.name)
-            case None => lit(null).cast(f.dataType).as(f.name)
+              guardedCast(operandCol(unmatched, o), f).as(f.name, f.metadata)
+            case None => lit(null).cast(f.dataType).as(f.name, f.metadata)
           }
         }.toIndexedSeq: _*)
       }
@@ -1160,6 +1212,18 @@ final class EmdriveSession(spark: SparkSession,
         sel.baseAlias)) { (rel, j) =>
       val right = aliasCols(table(j.table), j.alias)
       if (j.kind == "cross") rel.crossJoin(right)
+      else if (j.natural) {
+        // NATURAL (r15): equi-join on EVERY shared column name — the
+        // multi-key USING lowering (one output column per shared name);
+        // zero shared names is refused loudly (ANSI's silent cross
+        // product is a footgun, not a feature)
+        val shared = rel.columns.filter(right.columns.contains).toSeq
+        require(shared.nonEmpty,
+          s"NATURAL JOIN with ${j.table}: no shared column names " +
+            s"(left: ${rel.columns.mkString(",")}; " +
+            s"right: ${right.columns.mkString(",")})")
+        rel.join(right, shared, j.kind)
+      }
       else if (j.usingCol) {
         // USING (k): Spark's native Seq-key join — one output k column
         require(rel.columns.contains(j.leftKey) &&

@@ -415,6 +415,21 @@ object EmdriveSql {
       matchedSets: Option[Seq[(String, Operand)]], matchedDelete: Boolean,
       notMatched: Option[(Seq[String], Seq[Operand])]) extends Statement
 
+  /** ALTER TABLE schema evolution (r15) — catalog rewrites like every
+    * DML: ADD COLUMN appends a NULL-filled column (declared NULLABLE —
+    * existing rows have no value, so a non-nullable add is refused
+    * loudly; DuckDB's posture without DEFAULT), DROP COLUMN projects it
+    * away (PRIMARY/METRIC KEY columns refused — they anchor lookups and
+    * the metric index), RENAME COLUMN renames in place (metadata-
+    * preserving). */
+  final case class AlterAdd(table: String,
+      field: org.apache.spark.sql.types.StructField) extends Statement
+  final case class AlterDrop(table: String, column: String) extends Statement
+  final case class AlterRename(table: String, from: String,
+      to: String) extends Statement
+  /** TRUNCATE t (r15) — DELETE-without-WHERE spelled the ANSI way. */
+  final case class TruncateStmt(table: String) extends Statement
+
   /** UPDATE t SET c = expr [, …] [FROM s [alias]] [WHERE pred] — catalog
     * rewrite: matched rows take the new expressions, others pass through;
     * the engine-side cast back to each column's declared type preserves
@@ -450,7 +465,13 @@ object EmdriveSql {
         * loudly because a tie would silently not match). Which operand is
         * the left relation's time column is resolved at lowering by
         * column ownership, like the equi keys. */
-      asof: Option[(String, String, String)] = None)
+      asof: Option[(String, String, String)] = None,
+      /** `NATURAL [LEFT|RIGHT|FULL] JOIN t` (r15) — equi-join on EVERY
+        * shared column name (resolved at lowering, where both schemas
+        * are known); zero shared names is refused loudly (ANSI's silent
+        * cross product is a footgun). One output column per shared name
+        * (the USING lowering, multi-key). */
+      natural: Boolean = false)
 
   final case class Select(items: Seq[SelectItem], table: String,
       where: Seq[Pred], groupBy: Seq[String] = Seq.empty,
@@ -597,7 +618,7 @@ object EmdriveSql {
     "EXPLAIN", "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "ALL", "WITH",
     "OVER", "PARTITION", "EXCEPT", "INTERSECT", "IS", "CAST",
     "DELETE", "UPDATE", "SET", "MERGE", "USING", "MATCHED", "RECURSIVE",
-    "QUALIFY")
+    "QUALIFY", "NATURAL", "SAMPLE", "ALTER", "TRUNCATE")
 
   /** Aggregates that accept an EXPRESSION argument (r15, → [[OAggX]]);
     * the rest stay column-only (their lowerings read the arg slot). */
@@ -817,6 +838,40 @@ object EmdriveSql {
         p.eatWord("VALUE")
         val v = p.ident()
         UnpivotStmt(t, on.toSeq, n, v)
+      }
+      else if (p.tryWord("ALTER")) {
+        p.eatWord("TABLE")
+        val t = p.ident()
+        if (p.tryWord("ADD")) {
+          p.eatWord("COLUMN")
+          // the column def is the CREATE TABLE grammar's single-def text
+          // (delegated to SchemaMapper, which owns the type system)
+          val cur = new StringBuilder
+          var go = true
+          while (go) p.toks match {
+            case TWord(w) :: rest => cur.append(" " + w); p.toks = rest
+            case TNum(s) :: rest => cur.append(" " + s); p.toks = rest
+            case TSym("(") :: rest => cur.append("("); p.toks = rest
+            case TSym(")") :: rest => cur.append(")"); p.toks = rest
+            case TSym(";") :: _ | Nil => go = false
+            case other => p.fail(s"column definition, got $other")
+          }
+          val compact = cur.toString.trim
+            .replaceAll("\\s*\\(\\s*", "(").replaceAll("\\s*\\)", ")")
+          AlterAdd(t, SchemaMapper.toField(compact))
+        } else if (p.tryWord("DROP")) {
+          p.eatWord("COLUMN")
+          AlterDrop(t, p.ident())
+        } else if (p.tryWord("RENAME")) {
+          p.eatWord("COLUMN")
+          val from = p.ident()
+          p.eatWord("TO")
+          AlterRename(t, from, p.ident())
+        } else p.fail("ADD, DROP or RENAME COLUMN after ALTER TABLE")
+      }
+      else if (p.tryWord("TRUNCATE")) {
+        p.tryWord("TABLE"): Unit
+        TruncateStmt(p.ident())
       }
       else if (p.tryWord("SHOW")) { p.eatWord("TABLES"); ShowTables }
       else if (p.tryWord("DESCRIBE")) Describe(p.ident())
@@ -1044,7 +1099,8 @@ object EmdriveSql {
       } else {
       // ASOF [LEFT] JOIN (r14, the DuckDB temporal-join spelling): the
       // ON clause carries the equi key AND one inclusive time inequality
-      val isAsof = p.tryWord("ASOF")
+      val natural = p.tryWord("NATURAL")
+      val isAsof = !natural && p.tryWord("ASOF")
       val kind =
         if (p.tryWord("LEFT")) { p.tryWord("OUTER"); "left_outer" }
         else if (!isAsof && p.tryWord("RIGHT")) { p.tryWord("OUTER"); "right_outer" }
@@ -1052,10 +1108,10 @@ object EmdriveSql {
         // SEMI/ANTI (r14, the DuckDB spelling): existence filtering as a
         // join kind — output is the LEFT columns only, each left row at
         // most once (never duplicated by multiple matches)
-        else if (!isAsof && p.tryWord("SEMI")) "left_semi"
-        else if (!isAsof && p.tryWord("ANTI")) "left_anti"
+        else if (!isAsof && !natural && p.tryWord("SEMI")) "left_semi"
+        else if (!isAsof && !natural && p.tryWord("ANTI")) "left_anti"
         else "inner"
-      if (isAsof || kind != "inner" || p.peekWord("JOIN")) {
+      if (natural || isAsof || kind != "inner" || p.peekWord("JOIN")) {
         p.eatWord("JOIN")
         val t = p.tident()
         val jAlias =
@@ -1065,6 +1121,11 @@ object EmdriveSql {
               p.toks = rest; Some(w)
             case _ => None
           }
+        // NATURAL: no ON/USING clause — keys are every shared name,
+        // resolved at lowering where both schemas are known
+        if (natural) {
+          joins += Join(t, "", "", kind = kind, alias = jAlias, natural = true)
+        } else
         // USING (k): shared-name equi-join, one output key column
         if (!isAsof && p.tryWord("USING")) {
           p.eatSym("(")
@@ -1819,7 +1880,21 @@ object EmdriveSql {
             p.eatSym(")")
             PInTuple(ops.toSeq, rows.toSeq, neg)
           case None =>
-            p.eatSym("("); val e = parsePred(p); p.eatSym(")"); e
+            // predicate group — or (r15) a PARENTHESIZED OPERAND opening
+            // a comparison (`(a + b) > 5`, `(CASE … END) = 1`): probe the
+            // group parse, and if the ')' is followed by a comparison
+            // token instead of a boolean context, re-parse as a cmp
+            // (parseCmp's operand atom owns the paren). Same probe
+            // discipline as the tuple branch: parser failures only.
+            val saved2 = p.toks
+            val asGroup =
+              try {
+                p.eatSym("("); val e = parsePred(p); p.eatSym(")")
+                Some(e)
+              } catch {
+                case _: IllegalArgumentException => p.toks = saved2; None
+              }
+            asGroup.getOrElse(parseCmp(p))
         }
       case _ => parseCmp(p)
     }

@@ -924,6 +924,30 @@ object SqlQueries {
                |FROM ords GROUP BY o_orderstatus ORDER BY o_orderstatus;"""
         .stripMargin)
     }),
+    // r15: ALTER TABLE schema evolution — ADD (NULL-filled, declared
+    // NULLABLE), then the new column takes UPDATEs like any CREATE-time
+    // one, RENAME, DROP; the final aggregate reads the evolved schema
+    "q_sql_alter" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("docs", Tables.documents(s, d))
+      es.sql("ALTER TABLE docs ADD COLUMN flag NULLABLE(UINT32);")
+      es.sql("UPDATE docs SET flag = n_chars % 2 WHERE lang = 'en';")
+      es.sql("ALTER TABLE docs RENAME COLUMN n_chars TO chars;")
+      es.sql("ALTER TABLE docs DROP COLUMN text;")
+      es.sql("""SELECT lang, COUNT(*) AS n, SUM(chars) AS total_chars,
+               | SUM(flag) AS n_flag
+               |FROM docs GROUP BY lang ORDER BY lang;""".stripMargin)
+    }),
+    // r15: NATURAL JOIN — equi-join on every shared column name
+    "q_sql_natural" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("nat", Tables.nation(s, d).select(col("n_nationkey"),
+        col("n_name"), col("n_regionkey").as("r_regionkey")))
+      es.register("region", Tables.region(s, d))
+      es.sql("""SELECT n_nationkey, n_name, r_name
+               |FROM nat NATURAL JOIN region
+               |ORDER BY n_nationkey;""".stripMargin)
+    }),
     // r15: EXPLAIN ANALYZE — runtime row metrics (rows surviving WHERE,
     // result rows) read from the EXECUTED plan's accumulators; both are
     // semantic counts, so the oracle replays them as plain COUNTs — the
@@ -1805,6 +1829,16 @@ object SqlQueries {
         |FROM orders WHERE o_custkey NOT IN
         | (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_sql_alter" ->
+      """SELECT lang, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | CAST(sum(CASE WHEN lang = 'en' THEN n_chars % 2 END) AS BIGINT)
+        |   AS n_flag
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sql_natural" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
     // runtime metrics ARE semantic counts for a deterministic query —
     // the oracle recomputes both as plain COUNTs from the parquet
     "q_sql_explain_analyze" ->

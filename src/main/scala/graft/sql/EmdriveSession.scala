@@ -2044,6 +2044,41 @@ final class EmdriveSession(spark: SparkSession,
     sys.env.get("SPARK_GRAFT_STRING_AGG_MAX").flatMap(_.toLongOption)
       .getOrElse(1000000L)
 
+  /** The C-style (DuckDB-spelled) strftime/strptime format string
+    * translated to Spark's java.time pattern at parse time; only the
+    * portable directives are accepted — anything else fails loudly
+    * rather than silently formatting/parsing differently (r14 STRFTIME
+    * doctrine, shared with r15 STRPTIME). */
+  private def cFormatToJava(fmt: String, fn: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%') {
+        require(i + 1 < fmt.length, s"dangling % in $fn format")
+        out.append(fmt.charAt(i + 1) match {
+          case 'Y' => "yyyy"
+          case 'm' => "MM"
+          case 'd' => "dd"
+          case 'H' => "HH"
+          case 'M' => "mm"
+          case 'S' => "ss"
+          case 'j' => "DDD"
+          case '%' => "%"
+          case c => throw new IllegalArgumentException(
+            s"unsupported $fn directive %$c")
+        })
+        i += 2
+      } else {
+        val c = fmt.charAt(i)
+        require(!c.isLetter,
+          s"literal letter '$c' in $fn format needs a %-directive")
+        out.append(c)
+        i += 1
+      }
+    }
+    out.toString
+  }
+
   /** Expression-aggregate lowering (r15, [[EmdriveSql.OAggX]]): the
     * argument Column was already lowered over PRE-aggregation rows. */
   private def aggColumnX(func: String, x: Column): Column = func match {
@@ -2637,34 +2672,18 @@ final class EmdriveSession(spark: SparkSession,
         // time; only the portable directives are accepted, anything else
         // fails loudly rather than silently formatting differently.
         case ("STRFTIME", Seq(x, _)) =>
-          val fmt = argStr(args(1), "STRFTIME format")
-          val out = new StringBuilder
-          var i = 0
-          while (i < fmt.length) {
-            if (fmt.charAt(i) == '%') {
-              require(i + 1 < fmt.length, "dangling % in STRFTIME format")
-              out.append(fmt.charAt(i + 1) match {
-                case 'Y' => "yyyy"
-                case 'm' => "MM"
-                case 'd' => "dd"
-                case 'H' => "HH"
-                case 'M' => "mm"
-                case 'S' => "ss"
-                case 'j' => "DDD"
-                case '%' => "%"
-                case c => throw new IllegalArgumentException(
-                  s"unsupported STRFTIME directive %$c")
-              })
-              i += 2
-            } else {
-              val c = fmt.charAt(i)
-              require(!c.isLetter,
-                s"literal letter '$c' in STRFTIME format needs a %-directive")
-              out.append(c)
-              i += 1
-            }
-          }
-          date_format(x, out.toString)
+          date_format(x, cFormatToJava(
+            argStr(args(1), "STRFTIME format"), "STRFTIME"))
+        // r15: STRPTIME(text, fmt) — the inverse (parse): same C-style
+        // directive translation; a non-conforming string errors loudly
+        // in BOTH engines (ANSI to_timestamp here, DuckDB strptime there)
+        case ("STRPTIME", Seq(x, _)) =>
+          to_timestamp(x, cFormatToJava(
+            argStr(args(1), "STRPTIME format"), "STRPTIME"))
+        // r15 calendar tier 3 — 1:1 codegen Catalyst expressions with
+        // DuckDB-identical semantics
+        case ("MAKE_DATE", Seq(y, m, d)) => make_date(y, m, d)
+        case ("LAST_DAY", Seq(x)) => last_day(x)
         // r13: EXTRACT(part FROM x) — the part travels in the name (see
         // parseAtom). BIGINT to match DuckDB's EXTRACT return type, so
         // the key SQL needs no cast on either side; DOW is Sunday-based

@@ -650,7 +650,9 @@ object EmdriveSql {
     "ARRAY_JOIN", "STRFTIME",
     // r14 widening: fuzzy/regex/JSON tier 4
     "LEVENSHTEIN", "REGEXP_EXTRACT", "JSON_ARRAY_LENGTH", "TRANSLATE",
-    "LTRIM", "RTRIM")
+    "LTRIM", "RTRIM",
+    // r15 calendar tier 3
+    "STRPTIME", "MAKE_DATE", "LAST_DAY")
   private val WinFuncs =
     Set("ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK", "CUME_DIST")
 

@@ -948,6 +948,18 @@ object SqlQueries {
                |FROM nat NATURAL JOIN region
                |ORDER BY n_nationkey;""".stripMargin)
     }),
+    // r15: calendar tier 3 — STRPTIME (parse, the STRFTIME inverse,
+    // same C-style directive translation), MAKE_DATE, LAST_DAY
+    "q_sql_calendar3" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderkey,
+               | STRPTIME(STRFTIME(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS ts,
+               | LAST_DAY(o_orderdate) AS eom,
+               | MAKE_DATE(YEAR(o_orderdate), 12, 31) AS eoy
+               |FROM orders WHERE o_orderkey < 200
+               |ORDER BY o_orderkey;""".stripMargin)
+    }),
     // r15: EXPLAIN ANALYZE — runtime row metrics (rows surviving WHERE,
     // result rows) read from the EXECUTED plan's accumulators; both are
     // semantic counts, so the oracle replays them as plain COUNTs — the
@@ -1839,6 +1851,13 @@ object SqlQueries {
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
+    "q_sql_calendar3" ->
+      """SELECT o_orderkey,
+        | strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS ts,
+        | last_day(CAST(o_orderdate AS DATE)) AS eom,
+        | make_date(CAST(year(o_orderdate) AS INT), 12, 31) AS eoy
+        |FROM orders WHERE o_orderkey < 200
+        |ORDER BY o_orderkey""".stripMargin,
     // runtime metrics ARE semantic counts for a deterministic query —
     // the oracle recomputes both as plain COUNTs from the parquet
     "q_sql_explain_analyze" ->

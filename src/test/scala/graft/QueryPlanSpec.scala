@@ -52,9 +52,43 @@ class QueryPlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("point lookup pushes the equality filter into the parquet scan") {
-    val p = plan("q_point_lookup")
-    assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderkey,42)"), p)
+  test("NATURAL JOIN plans as an equi-join, never a cartesian (r15)") {
+    val p = plan("q_sql_natural")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("UPDATE … FROM / DELETE … USING plan as equi-joins (r15)") {
+    // the WHERE's equi conjunct must reach the join condition — a
+    // cartesian-with-filter residue would explode at scale
+    val pu = plan("q_sql_update_from")
+    assert(!pu.contains("CartesianProduct"), pu)
+    val pd = plan("q_sql_delete_using")
+    assert(!pd.contains("CartesianProduct"), pd)
+    assert(pd.contains("LeftAnti"), pd) // keep = no match, ONE anti join
+  }
+
+  test("USING SAMPLE filters at scan speed, before any exchange (r15)") {
+    // the desugared hash conjunct is a plain Filter directly over the
+    // scan (arithmetic — not parquet-pushable, but evaluated per-row in
+    // codegen before the aggregate's shuffle sees a single byte)
+    val p = plan("q_sql_sample")
+    val fi = p.indexOf("Filter")
+    val ex = p.indexOf("Exchange")
+    // plan text prints root-first: the scan-side Filter must sit BELOW
+    // (after) the aggregate's Exchange — i.e. map-side, pre-shuffle
+    assert(fi >= 0, p)
+    assert(ex < 0 || fi > ex, p)
+    assert(p.contains("2654435761"), p) // the hash conjunct is there
+  }
+
+  test("frame-free aggregate window carries no ORDER BY sort keys (r15)") {
+    // SUM(n) OVER (PARTITION BY st): the window spec has no order —
+    // windowspecdefinition(st, unspecifiedframe$()) or the whole-
+    // partition frame; crucially NO global Sort over the fact relation
+    // (the inner groupBy collapsed it to the status×priority grid first)
+    val p = plan("q_sql_share")
+    assert(p.contains("Window"), p)
   }
 
   test("tuple IN lowers to pushable equality disjunctions (r13)") {

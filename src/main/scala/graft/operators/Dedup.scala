@@ -1400,7 +1400,7 @@ object Dedup {
          | SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS g
          | FROM documents d LEFT JOIN lab l ON d.doc_id = l.id)
          |SELECT doc_id,
-         | CASE WHEN ((g % 1000000007) * 2654435761) % 1000000007 % 100 < 90
+         | CASE WHEN ((g % 1000000007 + 1000000007) * 2654435761) % 1000000007 % 100 < 90
          |  THEN 'train' ELSE 'eval' END AS split
          |FROM gid""".stripMargin,
     "q_cluster_sizes" ->
@@ -1428,7 +1428,7 @@ object Dedup {
     "q_neardup_incremental" ->
       s"""WITH $wordPairCtes,
          |bk AS (SELECT doc_id, source,
-         |  ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 AS b
+         |  ((doc_id % 1000000007 + 1000000007) * 2654435761) % 1000000007 % 100 AS b
          |  FROM documents),
          |m AS (
          | SELECT DISTINCT a.doc_id AS did
@@ -1466,24 +1466,24 @@ object Dedup {
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 4),
         |   i -> concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4], w[i+5])))) AS s FROM t),
         |train AS (SELECT doc_id, s FROM sh
-        | WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 90),
+        | WHERE ((doc_id % 1000000007 + 1000000007) * 2654435761) % 1000000007 % 100 < 90),
         |ev AS (SELECT DISTINCT s FROM sh
-        | WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 >= 90)
+        | WHERE ((doc_id % 1000000007 + 1000000007) * 2654435761) % 1000000007 % 100 >= 90)
         |SELECT doc_id, count(*) AS n_contaminated
         |FROM train JOIN ev USING (s) GROUP BY doc_id""".stripMargin,
     "q_dedup_incremental" ->
       """SELECT doc_id, source FROM documents b
-        |WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 >= 90
+        |WHERE ((doc_id % 1000000007 + 1000000007) * 2654435761) % 1000000007 % 100 >= 90
         |AND NOT EXISTS (SELECT 1 FROM documents c
-        |  WHERE ((c.doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 90
+        |  WHERE ((c.doc_id % 1000000007 + 1000000007) * 2654435761) % 1000000007 % 100 < 90
         |  AND c.text = b.text)""".stripMargin,
     // the bloom is a pure pre-filter: the final result is exactly the
     // plain incremental-dedup relation
     "q_bloom_incremental" ->
       """SELECT doc_id, source FROM documents b
-        |WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 >= 90
+        |WHERE ((doc_id % 1000000007 + 1000000007) * 2654435761) % 1000000007 % 100 >= 90
         |AND NOT EXISTS (SELECT 1 FROM documents c
-        |  WHERE ((c.doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 90
+        |  WHERE ((c.doc_id % 1000000007 + 1000000007) * 2654435761) % 1000000007 % 100 < 90
         |  AND c.text = b.text)""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

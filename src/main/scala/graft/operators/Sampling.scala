@@ -19,16 +19,20 @@ object Sampling {
 
   /** Multiplicative hash bucket in overflow-safe BIGINT arithmetic
     * (pre-reduce mod p keeps the product under 2^63 for any id), identical
-    * in any engine with 64-bit integer SQL semantics. */
+    * in any engine with 64-bit integer SQL semantics. The `+ P` before the
+    * multiply keeps the residue NONNEGATIVE under truncated modulo for
+    * negative ids (r16 ADVICE — without it negative keys hashed negative
+    * and passed every sampling rate); it changes no value for nonnegative
+    * ids, since (x + P) * A ≡ x * A (mod P). */
   private[graft] val P = 1000000007L
   private[graft] val A = 2654435761L // Knuth's multiplicative constant
   def bucketOf(id: Column, buckets: Int): Column =
-    ((id % P) * A) % P % buckets
+    ((id % P + P) * A) % P % buckets
 
   /** Full-range multiplicative hash (no bucket reduction): a bijection on
     * [0, P) for ids below P, so ordering by it is a deterministic
     * pseudo-random permutation — usable as a tie-free sampling rank. */
-  def rankOf(id: Column): Column = ((id % P) * A) % P
+  def rankOf(id: Column): Column = ((id % P + P) * A) % P
 
   /** Reproducible 90/10 train/eval split. */
   private def sampleSplit(s: SparkSession, d: String): DataFrame =
@@ -369,7 +373,7 @@ object Sampling {
         |   + 0.2 * (CASE WHEN (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
         |       / len(string_split(text, ' ')) BETWEEN 3.0 AND 8.0
         |       THEN 1.0 ELSE 0.0 END) AS quality,
-        |  (((doc_id % 1000000007) * 2654435761) % 1000000007 % 1048576 + 0.5)
+        |  (((doc_id % 1000000007 + 1000000007) * 2654435761) % 1000000007 % 1048576 + 0.5)
         |    / 1048576.0 AS u
         | FROM documents),
         |keyed AS (
@@ -415,7 +419,7 @@ object Sampling {
         |   + 0.2 * (CASE WHEN (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
         |       / len(string_split(text, ' ')) BETWEEN 3.0 AND 8.0
         |       THEN 1.0 ELSE 0.0 END) AS quality,
-        |  (((doc_id % 1000000007) * 2654435761) % 1000000007 % 1048576 + 0.5)
+        |  (((doc_id % 1000000007 + 1000000007) * 2654435761) % 1000000007 % 1048576 + 0.5)
         |    / 1048576.0 AS u
         | FROM documents)
         |SELECT doc_id, quality,
@@ -477,7 +481,7 @@ object Sampling {
         |  least(1.0, (total / 2.0) * sqrt(n) / (ssum * n)) AS rate
         | FROM g CROSS JOIN t)
         |SELECT doc_id, d.source FROM documents d JOIN r ON d.source = r.source
-        |WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000
+        |WHERE ((doc_id % 1000000007 + 1000000007) * 2654435761) % 1000000007 % 1000000
         |  < rate * 1000000""".stripMargin,
     "q_sample_weighted" ->
       """WITH t AS (
@@ -490,16 +494,16 @@ object Sampling {
         |       THEN 1.0 ELSE 0.0 END) AS quality
         | FROM documents)
         |SELECT doc_id, quality FROM t
-        |WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000
+        |WHERE ((doc_id % 1000000007 + 1000000007) * 2654435761) % 1000000007 % 1000
         |  < quality * 1000""".stripMargin,
     "q_sample_split" ->
       """SELECT doc_id,
-        | CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 90
+        | CASE WHEN ((doc_id % 1000000007 + 1000000007) * 2654435761) % 1000000007 % 100 < 90
         |   THEN 'train' ELSE 'eval' END AS split
         |FROM documents""".stripMargin,
     "q_sample_mix" ->
       """SELECT doc_id, source FROM documents
-        |WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 <
+        |WHERE ((doc_id % 1000000007 + 1000000007) * 2654435761) % 1000000007 % 100 <
         |  (CASE WHEN source LIKE 'src1%' THEN 100 ELSE 30 END)""".stripMargin,
     "q_pack_bins" ->
       """WITH t AS (
@@ -521,9 +525,9 @@ object Sampling {
     "q_sample_stratified" ->
       """SELECT lang, doc_id, h FROM (
         | SELECT lang, doc_id,
-        |  ((doc_id % 1000000007) * 2654435761) % 1000000007 AS h,
+        |  ((doc_id % 1000000007 + 1000000007) * 2654435761) % 1000000007 AS h,
         |  row_number() OVER (PARTITION BY lang
-        |   ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007 DESC) AS rn
+        |   ORDER BY ((doc_id % 1000000007 + 1000000007) * 2654435761) % 1000000007 DESC) AS rn
         | FROM documents)
         |WHERE rn <= 50""".stripMargin
   )

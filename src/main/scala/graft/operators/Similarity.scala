@@ -1712,8 +1712,8 @@ object Similarity {
     "q_embed_decontaminate" ->
       s"""WITH $cosPairCtes,
          |b AS (SELECT id_a, id_b,
-         |  ((id_a % 1000000007) * 2654435761) % 1000000007 % 100 AS ba,
-         |  ((id_b % 1000000007) * 2654435761) % 1000000007 % 100 AS bb
+         |  ((id_a % 1000000007 + 1000000007) * 2654435761) % 1000000007 % 100 AS ba,
+         |  ((id_b % 1000000007 + 1000000007) * 2654435761) % 1000000007 % 100 AS bb
          | FROM pairs)
          |SELECT vec_id, count(*) AS n_contaminated FROM (
          | SELECT id_a AS vec_id FROM b WHERE ba >= 90 AND bb < 90
@@ -1942,7 +1942,7 @@ object Similarity {
         |FROM c, p ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
     "q_pair_histogram" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |           WHERE ((vec_id % 1000000007) * 2654435761) % 1000000007 % 100 < 20),
+        |           WHERE ((vec_id % 1000000007 + 1000000007) * 2654435761) % 1000000007 % 100 < 20),
         |q AS (SELECT vec_id, v,
         |  list_max(list_transform(v, x -> abs(x))) / 127 AS s FROM e),
         |c AS (SELECT vec_id, CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)

@@ -26,17 +26,18 @@ import graft.sources.SchemaMapper
   * contract (reference: src/config.rs:1-22 data_directory,
   * src/storage/filesystem.rs write/read roundtrip, src/main.rs boot).
   * Without a dataDir the catalog is in-memory only (tests, ad-hoc use). */
-final class EmdriveSession(spark: SparkSession,
-    dataDir: Option[String] = None) {
+final class EmdriveSession(private[sql] val spark: SparkSession,
+    dataDir: Option[String] = None)
+  extends SelectLowering with ExpressionLowering {
   import EmdriveSql._
 
-  private val catalog = mutable.Map.empty[String, DataFrame]
+  private[sql] val catalog = mutable.Map.empty[String, DataFrame]
   /** Views (r14): stored as their parsed chain and RE-LOWERED at every
     * reference, so a view always reads the CURRENT base tables (a stored
     * DataFrame would snapshot the plan at CREATE time and silently miss
     * later INSERTs). Session-scoped, not durable — the reference's
     * durability unit is the table. */
-  private val views = mutable.Map.empty[String, EmdriveSql.UnionStmt]
+  private[sql] val views = mutable.Map.empty[String, EmdriveSql.UnionStmt]
 
   // boot-time restore: every `dataDir/<name>/` holding a live generation
   // is a previously persisted table — register it eagerly so a restarted
@@ -994,17 +995,30 @@ final class EmdriveSession(spark: SparkSession,
 
     // EXPLAIN ANALYZE (r15): EXECUTE the statement and report runtime row
     // metrics — the pushdown/filter contract observable at RUN time (r14
-    // verdict "what's missing" #5). Output: ('where', rows surviving the
-    // WHERE — the MIN over FilterExec numOutputRows, i.e. rows past every
-    // conjunct) and ('result', result rows). Both are SEMANTIC counts
-    // (engine-independent for a deterministic query), so the DuckDB
-    // oracle replays them as plain COUNTs — a runtime metric that
-    // diverges from the semantic count is a real filtering bug. The
+    // verdict "what's missing" #5). Output: ('result', result rows) and,
+    // when ATTRIBUTABLE, ('where', rows surviving the WHERE). Both are
+    // SEMANTIC counts (engine-independent for a deterministic query), so
+    // the DuckDB oracle replays them as plain COUNTs — a runtime metric
+    // that diverges from the semantic count is a real filtering bug. The
     // result count runs as an added global aggregate (count()), so
     // nothing row-shaped materializes on the driver; metrics read from
     // the executed plan's accumulators, descending through AQE stages.
+    //
+    // 'where' attribution (r16 ADVICE): a bare min over ALL FilterExecs
+    // counted the wrong thing whenever the plan held a filter that is NOT
+    // the WHERE — Spark-inserted isNotNull filters on join sides, HAVING
+    // and QUALIFY lowered as post-aggregate/post-window FilterExecs. Now
+    // a filter contributes only if it is SCAN-LEVEL (everything below it
+    // down to the leaf is row-preserving plumbing — project/filter/
+    // codegen — so its count is base-relation rows, not join/aggregate
+    // output), and the row is emitted only when the plan reads exactly
+    // ONE base relation (with several scans, "rows surviving the WHERE"
+    // is not a single number). Joined/subquery selects report 'result'
+    // only.
     case ExplainStmt(sel, true) =>
-      import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+      import org.apache.spark.sql.execution.{ColumnarToRowExec, FilterExec,
+        InputAdapter, LeafExecNode, ProjectExec, SparkPlan,
+        WholeStageCodegenExec}
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
       val cdf = lowerSelect(sel).groupBy().count()
       val n = cdf.collect()(0).getLong(0)
@@ -1013,1924 +1027,37 @@ final class EmdriveSession(spark: SparkSession,
         case q: QueryStageExec => p +: nodes(q.plan)
         case _ => p +: p.children.flatMap(nodes)
       }
-      val filterRows = nodes(cdf.queryExecution.executedPlan)
-        .collect { case f: FilterExec => f.metrics("numOutputRows").value }
+      def scanLevel(p: SparkPlan): Boolean = p match {
+        case f: FilterExec => scanLevel(f.child)
+        case pr: ProjectExec => scanLevel(pr.child)
+        case w: WholeStageCodegenExec => scanLevel(w.child)
+        case i: InputAdapter => scanLevel(i.child)
+        case c: ColumnarToRowExec => scanLevel(c.child)
+        case a: AdaptiveSparkPlanExec => scanLevel(a.executedPlan)
+        case _: QueryStageExec => false // stage boundary: exchange below
+        case _: LeafExecNode => true
+        case _ => false
+      }
+      val all = nodes(cdf.queryExecution.executedPlan)
+      // AQE wrappers report as leaves (children hang off executedPlan /
+      // q.plan, which nodes() descends) — only TRUE scans count
+      val nScans = all.count {
+        case _: AdaptiveSparkPlanExec | _: QueryStageExec => false
+        case _: LeafExecNode => true
+        case _ => false
+      }
+      val whereRows = all.collect {
+        case f: FilterExec if scanLevel(f.child) =>
+          f.metrics("numOutputRows").value
+      }
       val rows: Seq[Row] = Row("result", n) +:
-        (if (filterRows.nonEmpty) Seq(Row("where", filterRows.min)) else Nil)
+        (if (nScans == 1 && whereRows.nonEmpty)
+          Seq(Row("where", whereRows.min)) else Nil)
       spark.createDataFrame(rows.asJava, StructType(Seq(
         StructField("node", StringType, nullable = false),
         StructField("n_rows", LongType, nullable = false))))
   }
 
-  /** Left-assoc set-op fold (ANSI bag semantics): positional column
-    * matching; UNION dedupes the accumulated bag (the same
-    * partial-combined aggregate as any DISTINCT), UNION ALL keeps it,
-    * EXCEPT/INTERSECT lower to Dataset.except/intersect — Spark plans
-    * both as null-safe left-anti/left-semi joins over distinct inputs,
-    * exactly the ANSI DISTINCT set semantics, and AQE picks
-    * broadcast vs shuffle. A tail-less chain is just its head SELECT. */
-  /** Does this select (transitively through joins/derived tables)
-    * reference relation `n` in a FROM position? The recursion detector
-    * for WITH RECURSIVE — subquery positions are deliberately excluded
-    * (ANSI forbids the recursive reference there). */
-  private def selectReferences(sel: Select, n: String): Boolean =
-    sel.table == n || sel.joins.exists(_.table == n) ||
-      sel.derived.exists(u => chainReferences(u, n))
-
-  private def chainReferences(u: UnionStmt, n: String): Boolean =
-    selectReferences(u.first, n) ||
-      u.rest.exists { case (_, s) => selectReferences(s, n) }
-
-  /** WITH RECURSIVE fixpoint (r9): naive set-semantics iteration. The
-    * first UNION arm (plus any other non-self-referencing arms) is the
-    * base; every self-referencing arm is a step. Each round re-evaluates
-    * the steps against the CURRENT accumulated relation and unions
-    * distinct; convergence = no growth (monotone under set union, so the
-    * count check is exact). Rounds localCheckpoint, so lineage stays one
-    * round deep and each iteration's shuffle work is bounded by the
-    * delta-free naive cost — the documented trade at this surface
-    * (semi-naive evaluation and the RDD fixpoint live in
-    * operators.Dedup.components for the 100 TB graph path; the SQL
-    * surface favors ANSI fidelity with a loud iteration cap). */
-  private def lowerRecursiveCte(name: String, chain: UnionStmt): DataFrame = {
-    require(!selectReferences(chain.first, name),
-      s"recursive CTE $name: the first UNION arm must be the non-recursive base")
-    val (stepArms, baseArms) = chain.rest.partition {
-      case (_, s) => selectReferences(s, name)
-    }
-    stepArms.foreach { case (op, _) =>
-      require(op == "union",
-        s"recursive CTE $name: the recursive arm must attach with UNION " +
-          "(distinct set semantics — UNION ALL over a cycle never terminates)")
-    }
-    var acc = lowerChain(UnionStmt(chain.first, baseArms))
-      .dropDuplicates().localCheckpoint()
-    var n = acc.count()
-    var iter = 0
-    var grown = true
-    val saved = catalog.get(name)
-    try {
-      while (grown && iter < 100) {
-        catalog(name) = acc
-        val stepped = stepArms.map { case (_, s) => lowerSelect(s) }
-          .map(d => d.toDF(acc.columns.toIndexedSeq: _*))
-          .reduce(_ union _)
-        val next = acc.union(stepped).dropDuplicates().localCheckpoint()
-        val n2 = next.count()
-        grown = n2 > n
-        acc = next
-        n = n2
-        iter += 1
-      }
-    } finally {
-      saved match {
-        case Some(prev) => catalog(name) = prev
-        case None => catalog.remove(name)
-      }
-    }
-    require(!grown,
-      s"recursive CTE $name did not converge within 100 iterations " +
-        "(unbounded recursion? add a depth guard to the step's WHERE)")
-    acc
-  }
-
-  private def lowerChain(u: UnionStmt): DataFrame = {
-    // ANSI precedence (r10, closes the r9 uniform-precedence
-    // simplification): INTERSECT [ALL] binds tighter than UNION/EXCEPT,
-    // so the flat parsed chain lowers in two levels — maximal
-    // INTERSECT-connected runs fold first (left-assoc), then the runs
-    // fold under UNION/EXCEPT (left-assoc). `A UNION B EXCEPT C
-    // INTERSECT D` is (A ∪ B) − (C ∩ D), exactly the standard's grouping.
-    val segs = mutable.ListBuffer[DataFrame](lowerSelect(u.first))
-    val segOps = mutable.ListBuffer.empty[String]
-    u.rest.foreach { case (op, sel) =>
-      val rhs = lowerSelect(sel)
-      op match {
-        case "intersect" => segs(segs.length - 1) = segs.last.intersect(rhs)
-        case "intersect_all" =>
-          segs(segs.length - 1) = segs.last.intersectAll(rhs)
-        case other => segOps += other; segs += rhs
-      }
-    }
-    segOps.zip(segs.tail).foldLeft(segs.head) { case (acc, (op, rhs)) =>
-      op match {
-        case "union_all" => acc.union(rhs)
-        case "union" => acc.union(rhs).dropDuplicates()
-        case "except" => acc.except(rhs)
-        // ALL variants (r9): ANSI bag semantics — multiplicities
-        // subtract/min instead of collapsing (Catalyst's dedicated
-        // ExceptAll/IntersectAll plans, identical in DuckDB)
-        case "except_all" => acc.exceptAll(rhs)
-      }
-    }
-  }
-
-  /** True when `sub` is a correlated scalar subquery against `outer`:
-    * single table, no grouping, and at least one WHERE equality conjunct
-    * straddling the inner table and the outer relation. Uncorrelated
-    * subqueries keep the execute-and-inline literal path. */
-  private def isCorrScalar(sub: Select, outer: DataFrame): Boolean =
-    sub.derived.isEmpty && sub.joins.isEmpty && sub.groupBy.isEmpty &&
-      sub.having.isEmpty && {
-      val innerCols = table(sub.table).columns.toSet
-      val outerCols = outer.columns.toSet
-      sub.where.flatMap(splitConjuncts).exists {
-        case PCmp(Cmp(ORef(a), "=", ORef(b))) =>
-          (innerCols(a) && !innerCols(b) && outerCols(b)) ||
-            (innerCols(b) && !innerCols(a) && outerCols(a))
-        case _ => false
-      }
-    }
-
-  /** Correlated scalar subquery in the SELECT list:
-    * `(SELECT agg(x) FROM t WHERE t.k = outer.k [AND local]) AS a` —
-    * the Kim/Dayal rewrite: the inner relation keeps its local
-    * predicates, aggregates GROUPED BY the correlation keys (one row per
-    * key, so the scalar cardinality guarantee holds by construction
-    * instead of by runtime check), and left-outer joins back on the
-    * outer columns — declarative, so AQE broadcasts small key sides.
-    * ANSI empty-set semantics: a scalar subquery over no rows is NULL,
-    * except COUNT which is 0 — the grouped rewrite drops empty groups,
-    * so COUNT gets an explicit zero-fill and every other aggregate keeps
-    * the join's NULL. Helper columns live under reserved `__cs_` names
-    * and are dropped before projection. */
-  private def attachCorrScalar(df0: DataFrame, sub: Select, alias: String): DataFrame = {
-    val (aggF, aggArg) = sub.items match {
-      case Seq(AggItem(f, arg, _, None)) => (f, arg)
-      case _ => throw new IllegalArgumentException(
-        "a correlated scalar subquery must select exactly one aggregate")
-    }
-    val inner = table(sub.table)
-    val innerCols = inner.columns.toSet
-    val outerCols = df0.columns.toSet
-    val (corr, local) = sub.where.flatMap(splitConjuncts).partitionMap {
-      case PCmp(Cmp(ORef(a), "=", ORef(b)))
-          if innerCols(a) && !innerCols(b) && outerCols(b) => Left((a, b))
-      case PCmp(Cmp(ORef(a), "=", ORef(b)))
-          if innerCols(b) && !innerCols(a) && outerCols(a) => Left((b, a))
-      case other => Right(other)
-    }
-    val filtered = local.foldLeft(inner)((d0, pr) => d0.filter(predCol(inner, pr)))
-    val pairs = corr.distinct
-    val keyCols = pairs.map(_._1).distinct
-    val keyName = keyCols.zipWithIndex
-      .map { case (k, j) => k -> s"__cs_key_${alias}_$j" }.toMap
-    val aggN = s"__cs_agg_$alias"
-    val grouped = filtered.groupBy(keyCols.map(col): _*)
-      .agg(aggColumn(aggF, aggArg).as(aggN))
-      .select(keyCols.map(k => col(k).as(keyName(k))) :+ col(aggN): _*)
-    val cond = pairs.map { case (ic, oc) =>
-      df0(oc) === grouped(keyName(ic)) }.reduce(_ && _)
-    val value =
-      if (aggF == "COUNT" || aggF == "COUNT_DISTINCT") coalesce(col(aggN), lit(0L))
-      else col(aggN)
-    df0.join(grouped, cond, "left_outer")
-      .withColumn(alias, value)
-      .drop(keyName.values.toSeq :+ aggN: _*)
-  }
-
-  /** FROM + JOIN chain → a DataFrame: base relation (table, derived
-    * table, or chained statement) aliased, then each JOIN folded on as a
-    * declarative equi-join — Catalyst/AQE pick broadcast vs shuffle by
-    * size, so the SQL surface inherits the engine's join machinery.
-    * Unqualified ON keys resolve by which side owns the name (either
-    * order); `t AS a` renames columns to `a.col` so qualified references
-    * and self-joins resolve by plain (dotted) name. Shared by the
-    * top-level SELECT path and the EXISTS subquery pre-pass (which needs
-    * the inner RELATION but ignores the select list). */
-  private def lowerFrom(sel: Select): DataFrame = {
-    val joined = lowerFromJoins(sel)
-    sel.lateral.fold(joined) { case (sub, alias) =>
-      lowerLateral(joined, sub, alias)
-    }
-  }
-
-  private def lowerFromJoins(sel: Select): DataFrame =
-    sel.joins.foldLeft(
-      aliasCols(sel.valuesRows.map(valuesFrame)
-        .orElse(sel.derived.map(lowerChain)).getOrElse(table(sel.table)),
-        sel.baseAlias)) { (rel, j) =>
-      val right = aliasCols(table(j.table), j.alias)
-      if (j.kind == "cross") rel.crossJoin(right)
-      else if (j.natural) {
-        // NATURAL (r15): equi-join on EVERY shared column name — the
-        // multi-key USING lowering (one output column per shared name);
-        // zero shared names is refused loudly (ANSI's silent cross
-        // product is a footgun, not a feature)
-        val shared = rel.columns.filter(right.columns.contains).toSeq
-        require(shared.nonEmpty,
-          s"NATURAL JOIN with ${j.table}: no shared column names " +
-            s"(left: ${rel.columns.mkString(",")}; " +
-            s"right: ${right.columns.mkString(",")})")
-        rel.join(right, shared, j.kind)
-      }
-      else if (j.usingCol) {
-        // USING (k): Spark's native Seq-key join — one output k column
-        require(rel.columns.contains(j.leftKey) &&
-          right.columns.contains(j.leftKey),
-          s"USING (${j.leftKey}) needs the bare column on BOTH sides " +
-            s"(left: ${rel.columns.mkString(",")}; right: ${right.columns.mkString(",")})")
-        rel.join(right, Seq(j.leftKey), j.kind)
-      }
-      else {
-        val (lk, rk) =
-          if (rel.columns.contains(j.leftKey) && right.columns.contains(j.rightKey))
-            (j.leftKey, j.rightKey)
-          else if (rel.columns.contains(j.rightKey) && right.columns.contains(j.leftKey))
-            (j.rightKey, j.leftKey)
-          else throw new IllegalArgumentException(
-            s"join keys ${j.leftKey} = ${j.rightKey} do not match " +
-              s"left(${rel.columns.mkString(",")}) vs ${j.table}")
-        j.asof match {
-          case Some((x, op, y)) => lowerAsofJoin(rel, right, lk, rk, x, op, y, j.kind)
-          case None => rel.join(right, qcol(rel, lk) === qcol(right, rk), j.kind)
-        }
-      }
-    }
-
-  /** LATERAL lowering (r14): `outer, LATERAL (SELECT items FROM t WHERE
-    * inner = outer AND local… [ORDER BY …] [LIMIT n]) l` — the ANSI
-    * spelling of per-key top-n and per-row subquery expansion.
-    *
-    * Decorrelated, never per-row: the inner relation keeps its LOCAL
-    * predicates, a LIMIT becomes a rank window PARTITIONED BY the
-    * correlation key (`row_number ≤ n` — the classic top-n-per-key
-    * rewrite: one shuffle on the key, sort bounded per key), and the
-    * result equi-joins back to the outer relation, where AQE picks
-    * broadcast vs shuffle. The window computes over every inner key
-    * before the join — at 100 TB pre-filter the inner relation or put
-    * the selective predicate inside the LATERAL body (Catalyst cannot
-    * push outer predicates through the rank window). */
-  private def lowerLateral(outer: DataFrame, sub: Select,
-      alias: String): DataFrame = {
-    require(sub.joins.isEmpty && sub.derived.isEmpty && sub.groupBy.isEmpty,
-      "LATERAL supports a single-table projection body")
-    val inner = aliasCols(table(sub.table), sub.baseAlias)
-    val innerCols = inner.columns.toSet
-    val outerCols = outer.columns.toSet
-    val (corr, local) = sub.where.flatMap(splitConjuncts).partitionMap {
-      case PCmp(Cmp(ORef(a), "=", ORef(b)))
-          if innerCols(a) && !innerCols(b) && outerCols(b) => Left((a, b))
-      case PCmp(Cmp(ORef(a), "=", ORef(b)))
-          if innerCols(b) && !innerCols(a) && outerCols(a) => Left((b, a))
-      case other => Right(other)
-    }
-    require(corr.size == 1,
-      s"LATERAL requires exactly one equality correlation, found ${corr.size}")
-    val (ik, ok) = corr.head
-    val filtered = local.foldLeft(inner)((d, pr) => d.filter(predCol(inner, pr)))
-    val ranked = sub.limit.fold(filtered) { n =>
-      require(sub.orderBy.nonEmpty,
-        "LATERAL LIMIT requires ORDER BY (unordered top-n is nondeterministic)")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(qcol(filtered, ik))
-        .orderBy(sub.orderBy.map(k =>
-          if (k.desc) qref(k.name).desc else qref(k.name).asc): _*)
-      filtered.withColumn("__lrn", row_number().over(w))
-        .filter(col("__lrn") <= n)
-    }
-    val itemCols: Seq[(Column, String)] = sub.items.map {
-      case ColItem(c, a) => (qref(c), s"$alias.${a.getOrElse(c)}")
-      case ExprItem(o, a) => (operandCol(ranked, o), s"$alias.$a")
-      case other => throw new IllegalArgumentException(
-        s"LATERAL body supports plain/computed columns, got $other")
-    }
-    val proj = ranked.select(
-      (qref(ik).as("__lk") +:
-        itemCols.map { case (c, n) => c.as(n) }): _*)
-    outer.join(proj, qcol(outer, ok) === col("__lk"), "inner").drop("__lk")
-  }
-
-  /** ASOF JOIN lowering (r14): for each left row, the single right row
-    * sharing the equi key whose time is nearest at-or-before (backward,
-    * `l.t >= r.t`) or at-or-after (forward, `l.t <= r.t`) the left time.
-    *
-    * Spark-first shape — the B21 operator's union-window trick
-    * (operators/AsOf.scala), not a per-row range join: tag both sides,
-    * shuffle ONCE on the key, and take `last(right-struct, ignoreNulls)`
-    * over a running window ordered by time (descending for forward asof)
-    * with right rows sorting before left rows at equal times, so inclusive
-    * ties match. One shuffle + one sort, linear output — survives 100 TB
-    * where the O(n·m) range-join candidate blowup dies; skewed keys split
-    * by AQE. All right columns travel as ONE struct so a matched row can
-    * never be stitched from two right rows (the torn-row guarantee). */
-  private def lowerAsofJoin(rel: DataFrame, right: DataFrame,
-      lk: String, rk: String, x: String, op: String, y: String,
-      kind: String): DataFrame = {
-    require(kind == "inner" || kind == "left_outer",
-      s"ASOF JOIN supports inner and LEFT forms, not $kind")
-    // resolve the time conjunct by column ownership, like the equi keys;
-    // normalize to (leftTime, rightTime, forward?)
-    val (lt, rt, forward) =
-      if (rel.columns.contains(x) && right.columns.contains(y))
-        (x, y, op == "<=") // l.t <= r.t → nearest at-or-after
-      else if (rel.columns.contains(y) && right.columns.contains(x))
-        (y, x, op == ">=") // r.t >= l.t ≡ l.t <= r.t
-      else throw new IllegalArgumentException(
-        s"ASOF time columns $x $op $y do not match " +
-          s"left(${rel.columns.mkString(",")}) vs right(${right.columns.mkString(",")})")
-    val rCols = right.columns.toSeq
-    val lCols = rel.columns.toSeq
-    val carryType = StructType(rCols.map(c => right.schema(c).copy(name = c)))
-    val lSide = rel.select(
-      qcol(rel, lt).as("__t") +: lit(1).as("__side") +:
-        qcol(rel, lk).as("__k") +:
-        (lCols.filterNot(_ == lk).map(c => qcol(rel, c).as(c)) :+
-          lit(null).cast(carryType).as("__r")): _*)
-    val rSide = right.select(
-      qcol(right, rt).as("__t") +: lit(0).as("__side") +:
-        qcol(right, rk).as("__k") +:
-        (lCols.filterNot(_ == lk).map(c =>
-          lit(null).cast(rel.schema(c).dataType).as(c)) :+
-          struct(rCols.map(c => qcol(right, c).as(c)): _*).as("__r")): _*)
-    // NULL-time semantics (r14 ADVICE): an ASOF comparison against a NULL
-    // time is unknown → no match, DuckDB-identical. Right rows with a
-    // NULL time leave the union entirely (under the ascending window
-    // order they sort first and last(ignoreNulls) would carry one as a
-    // spurious "match" for every left row preceding all real right
-    // times); left rows with a NULL time force __asof to NULL, so inner
-    // drops them and LEFT emits NULL right fields.
-    // Determinism (r14 ADVICE): when several right rows share a
-    // (key, time) the window tiebreaks on the whole carried right struct
-    // — a total order over orderable types, so last() picks the SAME
-    // duplicate on any partitioning (the repo's determinism contract).
-    // A right side with a non-orderable column (map) falls back to
-    // (time, side) ordering — engine-dependent among exact duplicates
-    // of (key, time) only.
-    def orderable(dt: DataType): Boolean = dt match {
-      case _: MapType => false
-      case ArrayType(et, _) => orderable(et)
-      case st: StructType => st.fields.forall(f => orderable(f.dataType))
-      case _ => true
-    }
-    val tKey = if (forward) col("__t").desc else col("__t").asc
-    val ordKeys =
-      if (orderable(carryType)) Seq(tKey, col("__side"), col("__r").asc)
-      else Seq(tKey, col("__side"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
-      .orderBy(ordKeys: _*)
-      .rowsBetween(Long.MinValue, 0)
-    val joined = lSide.unionByName(rSide.filter(col("__t").isNotNull))
-      .withColumn("__asof",
-        when(col("__t").isNull, lit(null).cast(carryType))
-          .otherwise(last(col("__r"), ignoreNulls = true).over(w)))
-      .filter(col("__side") === 1)
-    val matched = if (kind == "inner") joined.filter(col("__asof").isNotNull)
-      else joined
-    matched.select(
-      col("__k").as(lk) +:
-        (lCols.filterNot(_ == lk).map(c => qref(c)) ++
-          rCols.map(c => col("__asof").getField(c).as(c))): _*)
-  }
-
-  /** `(VALUES …) alias(cols)` relation: one literal-projection plan per
-    * row, unioned — the INSERT VALUES machinery's FROM-side sibling.
-    * Bounded dialect input (literal rows); types come from the literals
-    * themselves (ints → BIGINT, decimals → DOUBLE, strings, booleans;
-    * NULL needs at least one typed row for the column, ANSI-inferred by
-    * the union). */
-  private def valuesFrame(v: (Seq[String], Seq[Seq[Value]])): DataFrame = {
-    val (cols, rows) = v
-    val frames = rows.map { r =>
-      spark.range(1).select(r.zip(cols).map { case (value, c) =>
-        (value match {
-          // integer literals type as INT when they fit (DuckDB's VALUES
-          // inference), BIGINT beyond -- keeps inline-table schemas
-          // engine-identical
-          case VNum(n) =>
-            if (n.contains('.')) lit(n.toDouble)
-            else n.toLong match {
-              case v if v >= Int.MinValue && v <= Int.MaxValue => lit(v.toInt)
-              case v => lit(v)
-            }
-          case VStr(x) => lit(x)
-          case VBool(b) => lit(b)
-          case VNull => lit(null)
-          case other => throw new IllegalArgumentException(
-            s"VALUES expects literals, got $other")
-        }).as(c)
-      }.toIndexedSeq: _*)
-    }
-    frames.reduce(_ unionByName _)
-  }
-
-  private def lowerSelect(sel: Select): DataFrame = {
-    val Select(items, name, where, rawGroupBy, having, rawOrderBy, limitN,
-      joins, distinct, offsetN, derived, baseAlias, groupMode, groupExprs,
-      qualify, groupSets, _, distinctOn, _) = sel
-    // "#n" ordinal markers (GROUP BY 1 / ORDER BY 2) resolve to the n-th
-    // select item's OUTPUT name — ANSI ordinal semantics; grouping by an
-    // aggregate/window position is refused like any non-key grouping
-    def itemName(it: SelectItem): String = it match {
-      case ColItem(n, a) => a.getOrElse(n)
-      case ExprItem(_, a) => a
-      case AggExprItem(_, a) => a
-      case w: WinItem => w.alias
-      case DistItem(_, _, a) => a
-      case c: CaseItem => c.alias
-      case AggItem(f, arg, a, _) => aggAlias(f, arg, a)
-      case Star | _: StarExclude | _: StarPattern =>
-        throw new IllegalArgumentException("an ordinal cannot reference *")
-    }
-    def resolveOrd(k: String, grouping: Boolean): String =
-      if (k.startsWith("#")) {
-        val i = k.drop(1).toInt
-        require(i >= 1 && i <= items.length,
-          s"ordinal $i is out of range for ${items.length} select items")
-        val it = items(i - 1)
-        require(!grouping || !(it.isInstanceOf[AggItem]
-          || it.isInstanceOf[AggExprItem] || it.isInstanceOf[WinItem]),
-          s"GROUP BY ordinal $i references an aggregate/window item")
-        itemName(it)
-      } else k
-    val groupBy = rawGroupBy.map(resolveOrd(_, grouping = true))
-    val orderBy = rawOrderBy.map(k => k.copy(name = resolveOrd(k.name, grouping = false)))
-    locally {
-      // JOIN lowering (graft extension): unqualified ON keys resolved by
-      // which side owns the name (either order). The equi-join lowers to a
-      // declarative DataFrame join, so Catalyst/AQE pick broadcast vs
-      // shuffle by size — the SQL surface inherits the engine's join
-      // machinery rather than reimplementing any of it.
-      // `t AS a` renames the relation's columns to `a.col` — qualified
-      // references and self-joins then resolve by plain (dotted) name,
-      // with backtick quoting at the Column boundary (aliasCols/qref)
-      val base = lowerFrom(sel)
-      // 1. attach aliased distance/computed columns, so WHERE can reference
-      //    them (README story: WHERE distance < 4 filters the SELECT
-      //    alias); window items attach AFTER the pre-window WHERE below
-      var df = base
-      items.foreach {
-        case DistItem(c, probe, alias) => df = df.withColumn(alias, distCol(base, c, probe))
-        case ColItem(c, Some(alias)) => df = df.withColumn(alias, qref(c))
-        case it: CaseItem => df = df.withColumn(it.alias, caseCol(base, it))
-        // correlated scalar subquery in the SELECT list — decorrelated
-        // into a grouped-aggregate left join (attachCorrScalar); must
-        // intercept BEFORE the generic operand path, which would execute
-        // the subquery standalone and fail on the outer reference
-        case ExprItem(OSub(sub), alias) if isCorrScalar(sub, df) =>
-          df = attachCorrScalar(df, sub, alias)
-        case ExprItem(o, alias) => df = df.withColumn(alias, operandCol(base, o))
-        case _ => ()
-      }
-      // 2a. IN (SELECT …) pre-pass: each subquery becomes a left-outer
-      //     join of the probe value against the DISTINCT single-column
-      //     subquery result plus a broadcast 1-row (count, null-count)
-      //     frame — declarative joins, so AQE picks broadcast vs shuffle
-      //     on the distinct side. The predicate then reads the match
-      //     marker with ANSI three-valued semantics, which makes it
-      //     composable anywhere in the WHERE tree (AND/OR/NOT).
-      var subPreds = Map.empty[Pred, Column]
-      where.flatMap(collectInSubs).distinct.zipWithIndex.foreach {
-        case (node, i) =>
-          val sub = lowerSelect(node.sub)
-          require(sub.columns.length == 1,
-            s"IN subquery must project exactly one column, got " +
-              s"(${sub.columns.mkString(", ")})")
-          val (keyN, markN, cntN, nullN, probeN) =
-            (s"__in_key_$i", s"__in_match_$i", s"__in_n_$i",
-              s"__in_nulls_$i", s"__in_probe_$i")
-          val keys = sub.toDF(keyN).distinct().withColumn(markN, lit(true))
-          val stats = broadcast(sub.toDF("v").agg(
-            count(lit(1)).as(cntN), count(when(col("v").isNull, 1)).as(nullN)))
-          df = df.withColumn(probeN, operandCol(base, node.lhs))
-            .join(keys, col(probeN) === col(keyN), "left_outer")
-            .crossJoin(stats)
-          val c = when(col(cntN) === 0, false)
-            .when(col(markN).isNotNull, true)
-            .when(col(probeN).isNull || col(nullN) > 0, lit(null).cast(BooleanType))
-            .otherwise(false)
-          subPreds += node -> (if (node.neg) !c else c)
-      }
-      // 2a'. quantified comparisons (r14): `x op ANY|ALL (SELECT …)`.
-      //      The subquery reduces to ONE broadcast stats row — min/max
-      //      over non-null values, row count, null count — because every
-      //      ordering quantifier is decidable from the extremes: a
-      //      falsifier for ALL (or a satisfier for ANY) exists iff the
-      //      comparison fails (holds) against the relevant extreme.
-      //      Three-valued: empty set → ALL TRUE / ANY FALSE; a NULL probe
-      //      or NULLs in the set yield NULL unless an extreme already
-      //      decides the answer (ANSI). `= ANY` / `!= ALL` never reach
-      //      here (parse-time desugar to the null-aware IN machinery).
-      where.flatMap(collectQuants).distinct.zipWithIndex.foreach {
-        case (node, i) =>
-          val sub = lowerSelect(node.sub)
-          require(sub.columns.length == 1,
-            s"ANY/ALL subquery must project exactly one column, got " +
-              s"(${sub.columns.mkString(", ")})")
-          val (minN, maxN, cntN, nullN, probeN) =
-            (s"__q_min_$i", s"__q_max_$i", s"__q_n_$i",
-              s"__q_nulls_$i", s"__q_probe_$i")
-          val stats = broadcast(sub.toDF("v").agg(
-            min(col("v")).as(minN), max(col("v")).as(maxN),
-            count(lit(1)).as(cntN),
-            count(when(col("v").isNull, 1)).as(nullN)))
-          df = df.withColumn(probeN, operandCol(base, node.lhs))
-            .crossJoin(stats)
-          val p = col(probeN)
-          // the extreme that decides: ALL looks for a falsifier, ANY for
-          // a satisfier (NULL-probe comparisons are NULL → fall through)
-          val decided = node.op match {
-            case ">" => if (node.all) p <= col(maxN) else p > col(minN)
-            case ">=" => if (node.all) p < col(maxN) else p >= col(minN)
-            case "<" => if (node.all) p >= col(minN) else p < col(maxN)
-            case "<=" => if (node.all) p > col(minN) else p <= col(maxN)
-            case "=" | "!=" => (p =!= col(minN)) || (p =!= col(maxN))
-            case other => throw new IllegalArgumentException(
-              s"quantified comparison with $other")
-          }
-          val c =
-            when(col(cntN) === 0, node.all)
-              .when(decided, !node.all)
-              .when(p.isNull || col(nullN) > 0, lit(null).cast(BooleanType))
-              .otherwise(node.all)
-          subPreds += (node: Pred) -> c
-      }
-      // 2b. [NOT]-composable EXISTS pre-pass: equality conjuncts that
-      //     straddle the subquery and the outer relation DECORRELATE into
-      //     a marker join — the inner relation keeps its local
-      //     predicates, projects the DISTINCT correlation keys, and
-      //     left-outer joins on the outer columns (AQE broadcasts the
-      //     key side when small); EXISTS then reads the match marker.
-      //     Two-valued, so it composes under AND/OR/NOT anywhere in the
-      //     tree. An uncorrelated EXISTS folds to a broadcast
-      //     existence bit off a LIMIT-1 probe.
-      where.flatMap(collectExists).distinct.zipWithIndex.foreach { case (node, i) =>
-        val sub = node.sub
-        // the inner chain lowers through the same relation machinery as a
-        // top-level SELECT (r9: the single-filtered-table restriction is
-        // lifted — joined subqueries fold through lowerFrom, grouped ones
-        // through the grouped-existence rewrite below); only the select
-        // list is ignored, since EXISTS is about row existence (ANSI)
-        val inner = lowerFrom(sub)
-        val innerCols = inner.columns.toSet
-        val outerCols = df.columns.toSet
-        val (corr, local) = sub.where.flatMap(splitConjuncts).partitionMap {
-          case PCmp(Cmp(ORef(a), "=", ORef(b)))
-              if innerCols(a) && !innerCols(b) && outerCols(b) => Left((a, b))
-          case PCmp(Cmp(ORef(a), "=", ORef(b)))
-              if innerCols(b) && !innerCols(a) && outerCols(a) => Left((b, a))
-          case other => Right(other)
-        }
-        val filtered = local.foldLeft(inner)((d0, pr) => d0.filter(predCol(inner, pr)))
-        // grouped EXISTS (`… GROUP BY g HAVING h`): groups form per
-        // (correlation key × GROUP BY key) — exactly the groups the
-        // correlated subquery would form per outer row — HAVING filters
-        // them, and existence means ANY surviving group. Without HAVING
-        // a grouped EXISTS degenerates to plain row existence, and the
-        // rewrite below reduces to it.
-        val existsRel: DataFrame =
-          if (sub.groupBy.isEmpty && sub.having.isEmpty) filtered
-          else {
-            require(sub.groupBy.forall(innerCols),
-              s"EXISTS GROUP BY keys must be inner columns, " +
-                s"got ${sub.groupBy.mkString(", ")}")
-            val groupCols = (corr.map(_._1) ++ sub.groupBy).distinct
-            val aggCols = sub.items.collect {
-              case it: AggItem => aggItemCol(filtered, it)
-            }
-            val aggAll =
-              if (aggCols.nonEmpty) aggCols
-              else Seq(count(lit(1)).as(s"__ex_cnt_$i"))
-            val g = filtered.groupBy(groupCols.map(qref): _*)
-              .agg(aggAll.head, aggAll.tail: _*)
-            sub.having.foldLeft(g)((d0, pr) =>
-              d0.filter(predCol(d0, resolveHavingAggs(pr, sub.items))))
-          }
-        val c =
-          if (corr.isEmpty) {
-            val cntN = s"__ex_n_$i"
-            df = df.crossJoin(broadcast(
-              existsRel.limit(1).agg(count(lit(1)).as(cntN))))
-            col(cntN) > 0
-          } else {
-            val markN = s"__ex_match_$i"
-            val pairs = corr.distinct
-            val keyCols = pairs.map(_._1).distinct
-            val keyName = keyCols.zipWithIndex
-              .map { case (k, j) => k -> s"__ex_key_${i}_$j" }.toMap
-            val keys = existsRel
-              .select(keyCols.map(qref): _*).distinct()
-              .toDF(keyCols.map(keyName): _*)
-              .withColumn(markN, lit(true))
-            val cond = pairs.map { case (ic, oc) =>
-              qcol(df, oc) === keys(keyName(ic)) }.reduce(_ && _)
-            df = df.join(keys, cond, "left_outer")
-            col(markN).isNotNull
-          }
-        subPreds += (node: Pred) -> c
-      }
-      // 2c. correlated scalar subqueries in WHERE comparisons
-      //     (`WHERE x > (SELECT AVG(y) FROM t WHERE t.k = outer.k)`): the
-      //     subquery attaches through the same Kim/Dayal grouped-aggregate
-      //     decorrelation as the SELECT-list path (attachCorrScalar),
-      //     under a reserved __cw_ name; the WHOLE comparison rewrites to
-      //     a Column reading the attached value — ANSI NULL semantics fall
-      //     out (empty non-COUNT group → NULL → comparison NULL → row
-      //     dropped), and the node composes under AND/OR/NOT.
-      //     Every distinct correlated atom in the node's operand trees is
-      //     attached once (identical subqueries share one join), and the
-      //     comparison lowers through operandCol with the atom→column map
-      //     — so the subquery composes inside arithmetic, CAST, and
-      //     scalar functions exactly like any other operand.
-      locally {
-        val nodes = where.flatMap(p => collectCorrCmps(p, df)).distinct
-        val atoms = nodes.flatMap { case PCmp(Cmp(l, _, r)) =>
-          corrSubsInOperand(l, df) ++ corrSubsInOperand(r, df)
-        }.distinct
-        val corr: Map[Select, Column] = atoms.zipWithIndex.map {
-          case (subSel, i) =>
-            val alias = s"__cw_$i"
-            df = attachCorrScalar(df, subSel, alias)
-            subSel -> col(alias)
-        }.toMap
-        nodes.foreach { case node @ PCmp(Cmp(l, op, r)) =>
-          subPreds += (node: Pred) -> applyCmpOp(
-            operandCol(base, l, corr), op, operandCol(base, r, corr))
-        }
-      }
-      // 2. WHERE — ANSI split: conjuncts that do not read a window alias
-      //    filter the window INPUT (plain column equality still lands in
-      //    the scan's PushedFilters); conjuncts that do read one are the
-      //    QUALIFY idiom and apply after window attachment (round-7
-      //    ADVICE: the old all-post-window order silently diverged from
-      //    ANSI when a plain filter met a window whose partition did not
-      //    include the filtered column).
-      val winAliases = items.collect { case w: WinItem => w.alias }.toSet
-      val (postWin, preWin) = where.flatMap(splitConjuncts)
-        .partition(c => refNames(c).exists(winAliases))
-      preWin.foreach(c => df = df.filter(predCol(base, c, subPreds)))
-      items.foreach {
-        case WinItem(f, arg, parts, keys, alias, frame) =>
-          import org.apache.spark.sql.expressions.Window
-          // a global window (no PARTITION BY) single-tasks the whole
-          // relation — fine over a dimension/grid, a scale-killer over a
-          // fact. The dialect can't see cardinality, so it WARNS (the
-          // engine's own WindowExec warning fires too); unordered ranks
-          // stay refused outright, as nondeterminism is a correctness
-          // matter, not a performance one.
-          if (parts.isEmpty)
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"window $f over $alias has no PARTITION BY: the whole " +
-                "relation sorts in one task — acceptable for " +
-                "dimension-sized inputs only")
-          // frame-free aggregate window (r15): no ORDER BY → no sort at
-          // all, and Spark's default frame is the WHOLE partition — the
-          // share-of-total idiom (n / SUM(n) OVER ()). Deterministic by
-          // construction; the parser restricts it to SUM/COUNT/AVG/MIN/
-          // MAX. With an order the ANSI default RANGE frame applies.
-          val partitioned = Window.partitionBy(parts.map(qref): _*)
-          val ordered =
-            if (keys.isEmpty) partitioned
-            else partitioned.orderBy(keys.map(k =>
-              if (k.desc) qref(k.name).desc else qref(k.name).asc): _*)
-          // EXCLUDE CURRENT ROW (r14) rides the frame kind as a suffix:
-          // strip it here, build the FULL-frame spec, and rewrite the
-          // aggregate arithmetically below (full frame minus the row's
-          // own contribution) — Spark has no native frame exclusion.
-          val (frameBase, xcur) = frame match {
-            case Some((k, lo, hi)) if k.endsWith("_xcur") =>
-              (Some((k.dropRight(5), lo, hi)), true)
-            case other => (other, false)
-          }
-          val spec = frameBase match {
-            case None => ordered // ANSI default RANGE frame
-            case Some(("range", lo, hi)) => ordered.rangeBetween(
-              lo.fold(Window.unboundedPreceding)(n => -n),
-              hi.fold(Window.unboundedFollowing)(n => n))
-            // INTERVAL n DAY bounds (r14): re-key the RANGE frame onto
-            // exact day numbers — datediff from the epoch is order- and
-            // tie-equivalent to the DATE key itself, so `INTERVAL 7 DAY
-            // PRECEDING` is precisely a 7-day value frame (DuckDB
-            // semantics at day granularity). DATE keys only; a timestamp
-            // would silently bucket to days, so it is refused.
-            case Some(("range_days", lo, hi)) =>
-              require(keys.length == 1 && !keys.head.desc,
-                "an INTERVAL frame takes exactly one ascending ORDER BY key")
-              val k = keys.head.name
-              val kc = qref(k)
-              val dayNum = datediff(to_date(kc), to_date(lit("1970-01-01")))
-              val keyExpr = df.schema.find(_.name == k).map(_.dataType) match {
-                case Some(DateType) => dayNum
-                // timestamp keys are accepted ONLY when every value is
-                // midnight-aligned (a date stored as a timestamp, the
-                // common parquet shape) — checked per row at scan speed;
-                // an intra-day time would make day-keyed RANGE silently
-                // diverge from exact interval arithmetic, so it raises
-                case Some(TimestampType) | Some(TimestampNTZType) =>
-                  when(kc =!= to_date(kc).cast(
-                      df.schema.find(_.name == k).get.dataType),
-                    raise_error(concat(lit(s"INTERVAL frame key $k has a "),
-                      lit("non-midnight timestamp; day-granularity RANGE "),
-                      lit("requires date-valued keys"))))
-                    .otherwise(dayNum)
-                case other => throw new IllegalArgumentException(
-                  s"INTERVAL frame ORDER BY key $k must be DATE-valued, got $other")
-              }
-              Window.partitionBy(parts.map(qref): _*)
-                .orderBy(keyExpr)
-                .rangeBetween(
-                  lo.fold(Window.unboundedPreceding)(n => -n),
-                  hi.fold(Window.unboundedFollowing)(n => n))
-            case Some((_, lo, hi)) => ordered.rowsBetween(
-              lo.fold(Window.unboundedPreceding)(n => -n),
-              hi.fold(Window.unboundedFollowing)(n => n))
-          }
-          val fn = f match {
-            case "ROW_NUMBER" => row_number()
-            case "RANK" => rank()
-            case "DENSE_RANK" => dense_rank()
-            // (rank−1)/(rows−1): a ratio of exact integers, identically
-            // defined in DuckDB — bitwise cross-engine
-            case "PERCENT_RANK" => percent_rank()
-            // rows-with-peers-or-before / rows: same exact-int ratio
-            // class (ANSI CUME_DIST, identical in DuckDB)
-            case "CUME_DIST" => cume_dist()
-            case "NTILE" => ntile(arg.get.toInt)
-            // out-of-partition rows yield NULL, identically in DuckDB
-            case "NTH_VALUE" =>
-              val Array(c, n) = arg.get.split(":")
-              nth_value(qref(c), n.toInt)
-            case "LAG" | "LEAD" =>
-              val Array(c, off) = arg.get.split(":")
-              if (f == "LAG") lag(col(c), off.toInt) else lead(col(c), off.toInt)
-            case "FIRST_VALUE" | "LAST_VALUE" =>
-              // "!ignore" suffix = ANSI IGNORE NULLS (Spark's ignoreNulls
-              // flag; DuckDB-identical: the nearest non-null in frame)
-              val (c, ign) = arg.get.split("!") match {
-                case Array(c0, "ignore") => (c0, true)
-                case _ => (arg.get, false)
-              }
-              if (f == "FIRST_VALUE") first(qref(c), ignoreNulls = ign)
-              else last(qref(c), ignoreNulls = ign)
-            // ordered aggregate: ANSI default frame (RANGE unbounded
-            // preceding → current row), same default in DuckDB
-            case agg => aggColumn(agg, arg)
-          }
-          val result =
-            if (!xcur) fn.over(spec)
-            else f match {
-              // leave-one-out rewrites. NULL edges follow the engines'
-              // shared semantics: SUM/AVG over a reduced frame with no
-              // non-null values is NULL (not 0); COUNT is 0.
-              case "SUM" =>
-                val x = qref(arg.get)
-                val nX = count(x).over(spec) -
-                  when(x.isNotNull, lit(1L)).otherwise(lit(0L))
-                when(nX === 0, lit(null))
-                  .otherwise(sum(x).over(spec) - coalesce(x, lit(0)))
-              case "COUNT" if arg.isEmpty =>
-                count(lit(1)).over(spec) - lit(1L)
-              case "COUNT" =>
-                val x = qref(arg.get)
-                count(x).over(spec) -
-                  when(x.isNotNull, lit(1L)).otherwise(lit(0L))
-              case "AVG" =>
-                val x = qref(arg.get)
-                val nX = count(x).over(spec) -
-                  when(x.isNotNull, lit(1L)).otherwise(lit(0L))
-                val sX = sum(x).over(spec) - coalesce(x, lit(0))
-                // exact-integer dividend/divisor → ONE IEEE division,
-                // bitwise cross-engine for integral columns
-                when(nX === 0, lit(null))
-                  .otherwise(sX.cast("double") / nX)
-              case other => throw new IllegalArgumentException(
-                s"EXCLUDE CURRENT ROW supports SUM/COUNT/AVG, not $other")
-            }
-          df = df.withColumn(alias, result)
-        case _ => ()
-      }
-      postWin.foreach(c => df = df.filter(predCol(base, c, subPreds)))
-      // QUALIFY (r9): explicit window filter — same lowering as the
-      // post-window WHERE conjuncts, just spelled the ANSI-extension way
-      qualify.foreach(c => df = df.filter(predCol(base, c, subPreds)))
-      val hasAgg = items.exists(i =>
-        i.isInstanceOf[AggItem] || i.isInstanceOf[AggExprItem])
-      // ORDER BY expression keys (r9): hidden __ob_i columns. On the
-      // plain-projection path they attach BEFORE the projection, so the
-      // expression may read underlying columns not in the select list
-      // (ANSI); on the aggregated path they attach to the aggregated
-      // output below (output names only — ANSI's restriction anyway).
-      val obExprs = orderBy.zipWithIndex.collect {
-        case (k, i) if k.expr.isDefined => (s"__ob_$i", k.expr.get)
-      }
-      if (obExprs.nonEmpty) {
-        require(!distinct, "ORDER BY expressions cannot combine with " +
-          "SELECT DISTINCT — order by a select-list alias instead")
-        if (!hasAgg && groupBy.isEmpty)
-          obExprs.foreach { case (hn, o) =>
-            df = df.withColumn(hn, operandCol(base, o))
-          }
-      }
-      // hidden GROUP BY expression columns (r9) attach pre-aggregation;
-      // their names ride groupBy like any key and the item projection
-      // below drops them
-      groupExprs.foreach { case (hn, o) =>
-        df = df.withColumn(hn, operandCol(base, o))
-      }
-      // 3. aggregation (graft extension) or plain SELECT-list projection
-      var out: DataFrame =
-        if (hasAgg || groupBy.nonEmpty) {
-          items.foreach {
-            // either spelling may be the group key: the raw (possibly
-            // qualified) column or its output alias (ordinals resolve to
-            // the alias, which step 1 attached as a real column)
-            case ColItem(c, a) =>
-              require(groupBy.contains(c) || a.exists(groupBy.contains),
-                s"column $c must appear in GROUP BY")
-            // a CASE or computed alias may be a group key (the bucketing
-            // idiom: GROUP BY the computed bucket) — it was attached pre-agg
-            case it: CaseItem => require(groupBy.contains(it.alias),
-              s"CASE alias ${it.alias} must appear in GROUP BY")
-            case it: ExprItem => require(groupBy.contains(it.alias),
-              s"expression alias ${it.alias} must appear in GROUP BY")
-            case Star | _: StarExclude | _: StarPattern =>
-              throw new IllegalArgumentException(
-                "SELECT * cannot be combined with aggregates/GROUP BY")
-            case d: DistItem => throw new IllegalArgumentException(
-              s"distance item ${d.alias} cannot be combined with aggregates/GROUP BY")
-            case _: AggItem => ()
-            case _: AggExprItem => ()
-            case w: WinItem => throw new IllegalArgumentException(
-              s"window item ${w.alias} cannot be combined with aggregates/GROUP BY")
-          }
-          val plain = items.collect { case it: AggItem =>
-            aggItemCol(df, it) }
-          // each distinct aggregate atom inside expressions computes ONCE
-          // under a RESERVED internal name (never a user-visible alias:
-          // deduplicating against plain items let `SELECT SUM(x) AS
-          // sum_v, SUM(v) / 2 ...` silently read the SUM(x) column —
-          // round-7 ADVICE). Catalyst collapses identical aggregate
-          // expressions, so the occasional double registration is free.
-          val exprAggs = items
-            .collect { case AggExprItem(o, _) => aggAtoms(o) }.flatten.distinct
-            .map {
-              case OAgg(f, arg) =>
-                aggColumn(f, arg).as("__agg_" + aggAlias(f, arg, None))
-              // expression aggregates (r15): the argument lowers over the
-              // PRE-aggregation rows (CASE/arithmetic per row, then the
-              // partial-combined aggregate — one scan, map-side combine);
-              // the internal name is the atom's structural hash, so the
-              // same spelled atom computes once and reads consistently
-              case a @ OAggX(f, o) =>
-                aggColumnX(f, operandCol(df, o)).as(aggxName(a))
-              case other => throw new IllegalArgumentException(
-                s"unexpected aggregate atom: $other")
-            }
-          val aggs = plain ++ exprAggs
-          require(aggs.nonEmpty, "GROUP BY requires at least one aggregate")
-          // ROLLUP/CUBE lower to Dataset.rollup/cube — ONE Expand pass
-          // produces every grouping set (no re-aggregation per level)
-          val agged =
-            (groupMode match {
-              case "rollup" => df.rollup(groupBy.map(qref): _*)
-              case "cube" => df.cube(groupBy.map(qref): _*)
-              // explicit GROUPING SETS: the same single-Expand plan as
-              // rollup/cube, with exactly the listed sets
-              case "sets" =>
-                df.groupingSets(groupSets.map(_.map(qref)), groupBy.map(qref): _*)
-              case _ => df.groupBy(groupBy.map(qref): _*)
-            }).agg(aggs.head, aggs.tail: _*)
-          // post-aggregation expression evaluation: aggregate atoms read
-          // their computed columns, ORefs read group keys, literals stay
-          def aggExprCol(o: Operand): Column = o match {
-            case OAgg(f, arg) => col("__agg_" + aggAlias(f, arg, None))
-            case a: OAggX => col(aggxName(a))
-            case ORef(n) => qref(n)
-            case OVal(VNum(s)) => numLit(s)
-            case s: OSub => operandCol(base, s) // scalar subquery: already a literal
-            case OArith(l, op, r) =>
-              val (lc, rc) = (aggExprCol(l), aggExprCol(r))
-              op match {
-                case "+" => lc + rc
-                case "-" => lc - rc
-                case "*" => lc * rc
-                case "/" => lc / rc
-                case "%" => lc % rc
-              }
-            case OFunc(f, fargs) => funcApply(f, fargs.map(aggExprCol), fargs)
-            case OCast(x, t, tm) =>
-              val c = aggExprCol(x)
-              if (tm) call_function("graft_try_cast", c, lit(sqlTypeName(t)))
-              else c.cast(sqlTypeName(t))
-            case other => throw new IllegalArgumentException(
-              s"unsupported term in aggregate expression: $other")
-          }
-          agged.select(items.map {
-            case ColItem(c, alias) =>
-              // the aggregated frame carries whichever spelling was the
-              // group key — the raw column or the attached alias
-              val n = if (groupBy.contains(c)) c else alias.getOrElse(c)
-              qref(n).as(alias.getOrElse(c))
-            case it: CaseItem => col(it.alias)
-            case it: ExprItem => col(it.alias)
-            case AggItem(f, arg, alias, _) => col(aggAlias(f, arg, alias))
-            case AggExprItem(o, alias) => aggExprCol(o).as(alias)
-            case other => throw new IllegalStateException(other.toString)
-          }: _*)
-        } else {
-          df.select(items.flatMap {
-            case Star => base.columns.toSeq.map(col)
-            case StarPattern(re) =>
-              val pat = java.util.regex.Pattern.compile(re)
-              val hit = base.columns.toSeq.filter(c => pat.matcher(c).find())
-              require(hit.nonEmpty, s"COLUMNS('$re') matches no column of " +
-                s"(${base.columns.mkString(", ")})")
-              hit.map(qref)
-            case StarExclude(ex, repl) =>
-              val have = base.columns.toSet
-              ex.foreach(c => require(have.contains(c),
-                s"EXCLUDE names unknown column: $c"))
-              repl.foreach { case (c, _) => require(have.contains(c),
-                s"REPLACE names unknown column: $c") }
-              val rm = repl.toMap
-              base.columns.toSeq.filterNot(ex.toSet).map { c =>
-                rm.get(c).fold(col(c))(o => operandCol(base, o).as(c)) }
-            case ColItem(c, alias) => Seq(col(alias.getOrElse(c)))
-            case DistItem(_, _, alias) => Seq(col(alias))
-            case CaseItem(_, _, alias) => Seq(col(alias))
-            case ExprItem(_, alias) => Seq(col(alias))
-            case WinItem(_, _, _, _, alias, _) => Seq(col(alias))
-            case other => throw new IllegalStateException(other.toString)
-          } ++ obExprs.map { case (hn, _) => col(hn) }: _*)
-        }
-      // 4. HAVING filters the aggregated output — by output names, and
-      //    (r9) by aggregate EXPRESSIONS: `HAVING COUNT(*) >= 20` resolves
-      //    each aggregate atom to its select-item twin's output column
-      //    (ANSI spelling without requiring the alias). Catalyst evaluates
-      //    post-aggregation, exactly ANSI HAVING semantics.
-      if (having.nonEmpty) {
-        require(hasAgg || groupBy.nonEmpty, "HAVING requires GROUP BY/aggregates")
-        having.foreach(pred =>
-          out = out.filter(predCol(out, resolveHavingAggs(pred, items))))
-      }
-      // 4b. SELECT DISTINCT dedupes the projected output (ANSI position:
-      //     after HAVING, before ORDER BY/LIMIT) — lowered to the same
-      //     partial-combined aggregate as any distinct, no driver state
-      if (distinctOn.nonEmpty) {
-        // DISTINCT ON (cols): first row per ON-group under the ORDER BY
-        // tail. Determinism contract: ORDER BY must lead with the ON
-        // columns and carry at least one further tiebreak key; the pick
-        // runs as a partitioned row_number (no global sort), the final
-        // ORDER BY below still applies to the kept rows.
-        require(rawOrderBy.size > distinctOn.size &&
-          distinctOn.zip(rawOrderBy).forall { case (c, k) =>
-            k.name == c && k.expr.isEmpty },
-          "DISTINCT ON requires ORDER BY to lead with the ON columns " +
-            "followed by at least one tiebreak key")
-        val ties = orderBy.drop(distinctOn.size).map { k =>
-          require(k.expr.isEmpty, "DISTINCT ON tiebreak keys must be column names")
-          if (k.desc) qref(k.name).desc else qref(k.name).asc
-        }
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(distinctOn.map(qref): _*).orderBy(ties: _*)
-        out = out.withColumn("__don", row_number().over(w))
-          .filter(col("__don") === 1).drop("__don")
-      } else if (distinct) out = out.dropDuplicates()
-      // 5. ORDER BY / LIMIT over output names. Catalyst turns
-      //    orderBy+limit into TakeOrderedAndProject (top-k, no global sort)
-      if (orderBy.nonEmpty) {
-        // expression keys read their hidden __ob_i columns (attached
-        // pre-projection on the plain path; computed from output names
-        // here on the aggregated path), sort, then drop — the projection
-        // folds into TakeOrderedAndProject under a LIMIT, so the hidden
-        // column never materializes globally
-        val sortCols = orderBy.zipWithIndex.map { case (k, i) =>
-          val c = k.expr match {
-            case Some(o) =>
-              val hn = s"__ob_$i"
-              if (!out.columns.contains(hn))
-                out = out.withColumn(hn, operandCol(out, o))
-              col(hn)
-            case None => col(k.name)
-          }
-          (k.desc, k.nullsFirst) match {
-            case (false, None) => c.asc
-            case (true, None) => c.desc
-            case (false, Some(true)) => c.asc_nulls_first
-            case (false, Some(false)) => c.asc_nulls_last
-            case (true, Some(true)) => c.desc_nulls_first
-            case (true, Some(false)) => c.desc_nulls_last
-          }
-        }
-        out = out.orderBy(sortCols: _*)
-        if (obExprs.nonEmpty) out = out.drop(obExprs.map(_._1): _*)
-      }
-      // ANSI pagination: OFFSET skips before LIMIT counts (Dataset.offset
-      // composes with the sort into a single GlobalLimit — no full
-      // materialization of the skipped prefix)
-      offsetN.foreach(m => out = out.offset(m.toInt))
-      limitN.foreach(nRows => out = out.limit(nRows.toInt))
-      out
-    }
-  }
-
-  /** Column ref with backtick quoting for the dotted names that aliased
-    * relations carry (`a.col` is ONE column, not a struct access). */
-  private def qref(n: String): Column =
-    if (n.contains('.')) col(s"`$n`") else col(n)
-
-  private def qcol(df: DataFrame, n: String): Column =
-    if (n.contains('.')) df.col(s"`$n`") else df.col(n)
-
-  /** Rename every column of `df` to `alias.col` (the aliased-relation
-    * naming contract; a lazy projection, free under codegen). */
-  private def aliasCols(df: DataFrame, alias: Option[String]): DataFrame =
-    alias.fold(df)(a => df.toDF(df.columns.map(c => s"$a.$c").toIndexedSeq: _*))
-
-  /** STRING_AGG per-group size cap (values per group). Env-tunable via
-    * SPARK_GRAFT_STRING_AGG_MAX for corpora with legitimately huge
-    * groups; the default is generous for any analytic concat. */
-  private val StringAggMaxGroup: Long =
-    sys.env.get("SPARK_GRAFT_STRING_AGG_MAX").flatMap(_.toLongOption)
-      .getOrElse(1000000L)
-
-  /** The C-style (DuckDB-spelled) strftime/strptime format string
-    * translated to Spark's java.time pattern at parse time; only the
-    * portable directives are accepted — anything else fails loudly
-    * rather than silently formatting/parsing differently (r14 STRFTIME
-    * doctrine, shared with r15 STRPTIME). */
-  private def cFormatToJava(fmt: String, fn: String): String = {
-    val out = new StringBuilder
-    var i = 0
-    while (i < fmt.length) {
-      if (fmt.charAt(i) == '%') {
-        require(i + 1 < fmt.length, s"dangling % in $fn format")
-        out.append(fmt.charAt(i + 1) match {
-          case 'Y' => "yyyy"
-          case 'm' => "MM"
-          case 'd' => "dd"
-          case 'H' => "HH"
-          case 'M' => "mm"
-          case 'S' => "ss"
-          case 'j' => "DDD"
-          case '%' => "%"
-          case c => throw new IllegalArgumentException(
-            s"unsupported $fn directive %$c")
-        })
-        i += 2
-      } else {
-        val c = fmt.charAt(i)
-        require(!c.isLetter,
-          s"literal letter '$c' in $fn format needs a %-directive")
-        out.append(c)
-        i += 1
-      }
-    }
-    out.toString
-  }
-
-  /** Expression-aggregate lowering (r15, [[EmdriveSql.OAggX]]): the
-    * argument Column was already lowered over PRE-aggregation rows. */
-  private def aggColumnX(func: String, x: Column): Column = func match {
-    case "COUNT" => count(x)
-    case "SUM" => sum(x)
-    case "AVG" => avg(x)
-    case "MIN" => min(x)
-    case "MAX" => max(x)
-    case other => throw new IllegalArgumentException(
-      s"$other does not take an expression argument")
-  }
-
-  /** Internal column name for an expression-aggregate atom: the case
-    * class's structural hash (murmur3 over the operand tree — stable
-    * within and across JVMs), so one spelled atom computes once and every
-    * reader resolves the same column; never a user-visible alias (the
-    * round-7 shadowing lesson). */
-  private def aggxName(a: EmdriveSql.OAggX): String =
-    "__aggx_" + java.lang.Integer.toHexString(a.hashCode)
-
-  private def aggColumn(func: String, arg: Option[String]): Column =
-    (func, arg) match {
-      case ("COUNT", None) => count(lit(1))
-      case ("COUNT", Some(c)) => count(qref(c))
-      // exact distinct (the partial-combined two-phase Expand plan); the
-      // 100 TB approximate alternative is approx_count_distinct
-      case ("COUNT_DISTINCT", Some(c)) => countDistinct(qref(c))
-      case ("SUM", Some(c)) => sum(qref(c))
-      case ("AVG", Some(c)) => avg(qref(c))
-      case ("MIN", Some(c)) => min(qref(c))
-      case ("MAX", Some(c)) => max(qref(c))
-      // exact interpolated median — the same cross-engine-stable
-      // percentile the q_percentile operator uses (DuckDB: median =
-      // quantile_cont(.5), identical interpolation)
-      case ("MEDIAN", Some(c)) => percentile(qref(c), lit(0.5))
-      // GROUPING(col) — 1 on the subtotal rows where col is rolled up,
-      // 0 on detail rows (ANSI; disambiguates a real NULL key from a
-      // rollup NULL). Widened from Spark's tinyint to bigint so the
-      // dialect's type is engine-independent.
-      case ("GROUPING", Some(c)) => grouping(qref(c)).cast("bigint")
-      // boolean quantifiers (ANSI EVERY/ANY; the DuckDB spelling) — both
-      // engines skip NULLs and return NULL on all-NULL groups
-      case ("BOOL_AND", Some(c)) => bool_and(qref(c))
-      case ("BOOL_OR", Some(c)) => bool_or(qref(c))
-      // sample standard deviation (n−1 denominator in both engines).
-      // Float-accumulated — keys must round(…, 6) per the §5 discipline.
-      case ("STDDEV", Some(c)) => stddev_samp(qref(c))
-      // ordered concatenation: collect → sort → join, so the result is
-      // deterministic on any partitioning (the DuckDB twin spells the
-      // same order as string_agg(c, sep ORDER BY c))
-      case ("ARG_MAX", Some(enc)) =>
-        val Array(a, b) = enc.split("", 2)
-        max_by(qref(a), qref(b))
-      case ("ARG_MIN", Some(enc)) =>
-        val Array(a, b) = enc.split("", 2)
-        min_by(qref(a), qref(b))
-      // deterministic ONLY over per-group-constant input (the gate key's
-      // use); Spark and DuckDB agree trivially there
-      case ("ANY_VALUE", Some(c)) => any_value(qref(c))
-      case ("STRING_AGG", Some(enc)) =>
-        // limit-2 split: an empty separator (or one containing the
-        // U+0001 delimiter itself) round-trips -- Java's limitless char
-        // split drops trailing empty tokens and would MatchError here
-        // for STRING_AGG(col, '') (r13 ADVICE)
-        val Array(c, sep) = enc.split("", 2)
-        // per-group memory is the group's full value list (STRING_AGG's
-        // inherent semantics) -- at 100 TB one degenerate hot key would
-        // concentrate its whole list on a single task, so a loud error
-        // above the cap beats a silent executor OOM (r13 verdict note).
-        val lst = sort_array(collect_list(qref(c)))
-        when(size(lst) > StringAggMaxGroup,
-            raise_error(concat(lit("STRING_AGG group for '"), lit(c),
-              lit(s"' exceeds $StringAggMaxGroup values; aggregate or "),
-              lit("bucket the group key first"))))
-          .otherwise(array_join(lst, sep))
-      case ("ARRAY_AGG", Some(enc)) =>
-        // col + direction ride the arg slot U+0001-joined (parse
-        // guarantees ORDER BY the aggregated column itself, so
-        // sort_array IS the ordered aggregation — deterministic on any
-        // partitioning). Same per-group memory model as STRING_AGG:
-        // the group's full value list, capped loudly.
-        val Array(c, dir) = enc.split("", 2)
-        // DuckDB parity (r14 ADVICE): ARRAY_AGG KEEPS NULL elements --
-        // Spark's collect_list silently drops them -- and orders NULLS
-        // LAST in both directions (DuckDB default_null_order, probed).
-        // Elements ride a (null-rank, value) struct so collect_list
-        // cannot drop them (a struct value is never NULL) and
-        // sort_array's field-wise struct ordering lands NULLs last:
-        // ascending sorts (isNull, v) -- false before true; descending
-        // sorts (isNotNull, v) -- true first. The same projection
-        // unwraps (codegen'd transform), so the product is a plain list.
-        val asc = dir == "a"
-        val x = qref(c)
-        val lst = transform(
-          sort_array(collect_list(struct(
-            (if (asc) x.isNull else x.isNotNull).as("n"), x.as("v"))),
-            asc = asc),
-          e => e.getField("v"))
-        when(size(lst) > StringAggMaxGroup,
-            raise_error(concat(lit("ARRAY_AGG group for '"), lit(c),
-              lit(s"' exceeds $StringAggMaxGroup values; aggregate or "),
-              lit("bucket the group key first"))))
-          .otherwise(lst)
-      case other => throw new IllegalArgumentException(s"bad aggregate: $other")
-    }
-
-  /** FILTER (WHERE …) lowering: the aggregate's input becomes
-    * `when(cond, x)` — every aggregate here skips NULLs, so folding the
-    * NULLed-out rows is exactly the ANSI FILTER semantics (COUNT(*)
-    * counts a non-null literal under the condition). GROUPING cannot
-    * take a FILTER (it reads the grouping-set mask, not rows). */
-  private def aggColumnFiltered(func: String, arg: Option[String],
-      cond: Column): Column = {
-    def g(c: String): Column = when(cond, qref(c))
-    (func, arg) match {
-      case ("COUNT", None) => count(when(cond, lit(1)))
-      case ("COUNT", Some(c)) => count(g(c))
-      case ("COUNT_DISTINCT", Some(c)) => countDistinct(g(c))
-      case ("SUM", Some(c)) => sum(g(c))
-      case ("AVG", Some(c)) => avg(g(c))
-      case ("MIN", Some(c)) => min(g(c))
-      case ("MAX", Some(c)) => max(g(c))
-      case ("MEDIAN", Some(c)) => percentile(g(c), lit(0.5))
-      case ("BOOL_AND", Some(c)) => bool_and(g(c))
-      case ("BOOL_OR", Some(c)) => bool_or(g(c))
-      case ("STDDEV", Some(c)) => stddev_samp(g(c))
-      case other => throw new IllegalArgumentException(
-        s"FILTER is not supported for aggregate: $other")
-    }
-  }
-
-  private def aggItemCol(base: DataFrame, it: AggItem): Column =
-    (it.filter match {
-      case None => aggColumn(it.func, it.arg)
-      case Some(p) => aggColumnFiltered(it.func, it.arg, predCol(base, p))
-    }).as(aggAlias(it.func, it.arg, it.alias))
-
-  private def aggAlias(func: String, arg: Option[String], alias: Option[String]): String =
-    alias.getOrElse(arg match {
-      case None => "count"
-      // STRING_AGG's arg slot carries "colsep" — default name
-      // from the column alone
-      case Some(c) if c.contains('') =>
-        s"${func.toLowerCase}_${c.split("", 2).head}"
-      case Some(c) => s"${func.toLowerCase}_$c"
-    })
-
-  /** `@` adapts to the metric-key carrier type: binary(16) UINT128 → the
-    * hamming128 byte kernel; integer/UINT64(decimal) hashes → 64-bit
-    * xor+bit_count. Both are codegen expressions. */
-  private def distCol(base: DataFrame, column: String, probe: Value): Column = {
-    val dt = base.schema(column).dataType
-    dt match {
-      case BinaryType =>
-        val bytes = probe match {
-          case VBits(v) => bits128(v)
-          case VStr(s) => s.getBytes("UTF-8")
-          case other => throw new IllegalArgumentException(s"cannot probe binary with $other")
-        }
-        call_function("hamming128", col(column), lit(bytes))
-      case _: NumericType =>
-        val v = probe match {
-          case VBits(b) => b.longValue
-          case VNum(s) => s.toLong
-          case other => throw new IllegalArgumentException(s"cannot probe numeric with $other")
-        }
-        call_function("hamming64", col(column).cast(LongType), lit(v))
-      case other =>
-        throw new IllegalArgumentException(s"@ requires a metric-key column, got $other")
-    }
-  }
-
-  /** Pred nodes in a WHERE tree (the only place IN (SELECT …) is legal). */
-  private def collectInSubs(p: Pred): Seq[PInSub] = p match {
-    case s: PInSub => Seq(s)
-    case PAnd(a, b) => collectInSubs(a) ++ collectInSubs(b)
-    case POr(a, b) => collectInSubs(a) ++ collectInSubs(b)
-    case PNot(x) => collectInSubs(x)
-    case _ => Seq.empty
-  }
-
-  private def collectExists(p: Pred): Seq[PExists] = p match {
-    case s: PExists => Seq(s)
-    case PAnd(a, b) => collectExists(a) ++ collectExists(b)
-    case POr(a, b) => collectExists(a) ++ collectExists(b)
-    case PNot(x) => collectExists(x)
-    case _ => Seq.empty
-  }
-
-  private def collectQuants(p: Pred): Seq[PQuant] = p match {
-    case s: PQuant => Seq(s)
-    case PAnd(a, b) => collectQuants(a) ++ collectQuants(b)
-    case POr(a, b) => collectQuants(a) ++ collectQuants(b)
-    case PNot(x) => collectQuants(x)
-    case _ => Seq.empty
-  }
-
-  /** HAVING aggregate atoms → their select-item twin's output column
-    * (r9): `HAVING COUNT(*) >= 20` works without an alias reference when
-    * some item computes the same aggregate; an aggregate with no twin is
-    * refused (this dialect aggregates only what the select list names —
-    * the documented extension shape). Structural rewrite over the whole
-    * predicate tree, so aggregates compose inside arithmetic/CAST. */
-  private def resolveHavingAggs(p: Pred, items: Seq[SelectItem]): Pred = {
-    def op(o: Operand): Operand = o match {
-      case OAgg(f, arg) =>
-        items.collectFirst {
-          case AggItem(f2, arg2, alias, None) if f2 == f && arg2 == arg =>
-            ORef(aggAlias(f2, arg2, alias))
-        }.getOrElse(throw new IllegalArgumentException(
-          s"HAVING aggregate $f(${arg.getOrElse("*")}) must also appear " +
-            "in the select list"))
-      // expression aggregates (r15): HAVING SUM(CASE … END) … resolves to
-      // the structurally-identical select-item atom's output alias
-      case a: OAggX =>
-        items.collectFirst {
-          case AggExprItem(o2, alias) if o2 == (a: Operand) => ORef(alias)
-        }.getOrElse(throw new IllegalArgumentException(
-          s"HAVING aggregate ${a.func}(<expr>) must also appear " +
-            "in the select list (same spelling)"))
-      case OArith(l, oper, r) => OArith(op(l), oper, op(r))
-      case OFunc(f, as) => OFunc(f, as.map(op))
-      case OCast(x, t, tm) => OCast(op(x), t, tm)
-      case other => other
-    }
-    def walk(pr: Pred): Pred = pr match {
-      case PCmp(Cmp(l, c, r)) => PCmp(Cmp(op(l), c, op(r)))
-      case PAnd(a, b) => PAnd(walk(a), walk(b))
-      case POr(a, b) => POr(walk(a), walk(b))
-      case PNot(x) => PNot(walk(x))
-      case PIn(l, vs, n) => PIn(op(l), vs, n)
-      case PInTuple(ls, rows, n) => PInTuple(ls.map(op), rows, n)
-      case PLike(l, pat, n, e, ci) => PLike(op(l), pat, n, e, ci)
-      case PIsNull(l, n) => PIsNull(op(l), n)
-      case other => other
-    }
-    walk(p)
-  }
-
-  /** Top-level AND conjuncts (the unit of the pre/post-window WHERE split
-    * and of EXISTS decorrelation). */
-  private def splitConjuncts(p: Pred): Seq[Pred] = p match {
-    case PAnd(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
-    case other => Seq(other)
-  }
-
-  /** Column names a predicate reads (scalar subqueries inline to literals
-    * and EXISTS reads its marker, so neither contributes). */
-  private def refNamesO(o: Operand): Set[String] = o match {
-    case ORef(n) => Set(n)
-    case ODist(c, _) => Set(c)
-    case OArith(l, _, r) => refNamesO(l) ++ refNamesO(r)
-    case OFunc(_, args) => args.flatMap(refNamesO).toSet
-    case OCast(o, _, _) => refNamesO(o)
-    case _ => Set.empty
-  }
-
-  private def refNames(p: Pred): Set[String] = p match {
-    case PCmp(Cmp(l, _, r)) => refNamesO(l) ++ refNamesO(r)
-    case PAnd(a, b) => refNames(a) ++ refNames(b)
-    case POr(a, b) => refNames(a) ++ refNames(b)
-    case PNot(x) => refNames(x)
-    case PIn(l, _, _) => refNamesO(l)
-    case PInTuple(ls, _, _) => ls.flatMap(refNamesO).toSet
-    case PInSub(l, _, _) => refNamesO(l)
-    case PLike(l, _, _, _, _) => refNamesO(l)
-    case PIsNull(l, _) => refNamesO(l)
-    case PQuant(l, _, _, _) => refNamesO(l)
-    case _: PExists => Set.empty
-  }
-
-  /** Correlated scalar subquery atoms ANYWHERE in an operand tree — not
-    * just as a direct comparison side: `(SELECT MIN(x) …) * 10 > col`
-    * nests its subquery inside arithmetic, and r8 ADVICE flagged that the
-    * direct-side-only match let such atoms fall through to the
-    * uncorrelated inline-literal path, which dies unresolved. */
-  private def corrSubsInOperand(o: Operand, outer: DataFrame): Seq[Select] =
-    o match {
-      case OSub(sub) if isCorrScalar(sub, outer) => Seq(sub)
-      case OArith(l, _, r) =>
-        corrSubsInOperand(l, outer) ++ corrSubsInOperand(r, outer)
-      case OFunc(_, args) => args.flatMap(corrSubsInOperand(_, outer))
-      case OCast(x, _, _) => corrSubsInOperand(x, outer)
-      case _ => Seq.empty
-    }
-
-  /** PCmp nodes with a correlated scalar subquery anywhere in either
-    * operand tree — these decorrelate in lowerSelect's 2c pre-pass and
-    * the whole comparison rewrites to a Column (composable under
-    * AND/OR/NOT like IN/EXISTS). */
-  private def collectCorrCmps(p: Pred, outer: DataFrame): Seq[PCmp] = p match {
-    case s @ PCmp(Cmp(l, _, r))
-      if (corrSubsInOperand(l, outer) ++ corrSubsInOperand(r, outer)).nonEmpty =>
-      Seq(s)
-    case PAnd(a, b) => collectCorrCmps(a, outer) ++ collectCorrCmps(b, outer)
-    case POr(a, b) => collectCorrCmps(a, outer) ++ collectCorrCmps(b, outer)
-    case PNot(x) => collectCorrCmps(x, outer)
-    case _ => Seq.empty
-  }
-
-  private def applyCmpOp(l: Column, op: String, r: Column): Column = op match {
-    case "=" => l === r
-    case "!=" => l =!= r
-    case "<" => l < r
-    case "<=" => l <= r
-    case ">" => l > r
-    case ">=" => l >= r
-  }
-
-  private def predCol(base: DataFrame, p: Pred,
-      subs: Map[Pred, Column] = Map.empty): Column = p match {
-    case s: PCmp if subs.contains(s) => subs(s)
-    case PCmp(c) => cmpCol(base, c)
-    case PAnd(a, b) => predCol(base, a, subs) && predCol(base, b, subs)
-    case POr(a, b) => predCol(base, a, subs) || predCol(base, b, subs)
-    case PNot(x) => !predCol(base, x, subs)
-    case s: PInSub => subs.getOrElse(s, throw new IllegalArgumentException(
-      "IN (SELECT …) is only supported in WHERE"))
-    case s: PExists => subs.getOrElse(s, throw new IllegalArgumentException(
-      "EXISTS (SELECT …) is only supported in WHERE"))
-    case s: PQuant => subs.getOrElse(s, throw new IllegalArgumentException(
-      "ANY/ALL (SELECT …) is only supported in WHERE"))
-    case PIn(lhs, vals, neg) =>
-      // raw literal values (not Columns) build a true Catalyst In — the
-      // shape the parquet datasource translates to a pushed IN filter
-      val lits: Seq[Any] = vals.map {
-        case VNum(s) => if (s.contains('.')) s.toDouble else s.toLong
-        case VStr(s) => s
-        case VBool(b) => b
-        case VBits(v) => v.longValue
-        case other =>
-          throw new IllegalArgumentException(s"IN list expects literals, got $other")
-      }
-      val c = operandCol(base, lhs).isin(lits: _*)
-      if (neg) !c else c
-    case PLike(lhs, pat, neg, esc, ci) =>
-      // 3-arg `like` is the registry spelling of LIKE … ESCAPE (same
-      // Catalyst Like expression, custom escape char); ILIKE is the
-      // case-insensitive Catalyst ILike — both codegen
-      val l = operandCol(base, lhs)
-      val c =
-        if (ci) l.ilike(pat)
-        else esc.fold(l.like(pat))(e =>
-          call_function("like", l, lit(pat), lit(e)))
-      if (neg) !c else c
-    case PInTuple(lhs, rows, neg) =>
-      val cols = lhs.map(operandCol(base, _))
-      val c = rows.map(r =>
-        cols.zip(r).map { case (cl, v) => cl === operandCol(base, OVal(v)) }
-          .reduce(_ && _)).reduce(_ || _)
-      if (neg) !c else c
-    case PIsNull(lhs, neg) =>
-      if (neg) operandCol(base, lhs).isNotNull
-      else operandCol(base, lhs).isNull
-  }
-
-  /** Searched CASE → when().when()….otherwise() Column chain; branches
-    * evaluate in order, exactly ANSI semantics (Catalyst CaseWhen). */
-  private def caseCol(base: DataFrame, it: EmdriveSql.CaseItem): Column = {
-    val first = when(predCol(base, it.branches.head._1),
-      operandCol(base, it.branches.head._2))
-    val chained = it.branches.tail.foldLeft(first) { case (acc, (pr, v)) =>
-      acc.when(predCol(base, pr), operandCol(base, v))
-    }
-    it.elseV.fold(chained)(v => chained.otherwise(operandCol(base, v)))
-  }
-
-  /** Numeric literal → Column. Integer literals beyond int64 (the dialect's
-    * UINT64 tier, reference components.rs u64/u128 values) lower to exact
-    * DECIMAL literals instead of overflowing Long.parseLong. */
-  private def numLit(s: String): Column =
-    if (s.contains('.')) lit(s.toDouble)
-    else try lit(s.toLong) catch {
-      case _: NumberFormatException => lit(new java.math.BigDecimal(s))
-    }
-
-  private def operandCol(base: DataFrame, o: Operand,
-      corr: Map[Select, Column] = Map.empty): Column = o match {
-    case ORef(n) => qref(n)
-    case ODist(c, probe) => distCol(base, c, probe)
-    // correlated scalar subquery already decorrelated by the 2c pre-pass:
-    // read the attached column instead of executing standalone
-    case OSub(sub) if corr.contains(sub) => corr(sub)
-    case OSub(sub) =>
-      // uncorrelated scalar subquery: executed first, value inlined as a
-      // literal (Spark's own ScalarSubquery shape — keeps the outer
-      // predicate pushable). The 2-row collect is a documented bounded
-      // driver pre-pass enforcing the at-most-one-row rule. A correlated
-      // subquery that the decorrelator does not recognize (e.g. joined or
-      // grouped inner relation with an outer reference) would otherwise
-      // die here with an opaque unresolved-column error — turn it into
-      // the dialect's targeted message (r8 ADVICE).
-      val df =
-        try lowerSelect(sub)
-        catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getMessage.contains("UNRESOLVED_COLUMN") ||
-                e.getMessage.contains("cannot be resolved") =>
-            throw new IllegalArgumentException(
-              "scalar subquery references an outer column but is not a " +
-                "supported correlated shape (single inner table, equality " +
-                "correlation); decorrelate it manually or simplify the " +
-                "inner relation", e)
-        }
-      require(df.columns.length == 1,
-        s"scalar subquery must project exactly one column, got " +
-          s"(${df.columns.mkString(", ")})")
-      df.limit(2).collect() match {
-        case Array() => lit(null).cast(df.schema.head.dataType)
-        case Array(row) =>
-          if (row.isNullAt(0)) lit(null).cast(df.schema.head.dataType)
-          else lit(row.get(0))
-        case _ => throw new IllegalArgumentException(
-          s"scalar subquery returned more than one row")
-      }
-    case OVal(VNum(s)) => numLit(s)
-    case OVal(VStr(s)) => lit(s)
-    case OVal(VBits(v)) => lit(v.longValue)
-    case OVal(VBool(b)) => lit(b)
-    // ANSI comparison-with-NULL: yields NULL, so WHERE drops the row
-    case OVal(VNull) => lit(null)
-    case OVal(f: VFunc) => funcCol(f)
-    case OArith(lhs, op, rhs) =>
-      val (l, r) = (operandCol(base, lhs, corr), operandCol(base, rhs, corr))
-      op match {
-        case "+" => l + r
-        case "-" => l - r
-        case "*" => l * r
-        case "/" => l / r
-        case "%" => l % r
-      }
-    case OFunc(f, args) =>
-      funcApply(f, args.map(operandCol(base, _, corr)), args)
-    case OCast(o, t, tm) =>
-      val c = operandCol(base, o, corr)
-      if (tm) call_function("graft_try_cast", c, lit(sqlTypeName(t)))
-      else c.cast(sqlTypeName(t))
-    // operand-level CASE (r15): the when-chain, exactly the CaseItem
-    // lowering — a NULL-subject/no-match row yields the ELSE (or NULL)
-    case OCase(branches, elseV) =>
-      // branch conditions are plain predicates (subquery forms stay a
-      // WHERE-only shape, refused by predCol's default substitution map)
-      val chain = branches.foldLeft(Option.empty[Column]) { case (acc, (pr, v)) =>
-        val (c, x) = (predCol(base, pr), operandCol(base, v, corr))
-        Some(acc.fold(when(c, x))(_.when(c, x)))
-      }.get
-      elseV.fold(chain)(e => chain.otherwise(operandCol(base, e, corr)))
-    case a: OAgg => throw new IllegalArgumentException(
-      s"aggregate ${a.func} is only valid in an aggregating SELECT's items")
-    case a: OAggX => throw new IllegalArgumentException(
-      s"aggregate ${a.func} is only valid in an aggregating SELECT's items")
-  }
-
-  /** Scalar-function dispatch over already-lowered argument Columns
-    * (shared by the row path and the post-aggregation expression path —
-    * `ROUND(SUM(x) / 7, 1)` lowers its atoms differently but applies the
-    * same functions). `args` rides along for literal-only parameters. */
-  private def funcApply(f: String, a: Seq[Column], args: Seq[Operand]): Column =
-      (f, a) match {
-        case ("UPPER", Seq(x)) => upper(x)
-        case ("LOWER", Seq(x)) => lower(x)
-        case ("LENGTH", Seq(x)) => length(x)
-        case ("TRIM", Seq(x)) => trim(x)
-        // 1-based, length-bounded — identical semantics in DuckDB substr
-        case ("SUBSTR", Seq(x, fr, ln)) => x.substr(fr, ln)
-        case ("REPLACE", Seq(x, s1, s2)) => replace(x, s1, s2)
-        // null-handling / numeric scalar tier. COALESCE is the LEFT JOIN
-        // companion (fill unmatched-right NULLs); all lower 1:1 onto
-        // codegen'd Catalyst expressions with DuckDB-identical semantics.
-        case ("COALESCE", xs) if xs.size >= 2 => coalesce(xs: _*)
-        case ("NULLIF", Seq(x, y)) => nullif(x, y)
-        case ("ABS", Seq(x)) => abs(x)
-        // calendar extraction (UTC-pinned sessions, so NTZ and LTZ
-        // timestamps read identically — the EventTime doctrine); ints
-        // in both engines modulo width, CAST composes for exact schema
-        case ("YEAR", Seq(x)) => year(x)
-        case ("MONTH", Seq(x)) => month(x)
-        case ("DAY", Seq(x)) => dayofmonth(x)
-        case ("ROUND", Seq(x)) => round(x, 0)
-        case ("ROUND", Seq(x, _)) => args(1) match {
-          case OVal(VNum(n)) if !n.contains('.') => round(x, n.toInt)
-          case _ => throw new IllegalArgumentException(
-            "ROUND's second argument must be an integer literal")
-        }
-        // r9 widening — each lowers 1:1 onto a codegen Catalyst
-        // expression with DuckDB-identical semantics (names follow the
-        // DuckDB spelling where the engines differ: STRPOS ≡ Spark
-        // instr, both 1-based/0-when-absent; DOW ≡ Spark dayofweek − 1,
-        // both Sunday-based 0-6)
-        case ("CONCAT", xs) if xs.size >= 2 => concat(xs: _*)
-        case ("LPAD", Seq(x, _, _)) =>
-          lpad(x, argInt(args(1), "LPAD length"), argStr(args(2), "LPAD pad"))
-        case ("RPAD", Seq(x, _, _)) =>
-          rpad(x, argInt(args(1), "RPAD length"), argStr(args(2), "RPAD pad"))
-        case ("LEFT", Seq(x, y)) => call_function("left", x, y)
-        case ("RIGHT", Seq(x, y)) => call_function("right", x, y)
-        case ("STRPOS", Seq(x, y)) => call_function("instr", x, y)
-        case ("SPLIT_PART", Seq(x, y, z)) => call_function("split_part", x, y, z)
-        case ("CONTAINS", Seq(x, y)) => call_function("contains", x, y)
-        case ("DATE_TRUNC", Seq(_, x)) =>
-          date_trunc(argStr(args(0), "DATE_TRUNC unit"), x)
-        case ("DOW", Seq(x)) => (dayofweek(x) - lit(1)).cast("int")
-        case ("FLOOR", Seq(x)) => floor(x)
-        case ("CEIL", Seq(x)) => ceil(x)
-        // r12: n-ary comparison scalars — both engines return the extreme
-        // of the NON-NULL arguments (Postgres GREATEST/LEAST semantics)
-        case ("GREATEST", xs) if xs.size >= 2 => greatest(xs: _*)
-        case ("LEAST", xs) if xs.size >= 2 => least(xs: _*)
-        // DATEDIFF('day', a, b) = whole-day boundary count b − a — the
-        // DuckDB date_diff spelling; both sides cast through DATE so the
-        // count is calendar days, widened to BIGINT (DuckDB's type)
-        case ("DATEDIFF", Seq(_, x, y)) =>
-          argStr(args(0), "DATEDIFF unit").toLowerCase(java.util.Locale.ROOT) match {
-            case "day" => datediff(y.cast("date"), x.cast("date")).cast("bigint")
-            case u => throw new IllegalArgumentException(
-              s"DATEDIFF supports unit 'day', got '$u'")
-          }
-        // r13: math tier — each lowers 1:1 onto a codegen Catalyst
-        // expression; libm last-ulp differences sit ~10 digits below the
-        // %.6g compare. SIGN returns DOUBLE (DuckDB TINYINT) — keys CAST.
-        case ("POWER", Seq(x, y)) => pow(x, y)
-        case ("SQRT", Seq(x)) => sqrt(x)
-        case ("LN", Seq(x)) => log(x)
-        case ("EXP", Seq(x)) => exp(x)
-        case ("SIGN", Seq(x)) => signum(x)
-        // r13: string/regex tier 3 (DuckDB spellings; REGEXP_REPLACE is
-        // replace-ALL — the DuckDB twin needs the 'g' flag; CHR ≡ Spark
-        // chr; REGEXP_MATCHES ≡ RLIKE, boolean-valued)
-        case ("REVERSE", Seq(x)) => reverse(x)
-        case ("REPEAT", Seq(x, _)) =>
-          repeat(x, argInt(args(1), "REPEAT count"))
-        case ("MD5", Seq(x)) => md5(x)
-        case ("ASCII", Seq(x)) => ascii(x)
-        case ("CHR", Seq(x)) => call_function("chr", x)
-        case ("REGEXP_REPLACE", Seq(x, _, _)) =>
-          regexp_replace(x, argStr(args(1), "REGEXP_REPLACE pattern"),
-            argStr(args(2), "REGEXP_REPLACE replacement"))
-        case ("REGEXP_MATCHES", Seq(x, _)) =>
-          x.rlike(argStr(args(1), "REGEXP_MATCHES pattern"))
-        // r14: JSON tier (DuckDB spellings). Both lower onto Spark's
-        // codegen get_json_object, which returns the extracted value as
-        // TEXT: identical to DuckDB json_extract_string for strings and
-        // scalars; the dialect's JSON_EXTRACT is therefore text-valued
-        // too (compose with CAST for numerics) -- DuckDB's JSON-typed
-        // json_extract differs only in keeping quotes on string values,
-        // so cross-engine keys use JSON_EXTRACT_STRING for strings and
-        // CAST(JSON_EXTRACT(...) AS <numeric>) for numbers, where the
-        // two engines agree byte-for-byte. The path must be a literal
-        // ('$.key' JSONPath), which both engines constant-fold.
-        case ("JSON_EXTRACT_STRING", Seq(x, _)) =>
-          get_json_object(x, argStr(args(1), "JSON_EXTRACT_STRING path"))
-        case ("JSON_EXTRACT", Seq(x, _)) =>
-          get_json_object(x, argStr(args(1), "JSON_EXTRACT path"))
-        // r14 tier 4: fuzzy matching + regex group extraction + JSON
-        // arrays. LEVENSHTEIN/JSON_ARRAY_LENGTH widen to BIGINT (the
-        // DuckDB result width) so schemas are engine-identical;
-        // REGEXP_EXTRACT's no-match is '' in both engines.
-        case ("LEVENSHTEIN", Seq(x, y)) => levenshtein(x, y).cast("bigint")
-        case ("REGEXP_EXTRACT", Seq(x, _, _)) =>
-          regexp_extract(x, argStr(args(1), "REGEXP_EXTRACT pattern"),
-            argInt(args(2), "REGEXP_EXTRACT group"))
-        case ("JSON_ARRAY_LENGTH", Seq(x)) =>
-          json_array_length(x).cast("bigint")
-        case ("TRANSLATE", Seq(x, _, _)) =>
-          translate(x, argStr(args(1), "TRANSLATE from"),
-            argStr(args(2), "TRANSLATE to"))
-        case ("LTRIM", Seq(x)) => ltrim(x)
-        case ("RTRIM", Seq(x)) => rtrim(x)
-        // r14: array tier. STRING_SPLIT takes a LITERAL separator
-        // (DuckDB semantics: plain text, not a regex -- quoted before it
-        // reaches Spark's regex-based split); LEN is the ARRAY length
-        // (strings keep LENGTH), BIGINT to match DuckDB; UNNEST lowers
-        // to explode -- one generator per SELECT, zero rows for empty
-        // or NULL arrays in both engines.
-        case ("STRING_SPLIT", Seq(x, _)) =>
-          split(x, java.util.regex.Pattern.quote(
-            argStr(args(1), "STRING_SPLIT separator")))
-        case ("LEN", Seq(x)) => size(x).cast("bigint")
-        case ("UNNEST", Seq(x)) => explode(x)
-        // r14 array tier 2 (DuckDB spellings): membership, join-to-text,
-        // 1-based extraction. LIST_EXTRACT uses try_element_at so an
-        // out-of-range index is NULL in both engines (plain element_at
-        // would raise under the session's ANSI mode); ARRAY_JOIN is the
-        // Spark-spelling alias of ARRAY_TO_STRING.
-        case ("LIST_CONTAINS", Seq(x, y)) => array_contains(x, y)
-        case ("ARRAY_TO_STRING" | "ARRAY_JOIN", Seq(x, _)) =>
-          array_join(x, argStr(args(1), "ARRAY_TO_STRING separator"))
-        case ("LIST_EXTRACT", Seq(x, y)) => try_element_at(x, y.cast("int"))
-        // r14: STRFTIME(ts, fmt) — the C-style format string (the DuckDB
-        // spelling) translated to Spark's java.time pattern at parse
-        // time; only the portable directives are accepted, anything else
-        // fails loudly rather than silently formatting differently.
-        case ("STRFTIME", Seq(x, _)) =>
-          date_format(x, cFormatToJava(
-            argStr(args(1), "STRFTIME format"), "STRFTIME"))
-        // r15: STRPTIME(text, fmt) — the inverse (parse): same C-style
-        // directive translation; a non-conforming string errors loudly
-        // in BOTH engines (ANSI to_timestamp here, DuckDB strptime there)
-        case ("STRPTIME", Seq(x, _)) =>
-          to_timestamp(x, cFormatToJava(
-            argStr(args(1), "STRPTIME format"), "STRPTIME"))
-        // r15 calendar tier 3 — 1:1 codegen Catalyst expressions with
-        // DuckDB-identical semantics
-        case ("MAKE_DATE", Seq(y, m, d)) => make_date(y, m, d)
-        case ("LAST_DAY", Seq(x)) => last_day(x)
-        // r13: EXTRACT(part FROM x) — the part travels in the name (see
-        // parseAtom). BIGINT to match DuckDB's EXTRACT return type, so
-        // the key SQL needs no cast on either side; DOW is Sunday-based
-        // 0-6 in both engines (dayofweek is 1-based).
-        case (ef, Seq(x)) if ef.startsWith("EXTRACT_") =>
-          (ef.stripPrefix("EXTRACT_") match {
-            case "YEAR" => year(x)
-            case "MONTH" => month(x)
-            case "DAY" => dayofmonth(x)
-            case "HOUR" => hour(x)
-            case "MINUTE" => minute(x)
-            case "SECOND" => second(x)
-            case "DOW" => dayofweek(x) - lit(1)
-            case "DOY" => dayofyear(x)
-            // DuckDB EXTRACT(epoch) is DOUBLE seconds — both sides CAST
-            case "EPOCH" => unix_seconds(x.cast("timestamp"))
-            case "QUARTER" => quarter(x)
-            case "WEEK" => weekofyear(x)
-            case part => throw new IllegalArgumentException(
-              s"unsupported EXTRACT part: $part")
-          }).cast("bigint")
-        // r13: INTERVAL n unit literal — lowers to a Catalyst interval
-        // literal, so `date + INTERVAL 5 DAY` rides the generic OArith
-        // Column arithmetic (DATE stays DATE for day/month/year units in
-        // Spark; the keys CAST where DuckDB widens to TIMESTAMP).
-        // Year-month units clamp month-ends identically in both engines
-        // (2020-01-31 + 1 MONTH = 2020-02-29).
-        case ("INTERVAL", _) =>
-          val nv = argInt(args(0), "INTERVAL count")
-          val unit = argStr(args(1), "INTERVAL unit") match {
-            case u if u.endsWith("S") => u.dropRight(1)
-            case u => u
-          }
-          require(Set("DAY", "MONTH", "YEAR", "HOUR", "MINUTE", "SECOND")(
-            unit), s"unsupported INTERVAL unit: $unit")
-          expr(s"INTERVAL '$nv' $unit")
-        case other => throw new IllegalArgumentException(
-          s"wrong argument count for $f: got ${a.length}")
-      }
-
-  /** Literal-only function parameters (pad strings, trunc units, pad
-    * widths) — extracted from the raw operand so misuse fails loudly. */
-  private def argStr(o: Operand, what: String): String = o match {
-    case OVal(VStr(v)) => v
-    case _ => throw new IllegalArgumentException(s"$what must be a string literal")
-  }
-
-  private def argInt(o: Operand, what: String): Int = o match {
-    case OVal(VNum(n)) if !n.contains('.') => n.toInt
-    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
-  }
-
-  /** Dialect type vocabulary → Spark SQL type string (Catalyst Cast). */
-  private def sqlTypeName(t: String): String = t match {
-    case "INT" | "INTEGER" => "int"
-    case "SMALLINT" => "smallint"
-    case "BIGINT" => "bigint"
-    case "DOUBLE" => "double"
-    case "REAL" | "FLOAT" => "float"
-    case "VARCHAR" | "TEXT" | "STRING" => "string"
-    case "BOOLEAN" | "BOOL" => "boolean"
-    // r13: calendar casts (the INTERVAL-arithmetic companions)
-    case "DATE" => "date"
-    case "TIMESTAMP" => "timestamp"
-    case d if d.startsWith("DECIMAL(") => d.toLowerCase
-    case other =>
-      throw new IllegalArgumentException(s"unsupported CAST type: $other")
-  }
-
-  private def cmpCol(base: DataFrame, cmp: Cmp): Column =
-    applyCmpOp(operandCol(base, cmp.lhs), cmp.op, operandCol(base, cmp.rhs))
-
-  private def funcCol(f: EmdriveSql.VFunc): Column = f.name match {
-    case "ULID" => call_function("ulid")
-    case "NOW" => now()
-  }
-
-  /** Declared emdrive type of a column ("" for frames that never went
-    * through the DDL path — parquet registrations carry no domain). */
-  private def rawTypeOf(f: StructField): String =
-    if (f.metadata.contains(graft.sources.SchemaMapper.RawTypeMetadata))
-      f.metadata.getString(graft.sources.SchemaMapper.RawTypeMetadata)
-    else ""
-
-  /** INSERT-time value-domain validation, literal leg (reference:
-    * src/constructs/components.rs — 300 cannot parse into
-    * DataInstanceRaw::UInt8, a 60-char string cannot be a STRING(32), and
-    * a non-UUID string cannot be a Uuid). Spark's widened physical types
-    * (UINT8→short holds 300 happily) would otherwise silently accept what
-    * the declaration rejects — the divergence a dialect user hits on
-    * their first bad row. Literals fail HERE, at statement time, like the
-    * reference; expression-valued writes get the runtime guard below. */
-  private def checkLiteralDomain(v: Value, f: StructField): Unit = {
-    import graft.sources.SchemaMapper.{stringCap, uintMax}
-    val raw = rawTypeOf(f)
-    v match {
-      case VNum(s) =>
-        uintMax(raw).foreach { max =>
-          val d = BigDecimal(new java.math.BigDecimal(s))
-          if (d < 0 || d > max || d.remainder(1) != 0)
-            throw new IllegalArgumentException(
-              s"value $s out of domain for column ${f.name} ($raw)")
-        }
-      case VStr(s) =>
-        stringCap(raw).foreach { n =>
-          if (s.length > n) throw new IllegalArgumentException(
-            s"string of length ${s.length} exceeds ${f.name} ($raw)")
-        }
-        if (raw == "UUID")
-          try { java.util.UUID.fromString(s); () }
-          catch { case _: IllegalArgumentException =>
-            throw new IllegalArgumentException(
-              s"'$s' is not a UUID (column ${f.name})") }
-        // a string literal aimed at a numeric-declared column must pass the
-        // SAME range + integrality check as a numeric literal — otherwise
-        // INSERT … VALUES ('300') into a UINT8 column slips through the
-        // lit-then-cast path and stores a wrapped/overflowed value
-        uintMax(raw).foreach { max =>
-          val d =
-            try BigDecimal(new java.math.BigDecimal(s))
-            catch { case _: NumberFormatException =>
-              throw new IllegalArgumentException(
-                s"'$s' is not numeric (column ${f.name}, $raw)") }
-          if (d < 0 || d > max || d.remainder(1) != 0)
-            throw new IllegalArgumentException(
-              s"value $s out of domain for column ${f.name} ($raw)")
-        }
-      case VBits(b) =>
-        uintMax(raw).foreach { max =>
-          if (BigDecimal(b) > max || b < 0)
-            throw new IllegalArgumentException(
-              s"value $b out of domain for column ${f.name} ($raw)")
-        }
-      case _ => ()
-    }
-  }
-
-  /** Domain-guarded cast for expression-valued writes (INSERT…SELECT,
-    * UPDATE SET, MERGE): bounds-check BEFORE the cast — short/int casts
-    * wrap out-of-range values, so a post-cast check would bless exactly
-    * the corruption it exists to reject. The guard is a codegen
-    * `raise_error` branch evaluated per row on executors: the validating
-    * twin of the reference's per-value INSERT parse, at distributed-scan
-    * cost, no driver round-trip. NULLs pass (nullability is enforced
-    * separately by the NOT-NULL rule). */
-  /** The domain-violation predicate behind guardedCast, exposed separately
-    * so DML statements can run it EAGERLY (a bounded pre-check before the
-    * catalog swap — see requireDomain) as well as lazily (the raise_error
-    * branch inside the stored plan). UINT domains reject negatives, values
-    * above the type max, AND non-integral values — a fractional 1.5 into
-    * UINT8 must fail like the literal path's remainder check, not silently
-    * truncate through the cast. */
-  private def domainViolation(c: Column, f: StructField): Option[Column] = {
-    import graft.sources.SchemaMapper.{stringCap, uintMax}
-    val raw = rawTypeOf(f)
-    uintMax(raw) match {
-      case Some(max) =>
-        val d = c.cast("decimal(38,6)")
-        Some(d.isNotNull && (d < 0 || d > lit(max.bigDecimal) ||
-          d =!= floor(d).cast("decimal(38,6)")))
-      case None => stringCap(raw).map { n =>
-        val s = c.cast("string")
-        s.isNotNull && length(s) > n
-      }
-    }
-  }
-
-  /** Eager statement-time domain validation: one bounded job (filter +
-    * limit(1)) over the rows a DML statement is about to write, BEFORE the
-    * catalog swap — so an out-of-domain UPDATE/MERGE/INSERT…SELECT fails
-    * atomically at the statement, with the table (and any durable files)
-    * left exactly as they were. Without this the guardedCast raise_error
-    * fires lazily on a LATER read, permanently poisoning the stored plan
-    * and attributing the failure to an unrelated SELECT (the reference
-    * rejects at statement time — src/sql/expects/statements/insert.rs).
-    * No-op (zero jobs) when no written column has a bounded domain. */
-  private def requireDomain(df: DataFrame, checks: Seq[(String, Column)],
-      stmt: String): Unit =
-    if (checks.nonEmpty) {
-      val bad = df.filter(checks.map(_._2).reduce(_ || _))
-        .select(checks.map { case (n, p) => p.as(n) }.toIndexedSeq: _*)
-        .limit(1).collect()
-      if (bad.nonEmpty) {
-        val row = bad.head
-        val cols = checks.indices.collect {
-          case i if !row.isNullAt(i) && row.getBoolean(i) => checks(i)._1
-        }
-        throw new IllegalArgumentException(
-          s"$stmt: value out of domain for column(s) ${cols.mkString(", ")}")
-      }
-    }
-
-  private def guardedCast(c: Column, f: StructField): Column =
-    domainViolation(c, f) match {
-      case Some(viol) =>
-        when(viol,
-          raise_error(concat(
-            lit(s"value out of domain for column ${f.name} (${rawTypeOf(f)}): "),
-            c.cast("string"))).cast(f.dataType))
-          .otherwise(c.cast(f.dataType))
-      case None => c.cast(f.dataType)
-    }
-
-  private def valueCol(v: Value, field: StructField): Column = {
-    val dt = field.dataType
-    checkLiteralDomain(v, field)
-    v match {
-      case f: VFunc => guardedCast(funcCol(f), field)
-      case VNum(s) => lit(new java.math.BigDecimal(s)).cast(dt)
-      case VStr(s) => lit(s).cast(dt)
-      case VBool(b) => lit(b).cast(dt)
-      case VNull =>
-        // explicit NULL honors the reference's NOT-NULL-by-default rule:
-        // only NULLABLE(T) columns accept it
-        if (!field.nullable) throw new IllegalArgumentException(
-          s"cannot insert NULL into NOT NULL column ${field.name}")
-        lit(null).cast(dt)
-      case VBits(b) => dt match {
-        case BinaryType => lit(bits128(b))
-        case _ => lit(b.longValue).cast(dt)
-      }
-    }
-  }
-
-  /** Column DEFAULT (reference: ColumnDefinition.default) — parsed from the
-    * schema metadata at INSERT time; absent default → NULL for nullable
-    * columns, error otherwise (the reference's NOT-NULL-by-default rule). */
-  private def defaultCol(f: StructField): Column =
-    if (f.metadata.contains(SchemaMapper.DefaultMetadata)) {
-      val raw = f.metadata.getString(SchemaMapper.DefaultMetadata)
-      val v = EmdriveSql.parse(s"INSERT INTO d (c) VALUES ($raw)") match {
-        case EmdriveSql.Insert(_, _, Seq(Seq(value))) => value
-        case other => throw new IllegalArgumentException(s"bad DEFAULT $raw: $other")
-      }
-      valueCol(v, f)
-    } else if (f.nullable) lit(null).cast(f.dataType)
-    else throw new IllegalArgumentException(
-      s"column ${f.name} is NOT NULL with no DEFAULT and no value given")
-
-  /** 128-bit literal → 16-byte big-endian binary (UINT128 carrier form). */
-  private def bits128(v: BigInt): Array[Byte] = {
-    val raw = v.toByteArray.dropWhile(_ == 0) // strip sign byte
-    require(raw.length <= 16, s"literal wider than 128 bits: $v")
-    val out = new Array[Byte](16)
-    raw.copyToArray(out, 16 - raw.length)
-    out
-  }
 }
 
 object EmdriveSession {

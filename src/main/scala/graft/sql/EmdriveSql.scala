@@ -1057,9 +1057,13 @@ object EmdriveSql {
     // hash of the named key column (same row, same verdict, every run,
     // engine, partitioning; Sampling.bucketOf's exact arithmetic), NOT an
     // RNG draw. It desugars HERE to a plain WHERE conjunct
-    // ((col % 1000000007) * 2654435761) % 1000000007 % 100 < n — so it
-    // reaches the scan's pushed filters like any predicate, costs zero
-    // new lowering, and the DuckDB oracle replays it textually.
+    // ((col % 1000000007 + 1000000007) * 2654435761) % 1000000007 % 100
+    // < n — so it reaches the scan's pushed filters like any predicate,
+    // costs zero new lowering, and the DuckDB oracle replays it
+    // textually. The +p keeps the product's residue NONNEGATIVE under
+    // truncated modulo (r16 ADVICE: without it every negative key hashed
+    // negative and passed every rate, even SAMPLE 0%); it changes no
+    // hash value for nonnegative keys, since (x+p)*A ≡ x*A (mod p).
     val sampleConj: Option[Pred] =
       if (p.tryWord("USING")) {
         p.eatWord("SAMPLE")
@@ -1076,8 +1080,9 @@ object EmdriveSql {
         p.eatWord("ON")
         val c = p.qident()
         def num(s: String) = OVal(VNum(s))
-        val h = OArith(OArith(OArith(OArith(ORef(c),
-          "%", num("1000000007")), "*", num("2654435761")),
+        val h = OArith(OArith(OArith(OArith(OArith(ORef(c),
+          "%", num("1000000007")), "+", num("1000000007")),
+          "*", num("2654435761")),
           "%", num("1000000007")), "%", num("100"))
         Some(PCmp(Cmp(h, "<", num(n.toString))))
       } else None

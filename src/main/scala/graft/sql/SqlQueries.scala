@@ -1880,7 +1880,7 @@ object SqlQueries {
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders
-        |WHERE ((o_orderkey % 1000000007) * 2654435761)
+        |WHERE ((o_orderkey % 1000000007 + 1000000007) * 2654435761)
         |  % 1000000007 % 100 < 10
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_sql_winnow" -> graft.operators.TextAnalysis.oracles("q_winnow"),

@@ -733,7 +733,7 @@ object StreamQueries {
     "q_stream_decontaminate" ->
       """WITH ev AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |  ((vec_id % 1000000007) * 2654435761) % 1000000007 % 100 AS b
+        |  ((vec_id % 1000000007 + 1000000007) * 2654435761) % 1000000007 % 100 AS b
         | FROM embeddings),
         |p AS (
         | SELECT e.vec_id, round(list_cosine_similarity(e.v, c.v), 6) AS sim

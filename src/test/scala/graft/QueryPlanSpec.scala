@@ -52,6 +52,11 @@ class QueryPlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("point lookup pushes the equality filter into the parquet scan") {
+    val p = plan("q_point_lookup")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderkey,42)"), p)
+  }
+
   test("NATURAL JOIN plans as an equi-join, never a cartesian (r15)") {
     val p = plan("q_sql_natural")
     assert(!p.contains("CartesianProduct") &&

@@ -71,7 +71,18 @@ final class GraftServer(es: EmdriveSession, port: Int = 0,
       try {
         (ex.getRequestMethod, ex.getRequestURI.getPath) match {
           case ("POST", "/") =>
-            run(new String(ex.getRequestBody.readAllBytes(), UTF_8), readOnly = false)
+            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            // parameterized form (r16): {"query": "… ? …", "params":
+            // [...]} — substituted into TYPED SQL literals BEFORE parse,
+            // so a string parameter is always one literal (quotes in the
+            // value are data, never syntax — the injection case). A raw
+            // SQL body (never '{'-initial) keeps working unchanged.
+            if (body.dropWhile(_.isWhitespace).startsWith("{"))
+              parseJsonQuery(body) match {
+                case Right(q) => run(q, readOnly = false)
+                case Left(msg) => (400, errJson("parser", msg))
+              }
+            else run(body, readOnly = false)
           case ("GET", "/") =>
             queryParam(ex.getRequestURI.getRawQuery) match {
               case Some(q) => run(q, readOnly = true)
@@ -106,7 +117,10 @@ final class GraftServer(es: EmdriveSession, port: Int = 0,
            _: EmdriveSql.CreateView | _: EmdriveSql.DropStmt |
            // r15: schema evolution + truncate mutate the catalog too
            _: EmdriveSql.AlterAdd | _: EmdriveSql.AlterDrop |
-           _: EmdriveSql.AlterRename | _: EmdriveSql.TruncateStmt => true
+           _: EmdriveSql.AlterRename | _: EmdriveSql.TruncateStmt |
+           // r16: COPY writes either the filesystem (TO) or the catalog
+           // (FROM) — both directions are writes
+           _: EmdriveSql.CopyStmt => true
       case _ => false
     }
     if (readOnly && isWrite)
@@ -122,6 +136,55 @@ final class GraftServer(es: EmdriveSession, port: Int = 0,
         java.util.Map.of("ignoreNullFields", "false")).as("j"))
       .collect().map(_.getString(0)) // bounded by maxRows: the serving cap
     (200, rows.mkString("[", ",", "]"))
+  }
+
+  /** Parse `{"query": …, "params": […]}` (Jackson — already on the Spark
+    * classpath) and substitute each positional `?` with a rendered typed
+    * literal. Strings become '…' with the dialect's '' escaping — the
+    * value can never terminate the literal, which is the whole injection
+    * defense; numbers/booleans/null render as themselves. `?` inside a
+    * string literal of the query text is data, not a placeholder. */
+  private[server] def parseJsonQuery(body: String): Either[String, String] = {
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      catch { case e: Exception => return Left("bad JSON body: " + errMsg(e)) }
+    val qNode = root.get("query")
+    if (qNode == null || !qNode.isTextual)
+      return Left("JSON body needs a string 'query' field")
+    val q = qNode.asText()
+    val params: Vector[com.fasterxml.jackson.databind.JsonNode] = {
+      val p = root.get("params")
+      if (p == null) Vector.empty
+      else if (!p.isArray) return Left("'params' must be an array")
+      else (0 until p.size).map(p.get).toVector
+    }
+    def render(n: com.fasterxml.jackson.databind.JsonNode): Either[String, String] =
+      if (n.isTextual) Right("'" + n.asText().replace("'", "''") + "'")
+      else if (n.isNumber) Right(n.numberValue().toString)
+      else if (n.isBoolean) Right(if (n.asBoolean()) "TRUE" else "FALSE")
+      else if (n.isNull) Right("NULL")
+      else Left(s"unsupported parameter type: ${n.getNodeType}")
+    val out = new StringBuilder
+    var inStr = false
+    var used = 0
+    var i = 0
+    while (i < q.length) {
+      val c = q(i)
+      if (c == '\'') { inStr = !inStr; out.append(c) }
+      else if (c == '?' && !inStr) {
+        if (used >= params.length)
+          return Left(s"query has more ? placeholders than params (${params.length})")
+        render(params(used)) match {
+          case Right(s) => out.append(s); used += 1
+          case Left(m) => return Left(m)
+        }
+      }
+      else out.append(c)
+      i += 1
+    }
+    if (used != params.length)
+      return Left(s"query has $used ? placeholders but ${params.length} params")
+    Right(out.toString)
   }
 
   private def queryParam(rawQuery: String): Option[String] =

@@ -292,10 +292,23 @@ final class EmdriveSession(private[sql] val spark: SparkSession,
       // exactly in an independent engine); assignment is a broadcast
       // argmax; the layout is parquet partitioned by cluster_id, so the
       // probe's single-cell scan is DIRECTORY pruning, not row filtering.
+      // ann_search(tbl, idCol, vecCol, probeId, k[, nprobe]) (r16: the
+      // optional 6th argument probes the nprobe NEAREST centroids' cells
+      // — the recall dial every IVF index exposes; default 1 keeps the
+      // original single-cell behavior). Cell choice ranks the 8
+      // deterministic centroids by cosine to the probe (ties on lower
+      // cid), a driver-local computation over the index's tiny routing
+      // table — the cell directory is metadata, like any IVF coarse
+      // quantizer. The scan stays DIRECTORY pruning: cluster_id IN
+      // (cells) is a PartitionFilter, n of 8 directories read.
       case "ann_search" =>
-        arity(5)
+        require(args.length == 5 || args.length == 6,
+          s"ann_search expects 5 or 6 arguments, got ${args.length}")
         val (tbl, id, vec) = (args(0), args(1), args(2))
         val nCells = 8
+        val nprobe = if (args.length == 6) args(5).toInt else 1
+        require(nprobe >= 1 && nprobe <= nCells,
+          s"ann_search: nprobe must be in [1, $nCells], got $nprobe")
         // probe presence check first: a missing probe (incl. the empty
         // corpus, whose layout would not even be readable) is the empty
         // relation, not an error or a doomed index build
@@ -324,7 +337,32 @@ final class EmdriveSession(private[sql] val spark: SparkSession,
         require(pr.nonEmpty,
           s"ann_search: probe row ${args(3)} not found in $tbl")
         val (pc, pv) = (pr(0).getInt(0), pr(0).getSeq[Float](1).toArray)
-        idx.filter(col("cluster_id") === pc) // partition-directory prune
+        // nprobe cells: rank the centroids (the nCells lowest-id vectors;
+        // their index rows carry cid == own vec_id assignment source) by
+        // cosine to the probe, DESC with lower-cid tie-break — the same
+        // rule as assignment's argmax, so nprobe=1 is exactly the probe's
+        // own cell and the oracle replays the ranking verbatim
+        val cells: Seq[Int] =
+          if (nprobe == 1) Seq(pc)
+          else {
+            def cos(x: Array[Float]): Double = {
+              var dot = 0.0; var nx = 0.0; var np = 0.0; var i = 0
+              while (i < x.length) {
+                dot += x(i).toDouble * pv(i).toDouble
+                nx += x(i).toDouble * x(i).toDouble
+                np += pv(i).toDouble * pv(i).toDouble
+                i += 1
+              }
+              if (nx == 0 || np == 0) 0.0
+              else dot / (math.sqrt(nx) * math.sqrt(np))
+            }
+            idx.orderBy(col("vec_id")).limit(nCells)
+              .select(col("vec_id").cast("int"), col("embedding")).collect()
+              .map(r => (r.getInt(0), cos(r.getSeq[Float](1).toArray)))
+              .sortBy { case (cid, s) => (-s, cid) }
+              .take(nprobe).map(_._1).toSeq
+          }
+        idx.filter(col("cluster_id").isin(cells: _*)) // directory prune
           .select(col("vec_id").as(id),
             round(call_function("cosine_sim", col("embedding"),
               typedLit(pv)), 6).as("sim"))
@@ -746,6 +784,60 @@ final class EmdriveSession(private[sql] val spark: SparkSession,
     case TruncateStmt(name) =>
       requireTable(name, "TRUNCATE")
       catalog(name) = table(name).limit(0)
+      persistIfDurable(name)
+      catalog(name)
+
+    // COPY t TO 'path' (r16): distributed egress — the relation (table
+    // or view) writes as a DIRECTORY of part files in the named format,
+    // every executor writing its partitions (a single-file target would
+    // serialize the cluster through one writer). CSV uses the writer
+    // defaults Io.readCsv's conventions round-trip bit-exactly (RFC 4180
+    // quoting, '' escape, multiLine re-read). Returns a one-row receipt,
+    // NOT a row count: counting would re-scan the relation — at 100 TB a
+    // second full pass just to echo a number is the wrong default (the
+    // count is one SELECT away).
+    case CopyStmt(name, path, true, fmt, header) =>
+      val df = table(name)
+      fmt match {
+        case "csv" => df.write.mode("overwrite")
+          .option("header", header.toString).csv(path)
+        case "json" => df.write.mode("overwrite").json(path)
+        case "parquet" => graft.sources.Io.writeParquet(df, path)
+      }
+      spark.createDataFrame(
+        java.util.List.of(Row(name, path, fmt)),
+        StructType(Seq(StructField("table", StringType, nullable = false),
+          StructField("path", StringType, nullable = false),
+          StructField("format", StringType, nullable = false))))
+
+    // COPY t FROM 'path' (r16): bulk ingest — the file set reads with
+    // the TARGET's declared schema (csv/json take it at scan time, so a
+    // malformed column is a typed NULL the domain check catches, not a
+    // crash mid-scan; parquet maps columns BY NAME and casts), then
+    // appends through the same eager-validation path as INSERT … SELECT:
+    // domain checks run statement-time, a failed COPY leaves the table
+    // untouched, and the projection keeps every field's declared-type /
+    // key-role metadata (the r15 metadata-survival invariant).
+    case CopyStmt(name, path, false, fmt, header) =>
+      requireTable(name, "COPY")
+      val target = table(name)
+      val schema = target.schema
+      val src = fmt match {
+        case "csv" => graft.sources.Io.readCsv(spark, path, schema, header)
+        case "json" => graft.sources.Io.readJson(spark, path, schema)
+        case "parquet" =>
+          val raw = spark.read.parquet(path)
+          schema.fieldNames.foreach(c =>
+            require(raw.columns.contains(c),
+              s"COPY FROM $path: missing column $c"))
+          raw.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      }
+      requireDomain(src, schema.fields.toSeq.flatMap(f =>
+        domainViolation(col(f.name), f).map(f.name -> _)), "COPY")
+      val projected = schema.fields.map(f =>
+        guardedCast(col(f.name), f).as(f.name, f.metadata))
+      catalog(name) = target.unionByName(
+        src.select(projected.toIndexedSeq: _*))
       persistIfDurable(name)
       catalog(name)
 

@@ -430,6 +430,18 @@ object EmdriveSql {
   /** TRUNCATE t (r15) — DELETE-without-WHERE spelled the ANSI way. */
   final case class TruncateStmt(table: String) extends Statement
 
+  /** COPY t TO 'path' (FORMAT csv|json|parquet[, HEADER]) /
+    * COPY t FROM 'path' (…) — the bulk egress/ingest statement (r16,
+    * DuckDB's COPY shape). TO exports a table or view's relation to a
+    * DIRECTORY of part files in the named format (the distributed write —
+    * a single-file egress would serialize 100 TB through one writer);
+    * FROM appends a file set to an EXISTING table, read with the target's
+    * declared schema and run through the same eager domain validation as
+    * INSERT … SELECT. Format defaults from the path's extension. Both
+    * directions are write-classified on the server's read-only GET. */
+  final case class CopyStmt(table: String, path: String, toFile: Boolean,
+      format: String, header: Boolean) extends Statement
+
   /** UPDATE t SET c = expr [, …] [FROM s [alias]] [WHERE pred] — catalog
     * rewrite: matched rows take the new expressions, others pass through;
     * the engine-side cast back to each column's declared type preserves
@@ -874,6 +886,37 @@ object EmdriveSql {
       else if (p.tryWord("TRUNCATE")) {
         p.tryWord("TABLE"): Unit
         TruncateStmt(p.ident())
+      }
+      else if (p.tryWord("COPY")) {
+        val t = p.ident()
+        val toFile = p.tryWord("TO") || { p.eatWord("FROM"); false }
+        val path = p.toks match {
+          case TStr(s) :: rest => p.toks = rest; s
+          case _ => p.fail("quoted path after COPY " +
+            (if (toFile) "TO" else "FROM"))
+        }
+        var format: Option[String] = None
+        var header = false
+        if (p.trySym("(")) {
+          var more = true
+          while (more) {
+            if (p.tryWord("FORMAT")) format = Some(p.ident().toLowerCase)
+            else if (p.tryWord("HEADER")) header = true
+            else p.fail("FORMAT or HEADER in COPY options")
+            more = p.trySym(",")
+          }
+          p.eatSym(")")
+        }
+        val fmt = format.getOrElse {
+          val base = path.stripSuffix("/")
+          val ext = base.substring(base.lastIndexOf('.') + 1).toLowerCase
+          require(Set("csv", "json", "parquet")(ext),
+            s"COPY: cannot infer format from '$path' — say (FORMAT …)")
+          ext
+        }
+        require(Set("csv", "json", "parquet")(fmt),
+          s"COPY format must be csv, json or parquet, got $fmt")
+        CopyStmt(t, path, toFile, fmt, header)
       }
       else if (p.tryWord("SHOW")) { p.eatWord("TABLES"); ShowTables }
       else if (p.tryWord("DESCRIBE")) Describe(p.ident())
@@ -1447,8 +1490,8 @@ object EmdriveSql {
       // window aggregate; arithmetic CONTAINING one becomes a
       // post-aggregation expression item
       case OAgg(f, arg) if p.peekWord("OVER") =>
-        require(f != "COUNT_DISTINCT",
-          "COUNT(DISTINCT …) OVER a window is not supported")
+        require(!f.endsWith("_DISTINCT"),
+          "DISTINCT aggregates OVER a window are not supported")
         p.eatWord("OVER")
         parseOverClause(p, f, arg, overEaten = true)
       case OAgg(f, arg) =>
@@ -1720,6 +1763,16 @@ object EmdriveSql {
         if w.equalsIgnoreCase("INTERVAL") && !n.contains('.') =>
       p.toks = rest
       OFunc("INTERVAL", Seq(OVal(VNum(n)), OVal(VStr(u.toUpperCase))))
+    // DATE '…' / TIMESTAMP '…' — the ANSI typed literals (r16): lowered
+    // to TYPED Catalyst literals (LocalDate / LocalDateTime), so a
+    // comparison against a DATE/TIMESTAMP column is typed end-to-end and
+    // constant-folds into the parquet scan's pushed filters — a string
+    // literal would ride a cast and stay unpushable. Bad literal text
+    // fails at parse-to-lower time, not row time.
+    case TWord(w) :: TStr(s) :: rest
+        if w.equalsIgnoreCase("DATE") || w.equalsIgnoreCase("TIMESTAMP") =>
+      p.toks = rest
+      OFunc(w.toUpperCase + "_LIT", Seq(OVal(VStr(s))))
     case TWord(f) :: TSym("(") :: _ if StrFuncs(f.toUpperCase) =>
       p.toks = p.toks.tail.tail
       val args = mutable.ListBuffer(parseOperand(p))
@@ -1786,11 +1839,16 @@ object EmdriveSql {
           p.eatSym(")")
           require(arg.nonEmpty || f.equalsIgnoreCase("count"),
             s"$f(*) is not valid; only COUNT(*)")
-          require(!distinct || (arg.nonEmpty && f.equalsIgnoreCase("count")),
-            "DISTINCT is supported for COUNT(column) only")
-          OAgg(if (distinct) "COUNT_DISTINCT" else f.toUpperCase, arg)
+          // DISTINCT aggregates (r16): COUNT/SUM/AVG/MIN/MAX(DISTINCT c)
+          // — the atom name carries the _DISTINCT suffix, so HAVING's
+          // structural matching and the expression-aggregate registry
+          // treat SUM(c) and SUM(DISTINCT c) as different computations
+          require(!distinct || (arg.nonEmpty && ExprAggFuncs(f.toUpperCase)),
+            "DISTINCT takes a plain column under COUNT/SUM/AVG/MIN/MAX")
+          OAgg(if (distinct) f.toUpperCase + "_DISTINCT" else f.toUpperCase, arg)
         case None =>
-          require(!distinct, "DISTINCT is supported for COUNT(column) only")
+          require(!distinct,
+            "DISTINCT takes a plain column argument, not an expression")
           require(ExprAggFuncs(f.toUpperCase),
             s"$f takes a plain column argument, not an expression")
           val o = parseOperand(p)

@@ -87,6 +87,19 @@ private[sql] trait ExpressionLowering { self: EmdriveSession =>
       // exact distinct (the partial-combined two-phase Expand plan); the
       // 100 TB approximate alternative is approx_count_distinct
       case ("COUNT_DISTINCT", Some(c)) => countDistinct(qref(c))
+      // DISTINCT aggregates (r16): SUM/AVG lower onto Catalyst's native
+      // distinct-aggregate Expand plan (the q_sql_count_distinct shape —
+      // per-group dedup partial-combines map-side, then one aggregate).
+      // AVG(DISTINCT) composes SUM/COUNT over the SAME deduped input:
+      // Catalyst shares one Expand for equal distinct children, and the
+      // integer-division promotion to double matches DuckDB's AVG.
+      // MIN/MAX(DISTINCT) are semantically MIN/MAX (ANSI): dedup cannot
+      // change an extremum, so the distinct pass is dropped, not planned.
+      case ("SUM_DISTINCT", Some(c)) => sum_distinct(qref(c))
+      case ("AVG_DISTINCT", Some(c)) =>
+        sum_distinct(qref(c)) / count_distinct(qref(c))
+      case ("MIN_DISTINCT", Some(c)) => min(qref(c))
+      case ("MAX_DISTINCT", Some(c)) => max(qref(c))
       case ("SUM", Some(c)) => sum(qref(c))
       case ("AVG", Some(c)) => avg(qref(c))
       case ("MIN", Some(c)) => min(qref(c))
@@ -178,6 +191,11 @@ private[sql] trait ExpressionLowering { self: EmdriveSession =>
       case ("COUNT", None) => count(when(cond, lit(1)))
       case ("COUNT", Some(c)) => count(g(c))
       case ("COUNT_DISTINCT", Some(c)) => countDistinct(g(c))
+      case ("SUM_DISTINCT", Some(c)) => sum_distinct(g(c))
+      case ("AVG_DISTINCT", Some(c)) =>
+        sum_distinct(g(c)) / count_distinct(g(c))
+      case ("MIN_DISTINCT", Some(c)) => min(g(c))
+      case ("MAX_DISTINCT", Some(c)) => max(g(c))
       case ("SUM", Some(c)) => sum(g(c))
       case ("AVG", Some(c)) => avg(g(c))
       case ("MIN", Some(c)) => min(g(c))
@@ -692,6 +710,16 @@ private[sql] trait ExpressionLowering { self: EmdriveSession =>
         // Spark; the keys CAST where DuckDB widens to TIMESTAMP).
         // Year-month units clamp month-ends identically in both engines
         // (2020-01-31 + 1 MONTH = 2020-02-29).
+        // typed DATE/TIMESTAMP literals (r16): a java.time value makes a
+        // TYPED Catalyst literal (DateType / TimestampNTZType — the
+        // testdata's parquet timestamps are NTZ), so comparisons against
+        // date/timestamp columns constant-fold and reach PushedFilters;
+        // malformed text throws here, at lowering, not per row
+        case ("DATE_LIT", Seq(_)) =>
+          lit(java.time.LocalDate.parse(argStr(args(0), "DATE literal")))
+        case ("TIMESTAMP_LIT", Seq(_)) =>
+          lit(java.time.LocalDateTime.parse(
+            argStr(args(0), "TIMESTAMP literal").replace(' ', 'T')))
         case ("INTERVAL", _) =>
           val nv = argInt(args(0), "INTERVAL count")
           val unit = argStr(args(1), "INTERVAL unit") match {

@@ -998,6 +998,77 @@ object SqlQueries {
                |FROM orders USING SAMPLE 10% ON o_orderkey
                |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin)
     }),
+    // r16: COPY TO / COPY FROM — distributed egress to csv/json/parquet,
+    // then typed read-back APPEND into empty twins of the source table;
+    // the final SELECT aggregates each twin, so every row/char/lang must
+    // survive each format's write→read round trip (the q_io_roundtrip
+    // contract, driven entirely through the SQL front door)
+    "q_sql_copy" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      val docs = Tables.documents(s, d)
+      es.register("documents", docs)
+      val base = s"/tmp/graft_sqlcopy_${graft.SessionMemo.pathTag(d)}"
+      es.sql(s"COPY documents TO '$base/csv' (FORMAT CSV, HEADER);")
+      es.sql(s"COPY documents TO '$base/json' (FORMAT JSON);")
+      es.sql(s"COPY documents TO '$base/parquet' (FORMAT PARQUET);")
+      Seq("csv" -> ", HEADER", "json" -> "", "parquet" -> "").foreach {
+        case (f, opt) =>
+          es.register(s"docs_$f", docs.limit(0))
+          es.sql(s"COPY docs_$f FROM '$base/$f' (FORMAT ${f.toUpperCase}$opt);")
+      }
+      es.sql("""SELECT 'csv' AS format, COUNT(*) AS n_rows,
+               | SUM(n_chars) AS total_chars, COUNT(DISTINCT lang) AS n_langs
+               |FROM docs_csv GROUP BY format
+               |UNION ALL
+               |SELECT 'json' AS format, COUNT(*) AS n_rows,
+               | SUM(n_chars) AS total_chars, COUNT(DISTINCT lang) AS n_langs
+               |FROM docs_json GROUP BY format
+               |UNION ALL
+               |SELECT 'parquet' AS format, COUNT(*) AS n_rows,
+               | SUM(n_chars) AS total_chars, COUNT(DISTINCT lang) AS n_langs
+               |FROM docs_parquet GROUP BY format
+               |ORDER BY format;""".stripMargin)
+    }),
+    // r16: typed DATE/TIMESTAMP literals, load-bearing in a pushed WHERE
+    // (both literal forms bound the same scan; QueryPlanSpec asserts
+    // they reach PushedFilters)
+    "q_sql_date_literal" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+               | MIN(o_orderkey) AS first_key
+               |FROM orders
+               |WHERE o_orderdate >= DATE '1996-01-01'
+               |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+               |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin)
+    }),
+    // r16: SUM/AVG/MIN/MAX(DISTINCT) — Catalyst's native distinct-
+    // aggregate Expand plan, composed with GROUP BY + HAVING over the
+    // same distinct atom
+    "q_sql_sum_distinct" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderstatus,
+               | SUM(DISTINCT o_custkey) AS sum_dc,
+               | AVG(DISTINCT o_custkey) AS avg_dc,
+               | MIN(DISTINCT o_custkey) AS min_dc,
+               | MAX(DISTINCT o_custkey) AS max_dc,
+               | COUNT(DISTINCT o_custkey) AS n_dc
+               |FROM orders GROUP BY o_orderstatus
+               |HAVING SUM(DISTINCT o_custkey) > 0
+               |ORDER BY o_orderstatus;""".stripMargin)
+    }),
+    // r16: ann_search nprobe — the IVF recall dial; nprobe=2 probes the
+    // two nearest centroids' cells (directory pruning over 2 of 8
+    // partitions), and the oracle replays cell routing + in-cell ranking
+    // verbatim
+    "q_sql_ann_nprobe" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("embeddings", Tables.embeddings(s, d))
+      es.sql("""SELECT vec_id, sim
+               |FROM ann_search(embeddings, vec_id, embedding, 0, 10, 2)
+               |ORDER BY sim DESC, vec_id;""".stripMargin)
+    }),
     // r15: winnow TVF — C115's fingerprint selection at the SQL front door
     "q_sql_winnow" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
@@ -2476,6 +2547,63 @@ object SqlQueries {
         | round(list_cosine_similarity(a.v, p.pv), 6) AS sim
         |FROM a, p WHERE a.cid = p.pcid
         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+    // r16: the nprobe=2 replay — same IVF contract as q_sql_ann_search,
+    // with cell routing ranked by cosine(centroid, probe) DESC, cid ASC
+    // (exactly the engine's rule) and membership widened to the 2 cells
+    "q_sql_ann_nprobe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e
+        |      WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
+        |scored AS (
+        | SELECT e.vec_id, e.v, c.cid,
+        |  list_cosine_similarity(e.v, c.cv) AS csim
+        | FROM e CROSS JOIN c),
+        |a AS (
+        | SELECT vec_id, v, cid FROM (
+        |  SELECT *, row_number() OVER (
+        |   PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+        |cells AS (
+        | SELECT c.cid FROM c, p
+        | ORDER BY list_cosine_similarity(c.cv, p.pv) DESC, c.cid ASC
+        | LIMIT 2)
+        |SELECT a.vec_id,
+        | round(list_cosine_similarity(a.v, p.pv), 6) AS sim
+        |FROM a, p WHERE a.cid IN (SELECT cid FROM cells)
+        |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+    // r16: every row/char/lang must survive each format's SQL COPY
+    // round trip (the q_io_roundtrip frame)
+    "q_sql_copy" ->
+      """WITH a AS (
+        | SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  count(DISTINCT lang) AS n_langs
+        | FROM documents)
+        |SELECT f.format, n_rows, total_chars, n_langs
+        |FROM a CROSS JOIN
+        | (SELECT unnest(['csv','json','parquet']) AS format) f
+        |ORDER BY format""".stripMargin,
+    // r16: DuckDB runs the identical typed-literal text
+    "q_sql_date_literal" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | min(o_orderkey) AS first_key
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // r16: identical DISTINCT-aggregate text in DuckDB; AVG(DISTINCT)'s
+    // double division matches sum/count over the deduped set exactly
+    // (bigint sums stay under 2^53)
+    "q_sql_sum_distinct" ->
+      """SELECT o_orderstatus,
+        | CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS sum_dc,
+        | AVG(DISTINCT o_custkey) AS avg_dc,
+        | MIN(DISTINCT o_custkey) AS min_dc,
+        | MAX(DISTINCT o_custkey) AS max_dc,
+        | COUNT(DISTINCT o_custkey) AS n_dc
+        |FROM orders GROUP BY o_orderstatus
+        |HAVING SUM(DISTINCT o_custkey) > 0
+        |ORDER BY o_orderstatus""".stripMargin,
     "q_sql_quality_gate" -> graft.operators.TextAnalysis.oracles("q_gopher_flags"),
     "q_sql_left_join" ->
       """WITH oc AS (

@@ -52,6 +52,30 @@ class QueryPlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("typed DATE/TIMESTAMP literals reach PushedFilters (r16)") {
+    // both literal forms must constant-fold into scan-level pushed
+    // range filters — a string-comparison lowering would cast the
+    // COLUMN and push nothing
+    GraftSession.prepare(spark)
+    val p = SparkEntry.queries("q_sql_date_literal")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+  }
+
+  test("ann_search nprobe=2 prunes to two cluster directories (r16)") {
+    // the widened probe is still DIRECTORY pruning: cluster_id IN (c1,c2)
+    // rides PartitionFilters over the hive-partitioned IVF layout — 2 of
+    // 8 directories read, never a row-level filter over the corpus
+    val p = plan("q_sql_ann_nprobe")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.nonEmpty, p)
+    assert(pf.get.contains("cluster_id"), pf.get)
+    assert(pf.get.contains(" IN (") || pf.get.contains("isin"), pf.get)
+  }
+
   test("point lookup pushes the equality filter into the parquet scan") {
     val p = plan("q_point_lookup")
     assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderkey,42)"), p)

@@ -156,12 +156,50 @@ class ServerSpec extends SparkTestBase {
         // r14 catalog mutations: view DDL + DROP are writes too
         "CREATE VIEW zv AS SELECT doc_id FROM documents;",
         "DROP TABLE documents;",
-        "DROP VIEW IF EXISTS zv;").foreach { w =>
+        "DROP VIEW IF EXISTS zv;",
+        // r16: COPY writes the filesystem (TO) or the catalog (FROM)
+        "COPY documents TO '/tmp/graft_server_copy_refused' (FORMAT CSV);",
+        "COPY documents FROM '/tmp/nowhere' (FORMAT CSV);").foreach { w =>
         val wr = get(base, "/?query=" + java.net.URLEncoder.encode(w, "UTF-8"))
         assert(wr.statusCode() == 400, s"GET accepted write: $w -> ${wr.body()}")
       }
       val missing = get(base, "/")
       assert(missing.statusCode() == 400)
+    }
+  }
+
+  test("POST parameterized JSON queries substitute typed literals (r16)") {
+    withServer() { (_, base) =>
+      // positional ? placeholders, typed params
+      val ok = post(base,
+        """{"query": "SELECT COUNT(*) AS n FROM documents WHERE n_chars >= ? AND lang = ?;",
+          | "params": [300, "en"]}""".stripMargin)
+      assert(ok.statusCode() == 200, ok.body())
+      val want = graft.sources.Tables.documents(spark, sfDir)
+        .filter(col("n_chars") >= 300 && col("lang") === "en").count()
+      assert(ok.body() == s"""[{"n":$want}]""", ok.body())
+      // the injection case: a string param carrying quote syntax stays
+      // ONE literal — it must match zero rows, never widen the predicate
+      val inj = post(base,
+        """{"query": "SELECT COUNT(*) AS n FROM documents WHERE lang = ?;",
+          | "params": ["en' OR '1'='1"]}""".stripMargin)
+      assert(inj.statusCode() == 200, inj.body())
+      assert(inj.body() == """[{"n":0}]""", inj.body())
+      // a ? inside a string literal of the query text is data, not a
+      // placeholder
+      val lit = post(base,
+        """{"query": "SELECT COUNT(*) AS n FROM documents WHERE lang = '?';"}""")
+      assert(lit.statusCode() == 200, lit.body())
+      assert(lit.body() == """[{"n":0}]""", lit.body())
+      // arity mismatches are parse-classified 400s, both directions
+      Seq(
+        """{"query": "SELECT ? AS a, ? AS b FROM documents;", "params": [1]}""",
+        """{"query": "SELECT 1 AS a FROM documents;", "params": [1, 2]}""",
+        """{"query": 42}""",
+        """{not json""").foreach { bad =>
+        val r = post(base, bad)
+        assert(r.statusCode() == 400, s"$bad -> ${r.body()}")
+      }
     }
   }
 

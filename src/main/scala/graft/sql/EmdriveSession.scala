@@ -796,13 +796,17 @@ final class EmdriveSession(private[sql] val spark: SparkSession,
     // NOT a row count: counting would re-scan the relation — at 100 TB a
     // second full pass just to echo a number is the wrong default (the
     // count is one SELECT away).
-    case CopyStmt(name, path, true, fmt, header) =>
-      val df = table(name)
+    case CopyStmt(name, path, true, fmt, header, chain, partBy) =>
+      val df = chain.map(lowerChain).getOrElse(table(name))
+      partBy.foreach(c => require(df.columns.contains(c),
+        s"COPY PARTITION_BY: unknown column $c"))
+      def part[T](w: org.apache.spark.sql.DataFrameWriter[T]) =
+        if (partBy.nonEmpty) w.partitionBy(partBy: _*) else w
       fmt match {
-        case "csv" => df.write.mode("overwrite")
-          .option("header", header.toString).csv(path)
-        case "json" => df.write.mode("overwrite").json(path)
-        case "parquet" => graft.sources.Io.writeParquet(df, path)
+        case "csv" => part(df.write.mode("overwrite")
+          .option("header", header.toString)).csv(path)
+        case "json" => part(df.write.mode("overwrite")).json(path)
+        case "parquet" => graft.sources.Io.writeParquet(df, path, partBy)
       }
       spark.createDataFrame(
         java.util.List.of(Row(name, path, fmt)),
@@ -818,7 +822,7 @@ final class EmdriveSession(private[sql] val spark: SparkSession,
     // domain checks run statement-time, a failed COPY leaves the table
     // untouched, and the projection keeps every field's declared-type /
     // key-role metadata (the r15 metadata-survival invariant).
-    case CopyStmt(name, path, false, fmt, header) =>
+    case CopyStmt(name, path, false, fmt, header, _, _) =>
       requireTable(name, "COPY")
       val target = table(name)
       val schema = target.schema

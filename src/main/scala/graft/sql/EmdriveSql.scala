@@ -440,7 +440,14 @@ object EmdriveSql {
     * INSERT … SELECT. Format defaults from the path's extension. Both
     * directions are write-classified on the server's read-only GET. */
   final case class CopyStmt(table: String, path: String, toFile: Boolean,
-      format: String, header: Boolean) extends Statement
+      format: String, header: Boolean,
+      /** `COPY (SELECT …) TO 'path' (…)` — export a QUERY result rather
+        * than a table (the everyday extract shape); TO-only. */
+      chain: Option[UnionStmt] = None,
+      /** `PARTITION_BY (col, …)` (TO-only): hive-partitioned egress —
+        * one directory per key value, so downstream readers get
+        * partition pruning for free (the 100 TB export default). */
+      partitionBy: Seq[String] = Seq.empty) extends Statement
 
   /** UPDATE t SET c = expr [, …] [FROM s [alias]] [WHERE pred] — catalog
     * rewrite: matched rows take the new expressions, others pass through;
@@ -888,8 +895,17 @@ object EmdriveSql {
         TruncateStmt(p.ident())
       }
       else if (p.tryWord("COPY")) {
-        val t = p.ident()
+        // COPY (SELECT …) TO — export a query result, not just a table
+        val (t, chain) =
+          if (p.peekSym("(")) {
+            p.eatSym("(")
+            val ch = parseChain(p)
+            p.eatSym(")")
+            ("(query)", Some(ch))
+          } else (p.ident(), None)
         val toFile = p.tryWord("TO") || { p.eatWord("FROM"); false }
+        require(chain.isEmpty || toFile,
+          "COPY (SELECT …) exports only; COPY … FROM needs a table")
         val path = p.toks match {
           case TStr(s) :: rest => p.toks = rest; s
           case _ => p.fail("quoted path after COPY " +
@@ -897,16 +913,25 @@ object EmdriveSql {
         }
         var format: Option[String] = None
         var header = false
+        val partBy = mutable.ListBuffer.empty[String]
         if (p.trySym("(")) {
           var more = true
           while (more) {
             if (p.tryWord("FORMAT")) format = Some(p.ident().toLowerCase)
             else if (p.tryWord("HEADER")) header = true
-            else p.fail("FORMAT or HEADER in COPY options")
+            else if (p.tryWord("PARTITION_BY")) {
+              p.eatSym("(")
+              partBy += p.ident()
+              while (p.trySym(",")) partBy += p.ident()
+              p.eatSym(")")
+            }
+            else p.fail("FORMAT, HEADER or PARTITION_BY in COPY options")
             more = p.trySym(",")
           }
           p.eatSym(")")
         }
+        require(partBy.isEmpty || toFile,
+          "PARTITION_BY applies to COPY … TO only")
         val fmt = format.getOrElse {
           val base = path.stripSuffix("/")
           val ext = base.substring(base.lastIndexOf('.') + 1).toLowerCase
@@ -916,7 +941,7 @@ object EmdriveSql {
         }
         require(Set("csv", "json", "parquet")(fmt),
           s"COPY format must be csv, json or parquet, got $fmt")
-        CopyStmt(t, path, toFile, fmt, header)
+        CopyStmt(t, path, toFile, fmt, header, chain, partBy.toSeq)
       }
       else if (p.tryWord("SHOW")) { p.eatWord("TABLES"); ShowTables }
       else if (p.tryWord("DESCRIBE")) Describe(p.ident())

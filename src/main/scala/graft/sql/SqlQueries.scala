@@ -1016,6 +1016,14 @@ object SqlQueries {
           es.register(s"docs_$f", docs.limit(0))
           es.sql(s"COPY docs_$f FROM '$base/$f' (FORMAT ${f.toUpperCase}$opt);")
       }
+      // COPY (SELECT …) TO — the query-export form: a filtered
+      // projection round-trips through parquet into a two-column twin
+      es.sql(s"""COPY (SELECT doc_id, lang, n_chars FROM documents
+                |      WHERE n_chars >= 300)
+                |TO '$base/q' (FORMAT PARQUET);""".stripMargin)
+      es.register("docs_q",
+        docs.select(col("doc_id"), col("lang"), col("n_chars")).limit(0))
+      es.sql(s"COPY docs_q FROM '$base/q' (FORMAT PARQUET);")
       es.sql("""SELECT 'csv' AS format, COUNT(*) AS n_rows,
                | SUM(n_chars) AS total_chars, COUNT(DISTINCT lang) AS n_langs
                |FROM docs_csv GROUP BY format
@@ -1027,6 +1035,10 @@ object SqlQueries {
                |SELECT 'parquet' AS format, COUNT(*) AS n_rows,
                | SUM(n_chars) AS total_chars, COUNT(DISTINCT lang) AS n_langs
                |FROM docs_parquet GROUP BY format
+               |UNION ALL
+               |SELECT 'query' AS format, COUNT(*) AS n_rows,
+               | SUM(n_chars) AS total_chars, COUNT(DISTINCT lang) AS n_langs
+               |FROM docs_q GROUP BY format
                |ORDER BY format;""".stripMargin)
     }),
     // r16: typed DATE/TIMESTAMP literals, load-bearing in a pushed WHERE
@@ -2582,6 +2594,11 @@ object SqlQueries {
         |SELECT f.format, n_rows, total_chars, n_langs
         |FROM a CROSS JOIN
         | (SELECT unnest(['csv','json','parquet']) AS format) f
+        |UNION ALL
+        |SELECT 'query' AS format, count(*) AS n_rows,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | count(DISTINCT lang) AS n_langs
+        |FROM documents WHERE n_chars >= 300
         |ORDER BY format""".stripMargin,
     // r16: DuckDB runs the identical typed-literal text
     "q_sql_date_literal" ->

@@ -52,6 +52,17 @@ class QueryPlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("five DISTINCT aggregates over one column share ONE Expand (r16)") {
+    // SUM/AVG/MIN/MAX/COUNT(DISTINCT o_custkey) in one query: Catalyst
+    // plans the distinct dedup as a single Expand feeding every
+    // aggregate (MIN/MAX don't even join the distinct branch — dedup is
+    // extremum-invariant and the lowering drops it). Five Expands, or
+    // one per atom, would multiply the shuffled row count at 100 TB.
+    val p = plan("q_sql_sum_distinct")
+    val expands = "Expand".r.findAllIn(p).length
+    assert(expands == 1, s"expected one Expand, got $expands:\n$p")
+  }
+
   test("typed DATE/TIMESTAMP literals reach PushedFilters (r16)") {
     // both literal forms must constant-fold into scan-level pushed
     // range filters — a string-comparison lowering would cast the

@@ -52,15 +52,21 @@ class QueryPlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("five DISTINCT aggregates over one column share ONE Expand (r16)") {
-    // SUM/AVG/MIN/MAX/COUNT(DISTINCT o_custkey) in one query: Catalyst
-    // plans the distinct dedup as a single Expand feeding every
-    // aggregate (MIN/MAX don't even join the distinct branch — dedup is
-    // extremum-invariant and the lowering drops it). Five Expands, or
-    // one per atom, would multiply the shuffled row count at 100 TB.
+  test("five DISTINCT aggregates over one column share ONE dedup pass (r16)") {
+    // SUM/AVG/MIN/MAX/COUNT(DISTINCT o_custkey) in one query: a single
+    // distinct-column family needs NO Expand at all — Catalyst rewrites
+    // it as one partial-combined (group, value) dedup aggregate (MIN/MAX
+    // ride along; the lowering already dropped their redundant DISTINCT)
+    // feeding the distinct sum/count. Expand (which replicates every
+    // input row per distinct family) appears only with MULTIPLE distinct
+    // columns — over one column it would double the shuffled rows for
+    // nothing at 100 TB.
     val p = plan("q_sql_sum_distinct")
     val expands = "Expand".r.findAllIn(p).length
-    assert(expands == 1, s"expected one Expand, got $expands:\n$p")
+    assert(expands == 0, s"expected no Expand, got $expands:\n$p")
+    assert("keys=\\[o_orderstatus#\\d+L?, o_custkey#\\d+L?\\]".r
+      .findFirstIn(p).nonEmpty, p) // the shared dedup pre-aggregation
+    assert(p.contains("sum(distinct o_custkey"), p)
   }
 
   test("typed DATE/TIMESTAMP literals reach PushedFilters (r16)") {

@@ -671,7 +671,10 @@ object EmdriveSql {
     "LEVENSHTEIN", "REGEXP_EXTRACT", "JSON_ARRAY_LENGTH", "TRANSLATE",
     "LTRIM", "RTRIM",
     // r15 calendar tier 3
-    "STRPTIME", "MAKE_DATE", "LAST_DAY")
+    "STRPTIME", "MAKE_DATE", "LAST_DAY",
+    // r16 math tier 5 + prefix/suffix predicates
+    "LOG10", "LOG2", "CBRT", "SIN", "COS", "TAN", "ATAN2",
+    "RADIANS", "DEGREES", "STARTS_WITH", "ENDS_WITH")
   private val WinFuncs =
     Set("ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK", "CUME_DIST")
 

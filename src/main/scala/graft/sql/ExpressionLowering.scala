@@ -603,6 +603,20 @@ private[sql] trait ExpressionLowering { self: EmdriveSession =>
         case ("LN", Seq(x)) => log(x)
         case ("EXP", Seq(x)) => exp(x)
         case ("SIGN", Seq(x)) => signum(x)
+        // r16: math tier 5 — logs/trig (both engines are IEEE-754 libm;
+        // gate keys round(…, 6) per the §5 float discipline) + string
+        // prefix/suffix predicates (pushable boolean scalars)
+        case ("LOG10", Seq(x)) => log10(x)
+        case ("LOG2", Seq(x)) => log2(x)
+        case ("CBRT", Seq(x)) => cbrt(x)
+        case ("SIN", Seq(x)) => sin(x)
+        case ("COS", Seq(x)) => cos(x)
+        case ("TAN", Seq(x)) => tan(x)
+        case ("ATAN2", Seq(x, y)) => atan2(x, y)
+        case ("RADIANS", Seq(x)) => radians(x)
+        case ("DEGREES", Seq(x)) => degrees(x)
+        case ("STARTS_WITH", Seq(x, y)) => x.startsWith(y)
+        case ("ENDS_WITH", Seq(x, y)) => x.endsWith(y)
         // r13: string/regex tier 3 (DuckDB spellings; REGEXP_REPLACE is
         // replace-ALL — the DuckDB twin needs the 'g' flag; CHR ≡ Spark
         // chr; REGEXP_MATCHES ≡ RLIKE, boolean-valued)

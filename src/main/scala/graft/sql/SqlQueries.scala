@@ -1081,6 +1081,28 @@ object SqlQueries {
                |FROM ann_search(embeddings, vec_id, embedding, 0, 10, 2)
                |ORDER BY sim DESC, vec_id;""".stripMargin)
     }),
+    // r16: math tier 5 (logs/trig, per-row with round(…,6) — float SUMs
+    // would be partial-order-dependent) + prefix/suffix predicates, one
+    // of them load-bearing in the WHERE
+    "q_sql_math2" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderkey,
+               | ROUND(SIN(o_orderkey % 7), 6) AS v_sin,
+               | ROUND(COS(o_orderkey % 7), 6) AS v_cos,
+               | ROUND(TAN(o_orderkey % 3), 6) AS v_tan,
+               | ROUND(ATAN2(o_orderkey % 5, 3), 6) AS v_atan2,
+               | ROUND(LOG10(o_orderkey + 1), 6) AS v_log10,
+               | ROUND(LOG2(o_orderkey + 1), 6) AS v_log2,
+               | ROUND(CBRT(o_orderkey), 6) AS v_cbrt,
+               | ROUND(RADIANS(o_orderkey % 360), 6) AS v_rad,
+               | ROUND(DEGREES(o_orderkey % 7), 6) AS v_deg,
+               | STARTS_WITH(o_orderpriority, '1') AS is_urgent,
+               | ENDS_WITH(o_orderpriority, 'LOW') AS is_low
+               |FROM orders
+               |WHERE o_orderkey <= 200 AND ENDS_WITH(o_orderstatus, 'O') = TRUE
+               |ORDER BY o_orderkey;""".stripMargin)
+    }),
     // r15: winnow TVF — C115's fingerprint selection at the SQL front door
     "q_sql_winnow" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
@@ -2621,6 +2643,24 @@ object SqlQueries {
         |FROM orders GROUP BY o_orderstatus
         |HAVING SUM(DISTINCT o_custkey) > 0
         |ORDER BY o_orderstatus""".stripMargin,
+    // r16: DuckDB runs the same libm tier; round(…,6) absorbs last-bit
+    // IEEE differences (the §5 float discipline)
+    "q_sql_math2" ->
+      """SELECT o_orderkey,
+        | ROUND(SIN(o_orderkey % 7), 6) AS v_sin,
+        | ROUND(COS(o_orderkey % 7), 6) AS v_cos,
+        | ROUND(TAN(o_orderkey % 3), 6) AS v_tan,
+        | ROUND(ATAN2(o_orderkey % 5, 3), 6) AS v_atan2,
+        | ROUND(LOG10(o_orderkey + 1), 6) AS v_log10,
+        | ROUND(LOG2(o_orderkey + 1), 6) AS v_log2,
+        | ROUND(CBRT(o_orderkey), 6) AS v_cbrt,
+        | ROUND(RADIANS(o_orderkey % 360), 6) AS v_rad,
+        | ROUND(DEGREES(o_orderkey % 7), 6) AS v_deg,
+        | STARTS_WITH(o_orderpriority, '1') AS is_urgent,
+        | ENDS_WITH(o_orderpriority, 'LOW') AS is_low
+        |FROM orders
+        |WHERE o_orderkey <= 200 AND ENDS_WITH(o_orderstatus, 'O') = TRUE
+        |ORDER BY o_orderkey""".stripMargin,
     "q_sql_quality_gate" -> graft.operators.TextAnalysis.oracles("q_gopher_flags"),
     "q_sql_left_join" ->
       """WITH oc AS (

@@ -1860,6 +1860,18 @@ object EmdriveSql {
         if (p.trySym("*")) Some(None)
         else scala.util.Try(p.qident()).toOption match {
           case Some(c) if p.peekSym(")") => Some(Some(c))
+          // COUNT(DISTINCT a, b, …) (r16): multi-column distinct — the
+          // pair/tuple cardinality ask; columns ride the arg slot
+          // U+0001-joined (the STRING_AGG/ARG_MAX encoding). ANSI NULL
+          // semantics: a row with ANY null key is skipped (the DuckDB
+          // row-value replay counts null-carrying rows, so oracles over
+          // nullable columns must FILTER them — testdata keys are
+          // non-null).
+          case Some(c) if distinct && f.equalsIgnoreCase("count")
+              && p.peekSym(",") =>
+            val cs = mutable.ListBuffer(c)
+            while (p.trySym(",")) cs += p.qident()
+            Some(Some(cs.mkString("")))
           case _ => p.toks = saved; None
         }
       plainArg match {

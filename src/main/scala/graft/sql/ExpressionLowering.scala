@@ -85,7 +85,13 @@ private[sql] trait ExpressionLowering { self: EmdriveSession =>
       case ("COUNT", None) => count(lit(1))
       case ("COUNT", Some(c)) => count(qref(c))
       // exact distinct (the partial-combined two-phase Expand plan); the
-      // 100 TB approximate alternative is approx_count_distinct
+      // 100 TB approximate alternative is approx_count_distinct.
+      // COUNT(DISTINCT a, b, …) (r16): columns U+0001-joined in the arg
+      // slot; Spark's native multi-child count_distinct (ANSI: any-null
+      // rows skipped)
+      case ("COUNT_DISTINCT", Some(c)) if c.contains('') =>
+        val cs = c.split('')
+        countDistinct(qref(cs.head), cs.tail.toIndexedSeq.map(qref): _*)
       case ("COUNT_DISTINCT", Some(c)) => countDistinct(qref(c))
       // DISTINCT aggregates (r16): SUM/AVG lower onto Catalyst's native
       // distinct-aggregate Expand plan (the q_sql_count_distinct shape —
@@ -190,6 +196,12 @@ private[sql] trait ExpressionLowering { self: EmdriveSession =>
     (func, arg) match {
       case ("COUNT", None) => count(when(cond, lit(1)))
       case ("COUNT", Some(c)) => count(g(c))
+      // multi-column + FILTER: nulling every key under !cond makes the
+      // row all-null, which any-null-skipping distinct then drops — the
+      // exact FILTER semantics
+      case ("COUNT_DISTINCT", Some(c)) if c.contains('') =>
+        val cs = c.split('')
+        countDistinct(g(cs.head), cs.tail.toIndexedSeq.map(g): _*)
       case ("COUNT_DISTINCT", Some(c)) => countDistinct(g(c))
       case ("SUM_DISTINCT", Some(c)) => sum_distinct(g(c))
       case ("AVG_DISTINCT", Some(c)) =>

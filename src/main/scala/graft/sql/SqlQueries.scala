@@ -1103,6 +1103,20 @@ object SqlQueries {
                |WHERE o_orderkey <= 200 AND ENDS_WITH(o_orderstatus, 'O') = TRUE
                |ORDER BY o_orderkey;""".stripMargin)
     }),
+    // r16: multi-column COUNT(DISTINCT a, b) — pair cardinality per
+    // group, composed with single-column distinct and a FILTER leg over
+    // the same encoding
+    "q_sql_count_distinct_multi" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderstatus,
+               | COUNT(DISTINCT o_custkey, o_orderpriority) AS n_pairs,
+               | COUNT(DISTINCT o_custkey) AS n_cust,
+               | COUNT(DISTINCT o_custkey, o_orderpriority)
+               |   FILTER (WHERE o_orderkey % 2 = 0) AS n_pairs_even
+               |FROM orders GROUP BY o_orderstatus
+               |ORDER BY o_orderstatus;""".stripMargin)
+    }),
     // r15: winnow TVF — C115's fingerprint selection at the SQL front door
     "q_sql_winnow" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
@@ -2661,6 +2675,19 @@ object SqlQueries {
         |FROM orders
         |WHERE o_orderkey <= 200 AND ENDS_WITH(o_orderstatus, 'O') = TRUE
         |ORDER BY o_orderkey""".stripMargin,
+    // r16: the DuckDB replay spells tuple distinct as row values; the
+    // testdata keys are non-null, so any-null-skip parity is trivial.
+    // The FILTER leg replays as count(DISTINCT CASE WHEN …) — row-value
+    // distinct + FILTER trips a DuckDB internal assertion, and the
+    // CASE's NULL-on-nonmatch is exactly the FILTER fold.
+    "q_sql_count_distinct_multi" ->
+      """SELECT o_orderstatus,
+        | count(DISTINCT (o_custkey, o_orderpriority)) AS n_pairs,
+        | count(DISTINCT o_custkey) AS n_cust,
+        | count(DISTINCT CASE WHEN o_orderkey % 2 = 0
+        |   THEN (o_custkey, o_orderpriority) END) AS n_pairs_even
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q_sql_quality_gate" -> graft.operators.TextAnalysis.oracles("q_gopher_flags"),
     "q_sql_left_join" ->
       """WITH oc AS (

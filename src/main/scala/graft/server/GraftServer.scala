@@ -160,7 +160,13 @@ final class GraftServer(es: EmdriveSession, port: Int = 0,
     }
     def render(n: com.fasterxml.jackson.databind.JsonNode): Either[String, String] =
       if (n.isTextual) Right("'" + n.asText().replace("'", "''") + "'")
-      else if (n.isNumber) Right(n.numberValue().toString)
+      // plain-decimal rendering (r16 ADVICE): Double.toString puts 1e21 /
+      // 2.5e-7 in scientific notation; the lexer now accepts exponents,
+      // but the substituted literal should still read as the exact
+      // decimal the caller sent (BigDecimal round-trips both int and
+      // float JSON numbers losslessly)
+      else if (n.isNumber)
+        Right(new java.math.BigDecimal(n.asText()).toPlainString)
       else if (n.isBoolean) Right(if (n.asBoolean()) "TRUE" else "FALSE")
       else if (n.isNull) Right("NULL")
       else Left(s"unsupported parameter type: ${n.getNodeType}")

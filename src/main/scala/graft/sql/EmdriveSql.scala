@@ -113,6 +113,10 @@ object EmdriveSql {
   private final case class TStr(s: String) extends Tok
   private final case class TBits(v: BigInt) extends Tok // 0b… / 0x…
   private final case class TSym(s: String) extends Tok
+  /** `"double-quoted identifier"` (r17): an ANSI delimited identifier —
+    * never a keyword, may hold spaces/case; `""` escapes a quote. Kept
+    * distinct from TWord so keyword checks can't capture it. */
+  private final case class TQuoted(s: String) extends Tok
 
   private def tokenize(input: String): List[Tok] = {
     val out = mutable.ListBuffer.empty[Tok]
@@ -122,6 +126,17 @@ object EmdriveSql {
     while (i < n) {
       val c = input(i)
       if (c.isWhitespace) i += 1
+      // SQL comments (r17): `-- …` to end of line, `/* … */` block —
+      // the first thing any query pasted from a file or an ORM carries.
+      // An unterminated block comment is a loud error (silently eating
+      // the rest of the statement would mis-parse, not mis-lex).
+      else if (c == '-' && peek(1) == '-') {
+        while (i < n && input(i) != '\n') i += 1
+      } else if (c == '/' && peek(1) == '*') {
+        val close = input.indexOf("*/", i + 2)
+        require(close >= 0, s"unterminated /* comment in: $input")
+        i = close + 2
+      }
       else if (c == '\'') {
         val sb = new StringBuilder
         i += 1
@@ -132,6 +147,18 @@ object EmdriveSql {
         require(i < n, s"unterminated string literal in: $input")
         i += 1
         out += TStr(sb.toString)
+      } else if (c == '"') {
+        // ANSI double-quoted identifier (r17); "" escapes a quote
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && !(input(i) == '"' && peek(1) != '"')) {
+          if (input(i) == '"') { sb.append('"'); i += 2 }
+          else { sb.append(input(i)); i += 1 }
+        }
+        require(i < n, s"unterminated quoted identifier in: $input")
+        i += 1
+        require(sb.nonEmpty, s"empty quoted identifier in: $input")
+        out += TQuoted(sb.toString)
       } else if (c == '0' && (peek(1) == 'b' || peek(1) == 'B')) {
         val start = i + 2
         var j = start
@@ -147,11 +174,24 @@ object EmdriveSql {
       } else if (c.isDigit) {
         var j = i
         while (j < n && (input(j).isDigit || input(j) == '.')) j += 1
+        // scientific notation (r17): `1e6` / `2.5E-7` — the exponent
+        // folds into the number token only when a digit follows (so
+        // `SUM(x)e` style word boundaries still lex as words); the
+        // lowering types exponent literals as DOUBLE, DuckDB's rule
+        if (j < n && (input(j) == 'e' || input(j) == 'E')) {
+          var k = j + 1
+          if (k < n && (input(k) == '+' || input(k) == '-')) k += 1
+          var d = k
+          while (d < n && input(d).isDigit) d += 1
+          if (d > k) j = d
+        }
         out += TNum(input.substring(i, j)); i = j
       } else if (c.isLetter || c == '_') {
         var j = i
         while (j < n && (input(j).isLetterOrDigit || input(j) == '_')) j += 1
         out += TWord(input.substring(i, j)); i = j
+      } else if (c == '|' && peek(1) == '|') {
+        out += TSym("||"); i += 2 // ANSI string concatenation
       } else if (c == '<' && peek(1) == '>') {
         out += TSym("!="); i += 2 // ANSI <> spelling of not-equals
       } else if ((c == '<' || c == '>' || c == '!') && peek(1) == '=') {
@@ -264,7 +304,10 @@ object EmdriveSql {
     * Lowered 1:1 onto Column arithmetic, so expressions stay inside
     * whole-stage codegen and comparison predicates over them remain
     * Catalyst-optimizable. Division follows engine float semantics
-    * (int / int is a double, as in DuckDB). No unary minus: write 0 - x. */
+    * (int / int is a double, as in DuckDB). Unary minus (r17): a leading
+    * `-` folds into number literals at parse; on other atoms it lowers
+    * as 0 - x. `||` (r17) concatenates at ANSI precedence (looser than
+    * +/-), lowered onto Catalyst concat. */
   final case class OArith(lhs: Operand, op: String, rhs: Operand) extends Operand
   /** CAST(expr AS type) — ANSI explicit cast; the type vocabulary is the
     * dialect's (INT/BIGINT/DOUBLE/VARCHAR/BOOLEAN/DECIMAL(p,s)), lowered
@@ -447,7 +490,13 @@ object EmdriveSql {
       /** `PARTITION_BY (col, …)` (TO-only): hive-partitioned egress —
         * one directory per key value, so downstream readers get
         * partition pruning for free (the 100 TB export default). */
-      partitionBy: Seq[String] = Seq.empty) extends Statement
+      partitionBy: Seq[String] = Seq.empty,
+      /** `OVERWRITE` (TO-only, r17): explicit opt-in to replace a
+        * non-empty target directory. WITHOUT it, COPY TO refuses a
+        * non-empty existing target — a typo'd path must never silently
+        * delete an unrelated directory tree (DuckDB's
+        * OVERWRITE_OR_IGNORE posture). */
+      overwrite: Boolean = false) extends Statement
 
   /** UPDATE t SET c = expr [, …] [FROM s [alias]] [WHERE pred] — catalog
     * rewrite: matched rows take the new expressions, others pass through;
@@ -587,6 +636,9 @@ object EmdriveSql {
     def trySym(s: String): Boolean = { val ok = peekSym(s); if (ok) toks = toks.tail; ok }
     def ident(): String = toks match {
       case TWord(w) :: rest if !Keywords.contains(w.toUpperCase) => toks = rest; w
+      // a delimited identifier is valid wherever a plain one is, and is
+      // never a keyword — `SELECT x AS "order"` names the output "order"
+      case TQuoted(s) :: rest => toks = rest; s
       case _ => fail("identifier")
     }
     /** Possibly-qualified identifier: `col` or `alias.col` — the dotted
@@ -597,6 +649,7 @@ object EmdriveSql {
       toks match {
         case TSym(".") :: TWord(w) :: rest if !Keywords.contains(w.toUpperCase) =>
           toks = rest; s"$head.$w"
+        case TSym(".") :: TQuoted(s) :: rest => toks = rest; s"$head.$s"
         case _ => head
       }
     }
@@ -916,25 +969,29 @@ object EmdriveSql {
         }
         var format: Option[String] = None
         var header = false
+        var overwrite = false
         val partBy = mutable.ListBuffer.empty[String]
         if (p.trySym("(")) {
           var more = true
           while (more) {
             if (p.tryWord("FORMAT")) format = Some(p.ident().toLowerCase)
             else if (p.tryWord("HEADER")) header = true
+            else if (p.tryWord("OVERWRITE")) overwrite = true
             else if (p.tryWord("PARTITION_BY")) {
               p.eatSym("(")
               partBy += p.ident()
               while (p.trySym(",")) partBy += p.ident()
               p.eatSym(")")
             }
-            else p.fail("FORMAT, HEADER or PARTITION_BY in COPY options")
+            else p.fail(
+              "FORMAT, HEADER, OVERWRITE or PARTITION_BY in COPY options")
             more = p.trySym(",")
           }
           p.eatSym(")")
         }
         require(partBy.isEmpty || toFile,
           "PARTITION_BY applies to COPY … TO only")
+        require(!overwrite || toFile, "OVERWRITE applies to COPY … TO only")
         val fmt = format.getOrElse {
           val base = path.stripSuffix("/")
           val ext = base.substring(base.lastIndexOf('.') + 1).toLowerCase
@@ -944,7 +1001,12 @@ object EmdriveSql {
         }
         require(Set("csv", "json", "parquet")(fmt),
           s"COPY format must be csv, json or parquet, got $fmt")
-        CopyStmt(t, path, toFile, fmt, header, chain, partBy.toSeq)
+        // HEADER is a CSV concept: accepting it on json/parquet would
+        // silently do nothing — misuse fails at parse time (r16 ADVICE),
+        // mirroring the PARTITION_BY toFile-only require above
+        require(!header || fmt == "csv",
+          s"COPY: HEADER applies to FORMAT CSV only, not $fmt")
+        CopyStmt(t, path, toFile, fmt, header, chain, partBy.toSeq, overwrite)
       }
       else if (p.tryWord("SHOW")) { p.eatWord("TABLES"); ShowTables }
       else if (p.tryWord("DESCRIBE")) Describe(p.ident())
@@ -993,6 +1055,7 @@ object EmdriveSql {
           depth = math.max(0, depth - 1); p.toks = rest
         case TSym(",") :: rest if depth == 0 => defs += cur.toString; cur.clear(); p.toks = rest
         case TWord(w) :: rest => cur.append(" " + w); p.toks = rest
+        case TQuoted(s) :: rest => cur.append(" " + s); p.toks = rest
         case TNum(s) :: rest => cur.append(" " + s); p.toks = rest
         case TStr(s) :: rest => cur.append(" '" + s.replace("'", "''") + "'"); p.toks = rest
         case TBits(v) :: rest => cur.append(" " + v.toString); p.toks = rest
@@ -1456,8 +1519,12 @@ object EmdriveSql {
       }
       p.eatSym(")")
       parseOverClause(p, "NTH_VALUE", Some(s"$c:$nth"))
-    // LAG/LEAD(col [, offset]) — column and offset ride the arg slot as
-    // "col:offset" (offset defaults to 1, ANSI)
+    // LAG/LEAD(col [, offset] [IGNORE NULLS]) — column and offset ride
+    // the arg slot as "col:offset" (offset defaults to 1, ANSI). IGNORE
+    // NULLS (r17) skips null rows when counting the offset — the n-th
+    // previous NON-NULL value, the LOCF/gap-fill spelling on lag (Spark's
+    // ignoreNulls flag, DuckDB-identical); rides as a "!ignore" suffix
+    // like FIRST/LAST_VALUE.
     case TWord(f) :: TSym("(") :: _
         if f.equalsIgnoreCase("LAG") || f.equalsIgnoreCase("LEAD") =>
       p.toks = p.toks.tail.tail
@@ -1467,8 +1534,10 @@ object EmdriveSql {
           case TNum(n) :: rest if !n.contains('.') => p.toks = rest; n
           case _ => p.fail("integer LAG/LEAD offset")
         } else "1"
+      val ign =
+        if (p.tryWord("IGNORE")) { p.eatWord("NULLS"); "!ignore" } else ""
       p.eatSym(")")
-      parseOverClause(p, f.toUpperCase, Some(s"$c:$off"))
+      parseOverClause(p, f.toUpperCase, Some(s"$c:$off$ign"))
     case TWord(w) :: TSym("(") :: _ if w.equalsIgnoreCase("COLUMNS") =>
       p.toks = p.toks.tail.tail
       val re = p.value() match {
@@ -1723,6 +1792,14 @@ object EmdriveSql {
     * atom := '(' SELECT … ')' | '(' operand ')' | col [@ probe] | lit —
     * standard arithmetic precedence, left-assoc. */
   private def parseOperand(p: P): Operand = {
+    // `||` concatenation (r17): ANSI precedence — looser than + and -
+    // (`a || b + 1` concatenates the SUM, the Postgres/DuckDB reading)
+    var l = parseAdd(p)
+    while (p.trySym("||")) l = OArith(l, "||", parseAdd(p))
+    l
+  }
+
+  private def parseAdd(p: P): Operand = {
     var l = parseMul(p)
     var more = true
     while (more) {
@@ -1748,6 +1825,17 @@ object EmdriveSql {
   }
 
   private def parseAtom(p: P): Operand = p.toks match {
+    // unary minus (r17): a leading `-` on a NUMBER folds into the
+    // literal at parse time (stays a typed, pushable constant); on any
+    // other atom it lowers as 0 - x. Binary minus never reaches here —
+    // the additive loop consumes it before the next atom parse.
+    case TSym("-") :: TNum(s) :: rest =>
+      p.toks = rest; OVal(VNum("-" + s))
+    case TSym("-") :: _ =>
+      p.eatSym("-")
+      OArith(OVal(VNum("0")), "-", parseAtom(p))
+    case TQuoted(_) :: _ =>
+      ORef(p.qident())
     case TSym("(") :: TWord(w) :: _ if w.equalsIgnoreCase("SELECT") =>
       p.eatSym("("); p.eatWord("SELECT")
       val sub = parseSelect(p)

@@ -416,7 +416,7 @@ private[sql] trait ExpressionLowering { self: EmdriveSession =>
       // raw literal values (not Columns) build a true Catalyst In — the
       // shape the parquet datasource translates to a pushed IN filter
       val lits: Seq[Any] = vals.map {
-        case VNum(s) => if (s.contains('.')) s.toDouble else s.toLong
+        case VNum(s) => if (isFloatNum(s)) s.toDouble else s.toLong
         case VStr(s) => s
         case VBool(b) => b
         case VBits(v) => v.longValue
@@ -460,8 +460,13 @@ private[sql] trait ExpressionLowering { self: EmdriveSession =>
   /** Numeric literal → Column. Integer literals beyond int64 (the dialect's
     * UINT64 tier, reference components.rs u64/u128 values) lower to exact
     * DECIMAL literals instead of overflowing Long.parseLong. */
+  /** Scientific-notation literals (`1e6`, r17) type as DOUBLE — DuckDB's
+    * rule — so the float check covers the exponent marker, not just '.'. */
+  private[sql] def isFloatNum(s: String): Boolean =
+    s.exists(c => c == '.' || c == 'e' || c == 'E')
+
   private[sql] def numLit(s: String): Column =
-    if (s.contains('.')) lit(s.toDouble)
+    if (isFloatNum(s)) lit(s.toDouble)
     else try lit(s.toLong) catch {
       case _: NumberFormatException => lit(new java.math.BigDecimal(s))
     }
@@ -520,6 +525,9 @@ private[sql] trait ExpressionLowering { self: EmdriveSession =>
         case "*" => l * r
         case "/" => l / r
         case "%" => l % r
+        // `||` (r17): ANSI concatenation — NULL if either side is NULL,
+        // identically in Spark concat and DuckDB ||
+        case "||" => concat(l, r)
       }
     case OFunc(f, args) =>
       funcApply(f, args.map(operandCol(base, _, corr)), args)
@@ -744,8 +752,12 @@ private[sql] trait ExpressionLowering { self: EmdriveSession =>
         case ("DATE_LIT", Seq(_)) =>
           lit(java.time.LocalDate.parse(argStr(args(0), "DATE literal")))
         case ("TIMESTAMP_LIT", Seq(_)) =>
-          lit(java.time.LocalDateTime.parse(
-            argStr(args(0), "TIMESTAMP literal").replace(' ', 'T')))
+          // date-only text (`TIMESTAMP '1996-07-01'`) is midnight — the
+          // ANSI-common shorthand DuckDB accepts (r16 ADVICE)
+          val ts = argStr(args(0), "TIMESTAMP literal")
+          lit(if (ts.contains(' ') || ts.contains('T'))
+            java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+          else java.time.LocalDate.parse(ts).atStartOfDay())
         case ("INTERVAL", _) =>
           val nv = argInt(args(0), "INTERVAL count")
           val unit = argStr(args(1), "INTERVAL unit") match {

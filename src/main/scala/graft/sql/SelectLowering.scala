@@ -408,7 +408,7 @@ private[sql] trait SelectLowering { self: EmdriveSession =>
           // inference), BIGINT beyond -- keeps inline-table schemas
           // engine-identical
           case VNum(n) =>
-            if (n.contains('.')) lit(n.toDouble)
+            if (isFloatNum(n)) lit(n.toDouble)
             else n.toLong match {
               case v if v >= Int.MinValue && v <= Int.MaxValue => lit(v.toInt)
               case v => lit(v)
@@ -761,8 +761,15 @@ private[sql] trait SelectLowering { self: EmdriveSession =>
               val Array(c, n) = arg.get.split(":")
               nth_value(qref(c), n.toInt)
             case "LAG" | "LEAD" =>
-              val Array(c, off) = arg.get.split(":")
-              if (f == "LAG") lag(col(c), off.toInt) else lead(col(c), off.toInt)
+              // "!ignore" suffix = IGNORE NULLS (r17): the n-th previous
+              // NON-NULL value — Spark's ignoreNulls flag, DuckDB-identical
+              val (spec0, ign) = arg.get.split("!") match {
+                case Array(a0, "ignore") => (a0, true)
+                case _ => (arg.get, false)
+              }
+              val Array(c, off) = spec0.split(":")
+              if (f == "LAG") lag(col(c), off.toInt, null, ign)
+              else lead(col(c), off.toInt, null, ign)
             case "FIRST_VALUE" | "LAST_VALUE" =>
               // "!ignore" suffix = ANSI IGNORE NULLS (Spark's ignoreNulls
               // flag; DuckDB-identical: the nearest non-null in frame)

@@ -1008,9 +1008,12 @@ object SqlQueries {
       val docs = Tables.documents(s, d)
       es.register("documents", docs)
       val base = s"/tmp/graft_sqlcopy_${graft.SessionMemo.pathTag(d)}"
-      es.sql(s"COPY documents TO '$base/csv' (FORMAT CSV, HEADER);")
-      es.sql(s"COPY documents TO '$base/json' (FORMAT JSON);")
-      es.sql(s"COPY documents TO '$base/parquet' (FORMAT PARQUET);")
+      // OVERWRITE (r17): re-runs land on the previous run's directories —
+      // the explicit opt-in is load-bearing here (a bare COPY TO now
+      // refuses a non-empty target, the r16 ADVICE guard)
+      es.sql(s"COPY documents TO '$base/csv' (FORMAT CSV, HEADER, OVERWRITE);")
+      es.sql(s"COPY documents TO '$base/json' (FORMAT JSON, OVERWRITE);")
+      es.sql(s"COPY documents TO '$base/parquet' (FORMAT PARQUET, OVERWRITE);")
       Seq("csv" -> ", HEADER", "json" -> "", "parquet" -> "").foreach {
         case (f, opt) =>
           es.register(s"docs_$f", docs.limit(0))
@@ -1020,7 +1023,7 @@ object SqlQueries {
       // projection round-trips through parquet into a two-column twin
       es.sql(s"""COPY (SELECT doc_id, lang, n_chars FROM documents
                 |      WHERE n_chars >= 300)
-                |TO '$base/q' (FORMAT PARQUET);""".stripMargin)
+                |TO '$base/q' (FORMAT PARQUET, OVERWRITE);""".stripMargin)
       es.register("docs_q",
         docs.select(col("doc_id"), col("lang"), col("n_chars")).limit(0))
       es.sql(s"COPY docs_q FROM '$base/q' (FORMAT PARQUET);")
@@ -1116,6 +1119,71 @@ object SqlQueries {
                |   FILTER (WHERE o_orderkey % 2 = 0) AS n_pairs_even
                |FROM orders GROUP BY o_orderstatus
                |ORDER BY o_orderstatus;""".stripMargin)
+    }),
+    // r17: the lexical tier — every feature load-bearing: both comment
+    // forms frame the query, `||` builds the GROUPED key, scientific
+    // notation bounds the WHERE, a double-quoted identifier names (and
+    // re-references) the group alias, and unary minus drives both a
+    // WHERE predicate and the MAX-via-MIN aggregate rewrite. DuckDB
+    // runs the identical text.
+    "q_sql_lexical" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("lineitem", Tables.lineitem(s, d))
+      es.sql("""-- r17 lexical tier: first-contact dialect surface
+               |SELECT l_returnflag || '/' || l_linestatus AS "flag status",
+               | COUNT(*) AS n, /* concatenated grouping key */
+               | CAST(SUM(l_quantity) AS BIGINT) AS qty,
+               | ROUND(-MIN(-l_quantity), 0) AS max_qty
+               |FROM lineitem
+               |WHERE l_quantity >= 1e1 AND -l_extendedprice <= -2.5e3
+               |GROUP BY "flag status"
+               |ORDER BY "flag status";""".stripMargin)
+    }),
+    // r17: LAG … IGNORE NULLS — the LOCF/gap-fill spelling on lag (the
+    // FIRST/LAST_VALUE flag extended to navigation offsets); nulls are
+    // synthesized deterministically so both engines fill the same gaps
+    "q_sql_lag_ignore" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderkey, v,
+               | LAG(v, 1 IGNORE NULLS) OVER (
+               |   PARTITION BY o_orderstatus ORDER BY o_orderkey) AS prev_seen,
+               | LEAD(v, 2 IGNORE NULLS) OVER (
+               |   PARTITION BY o_orderstatus ORDER BY o_orderkey) AS next2_seen
+               |FROM (SELECT o_orderkey, o_orderstatus,
+               |       CASE WHEN o_orderkey % 3 = 0 THEN NULL
+               |            ELSE o_custkey END AS v
+               |      FROM orders) t
+               |ORDER BY o_orderkey;""".stripMargin)
+    }),
+    // r17: the COUNT(DISTINCT a, b) null-semantics contract, gated on an
+    // actually-NULLABLE column (r16 verdict #2): Spark skips any-null
+    // rows; DuckDB's row-value distinct would count them, so the oracle
+    // replays the skip explicitly (CASE-composed) and the FILTER leg
+    // shows the workaround a user writes to pin the semantics in text
+    "q_sql_count_distinct_null" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderstatus,
+               | COUNT(DISTINCT o_custkey, pr) AS n_pairs_nn,
+               | COUNT(DISTINCT o_custkey, pr)
+               |   FILTER (WHERE pr IS NOT NULL) AS n_pairs_filtered,
+               | COUNT(*) AS n_rows
+               |FROM (SELECT o_orderstatus, o_custkey,
+               |       NULLIF(o_orderpriority, '1-URGENT') AS pr
+               |      FROM orders) t
+               |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin)
+    }),
+    // r17: the IVF COST dial — a 16-cell layout probed at nprobe=2 reads
+    // 2/16 of the corpus (vs 2/8 on the default layout): the scan
+    // fraction is nprobe/cells, and the layout is directory-pruned
+    // (PartitionFilters; QueryPlanSpec asserts 2 of 16)
+    "q_sql_ann_cells" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("embeddings", Tables.embeddings(s, d))
+      es.sql("""SELECT vec_id, sim
+               |FROM ann_search(embeddings, vec_id, embedding, 0, 10, 2, 16)
+               |ORDER BY sim DESC, vec_id;""".stripMargin)
     }),
     // r15: winnow TVF — C115's fingerprint selection at the SQL front door
     "q_sql_winnow" -> ((s: SparkSession, d: String) => {
@@ -2688,6 +2756,72 @@ object SqlQueries {
         |   THEN (o_custkey, o_orderpriority) END) AS n_pairs_even
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // r17: DuckDB runs the identical lexical-tier text — comments, `||`
+    // in the grouped key, exponent literals, the quoted alias, unary minus
+    "q_sql_lexical" ->
+      """-- r17 lexical tier: first-contact dialect surface
+        |SELECT l_returnflag || '/' || l_linestatus AS "flag status",
+        | COUNT(*) AS n, /* concatenated grouping key */
+        | CAST(SUM(l_quantity) AS BIGINT) AS qty,
+        | ROUND(-MIN(-l_quantity), 0) AS max_qty
+        |FROM lineitem
+        |WHERE l_quantity >= 1e1 AND -l_extendedprice <= -2.5e3
+        |GROUP BY "flag status"
+        |ORDER BY "flag status"""".stripMargin,
+    // r17: DuckDB runs the identical IGNORE-NULLS navigation text
+    "q_sql_lag_ignore" ->
+      """SELECT o_orderkey, v,
+        | LAG(v, 1 IGNORE NULLS) OVER (
+        |   PARTITION BY o_orderstatus ORDER BY o_orderkey) AS prev_seen,
+        | LEAD(v, 2 IGNORE NULLS) OVER (
+        |   PARTITION BY o_orderstatus ORDER BY o_orderkey) AS next2_seen
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |       CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |            ELSE o_custkey END AS v
+        |      FROM orders) t
+        |ORDER BY o_orderkey""".stripMargin,
+    // r17: the null-semantics replay — DuckDB's row-value distinct WOULD
+    // count any-null rows, so both legs compose the skip explicitly
+    // (CASE yields NULL on a null-carrying row, and count skips NULLs;
+    // row-value distinct + FILTER trips a DuckDB internal assertion, so
+    // the FILTER leg replays through the same CASE shape)
+    "q_sql_count_distinct_null" ->
+      """SELECT o_orderstatus,
+        | count(DISTINCT CASE WHEN o_custkey IS NOT NULL AND pr IS NOT NULL
+        |   THEN (o_custkey, pr) END) AS n_pairs_nn,
+        | count(DISTINCT CASE WHEN pr IS NOT NULL
+        |   AND o_custkey IS NOT NULL
+        |   THEN (o_custkey, pr) END) AS n_pairs_filtered,
+        | count(*) AS n_rows
+        |FROM (SELECT o_orderstatus, o_custkey,
+        |       NULLIF(o_orderpriority, '1-URGENT') AS pr
+        |      FROM orders) t
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // r17: the 16-cell layout replay — same IVF contract as
+    // q_sql_ann_nprobe with the centroid set widened to the 16 lowest-id
+    // vectors and membership over the 2 nearest cells
+    "q_sql_ann_cells" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e
+        |      WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+        |scored AS (
+        | SELECT e.vec_id, e.v, c.cid,
+        |  list_cosine_similarity(e.v, c.cv) AS csim
+        | FROM e CROSS JOIN c),
+        |a AS (
+        | SELECT vec_id, v, cid FROM (
+        |  SELECT *, row_number() OVER (
+        |   PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+        |cells AS (
+        | SELECT c.cid FROM c, p
+        | ORDER BY list_cosine_similarity(c.cv, p.pv) DESC, c.cid ASC
+        | LIMIT 2)
+        |SELECT a.vec_id,
+        | round(list_cosine_similarity(a.v, p.pv), 6) AS sim
+        |FROM a, p WHERE a.cid IN (SELECT cid FROM cells)
+        |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
     "q_sql_quality_gate" -> graft.operators.TextAnalysis.oracles("q_gopher_flags"),
     "q_sql_left_join" ->
       """WITH oc AS (

@@ -93,6 +93,17 @@ class QueryPlanSpec extends SparkTestBase {
     assert(pf.get.contains(" IN (") || pf.get.contains("isin"), pf.get)
   }
 
+  test("ann_search cells dial prunes to 2 of 16 cluster directories (r17)") {
+    // the COST dial: a 16-cell layout probed at nprobe=2 still answers
+    // from directory pruning — cluster_id IN (c1,c2) over 16 partitions
+    // (scan fraction nprobe/cells, the 100 TB lever)
+    val p = plan("q_sql_ann_cells")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.nonEmpty, p)
+    assert(pf.get.contains("cluster_id"), pf.get)
+    assert(pf.get.contains(" IN (") || pf.get.contains("isin"), pf.get)
+  }
+
   test("point lookup pushes the equality filter into the parquet scan") {
     val p = plan("q_point_lookup")
     assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderkey,42)"), p)

@@ -200,6 +200,20 @@ class ServerSpec extends SparkTestBase {
         val r = post(base, bad)
         assert(r.statusCode() == 400, s"$bad -> ${r.body()}")
       }
+      // doubles whose toString is scientific notation substitute as
+      // plain decimals (r16 ADVICE) — the predicate evaluates, it does
+      // not die on a TNum+TWord mis-lex downstream
+      val sci = post(base,
+        """{"query": "SELECT COUNT(*) AS n FROM documents WHERE n_chars < ?;",
+          | "params": [1e21]}""".stripMargin)
+      assert(sci.statusCode() == 200, sci.body())
+      val total = graft.sources.Tables.documents(spark, sfDir).count()
+      assert(sci.body() == s"""[{"n":$total}]""", sci.body())
+      val tiny = post(base,
+        """{"query": "SELECT COUNT(*) AS n FROM documents WHERE n_chars < ?;",
+          | "params": [2.5e-7]}""".stripMargin)
+      assert(tiny.statusCode() == 200, tiny.body())
+      assert(tiny.body() == """[{"n":0}]""", tiny.body())
     }
   }
 

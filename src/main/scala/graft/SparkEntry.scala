@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Dedup, Multimodal, Pca, Pipeline, PqIndex, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, Pca, Pipeline, PqIndex, Relational, RelationalOracles, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -30,7 +30,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+    RelationalOracles.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ AsOf.oracles ++
       Pipeline.oracles ++ Sampling.oracles ++ PqIndex.oracles ++
       Pca.oracles ++ graft.sql.SqlQueries.oracles ++

@@ -192,6 +192,8 @@ object EmdriveSql {
         out += TWord(input.substring(i, j)); i = j
       } else if (c == '|' && peek(1) == '|') {
         out += TSym("||"); i += 2 // ANSI string concatenation
+      } else if (c == ':' && peek(1) == ':') {
+        out += TSym("::"); i += 2 // Postgres/DuckDB cast operator
       } else if (c == '<' && peek(1) == '>') {
         out += TSym("!="); i += 2 // ANSI <> spelling of not-equals
       } else if ((c == '<' || c == '>' || c == '!') && peek(1) == '=') {
@@ -1824,7 +1826,37 @@ object EmdriveSql {
     l
   }
 
-  private def parseAtom(p: P): Operand = p.toks match {
+  /** Cast-target type name — shared by `CAST(x AS T)` and the `x::T`
+    * postfix operator (r17). DECIMAL takes optional (precision, scale). */
+  private def parseTypeName(p: P): String = {
+    val t = p.toks match {
+      case TWord(w) :: rest if !Keywords.contains(w.toUpperCase) =>
+        p.toks = rest; w.toUpperCase
+      case _ => p.fail("type name")
+    }
+    if (t == "DECIMAL" && p.trySym("(")) {
+      def num(): String = p.toks match {
+        case TNum(n) :: rest if !n.contains('.') => p.toks = rest; n
+        case _ => p.fail("DECIMAL precision/scale")
+      }
+      val prec = num(); p.eatSym(","); val sc = num(); p.eatSym(")")
+      s"DECIMAL($prec,$sc)"
+    } else t
+  }
+
+  /** Atom with `::TYPE` postfix casts applied (r17): `x::INT`,
+    * `o_totalprice::VARCHAR`, chainable (`x::INT::VARCHAR`) — the DuckDB/
+    * Postgres cast spelling users write first; binds tighter than any
+    * arithmetic (including unary minus, whose recursion routes through
+    * here: `-x::INT` is `-(x::INT)`, both engines). Same OCast lowering
+    * as `CAST(x AS T)`. */
+  private def parseAtom(p: P): Operand = {
+    var a = parseAtomBase(p)
+    while (p.trySym("::")) a = OCast(a, parseTypeName(p))
+    a
+  }
+
+  private def parseAtomBase(p: P): Operand = p.toks match {
     // unary minus (r17): a leading `-` on a NUMBER folds into the
     // literal at parse time (stays a typed, pushable constant); on any
     // other atom it lowers as 0 - x. Binary minus never reaches here —
@@ -1834,6 +1866,10 @@ object EmdriveSql {
     case TSym("-") :: _ =>
       p.eatSym("-")
       OArith(OVal(VNum("0")), "-", parseAtom(p))
+    // unary plus (r17): a no-op sign, accepted like DuckDB
+    case TSym("+") :: _ =>
+      p.eatSym("+")
+      parseAtom(p)
     case TQuoted(_) :: _ =>
       ORef(p.qident())
     case TSym("(") :: TWord(w) :: _ if w.equalsIgnoreCase("SELECT") =>
@@ -1846,19 +1882,7 @@ object EmdriveSql {
       p.toks = p.toks.tail.tail
       val inner = parseOperand(p)
       p.eatWord("AS")
-      val t = p.toks match {
-        case TWord(w) :: rest => p.toks = rest; w.toUpperCase
-        case _ => p.fail("type name after AS")
-      }
-      val full =
-        if (t == "DECIMAL" && p.trySym("(")) {
-          def num(): String = p.toks match {
-            case TNum(n) :: rest if !n.contains('.') => p.toks = rest; n
-            case _ => p.fail("DECIMAL precision/scale")
-          }
-          val prec = num(); p.eatSym(","); val sc = num(); p.eatSym(")")
-          s"DECIMAL($prec,$sc)"
-        } else t
+      val full = parseTypeName(p)
       p.eatSym(")")
       OCast(inner, full, tryMode = f.equalsIgnoreCase("TRY_CAST"))
     // EXTRACT(part FROM expr) — the ANSI calendar accessor (r13); the

@@ -1185,6 +1185,24 @@ object SqlQueries {
                |FROM ann_search(embeddings, vec_id, embedding, 0, 10, 2, 16)
                |ORDER BY sim DESC, vec_id;""".stripMargin)
     }),
+    // r17: the `::` cast operator (the Postgres/DuckDB spelling users
+    // write first) — load-bearing in the projection, inside a `||`
+    // chain, under unary minus (binds tighter: -x::T = -(x::T)), and in
+    // the WHERE; unary plus as the no-op sign. Casts stay int-anchored
+    // (double→int ROUNDING diverges across engines; the CAST tier
+    // documents that — this key is about the operator, not the edges).
+    "q_sql_cast_op" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderkey,
+               | o_orderkey::VARCHAR AS key_str,
+               | o_custkey::DOUBLE AS cust_d,
+               | (o_orderkey % 7)::VARCHAR || '-' || o_orderstatus AS tag,
+               | -o_custkey::BIGINT AS neg_cust,
+               | +o_custkey AS pos_cust
+               |FROM orders WHERE o_orderkey::BIGINT <= 100
+               |ORDER BY o_orderkey;""".stripMargin)
+    }),
     // r15: winnow TVF — C115's fingerprint selection at the SQL front door
     "q_sql_winnow" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
@@ -2688,6 +2706,16 @@ object SqlQueries {
         | round(list_cosine_similarity(a.v, p.pv), 6) AS sim
         |FROM a, p WHERE a.cid IN (SELECT cid FROM cells)
         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+    // r17: DuckDB runs the identical ::-cast text
+    "q_sql_cast_op" ->
+      """SELECT o_orderkey,
+        | o_orderkey::VARCHAR AS key_str,
+        | o_custkey::DOUBLE AS cust_d,
+        | (o_orderkey % 7)::VARCHAR || '-' || o_orderstatus AS tag,
+        | -o_custkey::BIGINT AS neg_cust,
+        | +o_custkey AS pos_cust
+        |FROM orders WHERE o_orderkey::BIGINT <= 100
+        |ORDER BY o_orderkey""".stripMargin,
     // r16: every row/char/lang must survive each format's SQL COPY
     // round trip (the q_io_roundtrip frame)
     "q_sql_copy" ->

@@ -253,10 +253,14 @@ object EmdriveSql {
     * PRECEDING, Some(n) = n PRECEDING; hi None = UNBOUNDED FOLLOWING,
     * Some(n) = n FOLLOWING; 0 = CURRENT ROW on either bound. Covers
     * running totals, trailing windows, and centered moving averages. */
+  /** `filter` (r17) carries an ANSI `FILTER (WHERE …)` ahead of OVER:
+    * the window aggregate folds only the qualifying rows of its frame
+    * (plain SUM/AVG/MIN/MAX/COUNT windows only). */
   final case class WinItem(func: String, arg: Option[String],
       partitionBy: Seq[String], orderBy: Seq[OrderKey],
       alias: String,
-      frame: Option[(String, Option[Long], Option[Long])] = None) extends SelectItem
+      frame: Option[(String, Option[Long], Option[Long])] = None,
+      filter: Option[Pred] = None) extends SelectItem
   /** `fn() OVER w AS a` — a window item referencing a named WINDOW-clause
     * spec; parseSelect substitutes the named spec in (a [[WinItem]]
     * results), so nothing downstream ever sees this node. */
@@ -388,6 +392,12 @@ object EmdriveSql {
     * which yields NULL and drops the row); the LEFT/FULL OUTER JOIN
     * companion predicate. */
   final case class PIsNull(lhs: Operand, neg: Boolean) extends Pred
+  /** `x IS [NOT] DISTINCT FROM y` (r17) — ANSI null-safe comparison:
+    * two-valued even when a side is NULL (NULL is "not distinct from"
+    * NULL and distinct from every value), unlike `=`/`!=` which go
+    * three-valued. `not = true` is the IS NOT DISTINCT FROM spelling. */
+  final case class PDistinct(lhs: Operand, rhs: Operand,
+      not: Boolean) extends Pred
 
   sealed trait Statement
   /** SHOW TABLES / DESCRIBE t — the reference's system-catalog surface
@@ -704,7 +714,18 @@ object EmdriveSql {
       "BOOL_AND", "BOOL_OR", "STDDEV",
       // r14: ANY_VALUE — deterministic only over per-group-constant
       // input, which is how the gate key uses it
-      "ANY_VALUE")
+      "ANY_VALUE",
+      // r17: bitwise aggregates — exact integer folds (order-invariant,
+      // so partitioning-independent), NULLs skipped in both engines
+      "BIT_AND", "BIT_OR", "BIT_XOR",
+      // r17: deterministic MODE — most frequent value, ties broken by
+      // the SMALLEST value (the dialect's defined contract; Spark's
+      // deterministic mode flag), NULLs ignored
+      "MODE")
+
+  /** ANSI bivariate regression aggregates (r17): REGR_*(y, x). */
+  private val RegrFuncs = Set("REGR_SLOPE", "REGR_INTERCEPT", "REGR_R2",
+    "REGR_COUNT", "REGR_AVGX", "REGR_AVGY")
   private val StrFuncs = Set("UPPER", "LOWER", "LENGTH", "TRIM", "SUBSTR",
     "REPLACE", "COALESCE", "NULLIF", "ABS", "ROUND",
     "YEAR", "MONTH", "DAY",
@@ -1466,13 +1487,37 @@ object EmdriveSql {
         nRows
       case _ => p.fail(s"integer $kw")
     }
-    val limit = if (p.tryWord("LIMIT")) Some(boundedInt("LIMIT")) else None
-    val offset =
+    var limit: Option[Long] = None
+    var offset: Option[Long] = None
+    def needOrder(kw: String): Unit =
+      if (orderBy.isEmpty) throw new IllegalArgumentException(
+        s"$kw without ORDER BY is nondeterministic; add ORDER BY in: ${p.input}")
+    if (p.tryWord("LIMIT")) {
+      limit = Some(boundedInt("LIMIT"))
       if (p.tryWord("OFFSET")) {
-        if (orderBy.isEmpty) throw new IllegalArgumentException(
-          s"OFFSET without ORDER BY is nondeterministic; add ORDER BY in: ${p.input}")
-        Some(boundedInt("OFFSET"))
-      } else None
+        needOrder("OFFSET"); offset = Some(boundedInt("OFFSET"))
+      }
+    } else {
+      // ANSI pagination spelling (r17): `OFFSET n ROWS` precedes
+      // `FETCH {FIRST|NEXT} [n] {ROW|ROWS} ONLY` (count defaults to 1);
+      // the bare `OFFSET n` legacy spelling still parses here (the
+      // ROW/ROWS token is optional). Both spellings share the lowering.
+      if (p.tryWord("OFFSET")) {
+        needOrder("OFFSET")
+        offset = Some(boundedInt("OFFSET"))
+        if (!p.tryWord("ROWS")) p.tryWord("ROW"): Unit
+      }
+      if (p.tryWord("FETCH")) {
+        if (!p.tryWord("FIRST")) p.eatWord("NEXT")
+        val n = p.toks match {
+          case TNum(_) :: _ => boundedInt("FETCH")
+          case _ => 1L
+        }
+        if (!p.tryWord("ROWS")) p.eatWord("ROW")
+        p.eatWord("ONLY")
+        limit = Some(n)
+      }
+    }
     Select(resolvedItems, table, where.toSeq, groupBy, having.toSeq, orderBy,
       limit, joins.toSeq, distinct, offset, derived, baseAlias, groupMode,
       groupExprs.toSeq, qualify.toSeq, groupSets, valuesRows,
@@ -1588,13 +1633,9 @@ object EmdriveSql {
       // aggAlias default naming) — unless OVER follows, making it a
       // window aggregate; arithmetic CONTAINING one becomes a
       // post-aggregation expression item
-      case OAgg(f, arg) if p.peekWord("OVER") =>
-        require(!f.endsWith("_DISTINCT"),
-          "DISTINCT aggregates OVER a window are not supported")
-        p.eatWord("OVER")
-        parseOverClause(p, f, arg, overEaten = true)
       case OAgg(f, arg) =>
-        // ANSI FILTER (WHERE …) — per-aggregate row qualification (r13)
+        // ANSI FILTER (WHERE …) — per-aggregate row qualification (r13);
+        // r17: also legal ahead of OVER (the windowed-FILTER form)
         val fil =
           if (!p.tryWord("FILTER")) None
           else {
@@ -1603,10 +1644,19 @@ object EmdriveSql {
             p.eatSym(")")
             Some(pr)
           }
-        val alias = if (p.tryWord("AS")) Some(p.ident()) else None
-        require(fil.isEmpty || alias.nonEmpty,
-          "an aggregate with FILTER must have an explicit alias")
-        AggItem(f, arg, alias, fil)
+        if (p.peekWord("OVER")) {
+          require(!f.endsWith("_DISTINCT"),
+            "DISTINCT aggregates OVER a window are not supported")
+          require(fil.isEmpty || Set("SUM", "AVG", "MIN", "MAX", "COUNT")(f),
+            s"FILTER over a window supports plain SUM/AVG/MIN/MAX/COUNT, not $f")
+          p.eatWord("OVER")
+          parseOverClause(p, f, arg, overEaten = true, filter = fil)
+        } else {
+          val alias = if (p.tryWord("AS")) Some(p.ident()) else None
+          require(fil.isEmpty || alias.nonEmpty,
+            "an aggregate with FILTER must have an explicit alias")
+          AggItem(f, arg, alias, fil)
+        }
       case other =>
         p.eatWord("AS") // computed items must name their output
         if (aggAtoms(other).nonEmpty) AggExprItem(other, p.ident())
@@ -1639,7 +1689,7 @@ object EmdriveSql {
 
   /** Shared OVER-clause parse for ranking and aggregate window items. */
   private def parseOverClause(p: P, func: String, arg: Option[String],
-      overEaten: Boolean = false): SelectItem = {
+      overEaten: Boolean = false, filter: Option[Pred] = None): SelectItem = {
     if (!overEaten) p.eatWord("OVER")
     // `OVER w` — reference into the statement's WINDOW clause, resolved
     // by parseSelect once the named specs have been read (ANSI order
@@ -1647,6 +1697,9 @@ object EmdriveSql {
     p.toks match {
       case TWord(w) :: rest if !w.equalsIgnoreCase("AS")
           && !Keywords.contains(w.toUpperCase) =>
+        require(filter.isEmpty,
+          "FILTER is not supported with a named WINDOW reference; " +
+            "spell the spec inline")
         p.toks = rest
         p.eatWord("AS")
         return WinRefItem(func, arg, w, p.ident())
@@ -1656,7 +1709,7 @@ object EmdriveSql {
     checkFrame(func, frame, p)
     checkUnordered(func, keys, p)
     p.eatWord("AS")
-    WinItem(func, arg, parts, keys, p.ident(), frame)
+    WinItem(func, arg, parts, keys, p.ident(), frame, filter)
   }
 
   /** A frame clause is only legal on frame-taking functions — shared by
@@ -1913,6 +1966,58 @@ object EmdriveSql {
         if w.equalsIgnoreCase("DATE") || w.equalsIgnoreCase("TIMESTAMP") =>
       p.toks = rest
       OFunc(w.toUpperCase + "_LIT", Seq(OVal(VStr(s))))
+    // SUBSTRING(x FROM i [FOR n]) — the ANSI spelling (r17); the comma
+    // form SUBSTRING(x, i[, n]) is the SUBSTR alias. Both 1-based and
+    // length-bounded, identical in DuckDB.
+    case TWord(f) :: TSym("(") :: _ if f.equalsIgnoreCase("SUBSTRING") =>
+      p.toks = p.toks.tail.tail
+      val x = parseOperand(p)
+      val (fr, ln) =
+        if (p.tryWord("FROM")) {
+          val i = parseOperand(p)
+          (i, if (p.tryWord("FOR")) Some(parseOperand(p)) else None)
+        } else {
+          p.eatSym(",")
+          val i = parseOperand(p)
+          (i, if (p.trySym(",")) Some(parseOperand(p)) else None)
+        }
+      p.eatSym(")")
+      OFunc("SUBSTR", Seq(x, fr) ++ ln)
+    // POSITION(needle IN haystack) — the ANSI spelling of STRPOS (r17):
+    // 1-based, 0 when absent, argument order swapped to STRPOS's
+    case TWord(f) :: TSym("(") :: _ if f.equalsIgnoreCase("POSITION") =>
+      p.toks = p.toks.tail.tail
+      val needle = parseOperand(p)
+      p.eatWord("IN")
+      val hay = parseOperand(p)
+      p.eatSym(")")
+      OFunc("STRPOS", Seq(hay, needle))
+    // TRIM(BOTH|LEADING|TRAILING ['chars'] FROM x) — the ANSI trim
+    // spelling (r17). 'chars' is a SET of characters (both engines), not
+    // a substring; omitting it trims whitespace. A column literally
+    // named both/leading/trailing needs the plain TRIM(col) spelling.
+    case TWord(f) :: TSym("(") :: TWord(m) :: _
+        if f.equalsIgnoreCase("TRIM")
+          && Set("BOTH", "LEADING", "TRAILING")(m.toUpperCase) =>
+      p.toks = p.toks.tail.tail.tail
+      val chars =
+        if (p.peekWord("FROM")) None
+        else p.value() match {
+          case VStr(s) => Some(s)
+          case other => p.fail(s"string literal after TRIM(${m.toUpperCase}, got $other")
+        }
+      p.eatWord("FROM")
+      val x = parseOperand(p)
+      p.eatSym(")")
+      val base = m.toUpperCase match {
+        case "BOTH" => "TRIM"
+        case "LEADING" => "LTRIM"
+        case "TRAILING" => "RTRIM"
+      }
+      chars match {
+        case Some(c) => OFunc(base + "_CHARS", Seq(x, OVal(VStr(c))))
+        case None => OFunc(base, Seq(x))
+      }
     case TWord(f) :: TSym("(") :: _ if StrFuncs(f.toUpperCase) =>
       p.toks = p.toks.tail.tail
       val args = mutable.ListBuffer(parseOperand(p))
@@ -1960,6 +2065,18 @@ object EmdriveSql {
       val b = p.qident()
       p.eatSym(")")
       OAgg(f.toUpperCase, Some(a + "" + b))
+    // REGR_*(y, x) (r17) — the ANSI bivariate regression aggregates
+    // (slope/intercept/r2 of the least-squares fit, pair count, per-pair
+    // means; rows with a NULL in EITHER column are skipped, both
+    // engines). The two columns ride the OAgg arg slot U+0001-joined
+    // like ARG_MAX.
+    case TWord(f) :: TSym("(") :: _ if RegrFuncs(f.toUpperCase) =>
+      p.toks = p.toks.tail.tail
+      val y = p.qident()
+      p.eatSym(",")
+      val x = p.qident()
+      p.eatSym(")")
+      OAgg(f.toUpperCase, Some(y + "" + x))
     case TWord(f) :: TSym("(") :: _ if AggFuncs(f.toUpperCase) =>
       p.toks = p.toks.tail.tail
       val distinct = p.tryWord("DISTINCT")
@@ -2124,6 +2241,12 @@ object EmdriveSql {
     val lhs = parseOperand(p)
     if (p.tryWord("IS")) {
       val n = p.tryWord("NOT")
+      // IS [NOT] DISTINCT FROM (r17): null-safe comparison against a
+      // full operand (column, literal, expression) — two-valued always
+      if (p.tryWord("DISTINCT")) {
+        p.eatWord("FROM")
+        return PDistinct(lhs, parseOperand(p), not = n)
+      }
       p.eatWord("NULL")
       return PIsNull(lhs, n)
     }

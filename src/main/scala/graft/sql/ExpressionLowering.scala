@@ -138,6 +138,27 @@ private[sql] trait ExpressionLowering { self: EmdriveSession =>
       // deterministic ONLY over per-group-constant input (the gate key's
       // use); Spark and DuckDB agree trivially there
       case ("ANY_VALUE", Some(c)) => any_value(qref(c))
+      // bitwise aggregates (r17): exact integer folds — commutative and
+      // associative, so partial-combined map-side and order-invariant on
+      // any partitioning; NULLs skipped in both engines
+      case ("BIT_AND", Some(c)) => call_function("bit_and", qref(c))
+      case ("BIT_OR", Some(c)) => call_function("bit_or", qref(c))
+      case ("BIT_XOR", Some(c)) => call_function("bit_xor", qref(c))
+      // deterministic MODE (r17): most frequent value, ties broken by
+      // the SMALLEST value (Spark's deterministic flag; the DuckDB
+      // replay composes the same contract as row_number() ORDER BY
+      // count DESC, value ASC — DuckDB's own mode() is tie-arbitrary).
+      // Partial-combines on (group, value) counts map-side; per-group
+      // state is the distinct-value map, not the row list.
+      case ("MODE", Some(c)) => call_function("mode", qref(c), lit(true))
+      // ANSI bivariate regression aggregates (r17): y U+0001 x in the
+      // arg slot (the ARG_MAX encoding). Single-pass moment accumulation
+      // (Catalyst's partial-combined covar/var machinery) — no second
+      // scan; float-accumulated, so gate keys round(…, 6) per §5.
+      // Pairs with a NULL on either side are skipped, both engines.
+      case (f, Some(enc)) if f.startsWith("REGR_") =>
+        val Array(y, x) = enc.split("", 2)
+        call_function(f.toLowerCase, qref(y), qref(x))
       case ("STRING_AGG", Some(enc)) =>
         // limit-2 split: an empty separator (or one containing the
         // U+0001 delimiter itself) round-trips -- Java's limitless char
@@ -216,6 +237,15 @@ private[sql] trait ExpressionLowering { self: EmdriveSession =>
       case ("BOOL_AND", Some(c)) => bool_and(g(c))
       case ("BOOL_OR", Some(c)) => bool_or(g(c))
       case ("STDDEV", Some(c)) => stddev_samp(g(c))
+      case ("BIT_AND", Some(c)) => call_function("bit_and", g(c))
+      case ("BIT_OR", Some(c)) => call_function("bit_or", g(c))
+      case ("BIT_XOR", Some(c)) => call_function("bit_xor", g(c))
+      case ("MODE", Some(c)) => call_function("mode", g(c), lit(true))
+      // regr + FILTER: nulling EITHER side under !cond drops the pair
+      // (regr skips any-null pairs) — the exact FILTER semantics
+      case (f, Some(enc)) if f.startsWith("REGR_") =>
+        val Array(y, x) = enc.split("", 2)
+        call_function(f.toLowerCase, g(y), g(x))
       case other => throw new IllegalArgumentException(
         s"FILTER is not supported for aggregate: $other")
     }
@@ -324,6 +354,7 @@ private[sql] trait ExpressionLowering { self: EmdriveSession =>
       case PInTuple(ls, rows, n) => PInTuple(ls.map(op), rows, n)
       case PLike(l, pat, n, e, ci) => PLike(op(l), pat, n, e, ci)
       case PIsNull(l, n) => PIsNull(op(l), n)
+      case PDistinct(l, r, n) => PDistinct(op(l), op(r), n)
       case other => other
     }
     walk(p)
@@ -357,6 +388,7 @@ private[sql] trait ExpressionLowering { self: EmdriveSession =>
     case PInSub(l, _, _) => refNamesO(l)
     case PLike(l, _, _, _, _) => refNamesO(l)
     case PIsNull(l, _) => refNamesO(l)
+    case PDistinct(l, r, _) => refNamesO(l) ++ refNamesO(r)
     case PQuant(l, _, _, _) => refNamesO(l)
     case _: PExists => Set.empty
   }
@@ -444,6 +476,12 @@ private[sql] trait ExpressionLowering { self: EmdriveSession =>
     case PIsNull(lhs, neg) =>
       if (neg) operandCol(base, lhs).isNotNull
       else operandCol(base, lhs).isNull
+    // IS [NOT] DISTINCT FROM (r17) → Catalyst's null-safe equality
+    // (EqualNullSafe, codegen; pushable to the parquet scan against a
+    // literal). Two-valued by construction — no NULL row-drops.
+    case PDistinct(lhs, rhs, not) =>
+      val c = operandCol(base, lhs) <=> operandCol(base, rhs)
+      if (not) c else !c
   }
 
   /** Searched CASE → when().when()….otherwise() Column chain; branches
@@ -561,8 +599,18 @@ private[sql] trait ExpressionLowering { self: EmdriveSession =>
         case ("LOWER", Seq(x)) => lower(x)
         case ("LENGTH", Seq(x)) => length(x)
         case ("TRIM", Seq(x)) => trim(x)
+        // ANSI TRIM(BOTH|LEADING|TRAILING 'chars' FROM x) (r17): 'chars'
+        // is a character SET in both engines; literal-only by parse
+        case ("TRIM_CHARS", Seq(x, _)) =>
+          trim(x, argStr(args(1), "TRIM chars"))
+        case ("LTRIM_CHARS", Seq(x, _)) =>
+          ltrim(x, argStr(args(1), "TRIM chars"))
+        case ("RTRIM_CHARS", Seq(x, _)) =>
+          rtrim(x, argStr(args(1), "TRIM chars"))
         // 1-based, length-bounded — identical semantics in DuckDB substr
         case ("SUBSTR", Seq(x, fr, ln)) => x.substr(fr, ln)
+        // 2-arg form (r17, via ANSI SUBSTRING(x FROM i)): to end-of-string
+        case ("SUBSTR", Seq(x, fr)) => call_function("substring", x, fr)
         case ("REPLACE", Seq(x, s1, s2)) => replace(x, s1, s2)
         // null-handling / numeric scalar tier. COALESCE is the LEFT JOIN
         // companion (fill unmatched-right NULLs); all lower 1:1 onto

@@ -670,7 +670,7 @@ private[sql] trait SelectLowering { self: EmdriveSession =>
         .partition(c => refNames(c).exists(winAliases))
       preWin.foreach(c => df = df.filter(predCol(base, c, subPreds)))
       items.foreach {
-        case WinItem(f, arg, parts, keys, alias, frame) =>
+        case WinItem(f, arg, parts, keys, alias, frame, fil) =>
           import org.apache.spark.sql.expressions.Window
           // a global window (no PARTITION BY) single-tasks the whole
           // relation — fine over a dimension/grid, a scale-killer over a
@@ -779,6 +779,12 @@ private[sql] trait SelectLowering { self: EmdriveSession =>
               }
               if (f == "FIRST_VALUE") first(qref(c), ignoreNulls = ign)
               else last(qref(c), ignoreNulls = ign)
+            // windowed FILTER (r17): the aggregate folds only qualifying
+            // frame rows — the same when(cond, x) fold as the grouped
+            // form (NULL-skipping makes it exactly ANSI)
+            case agg if fil.nonEmpty =>
+              require(!xcur, "FILTER cannot combine with EXCLUDE CURRENT ROW")
+              aggColumnFiltered(agg, arg, predCol(base, fil.get, subPreds))
             // ordered aggregate: ANSI default frame (RANGE unbounded
             // preceding → current row), same default in DuckDB
             case agg => aggColumn(agg, arg)
@@ -973,7 +979,7 @@ private[sql] trait SelectLowering { self: EmdriveSession =>
             case DistItem(_, _, alias) => Seq(col(alias))
             case CaseItem(_, _, alias) => Seq(col(alias))
             case ExprItem(_, alias) => Seq(col(alias))
-            case WinItem(_, _, _, _, alias, _) => Seq(col(alias))
+            case WinItem(_, _, _, _, alias, _, _) => Seq(col(alias))
             case other => throw new IllegalStateException(other.toString)
           } ++ obExprs.map { case (hn, _) => col(hn) }: _*)
         }

@@ -1203,6 +1203,92 @@ object SqlQueries {
                |FROM orders WHERE o_orderkey::BIGINT <= 100
                |ORDER BY o_orderkey;""".stripMargin)
     }),
+    // r17: ANSI string spellings — SUBSTRING FROM/FOR (plus the comma
+    // alias and the 2-arg to-end form), POSITION(a IN b) load-bearing in
+    // the WHERE, TRIM(BOTH|LEADING|TRAILING 'chars' FROM x). DuckDB runs
+    // the identical text.
+    "q_sql_ansi_str" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderkey, o_orderpriority,
+               | SUBSTRING(o_orderpriority FROM 3 FOR 6) AS tag,
+               | SUBSTRING(o_orderpriority, 2, 3) AS tag2,
+               | SUBSTRING(o_orderpriority FROM 3) AS tail_txt,
+               | CAST(POSITION('-' IN o_orderpriority) AS BIGINT) AS dash_at,
+               | TRIM(BOTH '15LOWURGENT-' FROM o_orderpriority) AS trim_both,
+               | TRIM(LEADING '0123456789-' FROM o_orderpriority) AS trim_lead,
+               | TRIM(TRAILING 'DEIFCPSLOW ' FROM o_orderpriority) AS trim_trail
+               |FROM orders
+               |WHERE o_orderkey <= 300 AND POSITION('E' IN o_orderpriority) > 0
+               |ORDER BY o_orderkey;""".stripMargin)
+    }),
+    // r17: IS [NOT] DISTINCT FROM (null-safe, two-valued — the NULL pr
+    // rows are KEPT by IS DISTINCT FROM where != would drop them) + the
+    // ANSI pagination spelling OFFSET … ROWS FETCH FIRST … ROWS ONLY
+    "q_sql_is_distinct" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderkey, o_orderstatus, pr
+               |FROM (SELECT o_orderkey, o_orderstatus,
+               |       NULLIF(o_orderpriority, '1-URGENT') AS pr FROM orders) t
+               |WHERE pr IS DISTINCT FROM '5-LOW'
+               |  AND o_orderstatus IS NOT DISTINCT FROM 'O'
+               |ORDER BY o_orderkey
+               |OFFSET 10 ROWS FETCH FIRST 25 ROWS ONLY;""".stripMargin)
+    }),
+    // r17: ANSI bivariate regression aggregates — slope/intercept/r2/
+    // count/means per group, round(…,6) per the §5 float discipline
+    "q_sql_regr" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("lineitem", Tables.lineitem(s, d))
+      es.sql("""SELECT l_returnflag,
+               | ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+               | ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6) AS icept,
+               | ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+               | CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+               | ROUND(REGR_AVGX(l_extendedprice, l_quantity), 6) AS avg_x,
+               | ROUND(REGR_AVGY(l_extendedprice, l_quantity), 6) AS avg_y
+               |FROM lineitem
+               |GROUP BY l_returnflag ORDER BY l_returnflag;""".stripMargin)
+    }),
+    // r17: bitwise aggregates — exact integer folds, plus a FILTER leg
+    "q_sql_bit_agg" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderpriority,
+               | BIT_AND(o_custkey) AS band,
+               | BIT_OR(o_custkey) AS bor,
+               | BIT_XOR(o_custkey) AS bxor,
+               | BIT_XOR(o_custkey) FILTER (WHERE o_orderstatus = 'F') AS bxor_f
+               |FROM orders GROUP BY o_orderpriority
+               |ORDER BY o_orderpriority;""".stripMargin)
+    }),
+    // r17: windowed FILTER — per-aggregate row qualification INSIDE a
+    // window frame (COUNT exact, SUM over bigint exact, MAX over double
+    // order-independent — no float-accumulation nondeterminism)
+    "q_sql_window_filter" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderkey, o_orderstatus,
+               | COUNT(*) FILTER (WHERE o_orderstatus = 'F')
+               |   OVER (PARTITION BY o_custkey) AS n_f,
+               | SUM(o_orderkey) FILTER (WHERE o_orderkey % 2 = 0)
+               |   OVER (PARTITION BY o_custkey) AS even_sum,
+               | MAX(o_totalprice) FILTER (WHERE o_orderstatus != 'P')
+               |   OVER (PARTITION BY o_custkey) AS max_np
+               |FROM orders WHERE o_orderkey <= 2000
+               |ORDER BY o_orderkey;""".stripMargin)
+    }),
+    // r17: deterministic MODE — most frequent value per group, ties
+    // broken by the smallest value (the dialect's defined contract)
+    "q_sql_mode" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderstatus, MODE(o_orderpriority) AS mode_pr,
+               | COUNT(*) AS n
+               |FROM orders GROUP BY o_orderstatus
+               |ORDER BY o_orderstatus;""".stripMargin)
+    }),
     // r15: winnow TVF — C115's fingerprint selection at the SQL front door
     "q_sql_winnow" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
@@ -2716,6 +2802,78 @@ object SqlQueries {
         | +o_custkey AS pos_cust
         |FROM orders WHERE o_orderkey::BIGINT <= 100
         |ORDER BY o_orderkey""".stripMargin,
+    // r17: DuckDB runs the identical ANSI-string-spellings text
+    "q_sql_ansi_str" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | SUBSTRING(o_orderpriority FROM 3 FOR 6) AS tag,
+        | SUBSTRING(o_orderpriority, 2, 3) AS tag2,
+        | SUBSTRING(o_orderpriority FROM 3) AS tail_txt,
+        | CAST(POSITION('-' IN o_orderpriority) AS BIGINT) AS dash_at,
+        | TRIM(BOTH '15LOWURGENT-' FROM o_orderpriority) AS trim_both,
+        | TRIM(LEADING '0123456789-' FROM o_orderpriority) AS trim_lead,
+        | TRIM(TRAILING 'DEIFCPSLOW ' FROM o_orderpriority) AS trim_trail
+        |FROM orders
+        |WHERE o_orderkey <= 300 AND POSITION('E' IN o_orderpriority) > 0
+        |ORDER BY o_orderkey""".stripMargin,
+    // r17: DuckDB runs the identical null-safe-comparison + ANSI
+    // pagination text (the NULL pr rows prove two-valued semantics)
+    "q_sql_is_distinct" ->
+      """SELECT o_orderkey, o_orderstatus, pr
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |       NULLIF(o_orderpriority, '1-URGENT') AS pr FROM orders) t
+        |WHERE pr IS DISTINCT FROM '5-LOW'
+        |  AND o_orderstatus IS NOT DISTINCT FROM 'O'
+        |ORDER BY o_orderkey
+        |OFFSET 10 ROWS FETCH FIRST 25 ROWS ONLY""".stripMargin,
+    // r17: DuckDB runs the identical regression-aggregate text
+    "q_sql_regr" ->
+      """SELECT l_returnflag,
+        | ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+        | ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6) AS icept,
+        | ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+        | CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+        | ROUND(REGR_AVGX(l_extendedprice, l_quantity), 6) AS avg_x,
+        | ROUND(REGR_AVGY(l_extendedprice, l_quantity), 6) AS avg_y
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // r17: DuckDB runs the identical bitwise-aggregate text
+    "q_sql_bit_agg" ->
+      """SELECT o_orderpriority,
+        | BIT_AND(o_custkey) AS band,
+        | BIT_OR(o_custkey) AS bor,
+        | BIT_XOR(o_custkey) AS bxor,
+        | BIT_XOR(o_custkey) FILTER (WHERE o_orderstatus = 'F') AS bxor_f
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // r17: DuckDB runs the identical windowed-FILTER text
+    "q_sql_window_filter" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | COUNT(*) FILTER (WHERE o_orderstatus = 'F')
+        |   OVER (PARTITION BY o_custkey) AS n_f,
+        | CAST(SUM(o_orderkey) FILTER (WHERE o_orderkey % 2 = 0)
+        |   OVER (PARTITION BY o_custkey) AS BIGINT) AS even_sum,
+        | MAX(o_totalprice) FILTER (WHERE o_orderstatus != 'P')
+        |   OVER (PARTITION BY o_custkey) AS max_np
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
+    // r17: DuckDB's own mode() is tie-arbitrary, so the replay composes
+    // the dialect's defined contract explicitly: count DESC, value ASC
+    "q_sql_mode" ->
+      """WITH counts AS (
+        | SELECT o_orderstatus, o_orderpriority AS v, count(*) AS c
+        | FROM orders WHERE o_orderpriority IS NOT NULL
+        | GROUP BY o_orderstatus, o_orderpriority),
+        |ranked AS (
+        | SELECT o_orderstatus, v,
+        |  row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY c DESC, v ASC) AS rn
+        | FROM counts)
+        |SELECT r.o_orderstatus, r.v AS mode_pr, t.n
+        |FROM ranked r JOIN (SELECT o_orderstatus, count(*) AS n
+        |                    FROM orders GROUP BY o_orderstatus) t
+        | USING (o_orderstatus)
+        |WHERE rn = 1
+        |ORDER BY o_orderstatus""".stripMargin,
     // r16: every row/char/lang must survive each format's SQL COPY
     // round trip (the q_io_roundtrip frame)
     "q_sql_copy" ->

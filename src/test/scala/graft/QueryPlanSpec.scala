@@ -109,6 +109,21 @@ class QueryPlanSpec extends SparkTestBase {
     assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderkey,42)"), p)
   }
 
+  test("IS NOT DISTINCT FROM a literal pushes EqualNullSafe to the scan (r17)") {
+    // the null-safe comparison must reach the parquet scan as a pushed
+    // EqualNullSafe — a non-pushable lowering (e.g. a CASE rewrite)
+    // would read every row group at 100 TB
+    GraftSession.prepare(spark)
+    val es = new graft.sql.EmdriveSession(spark)
+    es.register("orders", graft.sources.Tables.orders(spark, sfDir))
+    val p = es.sql(
+      "SELECT o_orderkey FROM orders WHERE o_orderstatus IS NOT DISTINCT FROM 'O' ORDER BY o_orderkey LIMIT 5;")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("EqualNullSafe(o_orderstatus,O)"), p)
+  }
+
   test("NATURAL JOIN plans as an equi-join, never a cartesian (r15)") {
     val p = plan("q_sql_natural")
     assert(!p.contains("CartesianProduct") &&

@@ -721,11 +721,18 @@ object EmdriveSql {
       // r17: deterministic MODE — most frequent value, ties broken by
       // the SMALLEST value (the dialect's defined contract; Spark's
       // deterministic mode flag), NULLs ignored
-      "MODE")
+      "MODE",
+      // r17: dispersion tier 2 — variance both denominators + population
+      // stddev; SKEWNESS/KURTOSIS are the SAMPLE-corrected statistics
+      // (DuckDB's definition), composed from Spark's population moments
+      "VAR_SAMP", "VAR_POP", "STDDEV_POP", "SKEWNESS", "KURTOSIS")
 
-  /** ANSI bivariate regression aggregates (r17): REGR_*(y, x). */
+  /** Two-column aggregates (r17): the ANSI bivariate regression family
+    * REGR_*(y, x) plus CORR / COVAR_SAMP / COVAR_POP — all single-pass
+    * moment accumulations with any-null pairs skipped. */
   private val RegrFuncs = Set("REGR_SLOPE", "REGR_INTERCEPT", "REGR_R2",
-    "REGR_COUNT", "REGR_AVGX", "REGR_AVGY")
+    "REGR_COUNT", "REGR_AVGX", "REGR_AVGY",
+    "CORR", "COVAR_SAMP", "COVAR_POP")
   private val StrFuncs = Set("UPPER", "LOWER", "LENGTH", "TRIM", "SUBSTR",
     "REPLACE", "COALESCE", "NULLIF", "ABS", "ROUND",
     "YEAR", "MONTH", "DAY",
@@ -2028,7 +2035,10 @@ object EmdriveSql {
     // The dialect DEFINES the order as ascending by the aggregated value
     // (deterministic cross-engine; DuckDB spells it ORDER BY col). The
     // column+separator ride the OAgg arg slot -joined.
-    case TWord(f) :: TSym("(") :: _ if f.equalsIgnoreCase("STRING_AGG") =>
+    // LISTAGG (r17) is the ANSI spelling of STRING_AGG — same contract
+    // (ascending by the aggregated value), same OAgg atom
+    case TWord(f) :: TSym("(") :: _
+        if f.equalsIgnoreCase("STRING_AGG") || f.equalsIgnoreCase("LISTAGG") =>
       p.toks = p.toks.tail.tail
       val c = p.qident()
       p.eatSym(",")
@@ -2065,6 +2075,38 @@ object EmdriveSql {
       val b = p.qident()
       p.eatSym(")")
       OAgg(f.toUpperCase, Some(a + "" + b))
+    // PERCENTILE_CONT(f) WITHIN GROUP (ORDER BY col) (r17) — the ANSI
+    // ordered-set spelling of the exact interpolated percentile (the
+    // MEDIAN/q_percentile kernel; DuckDB's quantile_cont interpolation).
+    // Ascending order only — a descending percentile is 1-f spelled
+    // ascending, and accepting DESC silently would invert the contract.
+    case TWord(f) :: TSym("(") :: _ if f.equalsIgnoreCase("PERCENTILE_CONT") =>
+      p.toks = p.toks.tail.tail
+      val frac = p.value() match {
+        case VNum(n) => n
+        case other => p.fail(s"numeric fraction after PERCENTILE_CONT(, got $other")
+      }
+      require(frac.toDouble >= 0 && frac.toDouble <= 1,
+        s"PERCENTILE_CONT fraction must be in [0, 1], got $frac")
+      p.eatSym(")")
+      p.eatWord("WITHIN"); p.eatWord("GROUP")
+      p.eatSym("("); p.eatWord("ORDER"); p.eatWord("BY")
+      val c = p.qident()
+      require(!p.tryWord("DESC"),
+        "PERCENTILE_CONT WITHIN GROUP orders ascending only (use 1 - f)")
+      p.tryWord("ASC"): Unit
+      p.eatSym(")")
+      OAgg("PERCENTILE_CONT", Some(c + "" + frac))
+    // MODE() WITHIN GROUP (ORDER BY col) (r17) — the ANSI ordered-set
+    // spelling of the dialect's deterministic MODE(col)
+    case TWord(f) :: TSym("(") :: TSym(")") :: _ if f.equalsIgnoreCase("MODE") =>
+      p.toks = p.toks.tail.tail.tail
+      p.eatWord("WITHIN"); p.eatWord("GROUP")
+      p.eatSym("("); p.eatWord("ORDER"); p.eatWord("BY")
+      val c = p.qident()
+      p.tryWord("ASC"): Unit
+      p.eatSym(")")
+      OAgg("MODE", Some(c))
     // REGR_*(y, x) (r17) — the ANSI bivariate regression aggregates
     // (slope/intercept/r2 of the least-squares fit, pair count, per-pair
     // means; rows with a NULL in EITHER column are skipped, both

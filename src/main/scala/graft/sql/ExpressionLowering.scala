@@ -151,12 +151,41 @@ private[sql] trait ExpressionLowering { self: EmdriveSession =>
       // Partial-combines on (group, value) counts map-side; per-group
       // state is the distinct-value map, not the row list.
       case ("MODE", Some(c)) => call_function("mode", qref(c), lit(true))
+      // dispersion tier 2 (r17): variance in both denominators +
+      // population stddev — Catalyst's partial-combined moment
+      // aggregates, float-accumulated (gate keys round(…, 6) per §5)
+      case ("VAR_SAMP", Some(c)) => var_samp(qref(c))
+      case ("VAR_POP", Some(c)) => var_pop(qref(c))
+      case ("STDDEV_POP", Some(c)) => stddev_pop(qref(c))
+      // SKEWNESS/KURTOSIS (r17): the dialect's contract is the
+      // SAMPLE-corrected statistics (DuckDB's definition); Spark's
+      // skewness/kurtosis are the POPULATION g1 / excess g2, so the
+      // standard bias corrections compose on top — still one pass, the
+      // same central-moment accumulator plus a count. Guards mirror
+      // DuckDB's NULL edges: skew needs n >= 3, kurt n >= 4, and a
+      // zero-variance group is NULL (Spark alone would return NaN).
+      case ("SKEWNESS", Some(c)) =>
+        val x = qref(c); val n = count(x)
+        when(n > 2 && var_pop(x) > 0,
+          call_function("skewness", x) * sqrt(n * (n - lit(1))) / (n - lit(2)))
+      case ("KURTOSIS", Some(c)) =>
+        val x = qref(c); val n = count(x)
+        when(n > 3 && var_pop(x) > 0,
+          ((n + lit(1)) * call_function("kurtosis", x) + lit(6))
+            * (n - lit(1)) / ((n - lit(2)) * (n - lit(3))))
+      // PERCENTILE_CONT(f) WITHIN GROUP (r17): the exact interpolated
+      // percentile (the MEDIAN kernel at an arbitrary fraction)
+      case ("PERCENTILE_CONT", Some(enc)) =>
+        val Array(c, frac) = enc.split("", 2)
+        percentile(qref(c), lit(frac.toDouble))
       // ANSI bivariate regression aggregates (r17): y U+0001 x in the
       // arg slot (the ARG_MAX encoding). Single-pass moment accumulation
       // (Catalyst's partial-combined covar/var machinery) — no second
       // scan; float-accumulated, so gate keys round(…, 6) per §5.
       // Pairs with a NULL on either side are skipped, both engines.
-      case (f, Some(enc)) if f.startsWith("REGR_") =>
+      // CORR/COVAR_SAMP/COVAR_POP (r17) ride the same two-column slot.
+      case (f, Some(enc)) if f.startsWith("REGR_")
+          || Set("CORR", "COVAR_SAMP", "COVAR_POP")(f) =>
         val Array(y, x) = enc.split("", 2)
         call_function(f.toLowerCase, qref(y), qref(x))
       case ("STRING_AGG", Some(enc)) =>

@@ -1289,6 +1289,55 @@ object SqlQueries {
                |FROM orders GROUP BY o_orderstatus
                |ORDER BY o_orderstatus;""".stripMargin)
     }),
+    // r17: dispersion/correlation tier — CORR/COVAR both denominators,
+    // VAR both denominators, population stddev; round(…,6) per §5
+    "q_sql_dispersion" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("lineitem", Tables.lineitem(s, d))
+      es.sql("""SELECT l_returnflag,
+               | ROUND(CORR(l_extendedprice, l_quantity), 6) AS r_corr,
+               | ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 6) AS cov_s,
+               | ROUND(COVAR_POP(l_extendedprice, l_quantity), 6) AS cov_p,
+               | ROUND(VAR_SAMP(l_quantity), 6) AS var_s,
+               | ROUND(VAR_POP(l_quantity), 6) AS var_p,
+               | ROUND(STDDEV_POP(l_quantity), 6) AS sd_p
+               |FROM lineitem GROUP BY l_returnflag
+               |ORDER BY l_returnflag;""".stripMargin)
+    }),
+    // r17: sample-corrected SKEWNESS/KURTOSIS (DuckDB's definitions,
+    // composed from Spark's population moments) — identical text
+    "q_sql_skew_kurt" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderstatus,
+               | ROUND(SKEWNESS(o_totalprice), 6) AS skew,
+               | ROUND(KURTOSIS(o_totalprice), 6) AS kurt,
+               | COUNT(*) AS n
+               |FROM orders GROUP BY o_orderstatus
+               |ORDER BY o_orderstatus;""".stripMargin)
+    }),
+    // r17: LISTAGG — the ANSI spelling of STRING_AGG (same ascending-by-
+    // value contract; the DuckDB replay spells the order explicitly)
+    "q_sql_listagg" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderstatus, LISTAGG(o_orderpriority, ',') AS lg,
+               | COUNT(*) AS n
+               |FROM orders WHERE o_orderkey <= 30
+               |GROUP BY o_orderstatus ORDER BY o_orderstatus;""".stripMargin)
+    }),
+    // r17: ANSI ordered-set percentiles — PERCENTILE_CONT WITHIN GROUP
+    // at two fractions, cross-checked against MEDIAN (the same kernel)
+    "q_sql_within_group" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""SELECT o_orderstatus,
+               | PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+               | PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               | MEDIAN(o_totalprice) AS med
+               |FROM orders GROUP BY o_orderstatus
+               |ORDER BY o_orderstatus;""".stripMargin)
+    }),
     // r15: winnow TVF — C115's fingerprint selection at the SQL front door
     "q_sql_winnow" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
@@ -2873,6 +2922,42 @@ object SqlQueries {
         |                    FROM orders GROUP BY o_orderstatus) t
         | USING (o_orderstatus)
         |WHERE rn = 1
+        |ORDER BY o_orderstatus""".stripMargin,
+    // r17: DuckDB runs the identical dispersion-tier text
+    "q_sql_dispersion" ->
+      """SELECT l_returnflag,
+        | ROUND(CORR(l_extendedprice, l_quantity), 6) AS r_corr,
+        | ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 6) AS cov_s,
+        | ROUND(COVAR_POP(l_extendedprice, l_quantity), 6) AS cov_p,
+        | ROUND(VAR_SAMP(l_quantity), 6) AS var_s,
+        | ROUND(VAR_POP(l_quantity), 6) AS var_p,
+        | ROUND(STDDEV_POP(l_quantity), 6) AS sd_p
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // r17: DuckDB's skewness/kurtosis ARE the sample-corrected
+    // statistics the dialect defines — identical text
+    "q_sql_skew_kurt" ->
+      """SELECT o_orderstatus,
+        | ROUND(SKEWNESS(o_totalprice), 6) AS skew,
+        | ROUND(KURTOSIS(o_totalprice), 6) AS kurt,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // r17: the replay spells the dialect's defined order explicitly
+    // (ascending by the aggregated value, the STRING_AGG convention)
+    "q_sql_listagg" ->
+      """SELECT o_orderstatus,
+        | listagg(o_orderpriority, ',' ORDER BY o_orderpriority) AS lg,
+        | COUNT(*) AS n
+        |FROM orders WHERE o_orderkey <= 30
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // r17: DuckDB runs the identical ordered-set percentile text
+    "q_sql_within_group" ->
+      """SELECT o_orderstatus,
+        | PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+        | PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+        | MEDIAN(o_totalprice) AS med
+        |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     // r16: every row/char/lang must survive each format's SQL COPY
     // round trip (the q_io_roundtrip frame)

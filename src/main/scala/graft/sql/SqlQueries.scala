@@ -1338,6 +1338,17 @@ object SqlQueries {
                |FROM orders GROUP BY o_orderstatus
                |ORDER BY o_orderstatus;""".stripMargin)
     }),
+    // r17: PREPARE/EXECUTE — the prepared-statement front door; the
+    // oracle runs the substituted text (substitution is the contract)
+    "q_sql_prepare" -> ((s: SparkSession, d: String) => {
+      val es = new EmdriveSession(s)
+      es.register("orders", Tables.orders(s, d))
+      es.sql("""PREPARE top_orders AS
+               |SELECT o_orderkey, o_totalprice, o_orderstatus
+               |FROM orders WHERE o_totalprice > ? AND o_orderstatus = ?
+               |ORDER BY o_orderkey LIMIT 20;""".stripMargin)
+      es.sql("EXECUTE top_orders(400000, 'O');")
+    }),
     // r15: winnow TVF — C115's fingerprint selection at the SQL front door
     "q_sql_winnow" -> ((s: SparkSession, d: String) => {
       val es = new EmdriveSession(s)
@@ -2959,6 +2970,11 @@ object SqlQueries {
         | MEDIAN(o_totalprice) AS med
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // r17: the oracle is the SUBSTITUTED text — EXECUTE's contract
+    "q_sql_prepare" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_totalprice > 400000 AND o_orderstatus = 'O'
+        |ORDER BY o_orderkey LIMIT 20""".stripMargin,
     // r16: every row/char/lang must survive each format's SQL COPY
     // round trip (the q_io_roundtrip frame)
     "q_sql_copy" ->

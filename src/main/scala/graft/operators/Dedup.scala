@@ -66,7 +66,35 @@ object Dedup {
     * string-exact oracle's in practice. Shared with operators.Pipeline. */
   def jaccardPairs(shingled: DataFrame, threshold: Double,
       maxDf: Int = WordMaxDf): DataFrame =
-    pairsFromPostings(cutPostings(shingled, maxDf), threshold)
+    pairsAllOf(shingled, maxDf)
+      .filter(col("raw_j") >= threshold) // raw value (oracle-identical)
+      .select(col("id_a"), col("id_b"), col("raw_j"))
+
+  /** Plan-identity-keyed shared pair relation (r17 optimization): the
+    * generic twin of [[wordPairsAll]] for consumers that hand in their
+    * OWN shingled relation (the neardup_jaccard TVF, the pipeline's
+    * filtered corpus, the char-5-gram postings). The postings self-join +
+    * intersection count is the one expensive intermediate behind every
+    * such query; thresholds are downstream filters, so the registry key
+    * is the shingled plan's semantic hash + its input-file fingerprint
+    * (the ensureIndex snapshot key — an in-place rewrite changes the
+    * fingerprint; in-memory relations carry their data in the
+    * LocalRelation semanticHash) + maxDf. Same RDD doctrine as
+    * [[wordPairsAll]]: nothing persist()ed, later consumers reuse the
+    * computed shuffle files as skipped stages, the stress harness evicts
+    * the registry so scale receipts still price the build. */
+  private def pairsAllOf(shingled: DataFrame, maxDf: Int): DataFrame = {
+    val s = shingled.sparkSession
+    val snap = graft.sources.PairStore.fileFingerprint(
+      s, shingled.inputFiles.toSeq)
+    val key = s"jacc_pairs_${shingled.queryExecution.analyzed.semanticHash()}" +
+      s"_${snap.hashCode}_$maxDf"
+    val (rdd, schema) = graft.SessionMemo.of(s, "", key) {
+      val df = pairsAllFromPostings(cutPostings(shingled, maxDf))
+      (df.rdd, df.schema)
+    }
+    s.createDataFrame(rdd, schema)
+  }
 
   /** The word-3-shingle df-cut postings every word-level similarity
     * operator shares — q_dedup_jaccard, q_dedup_editdist's candidate
@@ -139,6 +167,14 @@ object Dedup {
     * carried sizes. Shared by jaccardPairs and dedupNgram (whose postings
     * are df-cut first). */
   def pairsFromPostings(inv: DataFrame, threshold: Double): DataFrame =
+    pairsAllFromPostings(inv)
+      .filter(col("raw_j") >= threshold) // raw value (oracle-identical)
+      .select(col("id_a"), col("id_b"), col("raw_j"))
+
+  /** The unfiltered pair aggregation (id_a, id_b, na, nb, inter, raw_j) —
+    * [[pairsFromPostings]] minus the threshold, so the registry can share
+    * ONE build across different downstream thresholds. */
+  private def pairsAllFromPostings(inv: DataFrame): DataFrame =
     inv.as("a")
       .join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -147,8 +183,6 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
       .withColumn("raw_j",
         col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
-      .filter(col("raw_j") >= threshold) // raw value (oracle-identical)
-      .select(col("id_a"), col("id_b"), col("raw_j"))
 
   /** All document pairs with 3-shingle Jaccard >= 0.5, via inverted index.
     * The jaccard column is the RAW double: both engines compute

@@ -21,28 +21,39 @@ import graft.sources.Tables
   */
 object Pipeline {
 
-  private def pipelineClean(s: SparkSession, d: String): DataFrame = {
+  /** The shared gate chain (r17 optimization): ONE construction of the
+    * language/quality gates and the near-dup drop set for BOTH
+    * q_pipeline_clean and q_pipeline_attrition — the two keys previously
+    * built plan-distinct copies of the identical shingled relation, so
+    * each paid its own postings self-join; a single construction makes
+    * the pair registry (Dedup.jaccardPairs' plan-identity key) share one
+    * build. The stage formulas are THE TextAnalysis builders, so operator
+    * and pipeline (and their oracles) cannot drift apart. Returns
+    * (docs, langKept, kept, dropIds). */
+  private def gateChain(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
-
-    // stage 1+2: language + quality gates (fused into the scan) — the
-    // formulas are THE TextAnalysis builders, so operator and pipeline
-    // (and their oracles) cannot drift apart
-    val kept = docs
-      .withColumn("n_tokens", size(split(col("text"), " ")))
+    val sig = docs
+      .withColumn("en", TextAnalysis.enRatioOf(col("text")))
       .withColumn("quality", TextAnalysis.qualityOf(col("text")))
-      .filter(TextAnalysis.enRatioOf(col("text")) >= 0.05 && col("quality") >= 0.5)
-
-    // stage 3: near-dup pairs (Dedup's inverted shingle index) → drop the
-    // higher id of each pair (keep-first)
+    val langKept = sig.filter(col("en") >= 0.05)
+    val kept = langKept.filter(col("quality") >= 0.5)
+    // near-dup pairs (Dedup's inverted shingle index) → drop the higher
+    // id of each pair (keep-first)
     val shingled = kept.select(col("doc_id"),
       call_function("word_shingles", col("text"), lit(3)).as("sh"))
     val dropIds = Dedup.jaccardPairs(shingled, 0.5)
       .select(col("id_b").as("doc_id"))
       .distinct()
+    (docs, langKept, kept, dropIds)
+  }
 
+  private def pipelineClean(s: SparkSession, d: String): DataFrame = {
+    val (_, _, kept, dropIds) = gateChain(s, d)
     kept
       .join(dropIds, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"), col("quality"))
   }
 
   /** Per-source data cards: the governance summary every corpus release
@@ -80,16 +91,7 @@ object Pipeline {
     * the dedup stage reuses the same candidate-bounded pair machinery,
     * output is 4 rows. */
   private def pipelineAttrition(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val sig = docs
-      .withColumn("en", TextAnalysis.enRatioOf(col("text")))
-      .withColumn("quality", TextAnalysis.qualityOf(col("text")))
-    val langKept = sig.filter(col("en") >= 0.05)
-    val kept = langKept.filter(col("quality") >= 0.5)
-    val shingled = kept.select(col("doc_id"),
-      call_function("word_shingles", col("text"), lit(3)).as("sh"))
-    val dropIds = Dedup.jaccardPairs(shingled, 0.5)
-      .select(col("id_b").as("doc_id")).distinct()
+    val (docs, langKept, kept, dropIds) = gateChain(s, d)
     val fin = kept.join(dropIds, Seq("doc_id"), "left_anti")
     val stages = Seq("0_raw" -> docs, "1_lang" -> langKept,
       "2_quality" -> kept, "3_dedup" -> fin)

@@ -725,10 +725,18 @@ object Similarity {
     val toks = Tables.documents(s, d)
       .join(assigned, col("doc_id") === col("vec_id"))
       .select(col("cell"), explode(split(col("text"), " ")).as("tok"))
-    val inC = toks.groupBy(col("cell"), col("tok")).agg(count(lit(1)).as("cnt_c"))
-    val totC = toks.groupBy(col("cell")).agg(count(lit(1)).as("tot_c"))
-    val all = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt_all"))
-    val totAll = toks.agg(count(lit(1)).as("tot_all"))
+    // ONE pass over the exploded token stream (r17 optimization): the
+    // per-cell totals, corpus-wide token counts, and grand total are all
+    // exact sums of the (cell, tok) counts, so they derive from the
+    // materialized inC relation (cells × vocab — collapsed far below the
+    // token stream) instead of three more assignment-join + explode
+    // passes (guide §1.2: don't compute things twice that one partial
+    // aggregation already holds).
+    val inC = graft.operators.Relational.materializeOnce(s, d, "cluster_topics_inc")(
+      toks.groupBy(col("cell"), col("tok")).agg(count(lit(1)).as("cnt_c")))
+    val totC = inC.groupBy(col("cell")).agg(sum(col("cnt_c")).as("tot_c"))
+    val all = inC.groupBy(col("tok")).agg(sum(col("cnt_c")).as("cnt_all"))
+    val totAll = inC.agg(sum(col("cnt_c")).as("tot_all"))
     val lifted = inC.join(totC, "cell").join(all, "tok")
       .crossJoin(broadcast(totAll))
       .select(col("cell"), col("tok"), col("cnt_c"),
@@ -1307,7 +1315,13 @@ object Similarity {
             p.select(col("id_b").as("ia"), col("id_a").as("ib"), col("sim")))
       }
     val w = Window.partitionBy(col("ia")).orderBy(col("sim").desc, col("ib"))
-    val knn = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    // materialize-once (r17 optimization): the mutuality check joins knn
+    // against its own reversal — without the cache BOTH join sides re-run
+    // the full directed-score pass (the quadratic broadcast-NL scan below
+    // the cutoff), doubling the key's dominant cost. The cached relation
+    // is top-5-per-vector sized (≤ 5n rows), never the n² score stream.
+    val knn = graft.operators.Relational.materializeOnce(s, d, "mutual_knn5")(
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5))
     val rev = knn.select(col("ia").as("rb"), col("ib").as("ra"),
       col("rn").as("rn_back"))
     knn.join(rev, col("ia") === col("ra") && col("ib") === col("rb"))
@@ -1356,21 +1370,35 @@ object Similarity {
     * prefix bits, the layout pass amortizes across every subsequent
     * threshold/k-NN query — the reference's emtree trade
     * (src/storage/index.rs). */
+  /** Write-once simhash index layout + probe hash, shared by
+    * q_metric_index AND q_metric_transparent (r17 optimization): both
+    * keys index the SAME relation at the same bits, so per-query (and
+    * per-key) layout rewrites were pure repeated ingest cost — the
+    * bucketedJoin write-once doctrine applies verbatim (an index is an
+    * amortized artifact; the stress harness evicts the memo so scale
+    * receipts still price the build). The probe is a 1-row scalar of the
+    * same corpus scan, memoized with the layout. */
+  private def metricLayoutAndProbe(s: SparkSession, d: String): (String, Option[Long]) =
+    graft.SessionMemo.of(s, d, "metric_index_layout") {
+      val hashed = Tables.documents(s, d).select(col("doc_id"),
+        call_function("simhash64", split(col("text"), " ")).as("h"))
+      val path = s"/tmp/graft_metric_index_${graft.SessionMemo.pathTag(d)}"
+      graft.sources.MetricIndex.writeIndexed(hashed, path, "h", bits = 6)
+      val probeRow = hashed.filter(col("doc_id") === 0)
+        .select(col("h")).limit(1).collect()
+      (path, probeRow.headOption.map(_.getLong(0)))
+    }
+
   private def metricIndexSearch(s: SparkSession, d: String): DataFrame = {
-    val hashed = Tables.documents(s, d).select(col("doc_id"),
-      call_function("simhash64", split(col("text"), " ")).as("h"))
-    val path = s"/tmp/graft_metric_index_${graft.SessionMemo.pathTag(d)}"
-    graft.sources.MetricIndex.writeIndexed(hashed, path, "h", bits = 6)
-    val probeRow = hashed.filter(col("doc_id") === 0)
-      .select(col("h")).collect()
-    if (probeRow.isEmpty)
+    val (path, probeOpt) = metricLayoutAndProbe(s, d)
+    if (probeOpt.isEmpty)
       // empty corpus → empty result with the query's schema (no probe to
       // search for, and the empty layout has no readable footer)
       s.createDataFrame(s.sparkContext.emptyRDD[Row],
         StructType(Seq(StructField("doc_id", LongType, nullable = false),
           StructField("dist", IntegerType, nullable = false))))
     else {
-      val probe = probeRow(0).getLong(0)
+      val probe = probeOpt.get
       graft.sources.MetricIndex.thresholdQuery(s, path, "h", probe,
           maxDist = 2, bits = 6)
         .select(col("doc_id"),
@@ -1388,18 +1416,13 @@ object Similarity {
     * the engine-native form of the reference's index: the USER writes the
     * predicate; the optimizer finds the index. */
   private def metricTransparent(s: SparkSession, d: String): DataFrame = {
-    val hashed = Tables.documents(s, d).select(col("doc_id"),
-      call_function("simhash64", split(col("text"), " ")).as("h"))
-    val path = s"/tmp/graft_metric_index_t_${graft.SessionMemo.pathTag(d)}"
-    graft.sources.MetricIndex.writeIndexed(hashed, path, "h", bits = 6)
-    val probeRow = hashed.filter(col("doc_id") === 0)
-      .select(col("h")).collect()
-    if (probeRow.isEmpty)
+    val (path, probeOpt) = metricLayoutAndProbe(s, d)
+    if (probeOpt.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[Row],
         StructType(Seq(StructField("doc_id", LongType, nullable = false),
           StructField("dist", IntegerType, nullable = false))))
     else {
-      val probe = probeRow(0).getLong(0)
+      val probe = probeOpt.get
       s.read.parquet(path)
         .filter(call_function("hamming64", col("h"), lit(probe)) <= 2)
         .select(col("doc_id"),

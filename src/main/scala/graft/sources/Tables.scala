@@ -14,8 +14,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized per (session, dir, table): `spark.read.parquet` pays a
+    * driver-side file listing plus a footer read for schema inference on
+    * EVERY call, and the bench surface makes ~2-3 such calls per key ×
+    * 400+ keys — pure fixed cost with zero data dependence (r17
+    * optimization, guide §1.2/§6: the corpus is immutable for the life
+    * of a session, so the resolved relation is catalog metadata, exactly
+    * what a registered table would hold). Execution still scans parquet
+    * on every action — nothing here caches data. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.SessionMemo.of(spark, dir, s"src_table_$name") {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")

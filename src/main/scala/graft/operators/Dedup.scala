@@ -240,9 +240,20 @@ object Dedup {
   /** The MinHash+LSH pair kernel over any (doc_id, sh) relation — shared
     * by the q_minhash_lsh operator key and the `minhash_neardup` SQL
     * table function (r15). */
-  private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
+  private[graft] def minhashPairs(docs0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val banded = docs.select(
+    // r17 optimization: the shingled relation feeds the banding pass AND
+    // both verify-join sides (3 evals of scan+shingles), and the banded
+    // relation feeds both candidate self-join sides — materialize each
+    // once, keyed by plan identity (the pairsAllOf doctrine) so the SQL
+    // TVF twin shares the same artifacts.
+    val s = docs0.sparkSession
+    val snap = graft.sources.PairStore.fileFingerprint(s, docs0.inputFiles.toSeq)
+    val pk = s"minhash_${docs0.queryExecution.analyzed.semanticHash()}" +
+      s"_${snap.hashCode}"
+    val docs = graft.operators.Relational.materializeOnce(s, "", pk + "_sh")(docs0)
+    val banded = graft.operators.Relational.materializeOnce(s, "", pk + "_band")(
+      docs.select(
       col("doc_id"),
       posexplode(call_function("minhash_bands", col("sh"), lit(64), lit(16))))
       .toDF("doc_id", "band", "bh")
@@ -251,7 +262,7 @@ object Dedup {
       .withColumn("bsz",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
       .filter(col("bsz") <= LshMaxPerBucket)
-      .drop("bsz")
+      .drop("bsz"))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -435,12 +446,15 @@ object Dedup {
     * threshold. */
   private def windowDedup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val inv = Tables.documents(s, d)
+    // r17 optimization: the self-join's two sides otherwise re-run the
+    // scan + explode + df window each — materialize the postings once.
+    val inv = graft.operators.Relational.materializeOnce(s, d, "window_dedup_inv")(
+      Tables.documents(s, d)
       .select(col("doc_id"),
         explode(call_function("word_shingles", col("text"), lit(WindowK))).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("df") <= WindowMaxDf)
+      .filter(col("df") <= WindowMaxDf))
     inv.as("a")
       .join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -706,12 +720,16 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
       Sampling.bucketOf(col("doc_id"), 100).as("b"), shingleCol.as("sh"))
-    val inv = docs.select(col("doc_id"), col("b"), explode(col("sh")).as("s0"))
+    // r17 optimization: both sides of the delta-vs-corpus join read this
+    // postings relation — materialize it once instead of re-running the
+    // scan + explode + two df/size windows per side.
+    val inv = graft.operators.Relational.materializeOnce(s, d, "neardup_incr_inv")(
+      docs.select(col("doc_id"), col("b"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), col("b"), xxhash64(col("s0")).as("s"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= WordMaxDf)
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .select(col("doc_id"), col("b"), col("n"), col("s"))
+      .select(col("doc_id"), col("b"), col("n"), col("s")))
     val matched = inv.filter(col("b") >= 90).as("a")
       .join(inv.filter(col("b") < 90).as("c"), col("a.s") === col("c.s"))
       .groupBy(col("a.doc_id").as("did"), col("c.doc_id").as("cid"),

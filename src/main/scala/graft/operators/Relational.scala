@@ -983,9 +983,13 @@ object Relational {
   private def aboveAvgSpenders(s: SparkSession, d: String): DataFrame = {
     val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
       .agg(moneySum(col("o_totalprice")).as("total_spend"))
-    val perCust = spend.join(
+    // r17 optimization: perCust feeds the nation-average aggregate AND
+    // the final filter join — materialized once (customer-cardinality)
+    // so the orders fact is aggregated once, not twice.
+    val perCust = materializeOnce(s, d, "above_avg_percust")(
+      spend.join(
       Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
-      col("o_custkey") === col("c_custkey"))
+      col("o_custkey") === col("c_custkey")))
     val nationAvg = perCust.groupBy(col("c_nationkey"))
       .agg(moneyAvg(col("total_spend")).as("nation_avg"))
     perCust.join(broadcast(nationAvg), "c_nationkey")

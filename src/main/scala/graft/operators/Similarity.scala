@@ -495,20 +495,40 @@ object Similarity {
   private[graft] def semDedupCore(e: DataFrame, threshold: Double,
       targetCell: Int = 256, seed: Long = 42L,
       maxPerCell: Int = 4096): DataFrame = {
-    val n = e.count()
+    val s = e.sparkSession
     val ev = e.select(col("vec_id"), col("embedding"))
-    // empty-corpus guard (the Pca/Pq doctrine): KMeans cannot fit 0 rows;
+    // r17 optimization — the fitted centers are an INDEX artifact (the
+    // PqIndex registry doctrine) and were re-fit per invocation; the
+    // registry key is the input plan's semantic hash + file fingerprint
+    // (the ensureIndex snapshot key) + the fit parameters, so any
+    // consumer handing in the semantically-same corpus shares one fit.
+    // The corpus count rides in the same entry (it sizes k).
+    val snap = graft.sources.PairStore.fileFingerprint(s, ev.inputFiles.toSeq)
+    val baseKey = s"semdedup_${ev.queryExecution.analyzed.semanticHash()}" +
+      s"_${snap.hashCode}_${targetCell}_$seed"
+    val (n, centersOpt) = graft.SessionMemo.of(s, "", baseKey) {
+      val n = ev.count()
+      // empty-corpus guard (the Pca/Pq doctrine): KMeans cannot fit 0 rows
+      if (n == 0) (n, None)
+      else {
+        val k = math.max(4L, math.min(n / targetCell, 16384L)).toInt
+        val sampleFrac = math.min(1.0, 25600.0 / n)
+        (n, Some(IvfIndex.fitCenters(ev, k, seed, sampleFrac, maxIter = 5)))
+      }
+    }
     // the zero-row frame below carries the output schema
     if (n == 0)
       return ev.select(col("vec_id"), lit(0).as("cluster_id"),
         lit(0.0).as("centroid_sim"), lit(true).as("kept"))
-    val k = math.max(4L, math.min(n / targetCell, 16384L)).toInt
-    val sampleFrac = math.min(1.0, 25600.0 / n)
-    val centers = IvfIndex.fitCenters(ev, k, seed, sampleFrac, maxIter = 5)
+    val centers = centersOpt.get
     // nearest cell by the fit's euclidean criterion (argmax 2x·c − ‖c‖²)
     // plus the centrality score, in one broadcast pass; deterministic
-    // cell tie-break by lower cid
-    val assigned = ev.crossJoin(broadcast(centers))
+    // cell tie-break by lower cid. Materialize-once (r17): this relation
+    // feeds FOUR subplans (both sides of the dominance self-join and the
+    // final kept join) — each branch otherwise re-runs the n×k broadcast
+    // assignment pass per execution.
+    val assigned = Relational.materializeOnce(s, "", baseKey + "_assigned")(
+      ev.crossJoin(broadcast(centers))
       .select(col("vec_id"), col("embedding"), col("cid"),
         (lit(2.0) * call_function("dot_product", col("embedding"), col("cvec")) -
           call_function("dot_product", col("cvec"), col("cvec"))).as("score"),
@@ -518,7 +538,7 @@ object Similarity {
       .agg(max_by(struct(col("cid"), col("csim"), col("embedding")),
         struct(col("score"), -col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cluster_id"),
-        col("m.csim").as("centroid_sim"), col("m.embedding").as("embedding"))
+        col("m.csim").as("centroid_sim"), col("m.embedding").as("embedding")))
     val capped = assigned
       .withColumn("csz", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .filter(col("csz") <= maxPerCell)
@@ -595,19 +615,34 @@ object Similarity {
     * exchange carries one row per vector instead of the n×k scored pairs a
     * window would shuffle and sort — ~k× less shuffle at any scale. Ties on
     * csim break to the lowest cid via the (csim, −cid) struct ordering. */
-  private def annIvf(s: SparkSession, d: String): DataFrame = {
-    val k = 8
-    val e = Tables.embeddings(s, d)
-    val cents = e.filter(col("vec_id") < k)
+  /** Deterministic seed centroids (lowest 8 vec_ids) — the q_ann_ivf
+    * replayable-centroid scheme shared across the IVF family. */
+  private def seedCents(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val assigned = e.crossJoin(broadcast(cents))
+
+  /** The deterministic seed-centroid IVF assignment (vec_id, embedding,
+    * cid), shared VERBATIM by q_ann_ivf, q_ann_rerank and
+    * q_ivf_recall_curve — r17 optimization: materialized once per
+    * (session, corpus). Each key previously re-ran the n×8 broadcast
+    * argmax scan per consuming subplan (q_ivf_recall_curve read it from
+    * two branches, q_ann_ivf from two, on top of one build per key);
+    * the assignment is an index artifact (the IvfIndex.persist layout is
+    * exactly this relation written to disk), so the registry doctrine
+    * applies. */
+  private def seedAssigned(s: SparkSession, d: String): DataFrame =
+    Relational.materializeOnce(s, d, "ivf_seed_assigned")(
+      Tables.embeddings(s, d).crossJoin(broadcast(seedCents(s, d)))
       .select(col("vec_id"), col("embedding"), col("cid"),
         call_function("cosine_sim", col("embedding"), col("cvec")).as("csim"))
       .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("embedding"), col("cid")),
+      .agg(max_by(struct(col("embedding"), col("cid"), col("csim")),
         struct(col("csim"), -col("cid"))).as("best"))
       .select(col("vec_id"), col("best.embedding").as("embedding"),
-        col("best.cid").as("cid"))
+        col("best.cid").as("cid"), col("best.csim").as("csim")))
+
+  private def annIvf(s: SparkSession, d: String): DataFrame = {
+    val assigned = seedAssigned(s, d)
     val probe = assigned.filter(col("vec_id") === 0)
       .select(col("cid").as("probe_cid"), col("embedding").as("probe_v"))
     assigned.join(broadcast(probe), col("cid") === col("probe_cid"))
@@ -632,19 +667,12 @@ object Similarity {
     * population at 100 TB). Ranks break ties on (rounded proto, vec_id),
     * so the kept SET is deterministic cross-engine. */
   private def diversitySelect(s: SparkSession, d: String): DataFrame = {
-    val k = 8
     val q = 5
-    val e = Tables.embeddings(s, d)
-    val cents = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        call_function("cosine_sim", col("embedding"), col("cvec")).as("csim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cid"), col("csim")),
-        struct(col("csim"), -col("cid"))).as("best"))
-      .select(col("vec_id"), col("best.cid").as("cid"),
-        round(col("best.csim"), 6).as("proto"))
+    // r17 optimization: read the shared materialized seed assignment —
+    // the argmax (cid, csim) per vector is identical under the same
+    // (csim, −cid) tie-break.
+    val assigned = seedAssigned(s, d)
+      .select(col("vec_id"), col("cid"), round(col("csim"), 6).as("proto"))
     assigned.groupBy(col("cid"))
       .agg(call_function("top_k",
         struct(col("proto"), (-col("vec_id")).as("neg_id")), lit(q)).as("top"))
@@ -669,18 +697,9 @@ object Similarity {
     * baseline leg is sampled offline instead — it exists here because
     * the oracle grades the flags). Every stage replays in DuckDB. */
   private def annRerank(s: SparkSession, d: String): DataFrame = {
-    val k = 8
     val e = Tables.embeddings(s, d)
-    val cents = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        call_function("cosine_sim", col("embedding"), col("cvec")).as("csim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("embedding"), col("cid")),
-        struct(col("csim"), -col("cid"))).as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"),
-        col("best.cid").as("cid"))
+    val cents = seedCents(s, d)
+    val assigned = seedAssigned(s, d)
     val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
     val pcells = cents.crossJoin(broadcast(probe))
       .select(col("cid"),
@@ -713,15 +732,9 @@ object Similarity {
     * counts, the rank window runs per cell over vocabulary-sized
     * slices. */
   private def clusterTopics(s: SparkSession, d: String): DataFrame = {
-    val k = 8
-    val e = Tables.embeddings(s, d)
-    val cents = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        call_function("cosine_sim", col("embedding"), col("cvec")).as("csim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cell"))
+    // r17 optimization: the shared materialized seed assignment (same
+    // argmax cell under the same tie-break).
+    val assigned = seedAssigned(s, d).select(col("vec_id"), col("cid").as("cell"))
     val toks = Tables.documents(s, d)
       .join(assigned, col("doc_id") === col("vec_id"))
       .select(col("cell"), explode(split(col("text"), " ")).as("tok"))
@@ -760,20 +773,11 @@ object Similarity {
     * rank windows run over candidate-bounded relations; centroid/probe
     * relations broadcast. */
   private def ivfRecallCurve(s: SparkSession, d: String): DataFrame = {
-    val k = 8
     val e = Tables.embeddings(s, d)
-    val cents = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cents = seedCents(s, d)
     val probeV = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("probe_v"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        call_function("cosine_sim", col("embedding"), col("cvec")).as("csim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("embedding"), col("cid")),
-        struct(col("csim"), -col("cid"))).as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"),
-        col("best.cid").as("cid"))
+    val assigned = seedAssigned(s, d)
     val cellRank = cents.crossJoin(broadcast(probeV))
       .select(col("cid"),
         call_function("cosine_sim", col("cvec"), col("probe_v")).as("qsim"))
@@ -1341,14 +1345,10 @@ object Similarity {
     * Scale shape: one assignment scan, k-row output. */
   private def ivfBalance(s: SparkSession, d: String): DataFrame = {
     val k = 8
-    val e = Tables.embeddings(s, d)
-    val cents = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        call_function("cosine_sim", col("embedding"), col("cvec")).as("csim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cell"))
+    // r17 optimization: the shared materialized seed assignment (the
+    // audit's cell is the same argmax); the total and the per-cell
+    // counts otherwise each re-ran the n×8 assignment scan.
+    val assigned = seedAssigned(s, d).select(col("vec_id"), col("cid").as("cell"))
     val total = assigned.agg(count(lit(1)).as("n_vectors"))
     assigned.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
       .crossJoin(broadcast(total))

@@ -448,7 +448,11 @@ object TextAnalysis {
     val terms = Seq("spark", "hash", "window")
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-    val dl = toks.select(col("doc_id"), size(col("w")).as("dl"))
+    // r17 optimization: the per-doc length relation feeds the corpus
+    // stats AND the score join — materialized once (doc-count-sized) so
+    // the corpus is split/scanned once for lengths, not twice.
+    val dl = graft.operators.Relational.materializeOnce(s, d, "bm25_dl")(
+      toks.select(col("doc_id"), size(col("w")).as("dl")))
     val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
     val tf = toks.select(col("doc_id"), explode(col("w")).as("t"))
       .filter(col("t").isin(terms: _*))
@@ -488,13 +492,20 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-    val big = toks
+    // r17 optimization: the bigram stream feeds the pair counts AND the
+    // score join (2 evals of scan+posexplode+lead window without the
+    // cache), and the prefix counts are exact sums of the pair counts —
+    // c(w1·) = Σ_w2 c(w1 w2) — so they derive from the materialized
+    // count table instead of a third pass (guide §1.2).
+    val big = graft.operators.Relational.materializeOnce(s, d, "bigram_lm_big")(
+      toks
       .withColumn("w2",
         lead(col("w"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
       .filter(col("w2").isNotNull)
-      .select(col("doc_id"), col("w").as("w1"), col("w2"))
-    val cb = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .select(col("doc_id"), col("w").as("w1"), col("w2")))
+    val cb = graft.operators.Relational.materializeOnce(s, d, "bigram_lm_cb")(
+      big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")))
+    val c1 = cb.groupBy(col("w1")).agg(sum(col("cb")).as("c1"))
     val v = toks.agg(countDistinct(col("w")).as("v"))
     big.join(cb, Seq("w1", "w2"))
       .join(c1, Seq("w1"))

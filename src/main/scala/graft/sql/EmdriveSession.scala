@@ -1212,12 +1212,31 @@ final class EmdriveSession(private[sql] val spark: SparkSession,
       // except a RECURSIVE self-referencing CTE, which iterates eagerly
       // to its set fixpoint before the body sees it.
       val saved = ctes.map { case (n, _) => n -> catalog.get(n) }
+      // inside a WITH RECURSIVE statement every fixpoint round
+      // re-evaluates the step arms, so a lazily-wired non-recursive CTE
+      // that a STEP arm reads would be recomputed once per round —
+      // materialize exactly those once (r17 optimization, the
+      // lowerRecursiveCte localCheckpoint discipline). CTEs read only
+      // from base arms / the body stay lazy, keeping predicate pushdown
+      // (and plain WITH is untouched).
+      val stepRef: String => Boolean =
+        if (!recursive) _ => false
+        else {
+          val stepArms = ctes.collect {
+            case (rn, ch) if chainReferences(ch, rn) =>
+              (ch.first +: ch.rest.map(_._2)).filter(selectReferences(_, rn))
+          }.flatten
+          n2 => stepArms.exists(selectReferences(_, n2))
+        }
       try {
         ctes.foreach { case (n, chain) =>
           catalog(n) =
             if (recursive && chainReferences(chain, n))
               lowerRecursiveCte(n, chain)
-            else lowerChain(chain)
+            else {
+              val df = lowerChain(chain)
+              if (stepRef(n)) df.localCheckpoint() else df
+            }
         }
         lowerChain(body)
       } finally saved.reverse.foreach {

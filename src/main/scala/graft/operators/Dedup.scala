@@ -1040,9 +1040,13 @@ object Dedup {
     * the df cut, so no cap is needed for correctness); join back on the
     * 8-byte shingle hash, per-doc agg partial-combines on doc_id. */
   private def ngramNovelty(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+    // r17 optimization: the hashed shingle stream feeds the first-seen
+    // aggregate AND the join side — materialized once (one corpus
+    // explode, not two).
+    val sh = graft.operators.Relational.materializeOnce(s, d, "novelty_sh")(
+      Tables.documents(s, d)
       .select(col("doc_id"), explode(shingleCol).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h")))
     val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
     sh.join(first, "h")
       .groupBy(col("doc_id"))

@@ -322,11 +322,17 @@ object Relational {
     val l = Tables.lineitem(s, d)
     def check(name: String, cnt: DataFrame): DataFrame =
       cnt.select(lit(name).as("check_name"), col("n").as("n_violations"))
-    check("orders_pk_dup",
-      o.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("n")))
-      .unionByName(check("orders_null_custkey",
-        o.agg(sum(when(col("o_custkey").isNull, 1).otherwise(0))
-          .cast("long").as("n"))))
+    // r17 optimization: the two scalar checks fuse into ONE orders pass
+    // (one aggregate computes both counts, stack unpivots to the same
+    // two rows) — the anti-join checks keep their own scans, which the
+    // join itself needs.
+    val scalar = o.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dup"),
+        sum(when(col("o_custkey").isNull, 1).otherwise(0))
+          .cast("long").as("null_ck"))
+      .select(expr("stack(2, 'orders_pk_dup', pk_dup, " +
+        "'orders_null_custkey', null_ck) AS (check_name, n_violations)"))
+    scalar
       .unionByName(check("orders_orphan_custkey",
         o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
           .agg(count(lit(1)).as("n"))))
@@ -804,9 +810,16 @@ object Relational {
     val cust = Tables.customer(s, d)
     val ord = Tables.orders(s, d)
     val li = Tables.lineitem(s, d)
-    val custDel = cust.join(del, col("c_custkey") === col("del_key"), "left_semi")
-    val ordDel = ord.join(del, col("o_custkey") === col("del_key"), "left_semi")
-    val liDel = li.join(ordDel.select(col("o_orderkey").as("del_ord")),
+    // r17 optimization: the erased customer set IS `del` (a filter of the
+    // customer PK — the semi-join of customer against its own filtered
+    // keys returns exactly those rows), and the deleted-order key set
+    // feeds both its own count and the lineitem cascade — materialize it
+    // once instead of running the orders semi-join twice.
+    val custDel = del
+    val ordDel = materializeOnce(s, d, "gdpr_orddel_keys")(
+      ord.join(del, col("o_custkey") === col("del_key"), "left_semi")
+        .select(col("o_orderkey").as("del_ord")))
+    val liDel = li.join(ordDel,
       col("l_orderkey") === col("del_ord"), "left_semi")
     def report(name: String, total: DataFrame, deleted: DataFrame): DataFrame =
       total.agg(count(lit(1)).as("rows_before"))
@@ -1192,8 +1205,12 @@ object Relational {
     * exact integers, deterministic in any engine. */
   private def attribution(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = EventTime.withMs(Tables.events(s, d))
-      .select(col("user_id"), col("event_type"), col("ms"), col("event_id"))
+    // r17 optimization: this projection feeds the purchase aggregate, the
+    // first-touch window, and the last-touch join — materialized once so
+    // the events fact is scanned once, not three times.
+    val ev = materializeOnce(s, d, "attribution_ev")(
+      EventTime.withMs(Tables.events(s, d))
+      .select(col("user_id"), col("event_type"), col("ms"), col("event_id")))
     val fp = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(min(col("ms")).as("p_ms"), count(lit(1)).as("n_purchases"))

@@ -219,9 +219,14 @@ object Sampling {
     * else is broadcast scalars. */
   private def budgetWaterfill(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val avail = Tables.documents(s, d)
+    // r17 optimization: the per-source token totals feed the grand total
+    // AND the ranking (2 corpus scans), and the ranked relation feeds the
+    // cap aggregate AND the final quota projection — materialize both
+    // (source-cardinality relations; the corpus is scanned once).
+    val avail = graft.operators.Relational.materializeOnce(s, d, "waterfill_avail")(
+      Tables.documents(s, d)
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
-      .groupBy(col("source")).agg(sum(col("t")).as("avail"))
+      .groupBy(col("source")).agg(sum(col("t")).as("avail")))
     val tot = avail.agg(sum(col("avail")).as("total"), count(lit(1)).as("k"))
     val w = Window.orderBy(col("avail"), col("source"))
     val ranked = avail.crossJoin(broadcast(tot))
@@ -231,10 +236,12 @@ object Sampling {
       .withColumn("capped",
         col("avail") * (col("k") - col("i") + 1) + (col("cum") - col("avail"))
           <= col("budget"))
-    val cap = ranked.agg(
+    val rankedM = graft.operators.Relational.materializeOnce(
+      s, d, "waterfill_ranked")(ranked)
+    val cap = rankedM.agg(
       sum(when(col("capped"), col("avail")).otherwise(0L)).as("cum_capped"),
       sum(when(col("capped"), 1L).otherwise(0L)).as("n_capped"))
-    ranked.crossJoin(broadcast(cap))
+    rankedM.crossJoin(broadcast(cap))
       .select(col("source"), col("avail"), col("capped"),
         when(col("capped"), col("avail").cast("double"))
           .otherwise((col("budget") - col("cum_capped")).cast("double")

@@ -138,9 +138,13 @@ object TextAnalysis {
   private def tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDocs = docs.select(countDistinct(col("doc_id")).as("nd"))
-    val terms = docs
+    // r17 optimization: the (doc, term) counts feed the df aggregation
+    // AND the score join — materialized once so the corpus is exploded
+    // once, not twice.
+    val terms = graft.operators.Relational.materializeOnce(s, d, "tfidf_terms")(
+      docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val df = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
     terms
       .join(df, "term")
@@ -599,10 +603,15 @@ object TextAnalysis {
         lead(col("w"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
       .filter(col("w2").isNotNull)
       .select(col("w").as("w1"), col("w2"))
-    val cb = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val c2 = big.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
-    val n = big.agg(count(lit(1)).as("n"))
+    // r17 optimization: every marginal is an exact sum of the pair
+    // counts — c1(w1) = Σ_w2 cb, c2(w2) = Σ_w1 cb, n = Σ cb — so ONE
+    // pass builds the materialized pair-count table and the other three
+    // aggregates read it (was 4 evals of scan+posexplode+lead window).
+    val cb = graft.operators.Relational.materializeOnce(s, d, "pmi_cb")(
+      big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")))
+    val c1 = cb.groupBy(col("w1")).agg(sum(col("cb")).as("c1"))
+    val c2 = cb.groupBy(col("w2")).agg(sum(col("cb")).as("c2"))
+    val n = cb.agg(sum(col("cb")).as("n"))
     cb.orderBy(col("cb").desc, col("w1"), col("w2")).limit(20)
       .join(c1, Seq("w1"))
       .join(c2, Seq("w2"))

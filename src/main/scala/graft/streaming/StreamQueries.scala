@@ -269,9 +269,13 @@ object StreamQueries {
     // doesn't cost RAM twice.
     val localMax = sys.env.get("SPARK_GRAFT_STREAM_LOCAL_MAX")
       .flatMap(_.toLongOption).getOrElse(2000000L)
-    val nRows = s.table(sink).count()
-    val result = if (nRows <= localMax) {
-      val rows = s.table(sink).collect()
+    // ONE driver read instead of count-then-collect (r17 optimization —
+    // the count was a separate job per replayed key): probe localMax+1
+    // rows; coming up short proves the full result fits the
+    // LocalRelation path, otherwise fall through to the parquet spill.
+    val probeMax = math.min(localMax, Int.MaxValue.toLong - 1L).toInt
+    val rows = s.table(sink).limit(probeMax + 1).collect()
+    val result = if (rows.length <= probeMax) {
       val outSchema = s.table(sink).schema
       s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     } else {

@@ -894,7 +894,11 @@ object Dedup {
       StructField("pr_scaled", LongType, nullable = false)))
     val pairs = wordPairsAll(s, d).filter(col("raw_j") >= 0.2)
       .select(col("id_a"), col("id_b"))
-    val parts = math.max(1, s.sparkContext.defaultParallelism / 2)
+    // scale-adaptive partitioning (r17 optimization, guide §2): 10 rank
+    // rounds schedule parts tasks per shuffle stage — size to the edge
+    // count, capped by the old core-derived constant at scale (the count
+    // reuses the memoized pair build's shuffle files).
+    val parts = adaptiveParts(s, pairs.count() * 2)
     val part = new HashPartitioner(parts)
     // src-keyed directed edges, hash-partitioned ONCE — later iterations
     // reuse this layout's shuffle files as skipped stages
@@ -982,6 +986,14 @@ object Dedup {
     * over a shrinking edge set, and every action reuses prior rounds'
     * shuffle files as skipped stages. Fourteenth consumer of the shared
     * pair build. */
+  /** The components sizing rule (≈250k keyed rows per task, floor 1,
+    * core-capped), shared by every iterative RDD loop — r17: kcore and
+    * pagerank previously scheduled defaultParallelism/2 tasks per stage
+    * regardless of graph size (kcore: 12 rounds × ~5 stages each). */
+  private def adaptiveParts(s: SparkSession, rows: Long): Int =
+    math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
+      rows / 250000L + 1L)).toInt
+
   private def kcore(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.HashPartitioner
     val spark = s
@@ -993,7 +1005,13 @@ object Dedup {
       val a = r.getLong(0); val b = r.getLong(1)
       Iterator((a, b), (b, a))
     }
-    val parts = math.max(1, spark.sparkContext.defaultParallelism / 2)
+    // scale-adaptive partitioning (r17 optimization, guide §2): 12 peel
+    // rounds × ~5 stages each schedule parts tasks PER STAGE, so a
+    // constant tuned to the core count pays ~60·parts task launches on a
+    // pair graph that is tiny at bench scale. Derive parts from the edge
+    // count (the count reuses the memoized pair build's shuffle files —
+    // one cheap job), capped by the old core-derived value at scale.
+    val parts = adaptiveParts(spark, pairs.count() * 2)
     val part = new HashPartitioner(parts)
     var edges = raw.partitionBy(part)
     var prevEdges = edges

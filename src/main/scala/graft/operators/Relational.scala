@@ -601,7 +601,12 @@ object Relational {
     val v = Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_linenumber"),
       col("l_extendedprice").cast("decimal(18,2)").as("v"))
-    val hist = v.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    // r17 optimization: the value histogram feeds the cumulative pass AND
+    // the total-count scalar — materialized once (distinct-value-sized)
+    // so the fact is aggregated once, not twice; the assignment scan
+    // below is the one remaining fact pass.
+    val hist = materializeOnce(s, d, "ntile_thr_hist")(
+      v.groupBy(col("v")).agg(count(lit(1)).as("c")))
     val cum = hist.withColumn("cum",
       sum(col("c")).over(Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -1554,13 +1559,17 @@ object Relational {
     * shuffles and offset maps, never a single-partition window. The
     * reference day is a broadcast scalar, not a global unordered window. */
   private def rfm(s: SparkSession, d: String): DataFrame = {
-    val per = Tables.orders(s, d)
+    // r17 optimization: the per-customer collapse feeds the reference-day
+    // scalar AND the scored base (and the three nested rangeNtile passes
+    // re-scan their input) — materialize once so the orders fact is
+    // aggregated a single time.
+    val per = materializeOnce(s, d, "rfm_per_cust")(Tables.orders(s, d)
       .select(col("o_custkey"),
         expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000").as("day"),
         col("o_totalprice").cast("decimal(18,4)").as("price"))
       .groupBy(col("o_custkey"))
       .agg(max(col("day")).as("last_day"), count(lit(1)).as("frequency"),
-        sum(col("price")).as("monetary"))
+        sum(col("price")).as("monetary")))
     val ref = per.agg(max(col("last_day")).as("ref_day"))
     val base = per.crossJoin(broadcast(ref))
       .withColumn("recency_days", col("ref_day") - col("last_day"))

@@ -896,7 +896,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     // scale-adaptive partitioning (r17 optimization, guide §2): 10 rank
     // rounds schedule parts tasks per shuffle stage — size to the edge
-    // count, capped by the old core-derived constant at scale (the count
+    // count, core-capped at scale (the components rule; the count
     // reuses the memoized pair build's shuffle files).
     val parts = adaptiveParts(s, pairs.count() * 2)
     val part = new HashPartitioner(parts)
@@ -1010,7 +1010,7 @@ object Dedup {
     // constant tuned to the core count pays ~60·parts task launches on a
     // pair graph that is tiny at bench scale. Derive parts from the edge
     // count (the count reuses the memoized pair build's shuffle files —
-    // one cheap job), capped by the old core-derived value at scale.
+    // one cheap job), core-capped at scale (the components rule).
     val parts = adaptiveParts(spark, pairs.count() * 2)
     val part = new HashPartitioner(parts)
     var edges = raw.partitionBy(part)

@@ -88,7 +88,7 @@ object Dedup {
     val snap = graft.sources.PairStore.fileFingerprint(
       s, shingled.inputFiles.toSeq)
     val key = s"jacc_pairs_${shingled.queryExecution.analyzed.semanticHash()}" +
-      s"_${snap.hashCode}_$maxDf"
+      s"_${snap}_$maxDf"
     val (rdd, schema) = graft.SessionMemo.of(s, "", key) {
       val df = pairsAllFromPostings(cutPostings(shingled, maxDf))
       (df.rdd, df.schema)
@@ -250,7 +250,7 @@ object Dedup {
     val s = docs0.sparkSession
     val snap = graft.sources.PairStore.fileFingerprint(s, docs0.inputFiles.toSeq)
     val pk = s"minhash_${docs0.queryExecution.analyzed.semanticHash()}" +
-      s"_${snap.hashCode}"
+      s"_${snap}"
     val docs = graft.operators.Relational.materializeOnce(s, "", pk + "_sh")(docs0)
     val banded = graft.operators.Relational.materializeOnce(s, "", pk + "_band")(
       docs.select(

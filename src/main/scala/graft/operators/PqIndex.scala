@@ -124,12 +124,25 @@ object PqIndex {
   private def fitBooks(sample: Array[Array[Float]], dim: Int, seed: Long): PqModel = {
     val dsub = dim / M
     val flat = new Array[Float](M * K * dsub)
-    (0 until M).foreach { m =>
-      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, m * dsub, (m + 1) * dsub))
-      LocalKMeans.fit(sub, K, seed + m).zipWithIndex.foreach { case (cen, c) =>
-        System.arraycopy(cen, 0, flat, (m * K + c) * dsub, dsub)
-      }
+    // the M per-subspace fits are INDEPENDENT (disjoint input slices,
+    // disjoint output regions of `flat`, per-subspace seed) — run them on
+    // M driver threads (guide §2.6 overlap-independent-work): the fit is
+    // single-threaded Lloyd over up to TrainSampleCap points, and fitting
+    // the 8 subspaces concurrently cuts the driver-side build wall-clock
+    // ~M× with a bit-identical model (each fit is seeded and pure; the
+    // ×10 stress priced this serial fit as q_ann_pq's dominant scale term,
+    // r17 verdict next-round #6).
+    val workers = (0 until M).map { m =>
+      new Thread(() => {
+        val sub = sample.map(v =>
+          java.util.Arrays.copyOfRange(v, m * dsub, (m + 1) * dsub))
+        LocalKMeans.fit(sub, K, seed + m).zipWithIndex.foreach { case (cen, c) =>
+          System.arraycopy(cen, 0, flat, (m * K + c) * dsub, dsub)
+        }
+      })
     }
+    workers.foreach(_.start())
+    workers.foreach(_.join())
     PqModel(M, K, dsub, flat)
   }
 
@@ -317,9 +330,16 @@ object PqIndex {
         emb.select(lit(10).as("k"), lit(50).as("pool"),
           lit(0L).as("n_scored"), lit(true).as("recall_ok")).limit(0)
       case Some(p) =>
-        val (model, enc) = graft.SessionMemo.of(s, d, "pq_index") {
-          val m = fitPq(emb, dim)
-          (m, encode(emb.filter(col("vec_id") =!= 0), m))
+        // the model AND the encoded codes relation are the index: codes
+        // are M small ints per vector (the 42×-compressed artifact), so
+        // persisting them through the registry is the in-memory form of
+        // writeIvfPq's codes parquet — the ADC scan and the n_scored
+        // count then read the index instead of re-encoding the corpus
+        // per consumer (registered for evictAll; the ×-scale stress
+        // still prices the build).
+        val model = graft.SessionMemo.of(s, d, "pq_index") { fitPq(emb, dim) }
+        val enc = graft.SessionMemo.ofPersisted(s, d, "pq_index_codes") {
+          encode(emb.filter(col("vec_id") =!= 0), model)
         }
         val adc = searchAdc(enc, model, p, 50).select(col("vec_id"))
         val hits = exactTop10(emb.filter(col("vec_id") =!= 0), p)
@@ -353,9 +373,11 @@ object PqIndex {
         emb.select(lit(10).as("k"), lit(50).as("pool"),
           lit(2).as("nprobe"), lit(true).as("recall_ok")).limit(0)
       case Some(p) =>
-        val (model, enc) = graft.SessionMemo.of(s, d, "ivfpq_index") {
-          val m = fitIvfPq(emb.filter(col("vec_id") =!= 0), dim, kCoarse = 8)
-          (m, encodeIvf(emb.filter(col("vec_id") =!= 0), m))
+        val model = graft.SessionMemo.of(s, d, "ivfpq_index") {
+          fitIvfPq(emb.filter(col("vec_id") =!= 0), dim, kCoarse = 8)
+        }
+        val enc = graft.SessionMemo.ofPersisted(s, d, "ivfpq_index_codes") {
+          encodeIvf(emb.filter(col("vec_id") =!= 0), model)
         }
         val adc = searchIvfPq(enc, model, p, nprobe = 2, topK = 50)
           .select(col("vec_id"))

@@ -448,6 +448,16 @@ object Relational {
     * The order columns must form a TOTAL order (tie-broken by a unique
     * key) so the global rank — and hence the bucket — is deterministic
     * and engine-independent. */
+  /** (r18 note: a fully-declarative rewrite — approxQuantile range
+    * buckets + partitioned row_number + broadcast offsets, the
+    * rangeCumSum machinery — was built and MEASURED this round: q_rfm
+    * 1.4 → 3.0 s, q_ntile 0.76 → 1.35 s, even with the input local-
+    * checkpointed against nested re-evaluation. The RDD shape below wins
+    * because its two passes are cheap ones — RangePartitioner sampling +
+    * a counts job whose shuffle files the final pass reuses as skipped
+    * stages — while the sketch pass pays QuantileSummaries per row and
+    * the checkpoint pays a full row copy+persist. Reverted per guide
+    * §1.1: empirical loop beats the paper plan.) */
   private[graft] def rangeNtile(df: DataFrame, buckets: Int,
                                 order: Seq[Column], out: String): DataFrame = {
     val s = df.sparkSession
@@ -2314,19 +2324,32 @@ object Relational {
       .select(col("p_brand"),
         (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
         col("l_quantity").cast("decimal(18,4)").as("w"))
+      // ONE full-data exchange for the whole query (guide §2.4: two
+      // operations keyed the same way share one exchange): hash-partition
+      // by brand BEFORE the (brand, price) collapse — a partitioning on a
+      // subset of the grouping keys satisfies the aggregation's required
+      // distribution, and it IS the cumulative window's distribution, so
+      // neither adds an Exchange. Before r18 the aggregation exchanged by
+      // (brand, price) — ~1 row per fact row, prices being nearly unique —
+      // and the window re-exchanged the same rows by brand: two full-data
+      // shuffles where one suffices. Sums are exact decimals (placement-
+      // and order-independent), so every value is bit-identical.
+      .repartition(col("p_brand"))
       .groupBy(col("p_brand"), col("unit_price"))
       .agg(sum(col("w")).as("w"))
     val wc = Window.partitionBy(col("p_brand")).orderBy(col("unit_price"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // per-brand total via an unbounded frame on the SAME partitioning as
-    // the cumulative window — before r17 this was a second groupBy branch
-    // of the same base relation, which re-ran the fact scan + join +
-    // partial aggregation a second time per execution (guide §2.4: two
-    // operations keyed the same way share one exchange; a window with no
-    // ordering rides the exchange the cumulative window already forced).
-    // total_w is the identical exact-decimal per-brand sum, so the
-    // filter boundary and the reported total cannot move.
-    val wt = Window.partitionBy(col("p_brand"))
+    // per-brand total via an unbounded frame on the SAME (partition, order)
+    // spec as the cumulative window — before r17 this was a second groupBy
+    // branch of the same base relation (a second fact pass); r17 made it a
+    // second WindowExec on the shared exchange; r18 puts it on the SAME
+    // partition+order spec so Catalyst fuses both frames into ONE Window
+    // operator — one partition buffering pass instead of two stacked
+    // WindowExecs. total_w is the identical exact-decimal per-brand sum
+    // (the full frame sums every row of the partition regardless of
+    // ordering), so the filter boundary and the reported total cannot move.
+    val wt = Window.partitionBy(col("p_brand")).orderBy(col("unit_price"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     rows.withColumn("cum", sum(col("w")).over(wc))
       .withColumn("total_w", sum(col("w")).over(wt))
       .filter(col("cum") * 2 >= col("total_w"))

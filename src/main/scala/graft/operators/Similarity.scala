@@ -505,7 +505,7 @@ object Similarity {
     // The corpus count rides in the same entry (it sizes k).
     val snap = graft.sources.PairStore.fileFingerprint(s, ev.inputFiles.toSeq)
     val baseKey = s"semdedup_${ev.queryExecution.analyzed.semanticHash()}" +
-      s"_${snap.hashCode}_${targetCell}_$seed"
+      s"_${snap}_${targetCell}_$seed"
     val (n, centersOpt) = graft.SessionMemo.of(s, "", baseKey) {
       val n = ev.count()
       // empty-corpus guard (the Pca/Pq doctrine): KMeans cannot fit 0 rows
@@ -1382,7 +1382,15 @@ object Similarity {
     graft.SessionMemo.of(s, d, "metric_index_layout") {
       val hashed = Tables.documents(s, d).select(col("doc_id"),
         call_function("simhash64", split(col("text"), " ")).as("h"))
-      val path = s"/tmp/graft_metric_index_${graft.SessionMemo.pathTag(d)}"
+      // invocation-unique path (r17 ADVICE, low): SessionMemo's benign-
+      // duplicate-build doctrine holds for in-memory artifacts but not a
+      // shared filesystem path — two concurrent first calls could race
+      // writeIndexed-overwrite vs read. Each racing build now writes its
+      // OWN dir; the losing entry is an orphaned pid-tagged temp dir the
+      // end-of-run sweep deletes (the nanoTime lands BEFORE pathTag so
+      // the dir still ends with _p<pid> for the liveness reaper).
+      val path = s"/tmp/graft_metric_index_${System.nanoTime()}_" +
+        graft.SessionMemo.pathTag(d)
       graft.sources.MetricIndex.writeIndexed(hashed, path, "h", bits = 6)
       val probeRow = hashed.filter(col("doc_id") === 0)
         .select(col("h")).limit(1).collect()

@@ -22,10 +22,22 @@ object Tables {
     * of a session, so the resolved relation is catalog metadata, exactly
     * what a registered table would hold). Execution still scans parquet
     * on every action — nothing here caches data. */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    graft.SessionMemo.of(spark, dir, s"src_table_$name") {
-      spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // cheap staleness stamp folded into the memo key (r17 ADVICE, medium):
+    // an in-place corpus rewrite mid-session changes the table path's
+    // (mtime, length) — one local stat per call, so the memoized relation
+    // can never read a stale/deleted file index through the memo. (For a
+    // directory table the dir mtime moves when children are added/
+    // replaced; the single-file corpus moves both fields.) Everything
+    // else — the listing + footer read the memo exists to avoid — still
+    // happens once per distinct stamp.
+    val p = s"$dir/$name.parquet"
+    val f = new java.io.File(p)
+    graft.SessionMemo.of(spark, dir,
+      s"src_table_${name}_${f.lastModified}_${f.length}") {
+      spark.read.parquet(p)
     }
+  }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")

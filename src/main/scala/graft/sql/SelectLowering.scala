@@ -57,8 +57,13 @@ private[sql] trait SelectLowering { self: EmdriveSession =>
         s"recursive CTE $name: the recursive arm must attach with UNION " +
           "(distinct set semantics — UNION ALL over a cycle never terminates)")
     }
+    // LAZY localCheckpoint + count: the eager form runs one job to
+    // materialize the checkpoint and the count() a second — with the lazy
+    // mark, the count() action is what computes (and persists) the blocks,
+    // so each fixpoint round runs ONE job instead of two (r17 verdict
+    // next-round #7). Same blocks, same lineage truncation, same counts.
     var acc = lowerChain(UnionStmt(chain.first, baseArms))
-      .dropDuplicates().localCheckpoint()
+      .dropDuplicates().localCheckpoint(eager = false)
     var n = acc.count()
     var iter = 0
     var grown = true
@@ -69,7 +74,8 @@ private[sql] trait SelectLowering { self: EmdriveSession =>
         val stepped = stepArms.map { case (_, s) => lowerSelect(s) }
           .map(d => d.toDF(acc.columns.toIndexedSeq: _*))
           .reduce(_ union _)
-        val next = acc.union(stepped).dropDuplicates().localCheckpoint()
+        val next = acc.union(stepped).dropDuplicates()
+          .localCheckpoint(eager = false)
         val n2 = next.count()
         grown = n2 > n
         acc = next

@@ -132,17 +132,22 @@ object PqIndex {
     // ~M× with a bit-identical model (each fit is seeded and pure; the
     // ×10 stress priced this serial fit as q_ann_pq's dominant scale term,
     // r17 verdict next-round #6).
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val workers = (0 until M).map { m =>
       new Thread(() => {
-        val sub = sample.map(v =>
-          java.util.Arrays.copyOfRange(v, m * dsub, (m + 1) * dsub))
-        LocalKMeans.fit(sub, K, seed + m).zipWithIndex.foreach { case (cen, c) =>
-          System.arraycopy(cen, 0, flat, (m * K + c) * dsub, dsub)
-        }
+        try {
+          val sub = sample.map(v =>
+            java.util.Arrays.copyOfRange(v, m * dsub, (m + 1) * dsub))
+          LocalKMeans.fit(sub, K, seed + m).zipWithIndex.foreach { case (cen, c) =>
+            System.arraycopy(cen, 0, flat, (m * K + c) * dsub, dsub)
+          }
+        } catch { case t: Throwable => failure.compareAndSet(null, t); () }
       })
     }
     workers.foreach(_.start())
     workers.foreach(_.join())
+    // a worker failure must fail the fit loudly, not return a zeroed book
+    if (failure.get != null) throw failure.get
     PqModel(M, K, dsub, flat)
   }
 

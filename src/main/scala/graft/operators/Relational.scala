@@ -219,12 +219,19 @@ object Relational {
     val stepMs = 86400000L
     val ev = EventTime.withMs(Tables.events(s, d))
       .select(col("user_id"), col("event_type"), col("ms"))
-    val t1 = ev.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ms")).as("t1"))
-    val t2 = ev.filter(col("event_type") === "view")
-      .join(t1, "user_id")
-      .filter(col("ms") > col("t1") && col("ms") <= col("t1") + stepMs)
-      .groupBy(col("user_id")).agg(min(col("ms")).as("t2"))
+    // r18: each step relation feeds the NEXT step's join AND its own
+    // final count — unmaterialized, t1's subplan executed 3× and t2's 2×
+    // (6 event scans per execution). Per-user scalar rows (the r17
+    // q_above_avg_spenders class), evictAll-registered; the type-filtered
+    // event scans keep their own pushed filters (one scan each).
+    val t1 = materializeOnce(s, d, "funnel_t1")(
+      ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ms")).as("t1")))
+    val t2 = materializeOnce(s, d, "funnel_t2")(
+      ev.filter(col("event_type") === "view")
+        .join(t1, "user_id")
+        .filter(col("ms") > col("t1") && col("ms") <= col("t1") + stepMs)
+        .groupBy(col("user_id")).agg(min(col("ms")).as("t2")))
     val t3 = ev.filter(col("event_type") === "purchase")
       .join(t2, "user_id")
       .filter(col("ms") > col("t2") && col("ms") <= col("t2") + stepMs)
@@ -245,9 +252,13 @@ object Relational {
     * bounded by users·weeks, so the join input is corpus-size-independent
     * and every later shuffle is tiny. */
   private def cohortRetention(s: SparkSession, d: String): DataFrame = {
-    val uw = EventTime.withMs(Tables.events(s, d))
-      .select(col("user_id"), expr("ms div 604800000").as("w"))
-      .distinct()
+    // r18: feeds the cohort aggregate AND the join back — materialize the
+    // (user, week)-distinct collapse once (the churn_user_weeks pattern;
+    // different week column name keeps the memo entries distinct).
+    val uw = materializeOnce(s, d, "cohort_user_weeks")(
+      EventTime.withMs(Tables.events(s, d))
+        .select(col("user_id"), expr("ms div 604800000").as("w"))
+        .distinct())
     val first = uw.groupBy(col("user_id")).agg(min(col("w")).as("cohort_w"))
     uw.join(first, "user_id")
       .groupBy(col("cohort_w"), (col("w") - col("cohort_w")).as("period_w"))
@@ -1081,11 +1092,16 @@ object Relational {
   private def transitions(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
-    val pairs = EventTime.withMs(Tables.events(s, d))
-      .withColumn("from_type", lag(col("event_type"), 1).over(w))
-      .filter(col("from_type").isNotNull)
-      .groupBy(col("from_type"), col("event_type").as("to_type"))
-      .agg(count(lit(1)).as("n"))
+    // r18: the |types|²-row matrix feeds BOTH the row-totals aggregate and
+    // the final join — unmaterialized, the fact window pass ran twice per
+    // execution (the r17 q_cooccurrence pattern, missed by the ≥3-scan
+    // audit cut). Collapsed-relation-sized, evictAll-registered.
+    val pairs = materializeOnce(s, d, "transitions_pairs")(
+      EventTime.withMs(Tables.events(s, d))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n")))
     val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("row_total"))
     pairs.join(broadcast(totals), "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
@@ -1337,9 +1353,15 @@ object Relational {
     * ties break on the earlier hour. High χ² = bursty/bot-like traffic;
     * near-zero = uniform. */
   private def hourlyProfile(s: SparkSession, d: String): DataFrame = {
-    val hours = EventTime.withMs(Tables.events(s, d))
-      .select(col("event_type"), expr("(ms div 3600000) % 24").as("hour"))
-      .groupBy(col("event_type"), col("hour")).agg(count(lit(1)).as("n"))
+    // r18: the ≤|types|×24-row histogram feeds the moments aggregate AND
+    // the peak join (which ALSO re-reads the aggregate) — unmaterialized,
+    // the events scan ran 3× per execution. Collapsed-relation-sized,
+    // evictAll-registered; `agg` is ≤|types| rows and derives from the
+    // cached histogram, so it needs no cache of its own.
+    val hours = materializeOnce(s, d, "hourly_profile_hist")(
+      EventTime.withMs(Tables.events(s, d))
+        .select(col("event_type"), expr("(ms div 3600000) % 24").as("hour"))
+        .groupBy(col("event_type"), col("hour")).agg(count(lit(1)).as("n")))
     val agg = hours.groupBy(col("event_type"))
       .agg(sum(col("n")).as("total"),
         sum(col("n") * col("n")).as("sum_sq"),
@@ -2547,9 +2569,14 @@ object Relational {
     * week is excluded (its churn is unknowable yet — exactly as the
     * oracle states it). Exact integers, one rounded ratio. */
   private def churn(s: SparkSession, d: String): DataFrame = {
-    val uw = EventTime.withMs(Tables.events(s, d))
-      .select(col("user_id"), expr("ms div 604800000").as("week"))
-      .distinct()
+    // r18: the (user, week)-distinct relation feeds the active counts,
+    // BOTH anti-join sides, and the max-week scalar — unmaterialized,
+    // the events scan + distinct ran 4× per execution. Bounded by
+    // users × weeks; evictAll-registered.
+    val uw = materializeOnce(s, d, "churn_user_weeks")(
+      EventTime.withMs(Tables.events(s, d))
+        .select(col("user_id"), expr("ms div 604800000").as("week"))
+        .distinct())
     val active = uw.groupBy(col("week")).agg(count(lit(1)).as("n_active"))
     val prevOfNext = uw.select(col("user_id"), (col("week") - 1).as("week"))
     val churned = uw.join(prevOfNext, Seq("user_id", "week"), "left_anti")

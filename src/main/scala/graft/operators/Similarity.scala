@@ -1228,8 +1228,15 @@ object Similarity {
         col("x.trunc_dim").as("trunc_dim"), col("x.sim").as("sim"))
     val w = Window.partitionBy(col("probe_id"), col("trunc_dim"))
       .orderBy(col("sim").desc, col("vec_id"))
-    val top = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
+    // r18: the ranked top-10 relation (≤ probes × dims × 10 = 800 rows)
+    // feeds BOTH the full-dim baseline and the truncated side of the
+    // semi-join — unmaterialized, the corpus × probes × dims scoring pass
+    // (THE expensive subplan here) executed twice per run. Collapsed-
+    // relation-sized, evictAll-registered.
+    val top = graft.operators.Relational.materializeOnce(s, d,
+      "matryoshka_top10")(
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10))
     val full = top.filter(col("trunc_dim") === 64)
       .select(col("probe_id").as("fp"), col("vec_id").as("fv"))
     val nProbes = probes.select(count(lit(1)).as("n_probes"))

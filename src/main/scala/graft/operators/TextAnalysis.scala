@@ -638,6 +638,11 @@ object TextAnalysis {
     * summation order (Spark partial aggs vs DuckDB) cannot move a bit;
     * the one ln-per-term last-ulp wobble is absorbed by round(4). */
   private def jsDivergence(s: SparkSession, d: String): DataFrame = {
+    // (r18 note: materializing the (source, token) counts was tried and
+    // MEASURED 1.14× slower under an interleaved A/B — the self-join's
+    // two sides already share one exchange via ReuseExchange, so the
+    // cache only added persist overhead and broke codegen fusion.
+    // Reverted; receipt in dev/bench_r18opt_ab_batch3.json.)
     val st = Tables.documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))

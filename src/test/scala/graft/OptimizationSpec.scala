@@ -63,4 +63,31 @@ class OptimizationSpec extends SparkTestBase {
         |SELECT COUNT(*) AS n FROM seq;""".stripMargin).collect()
     assert(out.head.getLong(0) == (4L - minDoc + 1L))
   }
+
+  // ---- round-18 optimization internals ----
+
+  test("PQ codebook fit is deterministic under the r18 parallel per-subspace fit") {
+    GraftSession.prepare(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val m1 = graft.operators.PqIndex.fitPq(emb, 64)
+    val m2 = graft.operators.PqIndex.fitPq(emb, 64)
+    // M concurrent seeded fits write disjoint regions — the flattened
+    // books must be bitwise identical run-to-run (the determinism audit
+    // and the oracle's recall invariant both lean on this)
+    assert(java.util.Arrays.equals(m1.booksFlat, m2.booksFlat))
+    assert(m1.booksFlat.exists(_ != 0.0f), "fit produced a zeroed codebook")
+  }
+
+  test("q_weighted_median plans ONE data exchange and ONE window after the r18 share-the-exchange rewrite") {
+    GraftSession.prepare(spark)
+    val df = SparkEntry.queries("q_weighted_median")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    def count(sub: String) =
+      p.sliding(sub.length).count(_ == sub)
+    // one hash-partitioned data exchange (the broadcast of `part` is a
+    // BroadcastExchange, counted separately) and one fused Window node
+    assert(count("Exchange hashpartitioning") == 1,
+      s"expected 1 data exchange:\n$p")
+    assert(count("Window") == 1, s"expected 1 fused Window:\n$p")
+  }
 }
